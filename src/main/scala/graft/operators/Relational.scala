@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Core relational operators (SURVEY.md §2.1–§2.7) re-expressed Spark-first.
+  *
+  * Every query is paired with a DuckDB oracle in [[oracles]]. Determinism
+  * rules: total ORDER BY on every output; money aggregated as
+  * DECIMAL(38,2) (cast before SUM) so Spark and DuckDB agree bit-for-bit;
+  * no row_number/rank columns in output (Spark emits int32, DuckDB int64).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 2))
+
+  val queries: Map[String, Q] = Map(
+    // S1+P1: vectorized parquet scan with projection pushed to the reader.
+    "s1_scan_project" -> ((s, dir) =>
+      Tables(s, dir, "region")
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")),
+
+    // A2: hash aggregate (partial+final) + HAVING; reference
+    // streamlit/pages/1_recommendation_app.py:23-28.
+    "a2_agg_having" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .filter(col("n_rows") >= 10)
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // J1: inner equi-join on key + aggregate; reference
+    // code/curate/04_sales_enrich_sp.sql:36. Catalyst broadcasts the small
+    // part side automatically (autoBroadcastJoinThreshold / AQE).
+    // Money math in decimal end-to-end: 2dp × 2dp = exact 4dp, so Spark
+    // and the oracle agree bit-for-bit (double rounding modes differ).
+    "j1_join_agg" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val p  = Tables(s, dir, "part")
+      val ep   = col("l_extendedprice").cast(DecimalType(18, 2))
+      val disc = (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2))
+      li.join(p, li("l_partkey") === p("p_partkey"), "inner")
+        .groupBy("p_brand")
+        .agg(
+          sum(ep * disc).cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    // J2: left outer join preserving unmatched rows; reference 04:55.
+    "j2_left_join" -> ((s, dir) => {
+      val p  = Tables(s, dir, "part")
+      val li = Tables(s, dir, "lineitem")
+      p.join(li, p("p_partkey") === li("l_partkey"), "left")
+        .groupBy("p_partkey")
+        .agg(count(col("l_orderkey")).as("n_lineitems"))
+        .orderBy("p_partkey")
+    }),
+
+    // J3+P5+O1+F11: implicit inner join + filter + global sort + concat;
+    // the reference's unpaid-invoice analysis
+    // (streamlit/pages/2_unpaid_invoice_analysis.py:10-15).
+    "j3_unpaid_orders" -> ((s, dir) => {
+      Tables.register(s, dir, "orders", "customer")
+      s.sql("""SELECT c.c_name || ' (' || CAST(c.c_custkey AS STRING) || ')'
+              |         AS display_name,
+              |       o.o_orderkey, o.o_totalprice
+              |FROM orders o, customer c
+              |WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+              |ORDER BY o.o_totalprice DESC, o.o_orderkey
+              |LIMIT 100""".stripMargin)
+    }),
+
+    // J4+A2: IN-subquery → Catalyst RewritePredicateSubquery → left-semi
+    // join; reference streamlit/pages/1_recommendation_app.py:22-29.
+    "j4_semi_having" -> ((s, dir) => {
+      Tables.register(s, dir, "orders", "customer")
+      s.sql("""SELECT c_custkey, c_name FROM customer
+              |WHERE c_custkey IN (SELECT o_custkey FROM orders
+              |                    GROUP BY o_custkey HAVING COUNT(*) >= 12)
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // J5: anti-join (reference 1_recommendation_app.py:88 drops
+    // already-bought products client-side; here it is engine-side):
+    // customers with no pending ('P') orders. The filter on the right side
+    // is pushed below the join by Catalyst.
+    "j5_anti_join" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // W1+P4: row_number window dedup-to-master; reference
+    // code/curate/04_sales_enrich_sp.sql:43-47.
+    "w1_rownum_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy("p_brand").orderBy("p_partkey")
+      Tables(s, dir, "part")
+        .withColumn("row_num", row_number().over(w))
+        .filter(col("row_num") === 1)
+        .select("p_brand", "p_partkey", "p_name")
+        .orderBy("p_brand")
+    }),
+
+    // W3: rank over global ordering then top-k; reference
+    // streamlit/pages/2_unpaid_invoice_analysis.py:44-48. The tie-broken
+    // ordering makes rank()<=20 ≡ top-20, so we use orderBy+limit — Spark
+    // plans TakeOrderedAndProject (per-partition heap + driver merge),
+    // which scales where a global rank() window (single-partition
+    // WindowExec) would not.
+    "w3_rank_topk" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("total"))
+        .orderBy(col("total").desc, col("o_custkey"))
+        .limit(20)),
+
+    // A3/A5: distinct on a column subset (GROUP BY with no aggregates);
+    // reference 3B2_load_pdf_to_text.sql:6.
+    "a3_distinct_cols" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // U1+A1: UNION ALL of per-table counts (ingest validation);
+    // reference code/ingest/0_setup_env_and_ingest.py:100-109.
+    "u1_union_counts" -> ((s, dir) => {
+      def cnt(t: String) =
+        Tables(s, dir, t).agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n"))
+      cnt("customer").unionAll(cnt("orders")).unionAll(cnt("lineitem"))
+        .orderBy("tbl")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_scan_project" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "a2_agg_having" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(l_quantity AS DECIMAL(38,2))) AS sum_qty,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS sum_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 10
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "j1_join_agg" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1.0 - l_discount AS DECIMAL(18,2)))
+        |       AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "j2_left_join" ->
+      """SELECT p_partkey, COUNT(l_orderkey) AS n_lineitems
+        |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+
+    "j3_unpaid_orders" ->
+      """SELECT c.c_name || ' (' || CAST(c.c_custkey AS VARCHAR) || ')'
+        |         AS display_name,
+        |       o.o_orderkey, o.o_totalprice
+        |FROM orders o, customer c
+        |WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "j4_semi_having" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    GROUP BY o_custkey HAVING COUNT(*) >= 12)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "w1_rownum_dedup" ->
+      """SELECT p_brand, p_partkey, p_name FROM (
+        |  SELECT p_brand, p_partkey, p_name,
+        |         row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey)
+        |           AS row_num
+        |  FROM part) t
+        |WHERE row_num = 1 ORDER BY p_brand""".stripMargin,
+
+    "w3_rank_topk" ->
+      """SELECT o_custkey, total FROM (
+        |  SELECT o_custkey, total,
+        |         rank() OVER (ORDER BY total DESC, o_custkey) AS rnk
+        |  FROM (SELECT o_custkey,
+        |               SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS total
+        |        FROM orders GROUP BY o_custkey) agg) ranked
+        |WHERE rnk <= 20 ORDER BY total DESC, o_custkey""".stripMargin,
+
+    "a3_distinct_cols" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "u1_union_counts" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+        |  UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem) u
+        |ORDER BY tbl""".stripMargin
+  )
+}

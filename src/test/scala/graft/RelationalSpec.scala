@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("every query has an entry and runs on sf0.001") {
+    Relational.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.count() // must not throw
+    }
+  }
+
+  test("entry (unpaid orders) returns rows ordered by totalprice desc") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("w1_rownum_dedup keeps exactly one row per brand") {
+    val rows = Relational.queries("w1_rownum_dedup")(spark, sf).collect()
+    val brands = rows.map(_.getAs[String]("p_brand"))
+    assert(brands.distinct.length === brands.length)
+    // the survivor is the min partkey in its brand (ORDER BY p_partkey)
+    val part = Tables(spark, sf, "part")
+      .groupBy("p_brand")
+      .agg(org.apache.spark.sql.functions.min("p_partkey").as("mn"))
+      .collect()
+      .map(r => r.getAs[String]("p_brand") -> r.getAs[Long]("mn"))
+      .toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p_partkey") === part(r.getAs[String]("p_brand")))
+    }
+  }
+
+  test("u1_union_counts matches table counts") {
+    val got = Relational.queries("u1_union_counts")(spark, sf).collect()
+      .map(r => r.getAs[String]("tbl") -> r.getAs[Long]("n")).toMap
+    assert(got("customer") === Tables(spark, sf, "customer").count())
+    assert(got("orders") === Tables(spark, sf, "orders").count())
+    assert(got("lineitem") === Tables(spark, sf, "lineitem").count())
+  }
+
+  test("j5_anti_join: no returned customer has a pending order") {
+    import org.apache.spark.sql.functions.col
+    val anti = Relational.queries("j5_anti_join")(spark, sf)
+    val pending = Tables(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("c_custkey"))
+    assert(anti.join(pending, Seq("c_custkey"), "inner").count() === 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}
