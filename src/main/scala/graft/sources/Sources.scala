@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sources and sinks (SURVEY.md §2.1): schema-inferred JSON ingest,
+  * by-name case-insensitive column matching, directory (file-catalog)
+  * scans over unstructured blobs, CTAS + overwrite table writes, and
+  * table scans by qualified name.
+  */
+object Sources {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Stable scratch dir per sf input (JSON round-trips, managed tables). */
+  private def scratch(dir: String, tag: String): String =
+    s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$tag"
+
+  val queries: Map[String, Q] = Map(
+    // S2+O3: JSON-lines batch source with schema inference capped at a
+    // 1,000-record sample (reference 3C_load_txn_history.sql:4-18
+    // `INFER_SCHEMA ... LIMIT 1000`). Events are first exported to
+    // JSON-lines (timestamps as strings, as in the reference's feeds),
+    // then re-ingested: infer on the sample, apply to the full read.
+    "s2_json_sampled_infer" -> ((s, dir) => {
+      val path = scratch(dir, "events_json")
+      Tables.events(s, dir)
+        .selectExpr("event_id", "user_id", "event_type", "value",
+          "date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts_str", "props")
+        .write.mode("overwrite").json(path)
+      import s.implicits._
+      val sample = s.read.json(s.read.text(path).limit(1000).as[String])
+      s.read.schema(sample.schema).json(path)
+        .select("event_id", "event_type", "value", "ts_str")
+        .orderBy("event_id")
+    }),
+
+    // S3: by-name, case-insensitive column matching on load (reference
+    // `MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE`, 3A:16-19): two
+    // projections with different column order and case union by name.
+    "s3_union_by_name" -> ((s, dir) => {
+      val n = Tables(s, dir, "nation")
+      val upper = n.select(
+        col("n_nationkey").as("N_NATIONKEY"),
+        col("n_name").as("N_NAME"),
+        col("n_regionkey").as("N_REGIONKEY"))
+      val reordered = n.select("n_regionkey", "n_name", "n_nationkey")
+      upper.unionByName(reordered)
+        .groupBy(col("N_REGIONKEY").as("n_regionkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
+    }),
+
+    // S5: directory (file-catalog) scan over blobs — the reference's
+    // `directory(@stage)` (3B2_load_pdf_to_text.sql:5) as Spark's
+    // binaryFile source: path/length/content per file.
+    "s5_binary_dir_scan" -> ((s, dir) =>
+      s.read.format("binaryFile").load(s"$dir/*.parquet")
+        .selectExpr("regexp_extract(path, '[^/]+$', 0) AS file_name",
+          "length")
+        .orderBy("file_name")),
+
+    // S7+S8+S9: CTAS (3B2:1-7), overwrite table write
+    // (02_customer_sp.sql:37), table scan by name (02:22). Managed table
+    // in the session warehouse; DROP removes its files so the query is
+    // rerunnable.
+    "s7_ctas_table_scan" -> ((s, dir) => {
+      s.sql("DROP TABLE IF EXISTS graft_nation_master")
+      // A fresh session's in-memory catalog doesn't know the table, so
+      // DROP alone leaves last run's warehouse dir behind and CTAS would
+      // fail with LOCATION_ALREADY_EXISTS — remove the location too.
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_nation_master")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+      Tables.register(s, dir, "nation", "region")
+      s.sql("""CREATE TABLE graft_nation_master USING parquet AS
+              |SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+              |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+              |""".stripMargin)
+      // S8: overwrite with an independently-derived frame (same content)
+      Tables(s, dir, "nation")
+        .join(Tables(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"),
+          col("r_name").as("region_name"))
+        .write.mode("overwrite").saveAsTable("graft_nation_master")
+      s.table("graft_nation_master").orderBy("n_nationkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s2_json_sampled_infer" ->
+      """SELECT event_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "s3_union_by_name" ->
+      """SELECT n_regionkey, CAST(2 * COUNT(*) AS BIGINT) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    // The driver's correctness pass runs on sf0.01; read_blob lists the
+    // same files the binaryFile source scans.
+    "s5_binary_dir_scan" ->
+      """SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+        |  size AS length
+        |FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        |ORDER BY file_name""".stripMargin,
+
+    "s7_ctas_table_scan" ->
+      """SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n.n_nationkey""".stripMargin
+  )
+}
