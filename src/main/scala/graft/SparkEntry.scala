@@ -12,6 +12,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Projections.queries ++
+      operators.Curation.queries ++
       sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -19,5 +20,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       operators.Projections.oracles ++
+      operators.Curation.oracles ++
       sources.Sources.oracles
 }

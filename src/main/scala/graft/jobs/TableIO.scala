@@ -1,0 +1,20 @@
+package graft.jobs
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object TableIO {
+  /** Overwrite a managed table rerun-safely across fresh sessions: the
+    * in-memory catalog forgets tables between JVMs but their warehouse
+    * directories persist, so a bare CTAS/saveAsTable would fail with
+    * LOCATION_ALREADY_EXISTS. Drop, clear the stale location, then save.
+    */
+  def overwrite(spark: SparkSession, df: DataFrame, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    df.write.mode("overwrite").saveAsTable(table)
+  }
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.jobs.{CustomerStandardize, InvoiceParse, SalesEnrich}
+
+/** Oracle-paired queries for the three curation jobs (SURVEY.md §2.10 D2,
+  * §7 build order 3-4). Family-A-shaped inputs (FIXTURES.md §A) are
+  * synthesized deterministically from testdata columns — pure
+  * integer/string construction, so Spark and DuckDB agree exactly.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def pad(e: Column, n: Int) = lpad(e.cast("string"), n, "0")
+
+  /** Family-A1 customer shape (CUSTOMER_ID, NAME, phones, POSTCODE, …)
+    * from customer ⋈ nation. Phone formats cover the edge cases: leading
+    * "1-" country code, parenthesized area code that may itself start
+    * with 1, and the reference's `[^0-9_]`-survives-underscores quirk. */
+  def customerInput(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    val k = col("c_custkey")
+    c.join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(
+        pad(k, 10).as("CUSTOMER_ID"),
+        regexp_replace(col("c_name"), "#", " ").as("NAME"),
+        lit("1970-01-01").as("DOB"),
+        col("c_mktsegment").as("JOB_TITLE"),
+        lit("ACME Corp").as("COMPANY"),
+        concat((k % 999).cast("string"), lit(" Main St")).as("STREET"),
+        lit("Springfield").as("CITY"),
+        lit("IL").as("STATE"),
+        pad(k % 100000, 5).as("POSTCODE"),
+        col("n_name").as("COUNTRY"),
+        concat(lit("1-"), pad(k % 1000, 3), lit("-555-"), pad(k % 10000, 4))
+          .as("HOME_PHONE"),
+        concat(lit("("), ((k % 900) + 100).cast("string"), lit(") 555-"),
+          pad(k % 10000, 4)).as("CELL_PHONE"),
+        concat(pad(k % 1000, 3), lit("_555_"), pad(k % 10000, 4))
+          .as("WORK_PHONE"))
+  }
+
+  /** Family-A4 invoice raw text (labeled fields, as the reference's
+    * PDF→text output) synthesized from orders. Amounts are built from
+    * integer cents so both engines produce identical strings/decimals. */
+  def invoiceRawText(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    def ac(kk: Int): Column =
+      (col("o_orderkey") * 7 + lit(kk * 131)) % 90000 + 100
+    def dollars(c: Column) = floor(c / 100).cast("long").cast("string")
+    def cents(c: Column) = lpad((c % 100).cast("string"), 2, "0")
+    def moneyStr(c: Column) =
+      concat(lit("$"), dollars(c), lit("."), cents(c))
+    def plainStr(c: Column) = concat(dollars(c), lit("."), cents(c))
+    val status = when(col("o_orderstatus") === "F", "PAID")
+      .when(col("o_orderstatus") === "O", "OPEN")
+      .otherwise("Overdue")
+    val payDt = when(col("o_orderstatus") === "F",
+      date_add(col("o_orderdate").cast("date"), 30).cast("string"))
+      .otherwise(lit("N/A"))
+    o.select(
+      concat(lit("INVOICE_NO_INV-"), pad(col("o_orderkey"), 8), lit(".pdf"))
+        .as("relative_path"),
+      concat_ws(" ",
+        lit("Customer:"), col("o_custkey").cast("string"),
+        lit("Invoice #:"), concat(lit("INV-"), pad(col("o_orderkey"), 8)),
+        lit("Generated On:"), col("o_orderdate").cast("date").cast("string"),
+        lit("Status:"), status,
+        lit("Payment Date:"), payDt,
+        lit("Item 1"), moneyStr(ac(1)),
+        lit("Item 2"), moneyStr(ac(2)),
+        lit("Item 3"), moneyStr(ac(3)),
+        lit("Total"), plainStr(ac(1) + ac(2) + ac(3))).as("pdf_text"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d2_customer_standardize" -> ((s, dir) =>
+      CustomerStandardize.transform(customerInput(s, dir))
+        .orderBy("CUSTOMER_ID")),
+
+    "d2_invoice_parse" -> ((s, dir) =>
+      InvoiceParse.parse(invoiceRawText(s, dir)).orderBy("invoice_num")),
+
+    "d2_sales_enrich" -> ((s, dir) =>
+      SalesEnrich.transform(
+        Tables(s, dir, "lineitem"), Tables(s, dir, "orders"),
+        Tables(s, dir, "customer"), Tables(s, dir, "part"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — extend the sort key to a total order for the oracle
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+          "net_amt"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d2_customer_standardize" ->
+      """WITH inp AS (
+        |  SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS customer_id,
+        |    replace(c_name, '#', ' ') AS name,
+        |    c_mktsegment AS job_title,
+        |    CAST(c_custkey % 999 AS VARCHAR) || ' Main St' AS street,
+        |    lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') AS zip,
+        |    n_name AS country,
+        |    '1-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+        |         || '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |      AS home_phone,
+        |    '(' || CAST(c_custkey % 900 + 100 AS VARCHAR) || ') 555-'
+        |         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |      AS cell_phone,
+        |    lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '_555_'
+        |         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |      AS work_phone
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |ph AS (
+        |  SELECT *,
+        |    regexp_replace(home_phone, '[^0-9_]', '', 'g') AS hd,
+        |    regexp_replace(cell_phone, '[^0-9_]', '', 'g') AS cd,
+        |    regexp_replace(work_phone, '[^0-9_]', '', 'g') AS wd
+        |  FROM inp)
+        |SELECT customer_id AS "CUSTOMER_ID",
+        |  substr(name, 1, strpos(name, ' ') - 1) AS "FIRST_NAME",
+        |  substr(name, strpos(name, ' ') + 1, length(name)) AS "LAST_NAME",
+        |  '1970-01-01' AS "DOB",
+        |  job_title AS "JOB_TITLE",
+        |  'ACME Corp' AS "COMPANY",
+        |  street AS "STREET",
+        |  'Springfield' AS "CITY",
+        |  'IL' AS "STATE",
+        |  zip AS "ZIP",
+        |  country AS "COUNTRY",
+        |  CASE WHEN substr(hd,1,1)='1' THEN substr(hd,2,10)
+        |       ELSE substr(hd,1,10) END AS "HOME_PHONE",
+        |  CASE WHEN substr(cd,1,1)='1' THEN substr(cd,2,10)
+        |       ELSE substr(cd,1,10) END AS "CELL_PHONE",
+        |  CASE WHEN substr(wd,1,1)='1' THEN substr(wd,2,10)
+        |       ELSE substr(wd,1,10) END AS "WORK_PHONE"
+        |FROM ph ORDER BY customer_id""".stripMargin,
+
+    "d2_invoice_parse" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus,
+        |    (o_orderkey * 7 + 131) % 90000 + 100 AS ac1,
+        |    (o_orderkey * 7 + 262) % 90000 + 100 AS ac2,
+        |    (o_orderkey * 7 + 393) % 90000 + 100 AS ac3
+        |  FROM orders)
+        |SELECT
+        |  'INVOICE_NO_INV-' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0')
+        |      || '.pdf' AS relative_path,
+        |  lpad(CAST(o_custkey AS VARCHAR), 10, '0') AS customer_id,
+        |  'INV-' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS invoice_num,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS inv_gen_dt,
+        |  CASE WHEN o_orderstatus = 'F' THEN 'PAID'
+        |       WHEN o_orderstatus = 'O' THEN 'OPEN'
+        |       ELSE 'Overdue' END AS inv_status,
+        |  CASE WHEN o_orderstatus = 'F'
+        |       THEN CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR)
+        |       ELSE 'N/A' END AS payment_dt,
+        |  CAST(CAST(ac1 // 100 AS VARCHAR) || '.'
+        |       || lpad(CAST(ac1 % 100 AS VARCHAR), 2, '0')
+        |       AS DECIMAL(38,2)) AS item_1,
+        |  CAST(CAST(ac2 // 100 AS VARCHAR) || '.'
+        |       || lpad(CAST(ac2 % 100 AS VARCHAR), 2, '0')
+        |       AS DECIMAL(38,2)) AS item_2,
+        |  CAST(CAST(ac3 // 100 AS VARCHAR) || '.'
+        |       || lpad(CAST(ac3 % 100 AS VARCHAR), 2, '0')
+        |       AS DECIMAL(38,2)) AS item_3,
+        |  CAST(CAST((ac1 + ac2 + ac3) // 100 AS VARCHAR) || '.'
+        |       || lpad(CAST((ac1 + ac2 + ac3) % 100 AS VARCHAR), 2, '0')
+        |       AS DECIMAL(38,2)) AS total
+        |FROM a ORDER BY invoice_num""".stripMargin,
+
+    "d2_sales_enrich" ->
+      """WITH master AS (
+        |  SELECT p_partkey AS master_partkey, p_name, p_brand, p_type
+        |  FROM (SELECT p_partkey, p_name, p_brand, p_type,
+        |          row_number() OVER (PARTITION BY p_name ORDER BY p_partkey)
+        |            AS rn
+        |        FROM part) t
+        |  WHERE rn = 1)
+        |SELECT DISTINCT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * CAST(1.0 - l_discount AS DECIMAL(18,2))
+        |       AS DECIMAL(38,4)) AS net_amt,
+        |  c_custkey, c_name, c_mktsegment, p_name, p_brand, p_type
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN master ON l_partkey = master_partkey
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, net_amt
+        |""".stripMargin
+  )
+}

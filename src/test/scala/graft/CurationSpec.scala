@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.Row
+import graft.jobs.{CurationPipeline, CustomerStandardize, InvoiceParse, PipelineDag, DagTask}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("customer standardize: FIXTURES.md family-A edge cases") {
+    val in = Seq(
+      // two-word name, phone with leading 1 + punctuation
+      ("0000000001", "Ada Lovelace", "1-800-555-1234", "(212) 555-9876",
+       "303_555_0000"),
+      // single-word name → FIRST_NAME empty, LAST_NAME = whole
+      ("0000000002", "Cher", "800-555-4321", "1 (415) 555-2222",
+       "121_555_3333")
+    ).toDF("CUSTOMER_ID", "NAME", "HOME_PHONE", "CELL_PHONE", "WORK_PHONE")
+      .selectExpr("*", "'1970-01-01' AS DOB", "'x' AS JOB_TITLE",
+        "'x' AS COMPANY", "'x' AS STREET", "'x' AS CITY", "'x' AS STATE",
+        "'00001' AS POSTCODE", "'US' AS COUNTRY")
+    val out = CustomerStandardize.transform(in)
+      .orderBy("CUSTOMER_ID").collect()
+
+    val r1 = out(0)
+    assert(r1.getAs[String]("FIRST_NAME") === "Ada")
+    assert(r1.getAs[String]("LAST_NAME") === "Lovelace")
+    // 1-800-555-1234 → 18005551234 → leading 1 stripped → 8005551234
+    assert(r1.getAs[String]("HOME_PHONE") === "8005551234")
+    assert(r1.getAs[String]("CELL_PHONE") === "2125559876")
+    // underscores survive the reference's [^0-9_] class
+    assert(r1.getAs[String]("WORK_PHONE") === "303_555_00")
+    assert(r1.getAs[String]("ZIP") === "00001")
+
+    val r2 = out(1)
+    assert(r2.getAs[String]("FIRST_NAME") === "")
+    assert(r2.getAs[String]("LAST_NAME") === "Cher")
+    // 14155552222 → leading 1 stripped
+    assert(r2.getAs[String]("CELL_PHONE") === "4155552222")
+    // 121_555_3333 starts with 1 → stripped to 21_555_333 (10 chars)
+    assert(r2.getAs[String]("WORK_PHONE") === "21_555_333")
+  }
+
+  test("invoice parse: labeled text incl. missing Payment Date") {
+    val in = Seq(
+      ("a.pdf", "Customer: 42 Invoice #: INV-00000001 Generated On: " +
+        "2024-01-15 Status: Overdue Payment Date: N/A Item 1 $12.34 " +
+        "Item 2 $1,000.00 Item 3 $0.99 Total 1013.33"),
+      // missing "Payment Date:" label entirely → empty payment_dt
+      ("b.pdf", "Customer: 7 Invoice #: INV-00000002 Generated On: " +
+        "2024-02-01 Status: PAID Payment Item 1 $5.00 Item 2 $6.00 " +
+        "Item 3 $7.00 Total 18.00")
+    ).toDF("relative_path", "pdf_text")
+    val out = InvoiceParse.parse(in).orderBy("relative_path").collect()
+
+    val a = out(0)
+    assert(a.getAs[String]("customer_id") === "0000000042")
+    assert(a.getAs[String]("invoice_num") === "INV-00000001")
+    assert(a.getAs[String]("inv_gen_dt") === "2024-01-15")
+    assert(a.getAs[String]("inv_status") === "Overdue")
+    assert(a.getAs[java.math.BigDecimal]("item_2")
+      .compareTo(new java.math.BigDecimal("1000.00")) === 0)
+    assert(a.getAs[java.math.BigDecimal]("total")
+      .compareTo(new java.math.BigDecimal("1013.33")) === 0)
+
+    val b = out(1)
+    assert(b.getAs[String]("payment_dt") === "")
+    assert(b.getAs[String]("inv_status") === "PAID")
+  }
+
+  test("invoice job end-to-end over PDF binaries (binaryFile → UDF → parse)") {
+    val dir = Files.createTempDirectory("graft_pdfs")
+    val text = "Customer: 99 Invoice #: INV-00000042 Generated On: " +
+      "2024-03-01 Status: OPEN Payment Date: N/A Item 1 $1.00 Item 2 " +
+      "$2.00 Item 3 $3.00 Total 6.00"
+    Files.write(dir.resolve("inv1.pdf"), MiniPdf(Seq(text)))
+    Files.write(dir.resolve("inv2.pdf"), MiniPdf(Seq(text), compress = true))
+    val out = InvoiceParse.transform(spark, dir.toString)
+      .orderBy("relative_path").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[String]("customer_id") === "0000000099")
+      assert(r.getAs[String]("invoice_num") === "INV-00000042")
+      assert(r.getAs[java.math.BigDecimal]("total")
+        .compareTo(new java.math.BigDecimal("6.00")) === 0)
+    }
+  }
+
+  test("pipeline DAG: topological order, cycle detection, end-to-end run") {
+    val dag = CurationPipeline(sf)
+    val ord = dag.order
+    assert(ord.head === "customer_processed")
+    assert(ord.toSet ===
+      Set("customer_processed", "invoice_processed", "sales_enrich_curated"))
+
+    val statuses = dag.run(spark)
+    assert(statuses.forall(_._2 == "ok"), statuses.mkString(", "))
+    assert(spark.table("graft_curated_customer").count() ===
+      Tables(spark, sf, "customer").count())
+    assert(spark.table("graft_curated_invoice").count() ===
+      Tables(spark, sf, "orders").count())
+    assert(spark.table("graft_curated_product_sales").count() ===
+      Tables(spark, sf, "lineitem").count())
+
+    intercept[IllegalArgumentException] {
+      new PipelineDag(Seq(
+        DagTask("a", Seq("b"), _ => ()),
+        DagTask("b", Seq("a"), _ => ()))).order
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.util.zip.Deflater
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.PdfText
+
+object MiniPdf {
+  /** Build a minimal single-page PDF whose content stream shows `lines`
+    * one Tj per line. `compress` Flate-encodes the stream (the reference
+    * invoices' encoding). */
+  def apply(lines: Seq[String], compress: Boolean = false): Array[Byte] = {
+    val esc = lines.map(_.replace("\\", "\\\\")
+      .replace("(", "\\(").replace(")", "\\)"))
+    val content = "BT /F1 12 Tf 72 720 Td " +
+      esc.map(l => s"($l) Tj 0 -14 Td").mkString(" ") + " ET"
+    val raw = content.getBytes("ISO-8859-1")
+    val data = if (compress) deflate(raw) else raw
+    val filter = if (compress) "/Filter /FlateDecode " else ""
+    val head =
+      s"""%PDF-1.4
+         |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+         |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+         |3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj
+         |4 0 obj << $filter/Length ${data.length} >>
+         |stream
+         |""".stripMargin.getBytes("ISO-8859-1")
+    val tail = "\nendstream\nendobj\n%%EOF\n".getBytes("ISO-8859-1")
+    head ++ data ++ tail
+  }
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(b); d.finish()
+    val out = new Array[Byte](b.length * 2 + 64)
+    val n = d.deflate(out)
+    d.end()
+    out.take(n)
+  }
+}
+
+class PdfTextSpec extends AnyFunSuite {
+
+  test("extracts Tj strings from an uncompressed PDF") {
+    val pdf = MiniPdf(Seq("Customer: 42", "Total 370.35"))
+    assert(PdfText.extract(pdf) === "Customer: 42 Total 370.35")
+  }
+
+  test("extracts from a FlateDecode-compressed stream") {
+    val pdf = MiniPdf(Seq("Invoice #: INV-00000007", "Status: Overdue"),
+      compress = true)
+    assert(PdfText.extract(pdf) ===
+      "Invoice #: INV-00000007 Status: Overdue")
+  }
+
+  test("handles escapes and TJ arrays") {
+    val content = """BT [(He) (llo \(world\))] TJ (lit\\eral) Tj ET"""
+    val pdf = ("1 0 obj << /Length " + content.length + " >>\nstream\n" +
+      content + "\nendstream\nendobj").getBytes("ISO-8859-1")
+    assert(PdfText.extract(pdf) === "He llo (world) lit\\eral")
+  }
+
+  test("null and garbage bytes do not throw") {
+    assert(PdfText.extract(null) === null)
+    assert(PdfText.extract(Array[Byte](1, 2, 3)) === "")
+  }
+}
