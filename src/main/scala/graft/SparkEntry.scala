@@ -13,6 +13,7 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Projections.queries ++
       operators.Curation.queries ++
+      operators.Dedup.queries ++
       sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -21,5 +22,6 @@ object SparkEntry {
     operators.Relational.oracles ++
       operators.Projections.oracles ++
       operators.Curation.oracles ++
+      operators.Dedup.oracles ++
       sources.Sources.oracles
 }

@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup. Generalizes the reference's dedup motifs
+  * (GROUP-BY dedup 3B2_load_pdf_to_text.sql:6, distinct 04:56,
+  * drop_duplicates 1_recommendation_app.py:95) into first-class
+  * operators over the `documents`/`embeddings` tables.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison —
+  * LSH band-bucket joins (MinHash, SimHash) or document-frequency-pruned
+  * inverted-index joins (Jaccard) produce candidates; only candidates are
+  * scored. Hashing is md5-based so the DuckDB oracles reproduce results
+  * bit-for-bit.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct word-3-gram shingles per doc. Guarded: docs with <3 words
+    * yield no shingles (Spark's `sequence(1,0)` would descend!). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 3
+          |  THEN transform(sequence(1, size(w) - 2),
+          |                 i -> concat_ws(' ', slice(w, i, 3)))
+          |  ELSE array() END""".stripMargin)).as("shingle"))
+      .distinct()
+
+  private val K = 9          // minhash signature length
+  private val BANDS = 3      // 3 bands × 3 rows
+  private val SIM_BITS = 63  // simhash width (63 avoids BIGINT sign)
+  private val SIM_BAND_BITS = 21 // 3 bands ⇒ ham ≤ 2 ⇒ ≥1 band equal
+
+  /** Per-doc minhash signature columns h1..hK. Signatures are lexicographic
+    * minima of fixed-length md5 hex — numeric min, engine-portable. */
+  private def minhashes(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir).groupBy("doc_id").agg(
+      min(md5(concat(lit("1|"), col("shingle")).cast("binary"))).as("h1"),
+      (2 to K).map(i =>
+        min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary")))
+          .as(s"h$i")): _*)
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup via hash-groupBy on normalized text: group on the
+    // 16-byte digest, not the full document — at 100 TB the shuffle
+    // carries hashes, not bodies.
+    "dd_exact" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("norm",
+          regexp_replace(trim(lower(col("text"))), " +", " "))
+        .groupBy(md5(col("norm").cast("binary")).as("grp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")),
+
+    // MinHash + LSH: shingle → K minhashes → band digests → bucket join
+    // for candidates → verify with full-signature agreement ≥ 6/9.
+    "dd_minhash_lsh" -> ((s, dir) => {
+      val mh = minhashes(s, dir).cache() // signatures reused 3×
+      val bandCols = (0 until BANDS).map { b =>
+        val cs = (1 to 3).map(i => col(s"h${b * 3 + i}"))
+        struct(lit(b + 1).as("band"),
+          md5(concat(cs: _*).cast("binary")).as("bv"))
+      }
+      val bands = mh.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("s"))
+        .select(col("doc_id"), col("s.band"), col("s.bv"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      val m1 = mh.toDF(mh.columns.map(c => s"${c}_1"): _*)
+      val m2 = mh.toDF(mh.columns.map(c => s"${c}_2"): _*)
+      val nMatch = (1 to K).map(i =>
+        (col(s"h${i}_1") === col(s"h${i}_2")).cast("int")).reduce(_ + _)
+      cand
+        .join(m1, col("id1") === col("doc_id_1"))
+        .join(m2, col("id2") === col("doc_id_2"))
+        .select(col("id1"), col("id2"), nMatch.as("n_match"))
+        .filter(col("n_match") >= 6)
+        .orderBy("id1", "id2")
+    }),
+
+    // SimHash: 63-bit signature from md5-hashed token frequencies;
+    // 3 × 21-bit bands bucket candidates; hamming ≤ 2 confirms.
+    "dd_simhash" -> ((s, dir) => {
+      val tf = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("freq"))
+        .withColumn("h", md5(col("word").cast("binary")))
+      val bitAggs = (0 until SIM_BITS).map { b =>
+        val digit = s"(instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)"
+        val bit = s"(($digit div ${1 << (b % 4)}) % 2)"
+        expr(s"""CASE WHEN sum(freq * (2 * $bit - 1)) > 0
+                |  THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT)
+                |END""".stripMargin).as(s"p$b")
+      }
+      val sim = tf.groupBy("doc_id")
+        .agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"),
+          (0 until SIM_BITS).map(b => col(s"p$b")).reduce(_ + _).as("sim"))
+        .cache()
+      val bands = (0 until 3).map(k =>
+        sim.select(col("doc_id"), lit(k).as("band"),
+          expr(s"(sim div ${1L << (SIM_BAND_BITS * k)}) % ${1L << SIM_BAND_BITS}")
+            .as("bv"))).reduce(_ unionAll _)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      cand
+        .join(sim.select(col("doc_id").as("id1"), col("sim").as("s1")), "id1")
+        .join(sim.select(col("doc_id").as("id2"), col("sim").as("s2")), "id2")
+        .select(col("id1"), col("id2"),
+          expr("cast(bit_count(s1 ^ s2) as int)").as("ham"))
+        .filter(col("ham") <= 2)
+        .orderBy("id1", "id2")
+    }),
+
+    // Exact n-gram Jaccard on candidates from a document-frequency-pruned
+    // inverted index (shingles in ≤50 docs) — the df-pruning is what
+    // keeps the candidate join sub-quadratic at scale. Threshold J ≥ 0.5
+    // applied in exact integer arithmetic: 2·|∩| ≥ |∪|.
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingles(s, dir).cache()
+      val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select("shingle")
+      val shr = sh.join(rare, "shingle")
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = shr.as("a").join(shr.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("id1"), col("n").as("na")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("n").as("nb")), "id2")
+        .select(col("id1"), col("id2"), col("n_inter"),
+          (col("na") + col("nb") - col("n_inter")).as("n_union"))
+        .filter(col("n_inter") * 2 >= col("n_union"))
+        .orderBy("id1", "id2")
+    }),
+
+    // Embedding-cosine near-dup: top-20 most-similar vector pairs.
+    // Brute-force double-precision dot product via zip_with/aggregate;
+    // the IVF/LSH scale path lives in operators.Similarity.
+    "dd_embed_cosine" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      val a = e.select(col("vec_id").as("id1"), col("v").as("v1"),
+        col("nrm").as("n1"))
+      val b = e.select(col("vec_id").as("id2"), col("v").as("v2"),
+        col("nrm").as("n2"))
+      a.join(b, col("id1") < col("id2"))
+        .withColumn("cos", expr(
+          "aggregate(zip_with(v1, v2, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+          / (col("n1") * col("n2")))
+        .orderBy(col("cos").desc, col("id1"), col("id2"))
+        .limit(20)
+        .select("id1", "id2")
+    })
+  )
+
+  // ---- DuckDB oracles (generated to mirror the Spark pipelines) ----
+
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id, sh AS shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) u
+      |""".stripMargin
+
+  private val minhashSql = {
+    val hs = (1 to K).map(i => s"min(md5('$i|' || shingle)) AS h$i")
+      .mkString(",\n    ")
+    s"""WITH sh AS ($shinglesSql),
+       |mh AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 1 AS band, md5(h1 || h2 || h3) AS bv FROM mh
+       |  UNION ALL SELECT doc_id, 2, md5(h4 || h5 || h6) FROM mh
+       |  UNION ALL SELECT doc_id, 3, md5(h7 || h8 || h9) FROM mh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+       |                            AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, n_match FROM (
+       |  SELECT id1, id2,
+       |    (${(1 to K).map(i => s"CAST(m1.h$i = m2.h$i AS INT)").mkString(" + ")})
+       |      AS n_match
+       |  FROM cand JOIN mh m1 ON id1 = m1.doc_id
+       |            JOIN mh m2 ON id2 = m2.doc_id) s
+       |WHERE n_match >= 6 ORDER BY id1, id2""".stripMargin
+  }
+
+  private val simhashSql = {
+    def bitExpr(b: Int): String = {
+      val digit = s"(strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)"
+      s"(($digit // ${1 << (b % 4)}) % 2)"
+    }
+    val sums = (0 until SIM_BITS).map(b =>
+      s"CASE WHEN sum(freq * (2 * ${bitExpr(b)} - 1)) > 0 " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE 0 END AS p$b")
+      .mkString(",\n    ")
+    val simSum = (0 until SIM_BITS).map(b => s"p$b").mkString(" + ")
+    val bands = (0 until 3).map(k =>
+      s"SELECT doc_id, $k AS band, " +
+        s"(sim // ${1L << (SIM_BAND_BITS * k)}) % ${1L << SIM_BAND_BITS} AS bv FROM sim")
+      .mkString("\n  UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (
+       |  SELECT doc_id, word, md5(word) AS h, count(*) AS freq
+       |  FROM tok GROUP BY doc_id, word),
+       |bits AS (SELECT doc_id,
+       |    $sums
+       |  FROM tf GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($simSum AS BIGINT) AS sim FROM bits),
+       |bands AS ($bands),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+       |                            AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, ham FROM (
+       |  SELECT id1, id2, CAST(bit_count(xor(s1.sim, s2.sim)) AS INT) AS ham
+       |  FROM cand JOIN sim s1 ON id1 = s1.doc_id
+       |            JOIN sim s2 ON id2 = s2.doc_id) x
+       |WHERE ham <= 2 ORDER BY id1, id2""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |        md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS grp
+        |      FROM documents) t
+        |GROUP BY grp ORDER BY keep_id""".stripMargin,
+
+    "dd_minhash_lsh" -> minhashSql,
+    "dd_simhash" -> simhashSql,
+
+    "dd_ngram_jaccard" ->
+      s"""WITH sh AS ($shinglesSql),
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle
+         |         HAVING count(*) <= 50),
+         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+         |  FROM shr a JOIN shr b ON a.shingle = b.shingle
+         |                        AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, n_inter,
+         |       CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union
+         |FROM inter JOIN sizes sa ON id1 = sa.doc_id
+         |           JOIN sizes sb ON id2 = sb.doc_id
+         |WHERE 2 * n_inter >= (sa.n + sb.n - n_inter)
+         |ORDER BY id1, id2""".stripMargin,
+
+    "dd_embed_cosine" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+        |         id1, id2
+        |LIMIT 20""".stripMargin
+  )
+}
