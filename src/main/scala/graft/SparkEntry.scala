@@ -14,6 +14,7 @@ object SparkEntry {
       operators.Projections.queries ++
       operators.Curation.queries ++
       operators.Dedup.queries ++
+      operators.Similarity.queries ++
       sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -23,5 +24,6 @@ object SparkEntry {
       operators.Projections.oracles ++
       operators.Curation.oracles ++
       operators.Dedup.oracles ++
+      operators.Similarity.oracles ++
       sources.Sources.oracles
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor similarity search over the embeddings
+  * table (`embedding: Array[Float]`, 64-dim): brute-force cosine top-k as
+  * the exact baseline, and an IVF (inverted-file) variant as the scale
+  * path — assign every vector to its nearest of C centroids (broadcast
+  * join), then probe only the P closest buckets per query. At 100 TB the
+  * assignment is a map-side broadcast pass and each query touches ~P/C
+  * of the data instead of all of it.
+  *
+  * Cosine uses the codegen'd [[graft.functions.FloatVecDot]] expression.
+  * Centroids are chosen deterministically (vec_id < C) so the DuckDB
+  * oracle reproduces the exact bucketing.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val C = 16      // IVF centroid count
+  private val PROBES = 4  // buckets probed per query
+  private val TOPK = 5
+  private val NQ = 10     // query vectors: vec_id < NQ
+
+  /** embeddings with L2 norm, via vec_dot(v, v). */
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+  }
+
+  private def cos(v1: String, n1: String, v2: String, n2: String) =
+    expr(s"vec_dot($v1, $v2)") / (col(n1) * col(n2))
+
+  val queries: Map[String, Q] = Map(
+    // Exact baseline: per-query top-k over all vectors.
+    "sim_bruteforce_topk" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val q = e.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn")).filter(col("qid") < NQ)
+      val n = e.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("nrm").as("nn"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("c").desc, col("nid"))
+      q.join(n, col("nid") =!= col("qid"))
+        .withColumn("c", cos("qv", "qn", "nv", "nn"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TOPK)
+        .select("qid", "nid")
+        .orderBy("qid", "rn")
+    }),
+
+    // IVF: centroid assignment (broadcast) → multi-probe → exact rerank
+    // inside probed buckets only.
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val cent = broadcast(e.filter(col("vec_id") < C)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn")))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c").desc, col("cid"))
+      val assign = e.crossJoin(cent)
+        .withColumn("c", cos("v", "nrm", "cv", "cn"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      val wProbe = Window.partitionBy("qid")
+        .orderBy(col("c").desc, col("cid"))
+      val probes = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"))
+        .crossJoin(cent)
+        .withColumn("c", cos("qv", "qn", "cv", "cn"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= PROBES)
+        .select("qid", "cid")
+      val cand = probes.join(assign, "cid")
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nid"))
+        .distinct()
+      val qv = e.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      val nv = e.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("nrm").as("nn"))
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("c").desc, col("nid"))
+      cand.join(qv, "qid").join(nv, "nid")
+        .withColumn("c", cos("qv", "qn", "nv", "nn"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= TOPK)
+        .select("qid", "nid")
+        .orderBy("qid", "rn")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      s"""SELECT qid, nid FROM (
+         |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_cosine_similarity(q.embedding, n.embedding)
+         |               DESC, n.vec_id) AS rn
+         |  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NQ) t
+         |WHERE rn <= $TOPK ORDER BY qid, rn""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+         |              FROM embeddings WHERE vec_id < $C),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+         |                 c.cid) AS rn
+         |    FROM embeddings e, cent c) x WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.vec_id AS qid, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding, c.cv) DESC,
+         |                 c.cid) AS rn
+         |    FROM embeddings q, cent c WHERE q.vec_id < $NQ) x
+         |  WHERE rn <= $PROBES),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS nid
+         |  FROM probes p JOIN assign a ON p.cid = a.cid
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT qid, nid FROM (
+         |  SELECT c.qid, c.nid,
+         |    row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY list_cosine_similarity(q.embedding, n.embedding)
+         |               DESC, c.nid) AS rn
+         |  FROM cand c JOIN embeddings q ON c.qid = q.vec_id
+         |              JOIN embeddings n ON c.nid = n.vec_id) t
+         |WHERE rn <= $TOPK ORDER BY qid, rn""".stripMargin
+  )
+}

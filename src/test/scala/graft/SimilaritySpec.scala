@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkSpec {
+
+  test("vec_dot matches the interpreted higher-order formulation exactly") {
+    VectorFunctions.register(spark)
+    val e = Tables(spark, sf, "embeddings").limit(50)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val both = e.withColumn("fast", expr("vec_dot(v, v)"))
+      .withColumn("slow", expr(
+        "aggregate(zip_with(transform(v, x -> cast(x as double)), " +
+          "transform(v, x -> cast(x as double)), (x, y) -> x * y), " +
+          "0D, (a, x) -> a + x)"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getAs[Double]("fast") === r.getAs[Double]("slow"))
+    }
+  }
+
+  test("brute-force top-k: 5 neighbors per query, self excluded") {
+    val rows = Similarity.queries("sim_bruteforce_topk")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size === 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === 5)
+      assert(!rs.map(_.getAs[Long]("nid")).contains(q))
+    }
+  }
+
+  test("IVF recall vs brute force is high") {
+    def pairs(name: String) =
+      Similarity.queries(name)(spark, sf).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val brute = pairs("sim_bruteforce_topk")
+    val ivf = pairs("sim_ivf_topk")
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"IVF recall $recall too low")
+  }
+}
