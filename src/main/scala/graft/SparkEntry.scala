@@ -15,6 +15,7 @@ object SparkEntry {
       operators.Curation.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
+      operators.TextAnalysis.queries ++
       sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -25,5 +26,6 @@ object SparkEntry {
       operators.Curation.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
+      operators.TextAnalysis.oracles ++
       sources.Sources.oracles
 }

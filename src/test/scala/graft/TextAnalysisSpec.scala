@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("lang id covers every doc with a prediction") {
+    val rows = TextAnalysis.queries("ta_lang_id")(spark, sf).collect()
+    assert(rows.length === Tables(spark, sf, "documents").count())
+    val preds = rows.map(_.getAs[String]("pred_lang")).toSet
+    assert(preds.subsetOf(Set("en", "de", "fr", "es", "und")))
+  }
+
+  test("quality buckets are exhaustive and counts are consistent") {
+    val rows = TextAnalysis.queries("ta_quality_score")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(Set("good", "fair", "poor").contains(r.getAs[String]("quality")))
+      assert(r.getAs[Int]("n_chars") >= r.getAs[Int]("n_punct"))
+      assert(r.getAs[Int]("n_tokens") >= r.getAs[Long]("n_stop"))
+    }
+  }
+
+  test("token counts ordering: regex tokens >= whitespace tokens") {
+    val rows = TextAnalysis.queries("ta_token_count")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("re_tokens") >= r.getAs[Int]("ws_tokens") - 1)
+    }
+  }
+
+  test("fingerprints: equal texts share fp; winnow_min is a valid md5") {
+    val rows = TextAnalysis.queries("ta_fingerprint")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("fp").length === 16)
+      assert(r.getAs[String]("winnow_min").matches("[0-9a-f]{32}"))
+    }
+  }
+}
