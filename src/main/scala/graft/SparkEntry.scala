@@ -16,6 +16,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
+      operators.Streaming.queries ++
+      operators.Multimodal.queries ++
       sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -27,5 +29,7 @@ object SparkEntry {
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
       operators.TextAnalysis.oracles ++
+      operators.Streaming.oracles ++
+      operators.Multimodal.oracles ++
       sources.Sources.oracles
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.StreamingIngest
+
+/** Oracle-checked batch twins of the streaming pipeline (SURVEY.md §2.9):
+  * the exact `from_json` parse path of the stream, and the
+  * watermark-windowed aggregation in batch mode (identical plan minus
+  * the watermark operator). The stateful/streaming execution itself is
+  * exercised in StreamingSpec (checkpoint restart, exactly-once,
+  * AvailableNow drain).
+  */
+object Streaming {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def scratch(dir: String): String =
+    s"/tmp/graft_scratch/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/stream_json"
+
+  /** Export events as the JSON-lines feed the producer would emit. */
+  def exportJson(s: SparkSession, dir: String): String = {
+    val path = scratch(dir)
+    Tables.events(s, dir)
+      .select(to_json(struct(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"),
+        col("props"))).as("value"))
+      .write.mode("overwrite").text(path)
+    path
+  }
+
+  val queries: Map[String, Q] = Map(
+    // T1/T3 batch twin: raw JSON strings → from_json(schema) → typed
+    // rows, the same `parse` the stream runs.
+    "t1_stream_parse_twin" -> ((s, dir) => {
+      val path = exportJson(s, dir)
+      StreamingIngest.parse(s.read.text(path))
+        .select(col("event_id"), col("event_type"), col("value"),
+          expr("unix_micros(ts)").as("epoch_us"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // Watermark-windowed aggregation, batch mode: 5-minute tumbling
+    // windows per event_type (epoch-aligned, matching DuckDB
+    // time_bucket).
+    "t5_window_agg" -> ((s, dir) =>
+      StreamingIngest.windowedCounts(Tables.events(s, dir))
+        .orderBy("wstart", "event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_stream_parse_twin" ->
+      """SELECT event_id, event_type, value, epoch_us(ts) AS epoch_us,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "t5_window_agg" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
+        |                '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n,
+        |  SUM(CAST(value AS DECIMAL(38,2))) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming ingest mirroring the reference's Kafka →
+  * Snowpipe-Streaming pipeline (SURVEY.md §2.9 T1–T4): continuously
+  * appended JSON records parsed without a schema registry and flushed to
+  * a table on a time trigger. No Kafka connector ships in this
+  * environment, so the source is a file stream of JSON lines — the
+  * downstream plan (raw string value → from_json → typed append) is
+  * identical to the Kafka `CAST(value AS STRING)` path.
+  */
+object StreamingIngest {
+
+  /** Event-stream record schema (explicit, as in the reference's
+    * schema-less sink: schemas.enable=false → parse with a declared
+    * StructType, reference snowflake_sink_connector.json:6-7,21). */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("ts_str", StringType),
+    StructField("props", StringType)))
+
+  /** T3: raw string value → typed columns. Shared by the streaming job
+    * and its oracle-checked batch twin. */
+  def parse(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), schema).as("r"))
+      .select("r.*")
+      .withColumn("ts",
+        to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
+  /** T1+T2+T4: file-source stream → parse → append parquet sink with
+    * checkpointed exactly-once semantics. `availableNow=true` drains all
+    * pending input then stops (deterministic tests); the default mirrors
+    * the reference's 10-second flush. */
+  def start(spark: SparkSession, srcDir: String, outDir: String,
+            checkpointDir: String,
+            availableNow: Boolean = false): StreamingQuery = {
+    val trigger =
+      if (availableNow) Trigger.AvailableNow()
+      else Trigger.ProcessingTime("10 seconds")
+    parse(spark.readStream.text(srcDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Event-time windowed aggregation with watermark (the Structured
+    * Streaming extension beyond the reference's append-only surface):
+    * 5-minute tumbling windows per event_type, 10-minute late-data
+    * watermark. */
+  def windowedCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 2))).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+}

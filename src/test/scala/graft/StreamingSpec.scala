@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeChunk(dir: Path, name: String, ids: Range): Unit = {
+    val lines = ids.map { i =>
+      s"""{"event_id":$i,"user_id":${i % 7},"event_type":"click",""" +
+        s""""value":${i % 100}.5,"ts_str":"2024-01-01 00:${f"${i % 60}%02d"}:00.000000",""" +
+        s""""props":"{\\"k\\": $i}"}"""
+    }
+    Files.write(dir.resolve(name),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("stream drains, checkpoints, and is exactly-once across restarts") {
+    val base = Files.createTempDirectory("graft_stream")
+    val src = Files.createDirectory(base.resolve("src"))
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+
+    writeChunk(src, "chunk1.json", 0 until 500)
+    val q1 = StreamingIngest.start(spark, src.toString, out, cp,
+      availableNow = true)
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() === 500)
+
+    // restart with new data: only the delta is processed (checkpoint)
+    writeChunk(src, "chunk2.json", 500 until 800)
+    val q2 = StreamingIngest.start(spark, src.toString, out, cp,
+      availableNow = true)
+    q2.awaitTermination()
+    val df = spark.read.parquet(out)
+    assert(df.count() === 800)
+    assert(df.select("event_id").distinct().count() === 800) // no dups
+
+    // restart with NO new data: nothing is reprocessed
+    val q3 = StreamingIngest.start(spark, src.toString, out, cp,
+      availableNow = true)
+    q3.awaitTermination()
+    assert(spark.read.parquet(out).count() === 800)
+
+    // parsed types survived the json round-trip
+    val r = spark.read.parquet(out).filter(col("event_id") === 42)
+      .collect().head
+    assert(r.getAs[String]("event_type") === "click")
+    assert(r.getAs[Double]("value") === 42.5)
+    assert(r.getAs[java.sql.Timestamp]("ts") != null)
+  }
+
+  test("malformed JSON lines yield null rows, not a dead stream") {
+    val base = Files.createTempDirectory("graft_stream_bad")
+    val src = Files.createDirectory(base.resolve("src"))
+    writeChunk(src, "good.json", 0 until 10)
+    Files.write(src.resolve("bad.json"),
+      "not json at all\n{\"event_id\": 99}".getBytes("UTF-8"))
+    val q = StreamingIngest.start(spark, src.toString,
+      base.resolve("out").toString, base.resolve("cp").toString,
+      availableNow = true)
+    q.awaitTermination()
+    val df = spark.read.parquet(base.resolve("out").toString)
+    assert(df.count() === 12) // 10 good + garbage row + partial row
+    assert(df.filter(col("event_id").isNull).count() === 1) // garbage
+    assert(df.filter(col("event_id") === 99)
+      .filter(col("event_type").isNull).count() === 1) // partial
+  }
+
+  test("windowed watermark aggregation: streaming result matches batch") {
+    val base = Files.createTempDirectory("graft_stream_w")
+    val src = Files.createDirectory(base.resolve("src"))
+    writeChunk(src, "all.json", 0 until 300)
+
+    val parsedStream = StreamingIngest.parse(
+      spark.readStream.text(src.toString))
+    val q = StreamingIngest.windowedCounts(parsedStream)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("win_out")
+      .orderBy("wstart", "event_type").collect()
+    val batch = StreamingIngest.windowedCounts(
+      StreamingIngest.parse(spark.read.text(src.toString)))
+      .orderBy("wstart", "event_type").collect()
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+    assert(streamed.nonEmpty)
+  }
+}
