@@ -18,6 +18,7 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Streaming.queries ++
       operators.Multimodal.queries ++
+      operators.Recommender.queries ++
       sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.TextAnalysis.oracles ++
       operators.Streaming.oracles ++
       operators.Multimodal.oracles ++
+      operators.Recommender.oracles ++
       sources.Sources.oracles
 }

@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, IDF, Normalizer, Tokenizer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The reference's TF-IDF cosine-similarity product recommender
+  * (streamlit/pages/1_recommendation_app.py:20-95, M1–M6) folded into
+  * the engine: qualified customers (HAVING COUNT ≥ n), text
+  * vectorization, per-category similar-product top-k excluding
+  * already-bought, dedup. Two implementations:
+  *
+  *  - `ml_recommend`: DataFrame-native TF-IDF-style pipeline with
+  *    rational idf weights ((N+1)/(df+1) — no transcendental functions,
+  *    so the DuckDB oracle reproduces scores deterministically).
+  *    Candidate pairs are blocked by brand (the reference's per-category
+  *    restriction), keeping the similarity join sub-quadratic.
+  *
+  *  - `ml_lsh_pipeline`: the Spark ML scale path — Tokenizer →
+  *    HashingTF → IDF → L2 Normalizer → seeded
+  *    BucketedRandomProjectionLSH approxSimilarityJoin. Murmur-hashed
+  *    features are not SQL-reproducible, so this query has no oracle
+  *    (rows-only check); determinism comes from the fixed seed.
+  */
+object Recommender {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val MIN_ORDERS = 12
+  private val TOPK = 3
+
+  val queries: Map[String, Q] = Map(
+    "ml_recommend" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      val part = Tables(s, dir, "part")
+
+      // M-qualification: customers with enough purchase history (A2).
+      val quals = orders.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_ord")).filter(col("n_ord") >= MIN_ORDERS)
+        .select("o_custkey")
+      val purch = li
+        .join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(quals, "o_custkey")
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+
+      // M3/M4: similarity is a function of NAMES only (parts sharing a
+      // name have identical vectors), so it is computed at name level —
+      // a constant-size table (64 names at every sf) instead of the
+      // per-part n² matrix. Weights stay part-level ((N+1)/(df+1) with
+      // df counted over parts) so scores equal the per-part formulation
+      // exactly; the DuckDB oracle computes the naive per-part version
+      // and hash-matches.
+      val pname = part.select(col("p_partkey"), col("p_brand"), col("p_name"))
+        .cache()
+      val terms = pname
+        .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("term"))
+        .distinct()
+      val stats = pname.agg(count(lit(1)).as("n_parts"))
+      val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      val nterms = pname.select(col("p_name"),
+          explode(split(col("p_name"), " ")).as("term")).distinct()
+      val ntw = nterms.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("p_name"), col("term"),
+          ((col("n_parts") + lit(1.0)) / (col("df") + lit(1.0))).as("w"))
+        .cache()
+      val nnrm = ntw.groupBy("p_name")
+        .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val na = ntw.toDF("name_a", "term", "wa")
+        .join(nnrm.toDF("name_a", "nrm_a"), "name_a")
+      val nb = ntw.toDF("name_b", "term", "wb")
+        .join(nnrm.toDF("name_b", "nrm_b"), "name_b")
+      val nsim = na.join(nb, Seq("term"))
+        .groupBy(col("name_a"), col("name_b"), col("nrm_a"), col("nrm_b"))
+        .agg(sum(col("wa") * col("wb")).as("dot"))
+        .select(col("name_a"), col("name_b"),
+          (col("dot") / (col("nrm_a") * col("nrm_b"))).as("s"))
+
+      // Purchases lifted to name level; group sizes and per-customer
+      // purchase counts let us prune name classes EXACTLY before
+      // expanding back to parts.
+      val purchParts = purch.join(pname, purch("part") === pname("p_partkey"))
+        .select(col("cust"), col("p_brand"), col("p_name"), col("part"))
+        .cache()
+      val purchN = purchParts.select("cust", "p_brand", "p_name").distinct()
+      val classScores = purchN
+        .join(nsim, purchN("p_name") === nsim("name_a"))
+        .groupBy(col("cust"), col("p_brand"), col("name_b"))
+        .agg(max(col("s")).as("score"))
+      val gsize = pname.groupBy("p_brand", "p_name")
+        .agg(count(lit(1)).as("gsize"))
+      val purchCnt = purchParts.groupBy("cust", "p_brand", "p_name")
+        .agg(count(lit(1)).as("pcnt"))
+      // avail = unpurchased parts in this (brand, name) class for this
+      // customer. The self-name class (name_b == a purchased name) is
+      // reachable via nsim(a, a) = 1 and is valid exactly when avail>0 —
+      // i.e., some OTHER part with the same name exists, matching the
+      // p≠q condition of the naive formulation.
+      val classes = classScores
+        .join(gsize,
+          classScores("p_brand") === gsize("p_brand") &&
+            classScores("name_b") === gsize("p_name"))
+        .drop(gsize("p_brand")).drop(gsize("p_name"))
+        .join(purchCnt.toDF("cust", "p_brand", "name_b", "pcnt"),
+          Seq("cust", "p_brand", "name_b"), "left")
+        .na.fill(0L, Seq("pcnt"))
+        .withColumn("avail", col("gsize") - col("pcnt"))
+        .filter(col("avail") > 0)
+      // Keep a class iff fewer than TOPK parts are available in classes
+      // with STRICTLY higher score (ties must all survive — equal-score
+      // classes interleave by part id in the final ranking).
+      val wCum = Window.partitionBy("cust")
+        .orderBy(col("score").desc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPeers = Window.partitionBy("cust", "score")
+      val kept = classes
+        .withColumn("cumInclPeers", sum(col("avail")).over(wCum))
+        .withColumn("peerSum", sum(col("avail")).over(wPeers))
+        .filter(col("cumInclPeers") - col("peerSum") < TOPK)
+
+      // Expand the surviving classes to parts, drop purchased, exact
+      // top-k per customer (M5+M6).
+      val expanded = kept
+        .join(pname.toDF("q", "p_brand", "name_b"), Seq("p_brand", "name_b"))
+        .select(col("cust"), col("q"), col("score"))
+        .join(purch.toDF("cust", "q"), Seq("cust", "q"), "left_anti")
+      val w = Window.partitionBy("cust")
+        .orderBy(col("score").desc, col("q"))
+      expanded.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TOPK)
+        .select(col("cust"), col("q").as("part"))
+        .orderBy("cust", "rn")
+    }),
+
+    // Spark ML pipeline + LSH approximate similarity join (seeded).
+    // Runs over the name-deduped product master (the reference's W1
+    // dedup-before-similarity, 04_sales_enrich_sp.sql:43-47): parts
+    // sharing a name have identical vectors, so joining the raw table
+    // would explode every LSH bucket quadratically — at sf0.1 that is
+    // 20k parts over 64 names, a ~300×300 duplicate blow-up per bucket.
+    "ml_lsh_pipeline" -> ((s, dir) => {
+      val docs = Tables(s, dir, "part")
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("p_partkey"))
+        .select(col("p_partkey"), col("p_name"))
+      val words = new Tokenizer().setInputCol("p_name")
+        .setOutputCol("words").transform(docs)
+      val tf = new HashingTF().setInputCol("words").setOutputCol("tf")
+        .setNumFeatures(256).transform(words)
+      val idfModel = new IDF().setInputCol("tf").setOutputCol("tfidf")
+        .fit(tf)
+      val feats = new Normalizer().setInputCol("tfidf")
+        .setOutputCol("features").setP(2.0)
+        .transform(idfModel.transform(tf))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setBucketLength(1.0).setNumHashTables(3).setSeed(42L)
+      val model = lsh.fit(feats)
+      // d² = 2 − 2·cos for unit vectors → d < 1.2 ⟺ cos > 0.28: wide
+      // enough to pair distinct names sharing one of their two terms
+      // (the master is name-deduped, so distance-0 self-pairs are gone)
+      model.approxSimilarityJoin(feats, feats, 1.2, "dist")
+        .select(col("datasetA.p_partkey").as("id1"),
+          col("datasetB.p_partkey").as("id2"))
+        .filter(col("id1") < col("id2"))
+        .distinct()
+        .orderBy("id1", "id2")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ml_recommend" ->
+      s"""WITH quals AS (
+         |  SELECT o_custkey FROM orders GROUP BY o_custkey
+         |  HAVING count(*) >= $MIN_ORDERS),
+         |purch AS (
+         |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_custkey IN (SELECT o_custkey FROM quals)),
+         |terms AS (
+         |  SELECT DISTINCT p_partkey, unnest(string_split(p_name, ' ')) AS term
+         |  FROM part),
+         |stats AS (SELECT count(*) AS n FROM part),
+         |dfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+         |tw AS (
+         |  SELECT t.p_partkey, t.term, (stats.n + 1.0) / (dfreq.df + 1.0) AS w
+         |  FROM terms t, stats JOIN dfreq ON t.term = dfreq.term),
+         |nrm AS (SELECT p_partkey, sqrt(sum(w * w)) AS nrm
+         |        FROM tw GROUP BY p_partkey),
+         |sim AS (
+         |  SELECT a.p_partkey AS p, b.p_partkey AS q,
+         |    sum(a.w * b.w) / (na.nrm * nb.nrm) AS s
+         |  FROM tw a
+         |  JOIN tw b ON a.term = b.term
+         |  JOIN part pa ON a.p_partkey = pa.p_partkey
+         |  JOIN part pb ON b.p_partkey = pb.p_partkey
+         |    AND pa.p_brand = pb.p_brand AND a.p_partkey <> b.p_partkey
+         |  JOIN nrm na ON a.p_partkey = na.p_partkey
+         |  JOIN nrm nb ON b.p_partkey = nb.p_partkey
+         |  GROUP BY 1, 2, na.nrm, nb.nrm),
+         |scored AS (
+         |  SELECT pu.cust, s.q AS part, max(s.s) AS score
+         |  FROM purch pu JOIN sim s ON pu.part = s.p
+         |  WHERE NOT EXISTS (SELECT 1 FROM purch p2
+         |                    WHERE p2.cust = pu.cust AND p2.part = s.q)
+         |  GROUP BY 1, 2)
+         |SELECT cust, part FROM (
+         |  SELECT cust, part,
+         |    row_number() OVER (PARTITION BY cust
+         |                       ORDER BY score DESC, part) AS rn
+         |  FROM scored) t
+         |WHERE rn <= $TOPK ORDER BY cust, rn""".stripMargin
+  )
+}
