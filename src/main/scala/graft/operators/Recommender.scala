@@ -42,9 +42,10 @@ object Recommender {
         .select("o_custkey")
       val purch = li
         .join(orders, li("l_orderkey") === orders("o_orderkey"))
-        .join(quals, "o_custkey")
+        .join(broadcast(quals), "o_custkey")
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
         .distinct()
+        .cache() // reused: name lift, purchase counts, final anti-join
 
       // M3/M4: similarity is a function of NAMES only (parts sharing a
       // name have identical vectors), so it is computed at name level —
@@ -82,7 +83,8 @@ object Recommender {
       // Purchases lifted to name level; group sizes and per-customer
       // purchase counts let us prune name classes EXACTLY before
       // expanding back to parts.
-      val purchParts = purch.join(pname, purch("part") === pname("p_partkey"))
+      val purchParts = purch
+        .join(broadcast(pname), purch("part") === pname("p_partkey"))
         .select(col("cust"), col("p_brand"), col("p_name"), col("part"))
         .cache()
       val purchN = purchParts.select("cust", "p_brand", "p_name").distinct()
@@ -100,7 +102,7 @@ object Recommender {
       // i.e., some OTHER part with the same name exists, matching the
       // p≠q condition of the naive formulation.
       val classes = classScores
-        .join(gsize,
+        .join(broadcast(gsize),
           classScores("p_brand") === gsize("p_brand") &&
             classScores("name_b") === gsize("p_name"))
         .drop(gsize("p_brand")).drop(gsize("p_name"))
@@ -124,7 +126,8 @@ object Recommender {
       // Expand the surviving classes to parts, drop purchased, exact
       // top-k per customer (M5+M6).
       val expanded = kept
-        .join(pname.toDF("q", "p_brand", "name_b"), Seq("p_brand", "name_b"))
+        .join(broadcast(pname.toDF("q", "p_brand", "name_b")),
+          Seq("p_brand", "name_b"))
         .select(col("cust"), col("q"), col("score"))
         .join(purch.toDF("cust", "q"), Seq("cust", "q"), "left_anti")
       val w = Window.partitionBy("cust")
