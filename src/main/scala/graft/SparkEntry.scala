@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Streaming.queries ++
       operators.Multimodal.queries ++
       operators.Recommender.queries ++
+      operators.Extensions.queries ++
       sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.Streaming.oracles ++
       operators.Multimodal.oracles ++
       operators.Recommender.oracles ++
+      operators.Extensions.oracles ++
       sources.Sources.oracles
 }

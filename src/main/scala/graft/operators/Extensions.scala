@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
+import graft.Tables
+
+/** Surface beyond the reference (SURVEY.md §2.12 "explicitly absent"
+  * list): window frame specs, lag/lead/ntile, INTERSECT/EXCEPT,
+  * rollup/cube, exact count(distinct), higher-order array functions, and
+  * JSON scalar functions. All Spark built-ins — the point of building on
+  * Catalyst is that exceeding the reference surface costs nothing.
+  *
+  * Determinism: subtotal keys are coalesced to 'ALL' (null sort order
+  * differs between engines), grouping flags and ntile are cast to int
+  * (int32 vs int64), arrays are emitted as joined strings.
+  */
+object Extensions {
+  type Q = (SparkSession, String) => DataFrame
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 2))
+
+  val queries: Map[String, Q] = Map(
+    // Window frame spec: running per-customer order total.
+    "x_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .withColumn("running", sum(dec(col("o_totalprice"))).over(w))
+        .select("o_custkey", "o_orderkey", "running")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // lag/lead/ntile over the same per-customer order timeline.
+    "x_lag_lead_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      // ntile partitioned by priority — a global ntile would force a
+      // single-partition window (the scale anti-pattern)
+      val wq = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("prev_price", lag(dec(col("o_totalprice")), 1).over(w))
+        .withColumn("next_price", lead(dec(col("o_totalprice")), 1).over(w))
+        .withColumn("quartile", ntile(4).over(wq).cast(IntegerType))
+        .select("o_custkey", "o_orderkey", "prev_price", "next_price",
+          "quartile")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // INTERSECT / EXCEPT.
+    "x_intersect_except" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      def ck(st: String) = o.filter(col("o_orderstatus") === st)
+        .select(col("o_custkey")).distinct()
+      val both = ck("O").intersect(ck("F"))
+        .select(lit("O_and_F").as("tag"), col("o_custkey"))
+      val onlyO = ck("O").except(ck("P"))
+        .select(lit("O_not_P").as("tag"), col("o_custkey"))
+      both.unionAll(onlyO).orderBy("tag", "o_custkey")
+    }),
+
+    // ROLLUP with subtotals and grand total.
+    "x_rollup" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("c_mktsegment"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).as("bal"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_cust"), col("bal"))
+        .orderBy("seg", "nation")
+    }),
+
+    // CUBE over two low-cardinality dimensions.
+    "x_cube" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"))
+        .orderBy("status", "prio")),
+
+    // Exact count(distinct) — partial aggregation handles the two-phase
+    // distinct at scale; approx_count_distinct is spec-covered (HLL++
+    // not SQL-reproducible).
+    "x_count_distinct" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")),
+
+    // Higher-order array functions: transform / filter / aggregate /
+    // exists over deterministically built arrays.
+    "x_hof_array" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .withColumn("arr", expr(
+          "transform(sequence(1, cast(l_orderkey % 5 + 3 as int)), " +
+            "i -> cast(i * l_partkey % 7 as int))"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          concat_ws(",", expr("filter(arr, x -> x > 2)")).as("filtered"),
+          expr("aggregate(arr, 0, (a, x) -> a + x)").as("arr_sum"),
+          expr("cast(exists(arr, x -> x = 0) as int)").as("has_zero"))
+        .orderBy("l_orderkey", "l_linenumber", "arr_sum")),
+
+    // JSON scalar surface: path extraction, typed map parse, re-render.
+    "x_json_funcs" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k_int",
+          get_json_object(col("props"), "$.k").cast(IntegerType))
+        .withColumn("m", from_json(col("props"), lit("map<string,int>")))
+        .select(
+          col("event_id"), col("k_int"),
+          concat_ws(",", map_keys(col("m"))).as("keys"),
+          element_at(col("m"), "k").as("k_from_map"),
+          to_json(struct(col("event_id"), col("k_int"))).as("rendered"))
+        .orderBy("event_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "x_lag_lead_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(CAST(o_totalprice AS DECIMAL(38,2)), 1) OVER w AS prev_price,
+        |  lead(CAST(o_totalprice AS DECIMAL(38,2)), 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |                      ORDER BY o_totalprice DESC, o_orderkey)
+        |       AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "x_intersect_except" ->
+      """SELECT * FROM (
+        |  SELECT 'O_and_F' AS tag, o_custkey FROM (
+        |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |    INTERSECT
+        |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |  UNION ALL
+        |  SELECT 'O_not_P', o_custkey FROM (
+        |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |    EXCEPT
+        |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'))
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "x_rollup" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_cust,
+        |       SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (c_mktsegment, n_name)
+        |ORDER BY seg, nation""".stripMargin,
+
+    "x_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS prio,
+        |       count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, prio""".stripMargin,
+
+    "x_count_distinct" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT c_nationkey) AS n_nations,
+        |  count(*) AS n_cust
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "x_hof_array" ->
+      """WITH a AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    list_transform(range(1, CAST(l_orderkey % 5 + 3 AS INTEGER) + 1),
+        |                   i -> CAST(i * l_partkey % 7 AS INTEGER)) AS arr
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  coalesce(array_to_string(list_filter(arr, x -> x > 2), ','), '')
+        |    AS filtered,
+        |  CAST(list_sum(arr) AS INTEGER) AS arr_sum,
+        |  CAST(len(list_filter(arr, x -> x = 0)) > 0 AS INTEGER) AS has_zero
+        |FROM a ORDER BY l_orderkey, l_linenumber, arr_sum""".stripMargin,
+
+    "x_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  'k' AS keys,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_from_map,
+        |  '{"event_id":' || event_id || ',"k_int":'
+        |      || json_extract_string(props, '$.k') || '}' AS rendered
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
