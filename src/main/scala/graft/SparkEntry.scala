@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Recommender.queries ++
       operators.Extensions.queries ++
+      operators.AsOf.queries ++
       sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.Recommender.oracles ++
       operators.Extensions.oracles ++
+      operators.AsOf.oracles ++
       sources.Sources.oracles
 }

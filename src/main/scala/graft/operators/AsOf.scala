@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal joins Spark lacks as built-ins (SURVEY.md §2.12 notes the
+  * reference has none either): as-of join and bounded range join over
+  * the events stream.
+  *
+  * The as-of join uses the union + ordered-window formulation: tag both
+  * sides, union, sort each key partition by (ts, side), and carry the
+  * last right-side id forward with `last(ignoreNulls)` over an
+  * unbounded-preceding frame. ONE shuffle (hash by key) + ONE
+  * sort-within-partition — the same cost profile as a sort-merge join,
+  * with no range explosion; this is the plan you want at 100 TB, versus
+  * a naive `t_right <= t_left` theta-join that Spark would execute as a
+  * broadcast-nested-loop.
+  */
+object AsOf {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Generic as-of: for each left row, the right row with the greatest
+    * `ts <= left.ts` per key. Right side must be unique per (key, ts).
+    * Returns left plus `asof_<idCol>` (null when no prior right row). */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               leftId: String, rightId: String): DataFrame = {
+    val l = left.select(col(key), col(ts),
+      col(leftId).as("_lid"), lit(null).cast("long").as("_rid"),
+      lit(0).as("_side"))
+    val r = right.select(col(key), col(ts),
+      lit(null).cast("long").as("_lid"), col(rightId).as("_rid"),
+      lit(1).as("_side"))
+    // right rows sort BEFORE left rows at equal ts (side desc) so the
+    // inclusive `right.ts <= left.ts` bound holds
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionAll(r)
+      .withColumn("_asof", last(col("_rid"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select(col(key), col(ts), col("_lid").as(leftId),
+        col("_asof").as(s"asof_$rightId"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // As-of: each purchase matched to the user's latest preceding click.
+    "az_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      asOfJoin(purch, clicks, "user_id", "ts", "event_id", "event_id")
+        .select(col("event_id").as("purchase_id"),
+          col("asof_event_id").as("click_id"))
+        .orderBy("purchase_id")
+    }),
+
+    // Bounded range join: events within 60s AFTER each purchase, per
+    // user — equi on user (shuffle key) + range residual, never a
+    // cartesian.
+    "az_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"),
+          col("event_id").as("purchase_id"))
+      val all = ev.select(col("user_id").as("eu"), col("ts").as("ets"))
+      purch.join(all,
+          col("pu") === col("eu") &&
+            col("ets") > col("pts") &&
+            col("ets") <= col("pts") + expr("INTERVAL 60 seconds"),
+          "left")
+        .groupBy("purchase_id")
+        .agg(count(col("ets")).as("n_following"))
+        .orderBy("purchase_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "az_asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts, event_id FROM events
+        |               WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, ts, event_id FROM events
+        |          WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+
+    "az_range_join" ->
+      """WITH purch AS (SELECT user_id, ts, event_id FROM events
+        |               WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, count(e.ts) AS n_following
+        |FROM purch p LEFT JOIN events e
+        |  ON e.user_id = p.user_id
+        |  AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 60 SECOND
+        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin
+  )
+}
