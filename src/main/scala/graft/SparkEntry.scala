@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Recommender.queries ++
       operators.Extensions.queries ++
       operators.AsOf.queries ++
+      operators.Sketch.queries ++
       sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       operators.Recommender.oracles ++
       operators.Extensions.oracles ++
       operators.AsOf.oracles ++
+      operators.Sketch.oracles ++
       sources.Sources.oracles
 }
