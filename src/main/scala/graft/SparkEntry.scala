@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Extensions.queries ++
       operators.AsOf.queries ++
       operators.Sketch.queries ++
+      operators.Maintenance.queries ++
       sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
       operators.Extensions.oracles ++
       operators.AsOf.oracles ++
       operators.Sketch.oracles ++
+      operators.Maintenance.oracles ++
       sources.Sources.oracles
 }
