@@ -111,6 +111,18 @@ object Extensions {
           expr("cast(exists(arr, x -> x = 0) as int)").as("has_zero"))
         .orderBy("l_orderkey", "l_linenumber", "arr_sum")),
 
+    // Custom whole-operator plan node: heap-based top-k per group
+    // (graft.plans.TopKPerGroup — LogicalPlan + Strategy + ExecNode),
+    // replacing the full-sort WindowExec pattern. Same semantics as
+    // o4_topk_per_group, different physical plan.
+    "xk_topk_custom" -> ((s, dir) =>
+      graft.plans.TopK.perGroup(
+        Tables(s, dir, "customer"),
+        Seq("c_mktsegment"),
+        Seq("c_acctbal" -> true, "c_custkey" -> false), 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", "c_custkey")),
+
     // JSON scalar surface: path extraction, typed map parse, re-render.
     "x_json_funcs" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -191,6 +203,12 @@ object Extensions {
         |  CAST(list_sum(arr) AS INTEGER) AS arr_sum,
         |  CAST(len(list_filter(arr, x -> x = 0)) > 0 AS INTEGER) AS has_zero
         |FROM a ORDER BY l_orderkey, l_linenumber, arr_sum""".stripMargin,
+
+    "xk_topk_custom" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+        |QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+        |                           ORDER BY c_acctbal DESC, c_custkey) <= 3
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "x_json_funcs" ->
       """SELECT event_id,
