@@ -23,6 +23,7 @@ object SparkEntry {
       operators.AsOf.queries ++
       operators.Sketch.queries ++
       operators.Maintenance.queries ++
+      operators.CorpusPipeline.queries ++
       sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.AsOf.oracles ++
       operators.Sketch.oracles ++
       operators.Maintenance.oracles ++
+      operators.CorpusPipeline.oracles ++
       sources.Sources.oracles
 }
