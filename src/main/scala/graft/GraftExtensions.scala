@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import graft.functions.{CardSketch, FloatVecDot}
-import graft.plans.TopKStrategy
+import graft.plans.{TopKStrategy, WindowTopKRewrite}
 
 /** Session-extension entry point: registers the engine's custom
   * functions and planner strategy at session build time —
@@ -33,5 +33,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           CardSketch(exprs.head).toAggregateExpression()))
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectOptimizerRule(_ => WindowTopKRewrite)
   }
 }

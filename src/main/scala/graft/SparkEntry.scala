@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Sketch.queries ++
       operators.Maintenance.queries ++
       operators.CorpusPipeline.queries ++
+      operators.Sessionize.queries ++
       sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
       operators.Sketch.oracles ++
       operators.Maintenance.oracles ++
       operators.CorpusPipeline.oracles ++
+      operators.Sessionize.oracles ++
       sources.Sources.oracles
 }

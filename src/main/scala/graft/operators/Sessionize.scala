@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Gap-based sessionization of the events stream (the stateful
+  * event-time operation the reference's append-only pipeline lacks,
+  * SURVEY.md §2.9): a new session starts when a user is idle longer
+  * than the gap. Batch formulation is the classic lag-flag + running
+  * sum — two windows over ONE hash shuffle by user; the streaming
+  * equivalent (`session_window`, checked in SessionizeSpec) shares the
+  * same gap rule.
+  */
+object Sessionize {
+  type Q = (SparkSession, String) => DataFrame
+
+  val GAP = "6 hours"
+
+  val queries: Map[String, Q] = Map(
+    "sz_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr(s"INTERVAL $GAP"), 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(cum).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (expr("unix_micros(max(ts))") - expr("unix_micros(min(ts))"))
+            .as("duration_us"))
+        .orderBy("user_id", "session_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sz_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |              OR ts - lag(ts) OVER w > INTERVAL $GAP
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT user_id, ts,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                        ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+         |  count(*) AS n_events,
+         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin
+  )
+}
