@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Maintenance.queries ++
       operators.CorpusPipeline.queries ++
       operators.Sessionize.queries ++
-      sources.Sources.queries
+      sources.Sources.queries ++
+      sources.Bucketing.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       operators.Maintenance.oracles ++
       operators.CorpusPipeline.oracles ++
       operators.Sessionize.oracles ++
-      sources.Sources.oracles
+      sources.Sources.oracles ++
+      sources.Bucketing.oracles
 }

@@ -11,8 +11,12 @@ object TableIO {
     */
   def overwrite(spark: SparkSession, df: DataFrame, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"),
-      table.toLowerCase)
+    // db-qualified names live under <warehouse>/<db>.db/<table>
+    val rel = table.toLowerCase.split('.') match {
+      case Array(db, t) => s"$db.db/$t"
+      case _ => table.toLowerCase
+    }
+    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir"), rel)
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(loc, true)
     df.write.mode("overwrite").saveAsTable(table)

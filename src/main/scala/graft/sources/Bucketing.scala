@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Bucketed tables and co-located joins: pre-shuffling both sides of a
+  * recurring join into the same bucket layout removes the exchange from
+  * every subsequent join — the Spark analogue of the reference's
+  * clustered micro-partitions. At 100 TB this is THE way to make a
+  * daily fact⋈fact join cheap: pay the shuffle once at write time.
+  */
+object Bucketing {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val BUCKETS = 8
+
+  /** Write `name` bucketed+sorted by `key` as a managed table (rerun-safe
+    * across sessions). */
+  def writeBucketed(s: SparkSession, dir: String, name: String,
+                    key: String): String = {
+    val table = s"graft_${name}_bucketed"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    Tables(s, dir, name)
+      .write.bucketBy(BUCKETS, key).sortBy(key)
+      .mode("overwrite").saveAsTable(table)
+    table
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Co-located join: both sides bucketed by the join key → the merge
+    // join reads buckets pairwise with NO exchange (asserted in
+    // BucketingSpec). hint("merge") keeps the small side from
+    // broadcasting so the bucket layout is what's exercised.
+    "bk_bucketed_join" -> ((s, dir) => {
+      val lt = writeBucketed(s, dir, "lineitem", "l_orderkey")
+      val ot = writeBucketed(s, dir, "orders", "o_orderkey")
+      val li = s.table(lt).hint("merge")
+      val o = s.table(ot).hint("merge")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(38, 2))).as("rev"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Views (reference 3BC_create_raw_pdf_text_view.sql): the invoice
+    // parse exposed as a named view, queried through the catalog.
+    "vw_invoice_view" -> ((s, dir) => {
+      graft.jobs.InvoiceParse.parse(
+        graft.operators.Curation.invoiceRawText(s, dir))
+        .createOrReplaceTempView("graft_invoice_view")
+      s.sql("""SELECT inv_status, count(*) AS n,
+              |       sum(total) AS sum_total
+              |FROM graft_invoice_view
+              |GROUP BY inv_status ORDER BY inv_status""".stripMargin)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "bk_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "vw_invoice_view" ->
+      """WITH a AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'PAID'
+        |         WHEN o_orderstatus = 'O' THEN 'OPEN'
+        |         ELSE 'Overdue' END AS inv_status,
+        |    (o_orderkey * 7 + 131) % 90000 + 100
+        |      + (o_orderkey * 7 + 262) % 90000 + 100
+        |      + (o_orderkey * 7 + 393) % 90000 + 100 AS tc
+        |  FROM orders)
+        |SELECT inv_status, count(*) AS n,
+        |  SUM(CAST(CAST(tc // 100 AS VARCHAR) || '.'
+        |           || lpad(CAST(tc % 100 AS VARCHAR), 2, '0')
+        |           AS DECIMAL(38,2))) AS sum_total
+        |FROM a GROUP BY inv_status ORDER BY inv_status""".stripMargin
+  )
+}
