@@ -115,6 +115,22 @@ object Projections {
         .orderBy("c_custkey")
     }),
 
+    // F14: generic function dispatch — the reference's CALL_FUNCTION /
+    // CALL_UDF (02_customer_sp.sql:27, 03_invoice_sp.sql:23): a
+    // registered scalar UDF invoked by name via call_udf.
+    "f_call_udf" -> ((s, dir) => {
+      s.udf.register("graft_initials",
+        (name: String) =>
+          if (name == null) null
+          else name.split(" ").filter(_.nonEmpty)
+            .map(_.head.toUpper).mkString("."))
+      Tables(s, dir, "customer")
+        .withColumn("spaced", regexp_replace(col("c_name"), "#", " "))
+        .select(col("c_custkey"),
+          call_udf("graft_initials", col("spaced")).as("initials"))
+        .orderBy("c_custkey")
+    }),
+
     // F15: timestamp parse/format round-trip + date parts over the events
     // table (reference's two timestamp formats, SURVEY §1.2).
     "f_dates" -> ((s, dir) =>
@@ -221,6 +237,14 @@ object Projections {
         |       THEN substr(digits, 2, length(digits) - 1)
         |       ELSE digits END AS clean
         |FROM d ORDER BY c_custkey""".stripMargin,
+
+    "f_call_udf" ->
+      """SELECT c_custkey,
+        |  array_to_string(list_transform(
+        |    list_filter(string_split(replace(c_name, '#', ' '), ' '),
+        |                x -> length(x) > 0),
+        |    x -> upper(substr(x, 1, 1))), '.') AS initials
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "f_dates" ->
       """SELECT event_id,
