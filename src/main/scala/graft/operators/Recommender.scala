@@ -89,7 +89,7 @@ object Recommender {
         .cache()
       val purchN = purchParts.select("cust", "p_brand", "p_name").distinct()
       val classScores = purchN
-        .join(nsim, purchN("p_name") === nsim("name_a"))
+        .join(broadcast(nsim), purchN("p_name") === nsim("name_a"))
         .groupBy(col("cust"), col("p_brand"), col("name_b"))
         .agg(max(col("s")).as("score"))
       val gsize = pname.groupBy("p_brand", "p_name")
@@ -113,7 +113,10 @@ object Recommender {
         .filter(col("avail") > 0)
       // Keep a class iff fewer than TOPK parts are available in classes
       // with STRICTLY higher score (ties must all survive — equal-score
-      // classes interleave by part id in the final ranking).
+      // classes interleave by part id in the final ranking). A
+      // threshold-based pre-prune (score ≥ k-th distinct score) was
+      // measured NET-NEGATIVE here: the extra pass over the class table
+      // costs more than the window sorts it saves at this row count.
       val wCum = Window.partitionBy("cust")
         .orderBy(col("score").desc)
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
