@@ -111,6 +111,28 @@ object Extensions {
           expr("cast(exists(arr, x -> x = 0) as int)").as("has_zero"))
         .orderBy("l_orderkey", "l_linenumber", "arr_sum")),
 
+    // PIVOT with an explicit value list (deterministic columns) and its
+    // inverse via unpivot/melt.
+    // na.fill(0): Spark pivot yields NULL for absent (row, value) combos
+    // where the oracle's count-FILTER yields 0
+    "x_pivot" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy("o_orderpriority")),
+
+    "x_unpivot" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "n")
+        .orderBy("o_orderpriority", "status")),
+
     // Custom whole-operator plan node: heap-based top-k per group
     // (graft.plans.TopKPerGroup — LogicalPlan + Strategy + ExecNode),
     // replacing the full-sort WindowExec pattern. Same semantics as
@@ -203,6 +225,27 @@ object Extensions {
         |  CAST(list_sum(arr) AS INTEGER) AS arr_sum,
         |  CAST(len(list_filter(arr, x -> x = 0)) > 0 AS INTEGER) AS has_zero
         |FROM a ORDER BY l_orderkey, l_linenumber, arr_sum""".stripMargin,
+
+    "x_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "x_unpivot" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |    count(*) FILTER (o_orderstatus = 'F') AS f,
+        |    count(*) FILTER (o_orderstatus = 'O') AS o,
+        |    count(*) FILTER (o_orderstatus = 'P') AS pp
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, n FROM (
+        |  SELECT o_orderpriority, 'F' AS status, f AS n FROM p
+        |  UNION ALL SELECT o_orderpriority, 'O', o FROM p
+        |  UNION ALL SELECT o_orderpriority, 'P', pp FROM p) u
+        |ORDER BY o_orderpriority, status""".stripMargin,
 
     "xk_topk_custom" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
