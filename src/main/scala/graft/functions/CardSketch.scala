@@ -31,13 +31,26 @@ case class CardSketch(child: Expression,
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
+  // one digest per task (deserialized expression copy); reset per row —
+  // building a hex string and re-parsing it per input row costs more
+  // than the whole register update
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(v.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val h60 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      md.reset()
+      val d = md.digest(v.toString.getBytes("UTF-8"))
+      // value of the first 15 hex digits == top 60 bits of the first
+      // 8 bytes (big-endian >>> 4) — identical to the SQL oracle's
+      // hex-digit sum
+      val h64 =
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      val h60 = h64 >>> 4
       val b = (h60 >>> TAIL_BITS).toInt
       val tail = h60 & ((1L << TAIL_BITS) - 1)
       val rho =

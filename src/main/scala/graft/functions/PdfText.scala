@@ -119,8 +119,11 @@ object PdfText {
             case 'b' => out.append('\b'); i += 2
             case 'f' => out.append('\f'); i += 2
             case c @ ('(' | ')' | '\\') => out.append(c); i += 2
-            case d if d.isDigit =>
-              val oct = s.drop(i + 1).take(3).takeWhile(_.isDigit)
+            case d if d >= '0' && d <= '7' =>
+              // octal digits only — \89 is malformed and must degrade,
+              // not throw (one bad file must not kill the curation job)
+              val oct = s.drop(i + 1).take(3).takeWhile(c =>
+                c >= '0' && c <= '7')
               out.append(Integer.parseInt(oct, 8).toChar)
               i += 1 + oct.length
             case _ => i += 1 // line continuation / unknown escape

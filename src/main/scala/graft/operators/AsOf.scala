@@ -23,14 +23,19 @@ object AsOf {
 
   /** Generic as-of: for each left row, the right row with the greatest
     * `ts <= left.ts` per key. Right side must be unique per (key, ts).
-    * Returns left plus `asof_<idCol>` (null when no prior right row). */
+    * Returns (key, ts, leftId, asof_<rightId>) — asof id null when no
+    * prior right row exists. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                leftId: String, rightId: String): DataFrame = {
+    // null placeholders typed from the actual id columns, so the union
+    // coerces correctly for any id type (not just long)
+    val lType = left.schema(leftId).dataType
+    val rType = right.schema(rightId).dataType
     val l = left.select(col(key), col(ts),
-      col(leftId).as("_lid"), lit(null).cast("long").as("_rid"),
+      col(leftId).as("_lid"), lit(null).cast(rType).as("_rid"),
       lit(0).as("_side"))
     val r = right.select(col(key), col(ts),
-      lit(null).cast("long").as("_lid"), col(rightId).as("_rid"),
+      lit(null).cast(lType).as("_lid"), col(rightId).as("_rid"),
       lit(1).as("_side"))
     // right rows sort BEFORE left rows at equal ts (side desc) so the
     // inclusive `right.ts <= left.ts` bound holds

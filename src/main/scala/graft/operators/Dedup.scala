@@ -126,19 +126,28 @@ object Dedup {
     }),
 
     // Exact n-gram Jaccard on candidates from a document-frequency-pruned
-    // inverted index (shingles in ≤50 docs) — the df-pruning is what
-    // keeps the candidate join sub-quadratic at scale. Threshold J ≥ 0.5
-    // applied in exact integer arithmetic: 2·|∩| ≥ |∪|.
+    // inverted index: candidate PAIRS come from rare shingles (df ≤ 50 —
+    // what keeps the join sub-quadratic; pairs sharing only boilerplate
+    // shingles are not considered, the standard recall trade), but the
+    // intersection of a candidate pair counts ALL shared shingles, so
+    // the J ≥ 0.5 verdict itself is exact (integer arithmetic:
+    // 2·|∩| ≥ |∪|).
     "dd_ngram_jaccard" -> ((s, dir) => {
       val sh = shingles(s, dir).cache()
       val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("shingle")
       val shr = sh.join(rare, "shingle")
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = shr.as("a").join(shr.as("b"),
+      val cand = shr.as("a").join(shr.as("b"),
           col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      val inter = cand
+        .join(sh.toDF("id1", "sh1"), "id1")
+        .join(sh.toDF("id2b", "sh2"),
+          col("id2") === col("id2b") && col("sh1") === col("sh2"))
+        .groupBy("id1", "id2")
         .agg(count(lit(1)).as("n_inter"))
       inter
         .join(sizes.select(col("doc_id").as("id1"), col("n").as("na")), "id1")
@@ -255,10 +264,15 @@ object Dedup {
          |         HAVING count(*) <= 50),
          |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_inter
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |  FROM shr a JOIN shr b ON a.shingle = b.shingle
-         |                        AND a.doc_id < b.doc_id
+         |                        AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id1, c.id2, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh s1 ON c.id1 = s1.doc_id
+         |  JOIN sh s2 ON c.id2 = s2.doc_id AND s1.shingle = s2.shingle
          |  GROUP BY 1, 2)
          |SELECT id1, id2, n_inter,
          |       CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union

@@ -44,9 +44,12 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case proj @ Project(projectList,
         Filter(RankLimit(rnAttr, k),
-          Window(Seq(Alias(WindowExpression(RowNumber(), spec), _)),
+          w @ Window(Seq(a @ Alias(WindowExpression(RowNumber(), spec), _)),
             part, order, wchild, _)))
-        if k >= 1 && order.nonEmpty &&
+        if k >= 1 && order.nonEmpty && part.nonEmpty &&
+          // the filtered attribute must BE the row_number alias — a
+          // filter on an unrelated column must not become a top-k
+          rnAttr.exprId == a.exprId &&
           spec.partitionSpec == part && spec.orderSpec == order &&
           projectList.forall(ne => !ne.references.contains(rnAttr)) =>
       proj.copy(child = TopKPerGroup(part, order, k,

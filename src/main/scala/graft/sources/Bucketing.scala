@@ -21,10 +21,7 @@ object Bucketing {
   def writeBucketed(s: SparkSession, dir: String, name: String,
                     key: String): String = {
     val table = s"graft_${name}_bucketed"
-    s.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    graft.jobs.TableIO.dropWithLocation(s, table)
     Tables(s, dir, name)
       .write.bucketBy(BUCKETS, key).sortBy(key)
       .mode("overwrite").saveAsTable(table)

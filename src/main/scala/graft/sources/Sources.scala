@@ -65,14 +65,7 @@ object Sources {
     // in the session warehouse; DROP removes its files so the query is
     // rerunnable.
     "s7_ctas_table_scan" -> ((s, dir) => {
-      s.sql("DROP TABLE IF EXISTS graft_nation_master")
-      // A fresh session's in-memory catalog doesn't know the table, so
-      // DROP alone leaves last run's warehouse dir behind and CTAS would
-      // fail with LOCATION_ALREADY_EXISTS — remove the location too.
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), "graft_nation_master")
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(loc, true)
+      graft.jobs.TableIO.dropWithLocation(s, "graft_nation_master")
       Tables.register(s, dir, "nation", "region")
       s.sql("""CREATE TABLE graft_nation_master USING parquet AS
               |SELECT n.n_nationkey, n.n_name, r.r_name AS region_name

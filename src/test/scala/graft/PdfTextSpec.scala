@@ -63,4 +63,13 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(null) === null)
     assert(PdfText.extract(Array[Byte](1, 2, 3)) === "")
   }
+
+  test("malformed octal escape \\89 degrades instead of throwing") {
+    val content = """BT (a\89b) Tj (\101ok) Tj ET"""
+    val pdf = ("1 0 obj << /Length " + content.length + " >>\nstream\n" +
+      content + "\nendstream\nendobj").getBytes("ISO-8859-1")
+    // \8 is not octal → the escape consumes nothing valid; \101 = 'A'
+    val out = PdfText.extract(pdf)
+    assert(out.contains("b") && out.contains("Aok"), out)
+  }
 }

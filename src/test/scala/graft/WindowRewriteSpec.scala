@@ -56,6 +56,31 @@ class WindowRewriteSpec extends AnyFunSuite {
       expected.map(_.toString).toSeq)
   }
 
+  test("global (unpartitioned) row_number top-k is NOT rewritten") {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val df = Tables(spark, TestSpark.sf, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("c_custkey")
+    // ClusteredDistribution(Nil) would crash at planning — must keep the
+    // window; and the query must still run
+    assert(!df.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(df.count() === 5)
+  }
+
+  test("a filter on an UNRELATED column next to a window is not rewritten") {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val df = Tables(spark, TestSpark.sf, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("c_nationkey") <= 3) // NOT the rank attribute
+      .select("c_custkey", "c_mktsegment")
+    assert(!df.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    val expected = Tables(spark, TestSpark.sf, "customer")
+      .filter(col("c_nationkey") <= 3).count()
+    assert(df.count() === expected)
+  }
+
   test("rn = 1 master-dedup form (the reference idiom) also rewrites") {
     val w = Window.partitionBy("p_brand").orderBy("p_partkey")
     val df = Tables(spark, TestSpark.sf, "part")
