@@ -136,22 +136,35 @@ object Dedup {
       val sh = shingles(s, dir).cache()
       val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50).select("shingle")
-      val shr = sh.join(rare, "shingle")
+      val shr = sh.join(rare, "shingle").cache()
+      // per-doc totals and rare-shingle counts: |∩| is bounded above by
+      // rare-overlap + min(common_a, common_b), an exact integer bound
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val cand = shr.as("a").join(shr.as("b"),
+        .join(shr.groupBy("doc_id").agg(count(lit(1)).as("nr")), "doc_id")
+        .cache()
+      val rareOverlap = shr.as("a").join(shr.as("b"),
           col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("n_ir"))
+        .join(sizes.toDF("id1", "na", "ra"), "id1")
+        .join(sizes.toDF("id2", "nb", "rb"), "id2")
+      // J ≥ 1/2 needs 3·|∩| ≥ na+nb; prune pairs whose upper bound
+      // cannot reach it — exact (no true pair is dropped), and when all
+      // shingles are rare the bound IS |∩|, so almost nothing survives
+      // to the expensive exact-intersection join
+      val cand = rareOverlap
+        .filter((col("n_ir") +
+          least(col("na") - col("ra"), col("nb") - col("rb"))) * 3 >=
+          col("na") + col("nb"))
+        .select("id1", "id2", "na", "nb")
       val inter = cand
         .join(sh.toDF("id1", "sh1"), "id1")
         .join(sh.toDF("id2b", "sh2"),
           col("id2") === col("id2b") && col("sh1") === col("sh2"))
-        .groupBy("id1", "id2")
+        .groupBy("id1", "id2", "na", "nb")
         .agg(count(lit(1)).as("n_inter"))
       inter
-        .join(sizes.select(col("doc_id").as("id1"), col("n").as("na")), "id1")
-        .join(sizes.select(col("doc_id").as("id2"), col("n").as("nb")), "id2")
         .select(col("id1"), col("id2"), col("n_inter"),
           (col("na") + col("nb") - col("n_inter")).as("n_union"))
         .filter(col("n_inter") * 2 >= col("n_union"))
@@ -263,22 +276,32 @@ object Dedup {
          |rare AS (SELECT shingle FROM sh GROUP BY shingle
          |         HAVING count(*) <= 50),
          |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |sizes AS (
+         |  SELECT s.doc_id, s.n, r.nr FROM
+         |    (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) s
+         |  JOIN (SELECT doc_id, count(*) AS nr FROM shr GROUP BY doc_id) r
+         |    ON s.doc_id = r.doc_id),
+         |ro AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_ir
          |  FROM shr a JOIN shr b ON a.shingle = b.shingle
-         |                        AND a.doc_id < b.doc_id),
+         |                        AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT ro.id1, ro.id2, sa.n AS na, sb.n AS nb
+         |  FROM ro JOIN sizes sa ON ro.id1 = sa.doc_id
+         |          JOIN sizes sb ON ro.id2 = sb.doc_id
+         |  WHERE 3 * (ro.n_ir + least(sa.n - sa.nr, sb.n - sb.nr))
+         |        >= sa.n + sb.n),
          |inter AS (
-         |  SELECT c.id1, c.id2, count(*) AS n_inter
+         |  SELECT c.id1, c.id2, c.na, c.nb, count(*) AS n_inter
          |  FROM cand c
          |  JOIN sh s1 ON c.id1 = s1.doc_id
          |  JOIN sh s2 ON c.id2 = s2.doc_id AND s1.shingle = s2.shingle
-         |  GROUP BY 1, 2)
+         |  GROUP BY 1, 2, 3, 4)
          |SELECT id1, id2, n_inter,
-         |       CAST(sa.n + sb.n - n_inter AS BIGINT) AS n_union
-         |FROM inter JOIN sizes sa ON id1 = sa.doc_id
-         |           JOIN sizes sb ON id2 = sb.doc_id
-         |WHERE 2 * n_inter >= (sa.n + sb.n - n_inter)
+         |       CAST(na + nb - n_inter AS BIGINT) AS n_union
+         |FROM inter
+         |WHERE 2 * n_inter >= (na + nb - n_inter)
          |ORDER BY id1, id2""".stripMargin,
 
     "dd_embed_cosine" ->

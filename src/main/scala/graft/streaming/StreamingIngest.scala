@@ -54,6 +54,33 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming upsert sink: each micro-batch MERGEs into a managed
+    * table via foreachBatch + [[graft.jobs.Upsert.merge]] — latest
+    * version per key wins, so replayed or corrected records update in
+    * place instead of appending duplicates (the CDC-flavored sink the
+    * plain append path can't express). */
+  def startUpsert(spark: SparkSession, srcDir: String, table: String,
+                  checkpointDir: String, keys: Seq[String]): StreamingQuery =
+    parse(spark.readStream.text(srcDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val merged =
+          if (spark.catalog.tableExists(table))
+            graft.jobs.Upsert.merge(spark.table(table),
+              batch.dropDuplicates(keys), keys)
+          else batch.dropDuplicates(keys)
+        // stage to a scratch path first: Spark refuses to overwrite a
+        // table that feeds the plan, and collect()-ing to the driver
+        // is exactly what a 100 TB merge must not do
+        val stage = s"/tmp/graft_scratch/upsert_stage/$table/$batchId"
+        merged.write.mode("overwrite").parquet(stage)
+        graft.jobs.TableIO.overwrite(spark,
+          spark.read.parquet(stage), table)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Event-time windowed aggregation with watermark (the Structured
     * Streaming extension beyond the reference's append-only surface):
     * 5-minute tumbling windows per event_type, 10-minute late-data

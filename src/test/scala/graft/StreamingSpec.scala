@@ -69,6 +69,28 @@ class StreamingSpec extends SparkSpec {
       .filter(col("event_type").isNull).count() === 1) // partial
   }
 
+  test("foreachBatch upsert sink: replayed keys update, not duplicate") {
+    val base = Files.createTempDirectory("graft_stream_upsert")
+    val src = Files.createDirectory(base.resolve("src"))
+    val cp = base.resolve("cp").toString
+    val table = "graft_stream_upsert_target"
+
+    writeChunk(src, "b1.json", 0 until 100)
+    val q1 = StreamingIngest.startUpsert(spark, src.toString, table, cp,
+      Seq("event_id"))
+    q1.awaitTermination()
+    assert(spark.table(table).count() === 100)
+
+    // overlap 50-150: 50 replayed keys (updates) + 50 new (inserts)
+    writeChunk(src, "b2.json", 50 until 150)
+    val q2 = StreamingIngest.startUpsert(spark, src.toString, table, cp,
+      Seq("event_id"))
+    q2.awaitTermination()
+    val t = spark.table(table)
+    assert(t.count() === 150) // no duplicates
+    assert(t.select("event_id").distinct().count() === 150)
+  }
+
   test("windowed watermark aggregation: streaming result matches batch") {
     val base = Files.createTempDirectory("graft_stream_w")
     val src = Files.createDirectory(base.resolve("src"))
