@@ -111,6 +111,43 @@ object Extensions {
           expr("cast(exists(arr, x -> x = 0) as int)").as("has_zero"))
         .orderBy("l_orderkey", "l_linenumber", "arr_sum")),
 
+    // Exact percentiles (Spark `percentile` sorts; linear interpolation
+    // matches DuckDB quantile_cont bit-for-bit on the same doubles).
+    // approx variants (percentile_approx GK-sketch) are spec territory.
+    "x_percentile" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("med"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy("o_orderstatus")),
+
+    // NA handling: synthesized nulls → fill / drop / replace.
+    "x_na_funcs" -> ((s, dir) => {
+      val withNulls = Tables(s, dir, "customer")
+        .withColumn("seg",
+          when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("c_mktsegment")))
+        .withColumn("bal",
+          when(col("c_custkey") % 11 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")))
+      withNulls
+        .na.fill(Map("seg" -> "UNKNOWN", "bal" -> 0.0))
+        .na.replace("seg", Map("MACHINERY" -> "MACH"))
+        .select(col("c_custkey"), col("seg"), col("bal"))
+        .orderBy("c_custkey")
+    }),
+
+    // Explicit GROUPING SETS (beyond rollup/cube's fixed lattices).
+    "x_grouping_sets" -> ((s, dir) => {
+      Tables.register(s, dir, "orders")
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              |       coalesce(o_orderpriority, 'ALL') AS prio,
+              |       count(*) AS n
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY status, prio""".stripMargin)
+    }),
+
     // PIVOT with an explicit value list (deterministic columns) and its
     // inverse via unpivot/melt.
     // na.fill(0): Spark pivot yields NULL for absent (row, value) combos
@@ -225,6 +262,32 @@ object Extensions {
         |  CAST(list_sum(arr) AS INTEGER) AS arr_sum,
         |  CAST(len(list_filter(arr, x -> x = 0)) > 0 AS INTEGER) AS has_zero
         |FROM a ORDER BY l_orderkey, l_linenumber, arr_sum""".stripMargin,
+
+    "x_percentile" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS med,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "x_na_funcs" ->
+      """SELECT c_custkey,
+        |  CASE coalesce(CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |                     ELSE c_mktsegment END, 'UNKNOWN')
+        |    WHEN 'MACHINERY' THEN 'MACH'
+        |    ELSE coalesce(CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |                       ELSE c_mktsegment END, 'UNKNOWN') END AS seg,
+        |  coalesce(CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |                ELSE c_acctbal END, 0.0) AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "x_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS prio,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, prio""".stripMargin,
 
     "x_pivot" ->
       """SELECT o_orderpriority,
