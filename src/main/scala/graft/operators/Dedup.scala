@@ -38,13 +38,21 @@ object Dedup {
   private val SIM_BAND_BITS = 21 // 3 bands ⇒ ham ≤ 2 ⇒ ≥1 band equal
 
   /** Per-doc minhash signature columns h1..hK. Signatures are lexicographic
-    * minima of fixed-length md5 hex — numeric min, engine-portable. */
-  private def minhashes(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir).groupBy("doc_id").agg(
-      min(md5(concat(lit("1|"), col("shingle")).cast("binary"))).as("h1"),
-      (2 to K).map(i =>
-        min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary")))
-          .as(s"h$i")): _*)
+    * minima of fixed-length md5 hex — numeric min, engine-portable.
+    * Hashes are computed once per DISTINCT shingle (the dictionary is
+    * orders of magnitude smaller than the doc×shingle table) and joined
+    * back — identical values, K× fewer md5 evaluations. */
+  private def minhashes(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val dict = sh.select("shingle").distinct().select(
+      col("shingle") +: (1 to K).map(i =>
+        md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))
+          .as(s"sh$i")): _*)
+    sh.join(dict, "shingle")
+      .groupBy("doc_id")
+      .agg(min(col("sh1")).as("h1"),
+        (2 to K).map(i => min(col(s"sh$i")).as(s"h$i")): _*)
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact dedup via hash-groupBy on normalized text: group on the
@@ -94,15 +102,23 @@ object Dedup {
       val tf = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("freq"))
-        .withColumn("h", md5(col("word").cast("binary")))
-      val bitAggs = (0 until SIM_BITS).map { b =>
+      // bit signs computed once per DISTINCT word (tiny dictionary,
+      // broadcast) — the per-row work becomes pure arithmetic instead of
+      // 63 string extractions per (doc, word)
+      val signCols = (0 until SIM_BITS).map { b =>
         val digit = s"(instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)"
-        val bit = s"(($digit div ${1 << (b % 4)}) % 2)"
-        expr(s"""CASE WHEN sum(freq * (2 * $bit - 1)) > 0
+        expr(s"2 * (($digit div ${1 << (b % 4)}) % 2) - 1").as(s"s$b")
+      }
+      val dict = tf.select("word").distinct()
+        .withColumn("h", md5(col("word").cast("binary")))
+        .select(col("word") +: signCols: _*)
+      val bitAggs = (0 until SIM_BITS).map { b =>
+        expr(s"""CASE WHEN sum(freq * s$b) > 0
                 |  THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT)
                 |END""".stripMargin).as(s"p$b")
       }
-      val sim = tf.groupBy("doc_id")
+      val sim = tf.join(broadcast(dict), "word")
+        .groupBy("doc_id")
         .agg(bitAggs.head, bitAggs.tail: _*)
         .select(col("doc_id"),
           (0 until SIM_BITS).map(b => col(s"p$b")).reduce(_ + _).as("sim"))
