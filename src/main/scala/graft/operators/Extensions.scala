@@ -111,6 +111,56 @@ object Extensions {
           expr("cast(exists(arr, x -> x = 0) as int)").as("has_zero"))
         .orderBy("l_orderkey", "l_linenumber", "arr_sum")),
 
+    // Calendar-function surface: truncation, month arithmetic with
+    // end-of-month clamping, weekday (Spark weekday == DuckDB isodow-1;
+    // plain dayofweek conventions differ), day diffs.
+    "f_dates2" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .withColumn("d", col("o_orderdate").cast("date"))
+        .select(
+          col("o_orderkey"),
+          expr("cast(date_trunc('month', d) as date)").cast("string")
+            .as("mth"),
+          expr("cast(last_day(d) as string)").as("last_d"),
+          expr("cast(weekday(d) as int)").as("wd"),
+          expr("cast(datediff(d, date'1995-01-01') as int)").as("days_in"),
+          expr("cast(add_months(d, 2) as string)").as("plus2m"))
+        .orderBy("o_orderkey")),
+
+    // Fuzzy matching: distinct product names within edit distance 3 —
+    // the dictionary-level fuzzy-dedup pass (names are a constant-size
+    // vocabulary, so the pairwise scan is bounded regardless of sf).
+    "dd_fuzzy_levenshtein" -> ((s, dir) => {
+      val names = Tables(s, dir, "part").select("p_name").distinct()
+      val a = names.toDF("name_a")
+      val b = names.toDF("name_b")
+      a.join(b, col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
+          .cast(IntegerType))
+        .filter(col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    }),
+
+    // Array set operations (sorted before emission — element order of
+    // union/intersect/except differs between engines).
+    "x_array_setops" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .withColumn("a", expr(
+          "transform(sequence(1, cast(l_orderkey % 4 + 2 as int)), " +
+            "i -> cast(i * l_partkey % 11 as int))"))
+        .withColumn("b", expr(
+          "transform(sequence(1, cast(l_partkey % 4 + 2 as int)), " +
+            "i -> cast(i * l_orderkey % 11 as int))"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          concat_ws(",", array_sort(array_union(col("a"), col("b"))))
+            .as("u"),
+          concat_ws(",", array_sort(array_intersect(col("a"), col("b"))))
+            .as("i"),
+          concat_ws(",", array_sort(array_except(col("a"), col("b"))))
+            .as("e"))
+        .orderBy("l_orderkey", "l_linenumber", "u", "i", "e")),
+
     // Exact percentiles (Spark `percentile` sorts; linear interpolation
     // matches DuckDB quantile_cont bit-for-bit on the same doubles).
     // approx variants (percentile_approx GK-sketch) are spec territory.
@@ -262,6 +312,43 @@ object Extensions {
         |  CAST(list_sum(arr) AS INTEGER) AS arr_sum,
         |  CAST(len(list_filter(arr, x -> x = 0)) > 0 AS INTEGER) AS has_zero
         |FROM a ORDER BY l_orderkey, l_linenumber, arr_sum""".stripMargin,
+
+    "f_dates2" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR)
+        |    AS mth,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS last_d,
+        |  CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INTEGER) AS wd,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |       AS INTEGER) AS days_in,
+        |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+        |       AS VARCHAR) AS plus2m
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "dd_fuzzy_levenshtein" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "x_array_setops" ->
+      """WITH t AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    list_transform(range(1, CAST(l_orderkey % 4 + 2 AS INTEGER) + 1),
+        |                   i -> CAST(i * l_partkey % 11 AS INTEGER)) AS a,
+        |    list_transform(range(1, CAST(l_partkey % 4 + 2 AS INTEGER) + 1),
+        |                   i -> CAST(i * l_orderkey % 11 AS INTEGER)) AS b
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  coalesce(array_to_string(
+        |    list_sort(list_distinct(list_concat(a, b))), ','), '') AS u,
+        |  coalesce(array_to_string(
+        |    list_sort(list_distinct(list_intersect(a, b))), ','), '') AS i,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS e
+        |FROM t ORDER BY l_orderkey, l_linenumber, u, i, e""".stripMargin,
 
     "x_percentile" ->
       """SELECT o_orderstatus,
