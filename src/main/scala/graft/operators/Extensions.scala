@@ -111,6 +111,33 @@ object Extensions {
           expr("cast(exists(arr, x -> x = 0) as int)").as("has_zero"))
         .orderBy("l_orderkey", "l_linenumber", "arr_sum")),
 
+    // Correlated scalar subquery — Catalyst's
+    // RewriteCorrelatedScalarSubquery path (distinct from the IN/EXISTS
+    // semi-join rewrites already covered by j4/j5).
+    "x_scalar_subquery" -> ((s, dir) => {
+      Tables.register(s, dir, "orders", "lineitem")
+      s.sql("""SELECT o_orderkey,
+              |  (SELECT max(l_quantity) FROM lineitem
+              |   WHERE l_orderkey = o_orderkey) AS max_qty,
+              |  (SELECT count(*) FROM lineitem
+              |   WHERE l_orderkey = o_orderkey) AS n_items
+              |FROM orders ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // RANGE frame over a numeric day offset: rolling 30-day spend per
+    // customer — the time-series window the ROWS frame can't express
+    // when event spacing is irregular.
+    "x_rolling_range" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("day_no")
+        .rangeBetween(-29, Window.currentRow)
+      Tables(s, dir, "orders")
+        .withColumn("day_no",
+          expr("datediff(cast(o_orderdate as date), date'1995-01-01')"))
+        .withColumn("rolling_30d", sum(dec(col("o_totalprice"))).over(w))
+        .select("o_custkey", "o_orderkey", "day_no", "rolling_30d")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Calendar-function surface: truncation, month arithmetic with
     // end-of-month clamping, weekday (Spark weekday == DuckDB isodow-1;
     // plain dayofweek conventions differ), day diffs.
@@ -312,6 +339,25 @@ object Extensions {
         |  CAST(list_sum(arr) AS INTEGER) AS arr_sum,
         |  CAST(len(list_filter(arr, x -> x = 0)) > 0 AS INTEGER) AS has_zero
         |FROM a ORDER BY l_orderkey, l_linenumber, arr_sum""".stripMargin,
+
+    "x_scalar_subquery" ->
+      """SELECT o_orderkey,
+        |  (SELECT max(l_quantity) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey) AS max_qty,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey) AS n_items
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "x_rolling_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |       AS INTEGER) AS day_no,
+        |  SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1995-01-01',
+        |                      CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS rolling_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "f_dates2" ->
       """SELECT o_orderkey,
