@@ -81,13 +81,20 @@ object Curation {
       CustomerStandardize.transform(customerInput(s, dir))
         .orderBy("CUSTOMER_ID")),
 
-    "d2_invoice_parse" -> ((s, dir) =>
-      InvoiceParse.parse(invoiceRawText(s, dir)).orderBy("invoice_num")),
+    "d2_invoice_parse" -> ((s, dir) => {
+      // parse keeps DECIMAL internally; DOUBLE at the output boundary
+      // (driver hash canonicalizes DECIMAL renderings inconsistently)
+      val parsed = InvoiceParse.parse(invoiceRawText(s, dir))
+      Seq("item_1", "item_2", "item_3", "total")
+        .foldLeft(parsed)((df, c) => df.withColumn(c, col(c).cast("double")))
+        .orderBy("invoice_num")
+    }),
 
     "d2_sales_enrich" -> ((s, dir) =>
       SalesEnrich.transform(
         Tables(s, dir, "lineitem"), Tables(s, dir, "orders"),
         Tables(s, dir, "customer"), Tables(s, dir, "part"))
+        .withColumn("net_amt", col("net_amt").cast("double"))
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic
         // lineitem — extend the sort key to a total order for the oracle
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
@@ -157,18 +164,18 @@ object Curation {
         |  CASE WHEN o_orderstatus = 'F'
         |       THEN CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR)
         |       ELSE 'N/A' END AS payment_dt,
-        |  CAST(CAST(ac1 // 100 AS VARCHAR) || '.'
-        |       || lpad(CAST(ac1 % 100 AS VARCHAR), 2, '0')
-        |       AS DECIMAL(38,2)) AS item_1,
-        |  CAST(CAST(ac2 // 100 AS VARCHAR) || '.'
-        |       || lpad(CAST(ac2 % 100 AS VARCHAR), 2, '0')
-        |       AS DECIMAL(38,2)) AS item_2,
-        |  CAST(CAST(ac3 // 100 AS VARCHAR) || '.'
-        |       || lpad(CAST(ac3 % 100 AS VARCHAR), 2, '0')
-        |       AS DECIMAL(38,2)) AS item_3,
-        |  CAST(CAST((ac1 + ac2 + ac3) // 100 AS VARCHAR) || '.'
-        |       || lpad(CAST((ac1 + ac2 + ac3) % 100 AS VARCHAR), 2, '0')
-        |       AS DECIMAL(38,2)) AS total
+        |  CAST(CAST(CAST(ac1 // 100 AS VARCHAR) || '.'
+        |            || lpad(CAST(ac1 % 100 AS VARCHAR), 2, '0')
+        |            AS DECIMAL(38,2)) AS DOUBLE) AS item_1,
+        |  CAST(CAST(CAST(ac2 // 100 AS VARCHAR) || '.'
+        |            || lpad(CAST(ac2 % 100 AS VARCHAR), 2, '0')
+        |            AS DECIMAL(38,2)) AS DOUBLE) AS item_2,
+        |  CAST(CAST(CAST(ac3 // 100 AS VARCHAR) || '.'
+        |            || lpad(CAST(ac3 % 100 AS VARCHAR), 2, '0')
+        |            AS DECIMAL(38,2)) AS DOUBLE) AS item_3,
+        |  CAST(CAST(CAST((ac1 + ac2 + ac3) // 100 AS VARCHAR) || '.'
+        |            || lpad(CAST((ac1 + ac2 + ac3) % 100 AS VARCHAR), 2, '0')
+        |            AS DECIMAL(38,2)) AS DOUBLE) AS total
         |FROM a ORDER BY invoice_num""".stripMargin,
 
     "d2_sales_enrich" ->
@@ -180,9 +187,9 @@ object Curation {
         |        FROM part) t
         |  WHERE rn = 1)
         |SELECT DISTINCT l_orderkey, l_linenumber, l_partkey, l_quantity,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-        |       * CAST(1.0 - l_discount AS DECIMAL(18,2))
-        |       AS DECIMAL(38,4)) AS net_amt,
+        |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |            * CAST(1.0 - l_discount AS DECIMAL(18,2))
+        |            AS DECIMAL(38,4)) AS DOUBLE) AS net_amt,
         |  c_custkey, c_name, c_mktsegment, p_name, p_brand, p_type
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -27,7 +27,8 @@ object Extensions {
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables(s, dir, "orders")
-        .withColumn("running", sum(dec(col("o_totalprice"))).over(w))
+        .withColumn("running",
+          sum(dec(col("o_totalprice"))).over(w).cast("double"))
         .select("o_custkey", "o_orderkey", "running")
         .orderBy("o_custkey", "o_orderkey")
     }),
@@ -41,8 +42,10 @@ object Extensions {
       val wq = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables(s, dir, "orders")
-        .withColumn("prev_price", lag(dec(col("o_totalprice")), 1).over(w))
-        .withColumn("next_price", lead(dec(col("o_totalprice")), 1).over(w))
+        .withColumn("prev_price",
+          lag(dec(col("o_totalprice")), 1).over(w).cast("double"))
+        .withColumn("next_price",
+          lead(dec(col("o_totalprice")), 1).over(w).cast("double"))
         .withColumn("quartile", ntile(4).over(wq).cast(IntegerType))
         .select("o_custkey", "o_orderkey", "prev_price", "next_price",
           "quartile")
@@ -68,7 +71,7 @@ object Extensions {
       c.join(n, col("c_nationkey") === col("n_nationkey"))
         .rollup(col("c_mktsegment"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-          sum(dec(col("c_acctbal"))).as("bal"))
+          sum(dec(col("c_acctbal"))).cast("double").as("bal"))
         .select(
           coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
           coalesce(col("n_name"), lit("ALL")).as("nation"),
@@ -133,7 +136,8 @@ object Extensions {
       Tables(s, dir, "orders")
         .withColumn("day_no",
           expr("datediff(cast(o_orderdate as date), date'1995-01-01')"))
-        .withColumn("rolling_30d", sum(dec(col("o_totalprice"))).over(w))
+        .withColumn("rolling_30d",
+          sum(dec(col("o_totalprice"))).over(w).cast("double"))
         .select("o_custkey", "o_orderkey", "day_no", "rolling_30d")
         .orderBy("o_custkey", "o_orderkey")
     }),
@@ -276,15 +280,18 @@ object Extensions {
   val oracles: Map[String, String] = Map(
     "x_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "x_lag_lead_ntile" ->
       """SELECT o_custkey, o_orderkey,
-        |  lag(CAST(o_totalprice AS DECIMAL(38,2)), 1) OVER w AS prev_price,
-        |  lead(CAST(o_totalprice AS DECIMAL(38,2)), 1) OVER w AS next_price,
+        |  CAST(lag(CAST(o_totalprice AS DECIMAL(38,2)), 1) OVER w
+        |       AS DOUBLE) AS prev_price,
+        |  CAST(lead(CAST(o_totalprice AS DECIMAL(38,2)), 1) OVER w
+        |       AS DOUBLE) AS next_price,
         |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
         |                      ORDER BY o_totalprice DESC, o_orderkey)
         |       AS INTEGER) AS quartile
@@ -309,7 +316,7 @@ object Extensions {
       """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
         |       coalesce(n_name, 'ALL') AS nation,
         |       count(*) AS n_cust,
-        |       SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS bal
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (c_mktsegment, n_name)
         |ORDER BY seg, nation""".stripMargin,
@@ -352,11 +359,12 @@ object Extensions {
       """SELECT o_custkey, o_orderkey,
         |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
         |       AS INTEGER) AS day_no,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
         |    PARTITION BY o_custkey
         |    ORDER BY datediff('day', DATE '1995-01-01',
         |                      CAST(o_orderdate AS DATE))
-        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS rolling_30d
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rolling_30d
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "f_dates2" ->

@@ -31,6 +31,7 @@ object Maintenance {
       val inserts = updates
         .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
       Upsert.merge(orders, updates.unionAll(inserts), Seq("o_orderkey"))
+        .withColumn("price", col("price").cast("double"))
         .orderBy("o_orderkey")
     }),
 
@@ -46,7 +47,8 @@ object Maintenance {
         .filter(col("order_month") === "1995-03")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast(DecimalType(38, 2))).as("total"))
+          sum(col("o_totalprice").cast(DecimalType(38, 2))).cast("double")
+            .as("total"))
         .orderBy("o_orderstatus")
     }),
 
@@ -70,7 +72,8 @@ object Maintenance {
           li("sk_partkey") === p("p_partkey") && li("salt") === p("salt"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast(DecimalType(38, 2))).as("rev"))
+          sum(col("l_extendedprice").cast(DecimalType(38, 2))).cast("double")
+            .as("rev"))
         .orderBy("p_brand")
     })
   )
@@ -99,7 +102,7 @@ object Maintenance {
         |  UNION ALL SELECT *, 1 FROM upd
         |  UNION ALL SELECT *, 1 FROM ins)
         |SELECT o_orderkey, o_custkey, o_orderstatus,
-        |       CAST(price AS DECIMAL(19,2)) AS price, o_orderpriority
+        |       CAST(price AS DOUBLE) AS price, o_orderpriority
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
         |                                   ORDER BY src DESC) AS rn
         |      FROM allrows) t
@@ -107,7 +110,7 @@ object Maintenance {
 
     "pw_partition_prune" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |  SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
@@ -119,7 +122,7 @@ object Maintenance {
         |         l_extendedprice
         |  FROM lineitem)
         |SELECT p_brand, count(*) AS n,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS rev
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS rev
         |FROM li JOIN part ON sk_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )

@@ -23,7 +23,7 @@ object Projections {
         .withColumn("sales_amt",
           (col("l_quantity").cast(DecimalType(18, 2)) *
            col("l_extendedprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 4)))
+            .cast(DecimalType(38, 4)).cast("double"))
         .withColumnRenamed("l_returnflag", "flag")
         .select("l_orderkey", "l_linenumber", "flag", "sales_amt")
         .orderBy("l_orderkey", "l_linenumber")),
@@ -93,7 +93,8 @@ object Projections {
         .withColumn("fmt",
           concat(lit("$"), format_number(col("o_totalprice"), 2)))
         .withColumn("parsed",
-          expr("to_number(fmt, '$999,999,999.99')").cast(DecimalType(38, 2)))
+          expr("to_number(fmt, '$999,999,999.99')").cast(DecimalType(38, 2))
+            .cast("double"))
         .select("o_orderkey", "fmt", "parsed")
         .orderBy("o_orderkey")),
 
@@ -169,9 +170,9 @@ object Projections {
   val oracles: Map[String, String] = Map(
     "p2_derived_rename" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag AS flag,
-        |  CAST(CAST(l_quantity AS DECIMAL(18,2))
-        |       * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))
-        |    AS sales_amt
+        |  CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |            * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))
+        |       AS DOUBLE) AS sales_amt
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "p6_like_filter" ->
@@ -219,7 +220,7 @@ object Projections {
         |      || '.' || lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
         |                              AS BIGINT) % 100 AS VARCHAR), 2, '0')
         |    AS fmt,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2)) AS parsed
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS parsed
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "f_phone_clean" ->

@@ -10,7 +10,9 @@ import graft.Tables
   *
   * Every query is paired with a DuckDB oracle in [[oracles]]. Determinism
   * rules: total ORDER BY on every output; money aggregated as
-  * DECIMAL(38,2) (cast before SUM) so Spark and DuckDB agree bit-for-bit;
+  * DECIMAL(38,2) (cast before SUM) so Spark and DuckDB agree bit-for-bit,
+  * then cast to DOUBLE at the output boundary (exact ≪ 2^53 — the driver
+  * hash canonicalizes DECIMAL renderings inconsistently across engines);
   * no row_number/rank columns in output (Spark emits int32, DuckDB int64).
   */
 object Relational {
@@ -30,8 +32,10 @@ object Relational {
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_price"),
+          // decimal-exact sums; final cast to DOUBLE (exact ≪ 2^53) because
+          // the driver hash canonicalizes DECIMAL renderings inconsistently
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
           count(lit(1)).as("n_rows"))
         .filter(col("n_rows") >= 10)
         .orderBy("l_returnflag", "l_linestatus")),
@@ -49,7 +53,8 @@ object Relational {
       li.join(p, li("l_partkey") === p("p_partkey"), "inner")
         .groupBy("p_brand")
         .agg(
-          sum(ep * disc).cast(DecimalType(38, 4)).as("revenue"),
+          sum(ep * disc).cast(DecimalType(38, 4)).cast("double")
+            .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
     }),
@@ -120,7 +125,7 @@ object Relational {
     "w3_rank_topk" -> ((s, dir) =>
       Tables(s, dir, "orders")
         .groupBy("o_custkey")
-        .agg(sum(dec(col("o_totalprice"))).as("total"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("total"))
         .orderBy(col("total").desc, col("o_custkey"))
         .limit(20)),
 
@@ -148,17 +153,18 @@ object Relational {
 
     "a2_agg_having" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(l_quantity AS DECIMAL(38,2))) AS sum_qty,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+        |    AS sum_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 10
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "j1_join_agg" ->
       """SELECT p_brand,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * CAST(1.0 - l_discount AS DECIMAL(18,2)))
-        |       AS DECIMAL(38,4)) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(1.0 - l_discount AS DECIMAL(18,2)))
+        |            AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -203,7 +209,8 @@ object Relational {
         |  SELECT o_custkey, total,
         |         rank() OVER (ORDER BY total DESC, o_custkey) AS rnk
         |  FROM (SELECT o_custkey,
-        |               SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS total
+        |               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+        |                    AS DOUBLE) AS total
         |        FROM orders GROUP BY o_custkey) agg) ranked
         |WHERE rnk <= 20 ORDER BY total DESC, o_custkey""".stripMargin,
 

@@ -47,6 +47,8 @@ object Streaming {
     // time_bucket).
     "t5_window_agg" -> ((s, dir) =>
       StreamingIngest.windowedCounts(Tables.events(s, dir))
+        // decimal internally; DOUBLE at the output boundary (driver hash)
+        .withColumn("sum_value", col("sum_value").cast("double"))
         .orderBy("wstart", "event_type"))
   )
 
@@ -60,7 +62,7 @@ object Streaming {
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts),
         |                '%Y-%m-%d %H:%M:%S') AS wstart,
         |  event_type, count(*) AS n,
-        |  SUM(CAST(value AS DECIMAL(38,2))) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
   )
 }

@@ -41,7 +41,8 @@ object Bucketing {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast(DecimalType(38, 2))).as("rev"))
+          sum(col("l_extendedprice").cast(DecimalType(38, 2))).cast("double")
+            .as("rev"))
         .orderBy("o_orderstatus")
     }),
 
@@ -52,7 +53,7 @@ object Bucketing {
         graft.operators.Curation.invoiceRawText(s, dir))
         .createOrReplaceTempView("graft_invoice_view")
       s.sql("""SELECT inv_status, count(*) AS n,
-              |       sum(total) AS sum_total
+              |       cast(sum(total) AS DOUBLE) AS sum_total
               |FROM graft_invoice_view
               |GROUP BY inv_status ORDER BY inv_status""".stripMargin)
     })
@@ -61,7 +62,7 @@ object Bucketing {
   val oracles: Map[String, String] = Map(
     "bk_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |  SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS rev
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS rev
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
@@ -76,9 +77,9 @@ object Bucketing {
         |      + (o_orderkey * 7 + 393) % 90000 + 100 AS tc
         |  FROM orders)
         |SELECT inv_status, count(*) AS n,
-        |  SUM(CAST(CAST(tc // 100 AS VARCHAR) || '.'
-        |           || lpad(CAST(tc % 100 AS VARCHAR), 2, '0')
-        |           AS DECIMAL(38,2))) AS sum_total
+        |  CAST(SUM(CAST(CAST(tc // 100 AS VARCHAR) || '.'
+        |                || lpad(CAST(tc % 100 AS VARCHAR), 2, '0')
+        |                AS DECIMAL(38,2))) AS DOUBLE) AS sum_total
         |FROM a GROUP BY inv_status ORDER BY inv_status""".stripMargin
   )
 }

@@ -28,8 +28,11 @@ def norm(v):
         return str(float(v)) if abs(v) < 2**52 else str(v)
     try:
         import decimal
+        # Scale-exact: the driver's hash is sensitive to decimal rendering
+        # (5884649.40 vs 5884649.4), so compare the exact string — a scale
+        # mismatch between engines must fail here, not only at the driver.
         if isinstance(v, decimal.Decimal):
-            return f"{float(v)!r}"
+            return str(v)
     except Exception:
         pass
     return str(v)
@@ -59,6 +62,15 @@ def main():
             fail += 1
             continue
         got_tbl = pq.read_table(files[0])
+        dec_cols = [f.name for f in got_tbl.schema
+                    if "decimal" in str(f.type)]
+        if dec_cols:
+            # Driver hash canonicalizes decimals inconsistently across
+            # engines — outputs must be DOUBLE/string, never DECIMAL.
+            print(f"[FAIL] {name}: DECIMAL output columns {dec_cols} "
+                  f"(driver-hash-unstable; cast to DOUBLE)")
+            fail += 1
+            continue
         try:
             cur = con.execute(sql)
             exp_cols = [d[0] for d in cur.description]
