@@ -36,6 +36,8 @@ object Dedup {
   private val BANDS = 3      // 3 bands × 3 rows
   private val SIM_BITS = 63  // simhash width (63 avoids BIGINT sign)
   private val SIM_BAND_BITS = 21 // 3 bands ⇒ ham ≤ 2 ⇒ ≥1 band equal
+  private val EMB_PLANES = 64    // SRP-LSH hyperplanes (8 bands × 8 bits)
+  private val EMB_BAND_BITS = 8
 
   /** Per-doc minhash signature columns h1..hK. Signatures are lexicographic
     * minima of fixed-length md5 hex — numeric min, engine-portable.
@@ -187,21 +189,54 @@ object Dedup {
         .orderBy("id1", "id2")
     }),
 
-    // Embedding-cosine near-dup: top-20 most-similar vector pairs via the
-    // codegen'd FloatVecDot expression (same left-to-right double
-    // accumulation as the interpreted zip_with/aggregate form, ~10×
-    // faster on all-pairs). The IVF scale path lives in
-    // operators.Similarity.
+    // Embedding-cosine near-dup via signed-random-projection LSH
+    // (Charikar 2002): 64 hyperplane sign bits per vector, 8 bands × 8
+    // bits bucket candidate pairs (equi-join — no cross join anywhere),
+    // exact cosine rerank (codegen'd FloatVecDot) keeps the top-20.
+    // Hyperplanes are the first 64 data vectors, integer-quantized
+    // (×1024 — exact: 1024 is a power of two) so the sign bits are
+    // integer-exact and bit-identical in the DuckDB oracle: products
+    // ≤ 2^27 and 64-term sums ≪ 2^53 stay exact in double accumulation.
+    // At 100 TB: candidate generation touches ~Σ bucket² pairs instead
+    // of n²/2 (~3.6% of pairs on testdata; far fewer on real near-dup
+    // corpora where high-cosine pairs concentrate in shared buckets).
     "dd_embed_cosine" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
         .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-      val a = e.select(col("vec_id").as("id1"), col("v").as("v1"),
+        // quantized copy for the sign tests (float-exact: values < 2^24)
+        .withColumn("qf", expr(
+          "transform(v, x -> cast(cast(round(cast(x as double) * 1024d)" +
+            " as bigint) as float))"))
+      // hyperplane fetch: 64 quantized vectors — a one-time
+      // model-parameter-scale action (64×64 ints), inlined as literals so
+      // the 64 sign tests run inside one whole-stage-codegen project
+      val planes: Array[Seq[Float]] = e.filter(col("vec_id") < EMB_PLANES)
+        .orderBy("vec_id").select("qf").collect()
+        .map(_.getSeq[Float](0))
+      val nBands = (planes.length + EMB_BAND_BITS - 1) / EMB_BAND_BITS
+      val bandCols = (0 until nBands).map { k =>
+        val bits = planes.slice(k * EMB_BAND_BITS,
+          (k + 1) * EMB_BAND_BITS).zipWithIndex.map { case (h, j) =>
+          when(call_function("vec_dot", col("qf"), typedlit(h)) > 0,
+            lit(1L << j)).otherwise(lit(0L))
+        }
+        struct(lit(k).as("band"), bits.reduce(_ + _).as("bv"))
+      }
+      val bkt = e.select(col("vec_id"),
+        explode(array(bandCols: _*)).as("s"))
+        .select(col("vec_id"), col("s.band"), col("s.bv"))
+      val cand = bkt.as("a").join(bkt.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+        .distinct()
+      val v1 = e.select(col("vec_id").as("id1"), col("v").as("v1"),
         col("nrm").as("n1"))
-      val b = e.select(col("vec_id").as("id2"), col("v").as("v2"),
+      val v2 = e.select(col("vec_id").as("id2"), col("v").as("v2"),
         col("nrm").as("n2"))
-      a.join(b, col("id1") < col("id2"))
+      cand.join(v1, "id1").join(v2, "id2")
         .withColumn("cos",
           expr("vec_dot(v1, v2)") / (col("n1") * col("n2")))
         .orderBy(col("cos").desc, col("id1"), col("id2"))
@@ -320,11 +355,36 @@ object Dedup {
          |WHERE 2 * n_inter >= (na + nb - n_inter)
          |ORDER BY id1, id2""".stripMargin,
 
+    // Mirrors the SRP-LSH pipeline (like the minhash/simhash oracles):
+    // integer-quantized sign bits are exact in both engines, so the
+    // candidate set is identical; only the final rerank compares doubles.
     "dd_embed_cosine" ->
-      """SELECT a.vec_id AS id1, b.vec_id AS id2
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
-        |         id1, id2
-        |LIMIT 20""".stripMargin
+      s"""WITH q AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |hp AS (SELECT vec_id AS hid, qv AS hq FROM q
+         |       WHERE vec_id < $EMB_PLANES),
+         |bits AS (
+         |  SELECT v.vec_id, h.hid,
+         |    CASE WHEN list_sum(list_transform(
+         |           range(1, len(v.qv) + 1), i -> v.qv[i] * h.hq[i])) > 0
+         |         THEN 1 ELSE 0 END AS bt
+         |  FROM q v, hp h),
+         |bkt AS (
+         |  SELECT vec_id, hid // $EMB_BAND_BITS AS band,
+         |         sum(bt * (1 << (hid % $EMB_BAND_BITS))) AS bv
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM bkt a JOIN bkt b ON a.band = b.band AND a.bv = b.bv
+         |                        AND a.vec_id < b.vec_id)
+         |SELECT id1, id2
+         |FROM cand c JOIN embeddings a ON c.id1 = a.vec_id
+         |            JOIN embeddings b ON c.id2 = b.vec_id
+         |ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+         |         id1, id2
+         |LIMIT 20""".stripMargin
   )
 }

@@ -159,16 +159,33 @@ object Extensions {
         .orderBy("o_orderkey")),
 
     // Fuzzy matching: distinct product names within edit distance 3 —
-    // the dictionary-level fuzzy-dedup pass (names are a constant-size
-    // vocabulary, so the pairwise scan is bounded regardless of sf).
+    // the dictionary-level fuzzy-dedup pass. Blocking is SOUND
+    // length-bucketing: levenshtein(a,b) ≥ |len(a)-len(b)|, so pairs
+    // within distance 3 land in the same or an adjacent width-4 length
+    // bucket; one side probes its three neighbor buckets and the join is
+    // a hash EQUI-join on the bucket key (shuffle-partitioned — survives
+    // an unbounded vocabulary, unlike the all-pairs theta join).
+    // First-char blocking would NOT be sound here: 80 of the 96 matching
+    // pairs on testdata differ in their first character (substituting
+    // the first letter costs only 1 edit). The production upgrade path
+    // for long tails is PassJoin-style pigeonhole segment signatures.
     "dd_fuzzy_levenshtein" -> ((s, dir) => {
       val names = Tables(s, dir, "part").select("p_name").distinct()
-      val a = names.toDF("name_a")
-      val b = names.toDF("name_b")
-      a.join(b, col("name_a") < col("name_b"))
+        .withColumn("len", length(col("p_name")))
+        .withColumn("bkt", expr("len div 4"))
+      val a = names.select(col("p_name").as("name_a"),
+        col("len").as("la"), col("bkt"))
+      val b = names.select(col("p_name").as("name_b"),
+        col("len").as("lb"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1))
+          .as("bkt"))
+      a.join(b, "bkt") // each qualifying pair matches exactly one bucket
+        .filter(col("name_a") < col("name_b") &&
+          abs(col("la") - col("lb")) <= 3)
         .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
           .cast(IntegerType))
         .filter(col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
         .orderBy("name_a", "name_b")
     }),
 
