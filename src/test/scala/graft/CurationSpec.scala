@@ -86,6 +86,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("invoice job parses REAL reference PDFs (ToUnicode CMap decode)") {
+    val src = java.nio.file.Paths.get("/root/reference/data/invoice")
+    assume(Files.exists(src))
+    val dir = Files.createTempDirectory("graft_real_pdfs")
+    val listing = Files.list(src)
+    val picked = try listing.sorted().limit(5).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path]) finally listing.close()
+    picked.foreach(p => Files.copy(p, dir.resolve(p.getFileName.toString)))
+    val out = InvoiceParse.transform(spark, dir.toString).collect()
+    assert(out.length === picked.length)
+    out.foreach { r =>
+      val cid = r.getAs[String]("customer_id")
+      val inv = r.getAs[String]("invoice_num")
+      // non-mojibake: numeric customer id, INV-prefixed invoice number
+      // that matches the file name, a parsed date, a positive total
+      assert(cid.matches("[0-9]{10}"), s"customer_id=$cid")
+      assert(inv.startsWith("INV-"), s"invoice_num=$inv")
+      assert(r.getAs[String]("relative_path").contains(inv),
+        s"$inv vs ${r.getAs[String]("relative_path")}")
+      assert(r.getAs[String]("inv_gen_dt").matches("\\d{4}-\\d{2}-\\d{2}.*"),
+        r.getAs[String]("inv_gen_dt"))
+      assert(r.getAs[java.math.BigDecimal]("total")
+        .compareTo(java.math.BigDecimal.ZERO) > 0)
+    }
+  }
+
   test("pipeline DAG: topological order, cycle detection, end-to-end run") {
     val dag = CurationPipeline(sf)
     val ord = dag.order

@@ -11,8 +11,10 @@ object MiniPdf {
   def apply(lines: Seq[String], compress: Boolean = false): Array[Byte] = {
     val esc = lines.map(_.replace("\\", "\\\\")
       .replace("(", "\\(").replace(")", "\\)"))
+    // separator spaces are explicit space glyphs — extraction
+    // concatenates show ops with no separator, as PyPDF2 does
     val content = "BT /F1 12 Tf 72 720 Td " +
-      esc.map(l => s"($l) Tj 0 -14 Td").mkString(" ") + " ET"
+      esc.map(l => s"($l) Tj 0 -14 Td").mkString(" ( ) Tj ") + " ET"
     val raw = content.getBytes("ISO-8859-1")
     val data = if (compress) deflate(raw) else raw
     val filter = if (compress) "/Filter /FlateDecode " else ""
@@ -53,10 +55,26 @@ class PdfTextSpec extends AnyFunSuite {
   }
 
   test("handles escapes and TJ arrays") {
-    val content = """BT [(He) (llo \(world\))] TJ (lit\\eral) Tj ET"""
+    val content = """BT [(He) (llo \(world\))] TJ ( ) Tj (lit\\eral) Tj ET"""
     val pdf = ("1 0 obj << /Length " + content.length + " >>\nstream\n" +
       content + "\nendstream\nendobj").getBytes("ISO-8859-1")
-    assert(PdfText.extract(pdf) === "He llo (world) lit\\eral")
+    // TJ array elements concatenate directly (kerning splits words);
+    // the space between the two show ops is an explicit space glyph
+    assert(PdfText.extract(pdf) === "Hello (world) lit\\eral")
+  }
+
+  test("decodes a real reference invoice through its ToUnicode CMaps") {
+    // reference corpus: subset-embedded Calibri with per-font
+    // /ToUnicode CMaps (code/ingest/3B1_pdf_to_text_udf.sql PyPDF2 path)
+    val f = java.nio.file.Paths.get(
+      "/root/reference/data/invoice/INVOICE_NO_INV-0A0GQ-54_7142.pdf")
+    assume(java.nio.file.Files.exists(f))
+    val text = PdfText.extract(java.nio.file.Files.readAllBytes(f))
+    assert(text.contains("Customer: 1957842986"), text.take(200))
+    assert(text.contains("Invoice #: INV-0A0GQ-54"), text.take(300))
+    assert(text.contains("Name: Wesley Kim"), text.take(200))
+    assert(text.contains("Generated On: 2023-02-26T19:39:11Z"))
+    assert(text.contains("Item 1 $1,334.24"))
   }
 
   test("null and garbage bytes do not throw") {
