@@ -36,6 +36,7 @@ object Dedup {
   private val BANDS = 3      // 3 bands × 3 rows
   private val SIM_BITS = 63  // simhash width (63 avoids BIGINT sign)
   private val SIM_BAND_BITS = 21 // 3 bands ⇒ ham ≤ 2 ⇒ ≥1 band equal
+  private val SIM_LANES = 21 // 63 majority counters in 3×16-bit fields
   private val EMB_PLANES = 64    // SRP-LSH hyperplanes (8 bands × 8 bits)
   private val EMB_BAND_BITS = 8
 
@@ -100,30 +101,43 @@ object Dedup {
 
     // SimHash: 63-bit signature from md5-hashed token frequencies;
     // 3 × 21-bit bands bucket candidates; hamming ≤ 2 confirms.
+    // The per-bit majority vote sum(freq·s_b) > 0 is equivalent to
+    // 2·sum(freq·bit_b) > sum(freq), so the 63 one-bit aggregates pack
+    // into 21 BIGINT lanes of 3 × 16-bit fields (plus one token total) —
+    // a 3× narrower hash aggregate. Exact while a document stays under
+    // 2^16 tokens (fields can't carry); far beyond any real document.
     "dd_simhash" -> ((s, dir) => {
       val tf = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("freq"))
-      // bit signs computed once per DISTINCT word (tiny dictionary,
-      // broadcast) — the per-row work becomes pure arithmetic instead of
-      // 63 string extractions per (doc, word)
-      val signCols = (0 until SIM_BITS).map { b =>
-        val digit = s"(instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)"
-        expr(s"2 * (($digit div ${1 << (b % 4)}) % 2) - 1").as(s"s$b")
+      // packed bit lanes computed once per DISTINCT word (tiny
+      // dictionary, broadcast) — per-row work is pure integer arithmetic
+      def bitExpr(b: Int): String = {
+        val digit =
+          s"(instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)"
+        s"(($digit div ${1 << (b % 4)}) % 2)"
+      }
+      val laneCols = (0 until SIM_LANES).map { l =>
+        val fields = (0 until 3).filter(j => 3 * l + j < SIM_BITS)
+          .map(j => s"${bitExpr(3 * l + j)} * ${1L << (16 * j)}L")
+        expr(s"cast(${fields.mkString(" + ")} as bigint)").as(s"l$l")
       }
       val dict = tf.select("word").distinct()
         .withColumn("h", md5(col("word").cast("binary")))
-        .select(col("word") +: signCols: _*)
-      val bitAggs = (0 until SIM_BITS).map { b =>
-        expr(s"""CASE WHEN sum(freq * s$b) > 0
+        .select(col("word") +: laneCols: _*)
+      val laneAggs = (0 until SIM_LANES).map(l =>
+        sum(col("freq") * col(s"l$l")).as(s"p$l")) :+
+        sum(col("freq")).as("tot")
+      val simBits = (0 until SIM_BITS).map { b =>
+        val field = s"((p${b / 3} div ${1L << (16 * (b % 3))}L) % 65536)"
+        expr(s"""CASE WHEN 2 * $field > tot
                 |  THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT)
-                |END""".stripMargin).as(s"p$b")
+                |END""".stripMargin)
       }
       val sim = tf.join(broadcast(dict), "word")
         .groupBy("doc_id")
-        .agg(bitAggs.head, bitAggs.tail: _*)
-        .select(col("doc_id"),
-          (0 until SIM_BITS).map(b => col(s"p$b")).reduce(_ + _).as("sim"))
+        .agg(laneAggs.head, laneAggs.tail: _*)
+        .select(col("doc_id"), simBits.reduce(_ + _).as("sim"))
         .cache()
       val bands = (0 until 3).map(k =>
         sim.select(col("doc_id"), lit(k).as("band"),
