@@ -129,6 +129,38 @@ object Relational {
         .orderBy(col("total").desc, col("o_custkey"))
         .limit(20)),
 
+    // W2: the reference's commented-out first_value().over + distinct
+    // alternative to the row_number master dedup
+    // (code/curate/04_sales_enrich_sp.sql:48-51).
+    "w2_first_value_master" -> ((s, dir) => {
+      val w = Window.partitionBy("p_name").orderBy("p_partkey")
+      Tables(s, dir, "part")
+        .select(col("p_name"),
+          first(col("p_partkey")).over(w).as("master_partkey"),
+          first(col("p_brand")).over(w).as("brand"),
+          first(col("p_type")).over(w).as("ptype"))
+        .distinct()
+        .orderBy("p_name")
+    }),
+
+    // A6: ARRAY_AGG(OBJECT_CONSTRUCT(*)) — the reference's JSON-export
+    // idiom (code/ingest/3C_load_txn_history.sql:6) as
+    // collect_list(struct(...)). The array is sorted before rendering
+    // (collect_list order is nondeterministic under parallelism) and
+    // money rides as integer cents so the JSON text is byte-identical
+    // across engines.
+    "a6_collect_struct" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .withColumn("cents",
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long"))
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(struct(
+          col("o_orderkey").as("k"), col("cents").as("c")))).as("arr"))
+        .select(col("o_custkey"), to_json(col("arr")).as("orders_json"),
+          size(col("arr")).cast("int").as("n_orders"))
+        .orderBy("o_custkey")),
+
     // A3/A5: distinct on a column subset (GROUP BY with no aggregates);
     // reference 3B2_load_pdf_to_text.sql:6.
     "a3_distinct_cols" -> ((s, dir) =>
@@ -213,6 +245,26 @@ object Relational {
         |                    AS DOUBLE) AS total
         |        FROM orders GROUP BY o_custkey) agg) ranked
         |WHERE rnk <= 20 ORDER BY total DESC, o_custkey""".stripMargin,
+
+    "w2_first_value_master" ->
+      """SELECT DISTINCT p_name,
+        |  first_value(p_partkey) OVER w AS master_partkey,
+        |  first_value(p_brand) OVER w AS brand,
+        |  first_value(p_type) OVER w AS ptype
+        |FROM part WINDOW w AS (PARTITION BY p_name ORDER BY p_partkey)
+        |ORDER BY p_name""".stripMargin,
+
+    "a6_collect_struct" ->
+      """SELECT o_custkey,
+        |  '[' || string_agg(
+        |           CAST(json_object('k', o_orderkey, 'c', cents) AS VARCHAR),
+        |           ',' ORDER BY o_orderkey) || ']' AS orders_json,
+        |  CAST(count(*) AS INTEGER) AS n_orders
+        |FROM (SELECT o_custkey, o_orderkey,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |          AS cents
+        |      FROM orders) t
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "a3_distinct_cols" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
