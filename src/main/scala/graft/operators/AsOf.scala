@@ -22,7 +22,9 @@ object AsOf {
   type Q = (SparkSession, String) => DataFrame
 
   /** Generic as-of: for each left row, the right row with the greatest
-    * `ts <= left.ts` per key. Right side must be unique per (key, ts).
+    * `ts <= left.ts` per key. If the right side has several rows at the
+    * winning ts, the greatest rightId wins (total-order tiebreak — the
+    * result is deterministic without a uniqueness precondition).
     * Returns (key, ts, leftId, asof_<rightId>) — asof id null when no
     * prior right row exists. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
@@ -38,9 +40,10 @@ object AsOf {
       lit(null).cast(lType).as("_lid"), col(rightId).as("_rid"),
       lit(1).as("_side"))
     // right rows sort BEFORE left rows at equal ts (side desc) so the
-    // inclusive `right.ts <= left.ts` bound holds
+    // inclusive `right.ts <= left.ts` bound holds; _rid asc makes the
+    // greatest right id the last-seen (winning) one at equal (ts, side)
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("_side").desc)
+      .orderBy(col(ts).asc, col("_side").desc, col("_rid").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionAll(r)
       .withColumn("_asof", last(col("_rid"), ignoreNulls = true).over(w))
@@ -84,9 +87,13 @@ object AsOf {
   )
 
   val oracles: Map[String, String] = Map(
+    // clicks deduped to max(event_id) per (user_id, ts): DuckDB's ASOF
+    // picks an arbitrary peer among equal-ts rows, so the oracle pins the
+    // same greatest-id tie rule the Spark window uses.
     "az_asof_join" ->
-      """WITH clicks AS (SELECT user_id, ts, event_id FROM events
-        |               WHERE event_type = 'click'),
+      """WITH clicks AS (SELECT user_id, ts, max(event_id) AS event_id
+        |               FROM events
+        |               WHERE event_type = 'click' GROUP BY user_id, ts),
         |purch AS (SELECT user_id, ts, event_id FROM events
         |          WHERE event_type = 'purchase')
         |SELECT p.event_id AS purchase_id, c.event_id AS click_id

@@ -92,12 +92,13 @@ object Sources {
       """SELECT n_regionkey, CAST(2 * COUNT(*) AS BIGINT) AS n
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
-    // The driver's correctness pass runs on sf0.01; read_blob lists the
-    // same files the binaryFile source scans.
+    // {SFDIR} is substituted by Verify with the sf dir it actually runs
+    // against, so the oracle lists the same files the binaryFile source
+    // scans at any scale factor.
     "s5_binary_dir_scan" ->
       """SELECT regexp_extract(filename, '[^/]+$') AS file_name,
         |  size AS length
-        |FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        |FROM read_blob('{SFDIR}/*.parquet')
         |ORDER BY file_name""".stripMargin,
 
     "s7_ctas_table_scan" ->

@@ -19,20 +19,26 @@ object Stage {
     Files.createDirectories(stage)
     val matcher = java.nio.file.FileSystems.getDefault
       .getPathMatcher(s"glob:$glob")
-    val staged = Files.list(Paths.get(srcDir)).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && matcher.matches(p.getFileName))
-      .map { p =>
-        Files.copy(p, stage.resolve(p.getFileName),
-          StandardCopyOption.REPLACE_EXISTING)
-        p.getFileName.toString
-      }.toSeq.sorted
-    staged
+    val listing = Files.list(Paths.get(srcDir))
+    try {
+      listing.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && matcher.matches(p.getFileName))
+        .map { p =>
+          Files.copy(p, stage.resolve(p.getFileName),
+            StandardCopyOption.REPLACE_EXISTING)
+          p.getFileName.toString
+        }.toSeq.sorted
+    } finally listing.close()
   }
 
   /** Directory listing (`directory(@stage)` lite): relative_path + size. */
-  def list(stageDir: String): Seq[(String, Long)] =
-    Files.list(Paths.get(stageDir)).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(p => (p.getFileName.toString, Files.size(p)))
-      .toSeq.sortBy(_._1)
+  def list(stageDir: String): Seq[(String, Long)] = {
+    val listing = Files.list(Paths.get(stageDir))
+    try {
+      listing.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => (p.getFileName.toString, Files.size(p)))
+        .toSeq.sortBy(_._1)
+    } finally listing.close()
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{AsOf, Dedup, Similarity}
+
+/** Scale-plan invariants: the dedup / similarity / as-of operators claim
+  * (in their scaladoc) to avoid quadratic join strategies — prove it on
+  * the optimized physical plan, so a regression to an all-pairs shape
+  * fails CI instead of surfacing as a 100×-scale melt-down.
+  *
+  * CartesianProduct and (non-broadcast-bounded) BroadcastNestedLoopJoin
+  * are the two strategies Spark falls back to when a join has no equi
+  * clause; every query below is engineered to give the planner one.
+  */
+class PlanInvariantSpec extends SparkSpec {
+
+  private def executedPlan(fn: (org.apache.spark.sql.SparkSession, String)
+      => org.apache.spark.sql.DataFrame): String =
+    fn(spark, sf).queryExecution.executedPlan.toString
+
+  private val dedupQueries = Seq("dd_exact", "dd_minhash_lsh", "dd_simhash",
+    "dd_ngram_jaccard", "dd_embed_cosine")
+
+  for (name <- dedupQueries)
+    test(s"$name plans without cartesian or nested-loop joins") {
+      val plan = executedPlan(Dedup.queries(name))
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+
+  test("dd_fuzzy_levenshtein plans as a bucketed equi-join") {
+    val plan = executedPlan(
+      graft.operators.Extensions.queries("dd_fuzzy_levenshtein"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the length-bucket key must be the join key (hash-partitionable)
+    assert(plan.contains("bkt"), plan)
+  }
+
+  for (name <- Seq("az_asof_join", "az_range_join"))
+    test(s"$name plans without cartesian or nested-loop joins") {
+      val plan = executedPlan(AsOf.queries(name))
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+
+  test("sim_ivf_topk: nested-loop only against the broadcast centroids") {
+    // the C=16 centroid table is crossed deliberately (IVF assignment is
+    // a map-side broadcast pass); candidate generation and rerank must
+    // still be equi-joins — so every BNLJ must be a BuildRight broadcast
+    // and a cartesian must never appear.
+    val plan = executedPlan(Similarity.queries("sim_ivf_topk"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("BuildRight")), plan)
+  }
+}
