@@ -65,11 +65,12 @@ object Dedup {
     * The full signature rides THROUGH the band self-join instead of
     * being re-joined afterwards: candidate pairs come out of the bucket
     * equi-join already carrying both signatures, so verification is a
-    * projection, not two more shuffles. The self-join's two sides are
-    * identical subplans — Spark's ReuseExchange evaluates the signature
-    * pipeline once, no cache needed. */
+    * projection, not two more shuffles. The signature table is cached:
+    * AQE does not reliably de-duplicate a self-join's identical
+    * exchanges (measured: the uncached plan scans the corpus twice),
+    * and block-level locking makes the lazy cache race-free. */
   private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val mh = minhashes(s, dir)
+    val mh = minhashes(s, dir).cache()
     val bandArr = array((0 until BANDS).map { b =>
       val cs = (1 to 3).map(i => col(s"h${b * 3 + i}"))
       struct(lit(b + 1).as("band"),
@@ -147,10 +148,13 @@ object Dedup {
                 |  THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT)
                 |END""".stripMargin)
       }
+      // cached: the band self-join reads sim twice and AQE does not
+      // de-duplicate identical self-join exchanges (see minhashPairs)
       val sim = tokens.join(broadcast(dict), "word")
         .groupBy("doc_id")
         .agg(laneAggs.head, laneAggs.tail: _*)
         .select(col("doc_id"), simBits.reduce(_ + _).as("sim"))
+        .cache()
       val bandArr = array((0 until 3).map(k =>
         struct(lit(k).as("band"),
           expr(s"(sim div ${1L << (SIM_BAND_BITS * k)}) % ${1L << SIM_BAND_BITS}")
@@ -190,12 +194,22 @@ object Dedup {
       // aggregate emits (na, ra, nb, rb) directly instead of re-joining
       // the per-doc dimension twice afterwards (which at 100 TB would be
       // two more shuffles of the pair table)
-      val shrz = shd.filter(col("df") <= 50).join(sizes, "doc_id")
-      val az = shrz.select(col("shingle"), col("doc_id").as("id1"),
-        col("n").as("na"), col("nr").as("ra"))
-      val bz = shrz.select(col("shingle"), col("doc_id").as("id2"),
-        col("n").as("nb"), col("nr").as("rb"))
-      val rareOverlap = az.join(bz, Seq("shingle"))
+      // cached: both sides of the rare-shingle self-join read shrz, and
+      // its upstream (shd appears under sizes too) is not de-duplicated
+      // by AQE (see minhashPairs)
+      val shrz = shd.filter(col("df") <= 50).join(sizes, "doc_id").cache()
+      // The candidate self-join runs on xxhash64(shingle) — an 8-byte
+      // sort/shuffle key instead of the shingle text. A hash collision
+      // can only INFLATE n_ir, and n_ir feeds an upper-bound prune, so
+      // no true pair is lost and any spurious candidate dies at the
+      // exact-intersection check below: the final output is provably
+      // identical to joining on the raw text (the DuckDB oracle keeps
+      // raw-text equality and hash-matches).
+      val az = shrz.select(xxhash64(col("shingle")).as("shash"),
+        col("doc_id").as("id1"), col("n").as("na"), col("nr").as("ra"))
+      val bz = shrz.select(xxhash64(col("shingle")).as("shash"),
+        col("doc_id").as("id2"), col("n").as("nb"), col("nr").as("rb"))
+      val rareOverlap = az.join(bz, Seq("shash"))
         .filter(col("id1") < col("id2"))
         .groupBy("id1", "id2", "na", "ra", "nb", "rb")
         .agg(count(lit(1)).as("n_ir"))

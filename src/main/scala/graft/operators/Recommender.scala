@@ -53,84 +53,93 @@ object Recommender {
       // per-part n² matrix. Weights stay part-level ((N+1)/(df+1) with
       // df counted over parts) so scores equal the per-part formulation
       // exactly; the DuckDB oracle computes the naive per-part version
-      // and hash-matches.
-      val pname = part.select(col("p_partkey"), col("p_brand"), col("p_name"))
+      // and hash-matches. Names are carried as integer codes (min
+      // partkey per name — deterministic, data-derived) through every
+      // wide shuffle: a TPC-H p_name is ~35 chars, the code is 8 bytes,
+      // and the multi-million-row class table is keyed by it.
+      val pname0 = part.select(col("p_partkey"), col("p_brand"), col("p_name"))
+      val nameKey = pname0.groupBy("p_name")
+        .agg(min(col("p_partkey")).as("nid"))
+      val pname = pname0.join(broadcast(nameKey), "p_name")
+        .select(col("p_partkey"), col("p_brand"), col("nid"))
         .cache()
-      val terms = pname
+      val terms = pname0
         .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("term"))
         .distinct()
-      val stats = pname.agg(count(lit(1)).as("n_parts"))
+      val stats = pname0.agg(count(lit(1)).as("n_parts"))
       val dfreq = terms.groupBy("term").agg(count(lit(1)).as("df"))
-      val nterms = pname.select(col("p_name"),
+      val nterms = nameKey.select(col("nid"),
           explode(split(col("p_name"), " ")).as("term")).distinct()
       val ntw = nterms.join(broadcast(dfreq), "term")
         .crossJoin(broadcast(stats))
-        .select(col("p_name"), col("term"),
+        .select(col("nid"), col("term"),
           ((col("n_parts") + lit(1.0)) / (col("df") + lit(1.0))).as("w"))
         .cache()
-      val nnrm = ntw.groupBy("p_name")
+      val nnrm = ntw.groupBy("nid")
         .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-      val na = ntw.toDF("name_a", "term", "wa")
-        .join(nnrm.toDF("name_a", "nrm_a"), "name_a")
-      val nb = ntw.toDF("name_b", "term", "wb")
-        .join(nnrm.toDF("name_b", "nrm_b"), "name_b")
+      val na = ntw.toDF("aid", "term", "wa")
+        .join(nnrm.toDF("aid", "nrm_a"), "aid")
+      val nb = ntw.toDF("bid", "term", "wb")
+        .join(nnrm.toDF("bid", "nrm_b"), "bid")
       val nsim = na.join(nb, Seq("term"))
-        .groupBy(col("name_a"), col("name_b"), col("nrm_a"), col("nrm_b"))
+        .groupBy(col("aid"), col("bid"), col("nrm_a"), col("nrm_b"))
         .agg(sum(col("wa") * col("wb")).as("dot"))
-        .select(col("name_a"), col("name_b"),
+        .select(col("aid"), col("bid"),
           (col("dot") / (col("nrm_a") * col("nrm_b"))).as("s"))
 
-      // Purchases lifted to name level; group sizes and per-customer
-      // purchase counts let us prune name classes EXACTLY before
-      // expanding back to parts.
+      // Purchases lifted to name level; ONE aggregate supplies both the
+      // distinct purchased classes (its keys) and the per-customer
+      // purchase counts used for the avail computation.
       val purchParts = purch
         .join(broadcast(pname), purch("part") === pname("p_partkey"))
-        .select(col("cust"), col("p_brand"), col("p_name"), col("part"))
-        .cache()
-      val purchN = purchParts.select("cust", "p_brand", "p_name").distinct()
-      val classScores = purchN
-        .join(broadcast(nsim), purchN("p_name") === nsim("name_a"))
-        .groupBy(col("cust"), col("p_brand"), col("name_b"))
-        .agg(max(col("s")).as("score"))
-      val gsize = pname.groupBy("p_brand", "p_name")
-        .agg(count(lit(1)).as("gsize"))
-      val purchCnt = purchParts.groupBy("cust", "p_brand", "p_name")
+        .select(col("cust"), col("p_brand"), col("nid"), col("part"))
+      val purchAgg = purchParts.groupBy("cust", "p_brand", "nid")
         .agg(count(lit(1)).as("pcnt"))
+        .cache()
+      val classScores = purchAgg
+        .join(broadcast(nsim), purchAgg("nid") === nsim("aid"))
+        .groupBy(col("cust"), col("p_brand"), col("bid"))
+        .agg(max(col("s")).as("score"))
+      val gsize = pname.groupBy("p_brand", "nid")
+        .agg(count(lit(1)).as("gsize"))
       // avail = unpurchased parts in this (brand, name) class for this
-      // customer. The self-name class (name_b == a purchased name) is
+      // customer. The self-name class (bid == a purchased name) is
       // reachable via nsim(a, a) = 1 and is valid exactly when avail>0 —
       // i.e., some OTHER part with the same name exists, matching the
       // p≠q condition of the naive formulation.
       val classes = classScores
         .join(broadcast(gsize),
           classScores("p_brand") === gsize("p_brand") &&
-            classScores("name_b") === gsize("p_name"))
-        .drop(gsize("p_brand")).drop(gsize("p_name"))
-        .join(purchCnt.toDF("cust", "p_brand", "name_b", "pcnt"),
-          Seq("cust", "p_brand", "name_b"), "left")
+            classScores("bid") === gsize("nid"))
+        .drop(gsize("p_brand")).drop(gsize("nid"))
+        .join(purchAgg.toDF("cust", "p_brand", "bid", "pcnt"),
+          Seq("cust", "p_brand", "bid"), "left")
         .na.fill(0L, Seq("pcnt"))
         .withColumn("avail", col("gsize") - col("pcnt"))
         .filter(col("avail") > 0)
       // Keep a class iff fewer than TOPK parts are available in classes
       // with STRICTLY higher score (ties must all survive — equal-score
-      // classes interleave by part id in the final ranking). A
-      // threshold-based pre-prune (score ≥ k-th distinct score) was
-      // measured NET-NEGATIVE here: the extra pass over the class table
-      // costs more than the window sorts it saves at this row count.
-      val wCum = Window.partitionBy("cust")
-        .orderBy(col("score").desc)
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-      val wPeers = Window.partitionBy("cust", "score")
+      // classes interleave by part id in the final ranking). Both frames
+      // share one partitioning and ordering, so Spark evaluates them in
+      // a single WindowExec over a single sort: cum-including-peers
+      // minus the peer-group sum (RANGE CURRENT ROW..CURRENT ROW = the
+      // tie group) is the strictly-higher total. A threshold-based
+      // pre-prune (score ≥ k-th distinct score) was measured
+      // NET-NEGATIVE here: the extra pass over the class table costs
+      // more than the window sort it saves at this row count.
+      val wOrd = Window.partitionBy("cust").orderBy(col("score").desc)
       val kept = classes
-        .withColumn("cumInclPeers", sum(col("avail")).over(wCum))
-        .withColumn("peerSum", sum(col("avail")).over(wPeers))
+        .withColumn("cumInclPeers", sum(col("avail")).over(
+          wOrd.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("peerSum", sum(col("avail")).over(
+          wOrd.rangeBetween(Window.currentRow, Window.currentRow)))
         .filter(col("cumInclPeers") - col("peerSum") < TOPK)
 
       // Expand the surviving classes to parts, drop purchased, exact
       // top-k per customer (M5+M6).
       val expanded = kept
-        .join(broadcast(pname.toDF("q", "p_brand", "name_b")),
-          Seq("p_brand", "name_b"))
+        .join(broadcast(pname.toDF("q", "p_brand", "bid")),
+          Seq("p_brand", "bid"))
         .select(col("cust"), col("q"), col("score"))
         .join(purch.toDF("cust", "q"), Seq("cust", "q"), "left_anti")
       val w = Window.partitionBy("cust")
