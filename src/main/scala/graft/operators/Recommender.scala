@@ -20,9 +20,18 @@ import graft.Tables
   *
   *  - `ml_lsh_pipeline`: the Spark ML scale path — Tokenizer →
   *    HashingTF → IDF → L2 Normalizer → seeded
-  *    BucketedRandomProjectionLSH approxSimilarityJoin. Murmur-hashed
-  *    features are not SQL-reproducible, so this query has no oracle
-  *    (rows-only check); determinism comes from the fixed seed.
+  *    BucketedRandomProjectionLSH approxSimilarityJoin. numHashTables is
+  *    sized (12; recall is already exhaustive at 10 on every testdata
+  *    SF, margin kept) so the candidate set is recall-complete at the
+  *    1.2 distance threshold — the query then MEANS "all name pairs
+  *    with Euclidean distance < 1.2 in normalized TF-IDF space", which
+  *    the DuckDB oracle reproduces exactly: Spark's murmur3_x86_32
+  *    (seed 42, byte-at-a-time signed tail — Murmur3_x86_32
+  *    .hashUnsafeBytes) is implemented in a recursive CTE over UBIGINT
+  *    arithmetic, then HashingTF-mod-256 / IDF ln((m+1)/(df+1)) /
+  *    L2-normalize / exact pair distances. The nearest non-pair sits
+  *    ~0.1 below the threshold, so double-rounding differences between
+  *    engines cannot flip membership.
   */
 object Recommender {
   type Q = (SparkSession, String) => DataFrame
@@ -172,7 +181,7 @@ object Recommender {
         .transform(idfModel.transform(tf))
       val lsh = new BucketedRandomProjectionLSH()
         .setInputCol("features").setOutputCol("hashes")
-        .setBucketLength(1.0).setNumHashTables(3).setSeed(42L)
+        .setBucketLength(1.0).setNumHashTables(12).setSeed(42L)
       val model = lsh.fit(feats)
       // d² = 2 − 2·cos for unit vectors → d < 1.2 ⟺ cos > 0.28: wide
       // enough to pair distinct names sharing one of their two terms
@@ -187,6 +196,72 @@ object Recommender {
   )
 
   val oracles: Map[String, String] = Map(
+    // Mirrors the whole Spark-ML pipeline in SQL. The recursive CTE
+    // `mm` is Spark's Murmur3_x86_32.hashUnsafeBytes (seed 42): 4-byte
+    // little-endian blocks then ONE FULL mix round per remaining tail
+    // byte (Spark's variant — standard murmur3 merges the tail into a
+    // single k1). rotl is split into (x << r) % 2^32 + (x >> 32-r) on
+    // UBIGINT; 32×32-bit products stay under 2^64. Feature index =
+    // hash mod 256 (nonNegativeMod of a 2^32-periodic value). The LSH
+    // candidate set is recall-complete at the threshold (see query
+    // scaladoc), so the oracle is the exact pair set.
+    "ml_lsh_pipeline" ->
+      """WITH RECURSIVE
+        |docs AS (SELECT p_name, min(p_partkey) AS pk FROM part GROUP BY p_name),
+        |toks AS (SELECT pk, unnest(string_split(lower(p_name), ' ')) AS w FROM docs),
+        |vocab AS (SELECT DISTINCT w FROM toks),
+        |mm(w, nb, i, h) AS (
+        |  SELECT w, length(w), 0, CAST(42 AS UBIGINT) FROM vocab
+        |  UNION ALL
+        |  SELECT w, nb, i + 1, (hb * 5 + 3864292196) % 4294967296
+        |  FROM (
+        |    SELECT w, nb, i, h,
+        |      CAST(CASE WHEN i < nb // 4
+        |        THEN ord(substr(w, 4*i+1, 1)) + ord(substr(w, 4*i+2, 1)) * 256
+        |           + ord(substr(w, 4*i+3, 1)) * 65536 + ord(substr(w, 4*i+4, 1)) * 16777216
+        |        ELSE ord(substr(w, (nb // 4) * 4 + (i - nb // 4) + 1, 1)) END AS UBIGINT) AS kraw,
+        |      (kraw * 3432918353) % 4294967296 AS k1a,
+        |      (k1a * 32768) % 4294967296 + k1a // 131072 AS k1b,
+        |      (k1b * 461845907) % 4294967296 AS k1c,
+        |      xor(h, k1c) AS ha,
+        |      (ha * 8192) % 4294967296 + ha // 524288 AS hb
+        |    FROM mm WHERE i < nb // 4 + nb % 4) step
+        |),
+        |hfin AS (
+        |  SELECT w, h FROM (
+        |    SELECT w, h, row_number() OVER (PARTITION BY w ORDER BY i DESC) AS rn FROM mm) t
+        |  WHERE rn = 1
+        |),
+        |widx AS (
+        |  SELECT w, CAST(xor(f5, f5 // 65536) % 256 AS INT) AS idx FROM (
+        |    SELECT w,
+        |      xor(h, CAST(length(w) AS UBIGINT)) AS f1,
+        |      (xor(f1, f1 // 65536) * 2246822507) % 4294967296 AS f3,
+        |      (xor(f3, f3 // 8192) * 3266489909) % 4294967296 AS f5
+        |    FROM hfin) c
+        |),
+        |tf AS (
+        |  SELECT t.pk, x.idx, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks t JOIN widx x ON t.w = x.w
+        |  GROUP BY 1, 2
+        |),
+        |m AS (SELECT count(*) AS m FROM docs),
+        |idf AS (SELECT idx, ln((m.m + 1.0) / (count(*) + 1.0)) AS idf FROM tf, m GROUP BY idx, m.m),
+        |tw AS (SELECT tf.pk, tf.idx, tf.tf * idf.idf AS v FROM tf JOIN idf USING (idx)),
+        |nrm AS (SELECT pk, sqrt(sum(v * v)) AS nrm FROM tw GROUP BY pk),
+        |feat AS (SELECT tw.pk, tw.idx, tw.v / nrm.nrm AS v FROM tw JOIN nrm USING (pk)),
+        |cand AS (
+        |  SELECT DISTINCT a.pk AS id1, b.pk AS id2
+        |  FROM feat a JOIN feat b ON a.idx = b.idx AND a.pk < b.pk),
+        |u AS (
+        |  SELECT c.id1, c.id2, f.idx,
+        |    sum(CASE WHEN f.pk = c.id1 THEN f.v ELSE 0 END) AS va,
+        |    sum(CASE WHEN f.pk = c.id2 THEN f.v ELSE 0 END) AS vb
+        |  FROM cand c JOIN feat f ON f.pk = c.id1 OR f.pk = c.id2
+        |  GROUP BY 1, 2, 3),
+        |sq AS (SELECT id1, id2, sum((va - vb) * (va - vb)) AS sqd FROM u GROUP BY 1, 2)
+        |SELECT id1, id2 FROM sq WHERE sqrt(sqd) < 1.2 ORDER BY id1, id2""".stripMargin,
+
     "ml_recommend" ->
       s"""WITH quals AS (
          |  SELECT o_custkey FROM orders GROUP BY o_custkey
