@@ -39,6 +39,15 @@ object Dedup {
   private val SIM_LANES = 21 // 63 majority counters in 3×16-bit fields
   private val EMB_PLANES = 64    // SRP-LSH hyperplanes (8 bands × 8 bits)
   private val EMB_BAND_BITS = 8
+  /** Skew guard for the SRP-LSH bucket join: within a band bucket, a
+    * vector only pairs with the EMB_BUCKET_WINDOW vectors ranked after
+    * it (row_number by vec_id). Buckets smaller than the window — every
+    * real bucket (max observed: 31 at sf0.1) — generate ALL their pairs,
+    * so results are unchanged; a degenerate bucket of near-identical
+    * vectors (the adversarial corpus case) is bounded at window·|bucket|
+    * candidates instead of |bucket|²/2, and near-dup connectivity
+    * survives because consecutive ranks always pair. */
+  private[graft] val EMB_BUCKET_WINDOW = 256
 
   /** Per-doc minhash signature columns h1..hK. Signatures are lexicographic
     * minima of fixed-length md5 hex — numeric min, engine-portable.
@@ -243,41 +252,14 @@ object Dedup {
     // (×1024 — exact: 1024 is a power of two) so the sign bits are
     // integer-exact and bit-identical in the DuckDB oracle: products
     // ≤ 2^27 and 64-term sums ≪ 2^53 stay exact in double accumulation.
-    // At 100 TB: candidate generation touches ~Σ bucket² pairs instead
-    // of n²/2 (~3.6% of pairs on testdata; far fewer on real near-dup
-    // corpora where high-cosine pairs concentrate in shared buckets).
+    // At 100 TB: candidate generation touches ~Σ bucket·window pairs
+    // instead of n²/2 (~3.6% of pairs on testdata; the
+    // EMB_BUCKET_WINDOW rank window bounds even a degenerate
+    // all-identical corpus — see embedCandidates).
     "dd_embed_cosine" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
-        // quantized copy for the sign tests (float-exact: values < 2^24)
-        .withColumn("qf", expr(
-          "transform(v, x -> cast(cast(round(cast(x as double) * 1024d)" +
-            " as bigint) as float))"))
-      // hyperplane fetch: 64 quantized vectors — a one-time
-      // model-parameter-scale action (64×64 ints), inlined as literals so
-      // the 64 sign tests run inside one whole-stage-codegen project
-      val planes: Array[Seq[Float]] = e.filter(col("vec_id") < EMB_PLANES)
-        .orderBy("vec_id").select("qf").collect()
-        .map(_.getSeq[Float](0))
-      val nBands = (planes.length + EMB_BAND_BITS - 1) / EMB_BAND_BITS
-      val bandCols = (0 until nBands).map { k =>
-        val bits = planes.slice(k * EMB_BAND_BITS,
-          (k + 1) * EMB_BAND_BITS).zipWithIndex.map { case (h, j) =>
-          when(call_function("vec_dot", col("qf"), typedlit(h)) > 0,
-            lit(1L << j)).otherwise(lit(0L))
-        }
-        struct(lit(k).as("band"), bits.reduce(_ + _).as("bv"))
-      }
-      val bkt = e.select(col("vec_id"),
-        explode(array(bandCols: _*)).as("s"))
-        .select(col("vec_id"), col("s.band"), col("s.bv"))
-      val cand = bkt.as("a").join(bkt.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-        .distinct()
+      val e = embedVectors(s, dir)
+      val cand = embedCandidates(s, dir)
       val v1 = e.select(col("vec_id").as("id1"), col("v").as("v1"),
         col("nrm").as("n1"))
       val v2 = e.select(col("vec_id").as("id2"), col("v").as("v2"),
@@ -290,6 +272,55 @@ object Dedup {
         .select("id1", "id2")
     })
   )
+
+  /** Embeddings with norms and the ×1024 integer-quantized copy used
+    * for the SRP sign tests. */
+  private def embedVectors(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      .withColumn("qf", expr(
+        "transform(v, x -> cast(cast(round(cast(x as double) * 1024d)" +
+          " as bigint) as float))"))
+
+  /** SRP-LSH candidate pairs (id1 < id2), distinct across bands. Within
+    * each (band, bucket) vectors are ranked by vec_id and only pairs
+    * within EMB_BUCKET_WINDOW ranks are emitted — the skew guard that
+    * keeps a pathological bucket linear in its size (exercised by
+    * DedupSpec's all-identical-corpus case). */
+  private[graft] def embedCandidates(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val e = embedVectors(s, dir)
+    // hyperplane fetch: 64 quantized vectors — a one-time
+    // model-parameter-scale action (64×64 ints), inlined as literals so
+    // the 64 sign tests run inside one whole-stage-codegen project
+    val planes: Array[Seq[Float]] = e.filter(col("vec_id") < EMB_PLANES)
+      .orderBy("vec_id").select("qf").collect()
+      .map(_.getSeq[Float](0))
+    val nBands = (planes.length + EMB_BAND_BITS - 1) / EMB_BAND_BITS
+    val bandCols = (0 until nBands).map { k =>
+      val bits = planes.slice(k * EMB_BAND_BITS,
+        (k + 1) * EMB_BAND_BITS).zipWithIndex.map { case (h, j) =>
+        when(call_function("vec_dot", col("qf"), typedlit(h)) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(k).as("band"), bits.reduce(_ + _).as("bv"))
+    }
+    // cached: both sides of the self-join read bkt (see minhashPairs)
+    val bkt = e.select(col("vec_id"),
+      explode(array(bandCols: _*)).as("s"))
+      .select(col("vec_id"), col("s.band"), col("s.bv"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bv").orderBy("vec_id")))
+      .cache()
+    bkt.as("a").join(bkt.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          col("b.rk") - col("a.rk") <= EMB_BUCKET_WINDOW)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+  }
 
   // ---- DuckDB oracles (generated to mirror the Spark pipelines) ----
 
@@ -418,14 +449,20 @@ object Dedup {
          |           range(1, len(v.qv) + 1), i -> v.qv[i] * h.hq[i])) > 0
          |         THEN 1 ELSE 0 END AS bt
          |  FROM q v, hp h),
-         |bkt AS (
+         |bkt0 AS (
          |  SELECT vec_id, hid // $EMB_BAND_BITS AS band,
          |         sum(bt * (1 << (hid % $EMB_BAND_BITS))) AS bv
          |  FROM bits GROUP BY 1, 2),
+         |bkt AS (
+         |  SELECT vec_id, band, bv,
+         |         row_number() OVER (PARTITION BY band, bv
+         |                            ORDER BY vec_id) AS rk
+         |  FROM bkt0),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
          |  FROM bkt a JOIN bkt b ON a.band = b.band AND a.bv = b.bv
-         |                        AND a.vec_id < b.vec_id)
+         |                        AND a.vec_id < b.vec_id
+         |                        AND b.rk - a.rk <= $EMB_BUCKET_WINDOW)
          |SELECT id1, id2
          |FROM cand c JOIN embeddings a ON c.id1 = a.vec_id
          |            JOIN embeddings b ON c.id2 = b.vec_id

@@ -37,6 +37,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.distinct.length === pairs.length)
   }
 
+  test("degenerate all-identical corpus: bucket window bounds candidates") {
+    // Adversarial case for SRP-LSH: every vector identical, so all 8
+    // bands collapse into ONE bucket. Unbounded pairing would emit
+    // n(n-1)/2 = 499,500 candidates; the rank window must cap it at
+    // < n·window while keeping consecutive ranks paired (connectivity).
+    import org.apache.spark.sql.functions._
+    val n = 1000
+    val dir = java.nio.file.Files.createTempDirectory("graft-degen").toString
+    spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 8), i -> cast(0.5 as float))")
+          .as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val cand = Dedup.embedCandidates(spark, dir)
+    val cnt = cand.count()
+    val window = Dedup.EMB_BUCKET_WINDOW
+    assert(cnt > 0, "identical vectors must still pair")
+    assert(cnt <= n.toLong * window,
+      s"candidates $cnt exceed the n*window bound ${n.toLong * window}")
+    assert(cnt < n.toLong * (n - 1) / 2,
+      "window failed to prune the quadratic blow-up")
+    // consecutive ids share a bucket and are 1 rank apart -> must pair
+    val consec = cand.filter(col("id2") === col("id1") + 1).count()
+    assert(consec === n - 1, "rank window must keep adjacent pairs")
+  }
+
   test("embed cosine top-k returns k distinct ordered pairs") {
     val rows = Dedup.queries("dd_embed_cosine")(spark, sf).collect()
     assert(rows.length === 20)
