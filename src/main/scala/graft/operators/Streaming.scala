@@ -49,7 +49,23 @@ object Streaming {
       StreamingIngest.windowedCounts(Tables.events(s, dir))
         // decimal internally; DOUBLE at the output boundary (driver hash)
         .withColumn("sum_value", col("sum_value").cast("double"))
-        .orderBy("wstart", "event_type"))
+        .orderBy("wstart", "event_type")),
+
+    // Batch twin of StatefulTracker (flatMapGroupsWithState): the state
+    // a per-user tracker holds after draining the whole feed —
+    // cumulative count, cumulative value, high-water timestamp. The
+    // aggregate formulation is what the state fold computes
+    // (StatefulTrackerSpec asserts the two agree row-for-row); decimal
+    // internally so the sum is order-independent, DOUBLE at the output
+    // boundary.
+    "st_state_twin" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(38,2)")).cast("double")
+            .as("total_value"),
+          max(expr("unix_micros(ts)")).as("max_ts_us"))
+        .orderBy("user_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -63,6 +79,12 @@ object Streaming {
         |                '%Y-%m-%d %H:%M:%S') AS wstart,
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
+    "st_state_twin" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total_value,
+        |  max(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -40,11 +40,18 @@ object StreamingIngest {
     * the reference's 10-second flush. */
   def start(spark: SparkSession, srcDir: String, outDir: String,
             checkpointDir: String,
-            availableNow: Boolean = false): StreamingQuery = {
+            availableNow: Boolean = false,
+            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val trigger =
       if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime("10 seconds")
-    parse(spark.readStream.text(srcDir))
+    // maxFilesPerTrigger bounds each micro-batch (the flush-size knob
+    // the reference sets via buffer.count.records); with AvailableNow it
+    // also yields deterministic multi-batch replays in tests
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    parse(reader.text(srcDir))
       .writeStream
       .format("parquet")
       .option("path", outDir)

@@ -55,4 +55,25 @@ class StatefulTrackerSpec extends SparkSpec {
       Map(0L -> 15L, 1L -> 15L, 2L -> 15L))
     assert(after2(0L)._2 === 15 * 1.5)
   }
+
+  test("st_state_twin equals the state fold run in batch mode") {
+    // The oracle-paired twin is a plain aggregate; prove it computes
+    // the same final state the flatMapGroupsWithState fold reaches when
+    // draining the events table as one batch.
+    val folded = StatefulTracker.track(spark, Tables.events(spark, sf))
+      .collect().map(u => u.user_id -> u).toMap
+    val twin = operators.Streaming.queries("st_state_twin")(spark, sf)
+      .collect()
+    assert(twin.nonEmpty)
+    assert(twin.length === folded.size)
+    twin.foreach { r =>
+      val u = folded(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") === u.n_events)
+      assert(r.getAs[Long]("max_ts_us") === u.max_ts_us)
+      // the fold sums doubles sequentially, the twin sums decimals —
+      // equal up to double rounding
+      assert(math.abs(r.getAs[Double]("total_value") - u.total_value)
+        < 1e-6 * math.max(1.0, math.abs(u.total_value)))
+    }
+  }
 }

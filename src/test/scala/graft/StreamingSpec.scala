@@ -17,6 +17,48 @@ class StreamingSpec extends SparkSpec {
       lines.mkString("\n").getBytes("UTF-8"))
   }
 
+  test("replays the reference's cadence across >= 3 micro-batches") {
+    // The reference's datagen emits ~100 msg/s against a 10 s flush
+    // trigger (streaming_kafka_datagen.py:45-48,
+    // snowflake_sink_connector.json:16-18) — ~1000 records per
+    // micro-batch. Three such batches are replayed deterministically:
+    // one file per trigger via maxFilesPerTrigger=1.
+    val base = Files.createTempDirectory("graft_cadence")
+    val src = Files.createDirectory(base.resolve("src"))
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    writeChunk(src, "t0.json", 0 until 1000)
+    writeChunk(src, "t1.json", 1000 until 2000)
+    writeChunk(src, "t2.json", 2000 until 3000)
+
+    val q = StreamingIngest.start(spark, src.toString, out, cp,
+      availableNow = true, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+
+    // per-batch progress: three non-empty micro-batches of 1000 each
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length === 3,
+      s"expected 3 micro-batches, saw ${batches.length}")
+    assert(batches.forall(_.numInputRows === 1000),
+      s"per-batch rows: ${batches.map(_.numInputRows).mkString(",")}")
+    // batch ids strictly advance (checkpointed offsets)
+    val ids = batches.map(_.batchId)
+    assert(ids.sorted.toSeq === ids.toSeq && ids.distinct.length === 3)
+    assert(spark.read.parquet(out).count() === 3000)
+
+    // a fourth trigger's worth of input continues from the checkpoint
+    writeChunk(src, "t3.json", 3000 until 4000)
+    val q2 = StreamingIngest.start(spark, src.toString, out, cp,
+      availableNow = true, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    val b2 = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(b2.length === 1 && b2.head.numInputRows === 1000)
+    assert(b2.head.batchId > ids.max, "batch ids must continue, not reset")
+    val all = spark.read.parquet(out)
+    assert(all.count() === 4000)
+    assert(all.select("event_id").distinct().count() === 4000)
+  }
+
   test("stream drains, checkpoints, and is exactly-once across restarts") {
     val base = Files.createTempDirectory("graft_stream")
     val src = Files.createDirectory(base.resolve("src"))
