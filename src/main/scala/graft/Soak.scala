@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak for the dedup/similarity family (SCALE_r3.md producer):
+  * measures, at 10× the bench corpus, what the plan audits only argue —
+  * that candidate generation stays sub-quadratic and runtimes stay
+  * near-linear.
+  *
+  * The 10× corpus is adversarially near-dup-HEAVY, not iid: copy c of
+  * document d rotates d's word order by c positions (rotations share
+  * almost all 3-gram shingles → every 10-copy family is mutually
+  * near-duplicate), and copy c of vector v adds a c·5e-4 bias (copies
+  * mostly share SRP sign bits → crowded buckets). A corpus where 90% of
+  * documents are near-dups is the worst realistic case for LSH bucket
+  * joins — candidate volume is dominated by TRUE positives, which no
+  * sound method can avoid scoring.
+  *
+  * Usage: runMain graft.Soak [copies] — writes the synthetic corpus
+  * under /tmp/graft_soak, then prints one JSON line per (corpus, query)
+  * with rows, wall time, bucket-join candidate count, verified-pair
+  * count, and candidates as a fraction of n(n-1)/2.
+  */
+object Soak {
+
+  private val OFFSET = 10L * 1000 * 1000
+
+  def generate(spark: SparkSession, base: String, out: String,
+               copies: Int): Unit = {
+    val docs = Tables(spark, base, "documents")
+    val rotated = (0 until copies).map { c =>
+      docs.withColumn("w", split(col("text"), " "))
+        .withColumn("off", lit(c) % greatest(size(col("w")), lit(1)))
+        .select(
+          (col("doc_id") + lit(c * OFFSET)).as("doc_id"),
+          when(col("off") === 0, col("text")).otherwise(concat_ws(" ",
+            concat(slice(col("w"), col("off") + lit(1),
+                size(col("w")) - col("off")),
+              slice(col("w"), lit(1), col("off"))))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+    rotated.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val vecs = Tables(spark, base, "embeddings")
+    val shifted = (0 until copies).map { c =>
+      vecs.select(
+        (col("vec_id") + lit(c * OFFSET)).as("vec_id"),
+        expr(s"transform(embedding, x -> x + cast($c * 0.0005 as float))")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _)
+    shifted.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def report(spark: SparkSession, tag: String, dir: String): Unit = {
+    val nDocs = Tables(spark, dir, "documents").count()
+    val nVecs = Tables(spark, dir, "embeddings").count()
+    def emit(q: String, n: Long, timeS: Double,
+             cand: Long, verified: Long): Unit = {
+      val allPairs = n * (n - 1) / 2
+      val pct = if (allPairs > 0) 100.0 * cand / allPairs else 0.0
+      println(f"""{"corpus":"$tag","query":"$q","rows":$n,"time_s":$timeS%.2f,"candidates":$cand,"verified":$verified,"all_pairs":$allPairs,"cand_pct":$pct%.4f}""")
+    }
+    import operators.Dedup
+    // candidate stages are counted first, then the full query is timed
+    // from a cold cache — the timing includes candidate generation
+    def run(q: String, cand: => Long): Unit = {
+      val c = cand
+      spark.catalog.clearCache()
+      val (v, t) = time(SparkEntry.queries(q)(spark, dir).count())
+      spark.catalog.clearCache()
+      val n = if (q == "dd_embed_cosine") nVecs else nDocs
+      emit(q, n, t, c, v)
+    }
+    run("dd_exact", nDocs) // hash-groupBy: 'candidates' = one per row
+    run("dd_minhash_lsh", Dedup.minhashScored(spark, dir).count())
+    run("dd_simhash", Dedup.simhashScored(spark, dir).count())
+    run("dd_ngram_jaccard",
+      jaccardCandCount(spark, dir))
+    run("dd_embed_cosine", Dedup.embedCandidates(spark, dir).count())
+    spark.catalog.clearCache()
+    val (v, t) = time(
+      SparkEntry.queries("pipe_clean_corpus")(spark, dir).count())
+    emit("pipe_clean_corpus", nDocs, t,
+      0L, v)
+    spark.catalog.clearCache()
+  }
+
+  private def jaccardCandCount(spark: SparkSession, dir: String): Long = {
+    val sh = operators.Dedup.shingleTable(spark, dir).cache()
+    val n = operators.Dedup.jaccardCandidates(sh).count()
+    sh.unpersist()
+    n
+  }
+
+  def main(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 10
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = s"/tmp/graft_soak/x$copies"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, base, out, copies)
+    report(spark, "base", base)
+    report(spark, s"x$copies", out)
+    spark.stop()
+  }
+}

@@ -78,7 +78,10 @@ object Dedup {
     * AQE does not reliably de-duplicate a self-join's identical
     * exchanges (measured: the uncached plan scans the corpus twice),
     * and block-level locking makes the lazy cache race-free. */
-  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Bucket-join candidates with their signature agreement, pre-filter:
+    * distinct (id1, id2, n_match). Exposed to the scale soak, which
+    * reports candidate volume against n²/2. */
+  private[graft] def minhashScored(s: SparkSession, dir: String): DataFrame = {
     val mh = minhashes(s, dir).cache()
     val bandArr = array((0 until BANDS).map { b =>
       val cs = (1 to 3).map(i => col(s"h${b * 3 + i}"))
@@ -97,8 +100,113 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), nMatch.as("n_match"))
       .distinct()
-      .filter(col("n_match") >= 6)
   }
+
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashScored(s, dir).filter(col("n_match") >= 6)
+
+  /** SimHash band-bucket candidates with hamming distance, pre-filter:
+    * distinct (id1, id2, ham). The per-bit majority vote
+    * sum(freq·s_b) > 0 is equivalent to 2·sum(freq·bit_b) > sum(freq),
+    * so the 63 one-bit aggregates pack into 21 BIGINT lanes of 3 ×
+    * 16-bit fields (plus one token total) — a 3× narrower hash
+    * aggregate; exact while a document stays under 2^16 tokens.
+    * Frequency weighting is implicit (token INSTANCES are summed), so
+    * there is no (doc_id, word) pre-aggregation shuffle. The signature
+    * rides through the band self-join; sim is cached (see
+    * minhashScored). */
+  private[graft] def simhashScored(s: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    // packed bit lanes computed once per DISTINCT word (tiny
+    // dictionary, broadcast) — per-row work is pure integer arithmetic
+    def bitExpr(b: Int): String = {
+      val digit =
+        s"(instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)"
+      s"(($digit div ${1 << (b % 4)}) % 2)"
+    }
+    val laneCols = (0 until SIM_LANES).map { l =>
+      val fields = (0 until 3).filter(j => 3 * l + j < SIM_BITS)
+        .map(j => s"${bitExpr(3 * l + j)} * ${1L << (16 * j)}L")
+      expr(s"cast(${fields.mkString(" + ")} as bigint)").as(s"l$l")
+    }
+    val dict = tokens.select("word").distinct()
+      .withColumn("h", md5(col("word").cast("binary")))
+      .select(col("word") +: laneCols: _*)
+    val laneAggs = (0 until SIM_LANES).map(l =>
+      sum(col(s"l$l")).as(s"p$l")) :+ count(lit(1)).as("tot")
+    val simBits = (0 until SIM_BITS).map { b =>
+      val field = s"((p${b / 3} div ${1L << (16 * (b % 3))}L) % 65536)"
+      expr(s"""CASE WHEN 2 * $field > tot
+              |  THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT)
+              |END""".stripMargin)
+    }
+    val sim = tokens.join(broadcast(dict), "word")
+      .groupBy("doc_id")
+      .agg(laneAggs.head, laneAggs.tail: _*)
+      .select(col("doc_id"), simBits.reduce(_ + _).as("sim"))
+      .cache()
+    val bandArr = array((0 until 3).map(k =>
+      struct(lit(k).as("band"),
+        expr(s"(sim div ${1L << (SIM_BAND_BITS * k)}) % ${1L << SIM_BAND_BITS}")
+          .as("bv"))): _*)
+    val bands = sim.select(col("doc_id"), col("sim"),
+        explode(bandArr).as("s"))
+      .select(col("doc_id"), col("sim"),
+        col("s.band").as("band"), col("s.bv").as("bv"))
+    val a = bands.toDF("id1", "s1", "band", "bv")
+    val b = bands.toDF("id2", "s2", "band", "bv")
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("cast(bit_count(s1 ^ s2) as int)").as("ham"))
+      .distinct()
+  }
+
+  /** N-gram-Jaccard candidate pairs (id1, id2, na, nb) from the
+    * df-pruned inverted index, pre exact-intersection. Takes the cached
+    * shingle table so the query's final stage shares it.
+    *
+    * Per-doc totals and rare-shingle counts come from ONE aggregate;
+    * the doc stats ride through the rare-shingle self-join so the pair
+    * aggregate emits (na, ra, nb, rb) directly instead of re-joining
+    * the per-doc dimension twice afterwards (at 100 TB: two fewer
+    * shuffles of the pair table). The self-join runs on
+    * xxhash64(shingle) — an 8-byte sort key instead of the shingle
+    * text; a collision can only INFLATE n_ir, which feeds an
+    * upper-bound prune, so no true pair is lost and spurious
+    * candidates die at the exact-intersection check (the DuckDB oracle
+    * keeps raw-text equality and hash-matches). */
+  private[graft] def jaccardCandidates(sh: DataFrame): DataFrame = {
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val shd = sh.join(dfreq, "shingle")
+    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      count(when(col("df") <= 50, 1)).as("nr"))
+    // cached: both sides of the self-join read shrz, and its upstream
+    // (shd appears under sizes too) is not de-duplicated by AQE
+    val shrz = shd.filter(col("df") <= 50).join(sizes, "doc_id").cache()
+    val az = shrz.select(xxhash64(col("shingle")).as("shash"),
+      col("doc_id").as("id1"), col("n").as("na"), col("nr").as("ra"))
+    val bz = shrz.select(xxhash64(col("shingle")).as("shash"),
+      col("doc_id").as("id2"), col("n").as("nb"), col("nr").as("rb"))
+    val rareOverlap = az.join(bz, Seq("shash"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2", "na", "ra", "nb", "rb")
+      .agg(count(lit(1)).as("n_ir"))
+    // J ≥ 1/2 needs 3·|∩| ≥ na+nb; prune pairs whose upper bound
+    // cannot reach it — exact (no true pair is dropped), and when all
+    // shingles are rare the bound IS |∩|, so almost nothing survives
+    // to the expensive exact-intersection join
+    rareOverlap
+      .filter((col("n_ir") +
+        least(col("na") - col("ra"), col("nb") - col("rb"))) * 3 >=
+        col("na") + col("nb"))
+      .select("id1", "id2", "na", "nb")
+  }
+
+  /** Shingle table for the soak's candidate accounting. */
+  private[graft] def shingleTable(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
 
   val queries: Map[String, Q] = Map(
     // Exact dedup via hash-groupBy on normalized text: group on the
@@ -120,68 +228,12 @@ object Dedup {
       minhashPairs(s, dir).orderBy("id1", "id2")),
 
     // SimHash: 63-bit signature from md5-hashed token frequencies;
-    // 3 × 21-bit bands bucket candidates; hamming ≤ 2 confirms.
-    // The per-bit majority vote sum(freq·s_b) > 0 is equivalent to
-    // 2·sum(freq·bit_b) > sum(freq), so the 63 one-bit aggregates pack
-    // into 21 BIGINT lanes of 3 × 16-bit fields (plus one token total) —
-    // a 3× narrower hash aggregate. Exact while a document stays under
-    // 2^16 tokens (fields can't carry); far beyond any real document.
-    // Frequency weighting is implicit: token INSTANCES are summed
-    // directly (sum over instances == sum(freq·lane)), which removes the
-    // (doc_id, word) pre-aggregation shuffle entirely. The signature
-    // rides through the band self-join (both sides are one reused
-    // exchange), so no cache and no verification re-joins.
-    "dd_simhash" -> ((s, dir) => {
-      val tokens = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      // packed bit lanes computed once per DISTINCT word (tiny
-      // dictionary, broadcast) — per-row work is pure integer arithmetic
-      def bitExpr(b: Int): String = {
-        val digit =
-          s"(instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)"
-        s"(($digit div ${1 << (b % 4)}) % 2)"
-      }
-      val laneCols = (0 until SIM_LANES).map { l =>
-        val fields = (0 until 3).filter(j => 3 * l + j < SIM_BITS)
-          .map(j => s"${bitExpr(3 * l + j)} * ${1L << (16 * j)}L")
-        expr(s"cast(${fields.mkString(" + ")} as bigint)").as(s"l$l")
-      }
-      val dict = tokens.select("word").distinct()
-        .withColumn("h", md5(col("word").cast("binary")))
-        .select(col("word") +: laneCols: _*)
-      val laneAggs = (0 until SIM_LANES).map(l =>
-        sum(col(s"l$l")).as(s"p$l")) :+ count(lit(1)).as("tot")
-      val simBits = (0 until SIM_BITS).map { b =>
-        val field = s"((p${b / 3} div ${1L << (16 * (b % 3))}L) % 65536)"
-        expr(s"""CASE WHEN 2 * $field > tot
-                |  THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT)
-                |END""".stripMargin)
-      }
-      // cached: the band self-join reads sim twice and AQE does not
-      // de-duplicate identical self-join exchanges (see minhashPairs)
-      val sim = tokens.join(broadcast(dict), "word")
-        .groupBy("doc_id")
-        .agg(laneAggs.head, laneAggs.tail: _*)
-        .select(col("doc_id"), simBits.reduce(_ + _).as("sim"))
-        .cache()
-      val bandArr = array((0 until 3).map(k =>
-        struct(lit(k).as("band"),
-          expr(s"(sim div ${1L << (SIM_BAND_BITS * k)}) % ${1L << SIM_BAND_BITS}")
-            .as("bv"))): _*)
-      val bands = sim.select(col("doc_id"), col("sim"),
-          explode(bandArr).as("s"))
-        .select(col("doc_id"), col("sim"),
-          col("s.band").as("band"), col("s.bv").as("bv"))
-      val a = bands.toDF("id1", "s1", "band", "bv")
-      val b = bands.toDF("id2", "s2", "band", "bv")
-      a.join(b, Seq("band", "bv"))
-        .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          expr("cast(bit_count(s1 ^ s2) as int)").as("ham"))
-        .distinct()
+    // 3 × 21-bit bands bucket candidates; hamming ≤ 2 confirms (see
+    // simhashScored for the lane-packing and self-join design).
+    "dd_simhash" -> ((s, dir) =>
+      simhashScored(s, dir)
         .filter(col("ham") <= 2)
-        .orderBy("id1", "id2")
-    }),
+        .orderBy("id1", "id2")),
 
     // Exact n-gram Jaccard on candidates from a document-frequency-pruned
     // inverted index: candidate PAIRS come from rare shingles (df ≤ 50 —
@@ -192,45 +244,7 @@ object Dedup {
     // 2·|∩| ≥ |∪|).
     "dd_ngram_jaccard" -> ((s, dir) => {
       val sh = shingles(s, dir).cache()
-      val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      // per-doc totals and rare-shingle counts in ONE aggregate: |∩| is
-      // bounded above by rare-overlap + min(common_a, common_b), an
-      // exact integer bound
-      val shd = sh.join(dfreq, "shingle")
-      val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"),
-        count(when(col("df") <= 50, 1)).as("nr"))
-      // doc stats ride through the rare-shingle self-join: the pair
-      // aggregate emits (na, ra, nb, rb) directly instead of re-joining
-      // the per-doc dimension twice afterwards (which at 100 TB would be
-      // two more shuffles of the pair table)
-      // cached: both sides of the rare-shingle self-join read shrz, and
-      // its upstream (shd appears under sizes too) is not de-duplicated
-      // by AQE (see minhashPairs)
-      val shrz = shd.filter(col("df") <= 50).join(sizes, "doc_id").cache()
-      // The candidate self-join runs on xxhash64(shingle) — an 8-byte
-      // sort/shuffle key instead of the shingle text. A hash collision
-      // can only INFLATE n_ir, and n_ir feeds an upper-bound prune, so
-      // no true pair is lost and any spurious candidate dies at the
-      // exact-intersection check below: the final output is provably
-      // identical to joining on the raw text (the DuckDB oracle keeps
-      // raw-text equality and hash-matches).
-      val az = shrz.select(xxhash64(col("shingle")).as("shash"),
-        col("doc_id").as("id1"), col("n").as("na"), col("nr").as("ra"))
-      val bz = shrz.select(xxhash64(col("shingle")).as("shash"),
-        col("doc_id").as("id2"), col("n").as("nb"), col("nr").as("rb"))
-      val rareOverlap = az.join(bz, Seq("shash"))
-        .filter(col("id1") < col("id2"))
-        .groupBy("id1", "id2", "na", "ra", "nb", "rb")
-        .agg(count(lit(1)).as("n_ir"))
-      // J ≥ 1/2 needs 3·|∩| ≥ na+nb; prune pairs whose upper bound
-      // cannot reach it — exact (no true pair is dropped), and when all
-      // shingles are rare the bound IS |∩|, so almost nothing survives
-      // to the expensive exact-intersection join
-      val cand = rareOverlap
-        .filter((col("n_ir") +
-          least(col("na") - col("ra"), col("nb") - col("rb"))) * 3 >=
-          col("na") + col("nb"))
-        .select("id1", "id2", "na", "nb")
+      val cand = jaccardCandidates(sh)
       val inter = cand
         .join(sh.toDF("id1", "sh1"), "id1")
         .join(sh.toDF("id2b", "sh2"),
