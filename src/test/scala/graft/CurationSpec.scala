@@ -134,4 +134,25 @@ class CurationSpec extends SparkSpec {
         DagTask("b", Seq("a"), _ => ()))).order
     }
   }
+
+  test("pipeline DAG: retries recover a flaky task, failures skip deps") {
+    // flaky: fails twice, succeeds on the third attempt (maxRetries=2)
+    var attempts = 0
+    val dag = new PipelineDag(Seq(
+      DagTask("flaky", Nil, { _ =>
+        attempts += 1
+        if (attempts < 3) sys.error(s"transient #$attempts")
+      }, schedule = Some("60 MINUTE"), maxRetries = 2),
+      DagTask("after_flaky", Seq("flaky"), _ => ()),
+      DagTask("doomed", Nil, _ => sys.error("permanent"), maxRetries = 1),
+      DagTask("after_doomed", Seq("doomed"), _ =>
+        fail("dependent of a failed task must not run"))))
+    val status = dag.run(spark).toMap
+    assert(attempts === 3)
+    assert(status("flaky") === "ok")
+    assert(status("after_flaky") === "ok")
+    assert(status("doomed").startsWith("failed:"))
+    assert(status("after_doomed").startsWith("skipped: dep doomed"))
+    assert(dag.schedules === Map("flaky" -> "60 MINUTE"))
+  }
 }
