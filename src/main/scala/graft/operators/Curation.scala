@@ -81,6 +81,26 @@ object Curation {
       CustomerStandardize.transform(customerInput(s, dir))
         .orderBy("CUSTOMER_ID")),
 
+    // PII masking over the messy customer feed — what a training-data
+    // pipeline runs before text lands in a corpus: phones keep only
+    // their last 4 digits, names become stable pseudonyms (md5-derived,
+    // so re-runs and both engines agree), postcodes generalize to a
+    // 3-digit prefix. Pure per-row codegen expressions.
+    "pii_mask" -> ((s, dir) => {
+      def mask(c: String) = concat(
+        regexp_replace(expr(s"substr($c, 1, length($c) - 4)"),
+          "[0-9]", "*"),
+        expr(s"substr($c, length($c) - 3, 4)")).as(c)
+      customerInput(s, dir).select(
+        col("CUSTOMER_ID"),
+        concat(lit("person_"), substring(md5(col("NAME")), 1, 8))
+          .as("pseudonym"),
+        mask("HOME_PHONE"), mask("CELL_PHONE"), mask("WORK_PHONE"),
+        concat(substring(col("POSTCODE"), 1, 3), lit("XX"))
+          .as("postcode_gen"))
+        .orderBy("CUSTOMER_ID")
+    }),
+
     "d2_invoice_parse" -> ((s, dir) => {
       // parse keeps DECIMAL internally; DOUBLE at the output boundary
       // (driver hash canonicalizes DECIMAL renderings inconsistently)
@@ -102,6 +122,38 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "pii_mask" ->
+      """WITH inp AS (
+        |  SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS customer_id,
+        |    replace(c_name, '#', ' ') AS name,
+        |    lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') AS postcode,
+        |    '1-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+        |         || '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |      AS home_phone,
+        |    '(' || CAST(c_custkey % 900 + 100 AS VARCHAR) || ') 555-'
+        |         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |      AS cell_phone,
+        |    lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '_555_'
+        |         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+        |      AS work_phone
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT customer_id AS "CUSTOMER_ID",
+        |  'person_' || substr(md5(name), 1, 8) AS pseudonym,
+        |  regexp_replace(substr(home_phone, 1, length(home_phone) - 4),
+        |                 '[0-9]', '*', 'g')
+        |    || substr(home_phone, length(home_phone) - 3, 4)
+        |    AS "HOME_PHONE",
+        |  regexp_replace(substr(cell_phone, 1, length(cell_phone) - 4),
+        |                 '[0-9]', '*', 'g')
+        |    || substr(cell_phone, length(cell_phone) - 3, 4)
+        |    AS "CELL_PHONE",
+        |  regexp_replace(substr(work_phone, 1, length(work_phone) - 4),
+        |                 '[0-9]', '*', 'g')
+        |    || substr(work_phone, length(work_phone) - 3, 4)
+        |    AS "WORK_PHONE",
+        |  substr(postcode, 1, 3) || 'XX' AS postcode_gen
+        |FROM inp ORDER BY customer_id""".stripMargin,
+
     "d2_customer_standardize" ->
       """WITH inp AS (
         |  SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS customer_id,

@@ -208,6 +208,44 @@ object Dedup {
   private[graft] def shingleTable(s: SparkSession, dir: String): DataFrame =
     shingles(s, dir)
 
+  /** Near-dup CLUSTERS from the MinHash pair graph: connected
+    * components by iterative min-label propagation (the Pregel shape —
+    * each round joins labels across edges and keeps the per-vertex
+    * minimum), converging when no label changes. Components of a
+    * near-dup graph have tiny diameters (dup families are clique-like),
+    * so rounds ≈ 2–3; the driver loop carries only the CONVERGENCE
+    * COUNT, never data, and each round's labels are cached and the
+    * previous round unpersisted. This is the cluster-then-keep-one
+    * resolution step large corpus dedups run after LSH pairing.
+    * Output: (cluster_id = min doc_id of the component, doc_id). */
+  private[graft] def minhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir).select("id1", "id2").cache()
+    val edges = pairs.unionAll(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2"))).cache()
+    var labels = edges.select(col("id1").as("v")).distinct()
+      .withColumn("lbl", col("v")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges.join(labels, edges("id2") === labels("v"))
+        .groupBy(edges("id1").as("nv")).agg(min("lbl").as("nbl"))
+      val next = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("nlbl"),
+          col("lbl"))
+        .cache()
+      changed = next.filter(col("nlbl") =!= col("lbl")).count()
+      val prev = labels
+      labels = next.select(col("v"), col("nlbl").as("lbl")).cache()
+      labels.count()
+      prev.unpersist()
+      next.unpersist()
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $rounds")
+    labels.select(col("lbl").as("cluster_id"), col("v").as("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup via hash-groupBy on normalized text: group on the
     // 16-byte digest, not the full document — at 100 TB the shuffle
@@ -226,6 +264,32 @@ object Dedup {
     // The signature rides through the band join (see minhashPairs).
     "dd_minhash_lsh" -> ((s, dir) =>
       minhashPairs(s, dir).orderBy("id1", "id2")),
+
+    // Connected components over the MinHash pair graph — the
+    // cluster-then-keep-one resolution step (see minhashClusters).
+    "dd_cluster" -> ((s, dir) =>
+      minhashClusters(s, dir).orderBy("cluster_id", "doc_id")),
+
+    // Leakage-free train/eval split: the split key is the DUP-CLUSTER
+    // id (singletons are their own cluster), so near-duplicate
+    // documents can never straddle the boundary — the contamination
+    // guard a training-corpus builder needs before held-out eval.
+    // ~13/16 of clusters train; the hash is the first hex digit of
+    // md5(cluster_id), portable to the oracle.
+    "split_leakage_free" -> ((s, dir) => {
+      val cl = minhashClusters(s, dir)
+      Tables(s, dir, "documents").select("doc_id")
+        .join(cl, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split", when(
+          expr("instr('0123456789abcdef', " +
+            "substr(md5(cast(cluster_id as string)), 1, 1))") <= 13,
+          "train").otherwise("eval"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .orderBy("split")
+    }),
 
     // SimHash: 63-bit signature from md5-hashed token frequencies;
     // 3 × 21-bit bands bucket candidates; hamming ≤ 2 confirms (see
@@ -412,6 +476,45 @@ object Dedup {
 
     "dd_minhash_lsh" -> minhashSql,
     "dd_simhash" -> simhashSql,
+
+    // Components via recursive reachability: `reach` enumerates every
+    // label reachable from each vertex (near-dup components are tiny,
+    // so the closure is cheap), min per vertex = the component id.
+    "dd_cluster" ->
+      s"""WITH RECURSIVE pairs AS ($minhashSql),
+         |edges AS (SELECT id1 AS v, id2 AS u FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |verts AS (SELECT DISTINCT v FROM edges),
+         |reach(v, l) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.v, r.l FROM edges e JOIN reach r ON r.v = e.u)
+         |SELECT min(l) AS cluster_id, v AS doc_id
+         |FROM reach GROUP BY v ORDER BY cluster_id, doc_id""".stripMargin,
+
+    "split_leakage_free" ->
+      s"""WITH RECURSIVE pairs AS ($minhashSql),
+         |edges AS (SELECT id1 AS v, id2 AS u FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |verts AS (SELECT DISTINCT v FROM edges),
+         |reach(v, l) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.v, r.l FROM edges e JOIN reach r ON r.v = e.u),
+         |comp AS (SELECT v AS doc_id, min(l) AS cluster_id
+         |         FROM reach GROUP BY v),
+         |labeled AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |split AS (
+         |  SELECT doc_id, cluster_id,
+         |    CASE WHEN strpos('0123456789abcdef',
+         |           substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) <= 13
+         |         THEN 'train' ELSE 'eval' END AS split
+         |  FROM labeled)
+         |SELECT split, count(*) AS n_docs,
+         |       count(DISTINCT cluster_id) AS n_clusters
+         |FROM split GROUP BY split ORDER BY split""".stripMargin,
 
     "dd_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),

@@ -106,13 +106,36 @@ object TextAnalysis {
               |            i -> md5(cast(concat_ws(' ', slice(w, i, 5)) as binary))))
               |ELSE md5(cast(norm as binary)) END""".stripMargin)
             .as("winnow_min"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Deterministic stratified (per-language) systematic sampling — the
+    // reproducible subsetting a corpus pipeline uses for eval slices
+    // and ablations: a document is sampled iff the first hex digit of
+    // md5(doc_id) falls in {0,1} (a fixed 2/16 rate), so every engine,
+    // run, and partition layout selects the SAME documents. Per-stratum
+    // accounting comes back with the sample.
+    "samp_stratified" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("bucket", expr(
+          "instr('0123456789abcdef'," +
+            " substr(md5(cast(doc_id as string)), 1, 1)) - 1"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("bucket") < 2, 1)).as("n_sampled"))
+        .orderBy("lang"))
   )
 
   private val markerValues = markers
     .map { case (l, w) => s"('$l','$w')" }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "samp_stratified" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 2
+        |        THEN 1 END) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "ta_lang_id" ->
       s"""WITH markers(mlang, mword) AS (VALUES $markerValues),
          |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word

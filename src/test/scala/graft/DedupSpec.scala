@@ -37,6 +37,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.distinct.length === pairs.length)
   }
 
+  test("dd_cluster: components cover the pair graph, min-id labeled") {
+    val pairs = Dedup.queries("dd_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    val clusters = Dedup.queries("dd_cluster")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(clusters.nonEmpty)
+    // every paired doc is labeled, both ends of an edge share a label,
+    // and the label is the minimum member of its cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a) === clusters(b), s"edge ($a,$b) split")
+    }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid === members.keys.min)
+    }
+    // leakage-free split: whole clusters on one side, totals preserved
+    val split = Dedup.queries("split_leakage_free")(spark, sf).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_clusters"))).toMap
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(split.values.map(_._1).sum === nDocs)
+    assert(split.keySet.subsetOf(Set("train", "eval")))
+  }
+
   test("degenerate all-identical corpus: bucket window bounds candidates") {
     // Adversarial case for SRP-LSH: every vector identical, so all 8
     // bands collapse into ONE bucket. Unbounded pairing would emit
