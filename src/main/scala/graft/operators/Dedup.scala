@@ -219,11 +219,16 @@ object Dedup {
     * resolution step large corpus dedups run after LSH pairing.
     * Output: (cluster_id = min doc_id of the component, doc_id). */
   private[graft] def minhashClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir).select("id1", "id2").cache()
+    // localCheckpoint (eager) after every round: an iterative plan that
+    // only caches still GROWS its lineage each round, and Catalyst +
+    // AQE re-plan the whole accumulated tree per job — planning time,
+    // not data, dominates. Checkpointing pins the round's result and
+    // restarts the lineage, keeping per-round cost constant.
+    val pairs = minhashPairs(s, dir).select("id1", "id2").localCheckpoint()
     val edges = pairs.unionAll(
-      pairs.select(col("id2").as("id1"), col("id1").as("id2"))).cache()
+      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     var labels = edges.select(col("id1").as("v")).distinct()
-      .withColumn("lbl", col("v")).cache()
+      .withColumn("lbl", col("v")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -233,13 +238,9 @@ object Dedup {
         .select(col("v"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("nlbl"),
           col("lbl"))
-        .cache()
+        .localCheckpoint()
       changed = next.filter(col("nlbl") =!= col("lbl")).count()
-      val prev = labels
-      labels = next.select(col("v"), col("nlbl").as("lbl")).cache()
-      labels.count()
-      prev.unpersist()
-      next.unpersist()
+      labels = next.select(col("v"), col("nlbl").as("lbl"))
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds")
