@@ -218,13 +218,18 @@ object Dedup {
     * previous round unpersisted. This is the cluster-then-keep-one
     * resolution step large corpus dedups run after LSH pairing.
     * Output: (cluster_id = min doc_id of the component, doc_id). */
-  private[graft] def minhashClusters(s: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint (eager) after every round: an iterative plan that
-    // only caches still GROWS its lineage each round, and Catalyst +
-    // AQE re-plan the whole accumulated tree per job — planning time,
-    // not data, dominates. Checkpointing pins the round's result and
-    // restarts the lineage, keeping per-round cost constant.
-    val pairs = minhashPairs(s, dir).select("id1", "id2").localCheckpoint()
+  private[graft] def minhashClusters(s: SparkSession, dir: String): DataFrame =
+    components(minhashPairs(s, dir).select("id1", "id2"))
+
+  /** Connected components of an undirected (id1, id2) edge set by
+    * min-label propagation. localCheckpoint (eager) after every round:
+    * an iterative plan that only caches still GROWS its lineage each
+    * round, and Catalyst + AQE re-plan the whole accumulated tree per
+    * job — planning time, not data, dominates. Checkpointing pins the
+    * round's result and restarts the lineage, keeping per-round cost
+    * constant. Output: (cluster_id = min vertex of component, doc_id). */
+  private[graft] def components(pairDf: DataFrame): DataFrame = {
+    val pairs = pairDf.toDF("id1", "id2").localCheckpoint()
     val edges = pairs.unionAll(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     var labels = edges.select(col("id1").as("v")).distinct()

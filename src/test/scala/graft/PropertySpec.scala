@@ -64,4 +64,38 @@ class PropertySpec extends AnyFunSuite {
       assert(PdfText.extract(MiniPdf(Seq(t))) === t, s"input $t")
     }
   }
+
+  test("components: distributed propagation equals local union-find") {
+    import spark.implicits._
+    // random sparse graphs with long chains (worst case for round
+    // count) and dense clumps (worst case for volume)
+    val edgeGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct
+    samples(edgeGen, 12).filter(_.nonEmpty).foreach { edges =>
+      val got = graft.operators.Dedup.components(edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+      // local union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = verts.groupBy(find)
+      val expected = byRoot.flatMap { case (_, vs) =>
+        val m = vs.min; vs.map(_ -> m)
+      }
+      assert(got === expected, s"edges $edges")
+    }
+  }
 }
