@@ -61,6 +61,33 @@ object StreamingIngest {
       .start()
   }
 
+  /** The reference's ACTUAL source — Kafka
+    * (snowflake_sink_connector.json:8 `topics`, :16-18 buffer/flush;
+    * streaming_kafka_datagen.py:93-108 producer): subscribe, cast the
+    * record value to string, then the SAME parse → checkpointed append
+    * path the file stream uses. The `spark-sql-kafka-0-10` connector
+    * jar does not ship in this zero-egress environment, so calling this
+    * here fails at source resolution ("Failed to find data source:
+    * kafka" — StreamingSpec pins that behavior); on a cluster with the
+    * package on the classpath it runs as-is. This IS the swap point the
+    * file-source stand-in documents. */
+  def startKafka(spark: SparkSession, bootstrapServers: String,
+                 topic: String, outDir: String,
+                 checkpointDir: String): StreamingQuery =
+    parse(spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("10 seconds"))
+      .start()
+
   /** Streaming upsert sink: each micro-batch MERGEs into a managed
     * table via foreachBatch + [[graft.jobs.Upsert.merge]] — latest
     * version per key wins, so replayed or corrected records update in

@@ -17,6 +17,19 @@ class StreamingSpec extends SparkSpec {
       lines.mkString("\n").getBytes("UTF-8"))
   }
 
+  test("kafka wiring resolves the source (jar absent in this env)") {
+    // The production path is wired; this environment ships no
+    // spark-sql-kafka jar, so resolution must fail BY NAME — proving
+    // the format lookup reaches Spark's DataSource registry rather
+    // than dying earlier in our code.
+    val base = Files.createTempDirectory("graft_kafka")
+    val e = intercept[Exception] {
+      StreamingIngest.startKafka(spark, "localhost:9092", "events",
+        base.resolve("out").toString, base.resolve("cp").toString)
+    }
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+  }
+
   test("replays the reference's cadence across >= 3 micro-batches") {
     // The reference's datagen emits ~100 msg/s against a 10 s flush
     // trigger (streaming_kafka_datagen.py:45-48,
