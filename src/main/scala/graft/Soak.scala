@@ -90,6 +90,18 @@ object Soak {
     emit("pipe_clean_corpus", nDocs, t,
       0L, v)
     spark.catalog.clearCache()
+    // ANN: IVF recall against the exact baseline (both top-5 x 10
+    // queries — collecting 50 rows each is result fetch, not compute)
+    val (bf, tBf) = time(
+      SparkEntry.queries("sim_bruteforce_topk")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    spark.catalog.clearCache()
+    val (ivf, tIvf) = time(
+      SparkEntry.queries("sim_ivf_topk")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    spark.catalog.clearCache()
+    val recall = if (bf.nonEmpty) 1.0 * (bf & ivf).size / bf.size else 0.0
+    println(f"""{"corpus":"$tag","query":"sim_recall","rows":$nVecs,"brute_s":$tBf%.2f,"ivf_s":$tIvf%.2f,"recall_at_5":$recall%.3f}""")
   }
 
   private def jaccardCandCount(spark: SparkSession, dir: String): Long = {
