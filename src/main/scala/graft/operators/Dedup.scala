@@ -171,12 +171,8 @@ object Dedup {
     * the doc stats ride through the rare-shingle self-join so the pair
     * aggregate emits (na, ra, nb, rb) directly instead of re-joining
     * the per-doc dimension twice afterwards (at 100 TB: two fewer
-    * shuffles of the pair table). The self-join runs on
-    * xxhash64(shingle) — an 8-byte sort key instead of the shingle
-    * text; a collision can only INFLATE n_ir, which feeds an
-    * upper-bound prune, so no true pair is lost and spurious
-    * candidates die at the exact-intersection check (the DuckDB oracle
-    * keeps raw-text equality and hash-matches). */
+    * shuffles of the pair table). Takes the sid-keyed shingle table
+    * (see shingleIds), so every join here runs on 8-byte keys. */
   private[graft] def jaccardCandidates(sh: DataFrame): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val shd = sh.join(dfreq, "shingle")
@@ -185,9 +181,9 @@ object Dedup {
     // cached: both sides of the self-join read shrz, and its upstream
     // (shd appears under sizes too) is not de-duplicated by AQE
     val shrz = shd.filter(col("df") <= 50).join(sizes, "doc_id").cache()
-    val az = shrz.select(xxhash64(col("shingle")).as("shash"),
+    val az = shrz.select(col("shingle").as("shash"),
       col("doc_id").as("id1"), col("n").as("na"), col("nr").as("ra"))
-    val bz = shrz.select(xxhash64(col("shingle")).as("shash"),
+    val bz = shrz.select(col("shingle").as("shash"),
       col("doc_id").as("id2"), col("n").as("nb"), col("nr").as("rb"))
     val rareOverlap = az.join(bz, Seq("shash"))
       .filter(col("id1") < col("id2"))
@@ -206,7 +202,27 @@ object Dedup {
 
   /** Shingle table for the soak's candidate accounting. */
   private[graft] def shingleTable(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir)
+    shingleIds(s, dir)
+
+  /** (doc_id, shingle) with the shingle TEXT replaced by a dense
+    * integer id (row_number over the sorted distinct dictionary — the
+    * same dictionary pattern minhashes uses): every downstream join of
+    * the Jaccard pipeline — the candidate self-join AND the
+    * exact-intersection join — runs on 8-byte keys instead of ~17-char
+    * strings, with a 1:1 mapping so counts and the J verdict are
+    * bit-identical (no hash-collision caveat; the DuckDB oracle keeps
+    * raw text and hash-matches). */
+  private def shingleIds(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    // monotonically_increasing_id: no global sort (a row_number window
+    // would single-partition the dictionary — the one thing that cannot
+    // scale); the ids differ across runs but are internal-only — every
+    // downstream count and the J verdict depend only on the 1:1 mapping
+    val dict = sh.select("shingle").distinct()
+      .withColumn("sid", monotonically_increasing_id())
+    sh.join(dict, "shingle")
+      .select(col("doc_id"), col("sid").as("shingle"))
+  }
 
   /** Near-dup CLUSTERS from the MinHash pair graph: connected
     * components by iterative min-label propagation (the Pregel shape —
@@ -313,7 +329,7 @@ object Dedup {
     // the J ≥ 0.5 verdict itself is exact (integer arithmetic:
     // 2·|∩| ≥ |∪|).
     "dd_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingles(s, dir).cache()
+      val sh = shingleIds(s, dir).cache()
       val cand = jaccardCandidates(sh)
       val inter = cand
         .join(sh.toDF("id1", "sh1"), "id1")
