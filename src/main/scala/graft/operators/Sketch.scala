@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.CardSketch
+import graft.functions.{CardSketch, FreqSketch}
 
 /** Sketch-based approximate aggregation (SURVEY.md §2.12 notes the
   * reference has no approx-distinct): the custom [[CardSketch]]
@@ -16,6 +16,25 @@ object Sketch {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // SpaceSaving heavy hitters over the corpus token stream. Capacity
+    // 64 exceeds the testdata vocabulary, so the summary is EXACT
+    // (err = 0 for every entry) and pairs against plain GROUP BY
+    // counts; SketchSpec exercises the approximate regime. The single
+    // global summary is fine at any scale: partial aggregation runs
+    // map-side and only capacity-entry summaries cross the wire.
+    "fs_heavy_hitters" -> ((s, dir) => {
+      FreqSketch.register(s)
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .agg(expr("freq_sketch(word, 64)").as("summary"))
+        .select(explode(expr(
+          "transform(split(summary, ';'), x -> struct(" +
+            "split(x, ':')[0] AS word," +
+            "cast(split(x, ':')[1] AS bigint) AS cnt))")).as("e"))
+        .select(col("e.word"), col("e.cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+    }),
+
     "cs_card_sketch" -> ((s, dir) => {
       CardSketch.register(s)
       Tables(s, dir, "orders")
@@ -74,5 +93,11 @@ object Sketch {
        |GROUP BY f.o_orderstatus ORDER BY f.o_orderstatus""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map("cs_card_sketch" -> oracleSql)
+  val oracles: Map[String, String] = Map(
+    "cs_card_sketch" -> oracleSql,
+    "fs_heavy_hitters" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |      FROM documents) t
+        |GROUP BY word ORDER BY cnt DESC, word""".stripMargin)
 }

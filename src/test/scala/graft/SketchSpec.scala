@@ -31,4 +31,45 @@ class SketchSpec extends SparkSpec {
     assert(regs(o.unionAll(o)) === base)       // duplicates don't move max
     assert(regs(o.repartition(13)) === base)   // merge order irrelevant
   }
+
+  test("freq_sketch under capacity pressure keeps SpaceSaving bounds") {
+    import spark.implicits._
+    graft.functions.FreqSketch.register(spark)
+    // zipf-ish: item i appears (51-i) times, 50 distinct >> capacity 8
+    val truth = (1 to 50).map(i => s"w$i" -> (51 - i).toLong).toMap
+    val data = truth.toSeq.flatMap { case (w, c) =>
+      Seq.fill(c.toInt)(w)
+    }
+    val n = data.size.toLong
+    val cap = 8
+    val out = data.toDF("w").repartition(7) // force partial merges
+      .agg(expr(s"freq_sketch(w, $cap)").as("s"))
+      .collect().head.getString(0)
+    val entries = out.split(";").map { e =>
+      val Array(w, c, err) = e.split(":")
+      (w, c.toLong, err.toLong)
+    }
+    assert(entries.length === cap)
+    entries.foreach { case (w, c, err) =>
+      val t = truth.getOrElse(w, 0L)
+      assert(c >= t, s"$w: count $c underestimates $t")
+      assert(c - err <= t, s"$w: guaranteed floor ${c - err} exceeds $t")
+    }
+    // every item with true frequency > N/capacity must be present
+    val kept = entries.map(_._1).toSet
+    truth.filter(_._2 > n / cap).keys.foreach(w =>
+      assert(kept.contains(w), s"heavy hitter $w missing"))
+  }
+
+  test("freq_sketch with capacity >= vocabulary is exact") {
+    graft.functions.FreqSketch.register(spark)
+    val rows = Sketch.queries("fs_heavy_hitters")(spark, sf).collect()
+    val exact = Tables(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.length === exact.size)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("cnt") === exact(r.getAs[String]("word"))))
+  }
 }
