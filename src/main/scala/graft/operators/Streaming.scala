@@ -51,6 +51,21 @@ object Streaming {
         .withColumn("sum_value", col("sum_value").cast("double"))
         .orderBy("wstart", "event_type")),
 
+    // Batch twin of the streaming replay-dedup
+    // (dropDuplicatesWithinWatermark, exercised live in StreamingSpec):
+    // the feed is replayed twice, dedup by event_id restores exactly
+    // the original records (replays are bit-identical, so the arbitrary
+    // pick is deterministic).
+    "t6_stream_dedup_twin" -> ((s, dir) => {
+      val path = exportJson(s, dir)
+      val raw = s.read.text(path)
+      StreamingIngest.parse(raw.unionAll(raw))
+        .dropDuplicates("event_id")
+        .select(col("event_id"), col("event_type"), col("value"),
+          expr("unix_micros(ts)").as("epoch_us"))
+        .orderBy("event_id")
+    }),
+
     // Batch twin of StatefulTracker (flatMapGroupsWithState): the state
     // a per-user tracker holds after draining the whole feed —
     // cumulative count, cumulative value, high-water timestamp. The
@@ -80,6 +95,10 @@ object Streaming {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
+    "t6_stream_dedup_twin" ->
+      """SELECT event_id, event_type, value, epoch_us(ts) AS epoch_us
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "st_state_twin" ->
       """SELECT user_id, count(*) AS n_events,

@@ -115,6 +115,25 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exactly-once-by-key dedup: drop replayed records by
+    * event_id across micro-batches, with the watermark bounding how
+    * long per-key state is retained (the at-least-once-producer →
+    * exactly-once-table pattern; state for keys older than the
+    * watermark is reclaimed, which is what makes the operator viable
+    * on an unbounded 100 TB stream). */
+  def startDedup(spark: SparkSession, srcDir: String, outDir: String,
+                 checkpointDir: String): StreamingQuery =
+    parse(spark.readStream.text(srcDir))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Event-time windowed aggregation with watermark (the Structured
     * Streaming extension beyond the reference's append-only surface):
     * 5-minute tumbling windows per event_type, 10-minute late-data

@@ -17,6 +17,35 @@ class StreamingSpec extends SparkSpec {
       lines.mkString("\n").getBytes("UTF-8"))
   }
 
+  test("streaming dedup drops replayed records across micro-batches") {
+    val base = Files.createTempDirectory("graft_dedup_stream")
+    val src = Files.createDirectory(base.resolve("src"))
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    // constant event time: every record sits inside the watermark, so
+    // a dropped replay is dropped by the DEDUP STATE, not as late data
+    def writeChunk(dir: java.nio.file.Path, name: String,
+                   ids: Range): Unit = {
+      val lines = ids.map { i =>
+        s"""{"event_id":$i,"user_id":${i % 7},"event_type":"click",""" +
+          s""""value":1.0,"ts_str":"2024-01-01 00:00:00.000000",""" +
+          s""""props":"{}"}"""
+      }
+      Files.write(dir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+    }
+    // batch 1: ids 0-499; batch 2 replays 200-499 and adds 500-599
+    writeChunk(src, "b1.json", 0 until 500)
+    val q1 = StreamingIngest.startDedup(spark, src.toString, out, cp)
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() === 500)
+    writeChunk(src, "b2.json", 200 until 600)
+    val q2 = StreamingIngest.startDedup(spark, src.toString, out, cp)
+    q2.awaitTermination()
+    val df = spark.read.parquet(out)
+    assert(df.count() === 600, "replayed ids must be dropped")
+    assert(df.select("event_id").distinct().count() === 600)
+  }
+
   test("kafka wiring resolves the source (jar absent in this env)") {
     // The production path is wired; this environment ships no
     // spark-sql-kafka jar, so resolution must fail BY NAME — proving
