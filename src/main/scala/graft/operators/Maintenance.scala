@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
-import graft.jobs.Upsert
+import graft.jobs.{DataQuality, Scd2, Upsert}
 
 /** Table-maintenance operators: MERGE-semantics upsert, date-partitioned
   * fact writes with partition pruning, and skew-salted joins. These are
@@ -34,6 +34,32 @@ object Maintenance {
         .withColumn("price", col("price").cast("double"))
         .orderBy("o_orderkey")
     }),
+
+    // SCD2 dimension maintenance: a June re-segmentation of every 7th
+    // customer lands as a NEW version; the January row closes at the
+    // update's effective date instead of being overwritten. One window,
+    // no self-join (see jobs.Scd2).
+    "scd2_history" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("valid_from", lit("2024-01-01"))
+      val upd = base.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("PROMO"))
+        .withColumn("valid_from", lit("2024-06-01"))
+      Scd2.finalizeHistory(base.unionAll(upd),
+          Seq("c_custkey"), "valid_from")
+        .orderBy("c_custkey", "valid_from")
+    }),
+
+    // Data-quality gate over the raw fact feed: per-rule violation
+    // counts plus the quarantine total, one aggregate pass (see
+    // jobs.DataQuality; the pass/fail split itself is spec-exercised).
+    "dq_quarantine" -> ((s, dir) =>
+      DataQuality.summary(Tables(s, dir, "lineitem"), Seq(
+        "qty_le_25" -> (col("l_quantity") <= 25),
+        "disc_le_05" -> (col("l_discount") <= 0.05),
+        "price_pos" -> (col("l_extendedprice") > 0)))
+        .orderBy("rule")),
 
     // Date-partitioned fact write + partition-pruned read-back: the
     // month filter must hit PartitionFilters, not row filters.
@@ -107,6 +133,44 @@ object Maintenance {
         |                                   ORDER BY src DESC) AS rn
         |      FROM allrows) t
         |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "scd2_history" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment, '2024-01-01' AS valid_from
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, 'PROMO' AS c_mktsegment,
+        |         '2024-06-01' AS valid_from
+        |  FROM base WHERE c_custkey % 7 = 0),
+        |versions AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        |SELECT c_custkey, c_mktsegment, valid_from,
+        |  coalesce(lead(valid_from, 1) OVER (PARTITION BY c_custkey
+        |                                     ORDER BY valid_from),
+        |           '9999-12-31') AS valid_to,
+        |  coalesce(lead(valid_from, 1) OVER (PARTITION BY c_custkey
+        |                                     ORDER BY valid_from),
+        |           '9999-12-31') = '9999-12-31' AS is_current
+        |FROM versions ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "dq_quarantine" ->
+      """WITH agg AS (
+        |  SELECT
+        |    SUM(CASE WHEN NOT (l_quantity <= 25) THEN 1 ELSE 0 END)
+        |      AS qty_le_25,
+        |    SUM(CASE WHEN NOT (l_discount <= 0.05) THEN 1 ELSE 0 END)
+        |      AS disc_le_05,
+        |    SUM(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END)
+        |      AS price_pos,
+        |    SUM(CASE WHEN l_quantity <= 25 AND l_discount <= 0.05
+        |                  AND l_extendedprice > 0 THEN 0 ELSE 1 END)
+        |      AS rows_quarantined
+        |  FROM lineitem)
+        |SELECT rule, n_fail FROM (
+        |  SELECT 'qty_le_25' AS rule, qty_le_25 AS n_fail FROM agg
+        |  UNION ALL SELECT 'disc_le_05', disc_le_05 FROM agg
+        |  UNION ALL SELECT 'price_pos', price_pos FROM agg
+        |  UNION ALL SELECT 'rows_quarantined', rows_quarantined FROM agg) t
+        |ORDER BY rule""".stripMargin,
 
     "pw_partition_prune" ->
       """SELECT o_orderstatus, count(*) AS n,

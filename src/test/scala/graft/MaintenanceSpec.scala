@@ -17,6 +17,49 @@ class MaintenanceSpec extends SparkSpec {
       (4L, "d", 40)))
   }
 
+  test("scd2: history is gap-free, one current row per key") {
+    val rows = graft.operators.Maintenance
+      .queries("scd2_history")(spark, sf).collect()
+    val byKey = rows.groupBy(_.getAs[Long]("c_custkey"))
+    val nCust = Tables(spark, sf, "customer").count()
+    assert(byKey.size === nCust)
+    byKey.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_.getAs[String]("valid_from"))
+      // exactly one open version, and it is the last
+      assert(vs.count(_.getAs[Boolean]("is_current")) === 1, s"key $k")
+      assert(sorted.last.getAs[String]("valid_to") === "9999-12-31")
+      // each version closes exactly where the next one opens
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("valid_to") ===
+            b.getAs[String]("valid_from"), s"gap at key $k")
+        case _ => ()
+      }
+      val expected = if (k % 7 == 0) 2 else 1
+      assert(vs.length === expected, s"key $k has ${vs.length} versions")
+    }
+  }
+
+  test("dq: quarantine split is total and matches the summary row") {
+    import graft.jobs.DataQuality
+    val li = Tables(spark, sf, "lineitem")
+    val rules = Seq(
+      "qty_le_25" -> (col("l_quantity") <= 25),
+      "disc_le_05" -> (col("l_discount") <= 0.05),
+      "price_pos" -> (col("l_extendedprice") > 0))
+    val (pass, quar) = DataQuality.quarantine(li, rules)
+    val summary = DataQuality.summary(li, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pass.count() + quar.count() === li.count())
+    assert(quar.count() === summary("rows_quarantined"))
+    assert(summary("rows_quarantined") > 0, "rules must actually fire")
+    assert(summary("price_pos") === 0, "sanity rule must pass everywhere")
+    // quarantined rows violate at least one rule; passed rows violate none
+    val ok = rules.map(_._2).reduce(_ && _)
+    assert(pass.filter(!ok).count() === 0)
+    assert(quar.filter(ok).count() === 0)
+  }
+
   test("salted join equals unsalted join") {
     val salted = graft.operators.Maintenance
       .queries("sj_salted_join")(spark, sf).collect()
