@@ -243,28 +243,48 @@ object Dedup {
     * round, and Catalyst + AQE re-plan the whole accumulated tree per
     * job — planning time, not data, dominates. Checkpointing pins the
     * round's result and restarts the lineage, keeping per-round cost
-    * constant. Output: (cluster_id = min vertex of component, doc_id). */
+    * constant. Each round's checkpoint blocks are explicitly
+    * unpersisted once the next round is materialized — at corpus scale
+    * the label table is one row per document, and without the explicit
+    * release every round's copy stays pinned in executor storage until
+    * a driver GC happens to run the ContextCleaner.
+    * Output: (cluster_id = min vertex of component, doc_id). */
   private[graft] def components(pairDf: DataFrame): DataFrame = {
+    val sc = pairDf.sparkSession.sparkContext
+    def ids: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    // each localCheckpoint is eager and driver-serial, so the id-set
+    // delta around the call is exactly that checkpoint's blocks
+    def free(owned: Set[Int]): Unit = owned.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var snap = ids
     val pairs = pairDf.toDF("id1", "id2").localCheckpoint()
+    val pairIds = ids -- snap
     val edges = pairs.unionAll(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    snap = ids
     var labels = edges.select(col("id1").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()
+    var labelIds = ids -- snap
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
       val nbrMin = edges.join(labels, edges("id2") === labels("v"))
         .groupBy(edges("id1").as("nv")).agg(min("lbl").as("nbl"))
+      snap = ids
       val next = labels.join(nbrMin, labels("v") === nbrMin("nv"), "left")
         .select(col("v"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("nlbl"),
           col("lbl"))
         .localCheckpoint()
+      val nextIds = ids -- snap
       changed = next.filter(col("nlbl") =!= col("lbl")).count()
+      free(labelIds -- nextIds) // previous round, now fully consumed
+      labelIds = nextIds
       labels = next.select(col("v"), col("nlbl").as("lbl"))
       rounds += 1
     }
     require(changed == 0, s"label propagation did not converge in $rounds")
+    free(pairIds) // converged: the result depends only on the last round
     labels.select(col("lbl").as("cluster_id"), col("v").as("doc_id"))
   }
 
