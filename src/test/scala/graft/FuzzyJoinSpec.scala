@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Extensions, FuzzyJoin}
+
+class FuzzyJoinSpec extends SparkSpec {
+
+  test("passjoin pairs exactly match the length-bucket variant") {
+    val pass = FuzzyJoin.queries("dd_fuzzy_passjoin")(spark, sf).collect()
+    val bucket =
+      Extensions.queries("dd_fuzzy_levenshtein")(spark, sf).collect()
+    assert(pass.map(_.toSeq).toSeq === bucket.map(_.toSeq).toSeq)
+    assert(pass.nonEmpty) // the comparison must not be vacuous
+  }
+
+  test("pigeonhole candidates are a superset of true pairs") {
+    val cands = FuzzyJoin.candidatePairs(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val truth = Extensions.queries("dd_fuzzy_levenshtein")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(truth.subsetOf(cands))
+  }
+
+  test("content keys stay sub-quadratic where length buckets go dense") {
+    // 2000 distinct strings, ALL the same length: the worst case for
+    // length-bucket blocking (one bucket = all-pairs) and the normal
+    // case for segment keys (distinct content, few shared substrings)
+    import spark.implicits._
+    val n = 2000
+    val words = (0 until n)
+      .map(i => f"${java.lang.Integer.toHexString(i * 2654435761L.toInt)}%8s"
+        .replace(' ', '0') + f"$i%04d")
+      .toDF("p_name")
+    val dir = java.nio.file.Files.createTempDirectory("fj_vol").toString
+    words.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val cands = FuzzyJoin.candidatePairs(spark, dir).count()
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(cands < allPairs / 50,
+      s"candidates $cands vs all-pairs $allPairs")
+  }
+
+  test("synthetic edge cases: short strings, first-char edits, ties") {
+    import spark.implicits._
+    val words = Seq(
+      "ab", "ac", "x", // both-short pool: every pair within tau
+      "pigeonhole", "pigeonhole", // duplicate input collapses
+      "wigeonhole", // substitution at position 0 (breaks prefix blocking)
+      "pigeonholes", "igeonhole", // insert / delete at the edges
+      "completely-different-string").toDF("p_name")
+    val dir = java.nio.file.Files.createTempDirectory("fj_case").toString
+    words.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = FuzzyJoin.queries("dd_fuzzy_passjoin")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val names = Seq("ab", "ac", "x", "pigeonhole", "wigeonhole",
+      "pigeonholes", "igeonhole", "completely-different-string")
+    val want = (for {
+      a <- names; b <- names if a < b
+      d = levDist(a, b) if d <= 3
+    } yield (a, b, d)).sortBy(t => (t._1, t._2))
+    assert(got.toSeq === want)
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+}
