@@ -20,6 +20,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Recommender.queries ++
       operators.Extensions.queries ++
+      operators.FuzzyJoin.queries ++
+      operators.CorpusPrep.queries ++
       operators.AsOf.queries ++
       operators.Sketch.queries ++
       operators.Maintenance.queries ++
@@ -41,6 +43,8 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.Recommender.oracles ++
       operators.Extensions.oracles ++
+      operators.FuzzyJoin.oracles ++
+      operators.CorpusPrep.oracles ++
       operators.AsOf.oracles ++
       operators.Sketch.oracles ++
       operators.Maintenance.oracles ++
