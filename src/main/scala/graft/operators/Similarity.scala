@@ -25,6 +25,7 @@ object Similarity {
   private val PROBES = 4  // buckets probed per query
   private val TOPK = 5
   private val NQ = 10     // query vectors: vec_id < NQ
+  private val RERANK = 50 // SQ8 candidates reranked with full floats
 
   /** embeddings with L2 norm, via vec_dot(v, v). */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
@@ -95,6 +96,74 @@ object Similarity {
         .filter(col("rn") <= TOPK)
         .select("qid", "nid")
         .orderBy("qid", "rn")
+    }),
+
+    // SQ8 scalar quantization: per-dimension min/max over the corpus
+    // (computed distributed — posexplode + groupBy, re-assembled into
+    // two 64-element arrays on a single broadcast row, never collected
+    // to the driver), vectors quantized to int codes 0..255, candidate
+    // generation by INTEGER dot product over the codes, exact float
+    // rerank of the top-RERANK only. The scale story is bandwidth: the
+    // scan that touches every vector reads 1 byte/dim instead of 4,
+    // and full floats are fetched for RERANK rows per query, not n.
+    // All quantization arithmetic is double-precision with the same
+    // operation order as the oracle, so floor() cannot drift.
+    "sim_sq_topk" -> ((s, dir) => {
+      // normalize in double with an explicit left fold (not vec_dot,
+      // whose float accumulation the oracle can't reproduce): the
+      // integer code dot then approximates COSINE, not raw dot
+      val e = vecs(s, dir).withColumn("u", expr(
+        """transform(v, x -> cast(x as double) /
+          |  sqrt(aggregate(v, 0.0d,
+          |    (acc, y) -> acc + cast(y as double) * cast(y as double))))"""
+          .stripMargin))
+      val stats = e
+        .select(posexplode(col("u")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(min("x").as("mn"), max("x").as("mx"))
+        .agg(
+          expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
+            .as("mns"),
+          expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)")
+            .as("mxs"))
+      val quantExpr =
+        """transform(u, (x, i) -> coalesce(cast(least(255.0d, greatest(0.0d,
+          |  floor((x - element_at(mns, i + 1))
+          |        / nullif(element_at(mxs, i + 1) - element_at(mns, i + 1), 0.0d)
+          |        * 255.0d + 0.5d))) as int), 0))""".stripMargin
+      // rank by the DEQUANTIZED dot (decode code -> mn + c*delta/255 on
+      // the fly, as an SQ8 index does): the raw integer code dot is NOT
+      // monotone in cosine — every code is offset-positive, so the
+      // -mn*sum(u) cross terms bias it toward large-coordinate vectors
+      val coded = e.crossJoin(broadcast(stats))
+        .select(col("vec_id"), col("v"), col("nrm"), col("mns"),
+          col("mxs"), expr(quantExpr).as("code"))
+        .withColumn("dec", expr(
+          """transform(code, (c, i) -> element_at(mns, i + 1)
+            |  + cast(c as double)
+            |    * (element_at(mxs, i + 1) - element_at(mns, i + 1))
+            |    / 255.0d)""".stripMargin))
+        .drop("mns", "mxs")
+      val q = coded.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("dec").as("qd"))
+      val n = coded.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("nrm").as("nn"), col("dec").as("nd"))
+      val wApprox = Window.partitionBy("qid")
+        .orderBy(col("adot").desc, col("nid"))
+      val cand = q.join(n, col("nid") =!= col("qid"))
+        .withColumn("adot", expr(
+          "aggregate(zip_with(qd, nd, (a, b) -> a * b), 0.0d, (acc, y) -> acc + y)"))
+        .withColumn("arn", row_number().over(wApprox))
+        .filter(col("arn") <= RERANK)
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("c").desc, col("nid"))
+      cand
+        .withColumn("c", cos("qv", "qn", "nv", "nn"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= TOPK)
+        .select("qid", "nid")
+        .orderBy("qid", "rn")
     })
   )
 
@@ -138,6 +207,52 @@ object Similarity {
          |               DESC, c.nid) AS rn
          |  FROM cand c JOIN embeddings q ON c.qid = q.vec_id
          |              JOIN embeddings n ON c.nid = n.vec_id) t
+         |WHERE rn <= $TOPK ORDER BY qid, rn""".stripMargin,
+
+    // mirrors the Spark plan exactly: same double-precision quantize
+    // formula (1-based lambda index in DuckDB vs element_at(i+1) in
+    // Spark), integer code dot for candidates, float rerank
+    "sim_sq_topk" ->
+      s"""WITH nrm AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+         |      sqrt(list_reduce(
+         |        list_transform(embedding,
+         |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+         |        (acc, z) -> acc + z))) AS u
+         |  FROM embeddings),
+         |stats AS (
+         |  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+         |  FROM (
+         |    SELECT i AS pos, MIN(u[i]) AS mn, MAX(u[i]) AS mx
+         |    FROM nrm, unnest(range(1, 65)) AS t(i)
+         |    GROUP BY i)),
+         |coded AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(
+         |      list_transform(u, (x, i) ->
+         |        coalesce(CAST(least(255.0, greatest(0.0,
+         |          floor((x - mns[i])
+         |                / nullif(mxs[i] - mns[i], 0.0)
+         |                * 255.0 + 0.5))) AS INTEGER), 0)),
+         |      (c, i) -> mns[i] + CAST(c AS DOUBLE)
+         |                         * (mxs[i] - mns[i]) / 255.0) AS dec
+         |  FROM nrm, stats),
+         |cand AS (
+         |  SELECT qid, nid, qe, ne FROM (
+         |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |      q.embedding AS qe, n.embedding AS ne,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_reduce(list_transform(range(1, 65),
+         |          i -> q.dec[i] * n.dec[i]), (a, b) -> a + b) DESC,
+         |        n.vec_id) AS arn
+         |    FROM coded q JOIN coded n ON n.vec_id <> q.vec_id
+         |    WHERE q.vec_id < $NQ) x
+         |  WHERE arn <= $RERANK)
+         |SELECT qid, nid FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |    ORDER BY list_cosine_similarity(qe, ne) DESC, nid) AS rn
+         |  FROM cand) t
          |WHERE rn <= $TOPK ORDER BY qid, rn""".stripMargin
   )
 }

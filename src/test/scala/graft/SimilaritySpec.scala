@@ -40,4 +40,17 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.7, s"IVF recall $recall too low")
   }
+
+  test("SQ8 rerank recall vs brute force is near-exact") {
+    def pairs(name: String) =
+      Similarity.queries(name)(spark, sf).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val brute = pairs("sim_bruteforce_topk")
+    val sq = pairs("sim_sq_topk")
+    // 50 int8-dot candidates out of ~500 vectors, exact rerank: the
+    // only loss is a true neighbor falling outside the candidate set
+    val recall = (brute & sq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"SQ8 recall $recall too low")
+    assert(sq.groupBy(_._1).forall(_._2.size == 5))
+  }
 }
