@@ -28,7 +28,59 @@ object TextAnalysis {
 
   private val bpeIsh = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  /** BM25 retrieval query terms (fixed literals so the oracle is a
+    * closed expression) and the standard free parameters. */
+  private val bm25Terms = Seq("spark", "window", "merge", "stream")
+  private val K1 = "1.2"
+  private val B = "0.75"
+
   val queries: Map[String, Q] = Map(
+    // BM25 retrieval — the scoring path retrieval-based curation uses
+    // (finding near-matches of eval sets, sourcing topical documents).
+    // Inverted-index shape: only documents containing a query term are
+    // ever scored (the explode+filter is the index probe); df and the
+    // corpus stats ride on broadcast rows. Per-document score sums the
+    // per-term contributions in SORTED TERM ORDER via an explicit fold
+    // — float addition is not associative, and a hash-agg SUM would
+    // order partials nondeterministically across engines and runs.
+    // Output is (rank, doc_id): ranks are ulp-robust, raw float scores
+    // are not (Java Math.log and libm ln can differ in the last ulp).
+    "ts_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("dl"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"),
+        sum("dl").as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin(bm25Terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = broadcast(
+        tf.groupBy("term").agg(count(lit(1)).as("df")))
+      val contrib = tf.join(df, "term")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("c", expr(
+          s"""ln((cast(n_docs as double) - cast(df as double) + 0.5d)
+             |   / (cast(df as double) + 0.5d) + 1.0d)
+             | * (cast(tf as double) * ($K1 + 1.0d))
+             | / (cast(tf as double)
+             |    + $K1 * (1.0d - $B + $B * (cast(dl as double)
+             |        / (cast(sum_dl as double) / cast(n_docs as double)))))"""
+            .stripMargin))
+      val scored = contrib.groupBy("doc_id")
+        .agg(expr(
+          """aggregate(array_sort(collect_list(struct(term, c))), 0.0d,
+            |  (acc, s) -> acc + s.c)""".stripMargin).as("score"))
+      // distributed top-k (TakeOrderedAndProject), NOT a global
+      // row_number window — ranking happens on the 10 survivors only
+      val top = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"))
+        .orderBy("rank")
+    }),
     // Language ID: count marker-word hits per candidate language, take
     // the argmax (ties broken by language code), 'und' when no marker
     // hits at all. The marker dimension broadcasts; the aggregate is a
@@ -129,6 +181,44 @@ object TextAnalysis {
     .map { case (l, w) => s"('$l','$w')" }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    // identical BM25 formula and fold order; list(c ORDER BY term) +
+    // list_reduce mirrors Spark's array_sort + aggregate left fold
+    "ts_bm25" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+         |  FROM lens),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents) x
+         |  WHERE term IN ('spark', 'window', 'merge', 'stream')
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+         |       / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+         |    * (CAST(tf.tf AS DOUBLE) * ($K1 + 1.0))
+         |    / (CAST(tf.tf AS DOUBLE)
+         |       + $K1 * (1.0 - $B + $B * (CAST(lens.dl AS DOUBLE)
+         |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |      AS c
+         |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), stats),
+         |scored AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(0.0, list(c ORDER BY term)),
+         |                (a, b) -> a + b) AS score
+         |  FROM contrib GROUP BY doc_id),
+         |top AS (
+         |  SELECT doc_id, score FROM scored
+         |  ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |  AS INTEGER) AS rank, doc_id
+         |FROM top ORDER BY rank""".stripMargin,
+
     "samp_stratified" ->
       """SELECT lang, count(*) AS n_docs,
         |  count(CASE WHEN strpos('0123456789abcdef',

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpec {
@@ -33,5 +34,17 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[String]("fp").length === 16)
       assert(r.getAs[String]("winnow_min").matches("[0-9a-f]{32}"))
     }
+  }
+
+  test("bm25: dense ranks 1..10 and every hit contains a query term") {
+    val rows = TextAnalysis.queries("ts_bm25")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to 10))
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.size === 10)
+    val terms = Set("spark", "window", "merge", "stream")
+    val texts = Tables(spark, sf, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("text").collect().map(_.getString(0))
+    assert(texts.forall(t => t.split(" ").exists(terms)))
   }
 }
