@@ -25,7 +25,9 @@ object PlanAudit {
     "s1_scan_project", "p6_like_filter", "j1_join_agg", "j4_semi_having",
     "a2_agg_having", "w3_rank_topk", "az_asof_join", "sz_sessionize",
     "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard", "dd_embed_cosine",
-    "sim_ivf_topk", "ml_recommend", "pipe_clean_corpus", "xk_topk_custom")
+    "sim_ivf_topk", "ml_recommend", "pipe_clean_corpus", "xk_topk_custom",
+    "dd_fuzzy_passjoin", "sim_sq_topk", "ts_bm25", "doc_chunk",
+    "pack_sequences")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,
@@ -105,9 +107,11 @@ object PlanAudit {
       "each cached pipeline visited once, adaptive stages unwrapped.\n" +
       "`pushed-filter scans` = parquet scans with non-empty PushedFilters " +
       "over total parquet scans. Nested-loop joins appear only against " +
-      "broadcast model-parameter tables: sim_ivf_topk's 16-row centroid " +
-      "table (asserted BuildRight in PlanInvariantSpec) and " +
-      "ml_recommend's single-row corpus-stats scalar.\n\n"
+      "broadcast model-parameter-scale tables: sim_ivf_topk's 16-row " +
+      "centroid table, ml_recommend's single-row corpus-stats scalar, " +
+      "sim_sq_topk's one-row quantizer stats and 10-row query set, and " +
+      "ts_bm25's one-row corpus stats (each asserted broadcast-bounded " +
+      "in PlanInvariantSpec).\n\n"
     md ++= header.mkString("| ", " | ", " |\n")
     md ++= header.map(_ => "---").mkString("| ", " | ", " |\n")
     rows.foreach(r => md ++= r.mkString("| ", " | ", " |\n"))

@@ -96,7 +96,12 @@ object FuzzyJoin {
     // are never indexed, but any such pair is trivially within TAU
     // edits (len <= TAU) — pair them through a constant-key hash join
     // (a bounded pool in any real vocabulary; empty on testdata)
-    val shorts = n.filter(col("len") < K).withColumn("z", lit(0))
+    // key must not be a foldable literal: lit(0)=lit(0) constant-folds
+    // to `true` and the join degrades to a nested loop — pmod(len, 1)
+    // is 0 on every row but opaque to the optimizer, keeping a hash
+    // equi-join shape
+    val shorts = n.filter(col("len") < K)
+      .withColumn("z", expr("pmod(len, 1)"))
     val shortCands = shorts.select(col("p_name").as("name_a"), col("z"))
       .join(shorts.select(col("p_name").as("name_b"), col("z")), "z")
       .filter(col("name_a") =!= col("name_b"))

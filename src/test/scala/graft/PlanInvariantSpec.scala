@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOf, Dedup, Similarity}
+import graft.operators.{AsOf, Dedup, FuzzyJoin, Similarity, TextAnalysis}
 
 /** Scale-plan invariants: the dedup / similarity / as-of operators claim
   * (in their scaladoc) to avoid quadratic join strategies — prove it on
@@ -42,6 +42,30 @@ class PlanInvariantSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), plan)
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     }
+
+  test("dd_fuzzy_passjoin: candidates come from segment-key equi-joins") {
+    val plan = executedPlan(FuzzyJoin.queries("dd_fuzzy_passjoin"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sim_sq_topk: only the one-row stats table rides a nested loop") {
+    // the broadcast single-row (mns, mxs) stats cross is the analogue
+    // of IVF's centroid pass; everything data-sized must stay equi/hash
+    val plan = executedPlan(Similarity.queries("sim_sq_topk"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("BuildRight")), plan)
+  }
+
+  test("ts_bm25: df and corpus stats broadcast; no shuffled theta join") {
+    val plan = executedPlan(TextAnalysis.queries("ts_bm25"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("BuildRight")), plan)
+  }
 
   test("sim_ivf_topk: nested-loop only against the broadcast centroids") {
     // the C=16 centroid table is crossed deliberately (IVF assignment is
