@@ -7,7 +7,17 @@ import scala.jdk.CollectionConverters._
 /** Diagnostic twin of Bench: same two-pass loop, but records per-query
   * JVM state (heap, GC time, threads, persistent RDD blocks, loaded
   * classes) to find what accumulates across the run. NOT part of the
-  * driver contract; temporary tooling.
+  * driver contract; tooling.
+  *
+  * Findings from a clean 2×93-query run (kept here so the next reader
+  * doesn't re-chase them): heap stays flat at 2–3 GB, GC per query is
+  * single-digit ms, persistent RDDs return to 0 between queries, and
+  * the thread count climbs 162 → ~800 then plateaus — a jcmd census
+  * shows the growth is Spark's internal cached pools filling to their
+  * fixed caps (broadcast-exchange 128, block-manager ask/storage 100
+  * each, shuffle-exchange, dispatcher-event-loop 32), i.e. bounded and
+  * benign. A steady pass measured slower than cold indicates EXTERNAL
+  * machine contention, not JVM-state accumulation.
   */
 object BenchDiag {
   def main(args: Array[String]): Unit = {

@@ -50,6 +50,22 @@ object Soak {
         col("label"))
     }.reduce(_ unionAll _)
     shifted.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // fuzzy-dedup vocabulary: 1000 base words × 10 single-substitution
+    // variants, ALL exactly 20 chars — the deliberate worst case for
+    // length-bucket blocking (one populated bucket → all-pairs) and the
+    // normal case for PassJoin segment keys. Variant c of a base
+    // substitutes position (c*7)%20 with a letter outside the hex
+    // alphabet, so within a family pairwise edit distance is 1–2.
+    val vocab = spark.range(1000 * 10).select(
+      expr("""substring(md5(cast(id div 10 as string)), 1, 20)""").as("base"),
+      expr("cast(id % 10 as int)").as("c"))
+      .select(expr(
+        """if(c = 0, base, concat(
+          |  substring(base, 1, (c * 7) % 20),
+          |  char(ascii('g') + c),
+          |  substring(base, (c * 7) % 20 + 2)))""".stripMargin).as("p_name"))
+      .distinct()
+    vocab.write.mode("overwrite").parquet(s"$out/part.parquet")
   }
 
   private def time[T](f: => T): (T, Double) = {
@@ -101,7 +117,53 @@ object Soak {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     spark.catalog.clearCache()
     val recall = if (bf.nonEmpty) 1.0 * (bf & ivf).size / bf.size else 0.0
-    println(f"""{"corpus":"$tag","query":"sim_recall","rows":$nVecs,"brute_s":$tBf%.2f,"ivf_s":$tIvf%.2f,"recall_at_5":$recall%.3f}""")
+    spark.catalog.clearCache()
+    val (sq, tSq) = time(
+      SparkEntry.queries("sim_sq_topk")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    spark.catalog.clearCache()
+    val sqRecall = if (bf.nonEmpty) 1.0 * (bf & sq).size / bf.size else 0.0
+    println(f"""{"corpus":"$tag","query":"sim_recall","rows":$nVecs,"brute_s":$tBf%.2f,"ivf_s":$tIvf%.2f,"recall_at_5":$recall%.3f,"sq8_s":$tSq%.2f,"sq8_recall_at_5":$sqRecall%.3f}""")
+    // fuzzy dedup: PassJoin segment keys vs length buckets on the SAME
+    // vocabulary — candidate volume is the whole story
+    val nNames = Tables(spark, dir, "part")
+      .select("p_name").distinct().count()
+    val namePairs = nNames * (nNames - 1) / 2
+    val (bktCand, tBktCand) = time(bucketCandCount(spark, dir))
+    spark.catalog.clearCache()
+    val (pjCand, tPjCand) = time(
+      operators.FuzzyJoin.candidatePairs(spark, dir).count())
+    spark.catalog.clearCache()
+    val (nBkt, tBkt) = time(
+      SparkEntry.queries("dd_fuzzy_levenshtein")(spark, dir).count())
+    spark.catalog.clearCache()
+    val (nPj, tPj) = time(
+      SparkEntry.queries("dd_fuzzy_passjoin")(spark, dir).count())
+    spark.catalog.clearCache()
+    require(nBkt == nPj, s"fuzzy variants disagree: $nBkt vs $nPj")
+    println(f"""{"corpus":"$tag","query":"fuzzy_compare","names":$nNames,"all_pairs":$namePairs,"bucket_cands":$bktCand,"passjoin_cands":$pjCand,"bucket_s":$tBkt%.2f,"passjoin_s":$tPj%.2f,"cand_count_s":[$tBktCand%.2f,$tPjCand%.2f],"true_pairs":$nPj}""")
+    // corpus-prep + retrieval: linear-path timings at scale
+    for (q <- Seq("doc_chunk", "pack_sequences", "ts_bm25")) {
+      val (rows, t) = time(SparkEntry.queries(q)(spark, dir).count())
+      spark.catalog.clearCache()
+      println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
+    }
+  }
+
+  /** pre-verification pair count of the length-bucket variant (same
+    * blocking as dd_fuzzy_levenshtein, stopping before levenshtein). */
+  private def bucketCandCount(spark: SparkSession, dir: String): Long = {
+    val names = Tables(spark, dir, "part").select("p_name").distinct()
+      .withColumn("len", length(col("p_name")))
+      .withColumn("bkt", expr("len div 4"))
+    val a = names.select(col("p_name").as("name_a"), col("len").as("la"),
+      col("bkt"))
+    val b = names.select(col("p_name").as("name_b"), col("len").as("lb"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    a.join(b, "bkt")
+      .filter(col("name_a") < col("name_b") &&
+        abs(col("la") - col("lb")) <= 3)
+      .count()
   }
 
   private def jaccardCandCount(spark: SparkSession, dir: String): Long = {

@@ -151,7 +151,11 @@ object Similarity {
         col("nrm").as("nn"), col("dec").as("nd"))
       val wApprox = Window.partitionBy("qid")
         .orderBy(col("adot").desc, col("nid"))
-      val cand = q.join(n, col("nid") =!= col("qid"))
+      // broadcast the NQ-row query side explicitly and keep it on the
+      // build side: planner size estimates for the stats cross join can
+      // overshoot the auto-broadcast threshold, and the non-equi join
+      // would then fall all the way to a CartesianProduct
+      val cand = n.join(broadcast(q), col("nid") =!= col("qid"))
         .withColumn("adot", expr(
           "aggregate(zip_with(qd, nd, (a, b) -> a * b), 0.0d, (acc, y) -> acc + y)"))
         .withColumn("arn", row_number().over(wApprox))
