@@ -35,7 +35,25 @@ object Sessionize {
           (expr("unix_micros(max(ts))") - expr("unix_micros(min(ts))"))
             .as("duration_us"))
         .orderBy("user_id", "session_id")
-    })
+    }),
+
+    // The same sessions through Spark's NATIVE session_window operator
+    // (the one the streaming path uses — merging windows, not
+    // lag-flags): one shuffle on user_id, windows merged per group.
+    // Note the tie rule differs from sz_sessionize by construction:
+    // session_window treats an event at exactly prev+gap as a NEW
+    // session (its window no longer overlaps), so the oracle flags
+    // new_sess on >= in MICROSECOND arithmetic — the same truncation
+    // Spark applies to the nanos timestamps.
+    "sz_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), GAP).as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          expr("unix_micros(sw.start)").as("start_us"),
+          expr("unix_micros(sw.end)").as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -56,6 +74,28 @@ object Sessionize {
          |  count(*) AS n_events,
          |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
          |FROM sess GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    // gap comparison in epoch MICROseconds (>=), mirroring both
+    // session_window's non-overlap rule and Spark's nanos->micros
+    // truncation; end = last event + gap, as session_window defines it
+    "sz_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                 >= 21600000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts)) + 21600000000 AS end_us,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin
   )
 }

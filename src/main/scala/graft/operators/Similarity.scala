@@ -144,6 +144,10 @@ object Similarity {
             |    * (element_at(mxs, i + 1) - element_at(mns, i + 1))
             |    / 255.0d)""".stripMargin))
         .drop("mns", "mxs")
+        // cached: the query side re-derives this subtree for 10 rows,
+        // which would otherwise re-run the stats agg and quantize scan
+        // (in production the coded corpus is a materialized table)
+        .cache()
       val q = coded.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("nrm").as("qn"), col("dec").as("qd"))
