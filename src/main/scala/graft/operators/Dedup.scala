@@ -81,7 +81,10 @@ object Dedup {
   /** Bucket-join candidates with their signature agreement, pre-filter:
     * distinct (id1, id2, n_match). Exposed to the scale soak, which
     * reports candidate volume against n²/2. */
-  private[graft] def minhashScored(s: SparkSession, dir: String): DataFrame = {
+  /** Banded signature table (doc_id, h1..hK, band, bv) — the structure
+    * a production corpus keeps MATERIALIZED so that pairing (full or
+    * incremental) starts from a bucket probe, not a corpus re-shingle. */
+  private[graft] def bandedSignatures(s: SparkSession, dir: String): DataFrame = {
     val mh = minhashes(s, dir).cache()
     val bandArr = array((0 until BANDS).map { b =>
       val cs = (1 to 3).map(i => col(s"h${b * 3 + i}"))
@@ -89,9 +92,13 @@ object Dedup {
         md5(concat(cs: _*).cast("binary")).as("bv"))
     }: _*)
     val sig = (1 to K).map(i => col(s"h$i"))
-    val bands = mh.select(col("doc_id") +: sig :+ explode(bandArr).as("s"): _*)
+    mh.select(col("doc_id") +: sig :+ explode(bandArr).as("s"): _*)
       .select(col("doc_id") +: sig :+ col("s.band").as("band") :+
         col("s.bv").as("bv"): _*)
+  }
+
+  private[graft] def minhashScored(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandedSignatures(s, dir)
     val a = bands.toDF("id1" +: (1 to K).map(i => s"a$i") :+ "band" :+ "bv": _*)
     val b = bands.toDF("id2" +: (1 to K).map(i => s"b$i") :+ "band" :+ "bv": _*)
     val nMatch = (1 to K).map(i =>
@@ -312,6 +319,31 @@ object Dedup {
     "dd_cluster" -> ((s, dir) =>
       minhashClusters(s, dir).orderBy("cluster_id", "doc_id")),
 
+    // Incremental dedup — the daily-ingest shape: dedupe a NEW batch
+    // (here doc_id % 5 = 0, ~20%) against the corpus WITHOUT re-pairing
+    // it. The band join probes new-batch buckets only, so candidate
+    // cost scales with the batch: all×new plus new×new, never
+    // existing×existing. At 100 TB the `all` side is the materialized
+    // banded-signature table (see bandedSignatures); the probe is a
+    // hash equi-join on (band, bv), same as the full pairing.
+    "dd_incremental" -> ((s, dir) => {
+      val bands = bandedSignatures(s, dir)
+      val all = bands.toDF(
+        "id1" +: (1 to K).map(i => s"a$i") :+ "band" :+ "bv": _*)
+      val fresh = bands.filter(col("doc_id") % 5 === 0).toDF(
+        "id2" +: (1 to K).map(i => s"b$i") :+ "band" :+ "bv": _*)
+      val nMatch = (1 to K).map(i =>
+        (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
+      all.join(fresh, Seq("band", "bv"))
+        .filter(col("id1") =!= col("id2"))
+        .select(least(col("id1"), col("id2")).as("id1"),
+          greatest(col("id1"), col("id2")).as("id2"),
+          nMatch.as("n_match"))
+        .distinct()
+        .filter(col("n_match") >= 6)
+        .orderBy("id1", "id2")
+    }),
+
     // Leakage-free train/eval split: the split key is the DUP-CLUSTER
     // id (singletons are their own cluster), so near-duplicate
     // documents can never straddle the boundary — the contamination
@@ -473,6 +505,32 @@ object Dedup {
        |WHERE n_match >= 6 ORDER BY id1, id2""".stripMargin
   }
 
+  /** same pipeline, candidates restricted to pairs touching the new
+    * batch (doc_id % 5 = 0) — mirrors dd_incremental's probe join */
+  private val incrementalSql = {
+    val hs = (1 to K).map(i => s"min(md5('$i|' || shingle)) AS h$i")
+      .mkString(",\n    ")
+    s"""WITH sh AS ($shinglesSql),
+       |mh AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 1 AS band, md5(h1 || h2 || h3) AS bv FROM mh
+       |  UNION ALL SELECT doc_id, 2, md5(h4 || h5 || h6) FROM mh
+       |  UNION ALL SELECT doc_id, 3, md5(h7 || h8 || h9) FROM mh),
+       |cand AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+       |         greatest(a.doc_id, b.doc_id) AS id2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+       |                            AND a.doc_id <> b.doc_id
+       |  WHERE b.doc_id % 5 = 0)
+       |SELECT id1, id2, n_match FROM (
+       |  SELECT id1, id2,
+       |    (${(1 to K).map(i => s"CAST(m1.h$i = m2.h$i AS INT)").mkString(" + ")})
+       |      AS n_match
+       |  FROM cand JOIN mh m1 ON id1 = m1.doc_id
+       |            JOIN mh m2 ON id2 = m2.doc_id) s
+       |WHERE n_match >= 6 ORDER BY id1, id2""".stripMargin
+  }
+
   private val simhashSql = {
     def bitExpr(b: Int): String = {
       val digit = s"(strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)"
@@ -517,6 +575,7 @@ object Dedup {
         |GROUP BY grp ORDER BY keep_id""".stripMargin,
 
     "dd_minhash_lsh" -> minhashSql,
+    "dd_incremental" -> incrementalSql,
     "dd_simhash" -> simhashSql,
 
     // Components via recursive reachability: `reach` enumerates every

@@ -61,6 +61,18 @@ class DedupSpec extends SparkSpec {
     assert(split.keySet.subsetOf(Set("train", "eval")))
   }
 
+  test("incremental dedup = full pair set restricted to the new batch") {
+    val full = Dedup.queries("dd_minhash_lsh")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Int]("n_match"))).toSet
+    val inc = Dedup.queries("dd_incremental")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Int]("n_match"))).toSet
+    val expected = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(inc === expected)
+    assert(inc.nonEmpty) // the slice must actually exercise the probe
+  }
+
   test("degenerate all-identical corpus: bucket window bounds candidates") {
     // Adversarial case for SRP-LSH: every vector identical, so all 8
     // bands collapse into ONE bucket. Unbounded pairing would emit

@@ -17,7 +17,8 @@ class PlanInvariantSpec extends SparkSpec {
       => org.apache.spark.sql.DataFrame): String =
     fn(spark, sf).queryExecution.executedPlan.toString
 
-  private val dedupQueries = Seq("dd_exact", "dd_minhash_lsh", "dd_simhash",
+  private val dedupQueries = Seq("dd_exact", "dd_incremental",
+    "dd_minhash_lsh", "dd_simhash",
     "dd_ngram_jaccard", "dd_embed_cosine")
 
   for (name <- dedupQueries)
