@@ -96,6 +96,9 @@ object Soak {
     }
     run("dd_exact", nDocs) // hash-groupBy: 'candidates' = one per row
     run("dd_minhash_lsh", Dedup.minhashScored(spark, dir).count())
+    // incremental probe: candidates touch the ~20% batch only — the
+    // measured form of "pairing cost scales with the batch"
+    run("dd_incremental", Dedup.incrementalScored(spark, dir).count())
     run("dd_simhash", Dedup.simhashScored(spark, dir).count())
     run("dd_ngram_jaccard",
       jaccardCandCount(spark, dir))

@@ -112,6 +112,26 @@ object Dedup {
   private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashScored(s, dir).filter(col("n_match") >= 6)
 
+  /** Incremental-probe candidates with signature agreement, pre-filter
+    * (see the dd_incremental query doc): all×new plus new×new, never
+    * existing×existing. Exposed so the scale soak can report probe
+    * candidate volume against the full pairing's. */
+  private[graft] def incrementalScored(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandedSignatures(s, dir)
+    val all = bands.toDF(
+      "id1" +: (1 to K).map(i => s"a$i") :+ "band" :+ "bv": _*)
+    val fresh = bands.filter(col("doc_id") % 5 === 0).toDF(
+      "id2" +: (1 to K).map(i => s"b$i") :+ "band" :+ "bv": _*)
+    val nMatch = (1 to K).map(i =>
+      (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
+    all.join(fresh, Seq("band", "bv"))
+      .filter(col("id1") =!= col("id2"))
+      .select(least(col("id1"), col("id2")).as("id1"),
+        greatest(col("id1"), col("id2")).as("id2"),
+        nMatch.as("n_match"))
+      .distinct()
+  }
+
   /** SimHash band-bucket candidates with hamming distance, pre-filter:
     * distinct (id1, id2, ham). The per-bit majority vote
     * sum(freq·s_b) > 0 is equivalent to 2·sum(freq·bit_b) > sum(freq),
@@ -326,23 +346,15 @@ object Dedup {
     // existing×existing. At 100 TB the `all` side is the materialized
     // banded-signature table (see bandedSignatures); the probe is a
     // hash equi-join on (band, bv), same as the full pairing.
-    "dd_incremental" -> ((s, dir) => {
-      val bands = bandedSignatures(s, dir)
-      val all = bands.toDF(
-        "id1" +: (1 to K).map(i => s"a$i") :+ "band" :+ "bv": _*)
-      val fresh = bands.filter(col("doc_id") % 5 === 0).toDF(
-        "id2" +: (1 to K).map(i => s"b$i") :+ "band" :+ "bv": _*)
-      val nMatch = (1 to K).map(i =>
-        (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
-      all.join(fresh, Seq("band", "bv"))
-        .filter(col("id1") =!= col("id2"))
-        .select(least(col("id1"), col("id2")).as("id1"),
-          greatest(col("id1"), col("id2")).as("id2"),
-          nMatch.as("n_match"))
-        .distinct()
+    // Incremental dedup — the daily-ingest shape: dedupe a NEW batch
+    // (doc_id % 5 = 0, ~20%) against the corpus WITHOUT re-pairing it.
+    // The band join probes new-batch buckets only (see
+    // incrementalScored), so candidate cost scales with the batch; at
+    // 100 TB the probe side is the materialized banded-signature table.
+    "dd_incremental" -> ((s, dir) =>
+      incrementalScored(s, dir)
         .filter(col("n_match") >= 6)
-        .orderBy("id1", "id2")
-    }),
+        .orderBy("id1", "id2")),
 
     // Leakage-free train/eval split: the split key is the DUP-CLUSTER
     // id (singletons are their own cluster), so near-duplicate
