@@ -212,6 +212,31 @@ object Extensions {
     // Exact percentiles (Spark `percentile` sorts; linear interpolation
     // matches DuckDB quantile_cont bit-for-bit on the same doubles).
     // approx variants (percentile_approx GK-sketch) are spec territory.
+    // LISTAGG (warehouse staple): ordered, delimited concatenation per
+    // group. Engine-deterministic via sort-after-collect — collect_set
+    // order is arbitrary, so the sort happens on the materialized set.
+    "x_listagg" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+            .as("priorities"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
+    // Fixed-width histogram in pure integer/double comparisons: bucket
+    // by floor division (identical IEEE arithmetic in the oracle), no
+    // float SUMS — counts and min/max only, which are order-independent.
+    "x_histogram" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .withColumn("bucket", expr(
+          "cast(least(greatest(floor(o_totalprice / 50000.0), 0.0), 9.0) as int)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"),
+          max("o_totalprice").as("hi"))
+        .orderBy("bucket")),
+
     "x_percentile" -> ((s, dir) =>
       Tables(s, dir, "orders")
         .groupBy("o_orderstatus")
@@ -420,6 +445,20 @@ object Extensions {
         |  coalesce(array_to_string(list_sort(list_distinct(
         |    list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS e
         |FROM t ORDER BY l_orderkey, l_linenumber, u, i, e""".stripMargin,
+
+    "x_listagg" ->
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+        |    AS priorities,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "x_histogram" ->
+      """SELECT CAST(least(greatest(floor(o_totalprice / 50000.0), 0.0),
+        |            9.0) AS INTEGER) AS bucket,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "x_percentile" ->
       """SELECT o_orderstatus,
