@@ -51,6 +51,21 @@ object Streaming {
         .withColumn("sum_value", col("sum_value").cast("double"))
         .orderBy("wstart", "event_type")),
 
+    // Hopping (sliding) event-time windows — the other streaming window
+    // shape next to t5's tumbling buckets: 6-hour windows every 3 hours,
+    // so every event lands in exactly two windows. Counts only (no float
+    // sums); window bounds exported as epoch micros so the oracle is
+    // integer arithmetic end-to-end.
+    "t7_hopping_twin" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(expr("unix_micros(w.start)").as("wstart_us"),
+          expr("unix_micros(w.end)").as("wend_us"),
+          col("event_type"), col("n"))
+        .orderBy("wstart_us", "event_type")),
+
     // Batch twin of the streaming replay-dedup
     // (dropDuplicatesWithinWatermark, exercised live in StreamingSpec):
     // the feed is replayed twice, dedup by event_id restores exactly
@@ -95,6 +110,21 @@ object Streaming {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
+    // both candidate starts always qualify for slide = duration/2; the
+    // WHERE keeps the form general if the ratio changes
+    "t7_hopping_twin" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+        |x AS (
+        |  SELECT event_type, t, unnest([
+        |      (t // 10800000000) * 10800000000,
+        |      (t // 10800000000) * 10800000000 - 10800000000]) AS wstart_us
+        |  FROM e)
+        |SELECT wstart_us, wstart_us + 21600000000 AS wend_us,
+        |  event_type, count(*) AS n
+        |FROM x
+        |WHERE t >= wstart_us AND t < wstart_us + 21600000000
+        |GROUP BY 1, 2, 3 ORDER BY wstart_us, event_type""".stripMargin,
 
     "t6_stream_dedup_twin" ->
       """SELECT event_id, event_type, value, epoch_us(ts) AS epoch_us
