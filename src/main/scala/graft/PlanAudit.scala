@@ -27,7 +27,8 @@ object PlanAudit {
     "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard", "dd_embed_cosine",
     "sim_ivf_topk", "ml_recommend", "pipe_clean_corpus", "xk_topk_custom",
     "dd_fuzzy_passjoin", "sim_sq_topk", "ts_bm25", "doc_chunk",
-    "pack_sequences")
+    "pack_sequences", "dd_incremental", "sz_session_window",
+    "t7_hopping_twin")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,
