@@ -32,4 +32,14 @@ class SchemaLintSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"DECIMAL at the output boundary breaks the driver hash: $offenders")
   }
+
+  test("every query is oracle-paired, and no oracle is orphaned") {
+    // a query without an oracle silently degrades to a rows-only check
+    // in the driver; an oracle without a query is dead weight — keep
+    // the two maps in lockstep
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+  }
 }
