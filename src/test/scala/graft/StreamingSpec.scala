@@ -197,4 +197,56 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
     assert(streamed.nonEmpty)
   }
+
+  test("session windows MERGE across micro-batches when a gap is bridged") {
+    import org.apache.spark.sql.functions._
+    // events at t=0h and t=10h arrive in run 1 (two open sessions, 6h
+    // gap) — then run 2, RESUMED FROM THE CHECKPOINT, delivers only
+    // t=4h, which bridges them (0h–4h ≤ gap, 4h–10h ≤ gap): the
+    // restored state store must MERGE the two session states into one.
+    // This is the stateful path a lag-cumsum batch twin never
+    // exercises. foreachBatch (not the memory sink) because only it
+    // supports checkpoint recovery.
+    val base = Files.createTempDirectory("graft_sess_merge")
+    val src = Files.createDirectory(base.resolve("src"))
+    val ckpt = base.resolve("ckpt").toString
+    def line(id: Int, hour: Int): String =
+      s"""{"event_id":$id,"user_id":1,"event_type":"click","value":1.0,""" +
+        s""""ts_str":"2024-01-01 ${"%02d".format(hour)}:00:00.000000",""" +
+        s""""props":"{}"}"""
+
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    def run(): Unit = {
+      val parsed = StreamingIngest.parse(
+          spark.readStream.text(src.toString))
+        .withColumn("ets", col("ts"))
+      val sessions = parsed
+        // a grouping key is required: streaming session windows reject
+        // global aggregation (state is keyed per group)
+        .groupBy(col("event_type"),
+          session_window(col("ets"), "6 hours").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("sw.start").as("s"), col("sw.end").as("e"), col("n"))
+      val q = sessions.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          last = b.collect()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    Files.write(src.resolve("b1.json"),
+      java.util.Arrays.asList(line(1, 0), line(2, 10)))
+    run()
+    assert(last.length === 2, last.mkString(";")) // two open sessions
+
+    Files.write(src.resolve("b2.json"),
+      java.util.Arrays.asList(line(3, 4)))
+    run() // resumes from the checkpoint: processes ONLY b2
+    assert(last.length === 1, last.mkString(";")) // one merged session
+    assert(last.head.getAs[Long]("n") === 3)
+  }
 }
