@@ -155,15 +155,15 @@ object Maintenance {
     "dq_quarantine" ->
       """WITH agg AS (
         |  SELECT
-        |    SUM(CASE WHEN NOT (l_quantity <= 25) THEN 1 ELSE 0 END)
-        |      AS qty_le_25,
-        |    SUM(CASE WHEN NOT (l_discount <= 0.05) THEN 1 ELSE 0 END)
-        |      AS disc_le_05,
-        |    SUM(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END)
-        |      AS price_pos,
-        |    SUM(CASE WHEN l_quantity <= 25 AND l_discount <= 0.05
+        |    CAST(SUM(CASE WHEN NOT (l_quantity <= 25) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qty_le_25,
+        |    CAST(SUM(CASE WHEN NOT (l_discount <= 0.05) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS disc_le_05,
+        |    CAST(SUM(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS price_pos,
+        |    CAST(SUM(CASE WHEN l_quantity <= 25 AND l_discount <= 0.05
         |                  AND l_extendedprice > 0 THEN 0 ELSE 1 END)
-        |      AS rows_quarantined
+        |      AS BIGINT) AS rows_quarantined
         |  FROM lineitem)
         |SELECT rule, n_fail FROM (
         |  SELECT 'qty_le_25' AS rule, qty_le_25 AS n_fail FROM agg

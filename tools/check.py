@@ -72,11 +72,23 @@ def main():
             fail += 1
             continue
         try:
-            cur = con.execute(sql)
-            exp_cols = [d[0] for d in cur.description]
-            exp_rows = cur.fetchall()
+            rel = con.sql(sql)
+            exp_cols = list(rel.columns)
+            exp_types = [str(t) for t in rel.types]
+            exp_rows = rel.fetchall()
         except Exception as e:
             print(f"[FAIL] {name}: oracle error {e}")
+            fail += 1
+            continue
+        # The driver fetches the oracle through pandas, where HUGEINT
+        # (DuckDB's SUM-over-integer result) degrades to float64 and
+        # renders "26857.0" against Spark's int64 "26857" — a hash
+        # mismatch our exact-int compare below would mask. Fail loudly.
+        hug = [c for c, t in zip(exp_cols, exp_types)
+               if t in ("HUGEINT", "UHUGEINT", "INT128")]
+        if hug:
+            print(f"[FAIL] {name}: oracle emits HUGEINT cols {hug} "
+                  f"(pandas→float64 at the driver; CAST(... AS BIGINT))")
             fail += 1
             continue
         got_cols = got_tbl.column_names
