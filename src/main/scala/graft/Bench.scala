@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
-  * {"metric","value","unit","queries","errors","sf"}.
+  * {"metric","value","unit","queries","errors","sf"}. The stdout line is
+  * size-capped (the harness keeps only a 2000-char tail): the slowest
+  * queries are itemized, the rest aggregate under "others", and the
+  * complete two-pass detail lands in ./BENCH_FULL.json.
   *
   * Parallelism defaults to every core the machine has (the driver runs
   * local[32]); SPARK_GRAFT_CPUS overrides. Shuffle partitions are pinned
@@ -54,12 +57,31 @@ object Bench {
     val cold = pass()
     val steady =
       if (sys.env.contains("SPARK_GRAFT_SINGLE_PASS")) cold else pass()
+    def r3(v: Double): String = f"$v%.3f"
     def js(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = steady.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(steady)},"cold_total":$coldTotal,"queries_cold":${js(cold)},"errors":$errs,"sf":"$sfDir"}""")
+    // Full two-pass per-query detail → a repo file (the harness records
+    // only the last ~2000 chars of stdout, which a 98-query map overflows).
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(steady)},"cold_total":${r3(coldTotal)},"queries_cold":${js(cold)},"errors":$errs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case _: Throwable => () } // read-only cwd must not kill the run
+    // Final stdout line: a complete JSON object that FITS the 2000-char
+    // capture window. Slowest queries stay itemized; the long tail of
+    // sub-threshold queries folds into "others" (count + summed seconds).
+    val budget = 1600
+    val bySlow = steady.sortBy(-_._2)
+    def line(keep: Seq[(String, Double)], rest: Seq[(String, Double)]): String = {
+      val others =
+        s""","others":{"n":${rest.size},"sum":${r3(rest.map(_._2).sum)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(keep.sortBy(_._1))}${if (rest.nonEmpty) others else ""},"cold_total":${r3(coldTotal)},"errors":$errs,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+    }
+    var k = bySlow.size
+    while (k > 1 && line(bySlow.take(k), bySlow.drop(k)).length > budget) k -= 1
+    println(line(bySlow.take(k), bySlow.drop(k)))
     spark.stop()
   }
 }
