@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Sketch.queries ++
       operators.Maintenance.queries ++
       operators.CorpusPipeline.queries ++
+      operators.CorpusQuality.queries ++
       operators.Sessionize.queries ++
       sources.Sources.queries ++
       sources.Bucketing.queries
@@ -49,6 +50,7 @@ object SparkEntry {
       operators.Sketch.oracles ++
       operators.Maintenance.oracles ++
       operators.CorpusPipeline.oracles ++
+      operators.CorpusQuality.oracles ++
       operators.Sessionize.oracles ++
       sources.Sources.oracles ++
       sources.Bucketing.oracles

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-quality operators a large-scale training-data pipeline runs
+  * between ingest and training (generalizing the reference's curation
+  * zone, 04_sales_enrich_sp.sql's clean-then-publish shape, to the
+  * LLM-corpus motifs of BASELINE.json):
+  *
+  *  - `dc_decontaminate` — benchmark decontamination: flag training
+  *    documents sharing any word 8-gram with a held-out benchmark set
+  *    (the n-gram-overlap rule used to scrub eval sets out of training
+  *    corpora). The join key is a 16-hex-char md5 of the gram, not the
+  *    gram text: at 100 TB the shuffle carries 16-byte digests, and the
+  *    benchmark side (eval suites are ~1e5 grams, not corpus-scale)
+  *    broadcasts, so the probe is a map-side hash lookup — no shuffle
+  *    of the corpus grams at all.
+  *
+  *  - `dd_boilerplate` — cross-document repeated-phrase removal (the
+  *    line-dedup pass of web-corpus pipelines, expressed over this
+  *    corpus's newline-free text as non-overlapping 5-word chunks): a
+  *    chunk appearing in ≥ 3 distinct documents is boilerplate; the
+  *    output is per-document kept/removed unit accounting. Chunk
+  *    frequency shuffles md5 digests once; the rejoin is digest-keyed.
+  *
+  *  - `ta_repetition` — Gopher-style repetition signals (duplicate-word
+  *    fraction, top-bigram fraction) computed entirely per-row with
+  *    higher-order array functions: ZERO shuffles, embarrassingly
+  *    parallel over any corpus size, integer outputs so oracles are
+  *    exact.
+  *
+  *  - `mix_domains` — domain-mixture sampling: per-source quotas
+  *    (weight × base budget) filled in deterministic md5(doc_id) order,
+  *    so every engine/run/partition-layout selects the SAME documents —
+  *    the reproducible "data recipe" step that turns N raw sources into
+  *    a weighted training mix. One hash-partitioned window per source;
+  *    no global sort.
+  *
+  *  - `vocab_topk` — corpus vocabulary: global term counts, top-k with
+  *    dense ranking. Two-level hash aggregate (map-side partials) into
+  *    a distributed TakeOrdered of k survivors — the word-count shape
+  *    every tokenizer-training pass starts from.
+  */
+object CorpusQuality {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Benchmark membership rule: doc_id ≡ 0 (mod 11) is the held-out
+    * eval set (deterministic, data-derived, non-empty at every SF). */
+  private val BENCH_MOD = 11
+  private val NGRAM = 8
+  /** A chunk in ≥ BOILER_DOCS distinct docs is boilerplate. */
+  private val BOILER_DOCS = 3
+  private val CHUNK = 5
+  private val VOCAB_K = 25
+  /** mix_domains: docs per weight unit; source srcN carries weight
+    * (N mod 3) + 1 — a stand-in for the curated mixture table a real
+    * pipeline would broadcast. */
+  private val MIX_BASE = 10
+
+  val queries: Map[String, Q] = Map(
+    "dc_decontaminate" -> ((s, dir) => {
+      val grams = Tables(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= NGRAM)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(w) - ${NGRAM - 1}),
+             |  i -> substring(md5(cast(concat_ws(' ', slice(w, i, $NGRAM))
+             |                          as binary)), 1, 16))""".stripMargin))
+          .as("gh"))
+      val bench = grams.filter(col("doc_id") % BENCH_MOD === 0)
+        .select("gh").distinct()
+      grams.filter(col("doc_id") % BENCH_MOD =!= 0)
+        .join(broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gh")).as("n_hit_grams"))
+        .orderBy("doc_id")
+    }),
+
+    "dd_boilerplate" -> ((s, dir) => {
+      val chunks = Tables(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(0, cast((size(w) + ${CHUNK - 1}) / $CHUNK
+             |                           as int) - 1),
+             |  i -> substring(md5(cast(concat_ws(' ', slice(w, i * $CHUNK + 1,
+             |                          $CHUNK)) as binary)), 1, 16))"""
+            .stripMargin)).as("ch"))
+      val freq = chunks.groupBy("ch")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(freq, "ch")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_units"),
+          count(when(col("nd") >= BOILER_DOCS, 1)).as("n_boiler"))
+        .orderBy("doc_id")
+    }),
+
+    "ta_repetition" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("bg", expr(
+          """CASE WHEN size(w) >= 2
+            |  THEN transform(sequence(1, size(w) - 1),
+            |                 i -> concat_ws(' ', slice(w, i, 2)))
+            |  ELSE CAST(array() AS array<string>) END""".stripMargin))
+        .select(
+          col("doc_id"),
+          size(col("w")).as("n_words"),
+          size(array_distinct(col("w"))).as("n_distinct"),
+          expr("cast(100 * (size(w) - size(array_distinct(w)))" +
+            " div size(w) as int)").as("dup_word_pct"),
+          size(col("bg")).as("n_bigrams"),
+          coalesce(expr(
+            """array_max(transform(array_distinct(bg),
+              |  b -> size(filter(bg, x -> x = b))))""".stripMargin),
+            lit(0)).as("top_bigram_n"))
+        .orderBy("doc_id")),
+
+    "mix_domains" -> ((s, dir) => {
+      val quota = (expr("cast(substring(source, 4) as int)") % 3 + 1) *
+        MIX_BASE
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("quota", quota)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    "vocab_topk" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      // distributed top-k (TakeOrderedAndProject); ranking happens on
+      // the k survivors only, never a global window over the vocabulary
+      val top = counts.orderBy(col("cnt").desc, col("term")).limit(VOCAB_K)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("term"))))
+        .select(col("rank"), col("term"), col("cnt"))
+        .orderBy("rank")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dc_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    substr(md5(array_to_string(w[i:i+${NGRAM - 1}], ' ')), 1, 16)
+         |      AS gh
+         |  FROM w, UNNEST(range(1, len(w) - ${NGRAM - 2})) t(i)
+         |  WHERE len(w) >= $NGRAM),
+         |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % $BENCH_MOD = 0)
+         |SELECT g.doc_id, count(DISTINCT g.gh) AS n_hit_grams
+         |FROM g JOIN bench USING (gh)
+         |WHERE g.doc_id % $BENCH_MOD <> 0
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "dd_boilerplate" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    substr(md5(array_to_string(
+         |      w[(i*$CHUNK+1):(i*$CHUNK+$CHUNK)], ' ')), 1, 16) AS ch
+         |  FROM w, UNNEST(range(0, (len(w) + ${CHUNK - 1}) // $CHUNK)) t(i)),
+         |freq AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM c GROUP BY ch)
+         |SELECT c.doc_id, count(*) AS n_units,
+         |  count(CASE WHEN nd >= $BOILER_DOCS THEN 1 END) AS n_boiler
+         |FROM c JOIN freq USING (ch)
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "ta_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |b AS (SELECT doc_id, w,
+        |        list_transform(range(1, len(w)),
+        |                       i -> array_to_string(w[i:i+1], ' ')) AS bg
+        |      FROM w)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INTEGER) AS n_words,
+        |  CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct,
+        |  CAST(100 * (len(w) - len(list_distinct(w))) // len(w)
+        |       AS INTEGER) AS dup_word_pct,
+        |  CAST(len(bg) AS INTEGER) AS n_bigrams,
+        |  CAST(coalesce(list_max(list_transform(list_distinct(bg),
+        |         e -> len(list_filter(bg, x -> x = e)))), 0)
+        |       AS INTEGER) AS top_bigram_n
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "mix_domains" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    (CAST(substr(source, 4) AS INTEGER) % 3 + 1) * $MIX_BASE
+         |      AS quota,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents) x
+         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    "vocab_topk" ->
+      s"""WITH counts AS (
+         |  SELECT term, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS term
+         |    FROM documents) x
+         |  GROUP BY term),
+         |top AS (SELECT term, cnt FROM counts
+         |        ORDER BY cnt DESC, term LIMIT $VOCAB_K)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term)
+         |  AS INTEGER) AS rank, term, cnt
+         |FROM top ORDER BY rank""".stripMargin
+  )
+}

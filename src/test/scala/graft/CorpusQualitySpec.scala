@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusQuality
+
+class CorpusQualitySpec extends SparkSpec {
+
+  test("decontaminate: only training docs flagged, each with real overlap") {
+    val rows = CorpusQuality.queries("dc_decontaminate")(spark, sf).collect()
+    assert(rows.nonEmpty) // the corpus contains near-dups of bench docs
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 11 != 0L) // never a benchmark doc
+      assert(r.getAs[Long]("n_hit_grams") > 0L)
+    }
+  }
+
+  test("decontaminate: a planted benchmark copy is flagged") {
+    // doc 0 is benchmark (0 % 11 == 0); any training doc with identical
+    // text must surface. Build the expectation locally from raw text.
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val benchTexts = docs.collect {
+      case (id, t) if id % 11 == 0 && t.split(" ").length >= 8 => t
+    }.toSet
+    val expectFlagged = docs.collect {
+      case (id, t) if id % 11 != 0 && benchTexts.contains(t) => id
+    }.toSet
+    val flagged = CorpusQuality.queries("dc_decontaminate")(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(expectFlagged.subsetOf(flagged))
+  }
+
+  test("boilerplate: per-doc accounting is complete and bounded") {
+    val rows = CorpusQuality.queries("dd_boilerplate")(spark, sf).collect()
+    assert(rows.length === Tables(spark, sf, "documents").count())
+    rows.foreach { r =>
+      val units = r.getAs[Long]("n_units")
+      val boiler = r.getAs[Long]("n_boiler")
+      assert(units > 0L && boiler >= 0L && boiler <= units)
+    }
+    // total units == total ceil(words/5) over the corpus
+    val expectUnits = Tables(spark, sf, "documents")
+      .select(expr("cast((size(split(text, ' ')) + 4) / 5 as long)").as("u"))
+      .agg(sum("u")).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_units")).sum === expectUnits)
+  }
+
+  test("repetition: invariants hold and a planted doc scores exactly") {
+    val rows = CorpusQuality.queries("ta_repetition")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_distinct") <= r.getAs[Int]("n_words"))
+      assert(r.getAs[Int]("n_bigrams") === r.getAs[Int]("n_words") - 1
+        || (r.getAs[Int]("n_words") === 1 && r.getAs[Int]("n_bigrams") === 0))
+      assert(r.getAs[Int]("top_bigram_n") <= math.max(r.getAs[Int]("n_bigrams"), 1))
+      assert(r.getAs[Int]("dup_word_pct") >= 0
+        && r.getAs[Int]("dup_word_pct") < 100)
+    }
+    // local recompute for one doc pins the metric definitions
+    val (docId, text) = {
+      val r = Tables(spark, sf, "documents")
+        .select("doc_id", "text").orderBy("doc_id").head()
+      (r.getLong(0), r.getString(1))
+    }
+    val w = text.split(" ")
+    val bg = w.sliding(2).map(_.mkString(" ")).toSeq
+    val got = rows.find(_.getAs[Long]("doc_id") == docId).get
+    assert(got.getAs[Int]("n_words") === w.length)
+    assert(got.getAs[Int]("n_distinct") === w.distinct.length)
+    assert(got.getAs[Int]("top_bigram_n") ===
+      (if (bg.isEmpty) 0 else bg.groupBy(identity).map(_._2.size).max))
+  }
+
+  test("mix_domains: quotas respected, selection deterministic") {
+    val q = CorpusQuality.queries("mix_domains")(spark, sf)
+    val bySource = q.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, n) =>
+      val quota = (src.drop(3).toInt % 3 + 1) * 10
+      assert(n <= quota, s"$src over quota")
+    }
+    // determinism: two runs select identical rows
+    val a = q.collect().map(_.toSeq).toSet
+    val b = CorpusQuality.queries("mix_domains")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("vocab: contiguous ranks, descending counts, totals reconcile") {
+    val rows = CorpusQuality.queries("vocab_topk")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to rows.length))
+    val cnts = rows.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts === cnts.sorted.reverse)
+    // top-k counts can never exceed the corpus token total
+    val tokens = Tables(spark, sf, "documents")
+      .select(expr("size(split(text, ' '))").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(cnts.sum <= tokens)
+  }
+}

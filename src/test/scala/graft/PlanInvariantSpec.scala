@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOf, Dedup, FuzzyJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOf, CorpusQuality, Dedup, FuzzyJoin, Similarity, TextAnalysis}
 
 /** Scale-plan invariants: the dedup / similarity / as-of operators claim
   * (in their scaladoc) to avoid quadratic join strategies — prove it on
@@ -66,6 +66,28 @@ class PlanInvariantSpec extends SparkSpec {
     val bnlj = plan.linesIterator
       .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
     assert(bnlj.forall(_.contains("BuildRight")), plan)
+  }
+
+  test("dc_decontaminate: gram probe is a broadcast hash join, no shuffle "
+      + "of corpus grams into the join") {
+    val plan = executedPlan(CorpusQuality.queries("dc_decontaminate"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("dd_boilerplate: chunk-frequency rejoin stays an equi-join") {
+    val plan = executedPlan(CorpusQuality.queries("dd_boilerplate"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("ta_repetition: per-row metrics need no shuffle before the sort") {
+    // everything up to the presentation ORDER BY must be exchange-free
+    val plan = executedPlan(CorpusQuality.queries("ta_repetition"))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    // exactly the range-partitioning exchange of the final orderBy
+    assert(exchanges <= 1, plan)
   }
 
   test("sim_ivf_topk: nested-loop only against the broadcast centroids") {
