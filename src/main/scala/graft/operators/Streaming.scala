@@ -81,6 +81,20 @@ object Streaming {
         .orderBy("event_id")
     }),
 
+    // Batch twin of the stream-stream interval join (click→purchase
+    // attribution; the live two-stream execution with join-state
+    // reclamation is exercised in StreamingSpec). Same-user purchases
+    // within 30 minutes after a click; equi on user_id so the batch
+    // plan is a hash/merge join with a range residual — never a
+    // cartesian.
+    "t8_stream_join_twin" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      StreamingIngest.attribution(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     // Batch twin of StatefulTracker (flatMapGroupsWithState): the state
     // a per-user tracker holds after draining the whole feed —
     // cumulative count, cumulative value, high-water timestamp. The
@@ -129,6 +143,14 @@ object Streaming {
     "t6_stream_dedup_twin" ->
       """SELECT event_id, event_type, value, epoch_us(ts) AS epoch_us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "t8_stream_join_twin" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "st_state_twin" ->
       """SELECT user_id, count(*) AS n_events,

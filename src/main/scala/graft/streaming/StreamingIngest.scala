@@ -134,6 +134,29 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-stream interval join — click→purchase attribution: each
+    * click pairs with the same user's purchases landing within
+    * [click, click + 30 min]. Both sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, so Spark can
+    * reclaim join state as the watermark advances — the property that
+    * keeps an unbounded two-stream join viable at 100 TB (state holds
+    * ~40 min of events per side, not the full history). The same
+    * function serves the oracle-checked batch twin: `withWatermark` is
+    * defined as a no-op in batch queries, so twin and stream share one
+    * plan definition. */
+  def attribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p, col("user_id") === col("p_user")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Event-time windowed aggregation with watermark (the Structured
     * Streaming extension beyond the reference's append-only surface):
     * 5-minute tumbling windows per event_type, 10-minute late-data

@@ -249,4 +249,28 @@ class StreamingSpec extends SparkSpec {
     assert(last.length === 1, last.mkString(";")) // one merged session
     assert(last.head.getAs[Long]("n") === 3)
   }
+
+  test("stream-stream interval join matches its batch twin on the real feed") {
+    // Two independent file streams over the sf0.001 event feed (clicks
+    // and purchases), joined live with watermarks on both sides — the
+    // join-state-reclamation path the oracle-checked t8 batch twin
+    // cannot exercise. Inner interval joins emit on match, so an
+    // AvailableNow drain yields the complete pair set.
+    val feed = graft.operators.Streaming.exportJson(spark, sf)
+    def side(tpe: String) = StreamingIngest.parse(
+      spark.readStream.text(feed)).filter(col("event_type") === tpe)
+    val q = StreamingIngest.attribution(side("click"), side("purchase"))
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("attr_out")
+      .orderBy("click_id", "purchase_id").collect()
+    val batch = graft.operators.Streaming
+      .queries("t8_stream_join_twin")(spark, sf).collect()
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+    assert(streamed.nonEmpty)
+  }
 }
