@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{CardSketch, FloatVecDot}
+import graft.functions.{CardSketch, FloatVecDot, MortonCode}
 import graft.plans.{TopKStrategy, WindowTopKRewrite}
 
 /** Session-extension entry point: registers the engine's custom
@@ -32,6 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[CardSketch].getName, "card_sketch"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           CardSketch(exprs.head).toAggregateExpression()))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("morton"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MortonCode].getName, "morton"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          MortonCode(exprs(0), exprs(1))))
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => WindowTopKRewrite)
   }

@@ -78,6 +78,31 @@ object Maintenance {
         .orderBy("o_orderstatus")
     }),
 
+    // Z-order layout + box scan: lineitem is laid out along the Morton
+    // curve of (l_partkey, l_suppkey) — range-partitioned and sorted by
+    // the interleaved code (functions.MortonCode, codegen) — then a 2-D
+    // box predicate reads it back. Because every written file covers a
+    // compact Z-curve segment, parquet min/max stats prune on EITHER
+    // dimension (ZOrderSpec measures the file skipping; a single-key
+    // sort prunes only its own column). sum(zcode) in the output
+    // oracle-checks the bit-interleave arithmetic end-to-end.
+    "zo_zorder_scan" -> ((s, dir) => {
+      graft.functions.MortonCode.register(s)
+      val path = scratch(dir, "lineitem_zorder")
+      Tables(s, dir, "lineitem")
+        .withColumn("zcode",
+          expr("morton(l_partkey % 65536, l_suppkey % 65536)"))
+        .repartitionByRange(16, col("zcode"))
+        .sortWithinPartitions("zcode")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(1, 400)
+          && col("l_suppkey").between(1, 20))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("zcode")).as("sum_zcode"))
+        .orderBy("l_returnflag")
+    }),
+
     // Skew-salted join: a synthetically skewed key (a third of all rows
     // collapse onto partkey 1) joined to part by exploding the small
     // side over N salts and salting the big side deterministically —
@@ -178,6 +203,31 @@ object Maintenance {
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the Morton interleave as closed-form magic-mask spreading (same
+    // five steps the codegen emits), per dimension, on BIGINT bit ops
+    "zo_zorder_scan" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |         l_partkey % 65536 AS x0, l_suppkey % 65536 AS y0
+        |  FROM lineitem
+        |  WHERE l_partkey BETWEEN 1 AND 400
+        |    AND l_suppkey BETWEEN 1 AND 20),
+        |b AS (SELECT l_returnflag,
+        |        (x0 | (x0 << 8)) & 16711935 AS x1,
+        |        (y0 | (y0 << 8)) & 16711935 AS y1 FROM a),
+        |c AS (SELECT l_returnflag,
+        |        (x1 | (x1 << 4)) & 252645135 AS x2,
+        |        (y1 | (y1 << 4)) & 252645135 AS y2 FROM b),
+        |d AS (SELECT l_returnflag,
+        |        (x2 | (x2 << 2)) & 858993459 AS x3,
+        |        (y2 | (y2 << 2)) & 858993459 AS y3 FROM c),
+        |e AS (SELECT l_returnflag,
+        |        (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |        (y3 | (y3 << 1)) & 1431655765 AS y4 FROM d)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(x4 | (y4 << 1)) AS BIGINT) AS sum_zcode
+        |FROM e GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "sj_salted_join" ->
       """WITH li AS (

@@ -60,6 +60,23 @@ object Sources {
           "length")
         .orderBy("file_name")),
 
+    // CSV source/sink round-trip — the third classic lake file format
+    // next to the reference's parquet and JSON (its named-file-format
+    // idiom, 1_env_setup.sql:33-38, generalizes to any format config):
+    // header write, schema-inferred read-back, aggregate. Integer-keyed
+    // aggregates so the text round-trip is bit-exact.
+    "s8_csv_ingest" -> ((s, dir) => {
+      val path = scratch(dir, "customer_csv")
+      Tables(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true").option("inferSchema", "true")
+        .csv(path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_key"))
+        .orderBy("c_mktsegment")
+    }),
+
     // S7+S8+S9: CTAS (3B2:1-7), overwrite table write
     // (02_customer_sp.sql:37), table scan by name (02:22). Managed table
     // in the session warehouse; DROP removes its files so the query is
@@ -104,6 +121,12 @@ object Sources {
     "s7_ctas_table_scan" ->
       """SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-        |ORDER BY n.n_nationkey""".stripMargin
+        |ORDER BY n.n_nationkey""".stripMargin,
+
+    "s8_csv_ingest" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
   )
 }
