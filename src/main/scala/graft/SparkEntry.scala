@@ -28,6 +28,7 @@ object SparkEntry {
       operators.CorpusPipeline.queries ++
       operators.CorpusQuality.queries ++
       operators.Sessionize.queries ++
+      operators.SemanticDedup.queries ++
       sources.Sources.queries ++
       sources.Bucketing.queries
 
@@ -52,6 +53,7 @@ object SparkEntry {
       operators.CorpusPipeline.oracles ++
       operators.CorpusQuality.oracles ++
       operators.Sessionize.oracles ++
+      operators.SemanticDedup.oracles ++
       sources.Sources.oracles ++
       sources.Bucketing.oracles
 }

@@ -103,6 +103,37 @@ object Maintenance {
         .orderBy("l_returnflag")
     }),
 
+    // Small-file compaction — the OPTIMIZE/auto-compaction maintenance a
+    // lakehouse runs behind streaming ingest. The events feed lands as 64
+    // undersized files (a micro-batch sink's typical residue); compaction
+    // reads the ACTUAL on-disk bytes, bin-packs to a target file size,
+    // and rewrites with exactly ceil(bytes/target) files. Content is
+    // untouched — the read-back aggregate oracle proves it, and
+    // MaintenanceSpec asserts the file-count collapse. At 100 TB this
+    // runs per partition (the file listing is the partition's, not the
+    // table's) and the rewrite shuffles only undersized files.
+    "mt_compaction" -> ((s, dir) => {
+      val small = scratch(dir, "events_small")
+      val comp = scratch(dir, "events_compacted")
+      Tables.events(s, dir).repartition(64)
+        .write.mode("overwrite").parquet(small)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(small))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+      val target = 8L << 20 // 8 MiB target file size
+      val n = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+      s.read.parquet(small).repartition(n)
+        .write.mode("overwrite").parquet(comp)
+      s.read.parquet(comp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(38, 2))).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // Skew-salted join: a synthetically skewed key (a third of all rows
     // collapse onto partkey 1) joined to part by exploding the small
     // side over N salts and salting the big side deterministically —
@@ -228,6 +259,11 @@ object Maintenance {
         |SELECT l_returnflag, count(*) AS n,
         |  CAST(SUM(x4 | (y4 << 1)) AS BIGINT) AS sum_zcode
         |FROM e GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "mt_compaction" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "sj_salted_join" ->
       """WITH li AS (

@@ -105,6 +105,26 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // J6b: full outer join — both unmatched sides preserved. Disjoint
+    // side filters guarantee left-only rows (even customers whose agg row
+    // was filtered out) and right-only rows (odd custkeys with orders).
+    // At scale: one shuffle on the key; neither side can broadcast for
+    // FULL OUTER, so this IS the sort-merge plan you want.
+    "j6_full_outer" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = Tables(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_ord"),
+          sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+        .filter(col("o_custkey") % 3 === 0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_ord"), col("spend"))
+        .orderBy("custkey")
+    }),
+
     // W1+P4: row_number window dedup-to-master; reference
     // code/curate/04_sales_enrich_sp.sql:43-47.
     "w1_rownum_dedup" -> ((s, dir) => {
@@ -227,6 +247,18 @@ object Relational {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
+
+    "j6_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer
+        |           WHERE c_custkey % 2 = 0),
+        |o AS (SELECT o_custkey, count(*) AS n_ord,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+        |          AS spend
+        |      FROM orders GROUP BY o_custkey HAVING o_custkey % 3 = 0)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+        |       n_ord, spend
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
 
     "w1_rownum_dedup" ->
       """SELECT p_brand, p_partkey, p_name FROM (

@@ -160,6 +160,58 @@ object TextAnalysis {
             .as("winnow_min"))
         .orderBy("doc_id")),
 
+    // Unigram language-model scoring — the cheap perplexity proxy used
+    // to rank documents by "surprise" (low average token log-probability
+    // under the corpus's own unigram distribution flags gibberish /
+    // off-distribution text). The model IS the corpus aggregate: one
+    // hash-agg for per-doc tf, one for corpus counts; both ride broadcast
+    // joins. Per-doc log-probs fold in SORTED TERM ORDER (float addition
+    // is not associative — same discipline as ts_bm25); output is the
+    // bottom-10 ranks, which are ulp-robust where raw doubles are not.
+    "ta_unigram_lm" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("dl"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val cnt = tf.groupBy("term").agg(sum("tf").as("cnt"))
+      val total = cnt.agg(sum("cnt").as("total"))
+      val contrib = tf.join(broadcast(cnt), "term")
+        .crossJoin(broadcast(total))
+        .withColumn("c", col("tf").cast("double")
+          * log(col("cnt").cast("double") / col("total").cast("double")))
+      val scored = contrib.groupBy("doc_id")
+        .agg(expr(
+          """aggregate(array_sort(collect_list(struct(term, c))), 0.0d,
+            |  (acc, s) -> acc + s.c)""".stripMargin).as("lp"))
+        .join(lens, "doc_id")
+        .withColumn("avg_lp", col("lp") / col("dl").cast("double"))
+      val bottom = scored.orderBy(col("avg_lp").asc, col("doc_id"))
+        .limit(10)
+      bottom.withColumn("rank", row_number().over(
+          Window.orderBy(col("avg_lp").asc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"))
+        .orderBy("rank")
+    }),
+
+    // Reservoir-style per-stratum fixed-size sample, engine-reproducible:
+    // rank documents inside each language by md5(doc_id) — a uniform,
+    // seedable permutation every engine computes identically — and keep
+    // the first K. Unlike rand()-based reservoirs the selection is stable
+    // across runs, partitionings, and engines; at scale this is one
+    // window (or the TopKPerGroup heap rewrite) over a shuffle by lang.
+    "samp_reservoir" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(expr("md5(cast(doc_id as string))"))
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    }),
+
     // Deterministic stratified (per-language) systematic sampling — the
     // reproducible subsetting a corpus pipeline uses for eval slices
     // and ablations: a document is sampled iff the first hex digit of
@@ -218,6 +270,45 @@ object TextAnalysis {
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
          |  AS INTEGER) AS rank, doc_id
          |FROM top ORDER BY rank""".stripMargin,
+
+    // same fold order: list(c ORDER BY term) + list_reduce mirrors
+    // Spark's array_sort + aggregate left fold over unique terms
+    "ta_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+        |         FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt
+        |        FROM tf GROUP BY term),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnt),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf AS DOUBLE)
+        |      * ln(CAST(cnt.cnt AS DOUBLE) / CAST(total AS DOUBLE)) AS c
+        |  FROM tf JOIN cnt USING (term), tot),
+        |scored AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0.0, list(c ORDER BY term)),
+        |                (a, b) -> a + b) AS lp
+        |  FROM contrib GROUP BY doc_id),
+        |avgs AS (
+        |  SELECT s.doc_id, lp / CAST(dl AS DOUBLE) AS avg_lp
+        |  FROM scored s JOIN lens USING (doc_id)),
+        |bottom AS (
+        |  SELECT doc_id, avg_lp FROM avgs
+        |  ORDER BY avg_lp ASC, doc_id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY avg_lp ASC, doc_id)
+        |  AS INTEGER) AS rank, doc_id
+        |FROM bottom ORDER BY rank""".stripMargin,
+
+    "samp_reservoir" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin,
 
     "samp_stratified" ->
       """SELECT lang, count(*) AS n_docs,

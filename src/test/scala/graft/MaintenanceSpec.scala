@@ -60,6 +60,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(quar.filter(ok).count() === 0)
   }
 
+  test("compaction: file count collapses, content is untouched") {
+    val out = graft.operators.Maintenance
+      .queries("mt_compaction")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === direct, "compaction must not change row content")
+    val base = s"/tmp/graft_scratch/${sf.replaceAll("[^A-Za-z0-9.]", "_")}"
+    def nFiles(tag: String) =
+      new java.io.File(s"$base/$tag").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(nFiles("events_small") === 64)
+    val compacted = nFiles("events_compacted")
+    assert(compacted >= 1 && compacted < 8,
+      s"expected a handful of right-sized files, got $compacted")
+  }
+
   test("salted join equals unsalted join") {
     val salted = graft.operators.Maintenance
       .queries("sj_salted_join")(spark, sf).collect()

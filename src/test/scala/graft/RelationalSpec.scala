@@ -53,6 +53,20 @@ class RelationalSpec extends SparkSpec {
     assert(anti.join(pending, Seq("c_custkey"), "inner").count() === 0)
   }
 
+  test("j6_full_outer: both unmatched sides survive the join") {
+    import org.apache.spark.sql.functions.col
+    val out = Relational.queries("j6_full_outer")(spark, sf).cache()
+    // left-only: even customer with no surviving agg row (null n_ord)
+    assert(out.filter(col("n_ord").isNull).count() > 0)
+    // right-only: odd custkey with orders (null segment)
+    assert(out.filter(col("c_mktsegment").isNull).count() > 0)
+    // no key is lost: every even customer key appears
+    val evens = Tables(spark, sf, "customer")
+      .filter(col("c_custkey") % 2 === 0).count()
+    assert(out.filter(col("custkey") % 2 === 0).count() >= evens)
+    out.unpersist()
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")

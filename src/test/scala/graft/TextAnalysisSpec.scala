@@ -36,6 +36,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("unigram LM: dense ranks, and ranked docs exist in the corpus") {
+    val rows = TextAnalysis.queries("ta_unigram_lm")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to 10))
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.size === 10)
+    val n = Tables(spark, sf, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*)).count()
+    assert(n === 10)
+  }
+
+  test("reservoir sample: exactly K per stratum, stable across runs") {
+    val k = 5
+    val a = TextAnalysis.queries("samp_reservoir")(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+    val b = TextAnalysis.queries("samp_reservoir")(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+    assert(a.toSeq === b.toSeq, "selection must be run-stable")
+    val perLang = a.groupBy(_._1).view.mapValues(_.length)
+    val langSizes = Tables(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      assert(n === math.min(k.toLong, langSizes(lang)), s"lang $lang")
+    }
+  }
+
   test("bm25: dense ranks 1..10 and every hit contains a query term") {
     val rows = TextAnalysis.queries("ts_bm25")(spark, sf).collect()
     assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to 10))
