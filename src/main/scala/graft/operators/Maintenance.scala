@@ -103,6 +103,72 @@ object Maintenance {
         .orderBy("l_returnflag")
     }),
 
+    // CDC snapshot diff — change-data-capture between two table
+    // versions without a change log: FULL OUTER join on the key,
+    // classify Insert/Update/Delete by side-presence and value drift.
+    // The "next" snapshot is derived deterministically (every 97th key
+    // deleted, every 10th surviving key's price bumped, shifted-key
+    // inserts). At 100 TB this is one co-partitioned shuffle on the
+    // key — the standard reconciliation pass when upstream can't emit
+    // a change feed. Output: per-op row count + key checksum.
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), dec2(col("o_totalprice")).as("price"))
+      val next = base.filter(col("k") % 97 =!= 0)
+        .withColumn("price", when(col("k") % 10 === 0,
+          col("price") + lit(1).cast(DecimalType(18, 2)))
+          .otherwise(col("price")))
+        .unionAll(base.filter(col("k") % 10 === 0)
+          .select((col("k") + lit(10000000L)).as("k"), col("price")))
+      val b = base.toDF("bk", "bprice")
+      val n = next.toDF("nk", "nprice")
+      b.join(n, col("bk") === col("nk"), "full_outer")
+        .withColumn("op",
+          when(col("bk").isNull, "I")
+            .when(col("nk").isNull, "D")
+            .when(col("bprice") =!= col("nprice"), "U"))
+        .filter(col("op").isNotNull)
+        .groupBy("op")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("bk"), col("nk"))).as("key_sum"))
+        .orderBy("op")
+    }),
+
+    // ANALYZE-style column statistics — the stats pass a catalog runs
+    // for cost-based optimization and data-quality dashboards: per
+    // column null count, exact NDV, numeric min/max, in ONE aggregate
+    // scan (partial aggregation map-side; the exact distincts shuffle
+    // their own column only). String columns report NULL min/max —
+    // the stats table stays single-typed.
+    "mt_analyze_stats" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val agg = li.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_partkey")).as("nn_pk"),
+        countDistinct(col("l_partkey")).as("ndv_pk"),
+        min(col("l_partkey")).cast("double").as("mn_pk"),
+        max(col("l_partkey")).cast("double").as("mx_pk"),
+        count(col("l_quantity")).as("nn_qty"),
+        countDistinct(col("l_quantity")).as("ndv_qty"),
+        min(col("l_quantity")).as("mn_qty"),
+        max(col("l_quantity")).as("mx_qty"),
+        count(col("l_discount")).as("nn_disc"),
+        countDistinct(col("l_discount")).as("ndv_disc"),
+        min(col("l_discount")).as("mn_disc"),
+        max(col("l_discount")).as("mx_disc"),
+        count(col("l_returnflag")).as("nn_rf"),
+        countDistinct(col("l_returnflag")).as("ndv_rf"))
+      agg.select(expr(
+        """stack(4,
+          |  'l_partkey',    n_rows - nn_pk,   ndv_pk,   mn_pk,   mx_pk,
+          |  'l_quantity',   n_rows - nn_qty,  ndv_qty,  mn_qty,  mx_qty,
+          |  'l_discount',   n_rows - nn_disc, ndv_disc, mn_disc, mx_disc,
+          |  'l_returnflag', n_rows - nn_rf,   ndv_rf,
+          |    cast(null as double), cast(null as double))
+          |AS (col_name, n_nulls, ndv, min_d, max_d)""".stripMargin))
+        .orderBy("col_name")
+    }),
+
     // Small-file compaction — the OPTIMIZE/auto-compaction maintenance a
     // lakehouse runs behind streaming ingest. The events feed lands as 64
     // undersized files (a micro-batch sink's typical residue); compaction
@@ -259,6 +325,50 @@ object Maintenance {
         |SELECT l_returnflag, count(*) AS n,
         |  CAST(SUM(x4 | (y4 << 1)) AS BIGINT) AS sum_zcode
         |FROM e GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "cdc_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |next AS (
+        |  SELECT k, CASE WHEN k % 10 = 0
+        |                 THEN CAST(price + 1 AS DECIMAL(19,2))
+        |                 ELSE price END AS price
+        |  FROM base WHERE k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k + 10000000, price FROM base WHERE k % 10 = 0),
+        |diff AS (
+        |  SELECT CASE WHEN b.k IS NULL THEN 'I'
+        |              WHEN n.k IS NULL THEN 'D'
+        |              WHEN b.price <> n.price THEN 'U' END AS op,
+        |         coalesce(b.k, n.k) AS k
+        |  FROM base b FULL OUTER JOIN next n ON b.k = n.k)
+        |SELECT op, count(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+        |FROM diff WHERE op IS NOT NULL
+        |GROUP BY op ORDER BY op""".stripMargin,
+
+    "mt_analyze_stats" ->
+      """SELECT 'l_partkey' AS col_name,
+        |  count(*) - count(l_partkey) AS n_nulls,
+        |  count(DISTINCT l_partkey) AS ndv,
+        |  CAST(min(l_partkey) AS DOUBLE) AS min_d,
+        |  CAST(max(l_partkey) AS DOUBLE) AS max_d
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*) - count(l_quantity),
+        |  count(DISTINCT l_quantity), min(l_quantity), max(l_quantity)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(*) - count(l_discount),
+        |  count(DISTINCT l_discount), min(l_discount), max(l_discount)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*) - count(l_returnflag),
+        |  count(DISTINCT l_returnflag),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin,
 
     "mt_compaction" ->
       """SELECT event_type, count(*) AS n,

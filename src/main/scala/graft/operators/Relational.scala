@@ -125,6 +125,34 @@ object Relational {
         .orderBy("custkey")
     }),
 
+    // J7: five-way star join (TPC-H Q5 shape) — the multi-dimension
+    // enrichment pattern the reference's curation joins build up to.
+    // Catalyst broadcasts region/nation (tiny dims) and plans the
+    // fact-side chain as hash joins on the shuffled keys; money math in
+    // decimal end-to-end with DOUBLE only at the boundary (same
+    // discipline as j1).
+    "j7_star_join" -> ((s, dir) => {
+      val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = Tables(s, dir, "nation")
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      val sup = Tables(s, dir, "supplier")
+      val ep = col("l_extendedprice").cast(DecimalType(18, 2))
+      val disc = (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey")
+          && c("c_nationkey") === sup("s_nationkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(ep * disc).cast(DecimalType(38, 4)).cast("double")
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // W1+P4: row_number window dedup-to-master; reference
     // code/curate/04_sales_enrich_sp.sql:43-47.
     "w1_rownum_dedup" -> ((s, dir) => {
@@ -247,6 +275,22 @@ object Relational {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
+
+    "j7_star_join" ->
+      """SELECT n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * CAST(1.0 - l_discount AS DECIMAL(18,2)))
+        |            AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "j6_full_outer" ->
       """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer

@@ -95,6 +95,24 @@ object Streaming {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // Batch twin of the stream-static enrichment join: each micro-batch
+    // joins against a slowly-changing dimension read as a plain batch
+    // table (the live readStream execution is exercised in
+    // StreamingSpec). The dim side broadcasts — at scale the stream
+    // never shuffles, each task probes the broadcast hash map.
+    "t9_stream_static_twin" -> ((s, dir) => {
+      val path = exportJson(s, dir)
+      val dim = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      StreamingIngest.parse(s.read.text(path))
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(38,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Batch twin of StatefulTracker (flatMapGroupsWithState): the state
     // a per-user tracker holds after draining the whole feed —
     // cumulative count, cumulative value, high-water timestamp. The
@@ -151,6 +169,12 @@ object Streaming {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "t9_stream_static_twin" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "st_state_twin" ->
       """SELECT user_id, count(*) AS n_events,

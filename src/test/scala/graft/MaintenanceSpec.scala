@@ -60,6 +60,31 @@ class MaintenanceSpec extends SparkSpec {
     assert(quar.filter(ok).count() === 0)
   }
 
+  test("cdc diff: I/U/D counts match the synthetic change recipe") {
+    val out = graft.operators.Maintenance
+      .queries("cdc_snapshot_diff")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = Tables(spark, sf, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(out("D") === keys.count(_ % 97 == 0).toLong)
+    assert(out("I") === keys.count(_ % 10 == 0).toLong)
+    assert(out("U") === keys.count(k => k % 10 == 0 && k % 97 != 0).toLong)
+  }
+
+  test("analyze stats: ndv/min/max/nulls agree with direct queries") {
+    val rows = graft.operators.Maintenance
+      .queries("mt_analyze_stats")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val li = Tables(spark, sf, "lineitem")
+    assert(rows("l_returnflag").getAs[Long]("ndv") ===
+      li.select("l_returnflag").distinct().count())
+    assert(rows("l_partkey").getAs[Double]("min_d") ===
+      li.agg(min("l_partkey")).head.getLong(0).toDouble)
+    assert(rows("l_quantity").getAs[Long]("n_nulls") === 0L)
+    assert(rows("l_returnflag").isNullAt(
+      rows("l_returnflag").fieldIndex("min_d")))
+  }
+
   test("compaction: file count collapses, content is untouched") {
     val out = graft.operators.Maintenance
       .queries("mt_compaction")(spark, sf).collect()

@@ -53,6 +53,18 @@ class RelationalSpec extends SparkSpec {
     assert(anti.join(pending, Seq("c_custkey"), "inner").count() === 0)
   }
 
+  test("j7_star_join: tiny dims broadcast, all ASIA nations priced") {
+    import org.apache.spark.sql.functions.col
+    val df = Relational.queries("j7_star_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the local-supplier constraint thins matches at tiny sf; sf0.01+
+    // yields all 5 ASIA nations (driver-verified), sf0.001 fewer
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    rows.foreach(r => assert(r.getAs[Double]("revenue") > 0))
+  }
+
   test("j6_full_outer: both unmatched sides survive the join") {
     import org.apache.spark.sql.functions.col
     val out = Relational.queries("j6_full_outer")(spark, sf).cache()

@@ -250,6 +250,31 @@ class StreamingSpec extends SparkSpec {
     assert(last.head.getAs[Long]("n") === 3)
   }
 
+  test("stream-static join: live stream enriched by a batch dim matches twin") {
+    // the dim is a plain batch table; each micro-batch probes its
+    // broadcast — the enrichment path t9's oracle-checked twin mirrors
+    val feed = graft.operators.Streaming.exportJson(spark, sf)
+    val dim = Tables(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val q = StreamingIngest.parse(spark.readStream.text(feed))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,2)")).cast("double")
+          .as("sum_value"))
+      .writeStream.format("memory").queryName("ss_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("ss_out")
+      .orderBy("c_mktsegment").collect()
+    val batch = graft.operators.Streaming
+      .queries("t9_stream_static_twin")(spark, sf).collect()
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join matches its batch twin on the real feed") {
     // Two independent file streams over the sf0.001 event feed (clicks
     // and purchases), joined live with watermarks on both sides — the
