@@ -43,6 +43,19 @@ import graft.Tables
   *    dense ranking. Two-level hash aggregate (map-side partials) into
   *    a distributed TakeOrdered of k survivors — the word-count shape
   *    every tokenizer-training pass starts from.
+  *
+  *  - `dd_dup_spans` — exact substring-level dedup accounting (the
+  *    "deduplicating training data" span motif): for every document,
+  *    how many of its word positions are covered by an 8-gram that also
+  *    appears in ANOTHER document. Grams shuffle as 16-hex digests;
+  *    coverage is an interval-union computed by exploding only the
+  *    DUPLICATED gram starts (8× their count, not 8× the corpus).
+  *
+  *  - `bpe_pair_counts` — the first BPE merge decision: corpus-wide
+  *    adjacent character-pair frequencies, weighted by word frequency.
+  *    Pair stats aggregate over the DISTINCT-word dictionary (orders of
+  *    magnitude smaller than the corpus), exactly how a tokenizer
+  *    trainer shards the merge count at scale.
   */
 object CorpusQuality {
   type Q = (SparkSession, String) => DataFrame
@@ -131,6 +144,48 @@ object CorpusQuality {
         .orderBy("doc_id")
     }),
 
+    "dd_dup_spans" -> ((s, dir) => {
+      val grams = Tables(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= NGRAM)
+        .select(col("doc_id"), size(col("w")).as("n_words"),
+          posexplode(expr(
+            s"""transform(sequence(1, size(w) - ${NGRAM - 1}),
+               |  i -> substring(md5(cast(concat_ws(' ', slice(w, i, $NGRAM))
+               |                          as binary)), 1, 16))""".stripMargin))
+            .as(Seq("start0", "gh")))
+      // a gram is duplicated iff ≥2 DISTINCT documents contain it
+      val dup = grams.groupBy("gh")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("gh")
+      val covered = grams.join(dup, "gh")
+        .select(col("doc_id"), col("n_words"),
+          explode(expr(s"sequence(start0, start0 + ${NGRAM - 1})"))
+            .as("pos"))
+        .groupBy("doc_id", "n_words")
+        .agg(countDistinct(col("pos")).as("n_dup_tokens"))
+      covered
+        .withColumn("dup_pct",
+          expr("cast(100 * n_dup_tokens div n_words as int)"))
+        .select("doc_id", "n_words", "n_dup_tokens", "dup_pct")
+        .orderBy("doc_id")
+    }),
+
+    "bpe_pair_counts" -> ((s, dir) => {
+      val wordFreq = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("wf"))
+      wordFreq
+        .select(col("wf"), explode(expr(
+          """transform(sequence(1, length(word) - 1),
+            |  i -> substring(word, i, 2))""".stripMargin)).as("pair"))
+        .groupBy("pair")
+        .agg(sum("wf").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    }),
+
     "vocab_topk" -> ((s, dir) => {
       val counts = Tables(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("term"))
@@ -202,6 +257,36 @@ object CorpusQuality {
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
          |  FROM documents) x
          |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    "dd_dup_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents
+         |           WHERE len(string_split(text, ' ')) >= $NGRAM),
+         |g AS (SELECT doc_id, len(w) AS n_words, i,
+         |        substr(md5(array_to_string(w[i:i+${NGRAM - 1}], ' ')), 1, 16)
+         |          AS gh
+         |      FROM w, UNNEST(range(1, len(w) - ${NGRAM - 2})) t(i)),
+         |dup AS (SELECT gh FROM g GROUP BY gh
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, n_words, i - 1 + j AS pos
+         |        FROM g JOIN dup USING (gh),
+         |             UNNEST(range(0, $NGRAM)) u(j))
+         |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+         |  count(*) AS n_dup_tokens,
+         |  CAST(100 * count(*) // n_words AS INTEGER) AS dup_pct
+         |FROM cov GROUP BY doc_id, n_words ORDER BY doc_id""".stripMargin,
+
+    "bpe_pair_counts" ->
+      """WITH wf AS (
+        |  SELECT word, count(*) AS wf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word
+        |    FROM documents) x
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |p AS (SELECT substr(word, i, 2) AS pair, wf
+        |      FROM wf, UNNEST(range(1, length(word))) t(i))
+        |SELECT pair, CAST(SUM(wf) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     "vocab_topk" ->
       s"""WITH counts AS (

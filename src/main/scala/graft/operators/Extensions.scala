@@ -316,7 +316,81 @@ object Extensions {
           concat_ws(",", map_keys(col("m"))).as("keys"),
           element_at(col("m"), "k").as("k_from_map"),
           to_json(struct(col("event_id"), col("k_int"))).as("rendered"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // Positional explode (LATERAL VIEW posexplode): tokenize part names
+    // keeping each token's position — the flatten-with-ordinality shape
+    // every tokenizing pipeline needs (the oracle reproduces it with
+    // generate_series subscripts).
+    "x_explode_pos" -> ((s, dir) =>
+      Tables(s, dir, "part")
+        .select(col("p_partkey"),
+          posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .orderBy("p_partkey", "pos")),
+
+    // Conditional aggregation + deterministic argmax: count_if /
+    // filtered sums via when(), and max_by keyed on an integral
+    // composite (balance-cents ⊕ custkey) so ties cannot exist — the
+    // warehouse FILTER-clause idiom without engine-specific tie-breaks.
+    "x_cond_agg" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(when(col("c_acctbal") < 0, 1)).as("n_negative"),
+          sum(when(col("c_nationkey") % 2 === 0,
+            col("c_custkey")).otherwise(0)).as("sum_even_nation"),
+          max_by(col("c_custkey"),
+            round(col("c_acctbal") * 100) * 10000000 + col("c_custkey"))
+            .as("richest_cust"),
+          min_by(col("c_custkey"),
+            round(col("c_acctbal") * 100) * 10000000 + col("c_custkey"))
+            .as("poorest_cust"))
+        .orderBy("c_mktsegment")),
+
+    // Date-spine gap fill: generate the complete day range with
+    // sequence()+explode and left-join daily order counts, emitting 0
+    // for silent days — the time-series densification every dashboard
+    // and forecasting feed needs. The spine is built from the data's
+    // own min/max (one tiny agg, broadcast back), not a driver loop.
+    "x_date_spine" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val bounds = Tables(s, dir, "orders")
+        .agg(to_date(min("o_orderdate")).as("lo"),
+          to_date(max("o_orderdate")).as("hi"))
+      val spine = bounds
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("day")
+    }),
+
+    // Descriptive statistics with ENGINE-EXACT reproducibility: stddev
+    // and correlation derived from integer-exact power sums (quantity is
+    // integral; discount-cents fit a BIGINT), so the only float ops are
+    // the final closed-form expressions — identical IEEE evaluations in
+    // Spark and the oracle, no order-dependent float accumulation.
+    "x_stats_agg" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("q"),
+          round(col("l_discount") * 100).cast("long").as("d"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("q").as("sq"), sum(expr("q*q")).as("sqq"),
+          sum("d").as("sd"), sum(expr("d*d")).as("sdd"),
+          sum(expr("q*d")).as("sqd"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sq").cast("double") / col("n")).as("mean_qty"),
+          sqrt((col("sqq") - col("sq") * col("sq") / col("n").cast("double"))
+            / (col("n") - 1).cast("double")).as("std_qty"),
+          ((col("n") * col("sqd") - col("sq") * col("sd")).cast("double") /
+            (sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double")) *
+              sqrt((col("n") * col("sdd") - col("sd") * col("sd")).cast("double"))))
+            .as("corr_qty_disc"))
+        .orderBy("l_returnflag"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -520,6 +594,62 @@ object Extensions {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_from_map,
         |  '{"event_id":' || event_id || ',"k_int":'
         |      || json_extract_string(props, '$.k') || '}' AS rendered
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "x_explode_pos" ->
+      """SELECT p_partkey, CAST(j - 1 AS INTEGER) AS pos, words[j] AS word
+        |FROM (SELECT p_partkey, string_split(p_name, ' ') AS words
+        |      FROM part),
+        |     UNNEST(generate_series(1, len(words))) AS t(j)
+        |ORDER BY p_partkey, pos""".stripMargin,
+
+    "x_cond_agg" ->
+      """SELECT c_mktsegment,
+        |  count(*) FILTER (c_acctbal < 0) AS n_negative,
+        |  CAST(SUM(CASE WHEN c_nationkey % 2 = 0 THEN c_custkey
+        |                ELSE 0 END) AS BIGINT) AS sum_even_nation,
+        |  arg_max(c_custkey,
+        |          round(c_acctbal * 100) * 10000000 + c_custkey)
+        |    AS richest_cust,
+        |  arg_min(c_custkey,
+        |          round(c_acctbal * 100) * 10000000 + c_custkey)
+        |    AS poorest_cust
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "x_date_spine" ->
+      """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+        |                  CAST(max(o_orderdate) AS DATE) AS hi
+        |           FROM orders),
+        |spine AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
+        |            AS day FROM b),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |                 count(*) AS n_orders
+        |          FROM orders GROUP BY 1)
+        |SELECT CAST(spine.day AS DATE) AS day,
+        |  coalesce(daily.n_orders, 0) AS n_orders
+        |FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.day
+        |ORDER BY day""".stripMargin,
+
+    "x_stats_agg" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    SUM(CAST(l_quantity AS BIGINT)) AS sq,
+        |    SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS sqq,
+        |    SUM(CAST(round(l_discount * 100) AS BIGINT)) AS sd,
+        |    SUM(CAST(round(l_discount * 100) AS BIGINT)
+        |        * CAST(round(l_discount * 100) AS BIGINT)) AS sdd,
+        |    SUM(CAST(l_quantity AS BIGINT)
+        |        * CAST(round(l_discount * 100) AS BIGINT)) AS sqd
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(sq AS DOUBLE) / n AS mean_qty,
+        |  sqrt((sqq - sq * sq / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+        |    AS std_qty,
+        |  CAST(n * sqd - sq * sd AS DOUBLE) /
+        |    (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
+        |     sqrt(CAST(n * sdd - sd * sd AS DOUBLE))) AS corr_qty_disc
+        |FROM s ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -226,7 +226,31 @@ object TextAnalysis {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           count(when(col("bucket") < 2, 1)).as("n_sampled"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // PII detection sweep — the scan-and-extract pass a corpus runs
+    // before release: regexp_extract_all pulls EVERY occurrence (not
+    // just the first match) of phone-shaped and id-shaped patterns out
+    // of free text, with per-row counts and a redacted rendering. The
+    // note text is synthesized deterministically from customer keys so
+    // the corpus is PII-bearing at every scale factor. Pure codegen'd
+    // string expressions — embarrassingly parallel, zero shuffles.
+    "ta_pii_scan" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .withColumn("note", concat(
+          lit("contact "), col("c_name"),
+          lit(" at 555-"), lpad(col("c_custkey") % 10000, 4, "0"),
+          lit(" or 555-"), lpad((col("c_custkey") * 7) % 10000, 4, "0"),
+          lit(" account A"), col("c_custkey")))
+        .select(
+          col("c_custkey"),
+          array_join(expr("regexp_extract_all(note, '555-[0-9]{4}', 0)"), ",")
+            .as("phones"),
+          expr("size(regexp_extract_all(note, '555-[0-9]{4}', 0))")
+            .cast("int").as("n_phones"),
+          expr("regexp_extract(note, 'A[0-9]+', 0)").as("account_id"),
+          regexp_replace(col("note"), "[0-9]", "X").as("redacted"))
+        .orderBy("c_custkey"))
   )
 
   private val markerValues = markers
@@ -377,6 +401,24 @@ object TextAnalysis {
         |    list_min(list_transform(range(1, len(w) - 3),
         |      i -> md5(array_to_string(w[i:i+4], ' '))))
         |  ELSE md5(norm) END AS winnow_min
-        |FROM w ORDER BY doc_id""".stripMargin
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "ta_pii_scan" ->
+      """WITH n AS (
+        |  SELECT c_custkey,
+        |    'contact ' || c_name || ' at 555-' ||
+        |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |    ' or 555-' ||
+        |    lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') ||
+        |    ' account A' || c_custkey AS note
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  array_to_string(regexp_extract_all(note, '555-[0-9]{4}'), ',')
+        |    AS phones,
+        |  CAST(len(regexp_extract_all(note, '555-[0-9]{4}')) AS INTEGER)
+        |    AS n_phones,
+        |  regexp_extract(note, 'A[0-9]+') AS account_id,
+        |  regexp_replace(note, '[0-9]', 'X', 'g') AS redacted
+        |FROM n ORDER BY c_custkey""".stripMargin
   )
 }

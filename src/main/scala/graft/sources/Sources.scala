@@ -77,6 +77,43 @@ object Sources {
         .orderBy("c_mktsegment")
     }),
 
+    // ORC source/sink round-trip — the columnar lake format Spark ships
+    // alongside parquet (same named-file-format idiom as s8_csv_ingest,
+    // 1_env_setup.sql:33-38). ORC carries the schema, so the read-back
+    // needs no inference; stripe-level min/max statistics give ORC the
+    // same scan-pruning story parquet has at 100 TB. Aggregates are
+    // count/integer-sum/min/max — order-independent, so the round-trip
+    // compares bit-exact regardless of task scheduling.
+    "s9_orc_ingest" -> ((s, dir) => {
+      val path = scratch(dir, "orders_orc")
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey")).as("sum_cust"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Raw text-lines source — one document per line, the shape of
+    // CommonCrawl-style WET dumps a corpus pipeline starts from. Write
+    // the documents' bodies as plain text, re-ingest with the line
+    // source, and compute order-independent corpus stats (line count,
+    // char and word totals); the oracle computes the same stats from
+    // the structured table, proving the round trip is lossless.
+    "s10_text_ingest" -> ((s, dir) => {
+      val path = scratch(dir, "docs_text")
+      Tables(s, dir, "documents").select("text")
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).as("sum_chars"),
+          sum(size(split(col("value"), " "))).as("sum_words"))
+    }),
+
     // S7+S8+S9: CTAS (3B2:1-7), overwrite table write
     // (02_customer_sp.sql:37), table scan by name (02:22). Managed table
     // in the session warehouse; DROP removes its files so the query is
@@ -127,6 +164,20 @@ object Sources {
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "s9_orc_ingest" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "s10_text_ingest" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS sum_words
+        |FROM documents""".stripMargin
   )
 }
