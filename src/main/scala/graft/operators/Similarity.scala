@@ -26,6 +26,7 @@ object Similarity {
   private val TOPK = 5
   private val NQ = 10     // query vectors: vec_id < NQ
   private val RERANK = 50 // SQ8 candidates reranked with full floats
+  private val FEAT_D = 16 // hashing-trick feature dimensions
 
   /** embeddings with L2 norm, via vec_dot(v, v). */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
@@ -172,6 +173,31 @@ object Similarity {
         .filter(col("rn") <= TOPK)
         .select("qid", "nid")
         .orderBy("qid", "rn")
+    }),
+
+    // Hashing-trick text featurizer — the deterministic text→vector
+    // step that bridges the documents table into the embedding/ANN
+    // family: each token lands in one of 16 buckets by its md5 prefix
+    // (engine-portable, no trained model), per-doc bucket counts form
+    // the feature vector. One map-side tokenize + one hash-agg; integer
+    // outputs (vector rendered as CSV, exact squared norm) so the
+    // oracle is bit-exact. At 100 TB this is the embarrassingly
+    // parallel featurize pass ANN indexing starts from.
+    "emb_hash_features" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .withColumn("bucket",
+          expr("instr('0123456789abcdef', substr(md5(term), 1, 1)) - 1"))
+      val cnts = (0 until FEAT_D).map(i =>
+        count(when(col("bucket") === i, 1)).as(s"c$i"))
+      tok.groupBy("doc_id")
+        .agg(cnts.head, cnts.tail: _*)
+        .select(col("doc_id"),
+          concat_ws(",", (0 until FEAT_D).map(i => col(s"c$i")): _*)
+            .as("fvec"),
+          (0 until FEAT_D).map(i => col(s"c$i") * col(s"c$i"))
+            .reduce(_ + _).as("sq_norm"))
+        .orderBy("doc_id")
     })
   )
 
@@ -261,6 +287,26 @@ object Similarity {
          |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
          |    ORDER BY list_cosine_similarity(qe, ne) DESC, nid) AS rn
          |  FROM cand) t
-         |WHERE rn <= $TOPK ORDER BY qid, rn""".stripMargin
+         |WHERE rn <= $TOPK ORDER BY qid, rn""".stripMargin,
+
+    "emb_hash_features" -> {
+      val cs = (0 until FEAT_D).map(i =>
+        s"count(*) FILTER (bucket = $i) AS c$i").mkString(",\n|    ")
+      val vec = (0 until FEAT_D).map(i => s"c$i").mkString("[", ", ", "]")
+      val sq = (0 until FEAT_D).map(i => s"c$i * c$i").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |           FROM documents),
+         |b AS (SELECT doc_id,
+         |        strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1
+         |          AS bucket
+         |      FROM t),
+         |a AS (
+         |  SELECT doc_id,
+         |    $cs
+         |  FROM b GROUP BY doc_id)
+         |SELECT doc_id, array_to_string($vec, ',') AS fvec,
+         |  CAST($sq AS BIGINT) AS sq_norm
+         |FROM a ORDER BY doc_id""".stripMargin
+    }
   )
 }
