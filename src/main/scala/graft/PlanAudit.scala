@@ -28,7 +28,13 @@ object PlanAudit {
     "sim_ivf_topk", "ml_recommend", "pipe_clean_corpus", "xk_topk_custom",
     "dd_fuzzy_passjoin", "sim_sq_topk", "ts_bm25", "doc_chunk",
     "pack_sequences", "dd_incremental", "sz_session_window",
-    "t7_hopping_twin")
+    "t7_hopping_twin",
+    // round-4 additions
+    "dc_decontaminate", "dd_boilerplate", "dd_dup_spans", "dd_semantic",
+    "mix_domains", "vocab_topk", "bpe_pair_counts", "emb_hash_features",
+    "j7_star_join", "cdc_snapshot_diff", "zo_zorder_scan", "mt_compaction",
+    "t8_stream_join_twin", "x_date_spine", "x_stats_agg", "xt_typed_agg",
+    "ta_pii_scan", "s9_orc_ingest")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,
@@ -71,7 +77,7 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val out = if (args.nonEmpty) args(0) else "PLANS_r3.md"
+    val out = if (args.nonEmpty) args(0) else "PLANS_r4.md"
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -102,7 +108,7 @@ object PlanAudit {
       "broadcast joins", "shuffle joins", "nested-loop/cartesian",
       "pushed-filter scans")
     val md = new StringBuilder
-    md ++= "# PLANS_r3 — physical-plan audit\n\n"
+    md ++= "# PLANS_r4 — physical-plan audit\n\n"
     md ++= s"Final adaptive plans at `$dir` " +
       "(`sbt \"runMain graft.PlanAudit\"`), counted by tree traversal — " +
       "each cached pipeline visited once, adaptive stages unwrapped.\n" +
@@ -110,9 +116,10 @@ object PlanAudit {
       "over total parquet scans. Nested-loop joins appear only against " +
       "broadcast model-parameter-scale tables: sim_ivf_topk's 16-row " +
       "centroid table, ml_recommend's single-row corpus-stats scalar, " +
-      "sim_sq_topk's one-row quantizer stats and 10-row query set, and " +
-      "ts_bm25's one-row corpus stats (each asserted broadcast-bounded " +
-      "in PlanInvariantSpec).\n\n"
+      "sim_sq_topk's one-row quantizer stats and 10-row query set, " +
+      "ts_bm25's one-row corpus stats, and dd_semantic's 64-row " +
+      "centroid table (each asserted broadcast-bounded in " +
+      "PlanInvariantSpec).\n\n"
     md ++= header.mkString("| ", " | ", " |\n")
     md ++= header.map(_ => "---").mkString("| ", " | ", " |\n")
     rows.foreach(r => md ++= r.mkString("| ", " | ", " |\n"))

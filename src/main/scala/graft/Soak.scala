@@ -151,6 +151,30 @@ object Soak {
       spark.catalog.clearCache()
       println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
     }
+    // span dedup (dd_dup_spans): the scale question is gram-volume
+    // accounting — the rotated-copy corpus makes nearly EVERY 8-gram a
+    // cross-doc duplicate (rotations share all circular grams), so the
+    // coverage explode runs at its worst case: 8 × dup-gram occurrences.
+    val g = operators.CorpusQuality.spanGrams(spark, dir).cache()
+    val totalGramOcc = g.count()
+    val dupDistinct = g.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).count()
+    g.unpersist()
+    spark.catalog.clearCache()
+    val (spanRows, tSpan) =
+      time(SparkEntry.queries("dd_dup_spans")(spark, dir).count())
+    spark.catalog.clearCache()
+    println(f"""{"corpus":"$tag","query":"dd_dup_spans","rows":$spanRows,"time_s":$tSpan%.2f,"gram_occurrences":$totalGramOcc,"dup_distinct_grams":$dupDistinct}""")
+    // rest of the corpus-quality family + featurizer: linear-path
+    // timings (each is tokenize/hash-agg/broadcast-join shaped; the
+    // soak checks times scale with rows, not quadratically)
+    for (q <- Seq("dc_decontaminate", "dd_boilerplate", "dd_semantic",
+      "bpe_pair_counts", "vocab_topk", "emb_hash_features")) {
+      val (rows, t) = time(SparkEntry.queries(q)(spark, dir).count())
+      spark.catalog.clearCache()
+      println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
+    }
   }
 
   /** pre-verification pair count of the length-bucket variant (same

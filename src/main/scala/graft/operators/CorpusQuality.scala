@@ -73,6 +73,20 @@ object CorpusQuality {
     * pipeline would broadcast. */
   private val MIX_BASE = 10
 
+  /** Positional 8-gram digests per doc (doc_id, n_words, start0, gh) —
+    * the span-dedup working set; exposed so the scale soak can account
+    * gram/duplicate volumes against corpus size. */
+  private[graft] def spanGrams(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= NGRAM)
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        posexplode(expr(
+          s"""transform(sequence(1, size(w) - ${NGRAM - 1}),
+             |  i -> substring(md5(cast(concat_ws(' ', slice(w, i, $NGRAM))
+             |                          as binary)), 1, 16))""".stripMargin))
+          .as(Seq("start0", "gh")))
+
   val queries: Map[String, Q] = Map(
     "dc_decontaminate" -> ((s, dir) => {
       val grams = Tables(s, dir, "documents")
@@ -145,15 +159,7 @@ object CorpusQuality {
     }),
 
     "dd_dup_spans" -> ((s, dir) => {
-      val grams = Tables(s, dir, "documents")
-        .withColumn("w", split(col("text"), " "))
-        .filter(size(col("w")) >= NGRAM)
-        .select(col("doc_id"), size(col("w")).as("n_words"),
-          posexplode(expr(
-            s"""transform(sequence(1, size(w) - ${NGRAM - 1}),
-               |  i -> substring(md5(cast(concat_ws(' ', slice(w, i, $NGRAM))
-               |                          as binary)), 1, 16))""".stripMargin))
-            .as(Seq("start0", "gh")))
+      val grams = spanGrams(s, dir)
       // a gram is duplicated iff ≥2 DISTINCT documents contain it
       val dup = grams.groupBy("gh")
         .agg(countDistinct(col("doc_id")).as("nd"))

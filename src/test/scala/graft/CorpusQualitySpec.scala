@@ -97,4 +97,49 @@ class CorpusQualitySpec extends SparkSpec {
       .agg(sum("n")).head().getLong(0)
     assert(cnts.sum <= tokens)
   }
+
+  test("dup spans: coverage matches a local interval-union recompute") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    // local reference: positional 8-grams, duplicated iff in >= 2 docs,
+    // coverage = union of [p, p+7] windows over duplicated starts
+    val grams = docs.toSeq.flatMap { case (id, w) =>
+      if (w.length < 8) Seq.empty
+      else w.sliding(8).zipWithIndex.map { case (g, p) =>
+        (id, p, g.mkString(" "))
+      }.toSeq
+    }
+    val dupSet = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+      .keySet
+    val expect = grams.filter(g => dupSet.contains(g._3))
+      .groupBy(_._1)
+      .map { case (id, gs) =>
+        id -> gs.flatMap(g => g._2 to g._2 + 7).distinct.size
+      }
+    val got = CorpusQuality.queries("dd_dup_spans")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_tokens"))
+      .toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (id, n) => assert(got(id) === n.toLong, s"doc $id") }
+    // coverage never exceeds the doc's word count
+    CorpusQuality.queries("dd_dup_spans")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_dup_tokens") <= r.getAs[Int]("n_words").toLong)
+    }
+  }
+
+  test("bpe pair counts: equals a local brute-force recompute") {
+    val words = Tables(spark, sf, "documents")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" "))
+      .filter(_.length >= 2)
+    val expect = words
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val got = CorpusQuality.queries("bpe_pair_counts")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("cnt"))
+    // query returns the global top-20 in (cnt desc, pair) order
+    val expectTop = expect.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    assert(got.toSeq === expectTop)
+  }
 }

@@ -90,6 +90,24 @@ class PlanInvariantSpec extends SparkSpec {
     assert(exchanges <= 1, plan)
   }
 
+  test("dd_semantic: nested-loop only against the broadcast centroids") {
+    // the C=64 centroid table is crossed deliberately (assignment is a
+    // map-side broadcast pass, same shape as IVF); the within-cluster
+    // pair join must stay a cid equi-join
+    val plan = executedPlan(
+      graft.operators.SemanticDedup.queries("dd_semantic"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("BuildRight")), plan)
+  }
+
+  test("dd_dup_spans: dup-gram rejoin and coverage stay equi-joins") {
+    val plan = executedPlan(CorpusQuality.queries("dd_dup_spans"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("sim_ivf_topk: nested-loop only against the broadcast centroids") {
     // the C=16 centroid table is crossed deliberately (IVF assignment is
     // a map-side broadcast pass); candidate generation and rerank must

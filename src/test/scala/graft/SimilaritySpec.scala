@@ -53,4 +53,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall $recall too low")
     assert(sq.groupBy(_._1).forall(_._2.size == 5))
   }
+
+  test("hash featurizer: counts reconcile and norm is exact") {
+    val rows = Similarity.queries("emb_hash_features")(spark, sf).collect()
+    val tokenCounts = Tables(spark, sf, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.length === tokenCounts.size)
+    rows.foreach { r =>
+      val vec = r.getAs[String]("fvec").split(",").map(_.toLong)
+      assert(vec.length === 16)
+      // bucket counts partition the doc's tokens
+      assert(vec.sum === tokenCounts(r.getAs[Long]("doc_id")).toLong)
+      // squared norm matches the rendered vector exactly
+      assert(vec.map(c => c * c).sum === r.getAs[Long]("sq_norm"))
+    }
+  }
 }
