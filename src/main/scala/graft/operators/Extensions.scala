@@ -367,6 +367,21 @@ object Extensions {
         .orderBy("day")
     }),
 
+    // Relative-rank window functions: percent_rank ((rank-1)/(n-1)) and
+    // cume_dist (cum/n) — both a single double division of exact
+    // integers, so the floats compare bit-for-bit across engines. The
+    // ORDER BY includes the unique orderkey so ties cannot make rank
+    // assignment engine-dependent.
+    "x_pct_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
     // Descriptive statistics with ENGINE-EXACT reproducibility: stddev
     // and correlation derived from integer-exact power sums (quantity is
     // integral; discount-cents fit a BIGINT), so the only float ops are
@@ -630,6 +645,15 @@ object Extensions {
         |  coalesce(daily.n_orders, 0) AS n_orders
         |FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.day
         |ORDER BY day""".stripMargin,
+
+    "x_pct_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "x_stats_agg" ->
       """WITH s AS (

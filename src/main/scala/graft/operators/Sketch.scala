@@ -1,9 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{CardSketch, FreqSketch}
+import graft.functions.{CardSketch, FreqSketch, QuantileSketch}
 
 /** Sketch-based approximate aggregation (SURVEY.md §2.12 notes the
   * reference has no approx-distinct): the custom [[CardSketch]]
@@ -42,6 +43,36 @@ object Sketch {
         .agg(
           expr("card_sketch(cast(o_custkey as string))").as("registers"),
           count(lit(1)).as("n_rows"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Log-histogram quantile sketch (QuantileSketch aggregate) over
+    // order totals in cents, with within-2x p50/p90 LOWER BOUNDS derived
+    // from the 64-bucket table in pure integer arithmetic — the
+    // fixed-state alternative to exact `percentile`'s per-group sort.
+    // The rank rule is ceil(q*n) via integer division, so sketch,
+    // bounds, and oracle are all bit-exact.
+    "qs_quantile_sketch" -> ((s, dir) => {
+      QuantileSketch.register(s)
+      val sk = Tables(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("o_orderstatus")
+        .agg(expr("quantile_sketch(cents)").as("sketch"),
+          count(lit(1)).as("n"))
+      val cum = sk
+        .select(col("o_orderstatus"), col("n"), col("sketch"),
+          posexplode(split(col("sketch"), ",")).as(Seq("b", "c")))
+        .withColumn("cum", sum(col("c").cast("long")).over(
+          Window.partitionBy("o_orderstatus").orderBy("b")))
+      cum.groupBy("o_orderstatus", "n", "sketch")
+        .agg(
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("b"))).as("b50"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("b")))
+            .as("b90"))
+        .select(col("o_orderstatus"), col("n"), col("sketch"),
+          expr("shiftleft(cast(1 as bigint), b50)").as("p50_lo"),
+          expr("shiftleft(cast(1 as bigint), b90)").as("p90_lo"))
         .orderBy("o_orderstatus")
     })
   )
@@ -95,6 +126,40 @@ object Sketch {
 
   val oracles: Map[String, String] = Map(
     "cs_card_sketch" -> oracleSql,
+    "qs_quantile_sketch" ->
+      """WITH c0 AS (
+        |  SELECT o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |bk AS (
+        |  SELECT o_orderstatus,
+        |    least(length(format('{:b}', cents)) - 1, 63) AS b
+        |  FROM c0),
+        |cnts AS (SELECT o_orderstatus, b, count(*) AS c
+        |         FROM bk GROUP BY 1, 2),
+        |statuses AS (SELECT o_orderstatus, count(*) AS n
+        |             FROM orders GROUP BY 1),
+        |grid AS (SELECT s.o_orderstatus, s.n, g.range AS b
+        |         FROM statuses s, range(0, 64) g),
+        |filled AS (
+        |  SELECT grid.o_orderstatus, grid.n, grid.b,
+        |    coalesce(cnts.c, 0) AS c
+        |  FROM grid LEFT JOIN cnts
+        |    ON grid.o_orderstatus = cnts.o_orderstatus AND grid.b = cnts.b),
+        |cum AS (
+        |  SELECT *, SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY b)
+        |    AS cum
+        |  FROM filled),
+        |agg AS (
+        |  SELECT o_orderstatus, any_value(n) AS n,
+        |    string_agg(c, ',' ORDER BY b) AS sketch,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN b END) AS b50,
+        |    min(CASE WHEN cum >= (9 * n + 9) // 10 THEN b END) AS b90
+        |  FROM cum GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n, sketch,
+        |  CAST(1 << b50 AS BIGINT) AS p50_lo,
+        |  CAST(1 << b90 AS BIGINT) AS p90_lo
+        |FROM agg ORDER BY o_orderstatus""".stripMargin,
     "fs_heavy_hitters" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS word

@@ -72,4 +72,34 @@ class SketchSpec extends SparkSpec {
     rows.foreach(r =>
       assert(r.getAs[Long]("cnt") === exact(r.getAs[String]("word"))))
   }
+
+  test("quantile_sketch: histogram reconciles; bounds bracket the truth") {
+    val rows = Sketch.queries("qs_quantile_sketch")(spark, sf).collect()
+    val cents = Tables(spark, sf, "orders")
+      .selectExpr("o_orderstatus",
+        "cast(round(o_totalprice * 100) as long) AS c").collect()
+      .groupBy(_.getString(0)).map { case (st, rs) =>
+        st -> rs.map(_.getLong(1)).sorted
+      }
+    assert(rows.map(_.getString(0)).toSet === cents.keySet)
+    rows.foreach { r =>
+      val vals = cents(r.getString(0))
+      val counts = r.getAs[String]("sketch").split(",").map(_.toLong)
+      assert(counts.length === 64)
+      assert(counts.sum === vals.length.toLong)
+      assert(r.getAs[Long]("n") === vals.length.toLong)
+      // bucket counts equal a local bit-length histogram
+      val local = vals.groupBy(v => 64 - java.lang.Long.numberOfLeadingZeros(v) - 1)
+        .map { case (b, xs) => b -> xs.length.toLong }
+      counts.zipWithIndex.foreach { case (c, b) =>
+        assert(c === local.getOrElse(b, 0L), s"bucket $b")
+      }
+      // within-2x guarantee: p_lo <= exact percentile < 2 * p_lo
+      for ((q, lo) <- Seq(
+        (vals((vals.length + 1) / 2 - 1), r.getAs[Long]("p50_lo")),
+        (vals((9 * vals.length + 9) / 10 - 1), r.getAs[Long]("p90_lo")))) {
+        assert(lo <= q && q < 2 * lo, s"bound $lo vs exact $q")
+      }
+    }
+  }
 }
