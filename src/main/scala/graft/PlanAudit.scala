@@ -34,7 +34,8 @@ object PlanAudit {
     "mix_domains", "vocab_topk", "bpe_pair_counts", "emb_hash_features",
     "j7_star_join", "cdc_snapshot_diff", "zo_zorder_scan", "mt_compaction",
     "t8_stream_join_twin", "x_date_spine", "x_stats_agg", "xt_typed_agg",
-    "ta_pii_scan", "s9_orc_ingest")
+    "ta_pii_scan", "s9_orc_ingest", "pipe_training_recipe",
+    "qs_quantile_sketch")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

@@ -17,8 +17,8 @@ object CorpusPrep {
   /** chunk window / stride in tokens: 64-token windows every 48 tokens
     * (16-token overlap), the sliding-window shape context-limited
     * encoders use so no sentence is seen only at a window edge. */
-  private val W = 64
-  private val S = 48
+  private[graft] val W = 64
+  private[graft] val S = 48
 
   /** packing: greedy fill toward a fixed token budget per training
     * sequence, done independently inside 32 hash groups — the
@@ -26,8 +26,8 @@ object CorpusPrep {
     * total order over all documents (one partition at 100 TB); hash
     * groups keep every stage data-parallel and cost at most one
     * under-filled bin per group, bounded regardless of corpus size. */
-  private val BUDGET = 512
-  private val GROUPS = 32
+  private[graft] val BUDGET = 512
+  private[graft] val GROUPS = 32
 
   val queries: Map[String, Q] = Map(
     // Overlapping token-window chunks. nchunks = 1 + ceil((n-W)/S) so

@@ -62,8 +62,8 @@ object CorpusQuality {
 
   /** Benchmark membership rule: doc_id ≡ 0 (mod 11) is the held-out
     * eval set (deterministic, data-derived, non-empty at every SF). */
-  private val BENCH_MOD = 11
-  private val NGRAM = 8
+  private[graft] val BENCH_MOD = 11
+  private[graft] val NGRAM = 8
   /** A chunk in ≥ BOILER_DOCS distinct docs is boilerplate. */
   private val BOILER_DOCS = 3
   private val CHUNK = 5

@@ -108,6 +108,14 @@ class PlanInvariantSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("pipe_training_recipe: every stage joins equi, bench probe broadcasts") {
+    val plan = executedPlan(
+      graft.operators.CorpusPipeline.queries("pipe_training_recipe"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // the bench gram probe
+  }
+
   test("sim_ivf_topk: nested-loop only against the broadcast centroids") {
     // the C=16 centroid table is crossed deliberately (IVF assignment is
     // a map-side broadcast pass); candidate generation and rerank must
