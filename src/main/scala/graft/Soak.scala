@@ -170,7 +170,8 @@ object Soak {
     // timings (each is tokenize/hash-agg/broadcast-join shaped; the
     // soak checks times scale with rows, not quadratically)
     for (q <- Seq("dc_decontaminate", "dd_boilerplate", "dd_semantic",
-      "bpe_pair_counts", "vocab_topk", "emb_hash_features")) {
+      "bpe_pair_counts", "vocab_topk", "emb_hash_features",
+      "pipe_training_recipe")) {
       val (rows, t) = time(SparkEntry.queries(q)(spark, dir).count())
       spark.catalog.clearCache()
       println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
