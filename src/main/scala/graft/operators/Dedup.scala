@@ -132,21 +132,28 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash band-bucket candidates with hamming distance, pre-filter:
-    * distinct (id1, id2, ham). The per-bit majority vote
-    * sum(freq·s_b) > 0 is equivalent to 2·sum(freq·bit_b) > sum(freq),
-    * so the 63 one-bit aggregates pack into 21 BIGINT lanes of 3 ×
-    * 16-bit fields (plus one token total) — a 3× narrower hash
-    * aggregate; exact while a document stays under 2^16 tokens.
-    * Frequency weighting is implicit (token INSTANCES are summed), so
-    * there is no (doc_id, word) pre-aggregation shuffle. The signature
-    * rides through the band self-join; sim is cached (see
-    * minhashScored). */
-  private[graft] def simhashScored(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc 63-bit signature via the native [[graft.functions.SimHash63]]
+    * expression — a ZERO-SHUFFLE projection: no token explode, no
+    * vocabulary broadcast, no lane aggregate; the whole signature runs
+    * inside one whole-stage-codegen span (round 4; replaces the 21-lane
+    * pipeline below, which is kept for the equivalence spec). */
+  private[graft] def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SimHash63.register(s)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("simhash63(split(text, ' '))").as("sim"))
+  }
+
+  /** The lane-packed SQL signature pipeline (pre-round-4 production
+    * path, now the independent reference implementation DedupSpec pins
+    * the native expression against): per-bit majority vote
+    * sum(freq·s_b) > 0 ⇔ 2·sum(freq·bit_b) > sum(freq), with the 63
+    * one-bit aggregates packed into 21 BIGINT lanes of 3 × 16-bit
+    * fields (exact while a document stays under 2^16 tokens), bit
+    * lanes computed once per DISTINCT word and broadcast. */
+  private[graft] def simhashSignaturesLanes(s: SparkSession,
+                                            dir: String): DataFrame = {
     val tokens = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    // packed bit lanes computed once per DISTINCT word (tiny
-    // dictionary, broadcast) — per-row work is pure integer arithmetic
     def bitExpr(b: Int): String = {
       val digit =
         s"(instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)"
@@ -168,11 +175,17 @@ object Dedup {
               |  THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT)
               |END""".stripMargin)
     }
-    val sim = tokens.join(broadcast(dict), "word")
+    tokens.join(broadcast(dict), "word")
       .groupBy("doc_id")
       .agg(laneAggs.head, laneAggs.tail: _*)
       .select(col("doc_id"), simBits.reduce(_ + _).as("sim"))
-      .cache()
+  }
+
+  /** SimHash band-bucket candidates with hamming distance, pre-filter:
+    * distinct (id1, id2, ham). The signature rides through the band
+    * self-join; sim is cached (see minhashScored). */
+  private[graft] def simhashScored(s: SparkSession, dir: String): DataFrame = {
+    val sim = simhashSignatures(s, dir).cache()
     val bandArr = array((0 until 3).map(k =>
       struct(lit(k).as("band"),
         expr(s"(sim div ${1L << (SIM_BAND_BITS * k)}) % ${1L << SIM_BAND_BITS}")

@@ -106,4 +106,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.distinct.length === 20)
     pairs.foreach { case (a, b) => assert(a < b) }
   }
+
+  test("native simhash63 expression equals the lane-packed pipeline") {
+    // the round-4 zero-shuffle expression must reproduce the 21-lane
+    // SQL aggregation bit-for-bit on every document
+    val native = Dedup.simhashSignatures(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lanes = Dedup.simhashSignaturesLanes(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.keySet === lanes.keySet)
+    native.foreach { case (id, sig) =>
+      assert(sig === lanes(id), s"doc $id signature drift")
+    }
+    // and the native plan must contain no exchange at all
+    val plan = Dedup.simhashSignatures(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
