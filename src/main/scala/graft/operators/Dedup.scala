@@ -49,12 +49,27 @@ object Dedup {
     * survives because consecutive ranks always pair. */
   private[graft] val EMB_BUCKET_WINDOW = 256
 
-  /** Per-doc minhash signature columns h1..hK. Signatures are lexicographic
-    * minima of fixed-length md5 hex — numeric min, engine-portable.
-    * Hashes are computed once per DISTINCT shingle (the dictionary is
-    * orders of magnitude smaller than the doc×shingle table) and joined
-    * back — identical values, K× fewer md5 evaluations. */
+  /** Per-doc minhash signature columns h1..hK via the native
+    * [[graft.functions.MinHash9]] expression — a ZERO-SHUFFLE per-row
+    * projection (round 4; replaces the dictionary pipeline below, kept
+    * for the equivalence spec). Signatures are lexicographic minima of
+    * fixed-length md5 hex — numeric min, engine-portable. */
   private def minhashes(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.MinHash9.register(s)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("minhash9(split(text, ' '))").as("mh"))
+      .filter(col("mh").isNotNull)
+      .select(col("doc_id") +: (1 to K).map(i =>
+        element_at(col("mh"), i).as(s"h$i")): _*)
+  }
+
+  /** The dictionary signature pipeline (pre-round-4 production path,
+    * now the independent reference implementation DedupSpec pins the
+    * native expression against): hashes computed once per DISTINCT
+    * corpus shingle and joined back — K× fewer md5 evaluations on a
+    * repetitive corpus, at the price of three shuffles the per-row
+    * expression doesn't pay. */
+  private[graft] def minhashesDict(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val dict = sh.select("shingle").distinct().select(
       col("shingle") +: (1 to K).map(i =>

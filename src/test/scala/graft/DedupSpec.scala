@@ -107,6 +107,26 @@ class DedupSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("native minhash9 expression equals the dictionary pipeline") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.MinHash9.register(spark)
+    val native = Tables(spark, sf, "documents")
+      .select(col("doc_id"), expr("minhash9(split(text, ' '))").as("mh"))
+      .filter(col("mh").isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val dict = Dedup.minhashesDict(spark, sf).collect()
+      .map(r => r.getLong(0) -> (1 to 9).map(i => r.getString(i))).toMap
+    assert(native.keySet === dict.keySet)
+    native.foreach { case (id, sig) =>
+      assert(sig.toSeq === dict(id).toSeq, s"doc $id signature drift")
+    }
+    // the native signature plan must be exchange-free
+    val plan = Tables(spark, sf, "documents")
+      .select(col("doc_id"), expr("minhash9(split(text, ' '))").as("mh"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("native simhash63 expression equals the lane-packed pipeline") {
     // the round-4 zero-shuffle expression must reproduce the 21-lane
     // SQL aggregation bit-for-bit on every document
