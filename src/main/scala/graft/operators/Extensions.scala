@@ -367,6 +367,43 @@ object Extensions {
         .orderBy("day")
     }),
 
+    // Gaps-and-islands: consecutive-order-day streaks per customer via
+    // the classic anchor trick — day minus row_number is constant
+    // within a run of consecutive days — then per-customer streak
+    // stats. One shuffle on the customer key; the anchor grouping rides
+    // the same partitioning.
+    "x_islands" -> ((s, dir) => {
+      val days = Tables(s, dir, "orders")
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+        .distinct()
+      val anchored = days.withColumn("anchor",
+        expr("date_sub(day, row_number() OVER " +
+          "(PARTITION BY o_custkey ORDER BY day))"))
+      anchored.groupBy("o_custkey", "anchor")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_islands"), max(col("len")).as("max_streak"))
+        .orderBy("o_custkey")
+    }),
+
+    // Error-safe SQL surface: try_cast (malformed → NULL, not a crash)
+    // and try_divide (÷0 → NULL) — the fault-tolerant expressions an
+    // ingest pipeline uses where ANSI mode would abort a 100 TB job on
+    // one bad row. Inputs are synthesized so both the success and the
+    // failure paths appear at every scale factor.
+    "x_try_funcs" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .withColumn("raw",
+          when(col("c_custkey") % 5 === 0,
+            concat(lit("x"), col("c_custkey")))
+            .otherwise(col("c_custkey").cast("string")))
+        .select(
+          col("c_custkey"),
+          expr("try_cast(raw AS bigint)").as("parsed"),
+          expr("try_divide(cast(c_acctbal as double), " +
+            "cast(c_custkey % 3 as double))").as("per_unit"))
+        .orderBy("c_custkey")),
+
     // Relative-rank window functions: percent_rank ((rank-1)/(n-1)) and
     // cume_dist (cum/n) — both a single double division of exact
     // integers, so the floats compare bit-for-bit across engines. The
@@ -645,6 +682,34 @@ object Extensions {
         |  coalesce(daily.n_orders, 0) AS n_orders
         |FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.day
         |ORDER BY day""".stripMargin,
+
+    "x_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day
+        |  FROM orders),
+        |anchored AS (
+        |  SELECT o_custkey, day,
+        |    day - CAST(row_number() OVER
+        |      (PARTITION BY o_custkey ORDER BY day) AS INTEGER) AS anchor
+        |  FROM days),
+        |islands AS (
+        |  SELECT o_custkey, anchor, count(*) AS len
+        |  FROM anchored GROUP BY o_custkey, anchor)
+        |SELECT o_custkey, count(*) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS max_streak
+        |FROM islands GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "x_try_funcs" ->
+      """WITH t AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'x' || c_custkey
+        |         ELSE CAST(c_custkey AS VARCHAR) END AS raw
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  TRY_CAST(raw AS BIGINT) AS parsed,
+        |  CAST(c_acctbal AS DOUBLE) / CAST(c_custkey % 3 AS DOUBLE)
+        |    AS per_unit
+        |FROM t ORDER BY c_custkey""".stripMargin,
 
     "x_pct_rank" ->
       """SELECT o_orderkey, o_orderpriority,

@@ -78,6 +78,35 @@ object Maintenance {
         .orderBy("o_orderstatus")
     }),
 
+    // Dynamic partition overwrite — the daily-restatement idiom: rewrite
+    // ONE day's partition in place while every other partition's files
+    // are untouched (partitionOverwriteMode=dynamic replaces only the
+    // partitions the write produces; static mode would truncate the
+    // whole table). The restated day is the table's min day — one
+    // scalar fetched to the driver (control-plane, like a partition
+    // spec, not data). At 100 TB this is THE way a lake restates a day:
+    // the write touches 1/N of the files, the other partitions' stats
+    // and layout survive.
+    "pw_dynamic_overwrite" -> ((s, dir) => {
+      val path = scratch(dir, "events_dynpart")
+      val ev = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .select("event_id", "event_type", "value", "day")
+      ev.write.mode("overwrite").partitionBy("day").parquet(path)
+      val minDay = ev.agg(min("day")).head().getDate(0)
+      ev.filter(col("day") === lit(minDay))
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(path)
+      s.read.parquet(path)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(38, 2))).cast("double")
+            .as("sum_value"))
+        .orderBy("day")
+    }),
+
     // Z-order layout + box scan: lineitem is laid out along the Morton
     // curve of (l_partkey, l_suppkey) — range-partitioned and sorted by
     // the interleaved code (functions.MortonCode, codegen) — then a 2-D
@@ -300,6 +329,16 @@ object Maintenance {
         |FROM orders
         |WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "pw_dynamic_overwrite" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day, value FROM events),
+        |m AS (SELECT min(day) AS min_day FROM e)
+        |SELECT day, count(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN day = (SELECT min_day FROM m)
+        |                     THEN value * 2 ELSE value END
+        |                AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY day ORDER BY day""".stripMargin,
 
     // the Morton interleave as closed-form magic-mask spreading (same
     // five steps the codegen emits), per dimension, on BIGINT bit ops

@@ -102,4 +102,20 @@ class SketchSpec extends SparkSpec {
       }
     }
   }
+
+  test("quantile_sketch merge is partitioning-invariant") {
+    // the mergeable-state property: 1 partition (no merges) and 64
+    // partitions (deep merge tree) must produce identical sketches
+    graft.functions.QuantileSketch.register(spark)
+    import org.apache.spark.sql.functions.{col, expr, round}
+    def sketchWith(parts: Int): Map[String, String] =
+      Tables(spark, sf, "orders")
+        .select(col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartition(parts)
+        .groupBy("o_orderstatus")
+        .agg(expr("quantile_sketch(cents)").as("sketch"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sketchWith(1) === sketchWith(64))
+  }
 }
