@@ -35,7 +35,7 @@ object PlanAudit {
     "j7_star_join", "cdc_snapshot_diff", "zo_zorder_scan", "mt_compaction",
     "t8_stream_join_twin", "x_date_spine", "x_stats_agg", "xt_typed_agg",
     "ta_pii_scan", "s9_orc_ingest", "pipe_training_recipe",
-    "qs_quantile_sketch")
+    "qs_quantile_sketch", "x_islands", "pw_dynamic_overwrite")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,
