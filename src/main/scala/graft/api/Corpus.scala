@@ -1,0 +1,71 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Public library facade: the dedup family over ARBITRARY caller
+  * DataFrames — the entry points a user switching from the reference
+  * suite calls on their own tables, not on the benchmark paths. Every
+  * method delegates to the exact code path the oracle-checked named
+  * queries run (one implementation, two front doors), so the facade
+  * inherits their correctness and their scale shape: native
+  * [[graft.functions.MinHash9]] signatures (zero-shuffle projection),
+  * band-bucket equi-join candidates, digest-keyed exact dedup, and the
+  * Pregel-style component resolution.
+  *
+  * Column contract: callers name their id and text columns; results
+  * come back keyed by the caller's id column.
+  */
+object Corpus {
+
+  private def normalized(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  /** MinHash signatures (h1..h9 md5-hex minima) per document. Docs with
+    * fewer than 3 words have no 3-gram shingles and are absent. */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    Dedup.minhashesOf(normalized(docs, idCol, textCol))
+      .withColumnRenamed("doc_id", idCol)
+
+  /** Near-duplicate pairs (id1 < id2, n_match >= 6 of 9 signature
+    * agreement) from the LSH band-bucket join — sub-quadratic: only
+    * bucket-sharing pairs are scored. */
+  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    Dedup.minhashPairsOf(normalized(docs, idCol, textCol))
+
+  /** Connected components over the near-dup pair graph: one row per
+    * document in a duplicate family, labeled by the family's minimum
+    * id. Documents with no near-dup are absent (singleton = itself). */
+  def nearDupClusters(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    Dedup.components(
+      nearDupPairs(docs, idCol, textCol).select("id1", "id2"))
+      .withColumnRenamed("doc_id", idCol)
+
+  /** Exact duplicates by normalized body (lowercase, trimmed, collapsed
+    * whitespace): (keep_id = min id of the group, n_copies). The group
+    * key is the md5 digest, so at scale the shuffle carries 16 bytes
+    * per row, never the body. */
+  def exactDupGroups(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    normalized(docs, idCol, textCol)
+      .withColumn("norm",
+        regexp_replace(trim(lower(col("text"))), " +", " "))
+      .groupBy(md5(col("norm").cast("binary")).as("grp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id").as(idCol), col("n_copies"))
+
+  /** The corpus with near-duplicates removed: for every near-dup pair
+    * the higher id is dropped (the keep-lowest rule the recipe pipeline
+    * uses). Returns the caller's frame filtered, schema unchanged. */
+  def dropNearDups(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val dupIds = nearDupPairs(docs, idCol, textCol)
+      .select(col("id2").as(idCol)).distinct()
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+}

@@ -53,15 +53,21 @@ object Dedup {
     * [[graft.functions.MinHash9]] expression — a ZERO-SHUFFLE per-row
     * projection (round 4; replaces the dictionary pipeline below, kept
     * for the equivalence spec). Signatures are lexicographic minima of
-    * fixed-length md5 hex — numeric min, engine-portable. */
-  private def minhashes(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.MinHash9.register(s)
-    Tables(s, dir, "documents")
+    * fixed-length md5 hex — numeric min, engine-portable.
+    * Parameterized over ANY (doc_id, text) frame so the public
+    * [[graft.api.Corpus]] facade runs the same code path on caller
+    * DataFrames; the path form feeds the named queries. */
+  private[graft] def minhashesOf(docs: DataFrame): DataFrame = {
+    graft.functions.MinHash9.register(docs.sparkSession)
+    docs
       .select(col("doc_id"), expr("minhash9(split(text, ' '))").as("mh"))
       .filter(col("mh").isNotNull)
       .select(col("doc_id") +: (1 to K).map(i =>
         element_at(col("mh"), i).as(s"h$i")): _*)
   }
+
+  private def minhashes(s: SparkSession, dir: String): DataFrame =
+    minhashesOf(Tables(s, dir, "documents"))
 
   /** The dictionary signature pipeline (pre-round-4 production path,
     * now the independent reference implementation DedupSpec pins the
@@ -99,8 +105,8 @@ object Dedup {
   /** Banded signature table (doc_id, h1..hK, band, bv) — the structure
     * a production corpus keeps MATERIALIZED so that pairing (full or
     * incremental) starts from a bucket probe, not a corpus re-shingle. */
-  private[graft] def bandedSignatures(s: SparkSession, dir: String): DataFrame = {
-    val mh = minhashes(s, dir).cache()
+  private[graft] def bandedSignaturesOf(docs: DataFrame): DataFrame = {
+    val mh = minhashesOf(docs).cache()
     val bandArr = array((0 until BANDS).map { b =>
       val cs = (1 to 3).map(i => col(s"h${b * 3 + i}"))
       struct(lit(b + 1).as("band"),
@@ -112,8 +118,11 @@ object Dedup {
         col("s.bv").as("bv"): _*)
   }
 
-  private[graft] def minhashScored(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandedSignatures(s, dir)
+  private[graft] def bandedSignatures(s: SparkSession, dir: String): DataFrame =
+    bandedSignaturesOf(Tables(s, dir, "documents"))
+
+  private[graft] def minhashScoredOf(docs: DataFrame): DataFrame = {
+    val bands = bandedSignaturesOf(docs)
     val a = bands.toDF("id1" +: (1 to K).map(i => s"a$i") :+ "band" :+ "bv": _*)
     val b = bands.toDF("id2" +: (1 to K).map(i => s"b$i") :+ "band" :+ "bv": _*)
     val nMatch = (1 to K).map(i =>
@@ -124,8 +133,14 @@ object Dedup {
       .distinct()
   }
 
+  private[graft] def minhashScored(s: SparkSession, dir: String): DataFrame =
+    minhashScoredOf(Tables(s, dir, "documents"))
+
+  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame =
+    minhashScoredOf(docs).filter(col("n_match") >= 6)
+
   private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashScored(s, dir).filter(col("n_match") >= 6)
+    minhashPairsOf(Tables(s, dir, "documents"))
 
   /** Incremental-probe candidates with signature agreement, pre-filter
     * (see the dd_incremental query doc): all×new plus new×new, never

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api.Corpus
+
+/** The public facade must run the SAME code path as the oracle-checked
+  * named queries — prove it by comparing results over a renamed copy of
+  * the documents table (exercising the column-contract mapping too). */
+class ApiSpec extends SparkSpec {
+
+  private def renamedDocs = Tables(spark, sf, "documents")
+    .select(col("doc_id").as("id"), col("text").as("body"))
+
+  test("facade near-dup pairs equal the dd_minhash_lsh query") {
+    val api = Corpus.nearDupPairs(renamedDocs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val query = operators.Dedup.queries("dd_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(api === query)
+  }
+
+  test("facade clusters equal the dd_cluster query") {
+    val api = Corpus.nearDupClusters(renamedDocs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val query = operators.Dedup.queries("dd_cluster")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(api === query)
+  }
+
+  test("facade exact groups equal the dd_exact query") {
+    val api = Corpus.exactDupGroups(renamedDocs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val query = operators.Dedup.queries("dd_exact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(api === query)
+  }
+
+  test("dropNearDups removes exactly the id2 side, schema unchanged") {
+    val kept = Corpus.dropNearDups(renamedDocs, "id", "body")
+    assert(kept.columns.toSeq === Seq("id", "body"))
+    val dropped = operators.Dedup.queries("dd_minhash_lsh")(spark, sf)
+      .select(col("id2")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val keptIds = kept.collect().map(_.getLong(0)).toSet
+    val allIds = renamedDocs.collect().map(_.getLong(0)).toSet
+    assert(keptIds === allIds -- dropped)
+  }
+}
