@@ -68,4 +68,45 @@ object Corpus {
       .select(col("id2").as(idCol)).distinct()
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  /** Benchmark decontamination: training rows sharing ANY word n-gram
+    * with the benchmark frame are dropped (the eval-scrub rule).
+    * The benchmark gram set broadcasts — eval suites are model-
+    * parameter-scale next to a training corpus. Returns the caller's
+    * frame filtered, schema unchanged. */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    ngram: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= ngram)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${ngram - 1}),
+           |  i -> substring(md5(cast(concat_ws(' ', slice(w, i, $ngram))
+           |                          as binary)), 1, 16))""".stripMargin))
+        .as("gh"))
+    val benchGrams = grams(bench).select("gh").distinct()
+    val hit = grams(train).join(broadcast(benchGrams), "gh")
+      .select(col("doc_id").as(idCol)).distinct()
+    train.join(hit, Seq(idCol), "left_anti")
+  }
+
+  /** Overlapping token-window chunks: (id, chunk_id, n_tokens,
+    * chunk_text) — every token covered, final window may be short. */
+  def chunk(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text", window: Int = 64,
+            stride: Int = 48): DataFrame =
+    graft.operators.CorpusPrep.chunkOf(
+      normalized(docs, idCol, textCol), window, stride)
+      .withColumnRenamed("doc_id", idCol)
+
+  /** Token-budget packing of (id, tokenCount) items into bins per hash
+    * group — distributed first-fit-decreasing, no global sort. */
+  def pack(items: DataFrame, idCol: String = "doc_id",
+           ntokCol: String = "ntok", budget: Int = 512,
+           groups: Int = 32): DataFrame =
+    graft.operators.CorpusPrep.packOf(
+      items.select(col(idCol).as("doc_id"), col(ntokCol).as("ntok")),
+      budget, groups)
 }

@@ -29,47 +29,59 @@ object CorpusPrep {
   private[graft] val BUDGET = 512
   private[graft] val GROUPS = 32
 
+  /** Overlapping token-window chunks of ANY (doc_id, text) frame.
+    * nchunks = 1 + ceil((n-w)/s) so the final window may be short but
+    * every token is covered; integer arithmetic only (ceil-div via
+    * (x + s - 1) div s) so the oracle can't drift on float rounding.
+    * Parameterized for the [[graft.api.Corpus]] facade; the named
+    * query runs it with the W/S defaults. */
+  private[graft] def chunkOf(docs: DataFrame, w: Int = W,
+                             s: Int = S): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("ntok", size(col("toks")))
+      .withColumn("chunk_id", explode(expr(
+        // cast: `div` yields BIGINT, and the chunk ordinal contract
+        // (and the oracle) is INT
+        s"sequence(0, cast(greatest(0, (ntok - $w + $s - 1) div $s) as int))")))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        expr(s"size(slice(toks, chunk_id * $s + 1, $w))").as("n_tokens"),
+        expr(s"array_join(slice(toks, chunk_id * $s + 1, $w), ' ')")
+          .as("chunk_text"))
+      .filter(col("n_tokens") > 0) // stride can overshoot short docs
+
+  /** Token-budget packing of ANY (doc_id, ntok) frame: per hash group,
+    * order items longest-first (FFD's sort step), running token total,
+    * bin = how many full budgets precede the item. One shuffle (the
+    * window partition); bins overflow the budget by at most one item's
+    * tokens. */
+  private[graft] def packOf(items: DataFrame, budget: Int = BUDGET,
+                            groups: Int = GROUPS): DataFrame =
+    items
+      .withColumn("grp", expr(s"cast(doc_id % $groups as int)"))
+      .withColumn("cum", sum("ntok").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("grp")
+          .orderBy(col("ntok").desc, col("doc_id"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("bin", expr(s"cast((cum - ntok) div $budget as int)"))
+      .groupBy("grp", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").as("tot_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+
   val queries: Map[String, Q] = Map(
-    // Overlapping token-window chunks. nchunks = 1 + ceil((n-W)/S) so
-    // the final window may be short but every token is covered;
-    // integer arithmetic only (ceil-div via (x + S - 1) div S) so the
-    // oracle can't drift on float rounding.
     "doc_chunk" -> ((s, dir) =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("ntok", size(col("toks")))
-        .withColumn("chunk_id", explode(expr(
-          // cast: `div` yields BIGINT, and the chunk ordinal contract
-          // (and the oracle) is INT
-          s"sequence(0, cast(greatest(0, (ntok - $W + $S - 1) div $S) as int))")))
-        .select(
-          col("doc_id"), col("chunk_id"),
-          expr(s"size(slice(toks, chunk_id * $S + 1, $W))").as("n_tokens"),
-          expr(s"array_join(slice(toks, chunk_id * $S + 1, $W), ' ')")
-            .as("chunk_text"))
-        .filter(col("n_tokens") > 0) // stride can overshoot short docs
+      chunkOf(Tables(s, dir, "documents"))
         .orderBy("doc_id", "chunk_id")),
 
-    // Token-budget packing: per hash group, order docs longest-first
-    // (FFD's sort step), running token total, bin = how many full
-    // budgets precede the doc. One shuffle (the window partition);
-    // bins overflow the budget by at most one document's tokens.
     "pack_sequences" -> ((s, dir) =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).as("ntok"))
-        .withColumn("grp", expr(s"cast(doc_id % $GROUPS as int)"))
-        .withColumn("cum", sum("ntok").over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("grp")
-            .orderBy(col("ntok").desc, col("doc_id"))
-            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-        .withColumn("bin", expr(s"cast((cum - ntok) div $BUDGET as int)"))
-        .groupBy("grp", "bin")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("ntok").as("tot_tokens"),
-          min("doc_id").as("first_doc"),
-          max("doc_id").as("last_doc"))
+      packOf(Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("ntok")))
         .orderBy("grp", "bin")))
 
   val oracles: Map[String, String] = Map(

@@ -35,6 +35,38 @@ class ApiSpec extends SparkSpec {
     assert(api === query)
   }
 
+  test("facade chunk equals the doc_chunk query at the default window") {
+    val api = Corpus.chunk(renamedDocs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val query = operators.CorpusPrep.queries("doc_chunk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(api === query)
+  }
+
+  test("facade pack equals the pack_sequences query at defaults") {
+    val items = renamedDocs.select(col("id"),
+      size(split(col("body"), " ")).as("n"))
+    val api = Corpus.pack(items, "id", "n")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val query = operators.CorpusPrep.queries("pack_sequences")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(api === query)
+  }
+
+  test("facade decontaminate drops exactly the dc_decontaminate hits") {
+    // the query flags training docs (id % 11 != 0) sharing an 8-gram
+    // with the benchmark slice; the facade must drop exactly those
+    val bench = renamedDocs.filter(col("id") % 11 === 0)
+    val train = renamedDocs.filter(col("id") % 11 =!= 0)
+    val kept = Corpus.decontaminate(train, bench, "id", "body")
+      .collect().map(_.getLong(0)).toSet
+    val flagged = operators.CorpusQuality
+      .queries("dc_decontaminate")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val trainIds = train.collect().map(_.getLong(0)).toSet
+    assert(kept === trainIds -- flagged)
+  }
+
   test("dropNearDups removes exactly the id2 side, schema unchanged") {
     val kept = Corpus.dropNearDups(renamedDocs, "id", "body")
     assert(kept.columns.toSeq === Seq("id", "body"))
