@@ -1,0 +1,50 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Public library facade for similarity search over ARBITRARY caller
+  * DataFrames carrying an embedding column (`array<float>`): exact
+  * brute-force cosine top-k and the IVF scale path, delegating to the
+  * same code paths the oracle-checked `sim_*` queries run. Cosine uses
+  * the codegen'd [[graft.functions.FloatVecDot]] expression.
+  *
+  * Contract: query batches are small next to the corpus (they ride
+  * broadcasts); centroids for the IVF path are caller-owned model
+  * parameters (a small (id, vector) frame — e.g. k-means output).
+  */
+object Vectors {
+
+  private def shaped(df: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+  }
+
+  /** Exact cosine top-k of every query against the corpus:
+    * (qid, nid, rank). Self-matches (same id) are excluded. */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
+           idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame =
+    Similarity.bruteTopKOf(
+      shaped(queries, idCol, vecCol), shaped(corpus, idCol, vecCol), k)
+      .select(col("qid"), col("nid"), col("rn").as("rank"))
+
+  /** IVF top-k: corpus vectors assign to their nearest centroid in one
+    * broadcast pass; each query probes its `probes` closest centroid
+    * buckets and exact-reranks only those candidates — per-query cost
+    * ~probes/|centroids| of the corpus. */
+  def topKIvf(queries: DataFrame, corpus: DataFrame,
+              centroids: DataFrame, k: Int, probes: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    Similarity.ivfTopKOf(
+      shaped(queries, idCol, vecCol), shaped(corpus, idCol, vecCol),
+      shaped(centroids, idCol, vecCol)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn")),
+      k, probes)
+      .select(col("qid"), col("nid"), col("rn").as("rank"))
+}

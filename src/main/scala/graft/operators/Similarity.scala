@@ -39,20 +39,73 @@ object Similarity {
   private def cos(v1: String, n1: String, v2: String, n2: String) =
     expr(s"vec_dot($v1, $v2)") / (col(n1) * col(n2))
 
+  /** Exact per-query cosine top-k of `queries` against `corpus`, both
+    * (vec_id, v, nrm)-shaped. Parameterized for the
+    * [[graft.api.Vectors]] facade; the named query runs it with the
+    * corpus's first NQ vectors as queries. The query side is the
+    * broadcast side by contract (query batches are small next to a
+    * corpus). */
+  private[graft] def bruteTopKOf(queries: DataFrame, corpus: DataFrame,
+                                 k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val n = corpus.select(col("vec_id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nn"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("c").desc, col("nid"))
+    q.join(n, col("nid") =!= col("qid"))
+      .withColumn("c", cos("qv", "qn", "nv", "nn"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** IVF top-k: assign every corpus vector to its nearest centroid
+    * (broadcast pass), probe the `probes` closest centroids per query,
+    * exact-rerank inside probed buckets only. `centroids` is an
+    * explicit (cid, cv, cn) frame — model parameters the caller owns
+    * (the named query derives them as the corpus's first C vectors). */
+  private[graft] def ivfTopKOf(queries: DataFrame, corpus: DataFrame,
+                               centroids: DataFrame, k: Int,
+                               probes: Int): DataFrame = {
+    val cent = broadcast(centroids)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c").desc, col("cid"))
+    val assign = corpus.crossJoin(cent)
+      .withColumn("c", cos("v", "nrm", "cv", "cn"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(col("c").desc, col("cid"))
+    val probed = queries
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .crossJoin(cent)
+      .withColumn("c", cos("qv", "qn", "cv", "cn"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= probes)
+      .select("qid", "cid")
+    val cand = probed.join(assign, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    val qv = queries.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val nv = corpus.select(col("vec_id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nn"))
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("c").desc, col("nid"))
+    cand.join(qv, "qid").join(nv, "nid")
+      .withColumn("c", cos("qv", "qn", "nv", "nn"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact baseline: per-query top-k over all vectors.
     "sim_bruteforce_topk" -> ((s, dir) => {
       val e = vecs(s, dir)
-      val q = e.select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn")).filter(col("qid") < NQ)
-      val n = e.select(col("vec_id").as("nid"), col("v").as("nv"),
-        col("nrm").as("nn"))
-      val w = Window.partitionBy("qid")
-        .orderBy(col("c").desc, col("nid"))
-      q.join(n, col("nid") =!= col("qid"))
-        .withColumn("c", cos("qv", "qn", "nv", "nn"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= TOPK)
+      bruteTopKOf(e.filter(col("vec_id") < NQ), e, TOPK)
         .select("qid", "nid")
         .orderBy("qid", "rn")
     }),
@@ -61,40 +114,10 @@ object Similarity {
     // inside probed buckets only.
     "sim_ivf_topk" -> ((s, dir) => {
       val e = vecs(s, dir)
-      val cent = broadcast(e.filter(col("vec_id") < C)
+      val cent = e.filter(col("vec_id") < C)
         .select(col("vec_id").as("cid"), col("v").as("cv"),
-          col("nrm").as("cn")))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("c").desc, col("cid"))
-      val assign = e.crossJoin(cent)
-        .withColumn("c", cos("v", "nrm", "cv", "cn"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
-      val wProbe = Window.partitionBy("qid")
-        .orderBy(col("c").desc, col("cid"))
-      val probes = e.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn"))
-        .crossJoin(cent)
-        .withColumn("c", cos("qv", "qn", "cv", "cn"))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= PROBES)
-        .select("qid", "cid")
-      val cand = probes.join(assign, "cid")
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("nid"))
-        .distinct()
-      val qv = e.select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qn"))
-      val nv = e.select(col("vec_id").as("nid"), col("v").as("nv"),
-        col("nrm").as("nn"))
-      val wTop = Window.partitionBy("qid")
-        .orderBy(col("c").desc, col("nid"))
-      cand.join(qv, "qid").join(nv, "nid")
-        .withColumn("c", cos("qv", "qn", "nv", "nn"))
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= TOPK)
+          col("nrm").as("cn"))
+      ivfTopKOf(e.filter(col("vec_id") < NQ), e, cent, TOPK, PROBES)
         .select("qid", "nid")
         .orderBy("qid", "rn")
     }),

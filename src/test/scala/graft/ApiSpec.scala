@@ -67,6 +67,31 @@ class ApiSpec extends SparkSpec {
     assert(kept === trainIds -- flagged)
   }
 
+  test("facade vector topK equals the sim_bruteforce_topk query") {
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+    val api = graft.api.Vectors.topK(
+        emb.filter(col("vid") < 10), emb, 5, "vid", "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val query = operators.Similarity
+      .queries("sim_bruteforce_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(api === query)
+  }
+
+  test("facade IVF topK equals the sim_ivf_topk query") {
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+    val api = graft.api.Vectors.topKIvf(
+        emb.filter(col("vid") < 10), emb,
+        emb.filter(col("vid") < 16), 5, 4, "vid", "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val query = operators.Similarity
+      .queries("sim_ivf_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(api === query)
+  }
+
   test("dropNearDups removes exactly the id2 side, schema unchanged") {
     val kept = Corpus.dropNearDups(renamedDocs, "id", "body")
     assert(kept.columns.toSeq === Seq("id", "body"))
