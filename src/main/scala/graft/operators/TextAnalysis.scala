@@ -34,6 +34,62 @@ object TextAnalysis {
   private val K1 = "1.2"
   private val B = "0.75"
 
+  /** Predicted language per document of ANY (doc_id, text) frame:
+    * marker-word argmax, 'und' when no marker hits. Parameterized for
+    * the [[graft.api.Text]] facade; the named query adds the testdata's
+    * true-lang column for comparison. */
+  private[graft] def langIdOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val m = broadcast(markers.toDF("mlang", "mword"))
+    val hits = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(m, col("word") === col("mword"))
+      .groupBy("doc_id", "mlang").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n").desc, col("mlang"))
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("doc_id"), col("mlang"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("mlang"), lit("und")).as("pred_lang"))
+  }
+
+  /** Integer-exact quality features + bucketed verdict of ANY
+    * (doc_id, text) frame. */
+  private[graft] def qualityScoreOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val m = broadcast(markers.toDF("mlang", "mword"))
+    val stops = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(m.select(col("mword")).distinct(), col("word") === col("mword"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_stop"))
+    docs.join(stops, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_stop"))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("int").as("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+          .cast("int").as("n_punct"),
+        col("n_stop"),
+        when(size(split(col("text"), " ")).between(20, 1000)
+            && col("n_stop") >= 3, "good")
+          .when(size(split(col("text"), " ")) >= 5, "fair")
+          .otherwise("poor").as("quality"))
+  }
+
+  /** Whitespace / BPE-ish regex / chars-per-4 token counts of ANY
+    * (doc_id, text) frame — pure per-row expressions. */
+  private[graft] def tokenCountsOf(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      regexp_count(col("text"), lit(bpeIsh)).cast("int").as("re_tokens"),
+      ceil(length(col("text")) / 4.0).cast("int").as("est_tokens"))
+
   val queries: Map[String, Q] = Map(
     // BM25 retrieval — the scoring path retrieval-based curation uses
     // (finding near-matches of eval sets, sourcing topical documents).
@@ -86,59 +142,22 @@ object TextAnalysis {
     // hits at all. The marker dimension broadcasts; the aggregate is a
     // two-level hash agg on (doc, lang).
     "ta_lang_id" -> ((s, dir) => {
-      import s.implicits._
       val docs = Tables(s, dir, "documents")
-      val m = broadcast(markers.toDF("mlang", "mword"))
-      val hits = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .join(m, col("word") === col("mword"))
-        .groupBy("doc_id", "mlang").agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("mlang"))
-      val best = hits.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("doc_id"), col("mlang"))
-      docs.join(best, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("mlang"), lit("und")).as("pred_lang"), col("lang"))
+      docs.join(langIdOf(docs), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("pred_lang"), col("lang"))
         .orderBy("doc_id")
     }),
 
     // Quality scoring with integer-exact features: char/token/punct
     // counts, marker-stopword hits, and a bucketed verdict.
-    "ta_quality_score" -> ((s, dir) => {
-      import s.implicits._
-      val docs = Tables(s, dir, "documents")
-      val m = broadcast(markers.toDF("mlang", "mword"))
-      val stops = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .join(m.select(col("mword")).distinct(), col("word") === col("mword"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_stop"))
-      docs.join(stops, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("n_stop"))
-        .select(
-          col("doc_id"),
-          length(col("text")).cast("int").as("n_chars"),
-          size(split(col("text"), " ")).as("n_tokens"),
-          (length(col("text"))
-            - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
-            .cast("int").as("n_punct"),
-          col("n_stop"),
-          when(size(split(col("text"), " ")).between(20, 1000)
-              && col("n_stop") >= 3, "good")
-            .when(size(split(col("text"), " ")) >= 5, "fair")
-            .otherwise("poor").as("quality"))
-        .orderBy("doc_id")
-    }),
+    "ta_quality_score" -> ((s, dir) =>
+      qualityScoreOf(Tables(s, dir, "documents")).orderBy("doc_id")),
 
     // Token counting: whitespace tokens, a BPE-ish regex token count
     // (letter runs / digit runs / single symbols), and the chars/4
     // LLM-token estimate.
     "ta_token_count" -> ((s, dir) =>
-      Tables(s, dir, "documents").select(
-        col("doc_id"),
-        size(split(col("text"), " ")).as("ws_tokens"),
-        regexp_count(col("text"), lit(bpeIsh)).cast("int").as("re_tokens"),
-        ceil(length(col("text")) / 4.0).cast("int").as("est_tokens"))
-        .orderBy("doc_id")),
+      tokenCountsOf(Tables(s, dir, "documents")).orderBy("doc_id")),
 
     // Fingerprinting: md5 of whitespace-normalized text (exact-dup key)
     // and a winnowing-style signature — the minimum md5 over word

@@ -92,6 +92,25 @@ class ApiSpec extends SparkSpec {
     assert(api === query)
   }
 
+  test("facade text signals equal the ta_* queries") {
+    val lang = graft.api.Text.langId(renamedDocs, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val langQ = operators.TextAnalysis.queries("ta_lang_id")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lang === langQ)
+    val qual = graft.api.Text.qualityScore(renamedDocs, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    val qualQ = operators.TextAnalysis
+      .queries("ta_quality_score")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(qual === qualQ)
+    val tok = graft.api.Text.tokenCounts(renamedDocs, "id", "body")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val tokQ = operators.TextAnalysis.queries("ta_token_count")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tok === tokQ)
+  }
+
   test("dropNearDups removes exactly the id2 side, schema unchanged") {
     val kept = Corpus.dropNearDups(renamedDocs, "id", "body")
     assert(kept.columns.toSeq === Seq("id", "body"))
