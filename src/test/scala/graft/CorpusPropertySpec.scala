@@ -117,4 +117,75 @@ class CorpusPropertySpec extends AnyFunSuite {
       }.sortBy(t => (t._1, t._2))
     assert(got === want)
   }
+
+  // independent md5-hex of a string's UTF-8 bytes, for the native
+  // expression cross-checks below (test-side implementation: java
+  // digest + format, no shared code with the expressions)
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  test("MinHash9 expression equals a local recompute on random docs") {
+    import spark.implicits._
+    graft.functions.MinHash9.register(spark)
+    // tokens include empty strings, unicode, and repeats — the edges a
+    // hex/byte conversion bug would hide in
+    val token = Gen.oneOf(
+      Gen.const(""), Gen.const("päö"), Gen.const("→x"),
+      Gen.listOfN(3, Gen.oneOf('a', 'b')).map(_.mkString),
+      Gen.alphaNumStr.map(_.take(6)))
+    val doc = for {
+      n <- Gen.chooseNum(0, 12)
+      ts <- Gen.listOfN(n, token)
+    } yield ts
+    val docs = samples(doc, 120, 4242L).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts) }
+    val got = docs.toDF("doc_id", "toks")
+      .selectExpr("doc_id", "minhash9(toks) AS mh")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[String](1)).map(_.toSeq)).toMap
+    docs.foreach { case (id, ts) =>
+      val want =
+        if (ts.length < 3) None
+        else {
+          val grams = ts.sliding(3).map(_.mkString(" ")).toSeq.distinct
+          Some((1 to 9).map(k =>
+            grams.map(g => md5hex(s"$k|$g")).min))
+        }
+      assert(got(id) === want, s"doc $id toks=$ts")
+    }
+  }
+
+  test("SimHash63 expression equals a local recompute on random docs") {
+    import spark.implicits._
+    graft.functions.SimHash63.register(spark)
+    val token = Gen.oneOf(
+      Gen.const(""), Gen.const("日本"), Gen.const("café"),
+      Gen.listOfN(2, Gen.oneOf('x', 'y', 'z')).map(_.mkString))
+    val doc = for {
+      n <- Gen.chooseNum(0, 10)
+      ts <- Gen.listOfN(n, token)
+    } yield ts
+    val docs = samples(doc, 120, 777L).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts) }
+    val got = docs.toDF("doc_id", "toks")
+      .selectExpr("doc_id", "simhash63(toks) AS sig")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, ts) =>
+      val counts = new Array[Int](63)
+      ts.foreach { w =>
+        val h = md5hex(w)
+        for (b <- 0 until 63) {
+          val digit = Integer.parseInt(h(b / 4).toString, 16)
+          if (((digit >> (b % 4)) & 1) == 1) counts(b) += 1
+        }
+      }
+      var want = 0L
+      for (b <- 0 until 63)
+        if (2 * counts(b) > ts.length) want |= 1L << b
+      assert(got(id) === want, s"doc $id toks=$ts")
+    }
+  }
 }
