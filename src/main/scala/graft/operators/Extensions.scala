@@ -182,9 +182,12 @@ object Extensions {
       a.join(b, "bkt") // each qualifying pair matches exactly one bucket
         .filter(col("name_a") < col("name_b") &&
           abs(col("la") - col("lb")) <= 3)
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
+        // bounded form: banded O(τ·n) DP with early exit, -1 past the
+        // threshold — surviving rows carry the same exact distance the
+        // unbounded call returns, so the oracle is unchanged
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3)
           .cast(IntegerType))
-        .filter(col("dist") <= 3)
+        .filter(col("dist").between(0, 3))
         .select("name_a", "name_b", "dist")
         .orderBy("name_a", "name_b")
     }),

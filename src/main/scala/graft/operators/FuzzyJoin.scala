@@ -118,9 +118,12 @@ object FuzzyJoin {
     // candidate generation.
     "dd_fuzzy_passjoin" -> ((s, dir) =>
       candidatePairs(s, dir)
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
-          .cast(IntegerType))
-        .filter(col("dist") <= TAU)
+        // bounded form: banded O(τ·n) DP, -1 past TAU — survivors carry
+        // the same exact distance, oracle unchanged
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b"), TAU)
+            .cast(IntegerType))
+        .filter(col("dist").between(0, TAU))
         .select("name_a", "name_b", "dist")
         .orderBy("name_a", "name_b")))
 
