@@ -88,9 +88,8 @@ case class CardSketch(child: Expression,
 object CardSketch {
   /** Register `card_sketch` for use from expr()/SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "card_sketch",
-      exprs => CardSketch(exprs.head).toAggregateExpression(), "built-in")
+    Registry.registerOnce(spark, "card_sketch",
+      exprs => CardSketch(exprs.head).toAggregateExpression())
 
   /** Estimate cardinality from the register string (standard HLL
     * harmonic-mean with small-range correction). Driver/spec-side. */

@@ -131,13 +131,12 @@ object FreqSketch {
 
   /** Register `freq_sketch(col, capacity)` for expr()/SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "freq_sketch",
+    Registry.registerOnce(spark, "freq_sketch",
       exprs => {
         val cap = exprs(1) match {
           case Literal(v: Int, _) => v
           case other => other.eval().toString.toInt
         }
         FreqSketch(exprs.head, cap).toAggregateExpression()
-      }, "built-in")
+      })
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -35,9 +36,19 @@ case class MinHash9(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     MinHash9.compute(input.asInstanceOf[ArrayData])
 
+  // analysis-time rejection of a non-ARRAY<STRING> child (AbstractDataType /
+  // ExpectsInputTypes are private[sql] in Spark 4, so check directly)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
-    val helper = MinHash9.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // MODULE$ is a static field of the companion CLASS `MinHash9$` —
+    // the raw getClass name, `$` included, is the one Janino must see.
+    val helper = MinHash9.getClass.getName + ".MODULE$"
     nullSafeCodeGen(ctx, ev, c => s"""
       ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
         $helper.compute($c);
@@ -97,6 +108,5 @@ object MinHash9 {
 
   /** Register `minhash9` for use from expr()/SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash9", exprs => MinHash9(exprs.head), "built-in")
+    Registry.registerOnce(spark, "minhash9", exprs => MinHash9(exprs.head))
 }

@@ -68,6 +68,6 @@ object MortonCode {
   /** Register `morton` in the session's function registry so it is
     * usable from `expr("morton(a, b)")` and SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "morton", exprs => MortonCode(exprs(0), exprs(1)), "built-in")
+    Registry.registerOnce(spark, "morton",
+      exprs => MortonCode(exprs(0), exprs(1)))
 }

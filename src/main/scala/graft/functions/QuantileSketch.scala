@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Mergeable log-scale quantile histogram as a custom Catalyst
@@ -29,6 +30,17 @@ case class QuantileSketch(child: Expression,
     extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
   private val B = 64
+
+  // analysis-time rejection of non-integral measures: update() reads the
+  // value as java.lang.Number, which DECIMAL (Spark's Decimal) and STRING
+  // are not — without this a misuse is a runtime ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an integral measure (TINYINT..BIGINT), " +
+        s"got ${other.catalogString}")
+  }
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](B)
 
@@ -80,7 +92,6 @@ case class QuantileSketch(child: Expression,
 object QuantileSketch {
   /** Register `quantile_sketch` for use from expr()/SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "quantile_sketch",
-      exprs => QuantileSketch(exprs.head).toAggregateExpression(), "built-in")
+    Registry.registerOnce(spark, "quantile_sketch",
+      exprs => QuantileSketch(exprs.head).toAggregateExpression())
 }

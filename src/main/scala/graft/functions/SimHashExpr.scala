@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** 63-bit SimHash (Charikar 2002) of a token array as a native Catalyst
   * expression with codegen: per-bit majority vote over the md5 hashes
@@ -29,9 +30,19 @@ case class SimHash63(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     SimHash63.compute(input.asInstanceOf[ArrayData])
 
+  // analysis-time rejection of a non-ARRAY<STRING> child (AbstractDataType /
+  // ExpectsInputTypes are private[sql] in Spark 4, so check directly)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
-    val helper = SimHash63.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // MODULE$ is a static field of the companion CLASS `SimHash63$` —
+    // the raw getClass name, `$` included, is the one Janino must see.
+    val helper = SimHash63.getClass.getName + ".MODULE$"
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $helper.compute($c);")
   }
 
@@ -80,6 +91,5 @@ object SimHash63 {
 
   /** Register `simhash63` for use from expr()/SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash63", exprs => SimHash63(exprs.head), "built-in")
+    Registry.registerOnce(spark, "simhash63", exprs => SimHash63(exprs.head))
 }

@@ -63,6 +63,6 @@ object VectorFunctions {
   /** Register `vec_dot` in the session's function registry so it is
     * usable from `expr("vec_dot(a, b)")` and SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    Registry.registerOnce(spark, "vec_dot",
+      exprs => FloatVecDot(exprs(0), exprs(1)))
 }

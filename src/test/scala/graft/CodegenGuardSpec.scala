@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{FloatVecDot, MinHash9, MortonCode, SimHash63}
+
+/** CI guard against silent codegen fallback (round-4 verdict #2).
+  *
+  * Spark's default `spark.sql.codegen.fallback=true` swallows a
+  * CompileException from a broken `doGenCode` and quietly re-runs the
+  * stage interpreted — results stay right, performance claims go wrong,
+  * and nothing in `sbt test` turns red (exactly what happened to the
+  * round-4 MODULE$ bug). Two layers of loud failure instead:
+  *
+  *  1. `GenerateUnsafeProjection.generate` compiles each custom
+  *     expression's generated Java DIRECTLY — no fallback path exists
+  *     there, so invalid codegen throws; the compiled projection's
+  *     output is then pinned bit-for-bit against interpreted `eval`.
+  *  2. An end-to-end near-dup query runs with
+  *     `spark.sql.codegen.factoryMode=CODEGEN_ONLY` and
+  *     `spark.sql.codegen.fallback=false`, so a fused-stage compile
+  *     error anywhere in the consumer plans propagates.
+  */
+class CodegenGuardSpec extends SparkSpec {
+
+  /** Compile via Janino (throws on invalid generated code), evaluate on
+    * `row`, and return the projected value at ordinal 0. */
+  private def codegenValue(expr: Expression, row: InternalRow,
+                           get: (InternalRow) => Any): Any = {
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    get(proj(row))
+  }
+
+  private def strings(ws: String*): GenericArrayData =
+    new GenericArrayData(ws.map(UTF8String.fromString).toArray[Any])
+
+  test("MinHash9 generated Java compiles and matches interpreted eval") {
+    val words = "the quick brown fox jumps over the lazy dog".split(" ")
+    val in = BoundReference(0, ArrayType(StringType), nullable = true)
+    val e = MinHash9(in)
+    val row = InternalRow(strings(words.toIndexedSeq: _*))
+    val gen = codegenValue(e, row,
+      _.getArray(0).toArray[UTF8String](StringType).map(_.toString).toSeq)
+    val interp = e.eval(row).asInstanceOf[GenericArrayData]
+      .toArray[UTF8String](StringType).map(_.toString).toSeq
+    assert(gen === interp)
+    assert(interp.size === 9)
+    // the null branch (< 3 words → no shingle) survives codegen too
+    val short = InternalRow(strings("a", "b"))
+    val projected = GenerateUnsafeProjection.generate(Seq(e))(short)
+    assert(projected.isNullAt(0))
+    assert(e.eval(short) === null)
+  }
+
+  test("SimHash63 generated Java compiles and matches interpreted eval") {
+    val words = "one two three two one four five".split(" ")
+    val in = BoundReference(0, ArrayType(StringType), nullable = true)
+    val e = SimHash63(in)
+    val row = InternalRow(strings(words.toIndexedSeq: _*))
+    val gen = codegenValue(e, row, _.getLong(0))
+    assert(gen === e.eval(row))
+  }
+
+  test("MortonCode generated Java compiles and matches interpreted eval") {
+    val e = MortonCode(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, LongType, nullable = true))
+    val row = InternalRow(41625L, 12374L)
+    val gen = codegenValue(e, row, _.getLong(0))
+    assert(gen === e.eval(row))
+  }
+
+  test("FloatVecDot generated Java compiles and matches interpreted eval") {
+    val e = FloatVecDot(
+      BoundReference(0, ArrayType(FloatType), nullable = true),
+      BoundReference(1, ArrayType(FloatType), nullable = true))
+    val row = InternalRow(
+      new GenericArrayData(Array[Any](1.5f, -2.25f, 3.0f)),
+      new GenericArrayData(Array[Any](0.5f, 4.0f, -1.0f)))
+    val gen = codegenValue(e, row, _.getDouble(0))
+    assert(gen === e.eval(row))
+  }
+
+  test("near-dup pipeline end-to-end under CODEGEN_ONLY with fallback off") {
+    val conf = spark.conf
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val minhash = operators.Dedup.queries("dd_minhash_lsh")(spark, sf)
+      assert(minhash.count() > 0)
+      val simhash = operators.Dedup.queries("dd_simhash")(spark, sf)
+      assert(simhash.count() > 0)
+    } finally {
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+        v => conf.set("spark.sql.codegen.factoryMode", v))
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
+        v => conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
+
+  test("non-ARRAY<STRING> child is rejected at analysis time, not runtime") {
+    import spark.implicits._
+    graft.functions.MinHash9.register(spark)
+    graft.functions.SimHash63.register(spark)
+    val df = Seq(1L, 2L).toDF("x")
+    val e1 = intercept[Exception](df.selectExpr("minhash9(x)").collect())
+    assert(e1.getMessage.contains("ARRAY<STRING>"))
+    val e2 = intercept[Exception](df.selectExpr("simhash63(x)").collect())
+    assert(e2.getMessage.contains("ARRAY<STRING>"))
+  }
+
+  test("quantile_sketch rejects DECIMAL/STRING measures at analysis time") {
+    import spark.implicits._
+    graft.functions.QuantileSketch.register(spark)
+    val df = Seq("10", "20").toDF("s")
+      .select(col("s"), col("s").cast("decimal(10,2)").as("d"))
+    val e1 = intercept[Exception](
+      df.selectExpr("quantile_sketch(s)").collect())
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[Exception](
+      df.selectExpr("quantile_sketch(d)").collect())
+    assert(e2.getMessage.contains("integral"))
+  }
+}
