@@ -127,7 +127,46 @@ object Streaming {
           sum(col("value").cast("decimal(38,2)")).cast("double")
             .as("total_value"),
           max(expr("unix_micros(ts)")).as("max_ts_us"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    // S10: the custom DataSourceV2 transaction feed (graft.sources
+    // .TxnFeed — the engine surface a Kafka connector would plug into),
+    // read in batch mode over the full offset range and parsed with the
+    // same from_json path the stream runs. Every field is an integer
+    // function of the offset, so the oracle reproduces the ENTIRE feed
+    // — keys, partition assignment, all payload fields — from range(n)
+    // with the same arithmetic: a hash-matched gate on the source
+    // itself, not just on a downstream parse.
+    "tf_txnfeed_parse" -> ((s, dir) => {
+      val txnSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("txn_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("txn_date",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("txn_quantity",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("customer_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("product_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("product_unit_price",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("payment_method",
+          org.apache.spark.sql.types.StringType)))
+      s.read.format("txnfeed").option("total", "2000").load()
+        .select(col("offset"), col("key").as("msg_key"),
+          col("partition").as("part"),
+          from_json(col("value"), txnSchema).as("r"))
+        .select(col("offset"), col("msg_key"), col("part"),
+          col("r.txn_id"), col("r.txn_quantity"), col("r.customer_id"),
+          col("r.product_id"),
+          round(col("r.product_unit_price") * 100).cast("long")
+            .as("price_cents"),
+          col("r.payment_method"),
+          expr("unix_millis(to_timestamp(r.txn_date, " +
+            "'MM/dd/yyyy HH:mm:ss.SSS'))").as("txn_ms"))
+        .orderBy("offset")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -180,6 +219,29 @@ object Streaming {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total_value,
         |  max(epoch_us(ts)) AS max_ts_us
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // independent reconstruction of the txnfeed generator's integer
+    // arithmetic (TxnFeed.valueJson — keep in lockstep); partition =
+    // round-robin key assignment over the default 4
+    "tf_txnfeed_parse" ->
+      """SELECT i AS "offset", CAST(i AS VARCHAR) AS msg_key,
+        |  CAST(i % 4 AS INTEGER) AS part,
+        |  chr(65 + CAST(i % 26 AS INTEGER)) ||
+        |    lpad(CAST((i*2654435761) % 99999999999 + 1 AS VARCHAR), 11, '0')
+        |    AS txn_id,
+        |  CAST((i*7919) % 30 + 1 AS INTEGER) AS txn_quantity,
+        |  'C' || lpad(CAST((i*48271) % 5000000 + 1 AS VARCHAR), 7, '0')
+        |    AS customer_id,
+        |  chr(65 + CAST((i*3) % 26 AS INTEGER)) ||
+        |    CAST((i*7) % 9 + 1 AS VARCHAR) || '-' ||
+        |    lpad(CAST((i*2246822519) % 9999999 + 1 AS VARCHAR), 7, '0') ||
+        |    chr(65 + CAST((i*5) % 26 AS INTEGER)) AS product_id,
+        |  100 + (i*104729) % 89901 AS price_cents,
+        |  CASE (i*31) % 5 WHEN 0 THEN 'VISA' WHEN 1 THEN 'MASTERCARD'
+        |    WHEN 2 THEN 'AMEX' WHEN 3 THEN 'DISCOVER' ELSE 'GIFT_CARD'
+        |    END AS payment_method,
+        |  1685577600000 + 10*i AS txn_ms
+        |FROM range(0, 2000) t(i) ORDER BY "offset"""".stripMargin
   )
 }
