@@ -245,12 +245,32 @@ object Dedup {
     * (see shingleIds), so every join here runs on 8-byte keys. */
   private[graft] def jaccardCandidates(sh: DataFrame): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val shd = sh.join(dfreq, "shingle")
+    // Adaptive index cap (round-4 verdict #5): rare = df ≤ max(50, p95
+    // of the distinct-shingle df distribution). On an ordinary corpus
+    // p95 is tiny (most shingles are unique) so the floor of 50 governs
+    // and results are exactly the old constant-cap ones; on a
+    // boilerplate-saturated corpus (the 30× soak case) the whole df
+    // distribution shifts up and the cap rises with it, keeping the
+    // inverted index populated instead of collapsing recall. p95 is the
+    // integer 19/20 rule over a df HISTOGRAM (one row per distinct df
+    // value — a window over at most a few thousand rows at any SF), so
+    // the DuckDB oracle reproduces the cap bit-exactly. The cap reaches
+    // the plan as a broadcast single-row join, not a driver fetch.
+    val hist = dfreq.groupBy("df").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("df")))
+    val tot = dfreq.agg(count(lit(1)).as("tot"))
+    val cap = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") * 20 >= col("tot") * 19)
+      .agg(min("df").as("qdf"))
+      .select(greatest(lit(50L), col("qdf")).as("cap"))
+    val shd = sh.join(dfreq, "shingle").crossJoin(broadcast(cap))
     val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"),
-      count(when(col("df") <= 50, 1)).as("nr"))
+      count(when(col("df") <= col("cap"), 1)).as("nr"))
     // cached: both sides of the self-join read shrz, and its upstream
     // (shd appears under sizes too) is not de-duplicated by AQE
-    val shrz = shd.filter(col("df") <= 50).join(sizes, "doc_id").cache()
+    val shrz = shd.filter(col("df") <= col("cap"))
+      .select("shingle", "doc_id").join(sizes, "doc_id").cache()
     val az = shrz.select(col("shingle").as("shash"),
       col("doc_id").as("id1"), col("n").as("na"), col("nr").as("ra"))
     val bz = shrz.select(col("shingle").as("shash"),
@@ -674,8 +694,13 @@ object Dedup {
 
     "dd_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
-         |rare AS (SELECT shingle FROM sh GROUP BY shingle
-         |         HAVING count(*) <= 50),
+         |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |hist AS (SELECT df, count(*) AS c FROM dfs GROUP BY df),
+         |cum AS (SELECT df, sum(c) OVER (ORDER BY df) AS cum FROM hist),
+         |cap AS (SELECT greatest(50, min(df)) AS cap
+         |        FROM cum, (SELECT count(*) AS tot FROM dfs) t
+         |        WHERE cum * 20 >= t.tot * 19),
+         |rare AS (SELECT shingle FROM dfs, cap WHERE df <= cap.cap),
          |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
          |sizes AS (
          |  SELECT s.doc_id, s.n, r.nr FROM

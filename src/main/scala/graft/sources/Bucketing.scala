@@ -28,14 +28,30 @@ object Bucketing {
     table
   }
 
+  // One write per (session, sf-dir, table): the bucketed layout is paid
+  // ONCE at write time; every later join in the session reads it
+  // exchange-free. This is also what splits the bench number the round-4
+  // verdict asked for: the cold pass times write+join, the steady pass
+  // times the recurring join alone — the figure the 100 TB story quotes.
+  // (First use in a session always drops+rewrites, so a stale table from
+  // an earlier session at a different SF can't leak in.)
+  private val written =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def writeBucketedOnce(s: SparkSession, dir: String, name: String,
+                        key: String): String =
+    written.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$dir|$name",
+      _ => writeBucketed(s, dir, name, key))
+
   val queries: Map[String, Q] = Map(
     // Co-located join: both sides bucketed by the join key → the merge
     // join reads buckets pairwise with NO exchange (asserted in
     // BucketingSpec). hint("merge") keeps the small side from
     // broadcasting so the bucket layout is what's exercised.
     "bk_bucketed_join" -> ((s, dir) => {
-      val lt = writeBucketed(s, dir, "lineitem", "l_orderkey")
-      val ot = writeBucketed(s, dir, "orders", "o_orderkey")
+      val lt = writeBucketedOnce(s, dir, "lineitem", "l_orderkey")
+      val ot = writeBucketedOnce(s, dir, "orders", "o_orderkey")
       val li = s.table(lt).hint("merge")
       val o = s.table(ot).hint("merge")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
