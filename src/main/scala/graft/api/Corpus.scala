@@ -71,12 +71,21 @@ object Corpus {
 
   /** Benchmark decontamination: training rows sharing ANY word n-gram
     * with the benchmark frame are dropped (the eval-scrub rule).
-    * The benchmark gram set broadcasts — eval suites are model-
-    * parameter-scale next to a training corpus. Returns the caller's
-    * frame filtered, schema unchanged. */
+    * Returns the caller's frame filtered, schema unchanged.
+    *
+    * HARD size contract when `broadcastBench = true` (the default):
+    * `bench`'s distinct gram set — roughly one 16-char hash per word of
+    * benchmark text — must fit the driver and every executor (eval
+    * suites are model-parameter-scale next to a training corpus; tens
+    * of millions of grams ≈ 1 GB is the practical ceiling, and Spark's
+    * 8 GB broadcast hard cap is the absolute one). For a corpus-scale
+    * `bench`, pass `broadcastBench = false`: the membership probe
+    * becomes an ordinary shuffled hash join on the gram hash, slower
+    * but unbounded. */
   def decontaminate(train: DataFrame, bench: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
-                    ngram: Int = 8): DataFrame = {
+                    ngram: Int = 8,
+                    broadcastBench: Boolean = true): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("w", split(col("text"), " "))
@@ -87,7 +96,8 @@ object Corpus {
            |                          as binary)), 1, 16))""".stripMargin))
         .as("gh"))
     val benchGrams = grams(bench).select("gh").distinct()
-    val hit = grams(train).join(broadcast(benchGrams), "gh")
+    val probe = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    val hit = grams(train).join(probe, "gh")
       .select(col("doc_id").as(idCol)).distinct()
     train.join(hit, Seq(idCol), "left_anti")
   }

@@ -35,4 +35,21 @@ object Text {
                   textCol: String = "text"): DataFrame =
     TextAnalysis.tokenCountsOf(normalized(docs, idCol, textCol))
       .withColumnRenamed("doc_id", idCol)
+
+  /** BM25 top-k retrieval for `terms`: (rank, id). Inverted-index
+    * probe shape — only documents containing a query term are scored;
+    * corpus stats ride broadcast rows. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10,
+           idCol: String = "doc_id",
+           textCol: String = "text"): DataFrame =
+    TextAnalysis.bm25Of(normalized(docs, idCol, textCol), terms, k)
+      .withColumnRenamed("doc_id", idCol)
+
+  /** Document fingerprints: exact-dup md5 key (`fp`) and a
+    * winnowing-style min-hash over word 5-gram windows (`winnow_min`),
+    * robust to local edits. Pure per-row projection. */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    TextAnalysis.fingerprintOf(normalized(docs, idCol, textCol))
+      .withColumnRenamed("doc_id", idCol)
 }

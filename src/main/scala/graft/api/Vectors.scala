@@ -47,4 +47,18 @@ object Vectors {
           col("nrm").as("cn")),
       k, probes)
       .select(col("qid"), col("nid"), col("rn").as("rank"))
+
+  /** SQ8 top-k: the corpus trains a per-dimension min/max codebook and
+    * both sides quantize to 8-bit codes; candidates rank by the
+    * dequantized dot and only the top-`rerank` per query get an exact
+    * float rerank — the bandwidth-bound scale path (1 byte/dim scans)
+    * between exact brute force and IVF's bucket pruning. */
+  def topKSq(queries: DataFrame, corpus: DataFrame, k: Int,
+             rerank: Int = 50,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame =
+    Similarity.sqTopKOf(
+      shaped(queries, idCol, vecCol), shaped(corpus, idCol, vecCol),
+      k, rerank)
+      .select(col("qid"), col("nid"), col("rn").as("rank"))
 }

@@ -335,6 +335,10 @@ object Extensions {
     // filtered sums via when(), and max_by keyed on an integral
     // composite (balance-cents ⊕ custkey) so ties cannot exist — the
     // warehouse FILTER-clause idiom without engine-specific tie-breaks.
+    // The 2^33 shift keeps the key injective while c_custkey < 2^33
+    // (TPC-H SF ~5×10^7) with balance-cents ≤ 10^6 staying clear of
+    // BIGINT overflow (≤ 2^53) — a round-5 widening of the 10^7
+    // multiplier whose injectivity ran out at SF ~67.
     "x_cond_agg" -> ((s, dir) =>
       Tables(s, dir, "customer")
         .groupBy("c_mktsegment")
@@ -343,10 +347,10 @@ object Extensions {
           sum(when(col("c_nationkey") % 2 === 0,
             col("c_custkey")).otherwise(0)).as("sum_even_nation"),
           max_by(col("c_custkey"),
-            round(col("c_acctbal") * 100) * 10000000 + col("c_custkey"))
+            round(col("c_acctbal") * 100) * 8589934592L + col("c_custkey"))
             .as("richest_cust"),
           min_by(col("c_custkey"),
-            round(col("c_acctbal") * 100) * 10000000 + col("c_custkey"))
+            round(col("c_acctbal") * 100) * 8589934592L + col("c_custkey"))
             .as("poorest_cust"))
         .orderBy("c_mktsegment")),
 
@@ -427,7 +431,13 @@ object Extensions {
     // integral; discount-cents fit a BIGINT), so the only float ops are
     // the final closed-form expressions — identical IEEE evaluations in
     // Spark and the oracle, no order-dependent float accumulation.
-    "x_stats_agg" -> ((s, dir) =>
+    // The closed-form PRODUCTS (sq², n·sqq, …) run in DECIMAL(38,0):
+    // BIGINT products wrap silently past SF ~35 under non-ANSI eval
+    // while the oracle's SUM promotes to HUGEINT; decimal keeps them
+    // exact to ~10^38 (SF ~10^12), and casting the identical exact
+    // integer to DOUBLE rounds identically in both engines.
+    "x_stats_agg" -> ((s, dir) => {
+      def dec(c: String) = col(c).cast("decimal(38,0)")
       Tables(s, dir, "lineitem")
         .select(col("l_returnflag"),
           col("l_quantity").cast("long").as("q"),
@@ -439,13 +449,15 @@ object Extensions {
           sum(expr("q*d")).as("sqd"))
         .select(col("l_returnflag"), col("n"),
           (col("sq").cast("double") / col("n")).as("mean_qty"),
-          sqrt((col("sqq") - col("sq") * col("sq") / col("n").cast("double"))
+          sqrt((col("sqq").cast("double") -
+            (dec("sq") * dec("sq")).cast("double") / col("n").cast("double"))
             / (col("n") - 1).cast("double")).as("std_qty"),
-          ((col("n") * col("sqd") - col("sq") * col("sd")).cast("double") /
-            (sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double")) *
-              sqrt((col("n") * col("sdd") - col("sd") * col("sd")).cast("double"))))
+          ((dec("n") * dec("sqd") - dec("sq") * dec("sd")).cast("double") /
+            (sqrt((dec("n") * dec("sqq") - dec("sq") * dec("sq")).cast("double")) *
+              sqrt((dec("n") * dec("sdd") - dec("sd") * dec("sd")).cast("double"))))
             .as("corr_qty_disc"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -664,10 +676,10 @@ object Extensions {
         |  CAST(SUM(CASE WHEN c_nationkey % 2 = 0 THEN c_custkey
         |                ELSE 0 END) AS BIGINT) AS sum_even_nation,
         |  arg_max(c_custkey,
-        |          round(c_acctbal * 100) * 10000000 + c_custkey)
+        |          round(c_acctbal * 100) * 8589934592 + c_custkey)
         |    AS richest_cust,
         |  arg_min(c_custkey,
-        |          round(c_acctbal * 100) * 10000000 + c_custkey)
+        |          round(c_acctbal * 100) * 8589934592 + c_custkey)
         |    AS poorest_cust
         |FROM customer GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,

@@ -101,6 +101,80 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** SQ8 scalar-quantized top-k of `queries` against `corpus`, both
+    * (vec_id, v, nrm)-shaped. Per-dimension min/max stats come from the
+    * CORPUS (the index's training data) and quantize both sides, so a
+    * caller's out-of-corpus query batch rides the same codebook.
+    * Candidates rank by the DEQUANTIZED double dot (decode
+    * mn + c·Δ/255 on the fly — the raw integer code dot is NOT monotone
+    * in cosine: every code is offset-positive, so -mn·Σu cross terms
+    * bias it toward large-coordinate vectors); the top-`rerank` per
+    * query get an exact float rerank. The scale story is bandwidth:
+    * the scan that touches every vector reads 1 byte/dim instead of 4,
+    * and full floats are fetched for `rerank` rows per query, not n.
+    * All quantization arithmetic is double-precision with the same
+    * operation order as the oracle, so floor() cannot drift. */
+  private[graft] def sqTopKOf(queries: DataFrame, corpus: DataFrame,
+                              k: Int, rerank: Int): DataFrame = {
+    // normalize in double with an explicit left fold (not vec_dot,
+    // whose float accumulation the oracle can't reproduce): the
+    // integer code dot then approximates COSINE, not raw dot
+    val unit = (df: DataFrame) => df.withColumn("u", expr(
+      """transform(v, x -> cast(x as double) /
+        |  sqrt(aggregate(v, 0.0d,
+        |    (acc, y) -> acc + cast(y as double) * cast(y as double))))"""
+        .stripMargin))
+    val e = unit(corpus)
+    val stats = e
+      .select(posexplode(col("u")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
+          .as("mns"),
+        expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)")
+          .as("mxs"))
+    val quantExpr =
+      """transform(u, (x, i) -> coalesce(cast(least(255.0d, greatest(0.0d,
+        |  floor((x - element_at(mns, i + 1))
+        |        / nullif(element_at(mxs, i + 1) - element_at(mns, i + 1), 0.0d)
+        |        * 255.0d + 0.5d))) as int), 0))""".stripMargin
+    val decode = (df: DataFrame) => df.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("v"), col("nrm"), col("mns"),
+        col("mxs"), expr(quantExpr).as("code"))
+      .withColumn("dec", expr(
+        """transform(code, (c, i) -> element_at(mns, i + 1)
+          |  + cast(c as double)
+          |    * (element_at(mxs, i + 1) - element_at(mns, i + 1))
+          |    / 255.0d)""".stripMargin))
+      .drop("mns", "mxs")
+    // cached: both the candidate join and the rerank read the coded
+    // corpus (in production it is a materialized table)
+    val coded = decode(e).cache()
+    val q = decode(unit(queries))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"), col("dec").as("qd"))
+    val n = coded.select(col("vec_id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nn"), col("dec").as("nd"))
+    val wApprox = Window.partitionBy("qid")
+      .orderBy(col("adot").desc, col("nid"))
+    // broadcast the small query side explicitly and keep it on the
+    // build side: planner size estimates for the stats cross join can
+    // overshoot the auto-broadcast threshold, and the non-equi join
+    // would then fall all the way to a CartesianProduct
+    val cand = n.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("adot", expr(
+        "aggregate(zip_with(qd, nd, (a, b) -> a * b), 0.0d, (acc, y) -> acc + y)"))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= rerank)
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("c").desc, col("nid"))
+    cand
+      .withColumn("c", cos("qv", "qn", "nv", "nn"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact baseline: per-query top-k over all vectors.
     "sim_bruteforce_topk" -> ((s, dir) => {
@@ -122,78 +196,13 @@ object Similarity {
         .orderBy("qid", "rn")
     }),
 
-    // SQ8 scalar quantization: per-dimension min/max over the corpus
-    // (computed distributed — posexplode + groupBy, re-assembled into
-    // two 64-element arrays on a single broadcast row, never collected
-    // to the driver), vectors quantized to int codes 0..255, candidate
-    // generation by INTEGER dot product over the codes, exact float
-    // rerank of the top-RERANK only. The scale story is bandwidth: the
-    // scan that touches every vector reads 1 byte/dim instead of 4,
-    // and full floats are fetched for RERANK rows per query, not n.
-    // All quantization arithmetic is double-precision with the same
-    // operation order as the oracle, so floor() cannot drift.
+    // SQ8 scalar quantization (see sqTopKOf): stats computed
+    // distributed — posexplode + groupBy, re-assembled into two
+    // 64-element arrays on a single broadcast row, never collected to
+    // the driver.
     "sim_sq_topk" -> ((s, dir) => {
-      // normalize in double with an explicit left fold (not vec_dot,
-      // whose float accumulation the oracle can't reproduce): the
-      // integer code dot then approximates COSINE, not raw dot
-      val e = vecs(s, dir).withColumn("u", expr(
-        """transform(v, x -> cast(x as double) /
-          |  sqrt(aggregate(v, 0.0d,
-          |    (acc, y) -> acc + cast(y as double) * cast(y as double))))"""
-          .stripMargin))
-      val stats = e
-        .select(posexplode(col("u")).as(Seq("pos", "x")))
-        .groupBy("pos")
-        .agg(min("x").as("mn"), max("x").as("mx"))
-        .agg(
-          expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
-            .as("mns"),
-          expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)")
-            .as("mxs"))
-      val quantExpr =
-        """transform(u, (x, i) -> coalesce(cast(least(255.0d, greatest(0.0d,
-          |  floor((x - element_at(mns, i + 1))
-          |        / nullif(element_at(mxs, i + 1) - element_at(mns, i + 1), 0.0d)
-          |        * 255.0d + 0.5d))) as int), 0))""".stripMargin
-      // rank by the DEQUANTIZED dot (decode code -> mn + c*delta/255 on
-      // the fly, as an SQ8 index does): the raw integer code dot is NOT
-      // monotone in cosine — every code is offset-positive, so the
-      // -mn*sum(u) cross terms bias it toward large-coordinate vectors
-      val coded = e.crossJoin(broadcast(stats))
-        .select(col("vec_id"), col("v"), col("nrm"), col("mns"),
-          col("mxs"), expr(quantExpr).as("code"))
-        .withColumn("dec", expr(
-          """transform(code, (c, i) -> element_at(mns, i + 1)
-            |  + cast(c as double)
-            |    * (element_at(mxs, i + 1) - element_at(mns, i + 1))
-            |    / 255.0d)""".stripMargin))
-        .drop("mns", "mxs")
-        // cached: the query side re-derives this subtree for 10 rows,
-        // which would otherwise re-run the stats agg and quantize scan
-        // (in production the coded corpus is a materialized table)
-        .cache()
-      val q = coded.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("nrm").as("qn"), col("dec").as("qd"))
-      val n = coded.select(col("vec_id").as("nid"), col("v").as("nv"),
-        col("nrm").as("nn"), col("dec").as("nd"))
-      val wApprox = Window.partitionBy("qid")
-        .orderBy(col("adot").desc, col("nid"))
-      // broadcast the NQ-row query side explicitly and keep it on the
-      // build side: planner size estimates for the stats cross join can
-      // overshoot the auto-broadcast threshold, and the non-equi join
-      // would then fall all the way to a CartesianProduct
-      val cand = n.join(broadcast(q), col("nid") =!= col("qid"))
-        .withColumn("adot", expr(
-          "aggregate(zip_with(qd, nd, (a, b) -> a * b), 0.0d, (acc, y) -> acc + y)"))
-        .withColumn("arn", row_number().over(wApprox))
-        .filter(col("arn") <= RERANK)
-      val wTop = Window.partitionBy("qid")
-        .orderBy(col("c").desc, col("nid"))
-      cand
-        .withColumn("c", cos("qv", "qn", "nv", "nn"))
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") <= TOPK)
+      val e = vecs(s, dir)
+      sqTopKOf(e.filter(col("vec_id") < NQ), e, TOPK, RERANK)
         .select("qid", "nid")
         .orderBy("qid", "rn")
     }),

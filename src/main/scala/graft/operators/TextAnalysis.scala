@@ -90,53 +90,77 @@ object TextAnalysis {
       regexp_count(col("text"), lit(bpeIsh)).cast("int").as("re_tokens"),
       ceil(length(col("text")) / 4.0).cast("int").as("est_tokens"))
 
+  /** BM25 top-k of `docs` (doc_id, text) for `terms` → (rank, doc_id).
+    * Inverted-index shape: only documents containing a query term are
+    * ever scored (the explode+filter is the index probe); df and the
+    * corpus stats ride on broadcast rows. Per-document score sums the
+    * per-term contributions in SORTED TERM ORDER via an explicit fold —
+    * float addition is not associative, and a hash-agg SUM would order
+    * partials nondeterministically across engines and runs. Output is
+    * (rank, doc_id): ranks are ulp-robust, raw float scores are not
+    * (Java Math.log and libm ln can differ in the last ulp).
+    * Parameterized for the [[graft.api.Text]] facade. */
+  private[graft] def bm25Of(docs: DataFrame, terms: Seq[String],
+                            k: Int): DataFrame = {
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = broadcast(
+      tf.groupBy("term").agg(count(lit(1)).as("df")))
+    val contrib = tf.join(df, "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c", expr(
+        s"""ln((cast(n_docs as double) - cast(df as double) + 0.5d)
+           |   / (cast(df as double) + 0.5d) + 1.0d)
+           | * (cast(tf as double) * ($K1 + 1.0d))
+           | / (cast(tf as double)
+           |    + $K1 * (1.0d - $B + $B * (cast(dl as double)
+           |        / (cast(sum_dl as double) / cast(n_docs as double)))))"""
+          .stripMargin))
+    val scored = contrib.groupBy("doc_id")
+      .agg(expr(
+        """aggregate(array_sort(collect_list(struct(term, c))), 0.0d,
+          |  (acc, s) -> acc + s.c)""".stripMargin).as("score"))
+    // distributed top-k (TakeOrderedAndProject), NOT a global
+    // row_number window — ranking happens on the k survivors only
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"))
+  }
+
+  /** Document fingerprints of `docs` (doc_id, text): md5 of
+    * whitespace-normalized text (exact-dup key) and a winnowing-style
+    * signature — the minimum md5 over word 5-gram windows (robust to
+    * local edits). Pure per-row projection — embarrassingly parallel.
+    * Parameterized for the [[graft.api.Text]] facade. */
+  private[graft] def fingerprintOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm",
+        regexp_replace(trim(lower(col("text"))), " +", " "))
+      .withColumn("w", split(col("norm"), " "))
+      .select(
+        col("doc_id"),
+        substring(md5(col("norm").cast("binary")), 1, 16).as("fp"),
+        expr(
+          """CASE WHEN size(w) >= 5 THEN
+            |  array_min(transform(sequence(1, size(w) - 4),
+            |            i -> md5(cast(concat_ws(' ', slice(w, i, 5)) as binary))))
+            |ELSE md5(cast(norm as binary)) END""".stripMargin)
+          .as("winnow_min"))
+
   val queries: Map[String, Q] = Map(
     // BM25 retrieval — the scoring path retrieval-based curation uses
-    // (finding near-matches of eval sets, sourcing topical documents).
-    // Inverted-index shape: only documents containing a query term are
-    // ever scored (the explode+filter is the index probe); df and the
-    // corpus stats ride on broadcast rows. Per-document score sums the
-    // per-term contributions in SORTED TERM ORDER via an explicit fold
-    // — float addition is not associative, and a hash-agg SUM would
-    // order partials nondeterministically across engines and runs.
-    // Output is (rank, doc_id): ranks are ulp-robust, raw float scores
-    // are not (Java Math.log and libm ln can differ in the last ulp).
-    "ts_bm25" -> ((s, dir) => {
-      import s.implicits._
-      val docs = Tables(s, dir, "documents")
-      val lens = docs.select(col("doc_id"),
-        size(split(col("text"), " ")).as("dl"))
-      val stats = lens.agg(count(lit(1)).as("n_docs"),
-        sum("dl").as("sum_dl"))
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(col("term").isin(bm25Terms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = broadcast(
-        tf.groupBy("term").agg(count(lit(1)).as("df")))
-      val contrib = tf.join(df, "term")
-        .join(lens, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("c", expr(
-          s"""ln((cast(n_docs as double) - cast(df as double) + 0.5d)
-             |   / (cast(df as double) + 0.5d) + 1.0d)
-             | * (cast(tf as double) * ($K1 + 1.0d))
-             | / (cast(tf as double)
-             |    + $K1 * (1.0d - $B + $B * (cast(dl as double)
-             |        / (cast(sum_dl as double) / cast(n_docs as double)))))"""
-            .stripMargin))
-      val scored = contrib.groupBy("doc_id")
-        .agg(expr(
-          """aggregate(array_sort(collect_list(struct(term, c))), 0.0d,
-            |  (acc, s) -> acc + s.c)""".stripMargin).as("score"))
-      // distributed top-k (TakeOrderedAndProject), NOT a global
-      // row_number window — ranking happens on the 10 survivors only
-      val top = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
-      top.withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))))
-        .select(col("rank"), col("doc_id"))
-        .orderBy("rank")
-    }),
+    // (finding near-matches of eval sets, sourcing topical documents);
+    // see bm25Of for the index-probe shape and float-order discipline.
+    "ts_bm25" -> ((s, dir) =>
+      bm25Of(Tables(s, dir, "documents"), bm25Terms, 10).orderBy("rank")),
     // Language ID: count marker-word hits per candidate language, take
     // the argmax (ties broken by language code), 'und' when no marker
     // hits at all. The marker dimension broadcasts; the aggregate is a
@@ -164,20 +188,7 @@ object TextAnalysis {
     // 5-gram windows (robust to local edits, the rolling-hash selection
     // used by winnowing dedup).
     "ta_fingerprint" -> ((s, dir) =>
-      Tables(s, dir, "documents")
-        .withColumn("norm",
-          regexp_replace(trim(lower(col("text"))), " +", " "))
-        .withColumn("w", split(col("norm"), " "))
-        .select(
-          col("doc_id"),
-          substring(md5(col("norm").cast("binary")), 1, 16).as("fp"),
-          expr(
-            """CASE WHEN size(w) >= 5 THEN
-              |  array_min(transform(sequence(1, size(w) - 4),
-              |            i -> md5(cast(concat_ws(' ', slice(w, i, 5)) as binary))))
-              |ELSE md5(cast(norm as binary)) END""".stripMargin)
-            .as("winnow_min"))
-        .orderBy("doc_id")),
+      fingerprintOf(Tables(s, dir, "documents")).orderBy("doc_id")),
 
     // Unigram language-model scoring — the cheap perplexity proxy used
     // to rank documents by "surprise" (low average token log-probability

@@ -104,9 +104,14 @@ object Sources {
     // source, and compute order-independent corpus stats (line count,
     // char and word totals); the oracle computes the same stats from
     // the structured table, proving the round trip is lossless.
+    // Embedded newlines would split one document into several lines, so
+    // they are flattened to spaces BEFORE the write (1:1, so char counts
+    // hold) and the oracle applies the same flatten — one-doc-one-line
+    // is enforced by the query, not assumed of the generator.
     "s10_text_ingest" -> ((s, dir) => {
       val path = scratch(dir, "docs_text")
-      Tables(s, dir, "documents").select("text")
+      Tables(s, dir, "documents")
+        .select(regexp_replace(col("text"), "[\r\n]", " ").as("text"))
         .write.mode("overwrite").text(path)
       s.read.text(path)
         .agg(count(lit(1)).as("n_lines"),
@@ -175,9 +180,12 @@ object Sources {
         |ORDER BY o_orderstatus""".stripMargin,
 
     "s10_text_ingest" ->
-      """SELECT count(*) AS n_lines,
+      """WITH flat AS (
+        |  SELECT regexp_replace(text, '[\r\n]', ' ', 'g') AS text
+        |  FROM documents)
+        |SELECT count(*) AS n_lines,
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
         |  CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS sum_words
-        |FROM documents""".stripMargin
+        |FROM flat""".stripMargin
   )
 }

@@ -92,6 +92,32 @@ class ApiSpec extends SparkSpec {
     assert(api === query)
   }
 
+  test("facade SQ8 topK equals the sim_sq_topk query") {
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+    val api = graft.api.Vectors.topKSq(
+        emb.filter(col("vid") < 10), emb, 5, 50, "vid", "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val query = operators.Similarity
+      .queries("sim_sq_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(api === query)
+  }
+
+  test("facade bm25 and fingerprint equal the ts_bm25/ta_fingerprint queries") {
+    val terms = Seq("spark", "window", "merge", "stream")
+    val api = graft.api.Text.bm25(renamedDocs, terms, 10, "id", "body")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val query = operators.TextAnalysis.queries("ts_bm25")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(api === query)
+    val fp = graft.api.Text.fingerprint(renamedDocs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val fpQ = operators.TextAnalysis.queries("ta_fingerprint")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(fp === fpQ)
+  }
+
   test("facade text signals equal the ta_* queries") {
     val lang = graft.api.Text.langId(renamedDocs, "id", "body")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
