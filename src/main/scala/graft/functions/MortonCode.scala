@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Morton (Z-order) code of two dimension keys as a native Catalyst
   * expression with code generation: the low 16 bits of each input are
@@ -24,6 +25,24 @@ case class MortonCode(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "morton"
+
+  // analysis-time rejection of non-integral keys (AbstractDataType /
+  // ExpectsInputTypes are private[sql] in Spark 4, so check directly);
+  // the generated code casts straight to long, which DECIMAL/STRING
+  // children would break at runtime
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integral(left.dataType) && integral(right.dataType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two integral keys (TINYINT..BIGINT), got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+  }
 
   private def spread(v: Long): Long = {
     var x = v & 0xFFFFL

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Double-precision dot product of two float vectors as a native Catalyst
   * expression with code generation — the hot scalar of every similarity
@@ -20,10 +21,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be ArrayType(FloatType) — ExpectsInputTypes is
-  // private[sql], so type discipline is on the caller (VectorFunctions)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+
+  // analysis-time rejection of non-ARRAY<FLOAT> inputs (AbstractDataType /
+  // ExpectsInputTypes are private[sql] in Spark 4, so check directly)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<FLOAT> inputs, " +
+          s"got ${l.catalogString} and ${r.catalogString}")
+    }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

@@ -243,51 +243,48 @@ object Dedup {
     * the per-doc dimension twice afterwards (at 100 TB: two fewer
     * shuffles of the pair table). Takes the sid-keyed shingle table
     * (see shingleIds), so every join here runs on 8-byte keys. */
+  /** Candidate pairs for J ≥ 1/2 by PREFIX FILTERING (the AllPairs /
+    * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08, public):
+    * order every document's shingles by global rarity (df asc, shingle
+    * id asc as tie-break) and index only the first ⌊n/2⌋+1 — two sets
+    * with Jaccard ≥ 1/2 MUST share a prefix shingle (given the length
+    * filter max(na,nb) ≤ 2·min(na,nb), itself implied by J ≥ 1/2), so
+    * recall is EXACT BY THEOREM: no df cap, no tunable, no recall trade
+    * — this replaces round 4's df ≤ 50 index whose recall collapsed on
+    * a boilerplate-saturated corpus and round 5's first fix (a
+    * p95-adaptive cap) whose restored recall cost Σdf² join work.
+    *
+    * Why it scales: the index halves (⌊n/2⌋+1 of n shingles per doc),
+    * and rarity-first ordering keeps high-df boilerplate OUT of
+    * prefixes unless a document consists mostly of it — in which case
+    * its near-dups are real and the candidates are true positives. The
+    * self-join cost is Σ over prefix-indexed shingles of df_prefix²,
+    * dominated by genuinely-shared rare shingles, i.e. by OUTPUT.
+    * Candidate sets differ engine-to-engine only through the tie-break
+    * order; the final exact-intersection J-filter makes the RESULT
+    * identical regardless. */
   private[graft] def jaccardCandidates(sh: DataFrame): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // Adaptive index cap (round-4 verdict #5): rare = df ≤ max(50, p95
-    // of the distinct-shingle df distribution). On an ordinary corpus
-    // p95 is tiny (most shingles are unique) so the floor of 50 governs
-    // and results are exactly the old constant-cap ones; on a
-    // boilerplate-saturated corpus (the 30× soak case) the whole df
-    // distribution shifts up and the cap rises with it, keeping the
-    // inverted index populated instead of collapsing recall. p95 is the
-    // integer 19/20 rule over a df HISTOGRAM (one row per distinct df
-    // value — a window over at most a few thousand rows at any SF), so
-    // the DuckDB oracle reproduces the cap bit-exactly. The cap reaches
-    // the plan as a broadcast single-row join, not a driver fetch.
-    val hist = dfreq.groupBy("df").agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("cum",
-      sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("df")))
-    val tot = dfreq.agg(count(lit(1)).as("tot"))
-    val cap = cum.crossJoin(broadcast(tot))
-      .filter(col("cum") * 20 >= col("tot") * 19)
-      .agg(min("df").as("qdf"))
-      .select(greatest(lit(50L), col("qdf")).as("cap"))
-    val shd = sh.join(dfreq, "shingle").crossJoin(broadcast(cap))
-    val sizes = shd.groupBy("doc_id").agg(count(lit(1)).as("n"),
-      count(when(col("df") <= col("cap"), 1)).as("nr"))
-    // cached: both sides of the self-join read shrz, and its upstream
-    // (shd appears under sizes too) is not de-duplicated by AQE
-    val shrz = shd.filter(col("df") <= col("cap"))
-      .select("shingle", "doc_id").join(sizes, "doc_id").cache()
-    val az = shrz.select(col("shingle").as("shash"),
-      col("doc_id").as("id1"), col("n").as("na"), col("nr").as("ra"))
-    val bz = shrz.select(col("shingle").as("shash"),
-      col("doc_id").as("id2"), col("n").as("nb"), col("nr").as("rb"))
-    val rareOverlap = az.join(bz, Seq("shash"))
-      .filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2", "na", "ra", "nb", "rb")
-      .agg(count(lit(1)).as("n_ir"))
-    // J ≥ 1/2 needs 3·|∩| ≥ na+nb; prune pairs whose upper bound
-    // cannot reach it — exact (no true pair is dropped), and when all
-    // shingles are rare the bound IS |∩|, so almost nothing survives
-    // to the expensive exact-intersection join
-    rareOverlap
-      .filter((col("n_ir") +
-        least(col("na") - col("ra"), col("nb") - col("rb"))) * 3 >=
-        col("na") + col("nb"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "shingle")
+    val pref = sh.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(wDoc))
+      .join(sizes, "doc_id")
+      .filter(expr("rk <= n div 2 + 1"))
+      .select("shingle", "doc_id", "n")
+      // cached: both sides of the self-join read pref, and its upstream
+      // (dfreq + window) is not de-duplicated by AQE
+      .cache()
+    val az = pref.select(col("shingle").as("shash"),
+      col("doc_id").as("id1"), col("n").as("na"))
+    val bz = pref.select(col("shingle").as("shash"),
+      col("doc_id").as("id2"), col("n").as("nb"))
+    az.join(bz, Seq("shash"))
+      .filter(col("id1") < col("id2") &&
+        greatest(col("na"), col("nb")) <= least(col("na"), col("nb")) * 2)
       .select("id1", "id2", "na", "nb")
+      .distinct()
   }
 
   /** Shingle table for the soak's candidate accounting. */
@@ -692,32 +689,29 @@ object Dedup {
          |       count(DISTINCT cluster_id) AS n_clusters
          |FROM split GROUP BY split ORDER BY split""".stripMargin,
 
+    // prefix filtering mirrored independently: the tie-break order
+    // differs (raw shingle text here vs dictionary sid in Spark), which
+    // only perturbs the CANDIDATE set — the exact-intersection J filter
+    // makes the final rows identical either way
     "dd_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
          |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-         |hist AS (SELECT df, count(*) AS c FROM dfs GROUP BY df),
-         |cum AS (SELECT df, sum(c) OVER (ORDER BY df) AS cum FROM hist),
-         |cap AS (SELECT greatest(50, min(df)) AS cap
-         |        FROM cum, (SELECT count(*) AS tot FROM dfs) t
-         |        WHERE cum * 20 >= t.tot * 19),
-         |rare AS (SELECT shingle FROM dfs, cap WHERE df <= cap.cap),
-         |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-         |sizes AS (
-         |  SELECT s.doc_id, s.n, r.nr FROM
-         |    (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id) s
-         |  JOIN (SELECT doc_id, count(*) AS nr FROM shr GROUP BY doc_id) r
-         |    ON s.doc_id = r.doc_id),
-         |ro AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_ir
-         |  FROM shr a JOIN shr b ON a.shingle = b.shingle
-         |                        AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ranked AS (
+         |  SELECT s.doc_id, s.shingle,
+         |    row_number() OVER (PARTITION BY s.doc_id
+         |                       ORDER BY d.df, s.shingle) AS rk
+         |  FROM sh s JOIN dfs d USING (shingle)),
+         |pref AS (
+         |  SELECT r.doc_id, r.shingle, z.n
+         |  FROM ranked r JOIN sizes z USING (doc_id)
+         |  WHERE r.rk <= z.n // 2 + 1),
          |cand AS (
-         |  SELECT ro.id1, ro.id2, sa.n AS na, sb.n AS nb
-         |  FROM ro JOIN sizes sa ON ro.id1 = sa.doc_id
-         |          JOIN sizes sb ON ro.id2 = sb.doc_id
-         |  WHERE 3 * (ro.n_ir + least(sa.n - sa.nr, sb.n - sb.nr))
-         |        >= sa.n + sb.n),
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.n AS na, b.n AS nb
+         |  FROM pref a JOIN pref b ON a.shingle = b.shingle
+         |                          AND a.doc_id < b.doc_id
+         |  WHERE greatest(a.n, b.n) <= 2 * least(a.n, b.n)),
          |inter AS (
          |  SELECT c.id1, c.id2, c.na, c.nb, count(*) AS n_inter
          |  FROM cand c

@@ -117,6 +117,21 @@ class CodegenGuardSpec extends SparkSpec {
     assert(e2.getMessage.contains("ARRAY<STRING>"))
   }
 
+  test("morton and vec_dot reject wrong input types at analysis time") {
+    import spark.implicits._
+    graft.functions.MortonCode.register(spark)
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq(("k", 1.5)).toDF("s", "d")
+      .select(col("s"), col("d"), array(col("d"), col("d")).as("dv"))
+    val e1 = intercept[Exception](df.selectExpr("morton(s, s)").collect())
+    assert(e1.getMessage.contains("integral"))
+    // doubles silently truncated to long before — now rejected
+    val e2 = intercept[Exception](df.selectExpr("morton(d, d)").collect())
+    assert(e2.getMessage.contains("integral"))
+    val e3 = intercept[Exception](df.selectExpr("vec_dot(dv, dv)").collect())
+    assert(e3.getMessage.contains("ARRAY<FLOAT>"))
+  }
+
   test("quantile_sketch rejects DECIMAL/STRING measures at analysis time") {
     import spark.implicits._
     graft.functions.QuantileSketch.register(spark)

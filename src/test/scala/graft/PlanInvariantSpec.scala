@@ -18,7 +18,8 @@ class PlanInvariantSpec extends SparkSpec {
     fn(spark, sf).queryExecution.executedPlan.toString
 
   private val dedupQueries = Seq("dd_exact", "dd_incremental",
-    "dd_minhash_lsh", "dd_simhash", "dd_embed_cosine")
+    "dd_minhash_lsh", "dd_simhash",
+    "dd_ngram_jaccard", "dd_embed_cosine")
 
   for (name <- dedupQueries)
     test(s"$name plans without cartesian or nested-loop joins") {
@@ -26,17 +27,6 @@ class PlanInvariantSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), plan)
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     }
-
-  test("dd_ngram_jaccard: only broadcast scalar rows ride nested loops") {
-    // the adaptive df cap reaches the plan as single-row broadcast
-    // cross joins (cap, tot) — the same model-parameter pattern as
-    // sim_sq_topk's stats row; everything data-sized stays equi/hash
-    val plan = executedPlan(Dedup.queries("dd_ngram_jaccard"))
-    assert(!plan.contains("CartesianProduct"), plan)
-    val bnlj = plan.linesIterator
-      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
-    assert(bnlj.forall(_.contains("BuildRight")), plan)
-  }
 
   test("dd_fuzzy_levenshtein plans as a bucketed equi-join") {
     val plan = executedPlan(
