@@ -255,14 +255,16 @@ object Dedup {
     * p95-adaptive cap) whose restored recall cost Σdf² join work.
     *
     * Why it scales: the index halves (⌊n/2⌋+1 of n shingles per doc),
-    * and rarity-first ordering keeps high-df boilerplate OUT of
-    * prefixes unless a document consists mostly of it — in which case
-    * its near-dups are real and the candidates are true positives. The
-    * self-join cost is Σ over prefix-indexed shingles of df_prefix²,
-    * dominated by genuinely-shared rare shingles, i.e. by OUTPUT.
-    * Candidate sets differ engine-to-engine only through the tie-break
-    * order; the final exact-intersection J-filter makes the RESULT
-    * identical regardless. */
+    * rarity-first ordering keeps high-df boilerplate OUT of prefixes
+    * unless a document consists mostly of it, and the POSITIONAL bound
+    * prunes weakly-overlapping pairs before the expensive intersection
+    * join: with n_p common prefix entries whose last match sits at rank
+    * q_a in a and q_b in b, total overlap ≤ n_p + min(na−q_a, nb−q_b)
+    * — any common shingle globally SMALLER than that last match sits
+    * below both prefix cutoffs, so it would itself be a common prefix
+    * entry (sound per engine whatever the tie-break order, so the
+    * final exact-intersection J-filter yields identical rows in Spark
+    * and the oracle even though candidate sets differ). */
   private[graft] def jaccardCandidates(sh: DataFrame): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -272,19 +274,26 @@ object Dedup {
       .withColumn("rk", row_number().over(wDoc))
       .join(sizes, "doc_id")
       .filter(expr("rk <= n div 2 + 1"))
-      .select("shingle", "doc_id", "n")
+      .select("shingle", "doc_id", "n", "rk")
       // cached: both sides of the self-join read pref, and its upstream
       // (dfreq + window) is not de-duplicated by AQE
       .cache()
     val az = pref.select(col("shingle").as("shash"),
-      col("doc_id").as("id1"), col("n").as("na"))
+      col("doc_id").as("id1"), col("n").as("na"), col("rk").as("rk1"))
     val bz = pref.select(col("shingle").as("shash"),
-      col("doc_id").as("id2"), col("n").as("nb"))
+      col("doc_id").as("id2"), col("n").as("nb"), col("rk").as("rk2"))
     az.join(bz, Seq("shash"))
       .filter(col("id1") < col("id2") &&
         greatest(col("na"), col("nb")) <= least(col("na"), col("nb")) * 2)
+      .groupBy("id1", "id2", "na", "nb")
+      .agg(count(lit(1)).as("n_p"),
+        max(col("rk1")).as("qa"), max(col("rk2")).as("qb"))
+      // J ≥ 1/2 needs 3·|∩| ≥ na+nb; prune pairs whose positional
+      // upper bound cannot reach it
+      .filter((col("n_p") +
+        least(col("na") - col("qa"), col("nb") - col("qb"))) * 3 >=
+        col("na") + col("nb"))
       .select("id1", "id2", "na", "nb")
-      .distinct()
   }
 
   /** Shingle table for the soak's candidate accounting. */
@@ -703,15 +712,19 @@ object Dedup {
          |                       ORDER BY d.df, s.shingle) AS rk
          |  FROM sh s JOIN dfs d USING (shingle)),
          |pref AS (
-         |  SELECT r.doc_id, r.shingle, z.n
+         |  SELECT r.doc_id, r.shingle, r.rk, z.n
          |  FROM ranked r JOIN sizes z USING (doc_id)
          |  WHERE r.rk <= z.n // 2 + 1),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-         |         a.n AS na, b.n AS nb
-         |  FROM pref a JOIN pref b ON a.shingle = b.shingle
-         |                          AND a.doc_id < b.doc_id
-         |  WHERE greatest(a.n, b.n) <= 2 * least(a.n, b.n)),
+         |  SELECT id1, id2, na, nb FROM (
+         |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |           a.n AS na, b.n AS nb, count(*) AS n_p,
+         |           max(a.rk) AS qa, max(b.rk) AS qb
+         |    FROM pref a JOIN pref b ON a.shingle = b.shingle
+         |                            AND a.doc_id < b.doc_id
+         |    WHERE greatest(a.n, b.n) <= 2 * least(a.n, b.n)
+         |    GROUP BY 1, 2, 3, 4) g
+         |  WHERE 3 * (n_p + least(na - qa, nb - qb)) >= na + nb),
          |inter AS (
          |  SELECT c.id1, c.id2, c.na, c.nb, count(*) AS n_inter
          |  FROM cand c
