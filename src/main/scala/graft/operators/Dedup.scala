@@ -464,12 +464,20 @@ object Dedup {
     "dd_ngram_jaccard" -> ((s, dir) => {
       val sh = shingleIds(s, dir).cache()
       val cand = jaccardCandidates(sh)
+      // exact |∩| per candidate via per-doc shingle ARRAYS and a
+      // row-wise array_intersect: the work is candidates × doc size
+      // with two hash joins of pair-count rows — NOT the
+      // candidates × shingles EXPLODED equi-join (half a billion rows
+      // at the 10× soak), whose shuffle dominated the old plan
+      val docArr = sh.groupBy("doc_id")
+        .agg(sort_array(collect_list("shingle")).as("shs"))
       val inter = cand
-        .join(sh.toDF("id1", "sh1"), "id1")
-        .join(sh.toDF("id2b", "sh2"),
-          col("id2") === col("id2b") && col("sh1") === col("sh2"))
-        .groupBy("id1", "id2", "na", "nb")
-        .agg(count(lit(1)).as("n_inter"))
+        .join(docArr.select(col("doc_id").as("id1"), col("shs").as("sh1")),
+          "id1")
+        .join(docArr.select(col("doc_id").as("id2"), col("shs").as("sh2")),
+          "id2")
+        .withColumn("n_inter",
+          size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
       inter
         .select(col("id1"), col("id2"), col("n_inter"),
           (col("na") + col("nb") - col("n_inter")).as("n_union"))
@@ -725,12 +733,14 @@ object Dedup {
          |    WHERE greatest(a.n, b.n) <= 2 * least(a.n, b.n)
          |    GROUP BY 1, 2, 3, 4) g
          |  WHERE 3 * (n_p + least(na - qa, nb - qb)) >= na + nb),
+         |docarr AS (SELECT doc_id, list(shingle) AS shs
+         |           FROM sh GROUP BY doc_id),
          |inter AS (
-         |  SELECT c.id1, c.id2, c.na, c.nb, count(*) AS n_inter
+         |  SELECT c.id1, c.id2, c.na, c.nb,
+         |    CAST(len(list_intersect(a1.shs, a2.shs)) AS BIGINT) AS n_inter
          |  FROM cand c
-         |  JOIN sh s1 ON c.id1 = s1.doc_id
-         |  JOIN sh s2 ON c.id2 = s2.doc_id AND s1.shingle = s2.shingle
-         |  GROUP BY 1, 2, 3, 4)
+         |  JOIN docarr a1 ON c.id1 = a1.doc_id
+         |  JOIN docarr a2 ON c.id2 = a2.doc_id)
          |SELECT id1, id2, n_inter,
          |       CAST(na + nb - n_inter AS BIGINT) AS n_union
          |FROM inter
