@@ -29,6 +29,7 @@ object SparkEntry {
       operators.CorpusQuality.queries ++
       operators.Sessionize.queries ++
       operators.SemanticDedup.queries ++
+      operators.JoinReduction.queries ++
       operators.Typed.queries ++
       sources.Sources.queries ++
       sources.Bucketing.queries
@@ -55,6 +56,7 @@ object SparkEntry {
       operators.CorpusQuality.oracles ++
       operators.Sessionize.oracles ++
       operators.SemanticDedup.oracles ++
+      operators.JoinReduction.oracles ++
       operators.Typed.oracles ++
       sources.Sources.oracles ++
       sources.Bucketing.oracles

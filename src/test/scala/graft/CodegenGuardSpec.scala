@@ -87,6 +87,26 @@ class CodegenGuardSpec extends SparkSpec {
     assert(gen === e.eval(row))
   }
 
+  test("BloomMightContain generated Java compiles and matches interpreted eval") {
+    val e = graft.functions.BloomMightContain(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, ArrayType(LongType, containsNull = false),
+        nullable = true))
+    // build a real bitset for keys 0..99 via the aggregate's update path
+    val agg = graft.functions.BloomAgg(
+      BoundReference(0, LongType, nullable = true))
+    val buf = (0L until 100L).foldLeft(agg.createAggregationBuffer()) {
+      (b, k) => agg.update(b, InternalRow(k))
+    }
+    val bits = new GenericArrayData(buf.toArray[Any])
+    for (k <- Seq(0L, 57L, 99L, 100L, 123456L)) {
+      val row = InternalRow(k, bits)
+      val gen = codegenValue(e, row, _.getBoolean(0))
+      assert(gen === e.eval(row), s"key $k codegen/interp divergence")
+      if (k < 100L) assert(gen === true, s"built key $k must probe true")
+    }
+  }
+
   test("near-dup pipeline end-to-end under CODEGEN_ONLY with fallback off") {
     val conf = spark.conf
     val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
