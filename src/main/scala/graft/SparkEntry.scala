@@ -30,6 +30,7 @@ object SparkEntry {
       operators.Sessionize.queries ++
       operators.SemanticDedup.queries ++
       operators.JoinReduction.queries ++
+      operators.Clustering.queries ++
       operators.Typed.queries ++
       sources.Sources.queries ++
       sources.Bucketing.queries
@@ -57,6 +58,7 @@ object SparkEntry {
       operators.Sessionize.oracles ++
       operators.SemanticDedup.oracles ++
       operators.JoinReduction.oracles ++
+      operators.Clustering.oracles ++
       operators.Typed.oracles ++
       sources.Sources.oracles ++
       sources.Bucketing.oracles
