@@ -31,6 +31,7 @@ object SparkEntry {
       operators.SemanticDedup.queries ++
       operators.JoinReduction.queries ++
       operators.Clustering.queries ++
+      operators.ProductQuant.queries ++
       operators.Typed.queries ++
       sources.Sources.queries ++
       sources.Bucketing.queries
@@ -59,6 +60,7 @@ object SparkEntry {
       operators.SemanticDedup.oracles ++
       operators.JoinReduction.oracles ++
       operators.Clustering.oracles ++
+      operators.ProductQuant.oracles ++
       operators.Typed.oracles ++
       sources.Sources.oracles ++
       sources.Bucketing.oracles

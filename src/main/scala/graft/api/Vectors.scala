@@ -61,4 +61,18 @@ object Vectors {
       shaped(queries, idCol, vecCol), shaped(corpus, idCol, vecCol),
       k, rerank)
       .select(col("qid"), col("nid"), col("rn").as("rank"))
+
+  /** PQ/ADC top-k: the corpus trains 8 per-subspace 16-cell codebooks
+    * (one Lloyd round each), vectors encode to 8 small ints, and a
+    * query-to-vector distance is 8 LUT lookups; the top-`rerank` ADC
+    * candidates per query get an exact rerank. The compute-bound scale
+    * path: code scans touch 8 bytes/vector and never multiply.
+    * Requires 64-dim vectors (the trained subspace layout). */
+  def topKPq(queries: DataFrame, corpus: DataFrame, k: Int,
+             rerank: Int = 40,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame =
+    graft.operators.ProductQuant.pqTopKOf(
+      queries, corpus, k, rerank, idCol, vecCol)
+      .select(col("qid"), col("nid"), col("dist"))
 }

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Product-quantization ANN (Jégou et al. 2011, "Product quantization
+  * for nearest neighbor search"): the third point on the repo's ANN
+  * cost/recall curve after IVF (prune the corpus) and SQ8 (shrink the
+  * bytes) — PQ shrinks distance COMPUTATION: 64 dims → M=8 sub-vectors,
+  * each coded to one of 16 learned centroids, so a corpus vector is 8
+  * small ints and a query-to-vector distance is 8 table lookups (ADC)
+  * instead of 64 multiplies. Candidates by ADC distance, exact rerank
+  * on the full vectors.
+  *
+  * All arithmetic rides the Clustering primitives' integer-exact frame:
+  * unit-normalize, quantize to 10⁻⁴ units (`floor(u·10⁴ + 0.5)`), then
+  * every codebook train / encode / LUT / ADC / rerank step is BIGINT —
+  * the DuckDB oracle replays it bit-for-bit. Codebooks train with one
+  * Lloyd round per subspace (init = first 16 sub-vectors); a cell that
+  * empties KEEPS its init centroid, so every codebook stays exactly 16
+  * rows and the flattened 128-entry LUT array indexes by m·16+code on
+  * both engines.
+  *
+  * At 100 TB: codebooks are 8×16×8 longs (model parameters), encoding
+  * is one map-side pass, and the ADC scan is the NQ-row LUT table
+  * broadcast across the coded corpus — the only wide state is the
+  * 8-byte-per-vector code table, 32× smaller than the float corpus.
+  * Rerank fetches full vectors for RERANK rows per query, not n.
+  */
+object ProductQuant {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val M = 8       // subspaces
+  private val DSUB = 8    // dims per subspace
+  private val CB = 16     // codebook entries per subspace
+  private val NQ = 10     // query vectors: vec_id < NQ
+  private val TOPK = 5
+  private val RERANK = 40 // ADC candidates reranked exactly
+  private val DIST2 =
+    "aggregate(zip_with(%s, %s, (a, b) -> (a - b) * (a - b)), " +
+      "0L, (acc, v) -> acc + v)"
+
+  /** Quantize a float-array column to unit-milli BIGINT coordinates —
+    * identical double-op order to the oracle's spelling. */
+  private def quantize(df: DataFrame, idCol: Column,
+                       vecCol: String): DataFrame =
+    df.select(idCol.as("vec_id"), expr(
+      s"""transform($vecCol, x -> cast(floor(cast(x as double) /
+         |  sqrt(aggregate($vecCol, 0.0d,
+         |    (acc, y) -> acc + cast(y as double) * cast(y as double)))
+         |  * 10000.0d + 0.5d) as bigint))""".stripMargin).as("q"))
+
+  /** PQ/ADC top-k of `queries` against `corpus`, both (id, vector)
+    * frames with 64-dim float vectors. Codebooks train on the CORPUS
+    * (its CB lowest-id vectors seed each subspace, one Lloyd round);
+    * query batches ride broadcasts. Same-id pairs are excluded. */
+  private[graft] def pqTopKOf(queries: DataFrame, corpus: DataFrame,
+                              k: Int, rerank: Int,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+      val e = quantize(corpus, col(idCol), vecCol)
+        .cache() // sliced by every subspace, re-read by the rerank
+      val q0 = quantize(queries, col(idCol), vecCol)
+      // seed cids re-key densely to 0..CB-1 (CB lowest corpus ids, a
+      // CB-row frame): the ADC fold below indexes the flattened LUT by
+      // m·CB+code, which needs dense code values whatever the caller's
+      // id space looks like
+      val seeds = e.orderBy("vec_id").limit(CB)
+        .select((row_number().over(Window.orderBy("vec_id")) - 1)
+          .cast("long").as("cid"), col("q"))
+      def sub(df: DataFrame, m: Int, keep: Seq[String]): DataFrame =
+        df.select(keep.map(col) :+
+          expr(s"slice(q, ${m * DSUB + 1}, $DSUB)").as("q"): _*)
+      val parts = (0 until M).map { m =>
+        val init = sub(seeds, m, Seq("cid"))
+          .select(col("cid"), col("q").as("cq"))
+        val re = Clustering.recompute(
+          Clustering.assign(sub(e, m, Seq("vec_id")), init))
+        // empty cells keep their init centroid: the codebook is always
+        // exactly CB rows, so the LUT flattening stays aligned
+        val cb = re.unionByName(init.join(re, Seq("cid"), "left_anti"))
+        val codes = Clustering.assign(sub(e, m, Seq("vec_id")), cb)
+          .select(col("vec_id"), lit(m).as("m"), col("cid").as("code"))
+        val lut = sub(q0, m, Seq("vec_id"))
+          .select(col("vec_id").as("qid"), col("q").as("qs"))
+          .crossJoin(broadcast(cb))
+          .select(col("qid"), lit(m).as("m"), col("cid"),
+            expr(DIST2.format("qs", "cq")).as("d"))
+        (codes, lut)
+      }
+      val codes = parts.map(_._1).reduce(_ unionByName _)
+        .groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(m, code))), " +
+          "s -> s.code)").as("codes"))
+      val luts = parts.map(_._2).reduce(_ unionByName _)
+        .groupBy("qid")
+        .agg(expr("transform(array_sort(collect_list(struct(m, cid, d))), " +
+          "s -> s.d)").as("lut"))
+      val wA = Window.partitionBy("qid").orderBy(col("approx"), col("nid"))
+      val cand = codes.withColumnRenamed("vec_id", "nid")
+        .crossJoin(broadcast(luts))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("approx", expr(
+          s"aggregate(transform(codes, (c, m) -> " +
+            s"element_at(lut, cast(m * $CB + c + 1 as int))), " +
+            s"0L, (acc, v) -> acc + v)"))
+        .withColumn("arn", row_number().over(wA))
+        .filter(col("arn") <= rerank)
+        .select("qid", "nid")
+      val full = e.select(col("vec_id").as("nid"), col("q").as("nv"))
+      val qfull = q0.select(col("vec_id").as("qid"), col("q").as("qv"))
+      val wT = Window.partitionBy("qid").orderBy(col("dist"), col("nid"))
+      cand
+        .join(full, "nid")
+        .join(broadcast(qfull), "qid")
+        .withColumn("dist", expr(DIST2.format("qv", "nv")))
+        .withColumn("rn", row_number().over(wT))
+        .filter(col("rn") <= k)
+        .select("qid", "nid", "dist")
+        .orderBy("qid", "dist", "nid")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      pqTopKOf(emb.filter(col("vec_id") < NQ), emb, TOPK, RERANK)
+    })
+  )
+
+  /** Distance between two DSUB-long lists, DuckDB spelling. */
+  private def d2(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${DSUB + 1}),
+       |          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])),
+       |          (x, y) -> x + y)""".stripMargin
+
+  /** Subspace m's codebook-train + encode + LUT CTE block. */
+  private def subspaceSql(m: Int): String =
+    s"""sub$m AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, ${DSUB + 1}), i -> q[${m * DSUB} + i])
+       |      AS q
+       |  FROM e),
+       |cbi$m AS (SELECT vec_id AS cid, q AS cq FROM sub$m
+       |          WHERE vec_id < $CB),
+       |a$m AS (
+       |  SELECT vec_id, q, cid FROM (
+       |    SELECT vec_id, q, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY dist, cid) AS rn
+       |    FROM (SELECT n.vec_id, n.q, c.cid,
+       |            ${d2("n.q", "c.cq")} AS dist
+       |          FROM sub$m n, cbi$m c) d) x
+       |  WHERE rn = 1),
+       |cbr$m AS (
+       |  SELECT cid, list(mm ORDER BY i) AS cq FROM (
+       |    SELECT a.cid, g.i,
+       |      CAST(floor(CAST(sum(a.q[g.i]) AS DOUBLE) / count(*))
+       |           AS BIGINT) AS mm
+       |    FROM a$m a, generate_series(1, $DSUB) g(i)
+       |    GROUP BY a.cid, g.i) s
+       |  GROUP BY cid),
+       |cb$m AS (
+       |  SELECT cid, cq FROM cbr$m
+       |  UNION ALL
+       |  SELECT cid, cq FROM cbi$m
+       |  WHERE cid NOT IN (SELECT cid FROM cbr$m)),
+       |code$m AS (
+       |  SELECT vec_id, $m AS m, cid AS code FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY dist, cid) AS rn
+       |    FROM (SELECT n.vec_id, c.cid,
+       |            ${d2("n.q", "c.cq")} AS dist
+       |          FROM sub$m n, cb$m c) d) x
+       |  WHERE rn = 1),
+       |lut$m AS (
+       |  SELECT s.vec_id AS qid, $m AS m, c.cid,
+       |    ${d2("s.q", "c.cq")} AS d
+       |  FROM sub$m s, cb$m c WHERE s.vec_id < $NQ)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // same normalize/quantize/train/encode/ADC/rerank arithmetic; the
+    // ADC sum is a join on (m, code) here vs an array fold in Spark —
+    // identical integer sums either way
+    "sim_pq_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+         |      sqrt(list_reduce(
+         |        list_transform(embedding,
+         |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+         |        (acc, z) -> acc + z))
+         |      * 10000.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |${(0 until M).map(subspaceSql).mkString(",\n")},
+         |codes AS (${(0 until M).map(m => s"SELECT * FROM code$m")
+            .mkString(" UNION ALL ")}),
+         |luts AS (${(0 until M).map(m => s"SELECT * FROM lut$m")
+            .mkString(" UNION ALL ")}),
+         |adc AS (
+         |  SELECT l.qid, ct.vec_id AS nid, sum(l.d) AS approx
+         |  FROM codes ct JOIN luts l ON l.m = ct.m AND l.cid = ct.code
+         |  WHERE ct.vec_id <> l.qid
+         |  GROUP BY l.qid, ct.vec_id),
+         |cand AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY approx, nid) AS arn
+         |    FROM adc) x WHERE arn <= $RERANK)
+         |SELECT qid, nid, dist FROM (
+         |  SELECT c.qid, c.nid,
+         |    ${d2Full("eq.q", "en.q")} AS dist,
+         |    row_number() OVER (PARTITION BY c.qid
+         |                       ORDER BY ${d2Full("eq.q", "en.q")},
+         |                                c.nid) AS rn
+         |  FROM cand c
+         |  JOIN e en ON en.vec_id = c.nid
+         |  JOIN e eq ON eq.vec_id = c.qid) x
+         |WHERE rn <= $TOPK ORDER BY qid, dist, nid""".stripMargin
+  )
+
+  /** Full 64-dim integer distance, DuckDB spelling. */
+  private def d2Full(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${M * DSUB + 1}),
+       |          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])),
+       |          (x, y) -> x + y)""".stripMargin
+}

@@ -104,6 +104,18 @@ class ApiSpec extends SparkSpec {
     assert(api === query)
   }
 
+  test("facade PQ topK equals the sim_pq_topk query over renamed columns") {
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+    val api = graft.api.Vectors.topKPq(
+        emb.filter(col("vid") < 10), emb, 5, 40, "vid", "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val query = operators.ProductQuant
+      .queries("sim_pq_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(api === query)
+  }
+
   test("facade bm25 and fingerprint equal the ts_bm25/ta_fingerprint queries") {
     val terms = Seq("spark", "window", "merge", "stream")
     val api = graft.api.Text.bm25(renamedDocs, terms, 10, "id", "body")
