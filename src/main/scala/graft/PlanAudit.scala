@@ -35,7 +35,9 @@ object PlanAudit {
     "j7_star_join", "cdc_snapshot_diff", "zo_zorder_scan", "mt_compaction",
     "t8_stream_join_twin", "x_date_spine", "x_stats_agg", "xt_typed_agg",
     "ta_pii_scan", "s9_orc_ingest", "pipe_training_recipe",
-    "qs_quantile_sketch", "x_islands", "pw_dynamic_overwrite")
+    "qs_quantile_sketch", "x_islands", "pw_dynamic_overwrite",
+    // round-5 additions
+    "tf_txnfeed_parse", "bf_bloom_prune", "ml_kmeans", "sim_pq_topk")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,
@@ -78,7 +80,7 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val out = if (args.nonEmpty) args(0) else "PLANS_r4.md"
+    val out = if (args.nonEmpty) args(0) else "PLANS_r5.md"
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -109,7 +111,7 @@ object PlanAudit {
       "broadcast joins", "shuffle joins", "nested-loop/cartesian",
       "pushed-filter scans")
     val md = new StringBuilder
-    md ++= "# PLANS_r4 — physical-plan audit\n\n"
+    md ++= "# PLANS_r5 — physical-plan audit\n\n"
     md ++= s"Final adaptive plans at `$dir` " +
       "(`sbt \"runMain graft.PlanAudit\"`), counted by tree traversal — " +
       "each cached pipeline visited once, adaptive stages unwrapped.\n" +
@@ -118,9 +120,10 @@ object PlanAudit {
       "broadcast model-parameter-scale tables: sim_ivf_topk's 16-row " +
       "centroid table, ml_recommend's single-row corpus-stats scalar, " +
       "sim_sq_topk's one-row quantizer stats and 10-row query set, " +
-      "ts_bm25's one-row corpus stats, and dd_semantic's 64-row " +
-      "centroid table (each asserted broadcast-bounded in " +
-      "PlanInvariantSpec).\n\n"
+      "ts_bm25's one-row corpus stats, dd_semantic's 64-row centroid " +
+      "table, bf_bloom_prune's one-row bloom bitset, ml_kmeans's K-row " +
+      "centroid tables, and sim_pq_topk's NQ-row flattened-LUT table " +
+      "(each asserted broadcast-bounded in PlanInvariantSpec).\n\n"
     md ++= header.mkString("| ", " | ", " |\n")
     md ++= header.map(_ => "---").mkString("| ", " | ", " |\n")
     rows.foreach(r => md ++= r.mkString("| ", " | ", " |\n"))

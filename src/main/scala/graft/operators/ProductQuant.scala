@@ -61,8 +61,18 @@ object ProductQuant {
                               idCol: String = "vec_id",
                               vecCol: String = "embedding"): DataFrame = {
       val e = quantize(corpus, col(idCol), vecCol)
-        .cache() // sliced by every subspace, re-read by the rerank
+        .cache() // read by the subspace explode and the rerank
       val q0 = quantize(queries, col(idCol), vecCol)
+      // ONE keyed plan for all M subspaces — m is a join/group key, not
+      // a plan-duplication axis: training shuffles stay O(Lloyd rounds)
+      // instead of O(M·rounds), and centroid joins are broadcast
+      // equi-joins on m (an earlier per-subspace draft planned 107
+      // shuffles at M=8; this shape plans ~10)
+      def subs(df: DataFrame, inCol: String, outCol: String): DataFrame =
+        df.select(col(inCol).as(outCol), posexplode(expr(
+          s"transform(sequence(0, ${M - 1}), " +
+            s"m -> slice(q, m * $DSUB + 1, $DSUB))")).as(Seq("m", "sq")))
+      val subv = subs(e, "vec_id", "vec_id")
       // seed cids re-key densely to 0..CB-1 (CB lowest corpus ids, a
       // CB-row frame): the ADC fold below indexes the flattened LUT by
       // m·CB+code, which needs dense code values whatever the caller's
@@ -70,31 +80,40 @@ object ProductQuant {
       val seeds = e.orderBy("vec_id").limit(CB)
         .select((row_number().over(Window.orderBy("vec_id")) - 1)
           .cast("long").as("cid"), col("q"))
-      def sub(df: DataFrame, m: Int, keep: Seq[String]): DataFrame =
-        df.select(keep.map(col) :+
-          expr(s"slice(q, ${m * DSUB + 1}, $DSUB)").as("q"): _*)
-      val parts = (0 until M).map { m =>
-        val init = sub(seeds, m, Seq("cid"))
-          .select(col("cid"), col("q").as("cq"))
-        val re = Clustering.recompute(
-          Clustering.assign(sub(e, m, Seq("vec_id")), init))
-        // empty cells keep their init centroid: the codebook is always
-        // exactly CB rows, so the LUT flattening stays aligned
-        val cb = re.unionByName(init.join(re, Seq("cid"), "left_anti"))
-        val codes = Clustering.assign(sub(e, m, Seq("vec_id")), cb)
-          .select(col("vec_id"), lit(m).as("m"), col("cid").as("code"))
-        val lut = sub(q0, m, Seq("vec_id"))
-          .select(col("vec_id").as("qid"), col("q").as("qs"))
-          .crossJoin(broadcast(cb))
-          .select(col("qid"), lit(m).as("m"), col("cid"),
-            expr(DIST2.format("qs", "cq")).as("d"))
-        (codes, lut)
+      val init = subs(seeds, "cid", "cid")
+        .select(col("cid"), col("m"), col("sq").as("cq"))
+      // nearest centroid per (vector, subspace); exact integer distance,
+      // ties to the lower cid — the Clustering.assign contract, keyed
+      def assignM(cents: DataFrame): DataFrame = {
+        val w = Window.partitionBy("vec_id", "m")
+          .orderBy(col("dist"), col("cid"))
+        subv.join(broadcast(cents), "m")
+          .withColumn("dist", expr(DIST2.format("sq", "cq")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("vec_id", "m", "sq", "cid")
       }
-      val codes = parts.map(_._1).reduce(_ unionByName _)
+      val re = assignM(init)
+        .select(col("m"), col("cid"), posexplode(col("sq"))
+          .as(Seq("pos", "x")))
+        .groupBy("m", "cid", "pos")
+        .agg(floor(sum("x").cast("double") / count(lit(1)))
+          .cast("long").as("mm"))
+        .groupBy("m", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mm))), " +
+          "s -> s.mm)").as("cq"))
+      // empty cells keep their init centroid: the codebook is always
+      // exactly M·CB rows, so the LUT flattening stays aligned
+      val cb = re.unionByName(init.join(re, Seq("m", "cid"), "left_anti"))
+      val codes = assignM(cb)
+        .select(col("vec_id"), col("m"), col("cid").as("code"))
         .groupBy("vec_id")
         .agg(expr("transform(array_sort(collect_list(struct(m, code))), " +
           "s -> s.code)").as("codes"))
-      val luts = parts.map(_._2).reduce(_ unionByName _)
+      val luts = subs(q0, "vec_id", "qid")
+        .join(broadcast(cb), "m")
+        .select(col("qid"), col("m"), col("cid"),
+          expr(DIST2.format("sq", "cq")).as("d"))
         .groupBy("qid")
         .agg(expr("transform(array_sort(collect_list(struct(m, cid, d))), " +
           "s -> s.d)").as("lut"))

@@ -127,4 +127,30 @@ class PlanInvariantSpec extends SparkSpec {
       .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
     assert(bnlj.forall(_.contains("BuildRight")), plan)
   }
+
+  test("bf_bloom_prune: the probe filters the fact side below the join") {
+    val plan = executedPlan(
+      graft.operators.JoinReduction.queries("bf_bloom_prune"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the codegen'd probe must appear as a Filter in the fact branch —
+    // i.e. the plan string carries bloom_contains BELOW a join node
+    assert(plan.contains("bloom_contains"), plan)
+    val bnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("BuildRight")), plan) // 1-row bitset
+  }
+
+  test("ml_kmeans and sim_pq_topk: nested-loop only against broadcast " +
+    "model tables") {
+    // centroid/codebook/LUT frames are model parameters (K, CB, NQ
+    // rows); the corpus-sized paths must stay equi/hash everywhere
+    for (q <- Seq(graft.operators.Clustering.queries("ml_kmeans"),
+        graft.operators.ProductQuant.queries("sim_pq_topk"))) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), plan)
+      val bnlj = plan.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(bnlj.forall(_.contains("BuildRight")), plan)
+    }
+  }
 }
