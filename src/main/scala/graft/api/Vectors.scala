@@ -75,4 +75,15 @@ object Vectors {
     graft.operators.ProductQuant.pqTopKOf(
       queries, corpus, k, rerank, idCol, vecCol)
       .select(col("qid"), col("nid"), col("dist"))
+
+  /** Train `k` centroids on the corpus (fixed Lloyd rounds, k lowest-id
+    * seeds) and return them as an (idCol, vecCol) frame — plug the
+    * result straight into [[topKIvf]]'s `centroids` parameter, or use
+    * it for cluster-aware curation (SemDeDup-style pruning, per-cluster
+    * quotas). Centroids are model parameters: a k-row frame. */
+  def kmeans(corpus: DataFrame, k: Int = 16, iters: Int = 2,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame =
+    graft.operators.Clustering.kmeansFit(corpus, k, iters, idCol, vecCol)
+      .select(col("cid").as(idCol), col("centroid").as(vecCol))
 }

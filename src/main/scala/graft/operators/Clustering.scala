@@ -66,6 +66,30 @@ object Clustering {
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
         "s -> s.m)").as("cq"))
 
+  /** Train k centroids on an (id, float-vector) frame and return them
+    * as (cid, centroid) with FLOAT vectors — directly usable as the
+    * centroid frame of the IVF ANN path. Seeds are the k lowest-id
+    * vectors; `iters` fixed Lloyd rounds in the integer-exact frame
+    * (milli-unit quantization), centroids dequantized at the boundary.
+    */
+  private[graft] def kmeansFit(corpus: DataFrame, k: Int, iters: Int,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"), expr(
+      s"""transform($vecCol, x ->
+         |  cast(floor(cast(x as double) * 1000.0d + 0.5d) as bigint))"""
+        .stripMargin).as("q"))
+      .cache() // read by every assignment pass
+    val init = e.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+    val trained = (1 to iters).foldLeft(init) {
+      (cents, _) => recompute(assign(e, cents))
+    }
+    trained.select(col("cid"),
+      expr("transform(cq, v -> cast(cast(v as double) / 1000.0d as float))")
+        .as("centroid"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ml_kmeans" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")

@@ -47,6 +47,22 @@ class ClusteringSpec extends SparkSpec {
     assert(cents(0)._2.drop(1).forall(_ === 0L))
   }
 
+  test("kmeans facade trains centroids that drive the IVF ANN path") {
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = graft.api.Vectors.kmeans(emb, k = 16, iters = 2)
+    assert(cents.count() === 16)
+    // trained centroids plug straight into IVF; recall vs exact brute
+    // force stays high (probes=4 of 16 buckets)
+    val q = emb.filter(col("vec_id") < 10)
+    val ivf = graft.api.Vectors.topKIvf(q, emb, cents, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = graft.api.Vectors.topK(q, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    info(s"IVF-on-trained-centroids recall@5: $recall")
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
   test("ml_kmeans partitions the corpus: one non-negative assignment per vector") {
     val out = Clustering.queries("ml_kmeans")(spark, sf).cache()
     val n = Tables(spark, sf, "embeddings").count()
