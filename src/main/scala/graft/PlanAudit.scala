@@ -37,7 +37,8 @@ object PlanAudit {
     "ta_pii_scan", "s9_orc_ingest", "pipe_training_recipe",
     "qs_quantile_sketch", "x_islands", "pw_dynamic_overwrite",
     // round-5 additions
-    "tf_txnfeed_parse", "bf_bloom_prune", "ml_kmeans", "sim_pq_topk")
+    "tf_txnfeed_parse", "bf_bloom_prune", "ml_kmeans", "sim_pq_topk",
+    "tr_shard_manifest")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

@@ -126,7 +126,19 @@ object Soak {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
     spark.catalog.clearCache()
     val sqRecall = if (bf.nonEmpty) 1.0 * (bf & sq).size / bf.size else 0.0
-    println(f"""{"corpus":"$tag","query":"sim_recall","rows":$nVecs,"brute_s":$tBf%.2f,"ivf_s":$tIvf%.2f,"recall_at_5":$recall%.3f,"sq8_s":$tSq%.2f,"sq8_recall_at_5":$sqRecall%.3f}""")
+    val (pq, tPq) = time(
+      SparkEntry.queries("sim_pq_topk")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    spark.catalog.clearCache()
+    val pqRecall = if (bf.nonEmpty) 1.0 * (bf & pq).size / bf.size else 0.0
+    println(f"""{"corpus":"$tag","query":"sim_recall","rows":$nVecs,"brute_s":$tBf%.2f,"ivf_s":$tIvf%.2f,"recall_at_5":$recall%.3f,"sq8_s":$tSq%.2f,"sq8_recall_at_5":$sqRecall%.3f,"pq_s":$tPq%.2f,"pq_recall_at_5":$pqRecall%.3f}""")
+    // k-means: 3 full assignment passes over the corpus (2 Lloyd + the
+    // reported one) against 8 broadcast centroids — the scale check is
+    // that cost moves linearly with rows (no pairwise term exists)
+    val (kmRows, tKm) =
+      time(SparkEntry.queries("ml_kmeans")(spark, dir).count())
+    spark.catalog.clearCache()
+    println(f"""{"corpus":"$tag","query":"ml_kmeans","rows":$kmRows,"time_s":$tKm%.2f}""")
     // fuzzy dedup: PassJoin segment keys vs length buckets on the SAME
     // vocabulary — candidate volume is the whole story
     val nNames = Tables(spark, dir, "part")

@@ -119,4 +119,16 @@ object Corpus {
     graft.operators.CorpusPrep.packOf(
       items.select(col(idCol).as("doc_id"), col(ntokCol).as("ntok")),
       budget, groups)
+
+  /** Deterministic training-shard assignment: (id, text, shard_id,
+    * pos) — md5-keyed shuffle, per-shard replay order, byte-stable
+    * across reruns. Write with `.write.partitionBy("shard_id")` for
+    * one exported file set per shard; see the tr_shard_manifest query
+    * for the matching manifest aggregate. */
+  def shard(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text", nshards: Int = 16): DataFrame =
+    graft.operators.CorpusPrep.shardOf(
+      normalized(docs, idCol, textCol), nshards)
+      .select(col("doc_id").as(idCol), col("text").as(textCol),
+        col("shard_id"), col("pos"))
 }

@@ -73,10 +73,52 @@ object CorpusPrep {
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
 
+  /** shard fan-out for the training-export step */
+  private[graft] val NSHARDS = 16
+
+  /** Deterministic training-shard assignment of ANY (doc_id, text)
+    * frame: shuffle key = md5(doc_id) (identical lowercase hex in
+    * Spark and DuckDB), shard = first hex digit mod nshards, and a
+    * within-shard position from a PARTITIONED row_number over the md5
+    * order. The per-shard window is the 100 TB design point: a global
+    * seeded ORDER BY would funnel the corpus through one sort
+    * partition, while per-shard ordering keeps one task per shard and
+    * still fixes the byte-exact read order a trainer replays —
+    * cross-shard order is irrelevant to a loader that consumes whole
+    * shards. Re-running on the same corpus reproduces the same
+    * (shard_id, pos, doc_id) triples bit-for-bit. */
+  private[graft] def shardOf(docs: DataFrame,
+                             nshards: Int = NSHARDS): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard_id", expr(
+        s"cast((instr('0123456789abcdef', substr(h, 1, 1)) - 1) " +
+          s"% $nshards as int)"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("shard_id").orderBy("h")))
+
   val queries: Map[String, Q] = Map(
     "doc_chunk" -> ((s, dir) =>
       chunkOf(Tables(s, dir, "documents"))
         .orderBy("doc_id", "chunk_id")),
+
+    // Shard manifest — the export ledger a trainer checks before
+    // reading: per shard, document/token/char volumes, an assignment
+    // checksum (sum of doc_ids), and the first document in replay
+    // order. One hash shuffle (the shard window); no global sort.
+    "tr_shard_manifest" -> ((s, dir) =>
+      shardOf(Tables(s, dir, "documents"))
+        .withColumn("ntok", size(split(col("text"), " ")))
+        .groupBy("shard_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ntok").cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(col("doc_id")).as("sum_doc_id"),
+          max(when(col("pos") === 1, col("doc_id"))).as("first_doc"))
+        .orderBy("shard_id")),
 
     "pack_sequences" -> ((s, dir) =>
       packOf(Tables(s, dir, "documents")
@@ -85,6 +127,29 @@ object CorpusPrep {
         .orderBy("grp", "bin")))
 
   val oracles: Map[String, String] = Map(
+    // md5() is identical lowercase hex in both engines; SUMs cast to
+    // BIGINT so DuckDB's HUGEINT promotion can't drift the schema
+    "tr_shard_manifest" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, text,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h,
+         |    CAST((instr('0123456789abcdef',
+         |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+         |      % $NSHARDS AS INTEGER) AS shard_id
+         |  FROM documents),
+         |w AS (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY shard_id ORDER BY h) AS pos
+         |  FROM h)
+         |SELECT shard_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+         |  MAX(CASE WHEN pos = 1 THEN doc_id END) AS first_doc
+         |FROM w
+         |GROUP BY 1
+         |ORDER BY shard_id""".stripMargin,
+
     // unnest(range(...)) rather than a lateral generate_series —
     // DuckDB's table function can't take correlated column arguments
     "doc_chunk" ->

@@ -59,4 +59,60 @@ class CorpusPrepSpec extends SparkSpec {
       .count()
     assert(underfull === 0)
   }
+
+  test("shards partition the corpus and the manifest reconciles") {
+    val docs = Tables(spark, sf, "documents")
+    val manifest = CorpusPrep.queries("tr_shard_manifest")(spark, sf)
+      .cache()
+    val shardIds = manifest.select("shard_id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(shardIds === shardIds.sorted)
+    assert(shardIds.forall(id => id >= 0 && id < 16))
+    val tot = manifest
+      .agg(sum("n_docs"), sum("sum_doc_id")).collect().head
+    assert(tot.getLong(0) === docs.count())
+    assert(tot.getLong(1) ===
+      docs.agg(sum("doc_id")).collect().head.getLong(0))
+    manifest.unpersist()
+  }
+
+  test("shard assignment and replay order are deterministic across runs") {
+    val docs = Tables(spark, sf, "documents")
+    val a = CorpusPrep.shardOf(docs)
+      .select("doc_id", "shard_id", "pos")
+    // independent second run on a reshuffled input frame: same triples
+    val b = CorpusPrep.shardOf(docs.repartition(7))
+      .select(col("doc_id"), col("shard_id").as("s2"), col("pos").as("p2"))
+    val drift = a.join(b, "doc_id")
+      .filter(col("shard_id") =!= col("s2") || col("pos") =!= col("p2"))
+      .count()
+    assert(drift === 0)
+    // pos is a dense 1..n replay order within every shard
+    val holes = a.groupBy("shard_id")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+      .count()
+    assert(holes === 0)
+  }
+
+  test("facade shard write exports one directory per shard") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id").as("id"), col("text").as("body"))
+    graft.api.Corpus.shard(docs, idCol = "id", textCol = "body")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+    assert(dirs.length === 16)
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    // the written shards replay in the manifest's order: per shard the
+    // pos sequence is dense and the doc set matches the assignment
+    val drift = back.select(col("id").as("doc_id"), col("shard_id"))
+      .join(CorpusPrep.shardOf(Tables(spark, sf, "documents"))
+        .select(col("doc_id"), col("shard_id").as("s2")), "doc_id")
+      .filter(col("shard_id") =!= col("s2")).count()
+    assert(drift === 0)
+  }
 }
