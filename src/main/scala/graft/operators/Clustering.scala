@@ -66,11 +66,22 @@ object Clustering {
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
         "s -> s.m)").as("cq"))
 
+  /** A cluster that captures zero members in a round KEEPS its previous
+    * centroid (the ProductQuant codebook rule, ProductQuant.scala): the
+    * centroid frame is always exactly k rows whatever the corpus shape,
+    * which the k-row facade contract and IVF bucket sizing rely on. */
+  private[graft] def backfill(prev: DataFrame, next: DataFrame): DataFrame =
+    prev.select(col("cid"), col("cq").as("pq"))
+      .join(next, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("cq"), col("pq")).as("cq"))
+
   /** Train k centroids on an (id, float-vector) frame and return them
     * as (cid, centroid) with FLOAT vectors — directly usable as the
     * centroid frame of the IVF ANN path. Seeds are the k lowest-id
     * vectors; `iters` fixed Lloyd rounds in the integer-exact frame
-    * (milli-unit quantization), centroids dequantized at the boundary.
+    * (milli-unit quantization), centroids dequantized at the boundary;
+    * emptied clusters keep their previous centroid so the result is
+    * always exactly k rows.
     */
   private[graft] def kmeansFit(corpus: DataFrame, k: Int, iters: Int,
                                idCol: String = "vec_id",
@@ -83,7 +94,7 @@ object Clustering {
     val init = e.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("q").as("cq"))
     val trained = (1 to iters).foldLeft(init) {
-      (cents, _) => recompute(assign(e, cents))
+      (cents, _) => backfill(cents, recompute(assign(e, cents)))
     }
     trained.select(col("cid"),
       expr("transform(cq, v -> cast(cast(v as double) / 1000.0d as float))")
@@ -101,7 +112,7 @@ object Clustering {
       val init = e.filter(col("vec_id") < K)
         .select(col("vec_id").as("cid"), col("q").as("cq"))
       val trained = (1 to ITERS).foldLeft(init) {
-        (cents, _) => recompute(assign(e, cents))
+        (cents, _) => backfill(cents, recompute(assign(e, cents)))
       }
       assign(e, trained)
         .select("vec_id", "cid", "dist")
@@ -125,15 +136,22 @@ object Clustering {
        |      FROM $src n, $cents c) d) x
        |  WHERE rn = 1)""".stripMargin
 
-  private def recomputeSql(assigned: String, out: String): String =
+  /** Recompute + backfill: a cid absent from `assigned` (zero members
+    * this round) keeps its `prev` centroid — the Spark side's
+    * `backfill` rule, so both engines hold the cid set invariant. */
+  private def recomputeSql(assigned: String, prev: String,
+                           out: String): String =
     s"""${out}_m AS (
        |  SELECT a.cid, g.i,
        |    CAST(floor(CAST(sum(a.q[g.i]) AS DOUBLE) / count(*))
        |         AS BIGINT) AS m
        |  FROM $assigned a, generate_series(1, $DIMS) g(i)
        |  GROUP BY a.cid, g.i),
+       |${out}_r AS (
+       |  SELECT cid, list(m ORDER BY i) AS cq FROM ${out}_m GROUP BY cid),
        |$out AS (
-       |  SELECT cid, list(m ORDER BY i) AS cq FROM ${out}_m GROUP BY cid)"""
+       |  SELECT p.cid, COALESCE(r.cq, p.cq) AS cq
+       |  FROM $prev p LEFT JOIN ${out}_r r USING (cid))"""
       .stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -146,9 +164,9 @@ object Clustering {
          |  FROM embeddings),
          |c0 AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < $K),
          |${assignSql("e", "c0", "a1")},
-         |${recomputeSql("a1", "c1")},
+         |${recomputeSql("a1", "c0", "c1")},
          |${assignSql("e", "c1", "a2")},
-         |${recomputeSql("a2", "c2")},
+         |${recomputeSql("a2", "c1", "c2")},
          |${assignSql("e", "c2", "af")}
          |SELECT vec_id, cid, dist FROM af ORDER BY vec_id""".stripMargin
   )

@@ -76,9 +76,23 @@ object CorpusPrep {
   /** shard fan-out for the training-export step */
   private[graft] val NSHARDS = 16
 
+  /** The first 8 hex digits of md5 column `hcol` as a BIGINT in
+    * [0, 2^32) — an expression string valid VERBATIM in both Spark SQL
+    * and DuckDB (instr/substr only; per-term CAST to BIGINT keeps the
+    * largest product, 15·16^7 ≈ 4·10^9, out of INT overflow). 32 hash
+    * bits make `% nshards` uniform for ANY shard count — a single hex
+    * digit mod nshards would leave shards ≥ 16 empty and skew any
+    * nshards that doesn't divide 16. */
+  private[graft] def hex32Expr(hcol: String): String =
+    (1 to 8).map { i =>
+      val p = 1L << (4 * (8 - i))
+      s"(instr('0123456789abcdef', substr($hcol, $i, 1)) - 1) " +
+        s"* CAST($p AS BIGINT)"
+    }.mkString(" + ")
+
   /** Deterministic training-shard assignment of ANY (doc_id, text)
     * frame: shuffle key = md5(doc_id) (identical lowercase hex in
-    * Spark and DuckDB), shard = first hex digit mod nshards, and a
+    * Spark and DuckDB), shard = first 32 hash bits mod nshards, and a
     * within-shard position from a PARTITIONED row_number over the md5
     * order. The per-shard window is the 100 TB design point: a global
     * seeded ORDER BY would funnel the corpus through one sort
@@ -93,8 +107,7 @@ object CorpusPrep {
       .select(col("doc_id"), col("text"),
         md5(col("doc_id").cast("string")).as("h"))
       .withColumn("shard_id", expr(
-        s"cast((instr('0123456789abcdef', substr(h, 1, 1)) - 1) " +
-          s"% $nshards as int)"))
+        s"cast((${hex32Expr("h")}) % $nshards as int)"))
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("shard_id").orderBy("h")))
@@ -130,13 +143,13 @@ object CorpusPrep {
     // md5() is identical lowercase hex in both engines; SUMs cast to
     // BIGINT so DuckDB's HUGEINT promotion can't drift the schema
     "tr_shard_manifest" ->
-      s"""WITH h AS (
-         |  SELECT doc_id, text,
-         |    md5(CAST(doc_id AS VARCHAR)) AS h,
-         |    CAST((instr('0123456789abcdef',
-         |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
-         |      % $NSHARDS AS INTEGER) AS shard_id
+      s"""WITH h0 AS (
+         |  SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h
          |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, text, h,
+         |    CAST((${hex32Expr("h")}) % $NSHARDS AS INTEGER) AS shard_id
+         |  FROM h0),
          |w AS (
          |  SELECT *, row_number() OVER (
          |      PARTITION BY shard_id ORDER BY h) AS pos

@@ -233,16 +233,6 @@ object Dedup {
       .distinct()
   }
 
-  /** N-gram-Jaccard candidate pairs (id1, id2, na, nb) from the
-    * df-pruned inverted index, pre exact-intersection. Takes the cached
-    * shingle table so the query's final stage shares it.
-    *
-    * Per-doc totals and rare-shingle counts come from ONE aggregate;
-    * the doc stats ride through the rare-shingle self-join so the pair
-    * aggregate emits (na, ra, nb, rb) directly instead of re-joining
-    * the per-doc dimension twice afterwards (at 100 TB: two fewer
-    * shuffles of the pair table). Takes the sid-keyed shingle table
-    * (see shingleIds), so every join here runs on 8-byte keys. */
   /** Candidate pairs for J ≥ 1/2 by PREFIX FILTERING (the AllPairs /
     * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08, public):
     * order every document's shingles by global rarity (df asc, shingle

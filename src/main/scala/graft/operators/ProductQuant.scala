@@ -161,8 +161,11 @@ object ProductQuant {
        |    list_transform(range(1, ${DSUB + 1}), i -> q[${m * DSUB} + i])
        |      AS q
        |  FROM e),
-       |cbi$m AS (SELECT vec_id AS cid, q AS cq FROM sub$m
-       |          WHERE vec_id < $CB),
+       |cbi$m AS (
+       |  SELECT rn - 1 AS cid, cq FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, q AS cq
+       |    FROM sub$m) s
+       |  WHERE rn <= $CB),
        |a$m AS (
        |  SELECT vec_id, q, cid FROM (
        |    SELECT vec_id, q, cid,
@@ -202,7 +205,10 @@ object ProductQuant {
   val oracles: Map[String, String] = Map(
     // same normalize/quantize/train/encode/ADC/rerank arithmetic; the
     // ADC sum is a join on (m, code) here vs an array fold in Spark —
-    // identical integer sums either way
+    // identical integer sums either way. Seeds mirror the Spark side's
+    // rule exactly (CB lowest vec_ids, densely re-keyed 0..CB-1 by
+    // row_number), so the gate stays valid on id spaces that don't
+    // start dense at 0
     "sim_pq_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id,

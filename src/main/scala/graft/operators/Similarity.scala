@@ -134,6 +134,10 @@ object Similarity {
           .as("mns"),
         expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)")
           .as("mxs"))
+      // one row; cached so the query-side decode below reuses it instead
+      // of re-running the full-corpus min/max aggregation (at the 100 TB
+      // design point that second pass would double the index-build scan)
+      .cache()
     val quantExpr =
       """transform(u, (x, i) -> coalesce(cast(least(255.0d, greatest(0.0d,
         |  floor((x - element_at(mns, i + 1))

@@ -41,7 +41,7 @@ object Bucketing {
   def writeBucketedOnce(s: SparkSession, dir: String, name: String,
                         key: String): String =
     written.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$dir|$name",
+      s"${System.identityHashCode(s)}|$dir|$name|$key",
       _ => writeBucketed(s, dir, name, key))
 
   val queries: Map[String, Q] = Map(

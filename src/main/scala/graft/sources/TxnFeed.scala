@@ -32,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *      exactly-once specs assert equality, not just counts;
   *   2. an independent SQL oracle: DuckDB reproduces the full feed from
   *      `range(n)` with the same integer arithmetic, giving the S10
-  *      source a hash-matched correctness gate (query `t5_txnfeed_parse`).
+  *      source a hash-matched correctness gate (query `tf_txnfeed_parse`).
   *
   * Offsets advance `msgsPerBatch` per `latestOffset` poll up to `total`,
   * so a 10 s trigger with the default 1000 msgs/batch reproduces the
@@ -160,7 +160,7 @@ object TxnFeed {
   }
 
   /** All message fields as integer functions of the offset — the exact
-    * arithmetic `SparkEntry.oracleSql("t5_txnfeed_parse")` reruns in
+    * arithmetic `SparkEntry.oracleSql("tf_txnfeed_parse")` reruns in
     * DuckDB over range(n). Keep the two in lockstep. */
   def valueJson(i: Long): String = {
     val txnId = ('A' + (i % 26)).toChar.toString +
