@@ -72,6 +72,8 @@ object CorpusQuality {
     * (N mod 3) + 1 — a stand-in for the curated mixture table a real
     * pipeline would broadcast. */
   private val MIX_BASE = 10
+  /** bpe_encode: merges applied from the first count (one batch). */
+  private val BPE_MERGES = 20
 
   /** Positional 8-gram digests per doc (doc_id, n_words, start0, gh) —
     * the span-dedup working set; exposed so the scale soak can account
@@ -158,6 +160,43 @@ object CorpusQuality {
         .orderBy("doc_id")
     }),
 
+    // Temperature-weighted source mixing — the multi-corpus sampling
+    // rule LLM training mixtures use (sample source s ∝ n_s^T):
+    // source s with tok_s tokens keeps each doc with probability
+    // sqrt(min_tok / tok_s), i.e. T = 1/2 normalized so the SMALLEST
+    // source keeps everything and larger sources are downsampled
+    // toward sqrt scaling. Membership is a deterministic 32-bit hash
+    // gate on doc_id, and every float op in the rate (divide, sqrt,
+    // multiply-by-2^32, floor) is IEEE-correctly-rounded — sqrt is
+    // exact by the standard, unlike pow — so the oracle reproduces the
+    // threshold bit-for-bit. Plan shape at 100 TB: one tiny per-source
+    // agg (20 rows) broadcast back onto the scan; the corpus itself
+    // never shuffles — docs stream past the rate table map-side.
+    "mix_temperature" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("hv", expr(CorpusPrep.hex32Expr("h")))
+      val sizes = docs.groupBy("source").agg(sum("ntok").as("tok_s"))
+      val minTok = sizes.agg(min("tok_s").as("min_tok"))
+      val rates = sizes.crossJoin(broadcast(minTok))
+        .withColumn("rate",
+          sqrt(col("min_tok").cast("double") / col("tok_s").cast("double")))
+        .withColumn("thresh", floor(col("rate") * lit(4294967296.0d)))
+        .select("source", "thresh", "rate")
+      docs.join(broadcast(rates), "source")
+        .withColumn("keep", col("hv") < col("thresh"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("ntok")).otherwise(0L)).as("tok_kept"),
+          sum(when(col("keep"), col("doc_id")).otherwise(0L))
+            .as("sum_kept_id"),
+          max(floor(col("rate") * lit(1e6))).as("rate_ppm"))
+        .orderBy("source")
+    }),
+
     "dd_dup_spans" -> ((s, dir) => {
       val grams = spanGrams(s, dir)
       // a gram is duplicated iff ≥2 DISTINCT documents contain it
@@ -190,6 +229,56 @@ object CorpusQuality {
         .agg(sum("wf").as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)
+    }),
+
+    // BPE ENCODE — apply the first merge batch (the top-BPE_MERGES
+    // pairs from the initial count, in rank order) to the corpus
+    // dictionary and report the 25 most frequent words' encodings.
+    // Encoding runs on the DISTINCT-word dictionary (orders of
+    // magnitude smaller than the corpus — the same sharding a real
+    // tokenizer trainer uses) as one codegen'd projection: each merge
+    // is two boundary-anchored string replaces — tokens carry leading
+    // AND trailing space sentinels so a search " a b " can never match
+    // inside a multi-char token, and the second pass picks up the
+    // adjacent applications the first pass's non-overlapping
+    // left-to-right scan skipped (a run of k adjacent pairs merges
+    // odd occurrences in pass one, the now-isolated rest in pass two).
+    // The 20-row merge table is a driver-side model-parameter fetch
+    // (like the SRP hyperplanes); both engines then run the identical
+    // replace chain, so the oracle (a recursive CTE stepping through
+    // the same merge ranks) is bit-exact.
+    "bpe_encode" -> ((s, dir) => {
+      val wordFreq = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("wf"))
+        .cache()
+      val merges: Array[String] = wordFreq
+        .select(col("wf"), explode(expr(
+          """transform(sequence(1, length(word) - 1),
+            |  i -> substring(word, i, 2))""".stripMargin)).as("pair"))
+        .groupBy("pair").agg(sum("wf").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(BPE_MERGES)
+        .collect().map(_.getString(0))
+      require(merges.forall(_.matches("[A-Za-z0-9]{2}")),
+        "merge pairs must be plain alphanumerics (SQL-literal safe)")
+      val init = wordFreq.withColumn("spaced",
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+      val enc = merges.foldLeft(init) { (df, p) =>
+        val srch = s" ${p.charAt(0)} ${p.charAt(1)} "
+        val repl = s" $p "
+        df.withColumn("spaced", expr(
+          s"replace(replace(spaced, '$srch', '$repl'), '$srch', '$repl')"))
+      }
+      val top = enc
+        .select(col("word"), col("wf"), trim(col("spaced")).as("encoded"))
+        .orderBy(col("wf").desc, col("word")).limit(25)
+      top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("wf").desc, col("word"))))
+        .select(col("rank"), col("word"), col("wf"), col("encoded"),
+          size(split(col("encoded"), " ")).as("n_pieces"))
+        .orderBy("rank")
     }),
 
     "vocab_topk" -> ((s, dir) => {
@@ -293,6 +382,80 @@ object CorpusQuality {
         |SELECT pair, CAST(SUM(wf) AS BIGINT) AS cnt
         |FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    // sqrt/divide/multiply/floor are all IEEE-correctly-rounded, so the
+    // per-source threshold is the identical 64-bit double in both
+    // engines; the hash gate itself is integer arithmetic
+    "mix_temperature" ->
+      s"""WITH d0 AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |d AS (SELECT *, ${CorpusPrep.hex32Expr("h")} AS hv FROM d0),
+         |sz AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS tok_s
+         |       FROM d GROUP BY source),
+         |r AS (SELECT source,
+         |    sqrt(CAST((SELECT MIN(tok_s) FROM sz) AS DOUBLE)
+         |         / CAST(tok_s AS DOUBLE)) AS rate
+         |  FROM sz),
+         |r2 AS (SELECT source, rate,
+         |    CAST(floor(rate * 4294967296.0) AS BIGINT) AS thresh
+         |  FROM r)
+         |SELECT d.source,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN hv < thresh THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN hv < thresh THEN ntok ELSE 0 END) AS BIGINT)
+         |    AS tok_kept,
+         |  CAST(SUM(CASE WHEN hv < thresh THEN doc_id ELSE 0 END) AS BIGINT)
+         |    AS sum_kept_id,
+         |  CAST(MAX(floor(rate * 1e6)) AS BIGINT) AS rate_ppm
+         |FROM d JOIN r2 USING (source)
+         |GROUP BY d.source
+         |ORDER BY source""".stripMargin,
+
+    // the recursive CTE steps through the same 20 merge ranks the Spark
+    // fold applies; each step is the same double boundary-anchored
+    // replace, so the encodings agree byte-for-byte
+    "bpe_encode" ->
+      s"""WITH RECURSIVE wf AS (
+         |  SELECT word, count(*) AS wf FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word
+         |    FROM documents) x
+         |  WHERE length(word) >= 2 GROUP BY word),
+         |pc AS (SELECT substr(word, i, 2) AS pair, wf
+         |       FROM wf, UNNEST(range(1, length(word))) t(i)),
+         |m0 AS (SELECT pair, SUM(wf) AS cnt FROM pc GROUP BY pair
+         |       ORDER BY cnt DESC, pair LIMIT $BPE_MERGES),
+         |merges AS (SELECT
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INTEGER)
+         |      AS rk,
+         |    ' ' || substr(pair, 1, 1) || ' ' || substr(pair, 2, 1) || ' '
+         |      AS srch,
+         |    ' ' || pair || ' ' AS repl
+         |  FROM m0),
+         |base AS (SELECT word, wf,
+         |    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS spaced
+         |  FROM wf),
+         |enc AS (
+         |  SELECT word, wf, spaced, 0 AS step FROM base
+         |  UNION ALL
+         |  SELECT e.word, e.wf,
+         |    replace(replace(e.spaced, m.srch, m.repl), m.srch, m.repl),
+         |    e.step + 1
+         |  FROM enc e JOIN merges m ON m.rk = e.step + 1
+         |  WHERE e.step < $BPE_MERGES),
+         |fin AS (SELECT word, CAST(wf AS BIGINT) AS wf,
+         |    trim(spaced) AS encoded
+         |  FROM enc WHERE step = $BPE_MERGES),
+         |top AS (SELECT * FROM fin ORDER BY wf DESC, word LIMIT 25)
+         |SELECT
+         |  CAST(row_number() OVER (ORDER BY wf DESC, word) AS INTEGER)
+         |    AS rank,
+         |  word, wf, encoded,
+         |  CAST(len(string_split(encoded, ' ')) AS INTEGER) AS n_pieces
+         |FROM top ORDER BY rank""".stripMargin,
 
     "vocab_topk" ->
       s"""WITH counts AS (

@@ -501,8 +501,52 @@ object Dedup {
         .orderBy(col("cos").desc, col("id1"), col("id2"))
         .limit(20)
         .select("id1", "id2")
+    }),
+
+    // Corpus-level LINE dedup (the C4/MassiveText preprocessing step):
+    // split every document into fixed 8-token lines, drop every line
+    // whose exact content already appeared earlier in the corpus
+    // (first occurrence by (doc_id, line index) is kept), and rebuild
+    // each document from its surviving lines. Two shuffles of
+    // line-level rows — ownership ranks over the 16-byte line digest,
+    // the rebuild groups by doc — and NO joins: at 100 TB the heavy
+    // exchange carries (digest, doc_id, idx) triples, never document
+    // bodies twice. Output is a per-doc ledger (line counts + an md5
+    // of the rebuilt text) so the gate hashes the full rebuild without
+    // shipping 100 TB of cleaned text through the comparison.
+    "dd_lines" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("d").orderBy("doc_id", "idx")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("nblk", expr(
+          s"cast((size(toks) + $LINE_W - 1) div $LINE_W as int)"))
+        .select(col("doc_id"), col("nblk"), explode(expr(
+          s"""transform(sequence(0, nblk - 1), b -> struct(
+             |  b as idx,
+             |  array_join(slice(toks, b * $LINE_W + 1, $LINE_W), ' ')
+             |    as btxt))""".stripMargin)).as("blk"))
+        .select(col("doc_id"), col("blk.idx").as("idx"),
+          col("blk.btxt").as("btxt"))
+        .withColumn("d", md5(col("btxt").cast("binary")))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          // collect_list skips the NULLs of dropped lines; the struct
+          // sort restores line order, so the rebuild is exact
+          md5(expr(
+            """array_join(transform(
+              |  array_sort(collect_list(CASE WHEN rn = 1
+              |    THEN struct(idx, btxt) END)), s -> s.btxt), ' ')"""
+              .stripMargin).cast("binary")).as("clean_sig"))
+        .orderBy("doc_id")
     })
   )
+
+  /** dd_lines line width in tokens. */
+  private[graft] val LINE_W = 8
 
   /** Embeddings with norms and the ×1024 integer-quantized copy used
     * for the SRP sign tests. */
@@ -773,6 +817,39 @@ object Dedup {
          |            JOIN embeddings b ON c.id2 = b.vec_id
          |ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
          |         id1, id2
-         |LIMIT 20""".stripMargin
+         |LIMIT 20""".stripMargin,
+
+    // Same first-occurrence-by-(doc_id, idx) rule; string_agg skips the
+    // NULLs of dropped lines and orders by idx, mirroring the Spark
+    // collect_list/array_sort rebuild. SUM casts to BIGINT (HUGEINT
+    // promotion) and the all-lines-dropped doc coalesces to md5('').
+    "dd_lines" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CAST(unnest(range(0, (len(toks) + $LINE_W - 1) // $LINE_W))
+         |      AS INTEGER) AS idx,
+         |    toks
+         |  FROM t),
+         |bl AS (
+         |  SELECT doc_id, idx,
+         |    array_to_string(
+         |      toks[idx * $LINE_W + 1 : idx * $LINE_W + $LINE_W], ' ')
+         |      AS btxt
+         |  FROM b),
+         |r AS (
+         |  SELECT doc_id, idx, btxt, row_number() OVER (
+         |      PARTITION BY md5(btxt) ORDER BY doc_id, idx) AS rn
+         |  FROM bl)
+         |SELECT doc_id,
+         |  COUNT(*) AS n_lines,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN btxt END,
+         |    ' ' ORDER BY idx), '')) AS clean_sig
+         |FROM r
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -27,6 +27,7 @@ object Similarity {
   private val NQ = 10     // query vectors: vec_id < NQ
   private val RERANK = 50 // SQ8 candidates reranked with full floats
   private val FEAT_D = 16 // hashing-trick feature dimensions
+  private val NEGK = 5    // hard negatives mined per anchor
 
   /** embeddings with L2 norm, via vec_dot(v, v). */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
@@ -211,6 +212,39 @@ object Similarity {
         .orderBy("qid", "rn")
     }),
 
+    // Contrastive-training HARD-NEGATIVE MINING — for each anchor
+    // (query vector), its top-1 same-label neighbor (the positive) and
+    // the NEGK hardest different-label neighbors (highest cosine among
+    // wrong labels): the (anchor, positive, negatives) rows a
+    // contrastive/embedding trainer consumes. rn = 0 marks the
+    // positive. One corpus scan with the NQ-row anchor batch broadcast
+    // onto it; both heads (positive argmax, negative top-k) rank the
+    // same scored frame, so at 100 TB the cost is the scan plus two
+    // NQ-partition windows over anchor-local rows — never a global
+    // sort, never a second pass over the corpus.
+    "ml_hard_negatives" -> ((s, dir) => {
+      VectorFunctions.register(s)
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"), col("label"))
+        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      val q = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn"), col("label").as("qlbl"))
+      val n = e.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("nrm").as("nn"), col("label").as("nlbl"))
+      val scored = n.join(broadcast(q), col("nid") =!= col("qid"))
+        .withColumn("c", cos("qv", "qn", "nv", "nn"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("c").desc, col("nid"))
+      val pos = scored.filter(col("nlbl") === col("qlbl"))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("qid"), lit(0).as("rn"), col("nid"))
+      val neg = scored.filter(col("nlbl") =!= col("qlbl"))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= NEGK)
+        .select(col("qid"), col("r").as("rn"), col("nid"))
+      pos.unionAll(neg).orderBy("qid", "rn")
+    }),
+
     // Hashing-trick text featurizer — the deterministic text→vector
     // step that bridges the documents table into the embedding/ANN
     // family: each token lands in one of 16 buckets by its md5 prefix
@@ -324,6 +358,31 @@ object Similarity {
          |    ORDER BY list_cosine_similarity(qe, ne) DESC, nid) AS rn
          |  FROM cand) t
          |WHERE rn <= $TOPK ORDER BY qid, rn""".stripMargin,
+
+    // positive head (rn = 0) and negative head (rn = 1..NEGK) rank the
+    // same label-filtered cosine joins the Spark plan does
+    "ml_hard_negatives" ->
+      s"""SELECT qid, rn, nid FROM (
+         |  SELECT qid, CAST(0 AS INTEGER) AS rn, nid FROM (
+         |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding, n.embedding)
+         |                 DESC, n.vec_id) AS r
+         |    FROM embeddings q JOIN embeddings n
+         |      ON n.vec_id <> q.vec_id AND n.label = q.label
+         |    WHERE q.vec_id < $NQ) p
+         |  WHERE r = 1
+         |  UNION ALL
+         |  SELECT qid, CAST(r AS INTEGER) AS rn, nid FROM (
+         |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding, n.embedding)
+         |                 DESC, n.vec_id) AS r
+         |    FROM embeddings q JOIN embeddings n
+         |      ON n.vec_id <> q.vec_id AND n.label <> q.label
+         |    WHERE q.vec_id < $NQ) g
+         |  WHERE r <= $NEGK) u
+         |ORDER BY qid, rn""".stripMargin,
 
     "emb_hash_features" -> {
       val cs = (0 until FEAT_D).map(i =>

@@ -28,6 +28,15 @@ object TextAnalysis {
 
   private val bpeIsh = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  /** ta_quality_classifier linear-model parameters: integer weights
+    * over (n_tokens, n_uniq, n_stop) with an implicit −1 on n_chars,
+    * plus bias. "Trained offline"; fixed so both classes are populated
+    * at every SF (measured ~55/45 at sf0.001–0.1). */
+  private val QC_W_TOK = 4L
+  private val QC_W_UNIQ = 50L
+  private val QC_W_STOP = 10L
+  private val QC_BIAS = -1180L
+
   /** BM25 retrieval query terms (fixed literals so the oracle is a
     * closed expression) and the standard free parameters. */
   private val bm25Terms = Seq("spark", "window", "merge", "stream")
@@ -176,6 +185,32 @@ object TextAnalysis {
     // counts, marker-stopword hits, and a bucketed verdict.
     "ta_quality_score" -> ((s, dir) =>
       qualityScoreOf(Tables(s, dir, "documents")).orderBy("doc_id")),
+
+    // Learned-filter INFERENCE — the fasttext-style quality-classifier
+    // head applied at corpus scale: an integer-weight linear model
+    // over four document features (token count, distinct-token count,
+    // char count, stopword count), keep = score ≥ 0. The weights are
+    // the offline-trained model parameters (fixed here, chosen so both
+    // classes are populated at every SF); inference is one codegen'd
+    // zero-shuffle projection over the scan — the exact shape a
+    // 100 TB quality-filter pass has, where the cost IS the scan.
+    // Integer arithmetic end-to-end, so the oracle is bit-exact.
+    "ta_quality_classifier" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+          length(col("text")).cast("long").as("n_chars"),
+          expr("cast(size(filter(toks, t -> t = 'the' or t = 'a')) " +
+            "as long)").as("n_stop"))
+        .withColumn("score",
+          lit(QC_W_TOK) * col("n_tokens") + lit(QC_W_UNIQ) * col("n_uniq")
+            + lit(QC_W_STOP) * col("n_stop") - col("n_chars")
+            + lit(QC_BIAS))
+        .withColumn("keep", (col("score") >= 0).cast("int"))
+        .orderBy("doc_id")),
 
     // Token counting: whitespace tokens, a BPE-ish regex token count
     // (letter runs / digit runs / single symbols), and the chars/4
@@ -410,6 +445,26 @@ object TextAnalysis {
          |       ELSE 'poor' END AS quality
          |FROM documents d LEFT JOIN stops s ON d.doc_id = s.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // pure integer arithmetic — the same weights/bias interpolated from
+    // the one constant set, so the two engines share the model
+    "ta_quality_classifier" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |      AS n_uniq,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |s AS (
+         |  SELECT *, $QC_W_TOK * n_tokens + $QC_W_UNIQ * n_uniq
+         |    + $QC_W_STOP * n_stop - n_chars + ($QC_BIAS) AS score
+         |  FROM f)
+         |SELECT doc_id, n_tokens, n_uniq, n_chars, n_stop, score,
+         |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "ta_token_count" ->
       s"""SELECT doc_id,

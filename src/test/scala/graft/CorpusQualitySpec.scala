@@ -142,4 +142,61 @@ class CorpusQualitySpec extends SparkSpec {
     val expectTop = expect.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
     assert(got.toSeq === expectTop)
   }
+
+  test("mix_temperature: full local replay of the sqrt-rate hash gate") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex32(id: Long): Long = {
+      md.reset()
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 8), 16)
+    }
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").length.toLong))
+    val tokS = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val minTok = tokS.values.min
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val rate = math.sqrt(minTok.toDouble / tokS(src).toDouble)
+      val thresh = math.floor(rate * 4294967296.0).toLong
+      val kept = ds.filter(d => hex32(d._1) < thresh)
+      src -> ((ds.length.toLong, kept.length.toLong,
+        kept.map(_._3).sum, kept.map(_._1).sum,
+        math.floor(rate * 1e6).toLong))
+    }
+    val got = CorpusQuality.queries("mix_temperature")(spark, sf).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (nd, nk, tk, sid, ppm) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_kept") === nk, r.getAs[String]("source"))
+      assert(r.getAs[Long]("tok_kept") === tk)
+      assert(r.getAs[Long]("sum_kept_id") === sid)
+      assert(r.getAs[Long]("rate_ppm") === ppm)
+    }
+    // the smallest source keeps everything; larger sources are sampled
+    assert(got.exists(r => r.getAs[Long]("rate_ppm") === 1000000L))
+    assert(got.exists(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_docs")))
+  }
+
+  test("bpe_encode: encodings are lossless, compressed, rank-dense") {
+    val rows = CorpusQuality.queries("bpe_encode")(spark, sf).collect()
+    assert(rows.length === 25)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to 25))
+    rows.foreach { r =>
+      val word = r.getAs[String]("word")
+      val enc = r.getAs[String]("encoded")
+      // merges only ever join adjacent pieces: dropping the spaces
+      // must reproduce the word byte-for-byte
+      assert(enc.replace(" ", "") === word, s"lossy encode of $word")
+      assert(r.getAs[Int]("n_pieces") === enc.split(" ").length)
+      assert(r.getAs[Int]("n_pieces") <= word.length)
+      assert(r.getAs[Long]("wf") > 0L)
+    }
+    // the merge table is non-trivial on this corpus: at least one of
+    // the top words actually compresses below character count
+    assert(rows.exists(r =>
+      r.getAs[Int]("n_pieces") < r.getAs[String]("word").length))
+  }
 }

@@ -143,4 +143,39 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("dd_lines: full local replay of C4 line dedup matches exactly") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // every 8-token line in (doc_id, idx) order; first occurrence wins
+    val lines = docs.flatMap { case (id, t) =>
+      t.split(" ").grouped(8).zipWithIndex
+        .map { case (g, i) => (id, i, g.mkString(" ")) }
+    }
+    val firstOwner = scala.collection.mutable.Map[String, (Long, Int)]()
+    lines.foreach { case (id, i, s) =>
+      if (!firstOwner.contains(s)) firstOwner(s) = (id, i)
+    }
+    val expect = lines.groupBy(_._1).map { case (id, ls) =>
+      val kept = ls.filter { case (d, i, s) => firstOwner(s) == ((d, i)) }
+      id -> ((ls.length.toLong, kept.length.toLong,
+        md5hex(kept.sortBy(_._2).map(_._3).mkString(" "))))
+    }
+    val got = Dedup.queries("dd_lines")(spark, sf).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val (nl, nk, sig) = expect(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_lines") === nl)
+      assert(r.getAs[Long]("n_kept") === nk)
+      assert(r.getAs[String]("clean_sig") === sig)
+    }
+    // the corpus actually exercises the drop path
+    assert(got.exists(r => r.getAs[Long]("n_kept") <
+      r.getAs[Long]("n_lines")))
+  }
 }

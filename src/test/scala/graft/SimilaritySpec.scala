@@ -69,4 +69,39 @@ class SimilaritySpec extends SparkSpec {
       assert(vec.map(c => c * c).sum === r.getAs[Long]("sq_norm"))
     }
   }
+
+  test("hard negatives: exact local replay of both heads") {
+    // same arithmetic as FloatVecDot: double accumulation in index order
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val embs = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val norm = embs.map { case (id, v, _) => id -> math.sqrt(dot(v, v)) }
+      .toMap
+    val byId = embs.map(e => e._1 -> e).toMap
+    val rows = Similarity.queries("ml_hard_negatives")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size === 10)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq === (0 to 5))
+      val (_, qv, qlbl) = byId(qid)
+      def cos(nid: Long): Double =
+        dot(qv, byId(nid)._2) / (norm(qid) * norm(nid))
+      val ranked = embs.filter(_._1 != qid)
+        .map { case (nid, _, lbl) => (nid, lbl, cos(nid)) }
+      val expectPos = ranked.filter(_._2 == qlbl)
+        .sortBy { case (nid, _, c) => (-c, nid) }.head._1
+      val expectNegs = ranked.filter(_._2 != qlbl)
+        .sortBy { case (nid, _, c) => (-c, nid) }.take(5).map(_._1).toSeq
+      val pos = rs.find(_.getAs[Int]("rn") == 0).get.getAs[Long]("nid")
+      val negs = rs.filter(_.getAs[Int]("rn") > 0)
+        .sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("nid")).toSeq
+      assert(pos === expectPos, s"anchor $qid positive")
+      assert(negs === expectNegs, s"anchor $qid negatives")
+    }
+  }
 }

@@ -73,4 +73,27 @@ class TextAnalysisSpec extends SparkSpec {
       .select("text").collect().map(_.getString(0))
     assert(texts.forall(t => t.split(" ").exists(terms)))
   }
+
+  test("quality classifier: local feature/score replay, both classes") {
+    val texts = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.queries("ta_quality_classifier")(spark, sf)
+      .collect()
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val toks = t.split(" ")
+      val score = 4L * toks.length + 50L * toks.distinct.length +
+        10L * toks.count(w => w == "the" || w == "a") - t.length - 1180L
+      assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+      assert(r.getAs[Long]("n_uniq") === toks.distinct.length.toLong)
+      assert(r.getAs[Long]("n_chars") === t.length.toLong)
+      assert(r.getAs[Long]("score") === score)
+      assert(r.getAs[Int]("keep") === (if (score >= 0) 1 else 0))
+    }
+    // the model actually separates this corpus
+    assert(rows.exists(_.getAs[Int]("keep") == 1))
+    assert(rows.exists(_.getAs[Int]("keep") == 0))
+  }
 }
