@@ -38,7 +38,10 @@ object PlanAudit {
     "qs_quantile_sketch", "x_islands", "pw_dynamic_overwrite",
     // round-5 additions
     "tf_txnfeed_parse", "bf_bloom_prune", "ml_kmeans", "sim_pq_topk",
-    "tr_shard_manifest")
+    "tr_shard_manifest",
+    // round-5 continuation: training-data additions
+    "dd_lines", "mix_temperature", "ta_quality_classifier", "bpe_encode",
+    "ml_hard_negatives")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,
