@@ -17,16 +17,27 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` stores `TIMESTAMP(NANOS)`, which Spark's parquet
-    * reader rejects. Read nanos as long (legacy conf) and rebuild a
-    * microsecond timestamp with exact integer division (`div`, not `/` —
-    * float division would lose sub-millisecond precision on epoch-nanos).
+  /** `events.parquet` has shipped with two physical `ts` encodings across
+    * generator versions: `TIMESTAMP(NANOS)` (which Spark's parquet reader
+    * rejects — read nanos as long via the legacy conf and rebuild a
+    * microsecond timestamp with exact integer `div`, not float `/`) and
+    * plain `timestamp[us]` (decoded as TIMESTAMP_NTZ). Branch on the decoded
+    * type and normalize both to session-zone `TimestampType` — every session
+    * here runs UTC, so the NTZ→TZ cast is instant-preserving and downstream
+    * `unix_micros`/window arithmetic sees identical values either way.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Register the tables used by a `spark.sql` query as temp views (S9). */
