@@ -192,7 +192,12 @@ object Soak {
     // soak checks times scale with rows, not quadratically)
     for (q <- Seq("dc_decontaminate", "dd_boilerplate", "dd_semantic",
       "bpe_pair_counts", "vocab_topk", "emb_hash_features",
-      "pipe_training_recipe")) {
+      "pipe_training_recipe",
+      // addendum-3 operators: line dedup is one digest shuffle over
+      // exploded lines; the other four are projection/broadcast shaped —
+      // the soak checks all five move with rows, never pairwise
+      "dd_lines", "mix_temperature", "ta_quality_classifier",
+      "bpe_encode", "ml_hard_negatives")) {
       val (rows, t) = time(SparkEntry.queries(q)(spark, dir).count())
       spark.catalog.clearCache()
       println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")

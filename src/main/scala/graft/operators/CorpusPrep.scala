@@ -112,7 +112,55 @@ object CorpusPrep {
         org.apache.spark.sql.expressions.Window
           .partitionBy("shard_id").orderBy("h")))
 
+  /** range width of one dense-id bucket (≈ rows per local-sort task) */
+  private[graft] val IDBUCKET = 512
+
+  /** Dense sequential ids 0..n-1 over ANY (key) frame ordered by `key`,
+    * WITHOUT a global sort: the classic zipWithIndex-shaped two-pass,
+    * kept declarative. `row_number() OVER (ORDER BY key)` is the naive
+    * spelling — an empty partition spec funnels the entire corpus
+    * through ONE task, the textbook 100 TB plan killer. Instead:
+    *
+    *  1. bucket each row by key range (`key div bucketWidth` — order-
+    *     preserving across buckets, so bucket-local order + bucket
+    *     offsets compose to the global order);
+    *  2. rank locally inside each bucket (a PARTITIONED window — one
+    *     task per bucket, data-parallel);
+    *  3. offset = exclusive running sum of bucket counts — a window
+    *     over the bucket-COUNT table (n/bucketWidth rows, metadata
+    *     scale), broadcast-joined back.
+    *
+    * dense_id = offset + local_rank - 1 equals the global row_number
+    * exactly, which is what the oracle checks. Ragged/sparse key
+    * spaces only change bucket populations, never correctness. */
+  private[graft] def denseIdsOf(rows: DataFrame, key: String,
+                                bucketWidth: Int = IDBUCKET): DataFrame = {
+    val bucketed = rows.withColumn("bkt",
+      expr(s"$key div $bucketWidth"))
+    val offsets = bucketed.groupBy("bkt")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy("bkt")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            -1)))
+      .select(col("bkt"), coalesce(col("off"), lit(0L)).as("off"))
+    bucketed
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("bkt").orderBy(key)))
+      .join(broadcast(offsets), "bkt")
+      .withColumn("dense_id", col("off") + col("rn") - 1)
+      .drop("bkt", "rn", "off")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tr_dense_ids" -> ((s, dir) =>
+      denseIdsOf(Tables(s, dir, "documents").select("doc_id"), "doc_id")
+        .select(col("doc_id"), col("dense_id"))
+        .orderBy("doc_id")),
+
     "doc_chunk" -> ((s, dir) =>
       chunkOf(Tables(s, dir, "documents"))
         .orderBy("doc_id", "chunk_id")),
@@ -140,6 +188,14 @@ object CorpusPrep {
         .orderBy("grp", "bin")))
 
   val oracles: Map[String, String] = Map(
+    // the oracle IS the naive global spelling — the operator's claim is
+    // exact equality with row_number() OVER (ORDER BY key), minus 1
+    "tr_dense_ids" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS dense_id
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // md5() is identical lowercase hex in both engines; SUMs cast to
     // BIGINT so DuckDB's HUGEINT promotion can't drift the schema
     "tr_shard_manifest" ->

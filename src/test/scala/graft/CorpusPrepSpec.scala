@@ -115,4 +115,39 @@ class CorpusPrepSpec extends SparkSpec {
       .filter(col("shard_id") =!= col("s2")).count()
     assert(drift === 0)
   }
+
+  test("dense ids equal global row_number without a global window") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sf, "documents").select("doc_id")
+    val got = CorpusPrep.queries("tr_dense_ids")(spark, sf)
+    val want = docs.withColumn("dense_id",
+      row_number().over(Window.orderBy("doc_id")) - 1)
+    assert(got.except(want).count() === 0 &&
+      want.except(got).count() === 0)
+    // the plan's only window over the corpus is bucket-PARTITIONED; the
+    // unpartitioned running-sum window exists only on the tiny
+    // bucket-count side (its input is an Aggregate, not the scan)
+    val plan = got.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LW, Aggregate}
+    val globalOverScan = plan.collect {
+      case w: LW if w.partitionSpec.isEmpty &&
+        w.find(_.isInstanceOf[Aggregate]).isEmpty => w
+    }
+    assert(globalOverScan.isEmpty)
+  }
+
+  test("dense ids stay exact on a sparse ragged key space") {
+    // keys with huge gaps + dense runs: bucket populations are ragged
+    // (some empty, one overfull) and ids must still be 0..n-1 in order
+    val keys = Seq(3L, 4L, 5L, 1000000L, 1000001L, 7L, 999L, 54321L)
+    val df = spark.createDataFrame(
+      keys.map(Tuple1(_))).toDF("doc_id")
+    val got = CorpusPrep.denseIdsOf(df, "doc_id")
+      .orderBy("dense_id").collect()
+    val want = keys.sorted.zipWithIndex
+    got.zip(want).foreach { case (r, (k, i)) =>
+      assert(r.getAs[Long]("doc_id") === k)
+      assert(r.getAs[Long]("dense_id") === i.toLong)
+    }
+  }
 }
