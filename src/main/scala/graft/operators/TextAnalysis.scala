@@ -212,6 +212,44 @@ object TextAnalysis {
         .withColumn("keep", (col("score") >= 0).cast("int"))
         .orderBy("doc_id")),
 
+    // Robust length-outlier detection — the median/MAD quarantine rule
+    // corpus curation uses where mean/stddev would let a single crawler
+    // artifact drag the threshold (median and MAD have breakdown point
+    // 1/2; z-scores have 0). Per source: median token count, median
+    // absolute deviation, flag docs with dev > 3·MAD. Both medians use
+    // the explicit positional rule rn = (n+1) div 2 under a total order
+    // (value, doc_id), so the result is engine-exact integer arithmetic
+    // with no interpolation — the oracle replays it verbatim. Plan: two
+    // source-partitioned rank windows + two broadcast joins of the
+    // per-source stats (one row per source). At 100 TB the per-source
+    // exact sort is the one skewed stage; the sketch path
+    // (qs_quantile_sketch) is the approximate drop-in when a source is
+    // too hot to sort — this operator is the exact reference form.
+    "ta_outliers" -> ((s, dir) => {
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).as("ntok"))
+      def medianOf(df: DataFrame, valueCol: String,
+                   out: String): DataFrame = {
+        val w = Window.partitionBy("source")
+          .orderBy(col(valueCol), col("doc_id"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("source")))
+          .groupBy("source")
+          .agg(max(when(col("rn") === expr("(n + 1) div 2"),
+            col(valueCol))).as(out))
+      }
+      val med = medianOf(t, "ntok", "med")
+      val dev = t.join(broadcast(med), "source")
+        .withColumn("dev", abs(col("ntok") - col("med")))
+      val mad = medianOf(dev, "dev", "mad")
+      dev.join(broadcast(mad), "source")
+        .filter(col("dev") > lit(3) * col("mad"))
+        .select("doc_id", "source", "ntok", "med", "mad")
+        .orderBy("doc_id")
+    }),
+
     // Token counting: whitespace tokens, a BPE-ish regex token count
     // (letter runs / digit runs / single symbols), and the chars/4
     // LLM-token estimate.
@@ -465,6 +503,42 @@ object TextAnalysis {
          |SELECT doc_id, n_tokens, n_uniq, n_chars, n_stop, score,
          |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // positional median rule rn = (n+1)//2 under (value, doc_id) —
+    // identical to the Spark side; no quantile interpolation anywhere
+    "ta_outliers" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS ntok
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY ntok, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM t),
+        |med AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN ntok END) AS med
+        |  FROM r GROUP BY source),
+        |d AS (
+        |  SELECT t.doc_id, t.source, t.ntok, med.med,
+        |    abs(t.ntok - med.med) AS dev
+        |  FROM t JOIN med USING (source)),
+        |r2 AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY dev, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+        |  FROM r2 GROUP BY source)
+        |SELECT d.doc_id, d.source, d.ntok, d.med, mad.mad
+        |FROM d JOIN mad USING (source)
+        |WHERE d.dev > 3 * mad.mad
+        |ORDER BY d.doc_id""".stripMargin,
 
     "ta_token_count" ->
       s"""SELECT doc_id,

@@ -96,4 +96,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Int]("keep") == 1))
     assert(rows.exists(_.getAs[Int]("keep") == 0))
   }
+
+  test("outlier rule: local median/MAD replay flags exactly dev > 3*MAD") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").length))
+    def medianBy[K](xs: Seq[(Int, Long)]): Int = {
+      // value at position (n+1)/2 under (value, doc_id) — the
+      // operator's explicit positional rule
+      val sorted = xs.sortBy(x => (x._1, x._2))
+      sorted((sorted.length + 1) / 2 - 1)._1
+    }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val med = medianBy(ds.toSeq.map(d => (d._3, d._1)))
+      val devs = ds.map(d => (d._1, math.abs(d._3 - med)))
+      val mad = medianBy(devs.toSeq.map(d => (d._2, d._1)))
+      devs.filter(_._2 > 3 * mad).map(d => (d._1, src, med, mad))
+    }.toSet
+    val got = TextAnalysis.queries("ta_outliers")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("med"), r.getAs[Int]("mad"))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty) // the rule fires on this corpus
+  }
 }
