@@ -292,10 +292,65 @@ object CorpusQuality {
           Window.orderBy(col("cnt").desc, col("term"))))
         .select(col("rank"), col("term"), col("cnt"))
         .orderBy("rank")
+    }),
+
+    // Dataset card — the release-notes table a corpus ships with
+    // (per-source×lang, per-source, and corpus-total rows from ONE
+    // GROUPING SETS pass): volumes (docs/tokens/chars), token-length
+    // spread (min/max), and the exact-duplicate share. Dup flags come
+    // from the dd_exact digest rule (md5 of normalized text, count>1
+    // corpus-wide), ONE digest-keyed shuffle joined back before the
+    // rollup — at 100 TB that digest shuffle is 16 bytes/doc and the
+    // grouping-sets pass is a single aggregation with map-side combine,
+    // so the whole card costs one scan + two exchanges regardless of
+    // corpus size.
+    "tr_dataset_card" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .withColumn("norm",
+          regexp_replace(trim(lower(col("text"))), " +", " "))
+        .withColumn("h", md5(col("norm").cast("binary")))
+        .withColumn("ntok", size(split(col("text"), " ")))
+      val dupCounts = docs.groupBy("h")
+        .agg(count(lit(1)).as("copies"))
+      val flagged = docs.join(dupCounts, "h")
+        .withColumn("is_dup", (col("copies") > 1).cast("long"))
+      flagged.createOrReplaceTempView("graft_card_flagged")
+      s.sql("""SELECT coalesce(source, 'ALL') AS source,
+              |  coalesce(lang, 'ALL') AS lang,
+              |  count(*) AS n_docs,
+              |  cast(sum(ntok) AS bigint) AS n_tokens,
+              |  cast(sum(length(text)) AS bigint) AS n_chars,
+              |  min(ntok) AS min_tok, max(ntok) AS max_tok,
+              |  cast(sum(is_dup) AS bigint) AS n_dup_docs
+              |FROM graft_card_flagged
+              |GROUP BY GROUPING SETS ((source, lang), (source), ())
+              |ORDER BY source, lang""".stripMargin)
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // same digest rule as dd_exact; GROUPING SETS mirrors the Spark SQL
+    "tr_dataset_card" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, text,
+        |    md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS h,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS ntok
+        |  FROM documents),
+        |c AS (SELECT h, count(*) AS copies FROM d GROUP BY h),
+        |f AS (
+        |  SELECT d.*, CASE WHEN c.copies > 1 THEN 1 ELSE 0 END AS is_dup
+        |  FROM d JOIN c USING (h))
+        |SELECT coalesce(source, 'ALL') AS source,
+        |  coalesce(lang, 'ALL') AS lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  min(ntok) AS min_tok, max(ntok) AS max_tok,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs
+        |FROM f
+        |GROUP BY GROUPING SETS ((source, lang), (source), ())
+        |ORDER BY source, lang""".stripMargin,
+
     "dc_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
          |           FROM documents),

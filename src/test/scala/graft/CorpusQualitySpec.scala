@@ -199,4 +199,27 @@ class CorpusQualitySpec extends SparkSpec {
     assert(rows.exists(r =>
       r.getAs[Int]("n_pieces") < r.getAs[String]("word").length))
   }
+
+  test("dataset card: rollup levels reconcile and dup count matches dd_exact") {
+    import graft.operators.{CorpusQuality, Dedup}
+    val card = CorpusQuality.queries("tr_dataset_card")(spark, sf).collect()
+    val total = card.filter(r => r.getString(0) == "ALL").toSeq
+    assert(total.size === 1)
+    val perSource = card.filter(r =>
+      r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    val perPair = card.filter(r =>
+      r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    // each aggregate column sums exactly across grouping levels
+    for (c <- Seq("n_docs", "n_tokens", "n_chars", "n_dup_docs")) {
+      val t = total.head.getAs[Long](c)
+      assert(perSource.map(_.getAs[Long](c)).sum === t, c)
+      assert(perPair.map(_.getAs[Long](c)).sum === t, c)
+    }
+    // the card's corpus-wide dup count is dd_exact's duplicate volume:
+    // every member of a >1-copy digest group counts as a dup doc
+    val dupFromDedup = Dedup.queries("dd_exact")(spark, sf)
+      .filter(col("n_copies") > 1)
+      .agg(coalesce(sum("n_copies"), lit(0L))).collect().head.getLong(0)
+    assert(total.head.getAs[Long]("n_dup_docs") === dupFromDedup)
+  }
 }
