@@ -159,4 +159,26 @@ class MaintenanceSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(salted === plain)
   }
+
+  test("incremental MV: merge-refresh equals full recompute, delta-only scan") {
+    val got = operators.Maintenance.queries("mv_incremental")(spark, sf)
+    // full recompute in Spark as the in-engine cross-check
+    val want = Tables(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+    val drift = got.select("o_orderpriority", "ym", "n_orders", "revenue")
+      .except(want.select("o_orderpriority", "ym", "n_orders", "revenue"))
+      .count()
+    assert(drift === 0)
+    // the refresh plan reads the stored state and ONLY the delta from
+    // the fact table: its orders scan pushes the cutoff predicate
+    val phys = got.queryExecution.executedPlan.toString
+    assert(phys.contains("mv_base"))
+    assert(phys.contains("o_orderdate"))
+    assert(phys.toLowerCase.contains("greaterthanorequal") ||
+      phys.contains(">= 2001-01-01"))
+  }
 }
