@@ -212,6 +212,48 @@ object TextAnalysis {
         .withColumn("keep", (col("score") >= 0).cast("int"))
         .orderBy("doc_id")),
 
+    // Phrase search over a positional inverted index — the retrieval
+    // primitive BM25 (bag-of-words) cannot express: exact multi-word
+    // adjacency. The corpus's most frequent word trigram (deterministic
+    // tiebreak on phrase text) is the query; matching walks the
+    // postings index (doc_id, pos, word) with per-term broadcast
+    // pruning and (doc_id, pos+k) equi-joins — each join key is
+    // (doc_id, adjusted position), so all three legs hash-join without
+    // inequality conditions. At 100 TB the postings for the three
+    // phrase terms are the only rows that reach the joins (the 1-row
+    // phrase table broadcast-prunes each leg at the scan), which is
+    // exactly how a search engine intersects positional postings lists.
+    "ts_phrase_search" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      val tri = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, n - 3), i -> " +
+            "concat_ws(' ', w[i], w[i + 1], w[i + 2]))")).as("phrase"))
+      val top = tri.groupBy("phrase")
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("phrase")).limit(1)
+        .select(col("phrase"), split(col("phrase"), " ").as("pw"))
+      def leg(alias: String, term: org.apache.spark.sql.Column) =
+        toks.join(broadcast(top), col("word") === term)
+          .select(col("doc_id"), col("pos"), col("phrase"))
+          .as(alias)
+      val a = leg("a", col("pw").getItem(0))
+      val b = leg("b", col("pw").getItem(1))
+      val c = leg("c", col("pw").getItem(2))
+      a.join(b, col("a.doc_id") === col("b.doc_id") &&
+          col("a.pos") + 1 === col("b.pos"))
+        .join(c, col("a.doc_id") === col("c.doc_id") &&
+          col("a.pos") + 2 === col("c.pos"))
+        .groupBy(col("a.doc_id").as("doc_id"), col("a.phrase").as("phrase"))
+        .agg(count(lit(1)).as("n_occ"))
+        .orderBy("doc_id")
+    }),
+
     // Robust length-outlier detection — the median/MAD quarantine rule
     // corpus curation uses where mean/stddev would let a single crawler
     // artifact drag the threshold (median and MAD have breakdown point
@@ -503,6 +545,25 @@ object TextAnalysis {
          |SELECT doc_id, n_tokens, n_uniq, n_chars, n_stop, score,
          |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the oracle needs no positional index: occurrences of the top
+    // trigram per doc ARE the phrase matches — semantics, not plan
+    "ts_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tri AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS phrase
+        |  FROM t WHERE len(w) >= 3),
+        |top AS (
+        |  SELECT phrase FROM tri GROUP BY phrase
+        |  ORDER BY count(*) DESC, phrase LIMIT 1)
+        |SELECT tri.doc_id, top.phrase, count(*) AS n_occ
+        |FROM tri, top
+        |WHERE tri.phrase = top.phrase
+        |GROUP BY 1, 2
+        |ORDER BY tri.doc_id""".stripMargin,
 
     // positional median rule rn = (n+1)//2 under (value, doc_id) —
     // identical to the Spark side; no quantile interpolation anywhere

@@ -97,6 +97,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Int]("keep") == 0))
   }
 
+  test("phrase search: local replay of top-trigram adjacency matches") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val triCounts = docs.flatMap { case (_, w) =>
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")) else Iterator.empty
+    }.groupBy(identity).map { case (p, xs) => p -> xs.length }
+    val top = triCounts.toSeq.sortBy { case (p, c) => (-c, p) }.head._1
+    val expected = docs.flatMap { case (id, w) =>
+      val n = if (w.length >= 3)
+        w.sliding(3).count(_.mkString(" ") == top) else 0
+      if (n > 0) Some((id, top, n.toLong)) else None
+    }.toSet
+    val got = TextAnalysis.queries("ts_phrase_search")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("phrase"),
+        r.getAs[Long]("n_occ"))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("outlier rule: local median/MAD replay flags exactly dev > 3*MAD") {
     val docs = Tables(spark, sf, "documents")
       .select("doc_id", "source", "text").collect()
