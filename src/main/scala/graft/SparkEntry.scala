@@ -33,6 +33,7 @@ object SparkEntry {
       operators.Clustering.queries ++
       operators.ProductQuant.queries ++
       operators.Typed.queries ++
+      operators.Graph.queries ++
       sources.Sources.queries ++
       sources.Bucketing.queries
 
@@ -62,6 +63,7 @@ object SparkEntry {
       operators.Clustering.oracles ++
       operators.ProductQuant.oracles ++
       operators.Typed.oracles ++
+      operators.Graph.oracles ++
       sources.Sources.oracles ++
       sources.Bucketing.oracles
 }
