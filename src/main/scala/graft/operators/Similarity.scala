@@ -28,6 +28,7 @@ object Similarity {
   private val RERANK = 50 // SQ8 candidates reranked with full floats
   private val FEAT_D = 16 // hashing-trick feature dimensions
   private val NEGK = 5    // hard negatives mined per anchor
+  private val MMRC = 20   // MMR candidate pool per query (selects TOPK)
 
   /** embeddings with L2 norm, via vec_dot(v, v). */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
@@ -245,6 +246,68 @@ object Similarity {
       pos.unionAll(neg).orderBy("qid", "rn")
     }),
 
+    // MMR-diversified retrieval — maximal marginal relevance (Carbonell
+    // & Goldstein 1998): after plain top-k, re-select so results cover
+    // the neighborhood instead of returning 5 near-copies of the same
+    // cluster (exactly what a 90%-dup corpus produces). Greedy rule:
+    // pick argmax(rel − max-sim-to-already-picked) each round (λ=1/2,
+    // scale folded out). ALL similarity here is the dot product of
+    // milli-quantized BIGINT vectors (the kmeans/SQ8 pattern), so every
+    // comparison both engines make is integer-exact and the 5-round
+    // greedy unrolls into a bit-exact oracle CTE chain. Scale shape:
+    // the corpus-facing work is ONE broadcast-query scan producing
+    // MMRC candidates per query; the greedy rounds touch only the
+    // NQ×MMRC candidate table and its MMRC² pairwise sims — model-
+    // parameter scale, independent of corpus size.
+    "sim_mmr_topk" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          """transform(embedding, x ->
+            |  cast(floor(cast(x as double) * 1000.0d + 0.5d) as bigint))"""
+            .stripMargin).as("q"))
+      def dot(a: String, b: String) = expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, " +
+          "(acc, v) -> acc + v)")
+      val qs = e.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("qid"), col("q").as("qq"))
+      val w = Window.partitionBy("qid").orderBy(col("rel").desc, col("nid"))
+      val cands = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .withColumn("rel", dot("q", "qq"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(col("rel").desc, col("vec_id"))))
+        .filter(col("rn") <= MMRC)
+        .select(col("qid"), col("vec_id").as("nid"), col("q"), col("rel"))
+        .cache()
+      val pair = cands.select(col("qid"), col("nid").as("an"),
+          col("q").as("av"))
+        .join(cands.select(col("qid"), col("nid").as("bn"),
+          col("q").as("bv")), "qid")
+        .filter(col("an") =!= col("bn"))
+        .withColumn("sim", dot("av", "bv"))
+        .select("qid", "an", "bn", "sim")
+      val first = cands
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), col("rel"), lit(1).as("pick"))
+      val selected = (2 to TOPK).foldLeft(first) { (sel, r) =>
+        val ms = pair.join(sel.select(col("qid"), col("nid").as("bn")),
+            Seq("qid", "bn"))
+          .groupBy(col("qid"), col("an").as("nid"))
+          .agg(max("sim").as("ms"))
+        val pick = cands
+          .join(sel.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+          .join(ms, Seq("qid", "nid"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("qid")
+              .orderBy((col("rel") - col("ms")).desc, col("nid"))))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("nid"), col("rel"), lit(r).as("pick"))
+        sel.unionAll(pick)
+      }
+      selected.select("qid", "pick", "nid", "rel").orderBy("qid", "pick")
+    }),
+
     // Hashing-trick text featurizer — the deterministic text→vector
     // step that bridges the documents table into the embedding/ANN
     // family: each token lands in one of 16 buckets by its md5 prefix
@@ -271,7 +334,65 @@ object Similarity {
     })
   )
 
+  /** BIGINT dot product of two 64-dim quantized lists (1-based). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), " +
+      s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** One MMR greedy round: max-sim of each unpicked candidate to the
+    * picked set, then argmax(rel − maxsim) with ties to lower nid. */
+  private def mmrStepSql(prev: String, out: String, r: Int): String =
+    s"""${out}_ms AS (
+       |  SELECT p.qid, p.an AS nid, max(p.sim) AS ms
+       |  FROM pair p JOIN $prev s ON p.qid = s.qid AND p.bn = s.nid
+       |  GROUP BY 1, 2),
+       |${out}_pick AS (
+       |  SELECT qid, nid, rel, $r AS pick FROM (
+       |    SELECT c.qid, c.nid, c.rel,
+       |      row_number() OVER (PARTITION BY c.qid
+       |        ORDER BY c.rel - m.ms DESC, c.nid) AS rn
+       |    FROM cands c
+       |    JOIN ${out}_ms m ON c.qid = m.qid AND c.nid = m.nid
+       |    WHERE NOT EXISTS (SELECT 1 FROM $prev s
+       |                      WHERE s.qid = c.qid AND s.nid = c.nid)) x
+       |  WHERE rn = 1),
+       |$out AS (SELECT * FROM $prev UNION ALL
+       |         SELECT * FROM ${out}_pick)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_mmr_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+         |    AS q
+         |  FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, q AS qq FROM e WHERE vec_id < $NQ),
+         |cands AS (
+         |  SELECT qid, nid, q, rel FROM (
+         |    SELECT qs.qid, n.vec_id AS nid, n.q,
+         |      ${dotSql("n.q", "qs.qq")} AS rel,
+         |      row_number() OVER (PARTITION BY qs.qid
+         |        ORDER BY ${dotSql("n.q", "qs.qq")} DESC, n.vec_id) AS rn
+         |    FROM e n JOIN qs ON n.vec_id <> qs.qid) x
+         |  WHERE rn <= $MMRC),
+         |pair AS (
+         |  SELECT a.qid, a.nid AS an, b.nid AS bn,
+         |    ${dotSql("a.q", "b.q")} AS sim
+         |  FROM cands a JOIN cands b
+         |    ON a.qid = b.qid AND a.nid <> b.nid),
+         |s1 AS (
+         |  SELECT qid, nid, rel, 1 AS pick FROM (
+         |    SELECT qid, nid, rel,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY rel DESC, nid) AS rn
+         |    FROM cands) x WHERE rn = 1),
+         |${mmrStepSql("s1", "s2", 2)},
+         |${mmrStepSql("s2", "s3", 3)},
+         |${mmrStepSql("s3", "s4", 4)},
+         |${mmrStepSql("s4", "s5", 5)}
+         |SELECT qid, pick, nid, CAST(rel AS BIGINT) AS rel
+         |FROM s5 ORDER BY qid, pick""".stripMargin,
+
     "sim_bruteforce_topk" ->
       s"""SELECT qid, nid FROM (
          |  SELECT q.vec_id AS qid, n.vec_id AS nid,

@@ -104,4 +104,39 @@ class SimilaritySpec extends SparkSpec {
       assert(negs === expectNegs, s"anchor $qid negatives")
     }
   }
+
+  test("MMR: local greedy replay over quantized dots, pick 1 is top-1") {
+    val quant = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong).toArray
+      }.toMap
+    def qdot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val got = Similarity.queries("sim_mmr_topk")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    assert(got.size === 10)
+    got.foreach { case (qid, rows) =>
+      val qv = quant(qid)
+      val cands = quant.toSeq.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, nv, qdot(nv, qv)) }
+        .sortBy { case (nid, _, rel) => (-rel, nid) }.take(20)
+      var sel = List(cands.head)               // round 1: argmax rel
+      for (r <- 2 to 5) {
+        val rest = cands.filterNot(c => sel.exists(_._1 == c._1))
+        val next = rest.map { c =>
+          val ms = sel.map(s => qdot(c._2, s._2)).max
+          (c, c._3 - ms)
+        }.minBy { case (c, score) => (-score, c._1) }._1
+        sel = sel :+ next
+      }
+      val want = sel.map(_._1)
+      val gotOrder = rows.sortBy(_.getAs[Int]("pick"))
+        .map(_.getAs[Long]("nid")).toSeq
+      assert(gotOrder === want, s"query $qid greedy order")
+      // pick 1 must be the plain nearest neighbor by quantized dot
+      assert(gotOrder.head === cands.head._1)
+    }
+  }
 }
