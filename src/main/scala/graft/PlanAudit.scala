@@ -41,7 +41,10 @@ object PlanAudit {
     "tr_shard_manifest",
     // round-5 continuation: training-data additions
     "dd_lines", "mix_temperature", "ta_quality_classifier", "bpe_encode",
-    "ml_hard_negatives")
+    "ml_hard_negatives",
+    // round-5 continuation: graph / IR / MV / curation additions
+    "gr_pagerank", "mv_incremental", "tr_dense_ids", "tr_dataset_card",
+    "ta_outliers", "ts_phrase_search", "sim_mmr_topk")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

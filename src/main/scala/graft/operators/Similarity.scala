@@ -286,11 +286,16 @@ object Similarity {
         .filter(col("an") =!= col("bn"))
         .withColumn("sim", dot("av", "bv"))
         .select("qid", "an", "bn", "sim")
+        .cache()
       val first = cands
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("qid"), col("nid"), col("rel"), lit(1).as("pick"))
-      val selected = (2 to TOPK).foldLeft(first) { (sel, r) =>
+      // each round's result is cached: round r references round r−1 as
+      // an InMemoryTableScan instead of re-embedding its whole lineage,
+      // which would otherwise grow the physical plan quadratically in
+      // TOPK (the audit measured 375 codegen spans uncached vs ~40)
+      val selected = (2 to TOPK).foldLeft(first.cache()) { (sel, r) =>
         val ms = pair.join(sel.select(col("qid"), col("nid").as("bn")),
             Seq("qid", "bn"))
           .groupBy(col("qid"), col("an").as("nid"))
@@ -303,7 +308,7 @@ object Similarity {
               .orderBy((col("rel") - col("ms")).desc, col("nid"))))
           .filter(col("rn") === 1)
           .select(col("qid"), col("nid"), col("rel"), lit(r).as("pick"))
-        sel.unionAll(pick)
+        sel.unionAll(pick).cache()
       }
       selected.select("qid", "pick", "nid", "rel").orderBy("qid", "pick")
     }),
