@@ -131,4 +131,24 @@ object Corpus {
       normalized(docs, idCol, textCol), nshards)
       .select(col("doc_id").as(idCol), col("text").as(textCol),
         col("shard_id"), col("pos"))
+
+  /** Dense 0..n−1 ids in `idCol` order, without a global-sort task:
+    * bucketed local ranks + a broadcast offset join — equals
+    * row_number() OVER (ORDER BY id) − 1 exactly. Returns the input
+    * columns plus `dense_id`. */
+  def denseIds(docs: DataFrame, idCol: String = "doc_id",
+               bucketWidth: Int = 512): DataFrame =
+    graft.operators.CorpusPrep.denseIdsOf(docs, idCol, bucketWidth)
+
+  /** The release card a corpus ships with: per-source×lang,
+    * per-source ('ALL' lang), and corpus-total ('ALL','ALL') rows of
+    * document/token/char volumes, token-length spread, and the
+    * exact-duplicate share — one GROUPING SETS pass plus one digest
+    * shuffle, any corpus size. */
+  def datasetCard(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", sourceCol: String = "source",
+                  langCol: String = "lang"): DataFrame =
+    graft.operators.CorpusQuality.datasetCardOf(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        col(sourceCol).as("source"), col(langCol).as("lang")))
 }

@@ -52,4 +52,35 @@ object Text {
                   textCol: String = "text"): DataFrame =
     TextAnalysis.fingerprintOf(normalized(docs, idCol, textCol))
       .withColumnRenamed("doc_id", idCol)
+
+  /** Per-group median/MAD token-length outliers: (id, group, ntok,
+    * med, mad) for docs with |ntok − median| > kMad·MAD. Robust to
+    * heavy tails (breakdown point 1/2) where mean/stddev is not;
+    * integer-exact positional medians. */
+  def outliers(docs: DataFrame, kMad: Int = 3,
+               idCol: String = "doc_id", textCol: String = "text",
+               groupCol: String = "source"): DataFrame =
+    TextAnalysis.outliersOf(
+      docs.select(col(idCol).as("doc_id"), col(groupCol).as("source"),
+        col(textCol).as("text")), kMad)
+      .withColumnRenamed("doc_id", idCol)
+      .withColumnRenamed("source", groupCol)
+
+  /** Exact 3-word phrase matches: (id, phrase, n_occ) per document
+    * containing the phrase, overlapping occurrences included.
+    * Positional postings intersection with broadcast term pruning —
+    * only the three terms' postings reach the joins. */
+  def phraseSearch(docs: DataFrame, phrase: String,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(phrase.trim.split(" ").length == 3,
+      "phraseSearch matches exactly 3-word phrases")
+    val p = docs.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(phrase.trim)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("phrase",
+          org.apache.spark.sql.types.StringType))))
+    TextAnalysis.phraseSearchOf(normalized(docs, idCol, textCol), p)
+      .withColumnRenamed("doc_id", idCol)
+  }
 }

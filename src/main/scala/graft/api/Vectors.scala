@@ -76,6 +76,22 @@ object Vectors {
       queries, corpus, k, rerank, idCol, vecCol)
       .select(col("qid"), col("nid"), col("dist"))
 
+  /** MMR-diversified top-k: plain relevance ranking builds a
+    * `pool`-candidate set per query, then k greedy rounds pick
+    * argmax(relevance − max-similarity-to-already-picked) so results
+    * cover the neighborhood instead of repeating one cluster. Returns
+    * (qid, pick, nid, rel) with pick = 1..k in selection order; all
+    * comparisons are integer-exact dots of milli-quantized vectors. */
+  def topKMmr(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+              pool: Int = 20,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    Similarity.mmrTopKOf(
+      queries.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      k, pool)
+      .select(col("qid"), col("pick"), col("nid"), col("rel"))
+
   /** Train `k` centroids on the corpus (fixed Lloyd rounds, k lowest-id
     * seeds) and return them as an (idCol, vecCol) frame — plug the
     * result straight into [[topKIvf]]'s `centroids` parameter, or use

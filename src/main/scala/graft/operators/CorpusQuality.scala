@@ -304,29 +304,39 @@ object CorpusQuality {
     // grouping-sets pass is a single aggregation with map-side combine,
     // so the whole card costs one scan + two exchanges regardless of
     // corpus size.
-    "tr_dataset_card" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+    "tr_dataset_card" -> ((s, dir) =>
+      datasetCardOf(Tables(s, dir, "documents")
+        .select("doc_id", "text", "source", "lang")))
+  )
+
+  /** Dataset card of a (doc_id, text, source, lang) frame — see the
+    * tr_dataset_card query comment. The GROUPING SETS pass runs via
+    * SQL over a temp view (the DataFrame API has cube/rollup but not
+    * arbitrary grouping sets); rows come back ordered. */
+  private[graft] def datasetCardOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val flagged = {
+      val d = docs
         .withColumn("norm",
           regexp_replace(trim(lower(col("text"))), " +", " "))
         .withColumn("h", md5(col("norm").cast("binary")))
         .withColumn("ntok", size(split(col("text"), " ")))
-      val dupCounts = docs.groupBy("h")
-        .agg(count(lit(1)).as("copies"))
-      val flagged = docs.join(dupCounts, "h")
+      val dupCounts = d.groupBy("h").agg(count(lit(1)).as("copies"))
+      d.join(dupCounts, "h")
         .withColumn("is_dup", (col("copies") > 1).cast("long"))
-      flagged.createOrReplaceTempView("graft_card_flagged")
-      s.sql("""SELECT coalesce(source, 'ALL') AS source,
-              |  coalesce(lang, 'ALL') AS lang,
-              |  count(*) AS n_docs,
-              |  cast(sum(ntok) AS bigint) AS n_tokens,
-              |  cast(sum(length(text)) AS bigint) AS n_chars,
-              |  min(ntok) AS min_tok, max(ntok) AS max_tok,
-              |  cast(sum(is_dup) AS bigint) AS n_dup_docs
-              |FROM graft_card_flagged
-              |GROUP BY GROUPING SETS ((source, lang), (source), ())
-              |ORDER BY source, lang""".stripMargin)
-    })
-  )
+    }
+    flagged.createOrReplaceTempView("graft_card_flagged")
+    s.sql("""SELECT coalesce(source, 'ALL') AS source,
+            |  coalesce(lang, 'ALL') AS lang,
+            |  count(*) AS n_docs,
+            |  cast(sum(ntok) AS bigint) AS n_tokens,
+            |  cast(sum(length(text)) AS bigint) AS n_chars,
+            |  min(ntok) AS min_tok, max(ntok) AS max_tok,
+            |  cast(sum(is_dup) AS bigint) AS n_dup_docs
+            |FROM graft_card_flagged
+            |GROUP BY GROUPING SETS ((source, lang), (source), ())
+            |ORDER BY source, lang""".stripMargin)
+  }
 
   val oracles: Map[String, String] = Map(
     // same digest rule as dd_exact; GROUPING SETS mirrors the Spark SQL

@@ -36,23 +36,6 @@ object Graph {
   private val SCALE = 1000000L  // rank units: millionths
   private val ITERS = 3
 
-  /** Directed edge list with per-src out-degree attached — compute
-    * once, reuse every iteration. */
-  private[graft] def edgesOf(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("cnode"),
-        (col("l_suppkey") * 2 + 1).as("snode"))
-      .distinct()
-    val directed = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
-      .unionAll(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
-    val deg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
-    directed.join(deg, "src")
-  }
-
   /** One damped update: floor per-edge contributions, aggregate by
     * dst, apply 0.85 damping in integer arithmetic. Every node keeps a
     * row (undirected graph ⇒ in-degree ≥ 1, but the left join + base
@@ -68,15 +51,39 @@ object Graph {
           .as("r"))
   }
 
+  /** Damped PageRank of a DIRECTED (src, dst) edge frame: attaches
+    * out-degrees, hash-partitions the edge list on src once (the
+    * layout every iteration's join reuses), and runs `iters` fixed
+    * integer-exact rounds. Returns (node, r) with r in millionths —
+    * the [[graft.api.Graphs]] facade shape. */
+  private[graft] def pagerankOf(directed: DataFrame,
+                                iters: Int = ITERS): DataFrame = {
+    val deg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = directed.join(deg, "src")
+      .repartition(col("src"))
+      .cache()
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .unionAll(edges.select(col("dst").as("node")).distinct())
+      .distinct()
+    val r0 = nodes.withColumn("r", lit(SCALE))
+    (1 to iters).foldLeft(r0)((r, _) => step(edges, r))
+  }
+
   val queries: Map[String, Q] = Map(
     "gr_pagerank" -> ((s, dir) => {
-      val edges = edgesOf(s, dir)
-        .repartition(col("src"))  // the layout every iteration reuses
-        .cache()
-      val nodes = edges.select(col("src").as("node")).distinct()
-      val r0 = nodes.withColumn("r", lit(SCALE))
-      val ranks = (1 to ITERS).foldLeft(r0)((r, _) => step(edges, r))
-      ranks
+      val pairs = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cnode"),
+          (col("l_suppkey") * 2 + 1).as("snode"))
+        .distinct()
+      val directed = pairs
+        .select(col("cnode").as("src"), col("snode").as("dst"))
+        .unionAll(
+          pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+      pagerankOf(directed)
         .select(col("node"),
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("supplier")).as("kind"),

@@ -246,71 +246,12 @@ object Similarity {
       pos.unionAll(neg).orderBy("qid", "rn")
     }),
 
-    // MMR-diversified retrieval — maximal marginal relevance (Carbonell
-    // & Goldstein 1998): after plain top-k, re-select so results cover
-    // the neighborhood instead of returning 5 near-copies of the same
-    // cluster (exactly what a 90%-dup corpus produces). Greedy rule:
-    // pick argmax(rel − max-sim-to-already-picked) each round (λ=1/2,
-    // scale folded out). ALL similarity here is the dot product of
-    // milli-quantized BIGINT vectors (the kmeans/SQ8 pattern), so every
-    // comparison both engines make is integer-exact and the 5-round
-    // greedy unrolls into a bit-exact oracle CTE chain. Scale shape:
-    // the corpus-facing work is ONE broadcast-query scan producing
-    // MMRC candidates per query; the greedy rounds touch only the
-    // NQ×MMRC candidate table and its MMRC² pairwise sims — model-
-    // parameter scale, independent of corpus size.
+    // MMR-diversified retrieval; see mmrTopKOf for the full story.
     "sim_mmr_topk" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), expr(
-          """transform(embedding, x ->
-            |  cast(floor(cast(x as double) * 1000.0d + 0.5d) as bigint))"""
-            .stripMargin).as("q"))
-      def dot(a: String, b: String) = expr(
-        s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, " +
-          "(acc, v) -> acc + v)")
-      val qs = e.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("qid"), col("q").as("qq"))
-      val w = Window.partitionBy("qid").orderBy(col("rel").desc, col("nid"))
-      val cands = e.join(broadcast(qs), col("vec_id") =!= col("qid"))
-        .withColumn("rel", dot("q", "qq"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid")
-            .orderBy(col("rel").desc, col("vec_id"))))
-        .filter(col("rn") <= MMRC)
-        .select(col("qid"), col("vec_id").as("nid"), col("q"), col("rel"))
-        .cache()
-      val pair = cands.select(col("qid"), col("nid").as("an"),
-          col("q").as("av"))
-        .join(cands.select(col("qid"), col("nid").as("bn"),
-          col("q").as("bv")), "qid")
-        .filter(col("an") =!= col("bn"))
-        .withColumn("sim", dot("av", "bv"))
-        .select("qid", "an", "bn", "sim")
-        .cache()
-      val first = cands
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("qid"), col("nid"), col("rel"), lit(1).as("pick"))
-      // each round's result is cached: round r references round r−1 as
-      // an InMemoryTableScan instead of re-embedding its whole lineage,
-      // which would otherwise grow the physical plan quadratically in
-      // TOPK (the audit measured 375 codegen spans uncached vs ~40)
-      val selected = (2 to TOPK).foldLeft(first.cache()) { (sel, r) =>
-        val ms = pair.join(sel.select(col("qid"), col("nid").as("bn")),
-            Seq("qid", "bn"))
-          .groupBy(col("qid"), col("an").as("nid"))
-          .agg(max("sim").as("ms"))
-        val pick = cands
-          .join(sel.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
-          .join(ms, Seq("qid", "nid"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("qid")
-              .orderBy((col("rel") - col("ms")).desc, col("nid"))))
-          .filter(col("rn") === 1)
-          .select(col("qid"), col("nid"), col("rel"), lit(r).as("pick"))
-        sel.unionAll(pick).cache()
-      }
-      selected.select("qid", "pick", "nid", "rel").orderBy("qid", "pick")
+        .select(col("vec_id"), col("embedding").as("v"))
+      mmrTopKOf(e.filter(col("vec_id") < NQ), e, TOPK, MMRC)
+        .orderBy("qid", "pick")
     }),
 
     // Hashing-trick text featurizer — the deterministic text→vector
@@ -338,6 +279,82 @@ object Similarity {
         .orderBy("doc_id")
     })
   )
+
+  /** MMR-diversified top-k — maximal marginal relevance (Carbonell &
+    * Goldstein 1998): after plain top-k, re-select so results cover
+    * the query's neighborhood instead of returning k near-copies of
+    * the same cluster (exactly what a 90%-dup corpus produces).
+    * Greedy rule: pick argmax(rel − max-sim-to-already-picked) each
+    * round (λ=1/2, scale folded out). ALL similarity is the dot
+    * product of milli-quantized BIGINT vectors (the kmeans/SQ8
+    * pattern), so every comparison both engines make is integer-exact
+    * and the greedy unrolls into a bit-exact oracle CTE chain. Scale
+    * shape: the corpus-facing work is ONE broadcast-query scan
+    * producing `pool` candidates per query; the greedy rounds touch
+    * only the candidate table and its pool² pairwise sims — model-
+    * parameter scale, independent of corpus size. Each round's
+    * selection is cached so round r references round r−1 as an
+    * InMemoryTableScan instead of re-embedding its lineage (the audit
+    * measured 375 codegen spans uncached vs ~40). `queries`/`corpus`
+    * are (vec_id, v: float-array) frames ([[graft.api.Vectors]]
+    * facade shape). */
+  private[graft] def mmrTopKOf(queries: DataFrame, corpus: DataFrame,
+                               k: Int, pool: Int): DataFrame = {
+    def quant(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), expr(
+        """transform(v, x ->
+          |  cast(floor(cast(x as double) * 1000.0d + 0.5d) as bigint))"""
+          .stripMargin).as("q"))
+    def dot(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, " +
+        "(acc, v) -> acc + v)")
+    val qs = quant(queries).select(col("vec_id").as("qid"),
+      col("q").as("qq"))
+    val w = Window.partitionBy("qid").orderBy(col("rel").desc, col("nid"))
+    val cands = quant(corpus).join(broadcast(qs),
+        col("vec_id") =!= col("qid"))
+      .withColumn("rel", dot("q", "qq"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("rel").desc, col("vec_id"))))
+      .filter(col("rn") <= pool)
+      .select(col("qid"), col("vec_id").as("nid"), col("q"), col("rel"))
+      // ≤ |queries|·pool rows from here on — one partition, so the k
+      // greedy rounds don't schedule 32-way shuffles over 200 rows
+      // (measured: 6.2 s → sub-second at sf0.1). The corpus scan above
+      // keeps full parallelism; repartition(1) is the boundary.
+      .repartition(1)
+      .cache()
+    val pair = cands.select(col("qid"), col("nid").as("an"),
+        col("q").as("av"))
+      .join(cands.select(col("qid"), col("nid").as("bn"),
+        col("q").as("bv")), "qid")
+      .filter(col("an") =!= col("bn"))
+      .withColumn("sim", dot("av", "bv"))
+      .select("qid", "an", "bn", "sim")
+      .repartition(1)
+      .cache()
+    val first = cands
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nid"), col("rel"), lit(1).as("pick"))
+    val selected = (2 to k).foldLeft(first.cache()) { (sel, r) =>
+      val ms = pair.join(sel.select(col("qid"), col("nid").as("bn")),
+          Seq("qid", "bn"))
+        .groupBy(col("qid"), col("an").as("nid"))
+        .agg(max("sim").as("ms"))
+      val pick = cands
+        .join(sel.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+        .join(ms, Seq("qid", "nid"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy((col("rel") - col("ms")).desc, col("nid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), col("rel"), lit(r).as("pick"))
+      sel.unionAll(pick).cache()
+    }
+    selected.select("qid", "pick", "nid", "rel")
+  }
 
   /** BIGINT dot product of two 64-dim quantized lists (1-based). */
   private def dotSql(a: String, b: String): String =

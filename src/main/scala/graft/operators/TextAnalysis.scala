@@ -164,6 +164,65 @@ object TextAnalysis {
             |ELSE md5(cast(norm as binary)) END""".stripMargin)
           .as("winnow_min"))
 
+  /** Per-source median/MAD token-length outliers of a (doc_id, source,
+    * text) frame: flags docs with |ntok − median| > kMad·MAD. Both
+    * medians use the explicit positional rule rn = (n+1) div 2 under a
+    * (value, doc_id) total order — integer-exact across engines, no
+    * quantile interpolation. Plan: two source-partitioned rank windows
+    * + two broadcast joins of one-row-per-source stats. At 100 TB the
+    * per-source exact sort is the one skewed stage; the sketch path
+    * (qs_quantile_sketch) is the approximate drop-in when a source is
+    * too hot to sort — this is the exact reference form. */
+  private[graft] def outliersOf(docs: DataFrame, kMad: Int = 3): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).as("ntok"))
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("source")
+        .orderBy(col(valueCol), col("doc_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"),
+          col(valueCol))).as(out))
+    }
+    val med = medianOf(t, "ntok", "med")
+    val dev = t.join(broadcast(med), "source")
+      .withColumn("dev", abs(col("ntok") - col("med")))
+    val mad = medianOf(dev, "dev", "mad")
+    dev.join(broadcast(mad), "source")
+      .filter(col("dev") > lit(kMad) * col("mad"))
+      .select("doc_id", "source", "ntok", "med", "mad")
+  }
+
+  /** Exact 3-word phrase adjacency over a positional postings index:
+    * `phrase` is a 1-row (phrase) frame whose words become the three
+    * broadcast-pruned join legs; matching intersects the per-term
+    * postings with (doc_id, pos+k) equi-joins — only the three terms'
+    * postings ever reach the joins, which is how a search engine
+    * intersects positional lists. Returns (doc_id, phrase, n_occ);
+    * overlapping occurrences all count. */
+  private[graft] def phraseSearchOf(docs: DataFrame,
+                                    phrase: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val p = phrase.select(col("phrase"),
+      split(col("phrase"), " ").as("pw"))
+    def leg(alias: String, i: Int) =
+      toks.join(broadcast(p), col("word") === col("pw").getItem(i))
+        .select(col("doc_id"), col("pos"), col("phrase"))
+        .as(alias)
+    val a = leg("a", 0)
+    val b = leg("b", 1)
+    val c = leg("c", 2)
+    a.join(b, col("a.doc_id") === col("b.doc_id") &&
+        col("a.pos") + 1 === col("b.pos"))
+      .join(c, col("a.doc_id") === col("c.doc_id") &&
+        col("a.pos") + 2 === col("c.pos"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.phrase").as("phrase"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
   val queries: Map[String, Q] = Map(
     // BM25 retrieval — the scoring path retrieval-based curation uses
     // (finding near-matches of eval sets, sourcing topical documents);
@@ -225,8 +284,6 @@ object TextAnalysis {
     // exactly how a search engine intersects positional postings lists.
     "ts_phrase_search" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val toks = docs.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       val tri = docs
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .withColumn("n", size(col("w")))
@@ -237,21 +294,8 @@ object TextAnalysis {
       val top = tri.groupBy("phrase")
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("phrase")).limit(1)
-        .select(col("phrase"), split(col("phrase"), " ").as("pw"))
-      def leg(alias: String, term: org.apache.spark.sql.Column) =
-        toks.join(broadcast(top), col("word") === term)
-          .select(col("doc_id"), col("pos"), col("phrase"))
-          .as(alias)
-      val a = leg("a", col("pw").getItem(0))
-      val b = leg("b", col("pw").getItem(1))
-      val c = leg("c", col("pw").getItem(2))
-      a.join(b, col("a.doc_id") === col("b.doc_id") &&
-          col("a.pos") + 1 === col("b.pos"))
-        .join(c, col("a.doc_id") === col("c.doc_id") &&
-          col("a.pos") + 2 === col("c.pos"))
-        .groupBy(col("a.doc_id").as("doc_id"), col("a.phrase").as("phrase"))
-        .agg(count(lit(1)).as("n_occ"))
-        .orderBy("doc_id")
+        .select(col("phrase"))
+      phraseSearchOf(docs, top).orderBy("doc_id")
     }),
 
     // Robust length-outlier detection — the median/MAD quarantine rule
@@ -267,30 +311,10 @@ object TextAnalysis {
     // exact sort is the one skewed stage; the sketch path
     // (qs_quantile_sketch) is the approximate drop-in when a source is
     // too hot to sort — this operator is the exact reference form.
-    "ta_outliers" -> ((s, dir) => {
-      val t = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).as("ntok"))
-      def medianOf(df: DataFrame, valueCol: String,
-                   out: String): DataFrame = {
-        val w = Window.partitionBy("source")
-          .orderBy(col(valueCol), col("doc_id"))
-        df.withColumn("rn", row_number().over(w))
-          .withColumn("n",
-            count(lit(1)).over(Window.partitionBy("source")))
-          .groupBy("source")
-          .agg(max(when(col("rn") === expr("(n + 1) div 2"),
-            col(valueCol))).as(out))
-      }
-      val med = medianOf(t, "ntok", "med")
-      val dev = t.join(broadcast(med), "source")
-        .withColumn("dev", abs(col("ntok") - col("med")))
-      val mad = medianOf(dev, "dev", "mad")
-      dev.join(broadcast(mad), "source")
-        .filter(col("dev") > lit(3) * col("mad"))
-        .select("doc_id", "source", "ntok", "med", "mad")
-        .orderBy("doc_id")
-    }),
+    "ta_outliers" -> ((s, dir) =>
+      outliersOf(Tables(s, dir, "documents")
+          .select("doc_id", "source", "text"))
+        .orderBy("doc_id")),
 
     // Token counting: whitespace tokens, a BPE-ish regex token count
     // (letter runs / digit runs / single symbols), and the chars/4

@@ -149,6 +149,72 @@ class ApiSpec extends SparkSpec {
     assert(tok === tokQ)
   }
 
+  test("facade denseIds / datasetCard / outliers / phraseSearch / MMR / pagerank parity") {
+    // denseIds over renamed frame equals the tr_dense_ids query
+    val ids = Corpus.denseIds(renamedDocs.select(col("id")), "id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("dense_id"))
+      .toMap
+    val idsQ = operators.CorpusPrep.queries("tr_dense_ids")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids === idsQ)
+    // datasetCard over fully renamed columns equals the query
+    val renamedFull = Tables(spark, sf, "documents")
+      .select(col("doc_id").as("id"), col("text").as("body"),
+        col("source").as("src"), col("lang").as("lg"))
+    val card = Corpus.datasetCard(renamedFull, "id", "body", "src", "lg")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"))).toSet
+    val cardQ = operators.CorpusQuality
+      .queries("tr_dataset_card")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"))).toSet
+    assert(card === cardQ)
+    // outliers with a renamed group column equals the query
+    val outDocs = Tables(spark, sf, "documents")
+      .select(col("doc_id").as("id"), col("text").as("body"),
+        col("source").as("grp"))
+    val out = graft.api.Text.outliers(outDocs, 3, "id", "body", "grp")
+      .collect().map(r => r.getAs[Long]("id")).toSet
+    val outQ = operators.TextAnalysis.queries("ta_outliers")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(out === outQ)
+    // phraseSearch with the query's own top phrase equals the query
+    val q = operators.TextAnalysis.queries("ts_phrase_search")(spark, sf)
+      .collect()
+    val phrase = q.head.getAs[String]("phrase")
+    val ps = graft.api.Text.phraseSearch(renamedDocs, phrase, "id", "body")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_occ"))
+      .toMap
+    assert(ps === q.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occ")).toMap)
+    // MMR facade equals the sim_mmr_topk query
+    val emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("e"))
+    val mmr = graft.api.Vectors.topKMmr(
+        emb.filter(col("vid") < 10), emb, 5, 20, "vid", "e")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val mmrQ = operators.Similarity.queries("sim_mmr_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(mmr === mmrQ)
+    // pagerank facade on the query's graph reproduces its ranks
+    val pairs = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables(spark, sf, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("s"), col("b").as("d"))
+      .unionAll(pairs.select(col("b").as("s"), col("a").as("d")))
+    val pr = graft.api.Graphs.pagerank(edges, 3, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prQ = operators.Graph.queries("gr_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("rank_millionths"))
+      .toMap
+    assert(pr === prQ)
+  }
+
   test("dropNearDups removes exactly the id2 side, schema unchanged") {
     val kept = Corpus.dropNearDups(renamedDocs, "id", "body")
     assert(kept.columns.toSeq === Seq("id", "body"))
