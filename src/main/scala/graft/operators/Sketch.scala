@@ -74,6 +74,46 @@ object Sketch {
           expr("shiftleft(cast(1 as bigint), b50)").as("p50_lo"),
           expr("shiftleft(cast(1 as bigint), b90)").as("p90_lo"))
         .orderBy("o_orderstatus")
+    }),
+
+    // Count-Min sketch point queries — the fixed-memory frequency
+    // summary that answers "how often does key k appear" from D·W
+    // counters instead of a key-cardinality table (Cormode &
+    // Muthukrishnan 2005). D=4 hash rows × W=256 counters; the counter
+    // table builds in ONE groupBy with map-side combine (4 rows per
+    // input row cross the wire, no key-space state), and a point
+    // estimate is min over the key's D counters — an upper bound on
+    // the true count by construction, never an undercount. Hashes are
+    // md5-prefix integers (hex32Expr — the engine-portable trick the
+    // shard assigner uses), so the DuckDB oracle rebuilds the IDENTICAL
+    // sketch and the gate hash-matches estimates, not just bounds. The
+    // probe set is the 10 most frequent part keys (deterministic
+    // tiebreak); their exact counts ride along so the spec can assert
+    // the CMS guarantee est ≥ truth with error ≤ 2n/W at 1−(1/2)^D
+    // confidence. At 100 TB the sketch is 8 KiB per executor before
+    // the exchange — frequency summaries at any scale for the price of
+    // a broadcast.
+    "cs_countmin_probe" -> ((s, dir) => {
+      val D = 4
+      val W = 256
+      val rows = Tables(s, dir, "lineitem")
+        .select(col("l_partkey").as("key"))
+      def hashed(df: DataFrame): DataFrame = df
+        .select(col("key"), posexplode(array((0 until D).map(i =>
+          md5(concat(lit(s"$i:"), col("key").cast("string")))): _*))
+          .as(Seq("d", "h")))
+        .withColumn("idx", expr(
+          s"(${CorpusPrep.hex32Expr("h")}) % $W"))
+        .select("key", "d", "idx")
+      val counters = hashed(rows).groupBy("d", "idx")
+        .agg(count(lit(1)).as("c"))
+      val heavy = rows.groupBy("key").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("key")).limit(10)
+      hashed(heavy).join(heavy, "key")
+        .join(counters, Seq("d", "idx"))
+        .groupBy("key")
+        .agg(max("n_true").as("n_true"), min("c").as("est"))
+        .orderBy(col("n_true").desc, col("key"))
     })
   )
 
@@ -126,6 +166,38 @@ object Sketch {
 
   val oracles: Map[String, String] = Map(
     "cs_card_sketch" -> oracleSql,
+    // rebuilds the identical D×W counter table (same md5-prefix hash)
+    // and replays min-over-rows, so estimates hash-match exactly
+    "cs_countmin_probe" ->
+      s"""WITH t AS (SELECT l_partkey AS key FROM lineitem),
+         |e AS (
+         |  SELECT key, r.d,
+         |    md5(CAST(r.d AS VARCHAR) || ':' || CAST(key AS VARCHAR)) AS h
+         |  FROM t, range(0, 4) r(d)),
+         |ei AS (
+         |  SELECT key, d,
+         |    (${CorpusPrep.hex32Expr("h")}) % 256 AS idx
+         |  FROM e),
+         |counters AS (
+         |  SELECT d, idx, count(*) AS c FROM ei GROUP BY d, idx),
+         |heavy AS (
+         |  SELECT key, count(*) AS n_true FROM t GROUP BY key
+         |  ORDER BY n_true DESC, key LIMIT 10),
+         |ph AS (
+         |  SELECT hv.key, hv.n_true, r.d,
+         |    md5(CAST(r.d AS VARCHAR) || ':' || CAST(hv.key AS VARCHAR))
+         |      AS h
+         |  FROM heavy hv, range(0, 4) r(d)),
+         |probe AS (
+         |  SELECT key, n_true, d,
+         |    (${CorpusPrep.hex32Expr("h")}) % 256 AS idx
+         |  FROM ph)
+         |SELECT p.key, any_value(p.n_true) AS n_true,
+         |  CAST(min(c.c) AS BIGINT) AS est
+         |FROM probe p
+         |JOIN counters c ON p.d = c.d AND p.idx = c.idx
+         |GROUP BY p.key
+         |ORDER BY n_true DESC, p.key""".stripMargin,
     "qs_quantile_sketch" ->
       """WITH c0 AS (
         |  SELECT o_orderstatus,

@@ -118,4 +118,26 @@ class SketchSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(sketchWith(1) === sketchWith(64))
   }
+
+  test("count-min: estimates never undercount and stay within the CMS bound") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.Sketch
+      .queries("cs_countmin_probe")(spark, sf).collect()
+    assert(rows.length === 10)
+    val n = Tables(spark, sf, "lineitem").count()
+    rows.foreach { r =>
+      val (truth, est) = (r.getAs[Long]("n_true"), r.getAs[Long]("est"))
+      // structural guarantee: min over counters ≥ the key's own count
+      assert(est >= truth, s"undercount for key ${r.getAs[Long]("key")}")
+      // ε = 2/W error bound (deterministic here: fixed data + hashes)
+      assert(est - truth <= 2 * n / 256,
+        s"overcount ${est - truth} beyond 2N/W for ${r.getAs[Long]("key")}")
+    }
+    // probes are the true heavy hitters in exact descending order
+    val trueTop = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_partkey")).count()
+      .orderBy(col("count").desc, col("l_partkey")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.map(_.getAs[Long]("key")).toSeq === trueTop)
+  }
 }
