@@ -62,8 +62,8 @@ object Graph {
     val edges = directed.join(deg, "src")
       .repartition(col("src"))
       .cache()
-    val nodes = edges.select(col("src").as("node")).distinct()
-      .unionAll(edges.select(col("dst").as("node")).distinct())
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
       .distinct()
     val r0 = nodes.withColumn("r", lit(SCALE))
     (1 to iters).foldLeft(r0)((r, _) => step(edges, r))
