@@ -83,10 +83,11 @@ object Sketch {
     // table builds in ONE groupBy with map-side combine (4 rows per
     // input row cross the wire, no key-space state), and a point
     // estimate is min over the key's D counters — an upper bound on
-    // the true count by construction, never an undercount. Hashes are
-    // md5-prefix integers (hex32Expr — the engine-portable trick the
-    // shard assigner uses), so the DuckDB oracle rebuilds the IDENTICAL
-    // sketch and the gate hash-matches estimates, not just bounds. The
+    // the true count by construction, never an undercount. The D hash
+    // rows split ONE md5 digest into disjoint 2-hex-digit windows
+    // (8 independent bits each), engine-portable verbatim, so the
+    // DuckDB oracle rebuilds the IDENTICAL sketch and the gate
+    // hash-matches estimates, not just bounds. The
     // probe set is the 10 most frequent part keys (deterministic
     // tiebreak); their exact counts ride along so the spec can assert
     // the CMS guarantee est ≥ truth with error ≤ 2n/W at 1−(1/2)^D
@@ -98,13 +99,17 @@ object Sketch {
       val W = 256
       val rows = Tables(s, dir, "lineitem")
         .select(col("l_partkey").as("key"))
+      // ONE md5 per key; hash row d reads its own disjoint 2-hex-digit
+      // window (8 independent bits each — exactly log2(W)), the
+      // split-the-digest trick that replaces D hash evaluations with
+      // one. The window expression is engine-portable verbatim.
+      def idxExpr(d: Int): String =
+        s"(instr('0123456789abcdef', substr(h, ${2 * d + 1}, 1)) - 1) " +
+          s"* 16 + instr('0123456789abcdef', substr(h, ${2 * d + 2}, 1)) - 1"
       def hashed(df: DataFrame): DataFrame = df
-        .select(col("key"), posexplode(array((0 until D).map(i =>
-          md5(concat(lit(s"$i:"), col("key").cast("string")))): _*))
-          .as(Seq("d", "h")))
-        .withColumn("idx", expr(
-          s"(${CorpusPrep.hex32Expr("h")}) % $W"))
-        .select("key", "d", "idx")
+        .withColumn("h", md5(col("key").cast("string")))
+        .select(col("key"), posexplode(array((0 until D).map(d =>
+          expr(idxExpr(d)).cast("int")): _*)).as(Seq("d", "idx")))
       val counters = hashed(rows).groupBy("d", "idx")
         .agg(count(lit(1)).as("c"))
       val heavy = rows.groupBy("key").agg(count(lit(1)).as("n_true"))
@@ -166,32 +171,26 @@ object Sketch {
 
   val oracles: Map[String, String] = Map(
     "cs_card_sketch" -> oracleSql,
-    // rebuilds the identical D×W counter table (same md5-prefix hash)
-    // and replays min-over-rows, so estimates hash-match exactly
+    // rebuilds the identical D×W counter table (same split-digest md5
+    // windows) and replays min-over-rows, so estimates hash-match
     "cs_countmin_probe" ->
       s"""WITH t AS (SELECT l_partkey AS key FROM lineitem),
-         |e AS (
-         |  SELECT key, r.d,
-         |    md5(CAST(r.d AS VARCHAR) || ':' || CAST(key AS VARCHAR)) AS h
-         |  FROM t, range(0, 4) r(d)),
+         |e AS (SELECT key, md5(CAST(key AS VARCHAR)) AS h FROM t),
          |ei AS (
-         |  SELECT key, d,
-         |    (${CorpusPrep.hex32Expr("h")}) % 256 AS idx
-         |  FROM e),
+         |  SELECT key, CAST(r.d AS INTEGER) AS d,
+         |    CAST((instr('0123456789abcdef',
+         |            substr(h, 2 * r.d + 1, 1)) - 1) * 16
+         |      + instr('0123456789abcdef',
+         |            substr(h, 2 * r.d + 2, 1)) - 1 AS INTEGER) AS idx
+         |  FROM e, range(0, 4) r(d)),
          |counters AS (
          |  SELECT d, idx, count(*) AS c FROM ei GROUP BY d, idx),
          |heavy AS (
          |  SELECT key, count(*) AS n_true FROM t GROUP BY key
          |  ORDER BY n_true DESC, key LIMIT 10),
-         |ph AS (
-         |  SELECT hv.key, hv.n_true, r.d,
-         |    md5(CAST(r.d AS VARCHAR) || ':' || CAST(hv.key AS VARCHAR))
-         |      AS h
-         |  FROM heavy hv, range(0, 4) r(d)),
          |probe AS (
-         |  SELECT key, n_true, d,
-         |    (${CorpusPrep.hex32Expr("h")}) % 256 AS idx
-         |  FROM ph)
+         |  SELECT DISTINCT i.key, hv.n_true, i.d, i.idx
+         |  FROM heavy hv JOIN ei i ON i.key = hv.key)
          |SELECT p.key, any_value(p.n_true) AS n_true,
          |  CAST(min(c.c) AS BIGINT) AS est
          |FROM probe p
