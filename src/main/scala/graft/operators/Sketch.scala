@@ -76,6 +76,36 @@ object Sketch {
         .orderBy("o_orderstatus")
     }),
 
+    // Sketch mergeability made visible — the algebraic property that
+    // lets 100 TB distinct-counts roll up without re-touching data:
+    // per-group HLL register tables merge by ELEMENTWISE MAX into
+    // exactly the sketch a direct pass over the union would build.
+    // The query materializes both sides — per-status sketches merged
+    // register-by-register, and the direct global sketch — and emits
+    // them with an equality flag; the oracle replays both paths, so
+    // the gate proves merge ≡ direct in BOTH engines. This is why
+    // daily sketch partitions answer monthly distinct questions for
+    // the cost of a 64-byte max, the entire point of sketch columns
+    // in a lake.
+    "cs_sketch_merge" -> ((s, dir) => {
+      CardSketch.register(s)
+      val perStatus = Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("card_sketch(cast(o_custkey as string))").as("regs"))
+      val merged = perStatus
+        .select(posexplode(split(col("regs"), ",")).as(Seq("b", "r")))
+        .groupBy("b").agg(max(col("r").cast("int")).as("m"))
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(b, m)))," +
+            " s -> s.m), ',')").as("merged_registers"))
+      val direct = Tables(s, dir, "orders")
+        .agg(expr("card_sketch(cast(o_custkey as string))")
+          .as("direct_registers"))
+      merged.crossJoin(direct)
+        .withColumn("is_equal",
+          (col("merged_registers") === col("direct_registers")).cast("int"))
+    }),
+
     // Count-Min sketch point queries — the fixed-memory frequency
     // summary that answers "how often does key k appear" from D·W
     // counters instead of a key-cardinality table (Cormode &
@@ -122,17 +152,19 @@ object Sketch {
     })
   )
 
+  // h60 = value of the first 15 hex digits of md5(custkey-as-string)
+  private def digitSum: String = (0 until 15).map { i =>
+    val p = math.pow(16, 14 - i).toLong
+    s"CAST((strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) " +
+      s"AS BIGINT) * $p"
+  }.mkString("\n      + ")
+
+  // rho = leading zeros of the 54-bit tail + 1, via descending CASE
+  private def rhoCase: String = (53 to 0 by -1).map { k =>
+    s"WHEN tail >= ${1L << k} THEN ${54 - k}"
+  }.mkString("\n        ")
+
   private val oracleSql: String = {
-    // h60 = value of the first 15 hex digits of md5(custkey-as-string)
-    val digitSum = (0 until 15).map { i =>
-      val p = math.pow(16, 14 - i).toLong
-      s"CAST((strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) " +
-        s"AS BIGINT) * $p"
-    }.mkString("\n      + ")
-    // rho = leading zeros of the 54-bit tail + 1, via descending CASE
-    val rhoCase = (53 to 0 by -1).map { k =>
-      s"WHEN tail >= ${1L << k} THEN ${54 - k}"
-    }.mkString("\n        ")
     s"""WITH hx AS (
        |  SELECT o_orderstatus,
        |         md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders),
@@ -171,6 +203,40 @@ object Sketch {
 
   val oracles: Map[String, String] = Map(
     "cs_card_sketch" -> oracleSql,
+    // replays BOTH paths: per-status registers merged by max, and the
+    // direct single-group sketch over all orders
+    "cs_sketch_merge" ->
+      s"""WITH hx AS (
+         |  SELECT o_orderstatus,
+         |         md5(CAST(o_custkey AS VARCHAR)) AS hx FROM orders),
+         |h60 AS (
+         |  SELECT o_orderstatus, ($digitSum) AS h60 FROM hx),
+         |bt AS (
+         |  SELECT o_orderstatus, h60 // ${1L << 54} AS b,
+         |         h60 % ${1L << 54} AS tail FROM h60),
+         |rho AS (
+         |  SELECT o_orderstatus, b,
+         |    CASE $rhoCase ELSE 55 END AS rho FROM bt),
+         |grid AS (SELECT g.range AS b FROM range(0, 64) g),
+         |per_status AS (
+         |  SELECT o_orderstatus, b, max(rho) AS r
+         |  FROM rho GROUP BY o_orderstatus, b),
+         |merged AS (
+         |  SELECT grid.b, coalesce(max(p.r), 0) AS m
+         |  FROM grid LEFT JOIN per_status p ON grid.b = p.b
+         |  GROUP BY grid.b),
+         |direct AS (
+         |  SELECT grid.b, coalesce(max(rho.rho), 0) AS m
+         |  FROM grid LEFT JOIN rho ON grid.b = rho.b
+         |  GROUP BY grid.b),
+         |ms AS (SELECT string_agg(m, ',' ORDER BY b) AS merged_registers
+         |       FROM merged),
+         |ds AS (SELECT string_agg(m, ',' ORDER BY b) AS direct_registers
+         |       FROM direct)
+         |SELECT ms.merged_registers, ds.direct_registers,
+         |  CAST(CASE WHEN ms.merged_registers = ds.direct_registers
+         |       THEN 1 ELSE 0 END AS INTEGER) AS is_equal
+         |FROM ms, ds""".stripMargin,
     // rebuilds the identical D×W counter table (same split-digest md5
     // windows) and replays min-over-rows, so estimates hash-match
     "cs_countmin_probe" ->

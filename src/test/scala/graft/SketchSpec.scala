@@ -119,6 +119,15 @@ class SketchSpec extends SparkSpec {
     assert(sketchWith(1) === sketchWith(64))
   }
 
+  test("sketch merge: elementwise-max of group sketches equals direct") {
+    val r = graft.operators.Sketch
+      .queries("cs_sketch_merge")(spark, sf).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Int]("is_equal") === 1)
+    assert(r.head.getAs[String]("merged_registers") ===
+      r.head.getAs[String]("direct_registers"))
+  }
+
   test("count-min: estimates never undercount and stay within the CMS bound") {
     import org.apache.spark.sql.functions.col
     val rows = graft.operators.Sketch
