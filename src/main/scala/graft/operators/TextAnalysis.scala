@@ -223,6 +223,24 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occ"))
   }
 
+  /** OLS closed forms over exact power sums, as SQL strings valid
+    * VERBATIM in Spark and DuckDB — both engines run the identical
+    * IEEE double expression tree over identical (exact) inputs, so the
+    * regression output is bit-equal with no tolerance. Column contract:
+    * n, sx, sy, sxx, syy, sxy. */
+  private[graft] val linregCols: Seq[(String, String)] = {
+    val (n, sx, sy, sxx, syy, sxy) = (
+      "CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)",
+      "CAST(sxx AS DOUBLE)", "CAST(syy AS DOUBLE)", "CAST(sxy AS DOUBLE)")
+    val cov = s"($n * $sxy - $sx * $sy)"
+    val vx = s"($n * $sxx - $sx * $sx)"
+    val vy = s"($n * $syy - $sy * $sy)"
+    Seq(
+      "slope" -> s"$cov / $vx",
+      "intercept" -> s"($sy - ($cov / $vx) * $sx) / $n",
+      "r2" -> s"($cov * $cov) / ($vx * $vy)")
+  }
+
   val queries: Map[String, Q] = Map(
     // BM25 retrieval — the scoring path retrieval-based curation uses
     // (finding near-matches of eval sets, sourcing topical documents);
@@ -315,6 +333,35 @@ object TextAnalysis {
       outliersOf(Tables(s, dir, "documents")
           .select("doc_id", "source", "text"))
         .orderBy("doc_id")),
+
+    // Closed-form OLS regression — the scaling-law fit shape: how do
+    // characters grow with tokens, per source? One aggregation pass
+    // collects the five power sums (Σx, Σy, Σx², Σy², Σxy) in
+    // DECIMAL(38,0) — exact far past 100 TB row counts, the
+    // x_stats_agg rule — and slope/intercept/R² come from the textbook
+    // closed forms evaluated in doubles over those exact sums. The
+    // formula STRINGS are shared verbatim with the oracle, so both
+    // engines run the identical IEEE expression tree over identical
+    // inputs: bit-equal output with zero tolerance. At 100 TB this is
+    // one map-side-combined aggregate; the regression itself costs a
+    // few flops per group.
+    "ml_linreg" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("x"),
+          length(col("text")).cast("long").as("y"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+        .select(Seq(col("source"), col("n")) ++
+          linregCols.map { case (name, f) =>
+            expr(f).as(name) }: _*)
+        .orderBy("source")),
 
     // Token counting: whitespace tokens, a BPE-ish regex token count
     // (letter runs / digit runs / single symbols), and the chars/4
@@ -569,6 +616,27 @@ object TextAnalysis {
          |SELECT doc_id, n_tokens, n_uniq, n_chars, n_stop, score,
          |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // power sums exact via HUGEINT→DECIMAL(38,0); the closed-form
+    // strings are the SAME ones the Spark side evaluates
+    "ml_linreg" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         |    CAST(length(text) AS BIGINT) AS y
+         |  FROM documents),
+         |agg AS (
+         |  SELECT source, count(*) AS n,
+         |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+         |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         |    CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+         |    CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy,
+         |    CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+         |  FROM t GROUP BY source)
+         |SELECT source, n,
+         |  ${linregCols.map { case (name, f) => s"$f AS $name" }
+            .mkString(",\n  ")}
+         |FROM agg ORDER BY source""".stripMargin,
 
     // the oracle needs no positional index: occurrences of the top
     // trigram per doc ARE the phrase matches — semantics, not plan

@@ -97,6 +97,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Int]("keep") == 0))
   }
 
+  test("linreg: closed form over exact local sums, r2 in (0,1]") {
+    val pts = Tables(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1).split(" ").length.toLong, r.getString(1).length.toLong))
+    val got = TextAnalysis.queries("ml_linreg")(spark, sf).collect()
+    got.foreach { r =>
+      val ps = pts.filter(_._1 == r.getString(0)).map(_._2)
+      val n = ps.length.toDouble
+      val (sx, sy) = (ps.map(_._1).sum.toDouble, ps.map(_._2).sum.toDouble)
+      val sxx = ps.map(p => p._1 * p._1).sum.toDouble
+      val syy = ps.map(p => p._2 * p._2).sum.toDouble
+      val sxy = ps.map(p => p._1 * p._2).sum.toDouble
+      val cov = n * sxy - sx * sy
+      val vx = n * sxx - sx * sx
+      assert(r.getAs[Double]("slope") === cov / vx)
+      assert(r.getAs[Double]("intercept") === (sy - (cov / vx) * sx) / n)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 === (cov * cov) / (vx * (n * syy - sy * sy)))
+      assert(r2 > 0.0 && r2 <= 1.0)
+      // chars grow with tokens: a positive, word-length-scale slope
+      assert(r.getAs[Double]("slope") > 1.0)
+    }
+  }
+
   test("phrase search: local replay of top-trigram adjacency matches") {
     val docs = Tables(spark, sf, "documents")
       .select("doc_id", "text").collect()
