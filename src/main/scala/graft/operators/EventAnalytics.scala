@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Product-analytics operators over the events stream — the two
+  * questions every event warehouse answers daily, expressed as exact
+  * integer plans:
+  *
+  *  - **Funnel** (view → click → purchase, strictly ordered in time):
+  *    per user, the first view, the first click AFTER that view, the
+  *    first purchase AFTER that click. Each stage is one filtered
+  *    aggregation joined to the previous stage's timestamps — three
+  *    user-keyed hash aggregations, no window over the raw stream, no
+  *    self-join explosion. At 100 TB each stage's input is the events
+  *    of ONE type (a pushed-down filter) and the join key is user_id:
+  *    the classic funnel stays three cheap passes whatever the corpus.
+  *  - **Retention cohorts**: users bucket by first-seen day; activity
+  *    counts by (cohort_day, day_offset). Two aggregations and a
+  *    broadcastable first-seen table — the day-N retention triangle.
+  *
+  * All timestamps export as epoch micros (exact integers), so the
+  * DuckDB oracles hash-match with zero tolerance.
+  */
+object EventAnalytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "ev_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+      def firstAfter(tpe: String, prev: DataFrame,
+                     prevCol: String, out: String): DataFrame =
+        e.filter(col("event_type") === tpe)
+          .join(prev, "user_id")
+          .filter(col("us") > col(prevCol))
+          .groupBy("user_id").agg(min("us").as(out))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("view_us"))
+      val c = firstAfter("click", v, "view_us", "click_us")
+      val p = firstAfter("purchase", c, "click_us", "purchase_us")
+      v.join(c.select("user_id", "click_us"), Seq("user_id"), "left")
+        .join(p.select("user_id", "purchase_us"), Seq("user_id"), "left")
+        .orderBy("user_id")
+    }),
+
+    "ev_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.join(broadcast(cohort), "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .select(col("cohort_day").cast("string").as("cohort_day"),
+          col("day_offset"), col("users"))
+        .orderBy("cohort_day", "day_offset")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ev_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (
+        |  SELECT user_id, min(us) AS view_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.us) AS click_us
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.us > v.view_us
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.us) AS purchase_us
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > c.click_us
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.view_us, c.click_us, p.purchase_us
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "ev_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+        |  CAST(e.day - c.cohort_day AS INTEGER) AS day_offset,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, day_offset""".stripMargin
+  )
+}

@@ -18,7 +18,7 @@ object Sessionize {
 
   val GAP = "6 hours"
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     "sz_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -54,7 +54,7 @@ object Sessionize {
           expr("unix_micros(sw.end)").as("end_us"),
           col("n_events"))
         .orderBy("user_id", "start_us"))
-  )
+  ) ++ EventAnalytics.queries
 
   val oracles: Map[String, String] = Map(
     "sz_sessionize" ->
@@ -97,5 +97,5 @@ object Sessionize {
         |  count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, start_us""".stripMargin
-  )
+  ) ++ EventAnalytics.oracles
 }

@@ -35,4 +35,40 @@ class SessionizeSpec extends SparkSpec {
       if (r.getAs[Long]("n_events") == 1) assert(d === 0)
     }
   }
+
+  test("funnel stages are strictly ordered and counts shrink monotonically") {
+    val rows = graft.operators.EventAnalytics
+      .queries("ev_funnel")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("view_us")
+      if (!r.isNullAt(r.fieldIndex("click_us"))) {
+        assert(r.getAs[Long]("click_us") > v)
+        if (!r.isNullAt(r.fieldIndex("purchase_us")))
+          assert(r.getAs[Long]("purchase_us") > r.getAs[Long]("click_us"))
+      } else assert(r.isNullAt(r.fieldIndex("purchase_us")))
+    }
+    val nV = rows.length
+    val nC = rows.count(!_.isNullAt(1))
+    val nP = rows.count(!_.isNullAt(3))
+    assert(nV >= nC && nC >= nP && nP > 0)
+  }
+
+  test("retention: offset-0 row counts each cohort exactly once") {
+    import org.apache.spark.sql.functions._
+    val ret = graft.operators.EventAnalytics
+      .queries("ev_retention")(spark, sf)
+    val atZero = ret.filter(col("day_offset") === 0)
+      .select("cohort_day", "users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cohorts = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id").agg(min("day").as("d"))
+      .groupBy(col("d").cast("string")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every user is active on their own cohort day by definition
+    assert(atZero === cohorts)
+    // offsets never negative
+    assert(ret.filter(col("day_offset") < 0).count() === 0)
+  }
 }
