@@ -44,7 +44,10 @@ object PlanAudit {
     "ml_hard_negatives",
     // round-5 continuation: graph / IR / MV / curation additions
     "gr_pagerank", "mv_incremental", "tr_dense_ids", "tr_dataset_card",
-    "ta_outliers", "ts_phrase_search", "sim_mmr_topk")
+    "ta_outliers", "ts_phrase_search", "sim_mmr_topk",
+    // round-5 continuation: sketches / regression / event analytics
+    "cs_countmin_probe", "cs_sketch_merge", "ml_linreg",
+    "ev_funnel", "ev_retention")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,
