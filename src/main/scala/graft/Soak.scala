@@ -66,6 +66,27 @@ object Soak {
           |  substring(base, (c * 7) % 20 + 2)))""".stripMargin).as("p_name"))
       .distinct()
     vocab.write.mode("overwrite").parquet(s"$out/part.parquet")
+    // relational/event tables for the graph / sketch / analytics / MV
+    // families: copy c offsets every entity key by c·OFFSET so copies
+    // are disjoint worlds (graph grows by whole components, funnels by
+    // whole users), EXCEPT l_partkey, kept verbatim so Count-Min key
+    // frequencies scale ×copies (the sketch stress is counter depth,
+    // not key cardinality). One replicate rule for all three tables;
+    // events goes through Tables.events so BOTH generator timestamp
+    // encodings land here as the same normalized TimestampType.
+    def replicate(df: DataFrame, keyCols: Seq[String],
+                  table: String): Unit =
+      (0 until copies).map { c =>
+        keyCols.foldLeft(df)((d, k) =>
+          d.withColumn(k, col(k) + lit(c * OFFSET)))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    replicate(Tables(spark, base, "orders"),
+      Seq("o_orderkey", "o_custkey"), "orders")
+    replicate(Tables(spark, base, "lineitem"),
+      Seq("l_orderkey", "l_suppkey"), "lineitem")
+    replicate(Tables.events(spark, base),
+      Seq("event_id", "user_id"), "events")
   }
 
   private def time[T](f: => T): (T, Double) = {
@@ -197,7 +218,16 @@ object Soak {
       // exploded lines; the other four are projection/broadcast shaped —
       // the soak checks all five move with rows, never pairwise
       "dd_lines", "mix_temperature", "ta_quality_classifier",
-      "bpe_encode", "ml_hard_negatives")) {
+      "bpe_encode", "ml_hard_negatives",
+      // addendum-4/5 operators: graph (disjoint copies → components
+      // scale), sketches (fixed grids under ×copies traffic), event
+      // analytics (whole-user copies), MV refresh, curation stats,
+      // retrieval, diversified ANN — the soak checks every one moves
+      // with rows or stays flat, never pairwise
+      "gr_pagerank", "cs_countmin_probe", "cs_sketch_merge",
+      "ev_funnel", "ev_retention", "mv_incremental", "ml_linreg",
+      "tr_dense_ids", "tr_dataset_card", "ta_outliers",
+      "ts_phrase_search", "sim_mmr_topk")) {
       val (rows, t) = time(SparkEntry.queries(q)(spark, dir).count())
       spark.catalog.clearCache()
       println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")

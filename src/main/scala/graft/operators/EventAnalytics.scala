@@ -17,8 +17,10 @@ import graft.Tables
   *    of ONE type (a pushed-down filter) and the join key is user_id:
   *    the classic funnel stays three cheap passes whatever the corpus.
   *  - **Retention cohorts**: users bucket by first-seen day; activity
-  *    counts by (cohort_day, day_offset). Two aggregations and a
-  *    broadcastable first-seen table — the day-N retention triangle.
+  *    counts by (cohort_day, day_offset). Two aggregations plus a
+  *    user-keyed join against the first-seen table (strategy left to
+  *    stats/AQE: broadcast when the user base fits, shuffle join when
+  *    it doesn't) — the day-N retention triangle.
   *
   * All timestamps export as epoch micros (exact integers), so the
   * DuckDB oracles hash-match with zero tolerance.
@@ -49,8 +51,12 @@ object EventAnalytics {
     "ev_retention" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("day"))
+      // no broadcast hint: the first-seen table is one row PER USER —
+      // unbounded cardinality — so the join strategy is left to stats/
+      // AQE (broadcast when it fits, user_id-keyed shuffle join when a
+      // 100 TB user base doesn't; the hint would bypass that guard)
       val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
-      e.join(broadcast(cohort), "user_id")
+      e.join(cohort, "user_id")
         .groupBy(col("cohort_day"),
           datediff(col("day"), col("cohort_day")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("users"))

@@ -319,11 +319,13 @@ object Similarity {
           .orderBy(col("rel").desc, col("vec_id"))))
       .filter(col("rn") <= pool)
       .select(col("qid"), col("vec_id").as("nid"), col("q"), col("rel"))
-      // ≤ |queries|·pool rows from here on — one partition, so the k
-      // greedy rounds don't schedule 32-way shuffles over 200 rows
-      // (measured: 6.2 s → sub-second at sf0.1). The corpus scan above
-      // keeps full parallelism; repartition(1) is the boundary.
-      .repartition(1)
+      // ≤ pool rows per query from here on. Partition by qid — NOT by
+      // a constant: every greedy-round window and join is qid-local,
+      // so this layout is reused all k rounds, it scales with the size
+      // of the caller's query batch (the facade contract), and AQE
+      // coalesces the tiny partitions a 10-query batch leaves. The
+      // corpus scan above keeps full parallelism.
+      .repartition(col("qid"))
       .cache()
     val pair = cands.select(col("qid"), col("nid").as("an"),
         col("q").as("av"))
@@ -332,7 +334,7 @@ object Similarity {
       .filter(col("an") =!= col("bn"))
       .withColumn("sim", dot("av", "bv"))
       .select("qid", "an", "bn", "sim")
-      .repartition(1)
+      .repartition(col("qid"))
       .cache()
     val first = cands
       .withColumn("rn", row_number().over(w))

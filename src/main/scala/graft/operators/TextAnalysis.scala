@@ -235,10 +235,17 @@ object TextAnalysis {
     val cov = s"($n * $sxy - $sx * $sy)"
     val vx = s"($n * $sxx - $sx * $sx)"
     val vy = s"($n * $syy - $sy * $sy)"
+    // degenerate groups (single doc, or constant x / constant y) have
+    // zero variance; Spark's non-ANSI division yields NULL there while
+    // DuckDB yields inf/NaN, so the guard makes BOTH engines emit NULL
+    // explicitly and the bit-equal contract holds on any corpus
     Seq(
-      "slope" -> s"$cov / $vx",
-      "intercept" -> s"($sy - ($cov / $vx) * $sx) / $n",
-      "r2" -> s"($cov * $cov) / ($vx * $vy)")
+      "slope" -> s"CASE WHEN $vx = 0 THEN NULL ELSE $cov / $vx END",
+      "intercept" ->
+        (s"CASE WHEN $vx = 0 THEN NULL " +
+          s"ELSE ($sy - ($cov / $vx) * $sx) / $n END"),
+      "r2" -> (s"CASE WHEN $vx = 0 OR $vy = 0 THEN NULL " +
+        s"ELSE ($cov * $cov) / ($vx * $vy) END"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -49,8 +49,11 @@ class SessionizeSpec extends SparkSpec {
       } else assert(r.isNullAt(r.fieldIndex("purchase_us")))
     }
     val nV = rows.length
-    val nC = rows.count(!_.isNullAt(1))
-    val nP = rows.count(!_.isNullAt(3))
+    val nC = rows.count(r => !r.isNullAt(r.fieldIndex("click_us")))
+    val nP = rows.count(r => !r.isNullAt(r.fieldIndex("purchase_us")))
+    // at sf0.001 the streams are dense enough that all stages complete
+    // (15/15/15, cross-checked in DuckDB) — the invariant is monotone
+    // non-increase, narrowing is corpus-dependent
     assert(nV >= nC && nC >= nP && nP > 0)
   }
 
