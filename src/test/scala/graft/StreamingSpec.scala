@@ -198,6 +198,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("custom sketch aggregate runs under streaming semantics, equals batch") {
+    // the TypedImperativeAggregate path (CardSketch) inside a streaming
+    // groupBy in complete mode: registers after the stream drains must
+    // equal the batch build — sketches are the natural streaming
+    // aggregate (fixed state per group), so the engine contract here is
+    // that the SAME custom aggregate object serves both planes
+    graft.functions.CardSketch.register(spark)
+    val base = Files.createTempDirectory("graft_stream_sk")
+    val src = Files.createDirectory(base.resolve("src"))
+    writeChunk(src, "a.json", 0 until 200)
+    writeChunk(src, "b.json", 200 until 300)
+    val parsed = StreamingIngest.parse(spark.readStream.text(src.toString))
+    val q = parsed
+      .groupBy("event_type")
+      .agg(expr("card_sketch(cast(user_id as string))").as("regs"))
+      .writeStream.format("memory").queryName("sk_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("sk_out").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val batch = StreamingIngest.parse(spark.read.text(src.toString))
+      .groupBy("event_type")
+      .agg(expr("card_sketch(cast(user_id as string))").as("regs"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("session windows MERGE across micro-batches when a gap is bridged") {
     import org.apache.spark.sql.functions._
     // events at t=0h and t=10h arrive in run 1 (two open sessions, 6h
