@@ -341,6 +341,27 @@ object TextAnalysis {
           .select("doc_id", "source", "text"))
         .orderBy("doc_id")),
 
+    // Model evaluation at corpus scale — the confusion matrix between
+    // the LEARNED filter (ta_quality_classifier's keep bit) and the
+    // RULE-BASED verdict (ta_quality_score's good/fair/poor), the
+    // check a data team runs before swapping a trained filter into the
+    // pipeline: which rule-verdict strata does the model keep or drop?
+    // One join on doc_id (both sides are projections of the same scan)
+    // and one count aggregation — integer cells, exact oracle. Recall/
+    // precision against any verdict stratum read directly off the
+    // matrix.
+    "ml_confusion" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val learned = queries("ta_quality_classifier")(s, dir)
+        .select(col("doc_id"), col("keep"))
+      val rule = qualityScoreOf(docs)
+        .select(col("doc_id"), col("quality"))
+      learned.join(rule, "doc_id")
+        .groupBy("keep", "quality")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("keep", "quality")
+    }),
+
     // Closed-form OLS regression — the scaling-law fit shape: how do
     // characters grow with tokens, per source? One aggregation pass
     // collects the five power sums (Σx, Σy, Σx², Σy², Σxy) in
@@ -623,6 +644,37 @@ object TextAnalysis {
          |SELECT doc_id, n_tokens, n_uniq, n_chars, n_stop, score,
          |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // composes the classifier-keep and rule-verdict oracles on doc_id
+    "ml_confusion" ->
+      s"""WITH markers(mlang, mword) AS (VALUES $markerValues),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents),
+         |stops AS (
+         |  SELECT doc_id, count(*) AS n_stop
+         |  FROM tok JOIN (SELECT DISTINCT mword FROM markers) m
+         |    ON word = mword
+         |  GROUP BY doc_id),
+         |rule AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+         |              AND coalesce(s.n_stop, 0) >= 3 THEN 'good'
+         |         WHEN len(string_split(text, ' ')) >= 5 THEN 'fair'
+         |         ELSE 'poor' END AS quality
+         |  FROM documents d LEFT JOIN stops s ON d.doc_id = s.doc_id),
+         |learned AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN $QC_W_TOK * len(string_split(text, ' '))
+         |        + $QC_W_UNIQ * len(list_distinct(string_split(text, ' ')))
+         |        + $QC_W_STOP * len(list_filter(string_split(text, ' '),
+         |            t -> t IN ('the', 'a')))
+         |        - length(text) + ($QC_BIAS) >= 0
+         |      THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |  FROM documents)
+         |SELECT l.keep, r.quality, count(*) AS n
+         |FROM learned l JOIN rule r ON l.doc_id = r.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY keep, quality""".stripMargin,
 
     // power sums exact via HUGEINT→DECIMAL(38,0); the closed-form
     // strings are the SAME ones the Spark side evaluates

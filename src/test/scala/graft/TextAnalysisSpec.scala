@@ -97,6 +97,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Int]("keep") == 0))
   }
 
+  test("confusion matrix partitions the corpus across both label planes") {
+    val cells = TextAnalysis.queries("ml_confusion")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("keep"), r.getAs[String]("quality"),
+        r.getAs[Long]("n")))
+    val total = Tables(spark, sf, "documents").count()
+    assert(cells.map(_._3).sum === total)
+    assert(cells.forall(_._3 > 0))
+    assert(cells.map(_._1).distinct.sorted.toSeq === Seq(0, 1))
+  }
+
   test("linreg: closed form over exact local sums, r2 in (0,1]") {
     val pts = Tables(spark, sf, "documents")
       .select("source", "text").collect()
