@@ -66,6 +66,55 @@ object AsOf {
         .orderBy("purchase_id")
     }),
 
+    // NEAREST-in-time join — the bidirectional as-of (sensor fusion /
+    // log alignment semantics): each purchase matches the click
+    // minimizing |Δt|, ties to the backward side, then greatest id —
+    // the same total-order rule as az_asof_join. Composed from TWO
+    // ordered-window as-of passes (backward as-is, forward by negating
+    // the epoch — last(−t_r ≤ −t_l) IS first(t_r ≥ t_l)), so the plan
+    // stays two shuffle+sort passes and never a |Δt| theta-join: the
+    // naive formulation is a per-key cross product, this one is the
+    // 100 TB shape. The two candidate ids then resolve with integer Δt
+    // arithmetic via two id-keyed joins against the (small) click side.
+    "az_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"))
+      val back = asOfJoin(purch, clicks, "user_id", "us",
+          "event_id", "event_id")
+        .select(col("event_id").as("purchase_id"), col("us").as("pus"),
+          col("asof_event_id").as("back_id"))
+      val fwd = asOfJoin(
+          purch.withColumn("nus", -col("us")),
+          clicks.withColumn("nus", -col("us")),
+          "user_id", "nus", "event_id", "event_id")
+        .select(col("event_id").as("purchase_id"),
+          col("asof_event_id").as("fwd_id"))
+      val cus = clicks.select(col("event_id").as("cid"),
+        col("us").as("cus"))
+      back.join(fwd, "purchase_id")
+        .join(cus.select(col("cid").as("back_id"),
+          col("cus").as("back_us")), Seq("back_id"), "left")
+        .join(cus.select(col("cid").as("fwd_id"),
+          col("cus").as("fwd_us")), Seq("fwd_id"), "left")
+        .withColumn("nearest_id",
+          when(col("back_id").isNull, col("fwd_id"))
+            .when(col("fwd_id").isNull, col("back_id"))
+            .when(col("pus") - col("back_us") <= col("fwd_us") - col("pus"),
+              col("back_id"))
+            .otherwise(col("fwd_id")))
+        .withColumn("dt_us",
+          when(col("nearest_id") === col("back_id"),
+            col("pus") - col("back_us"))
+            .otherwise(col("fwd_us") - col("pus")))
+        .select("purchase_id", "nearest_id", "dt_us")
+        .orderBy("purchase_id")
+    }),
+
     // Bounded range join: events within 60s AFTER each purchase, per
     // user — equi on user (shuffle key) + range residual, never a
     // cartesian.
@@ -99,6 +148,30 @@ object AsOf {
         |SELECT p.event_id AS purchase_id, c.event_id AS click_id
         |FROM purch p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+
+    // the oracle may score ALL (purchase, click) pairs — the global
+    // argmin under (|Δt|, side, id desc) is exactly min(back, fwd)
+    "az_asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |  WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |scored AS (
+        |  SELECT p.event_id AS purchase_id, c.event_id AS cid,
+        |    abs(c.us - p.us) AS adt,
+        |    CASE WHEN c.us <= p.us THEN 0 ELSE 1 END AS side
+        |  FROM purch p JOIN clicks c ON p.user_id = c.user_id),
+        |best AS (
+        |  SELECT purchase_id, cid, adt FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY purchase_id
+        |      ORDER BY adt, side, cid DESC) AS rn
+        |    FROM scored) x WHERE rn = 1)
+        |SELECT p.event_id AS purchase_id, b.cid AS nearest_id,
+        |  CAST(b.adt AS BIGINT) AS dt_us
+        |FROM purch p LEFT JOIN best b ON p.event_id = b.purchase_id
         |ORDER BY purchase_id""".stripMargin,
 
     "az_range_join" ->

@@ -39,4 +39,29 @@ class AsOfSpec extends SparkSpec {
     val out = AsOf.queries("az_range_join")(spark, sf).collect()
     assert(out.map(_.getAs[Long]("n_following")).sum > 0)
   }
+
+  test("nearest join: |dt| is the true minimum, ties go backward") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+    val clicks = ev.filter(_.getString(2) == "click")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val purch = ev.filter(_.getString(2) == "purchase")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val out = AsOf.queries("az_asof_nearest")(spark, sf).collect()
+    assert(out.length === purch.length)
+    out.foreach { r =>
+      val pid = r.getAs[Long]("purchase_id")
+      val (_, pu, pus) = purch.find(_._1 == pid).get
+      val cands = clicks.filter(_._2 == pu)
+      if (cands.isEmpty) assert(r.isNullAt(1))
+      else {
+        val best = cands.map { case (cid, _, cus) =>
+          (math.abs(cus - pus), if (cus <= pus) 0 else 1, -cid, cid)
+        }.min
+        assert(r.getAs[Long]("nearest_id") === best._4, s"purchase $pid")
+        assert(r.getAs[Long]("dt_us") === best._1)
+      }
+    }
+  }
 }
