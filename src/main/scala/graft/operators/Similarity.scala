@@ -310,15 +310,21 @@ object Similarity {
         "(acc, v) -> acc + v)")
     val qs = quant(queries).select(col("vec_id").as("qid"),
       col("q").as("qq"))
+    val qcorpus = quant(corpus)
     val w = Window.partitionBy("qid").orderBy(col("rel").desc, col("nid"))
-    val cands = quant(corpus).join(broadcast(qs),
+    // the top-pool window shuffles ONLY (qid, nid, rel) scalars — the
+    // 64-element vectors would multiply the exchange ~60× and are only
+    // needed for the pool·pool pairwise table, so they re-join from
+    // the corpus for just the |queries|·pool survivors
+    val cands = qcorpus.join(broadcast(qs),
         col("vec_id") =!= col("qid"))
-      .withColumn("rel", dot("q", "qq"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        dot("q", "qq").as("rel"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("qid")
-          .orderBy(col("rel").desc, col("vec_id"))))
+        Window.partitionBy("qid").orderBy(col("rel").desc, col("nid"))))
       .filter(col("rn") <= pool)
-      .select(col("qid"), col("vec_id").as("nid"), col("q"), col("rel"))
+      .join(qcorpus.select(col("vec_id").as("nid"), col("q")), "nid")
+      .select(col("qid"), col("nid"), col("q"), col("rel"))
       // ≤ pool rows per query from here on. Partition by qid — NOT by
       // a constant: every greedy-round window and join is qid-local,
       // so this layout is reused all k rounds, it scales with the size
