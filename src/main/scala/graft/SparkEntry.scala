@@ -34,6 +34,7 @@ object SparkEntry {
       operators.ProductQuant.queries ++
       operators.Typed.queries ++
       operators.Graph.queries ++
+      operators.Spectral.queries ++
       sources.Sources.queries ++
       sources.Bucketing.queries
 
@@ -64,6 +65,7 @@ object SparkEntry {
       operators.ProductQuant.oracles ++
       operators.Typed.oracles ++
       operators.Graph.oracles ++
+      operators.Spectral.oracles ++
       sources.Sources.oracles ++
       sources.Bucketing.oracles
 }
