@@ -92,6 +92,17 @@ object Vectors {
       k, pool)
       .select(col("qid"), col("pick"), col("nid"), col("rel"))
 
+  /** Top principal direction of the corpus covariance by matrix-free
+    * power iteration (fixed rounds, two scans per round, no dim²
+    * shuffle): (pos, pc) with pc in fixed-point ±10⁴. Use it for
+    * spectral diagnostics (anisotropy of an embedding space) or as a
+    * projection axis for 1-D sketching of the corpus. */
+  def powerPc(corpus: DataFrame, iters: Int = 2,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    graft.operators.Spectral.powerPcOf(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")), iters)
+
   /** Train `k` centroids on the corpus (fixed Lloyd rounds, k lowest-id
     * seeds) and return them as an (idCol, vecCol) frame — plug the
     * result straight into [[topKIvf]]'s `centroids` parameter, or use

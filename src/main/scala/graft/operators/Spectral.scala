@@ -70,28 +70,35 @@ object Spectral {
         " s -> s.vp)").as("v"))
   }
 
+  /** Top principal direction of ANY (vec_id, v float-array) corpus as
+    * a (pos, pc) frame in fixed-point ±10⁴ — the [[graft.api.Vectors]]
+    * facade shape. See the object scaladoc for the arithmetic. */
+  private[graft] def powerPcOf(corpus: DataFrame,
+                               iters: Int = ITERS): DataFrame = {
+    val s = corpus.sparkSession
+    val e = corpus.select(col("vec_id"), expr(
+        """transform(v, x ->
+          |  cast(floor(cast(x as double) * 1000.0d + 0.5d) as bigint))"""
+          .stripMargin).as("q"))
+      .cache()
+    val sxf = e
+      .select(posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(sum("x").as("sxv"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(pos, sxv)))," +
+        " s -> s.sxv)").as("sx"))
+      .crossJoin(e.groupBy().agg(count(lit(1)).as("n")))
+    val v0 = s.range(1)
+      .select(expr(s"array_repeat(${FP}L, $DIMS)").as("v"))
+    val vfinal = (1 to iters).foldLeft(v0)((v, _) => step(e, sxf, v))
+    vfinal.select(posexplode(col("v")).as(Seq("pos", "pc")))
+  }
+
   val queries: Map[String, Q] = Map(
-    "ml_power_pc" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), expr(
-          """transform(embedding, x ->
-            |  cast(floor(cast(x as double) * 1000.0d + 0.5d) as bigint))"""
-            .stripMargin).as("q"))
-        .cache()
-      val sxf = e
-        .select(posexplode(col("q")).as(Seq("pos", "x")))
-        .groupBy("pos").agg(sum("x").as("sxv"))
-        .groupBy()
-        .agg(expr("transform(array_sort(collect_list(struct(pos, sxv)))," +
-          " s -> s.sxv)").as("sx"))
-        .crossJoin(e.groupBy().agg(count(lit(1)).as("n")))
-      val v0 = s.range(1)
-        .select(expr(s"array_repeat(${FP}L, $DIMS)").as("v"))
-      val vfinal = (1 to ITERS).foldLeft(v0)((v, _) => step(e, sxf, v))
-      vfinal
-        .select(posexplode(col("v")).as(Seq("pos", "pc")))
-        .orderBy("pos")
-    })
+    "ml_power_pc" -> ((s, dir) =>
+      powerPcOf(Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("v")))
+        .orderBy("pos"))
   )
 
   /** One power step in DuckDB: v table (i, vv) → out table (i, vv). */

@@ -196,6 +196,14 @@ class ApiSpec extends SparkSpec {
     val mmrQ = operators.Similarity.queries("sim_mmr_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(mmr === mmrQ)
+    // PCA facade over renamed columns equals the named query
+    val pcEmb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("e"))
+    val pc = graft.api.Vectors.powerPc(pcEmb, 2, "vid", "e")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pcQ = operators.Spectral.queries("ml_power_pc")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(pc === pcQ)
     // pagerank facade on the query's graph reproduces its ranks
     val pairs = Tables(spark, sf, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
