@@ -35,6 +35,7 @@ object SparkEntry {
       operators.Typed.queries ++
       operators.Graph.queries ++
       operators.Spectral.queries ++
+      operators.IvfPq.queries ++
       sources.Sources.queries ++
       sources.Bucketing.queries
 
@@ -66,6 +67,7 @@ object SparkEntry {
       operators.Typed.oracles ++
       operators.Graph.oracles ++
       operators.Spectral.oracles ++
+      operators.IvfPq.oracles ++
       sources.Sources.oracles ++
       sources.Bucketing.oracles
 }

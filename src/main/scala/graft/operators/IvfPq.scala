@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** IVF-PQ — the composite ANN index production systems actually run
+  * (Jégou et al. 2011 §V: coarse quantizer + product quantization of
+  * the RESIDUAL): IVF prunes the corpus to a few probed cells, PQ
+  * shrinks distance computation inside them, and quantizing residuals
+  * (vector − its cell centroid) instead of raw vectors spends the
+  * codebook's 16 cells on local structure — the composition completes
+  * the repo's ANN curve (brute → IVF → SQ8 → PQ → IVF-PQ).
+  *
+  * Pipeline, all in the unit-milli BIGINT frame of ProductQuant:
+  *  1. coarse cells: the C lowest-id corpus vectors, densely re-keyed
+  *     (the sim_ivf_topk rule — `Vectors.kmeans` output plugs in as a
+  *     trained replacement);
+  *  2. every vector assigns to its nearest cell (exact integer
+  *     distance, ties to the lower cell) and leaves a residual
+  *     r = q − cq (exact BIGINT subtraction);
+  *  3. per-subspace PQ codebooks train on residuals (one Lloyd round,
+  *     seeds = residuals of the CB lowest ids, empty cells keep their
+  *     seed) and every residual encodes to M small ints;
+  *  4. a query probes its P nearest cells; its PER-CELL residual
+  *     builds a per-(query, cell) LUT against the codebooks;
+  *  5. ADC scans ONLY the probed cells' codes (equi-join on cell id),
+  *     exact rerank of the top candidates on the full vectors.
+  *
+  * At 100 TB: the coarse table and codebooks are model parameters
+  * (C + M·CB rows), codes are M bytes/vector partitioned BY CELL — a
+  * query touches ~P/C of the code table via an equi-join, and the
+  * only full-vector reads are RERANK rows per query. Every arithmetic
+  * step is integer-exact, so the DuckDB oracle replays the entire
+  * index build and search bit-for-bit.
+  */
+object IvfPq {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val C = 16      // coarse cells
+  private val PROBES = 4  // cells probed per query
+  private val M = 8       // PQ subspaces
+  private val DSUB = 8    // dims per subspace
+  private val CB = 16     // codebook entries per subspace
+  private val NQ = 10     // query vectors: vec_id < NQ
+  private val TOPK = 5
+  private val RERANK = 40
+  private val DIST2 =
+    "aggregate(zip_with(%s, %s, (a, b) -> (a - b) * (a - b)), " +
+      "0L, (acc, v) -> acc + v)"
+
+  private def quantize(df: DataFrame, vecCol: String): DataFrame =
+    df.select(col("vec_id"), expr(
+      s"""transform($vecCol, x -> cast(floor(cast(x as double) /
+         |  sqrt(aggregate($vecCol, 0.0d,
+         |    (acc, y) -> acc + cast(y as double) * cast(y as double)))
+         |  * 10000.0d + 0.5d) as bigint))""".stripMargin).as("q"))
+
+  /** IVF-PQ top-k of `queries` against `corpus`, both (vec_id, v)
+    * float-vector frames. */
+  private[graft] def ivfPqTopKOf(queries: DataFrame, corpus: DataFrame,
+                                 k: Int, probes: Int,
+                                 rerank: Int): DataFrame = {
+    val e = quantize(corpus, "v").cache()
+    val q0 = quantize(queries, "v")
+    val coarse = e.orderBy("vec_id").limit(C)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("long").as("ccid"), col("q").as("cq"))
+    def nearestCells(df: DataFrame, idOut: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(idOut).orderBy(col("cdist"), col("ccid"))
+      df.crossJoin(broadcast(coarse))
+        .withColumn("cdist", expr(DIST2.format("q", "cq")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= n)
+        .select(col(idOut), col("ccid"),
+          expr("zip_with(q, cq, (a, b) -> a - b)").as("r"))
+    }
+    val resid = nearestCells(e.select(col("vec_id"), col("q")),
+      "vec_id", 1).cache()
+    def subs(df: DataFrame, keep: Seq[String]): DataFrame =
+      df.select(keep.map(col) :+ posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), " +
+          s"m -> slice(r, m * $DSUB + 1, $DSUB))")).as(Seq("m", "sq")): _*)
+    val subv = subs(resid, Seq("vec_id"))
+    val seeds = resid.orderBy("vec_id").limit(CB)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("long").as("cid"), col("r"))
+    val init = subs(seeds.withColumnRenamed("cid", "vec_id"),
+        Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("m"), col("sq").as("cq"))
+    def assignM(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id", "m")
+        .orderBy(col("dist"), col("cid"))
+      subv.join(broadcast(cents), "m")
+        .withColumn("dist", expr(DIST2.format("sq", "cq")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "m", "sq", "cid")
+    }
+    val re = assignM(init)
+      .select(col("m"), col("cid"),
+        posexplode(col("sq")).as(Seq("pos", "x")))
+      .groupBy("m", "cid", "pos")
+      .agg(floor(sum("x").cast("double") / count(lit(1)))
+        .cast("long").as("mm"))
+      .groupBy("m", "cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mm))), " +
+        "s -> s.mm)").as("cq"))
+    val cb = re.unionByName(init.join(re, Seq("m", "cid"), "left_anti"))
+    val codes = assignM(cb)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), " +
+        "s -> s.code)").as("codes"))
+      .join(resid.select("vec_id", "ccid"), "vec_id")
+    val qprobe = nearestCells(
+      q0.select(col("vec_id").as("qid"), col("q")), "qid", probes)
+    val luts = subs(qprobe, Seq("qid", "ccid"))
+      .join(broadcast(cb), "m")
+      .select(col("qid"), col("ccid"), col("m"), col("cid"),
+        expr(DIST2.format("sq", "cq")).as("d"))
+      .groupBy("qid", "ccid")
+      .agg(expr("transform(array_sort(collect_list(struct(m, cid, d))), " +
+        "s -> s.d)").as("lut"))
+    val wA = Window.partitionBy("qid").orderBy(col("approx"), col("nid"))
+    val cand = codes.withColumnRenamed("vec_id", "nid")
+      .join(broadcast(luts), "ccid")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("approx", expr(
+        s"aggregate(transform(codes, (c, m) -> " +
+          s"element_at(lut, cast(m * $CB + c + 1 as int))), " +
+          s"0L, (acc, v) -> acc + v)"))
+      .withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= rerank)
+      .select("qid", "nid")
+    val full = e.select(col("vec_id").as("nid"), col("q").as("nv"))
+    val qfull = q0.select(col("vec_id").as("qid"), col("q").as("qv"))
+    val wT = Window.partitionBy("qid").orderBy(col("dist"), col("nid"))
+    cand
+      .join(full, "nid")
+      .join(broadcast(qfull), "qid")
+      .withColumn("dist", expr(DIST2.format("qv", "nv")))
+      .withColumn("rn", row_number().over(wT))
+      .filter(col("rn") <= k)
+      .select("qid", "nid", "dist")
+      .orderBy("qid", "dist", "nid")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      ivfPqTopKOf(emb.filter(col("vec_id") < NQ), emb,
+        TOPK, PROBES, RERANK)
+    })
+  )
+
+  private def d2(n: Int, a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, ${n + 1}),
+       |          i -> ($a[i] - $b[i]) * ($a[i] - $b[i])),
+       |          (x, y) -> x + y)""".stripMargin
+
+  /** Residual-subspace m: codebook train + encode + per-probe LUT. */
+  private def subspaceSql(m: Int): String =
+    s"""sub$m AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, ${DSUB + 1}), i -> r[${m * DSUB} + i])
+       |      AS q
+       |  FROM resid),
+       |cbi$m AS (
+       |  SELECT rn - 1 AS cid,
+       |    list_transform(range(1, ${DSUB + 1}), i -> r[${m * DSUB} + i])
+       |      AS cq
+       |  FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, r
+       |        FROM resid) s
+       |  WHERE rn <= $CB),
+       |a$m AS (
+       |  SELECT vec_id, q, cid FROM (
+       |    SELECT vec_id, q, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY dist, cid) AS rn
+       |    FROM (SELECT n.vec_id, n.q, c.cid,
+       |            ${d2(DSUB, "n.q", "c.cq")} AS dist
+       |          FROM sub$m n, cbi$m c) d) x
+       |  WHERE rn = 1),
+       |cbr$m AS (
+       |  SELECT cid, list(mm ORDER BY i) AS cq FROM (
+       |    SELECT a.cid, g.i,
+       |      CAST(floor(CAST(sum(a.q[g.i]) AS DOUBLE) / count(*))
+       |           AS BIGINT) AS mm
+       |    FROM a$m a, generate_series(1, $DSUB) g(i)
+       |    GROUP BY a.cid, g.i) s
+       |  GROUP BY cid),
+       |cb$m AS (
+       |  SELECT cid, cq FROM cbr$m
+       |  UNION ALL
+       |  SELECT cid, cq FROM cbi$m
+       |  WHERE cid NOT IN (SELECT cid FROM cbr$m)),
+       |code$m AS (
+       |  SELECT vec_id, $m AS m, cid AS code FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY dist, cid) AS rn
+       |    FROM (SELECT n.vec_id, c.cid,
+       |            ${d2(DSUB, "n.q", "c.cq")} AS dist
+       |          FROM sub$m n, cb$m c) d) x
+       |  WHERE rn = 1),
+       |lut$m AS (
+       |  SELECT p.qid, p.ccid, $m AS m, c.cid,
+       |    ${d2(DSUB, "pq", "c.cq")} AS d
+       |  FROM (SELECT qid, ccid,
+       |          list_transform(range(1, ${DSUB + 1}),
+       |            i -> r[${m * DSUB} + i]) AS pq
+       |        FROM qprobe) p, cb$m c)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // replays the whole index: coarse assign → residuals → per-subspace
+    // residual codebooks → codes → per-(query, probed-cell) LUTs →
+    // cell-pruned ADC → exact rerank. Identical integer arithmetic.
+    "sim_ivfpq_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+         |      sqrt(list_reduce(
+         |        list_transform(embedding,
+         |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+         |        (acc, z) -> acc + z))
+         |      * 10000.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |coarse AS (
+         |  SELECT rn - 1 AS ccid, q AS cq FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, q
+         |    FROM e) s WHERE rn <= $C),
+         |cass AS (
+         |  SELECT vec_id, q, ccid, cq FROM (
+         |    SELECT n.vec_id, n.q, c.ccid, c.cq,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d2(M * DSUB, "n.q", "c.cq")}, c.ccid) AS rn
+         |    FROM e n, coarse c) x WHERE rn = 1),
+         |resid AS (
+         |  SELECT vec_id, ccid,
+         |    list_transform(range(1, ${M * DSUB + 1}),
+         |      i -> q[i] - cq[i]) AS r
+         |  FROM cass),
+         |qprobe AS (
+         |  SELECT qid, ccid, r FROM (
+         |    SELECT n.vec_id AS qid, c.ccid,
+         |      list_transform(range(1, ${M * DSUB + 1}),
+         |        i -> n.q[i] - c.cq[i]) AS r,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d2(M * DSUB, "n.q", "c.cq")}, c.ccid) AS rn
+         |    FROM e n, coarse c WHERE n.vec_id < $NQ) x
+         |  WHERE rn <= $PROBES),
+         |${(0 until M).map(subspaceSql).mkString(",\n")},
+         |codes AS (${(0 until M).map(m => s"SELECT * FROM code$m")
+            .mkString(" UNION ALL ")}),
+         |luts AS (${(0 until M).map(m => s"SELECT * FROM lut$m")
+            .mkString(" UNION ALL ")}),
+         |adc AS (
+         |  SELECT l.qid, ct.vec_id AS nid, sum(l.d) AS approx
+         |  FROM codes ct
+         |  JOIN resid rs ON rs.vec_id = ct.vec_id
+         |  JOIN luts l ON l.ccid = rs.ccid AND l.m = ct.m
+         |    AND l.cid = ct.code
+         |  WHERE ct.vec_id <> l.qid
+         |  GROUP BY l.qid, ct.vec_id),
+         |cand AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid
+         |                         ORDER BY approx, nid) AS arn
+         |    FROM adc) x WHERE arn <= $RERANK)
+         |SELECT qid, nid, dist FROM (
+         |  SELECT c.qid, c.nid,
+         |    ${d2(M * DSUB, "eq.q", "en.q")} AS dist,
+         |    row_number() OVER (PARTITION BY c.qid
+         |                       ORDER BY ${d2(M * DSUB, "eq.q", "en.q")},
+         |                                c.nid) AS rn
+         |  FROM cand c
+         |  JOIN e en ON en.vec_id = c.nid
+         |  JOIN e eq ON eq.vec_id = c.qid) x
+         |WHERE rn <= $TOPK ORDER BY qid, dist, nid""".stripMargin
+  )
+}

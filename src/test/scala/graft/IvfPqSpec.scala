@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfPq, Similarity}
+
+class IvfPqSpec extends SparkSpec {
+
+  test("IVF-PQ recall against exact brute force at probes=4/16") {
+    val got = IvfPq.queries("sim_ivfpq_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.queries("sim_bruteforce_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = (got & exact).size.toDouble / exact.size
+    // probes=4 of 16 cells bounds recall below 1.0 by construction on
+    // hard queries; at sf0.001 the measured floor is well above chance
+    assert(recall >= 0.5, f"recall $recall%.2f")
+    // every query returns exactly k rows
+    val perQ = got.groupBy(_._1).map(_._2.size)
+    assert(perQ.forall(_ == 5))
+  }
+
+  test("ADC candidates come only from the query's probed cells") {
+    // recompute the coarse assignment + probe lists locally and check
+    // the returned neighbors' cells are all probed by their query
+    val e = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        r.getLong(0) -> v.map(x =>
+          math.floor(x / n * 10000.0 + 0.5).toLong).toArray
+      }.toMap
+    val coarse = e.toSeq.sortBy(_._1).take(16).zipWithIndex
+      .map { case ((_, q), i) => i.toLong -> q }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def cellOf(q: Array[Long]): Long =
+      coarse.map { case (c, cq) => (d2(q, cq), c) }.min._2
+    def probesOf(q: Array[Long]): Set[Long] =
+      coarse.map { case (c, cq) => (d2(q, cq), c) }.sorted.take(4)
+        .map(_._2).toSet
+    IvfPq.queries("sim_ivfpq_topk")(spark, sf).collect().foreach { r =>
+      val (qid, nid) = (r.getLong(0), r.getLong(1))
+      assert(probesOf(e(qid)).contains(cellOf(e(nid))),
+        s"neighbor $nid of query $qid from an unprobed cell")
+    }
+  }
+}
