@@ -76,6 +76,21 @@ object Vectors {
       queries, corpus, k, rerank, idCol, vecCol)
       .select(col("qid"), col("nid"), col("dist"))
 
+  /** IVF-PQ top-k — the composite production index: coarse cells prune
+    * the corpus to `probes` cells per query, PQ codebooks trained on
+    * residuals drive LUT-based ADC inside them, and the top candidates
+    * rerank exactly. Code scans touch M bytes/vector of ~probes/C of
+    * the corpus. */
+  def topKIvfPq(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                probes: Int = 4, rerank: Int = 40,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    graft.operators.IvfPq.ivfPqTopKOf(
+      queries.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      k, probes, rerank)
+      .select(col("qid"), col("nid"), col("dist"))
+
   /** MMR-diversified top-k: plain relevance ranking builds a
     * `pool`-candidate set per query, then k greedy rounds pick
     * argmax(relevance − max-similarity-to-already-picked) so results

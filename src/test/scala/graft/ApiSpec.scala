@@ -196,6 +196,15 @@ class ApiSpec extends SparkSpec {
     val mmrQ = operators.Similarity.queries("sim_mmr_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(mmr === mmrQ)
+    // IVF-PQ facade over renamed columns equals the named query
+    val ipEmb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id").as("vid"), col("embedding").as("e"))
+    val ip = graft.api.Vectors.topKIvfPq(
+        ipEmb.filter(col("vid") < 10), ipEmb, 5, 4, 40, "vid", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ipQ = operators.IvfPq.queries("sim_ivfpq_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ip === ipQ)
     // PCA facade over renamed columns equals the named query
     val pcEmb = Tables(spark, sf, "embeddings")
       .select(col("vec_id").as("vid"), col("embedding").as("e"))
