@@ -133,7 +133,11 @@ object PlanAudit {
       "sim_sq_topk's one-row quantizer stats and 10-row query set, " +
       "ts_bm25's one-row corpus stats, dd_semantic's 64-row centroid " +
       "table, bf_bloom_prune's one-row bloom bitset, ml_kmeans's K-row " +
-      "centroid tables, and sim_pq_topk's NQ-row flattened-LUT table " +
+      "centroid tables, sim_pq_topk's NQ-row flattened-LUT table, " +
+      "ml_power_pc's one-row iterated-vector and moment frames (its 12 " +
+      "entries are two fixed power rounds x broadcast 1-row states), " +
+      "sim_mmr_topk's and sim_ivfpq_topk's NQ-row query batches, and " +
+      "az_asof_nearest's scalar stats " +
       "(each asserted broadcast-bounded in PlanInvariantSpec).\n\n"
     md ++= header.mkString("| ", " | ", " |\n")
     md ++= header.map(_ => "---").mkString("| ", " | ", " |\n")
