@@ -227,7 +227,10 @@ object Soak {
       "gr_pagerank", "cs_countmin_probe", "cs_sketch_merge",
       "ev_funnel", "ev_retention", "mv_incremental", "ml_linreg",
       "tr_dense_ids", "tr_dataset_card", "ta_outliers",
-      "ts_phrase_search", "sim_mmr_topk")) {
+      "ts_phrase_search", "sim_mmr_topk",
+      // spectral + composite ANN: both are fixed-round broadcast-state
+      // passes — the soak checks cost moves with rows only
+      "ml_power_pc", "sim_ivfpq_topk")) {
       val (rows, t) = time(SparkEntry.queries(q)(spark, dir).count())
       spark.catalog.clearCache()
       println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")

@@ -228,6 +228,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("count-min counters build identically under streaming and batch") {
+    // the CMS counter grid is a pure groupBy count over hashed rows —
+    // the canonical streaming-aggregation shape. Build it from a
+    // file-replayed stream in complete mode and from the same data in
+    // batch: the 4x256 grids must be identical, which is what lets a
+    // stream maintain the sketch a batch consumer later merges/probes.
+    val base = Files.createTempDirectory("graft_stream_cms")
+    val src = Files.createDirectory(base.resolve("src"))
+    writeChunk(src, "a.json", 0 until 250)
+    writeChunk(src, "b.json", 250 until 400)
+    def grid(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("h", md5(col("user_id").cast("string")))
+      .select(col("user_id"), posexplode(array((0 until 4).map(d => expr(
+        s"cast((instr('0123456789abcdef', substr(h, ${2 * d + 1}, 1)) - 1)" +
+          s" * 16 + instr('0123456789abcdef', substr(h, ${2 * d + 2}, 1))" +
+          " - 1 as int)")): _*)).as(Seq("d", "idx")))
+      .groupBy("d", "idx").count()
+    val q = grid(StreamingIngest.parse(spark.readStream.text(src.toString)))
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("cms_out").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = grid(StreamingIngest.parse(spark.read.text(src.toString)))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+    assert(streamed.values.sum === 400L * 4)
+  }
+
   test("session windows MERGE across micro-batches when a gap is bridged") {
     import org.apache.spark.sql.functions._
     // events at t=0h and t=10h arrive in run 1 (two open sessions, 6h
