@@ -29,6 +29,7 @@ object Similarity {
   private val FEAT_D = 16 // hashing-trick feature dimensions
   private val NEGK = 5    // hard negatives mined per anchor
   private val MMRC = 20   // MMR candidate pool per query (selects TOPK)
+  private val KNN_PROBES = 200 // kNN-probe evaluation batch: vec_id < 200
 
   /** embeddings with L2 norm, via vec_dot(v, v). */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
@@ -254,6 +255,48 @@ object Similarity {
         .orderBy("qid", "pick")
     }),
 
+    // kNN label probe — THE standard embedding-quality evaluation: if
+    // k nearest neighbors under the embedding's own geometry predict a
+    // held-out vector's label, the space has learned the class
+    // structure (the "kNN probe" of representation-learning papers).
+    // 200 probe vectors classify by majority label of their 5 nearest
+    // corpus neighbors (quantized BIGINT dots — the MMR frame — so the
+    // vote is integer-exact; ties to the smaller label); the output is
+    // the per-label accuracy table. Plan: one broadcast of the probe
+    // batch across the corpus scan, one rank window, a vote aggregate
+    // — probe cost is |probes|·n dots, never n².
+    "ml_knn_probe" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), expr(
+          """transform(embedding, x ->
+            |  cast(floor(cast(x as double) * 1000.0d + 0.5d) as bigint))"""
+            .stripMargin).as("q"))
+      val probes = e.filter(col("vec_id") < KNN_PROBES)
+        .select(col("vec_id").as("qid"), col("label").as("true_label"),
+          col("q").as("qq"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("rel").desc, col("nid"))
+      val nn = e.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("true_label"),
+          col("vec_id").as("nid"), col("label").as("nlabel"),
+          expr("aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, " +
+            "(acc, v) -> acc + v)").as("rel"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TOPK)
+      val voted = nn.groupBy("qid", "true_label", "nlabel")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(
+          Window.partitionBy("qid")
+            .orderBy(col("votes").desc, col("nlabel"))))
+        .filter(col("vr") === 1)
+      voted
+        .groupBy(col("true_label").as("label"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("nlabel") === col("true_label"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .orderBy("label")
+    }),
+
     // Hashing-trick text featurizer — the deterministic text→vector
     // step that bridges the documents table into the embedding/ANN
     // family: each token lands in one of 16 buckets by its md5 prefix
@@ -390,6 +433,34 @@ object Similarity {
        |         SELECT * FROM ${out}_pick)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same quantized dots, same (votes desc, label) vote tiebreak
+    "ml_knn_probe" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, list_transform(embedding, x ->
+         |    CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+         |    AS q
+         |  FROM embeddings),
+         |nn AS (
+         |  SELECT qid, true_label, nlabel FROM (
+         |    SELECT p.vec_id AS qid, p.label AS true_label,
+         |      n.vec_id AS nid, n.label AS nlabel,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${dotSql("n.q", "p.q")} DESC, n.vec_id) AS rn
+         |    FROM e p JOIN e n ON n.vec_id <> p.vec_id
+         |    WHERE p.vec_id < $KNN_PROBES) x
+         |  WHERE rn <= $TOPK),
+         |voted AS (
+         |  SELECT qid, true_label, nlabel FROM (
+         |    SELECT qid, true_label, nlabel,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY count(*) DESC, nlabel) AS vr
+         |    FROM nn GROUP BY qid, true_label, nlabel) x
+         |  WHERE vr = 1)
+         |SELECT true_label AS label, count(*) AS n_probes,
+         |  CAST(sum(CASE WHEN nlabel = true_label THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_correct
+         |FROM voted GROUP BY 1 ORDER BY label""".stripMargin,
+
     "sim_mmr_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x ->

@@ -105,6 +105,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kNN probe: local vote replay, accuracy beats chance") {
+    val all = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map { r =>
+        (r.getLong(0),
+          r.getSeq[Float](1).map(x =>
+            math.floor(x.toDouble * 1000.0 + 0.5).toLong).toArray,
+          r.getInt(2))
+      }
+    def qdot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val expected = all.filter(_._1 < 200).map { case (qid, qv, tl) =>
+      val nn = all.filter(_._1 != qid)
+        .map { case (nid, nv, nl) => (nid, nl, qdot(nv, qv)) }
+        .sortBy { case (nid, _, rel) => (-rel, nid) }.take(5)
+      val pred = nn.groupBy(_._2).toSeq
+        .map { case (l, xs) => (xs.length, l) }
+        .sortBy { case (v, l) => (-v, l) }.head._2
+      (qid, tl, pred)
+    }
+    val byLabel = expected.groupBy(_._2).map { case (l, xs) =>
+      l -> (xs.length.toLong, xs.count(x => x._3 == x._2).toLong)
+    }
+    val got = Similarity.queries("ml_knn_probe")(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_probes"), r.getAs[Long]("n_correct"))).toMap
+    assert(got === byLabel)
+    val (n, c) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    val nLabels = all.map(_._3).distinct.length
+    assert(c.toDouble / n > 1.0 / nLabels,
+      s"accuracy ${c.toDouble / n} not above chance")
+  }
+
   test("MMR: local greedy replay over quantized dots, pick 1 is top-1") {
     val quant = Tables(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()
