@@ -393,6 +393,55 @@ object Dedup {
     "dd_minhash_lsh" -> ((s, dir) =>
       minhashPairs(s, dir).orderBy("id1", "id2")),
 
+    // LSH banding tuned BY MEASUREMENT, not folklore: the same 9-hash
+    // signatures evaluated under all three bandings (9 bands of 1 row,
+    // the production 3×3, and 1 band of 9 rows) in ONE self-join keyed
+    // on (config, band, bucket). Per config: bucket-join candidate
+    // volume and how many survive the 6/9 verification — the measured
+    // form of the LSH S-curve (P[candidate] = 1 − (1 − s^r)^b): more
+    // bands/fewer rows buys recall with candidate blowup, fewer
+    // bands/more rows the reverse. This is the table an operator reads
+    // before picking a banding for a new corpus; at 100 TB it costs
+    // one signature scan + one bucket self-join, the same shape as
+    // dd_minhash_lsh itself.
+    "dd_lsh_tuning" -> ((s, dir) => {
+      val mh = minhashes(s, dir).cache()
+      val sig = (1 to 9).map(i => col(s"h$i"))
+      def banded(cfg: String, nb: Int): DataFrame = {
+        val r = 9 / nb
+        val bandArr = array((0 until nb).map { b =>
+          val cs = (1 to r).map(i => col(s"h${b * r + i}"))
+          struct(lit(b + 1).as("band"),
+            md5(concat(cs: _*).cast("binary")).as("bv"))
+        }: _*)
+        mh.select(col("doc_id") +: sig :+ lit(cfg).as("cfg") :+
+            lit(nb).as("bands") :+ lit(r).as("rows_per_band") :+
+            explode(bandArr).as("st"): _*)
+          .select(col("doc_id") +: sig :+ col("cfg") :+ col("bands") :+
+            col("rows_per_band") :+ col("st.band").as("band") :+
+            col("st.bv").as("bv"): _*)
+      }
+      val all = banded("b9r1", 9)
+        .unionByName(banded("b3r3", 3))
+        .unionByName(banded("b1r9", 1))
+      val a = all.toDF("id1" +: (1 to 9).map(i => s"a$i") :+ "cfg" :+
+        "bands" :+ "rows_per_band" :+ "band" :+ "bv": _*)
+      val b = all.select(col("doc_id").as("id2") +:
+        (1 to 9).map(i => col(s"h$i").as(s"b$i")) :+
+        col("cfg") :+ col("band") :+ col("bv"): _*)
+      val nMatch = (1 to 9).map(i =>
+        (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
+      a.join(b, Seq("cfg", "band", "bv"))
+        .filter(col("id1") < col("id2"))
+        .select(col("cfg"), col("bands"), col("rows_per_band"),
+          col("id1"), col("id2"), nMatch.as("n_match"))
+        .distinct()
+        .groupBy("cfg", "bands", "rows_per_band")
+        .agg(count(lit(1)).as("candidates"),
+          sum(when(col("n_match") >= 6, 1L).otherwise(0L)).as("verified"))
+        .orderBy("cfg")
+    }),
+
     // Connected components over the MinHash pair graph — the
     // cluster-then-keep-one resolution step (see minhashClusters).
     "dd_cluster" -> ((s, dir) =>
@@ -698,6 +747,41 @@ object Dedup {
         |GROUP BY grp ORDER BY keep_id""".stripMargin,
 
     "dd_minhash_lsh" -> minhashSql,
+    "dd_lsh_tuning" -> {
+      val hs = (1 to K).map(i => s"min(md5('$i|' || shingle)) AS h$i")
+        .mkString(",\n    ")
+      def bandsFor(cfg: String, nb: Int): String = {
+        val r = 9 / nb
+        (0 until nb).map { b =>
+          val cat = (1 to r).map(i => s"h${b * r + i}").mkString(" || ")
+          s"SELECT doc_id, '$cfg' AS cfg, $nb AS bands, " +
+            s"$r AS rows_per_band, ${b + 1} AS band, md5($cat) AS bv FROM mh"
+        }.mkString("\n  UNION ALL ")
+      }
+      s"""WITH sh AS ($shinglesSql),
+         |mh AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  ${bandsFor("b9r1", 9)}
+         |  UNION ALL ${bandsFor("b3r3", 3)}
+         |  UNION ALL ${bandsFor("b1r9", 1)}),
+         |cand AS (
+         |  SELECT DISTINCT a.cfg, a.bands, a.rows_per_band,
+         |    a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b
+         |    ON a.cfg = b.cfg AND a.band = b.band AND a.bv = b.bv
+         |    AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT c.cfg, c.bands, c.rows_per_band, c.id1, c.id2,
+         |    (${(1 to K).map(i => s"CAST(m1.h$i = m2.h$i AS INT)")
+              .mkString(" + ")}) AS n_match
+         |  FROM cand c JOIN mh m1 ON c.id1 = m1.doc_id
+         |              JOIN mh m2 ON c.id2 = m2.doc_id)
+         |SELECT cfg, bands, rows_per_band,
+         |  count(*) AS candidates,
+         |  CAST(sum(CASE WHEN n_match >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS verified
+         |FROM scored GROUP BY 1, 2, 3 ORDER BY cfg""".stripMargin
+    },
     "dd_incremental" -> incrementalSql,
     "dd_simhash" -> simhashSql,
 

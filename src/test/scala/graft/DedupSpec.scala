@@ -178,4 +178,20 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(r => r.getAs[Long]("n_kept") <
       r.getAs[Long]("n_lines")))
   }
+
+  test("LSH tuning: banding candidate sets nest, 1-band verifies all") {
+    val rows = Dedup.queries("dd_lsh_tuning")(spark, sf).collect()
+      .map(r => r.getAs[String]("cfg") ->
+        (r.getAs[Long]("candidates"), r.getAs[Long]("verified"))).toMap
+    assert(rows.keySet === Set("b9r1", "b3r3", "b1r9"))
+    // sharing a 3-row band implies sharing each of its three 1-row
+    // bands; sharing the 9-row band implies sharing every 3-row band —
+    // so candidate sets nest and counts must be monotone
+    assert(rows("b9r1")._1 >= rows("b3r3")._1)
+    assert(rows("b3r3")._1 >= rows("b1r9")._1)
+    assert(rows("b9r1")._2 >= rows("b3r3")._2)
+    // a 1-band-of-9 candidate agrees on the WHOLE signature, so every
+    // candidate verifies (n_match = 9 >= 6) by construction
+    assert(rows("b1r9")._1 === rows("b1r9")._2)
+  }
 }
