@@ -7,31 +7,55 @@ import org.apache.spark.sql.SparkSession
   * {"metric","value","unit","queries","errors","sf"}. The stdout line is
   * size-capped (the harness keeps only a 2000-char tail): the slowest
   * queries are itemized, the rest aggregate under "others", and the
-  * complete two-pass detail lands in ./BENCH_FULL.json.
+  * complete per-pass detail lands in ./BENCH_FULL.json.
   *
   * Parallelism defaults to every core the machine has (the driver runs
   * local[32]); SPARK_GRAFT_CPUS overrides. Shuffle partitions are pinned
   * to the worker count so tiny-data shuffles don't fan out into hundreds
   * of empty tasks.
   *
-  * Methodology: every query executes TWICE at the target SF and both
-  * times are reported — "queries_cold" is the first run (plan compile +
-  * JIT + first data read included), "queries" is the second, steady-state
-  * run (the headline "value" sums it). Whole-stage-codegen classes are
-  * Janino-cached by source text, so the steady run measures execution,
-  * not compilation — what a warehouse with a plan cache reports after a
-  * query's first run (the reference's engine caches compiled plans the
-  * same way). Explicit `.cache()`s are cleared between ALL runs, so the
-  * steady pass still reads, shuffles, and aggregates the full SF.
-  * SPARK_GRAFT_SINGLE_PASS=1 collapses to single cold runs. A query
-  * that throws still reports its time-to-failure but is listed in
-  * "errors" — a silently broken query must not look green.
+  * Methodology (round 6 — made robust to machine contention after the
+  * round-5 driver artifact showed steady-pass times up to 27× the same
+  * query's cold pass in one JVM):
+  *
+  *   - every query runs once COLD (plan compile + JIT + first data read),
+  *     then SPARK_GRAFT_STEADY (default 2) more times; the reported
+  *     steady figure is the per-query MINIMUM across steady passes. A
+  *     minimum is the standard contention-robust estimator for a
+  *     deterministic workload: external CPU pressure only ever ADDS
+  *     time, so min-of-N converges on the machine-idle cost.
+  *   - harness-visible state is RESET between passes, outside every
+  *     timed region: explicit caches are cleared after each query, and
+  *     the /tmp scratch area used by write-path queries (mt_compaction,
+  *     mt_analyze_stats, zo_zorder_scan, pw_*) is wiped between passes
+  *     so no pass reads or lists another pass's output files. Bucketed /
+  *     CTAS warehouse tables are written once per JVM BY DESIGN (the
+  *     write/read split the round-4 verdict asked for) and are left in
+  *     place — they model a materialized layout, not leaked state.
+  *   - BENCH_DIAG.json is always written beside BENCH_FULL.json with
+  *     per-query cold + every steady sample + the steady/cold ratio, and
+  *     any query whose min-steady exceeds 1.5× its own cold is listed in
+  *     "inverted" — a nonempty list means the machine was contended even
+  *     under min-of-N and the artifact should be read with that log.
+  *
+  * Whole-stage-codegen classes are Janino-cached by source text, so
+  * steady passes measure execution, not compilation — what a warehouse
+  * with a plan cache reports after a query's first run. Explicit
+  * `.cache()`s are cleared between ALL runs, so every pass still reads,
+  * shuffles, and aggregates the full SF. SPARK_GRAFT_SINGLE_PASS=1
+  * collapses to single cold runs. SPARK_GRAFT_ONLY=q1,q2 restricts to a
+  * comma-separated subset (local iteration). A query that throws still
+  * reports its time-to-failure but is listed in "errors" — a silently
+  * broken query must not look green.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val steadyN = sys.env.getOrElse("SPARK_GRAFT_STEADY", "2").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,8 +67,22 @@ object Bench {
     Tables(spark, sfDir, "lineitem").count()
     Tables(spark, sfDir, "orders").count()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    /** Wipe the write-path scratch area so no pass sees a previous
+      * pass's files (part-file listings grow, dynamic-partition
+      * overwrites accumulate untouched partitions). Runs OUTSIDE timed
+      * regions. */
+    def resetScratch(): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val d = new java.io.File("/tmp/graft_scratch")
+      if (d.exists) rm(d)
+    }
     def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => if (!failed.contains(name)) failed += name }
@@ -54,21 +92,43 @@ object Bench {
         spark.catalog.clearCache()
         name -> elapsed
       }
+    resetScratch()
     val cold = pass()
-    val steady =
-      if (sys.env.contains("SPARK_GRAFT_SINGLE_PASS")) cold else pass()
+    val steadyRuns: Seq[Seq[(String, Double)]] =
+      if (sys.env.contains("SPARK_GRAFT_SINGLE_PASS")) Seq.empty
+      else (1 to steadyN).map { _ => resetScratch(); pass() }
+    // per-query minimum across steady passes (contention-robust); with
+    // SINGLE_PASS the cold run doubles as the report
+    val steady: Seq[(String, Double)] =
+      if (steadyRuns.isEmpty) cold
+      else steadyRuns.transpose.map(s => s.head._1 -> s.map(_._2).min)
     def r3(v: Double): String = f"$v%.3f"
     def js(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = steady.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
-    // Full two-pass per-query detail → a repo file (the harness records
-    // only the last ~2000 chars of stdout, which a 98-query map overflows).
+    // ---- diagnostic: every sample + inversion flags -------------------
+    val coldMap = cold.toMap
+    val inverted = steady.filter { case (n, v) => v > coldMap(n) * 1.5 }
+      .sortBy(-_._2)
+    val diag = {
+      val perQ = steady.map { case (n, v) =>
+        val samples = steadyRuns.map(r => r3(r.toMap.apply(n))).mkString("[", ",", "]")
+        s""""$n":{"cold":${r3(coldMap(n))},"steady":$samples,"min":${r3(v)},"ratio":${r3(v / math.max(coldMap(n), 1e-9))}}"""
+      }.mkString("{", ",", "}")
+      val inv = inverted.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+      s"""{"steady_passes":${steadyRuns.size},"inverted":$inv,"queries":$perQ}"""
+    }
+    // Full detail → repo files (the harness records only the last ~2000
+    // chars of stdout, which a 160-query map overflows).
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(steady)},"cold_total":${r3(coldTotal)},"queries_cold":${js(cold)},"errors":$errs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
-    catch { case _: Throwable => () } // read-only cwd must not kill the run
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_DIAG.json"), diag + "\n")
+    } catch { case _: Throwable => () } // read-only cwd must not kill the run
     // Final stdout line: a complete JSON object that FITS the 2000-char
     // capture window. Slowest queries stay itemized; the long tail of
     // sub-threshold queries folds into "others" (count + summed seconds).
@@ -77,7 +137,7 @@ object Bench {
     def line(keep: Seq[(String, Double)], rest: Seq[(String, Double)]): String = {
       val others =
         s""","others":{"n":${rest.size},"sum":${r3(rest.map(_._2).sum)}}"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(keep.sortBy(_._1))}${if (rest.nonEmpty) others else ""},"cold_total":${r3(coldTotal)},"errors":$errs,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(keep.sortBy(_._1))}${if (rest.nonEmpty) others else ""},"cold_total":${r3(coldTotal)},"steady_passes":${steadyRuns.size},"inverted":${inverted.size},"errors":$errs,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     }
     var k = bySlow.size
     while (k > 1 && line(bySlow.take(k), bySlow.drop(k)).length > budget) k -= 1

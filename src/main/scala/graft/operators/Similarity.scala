@@ -31,6 +31,20 @@ object Similarity {
   private val MMRC = 20   // MMR candidate pool per query (selects TOPK)
   private val KNN_PROBES = 200 // kNN-probe evaluation batch: vec_id < 200
 
+  /** Under-split guard for probes×corpus broadcast scans: a
+    * single-row-group parquet (the small-SF bench shape) exposes ONE
+    * scan partition, serializing the whole dot scan onto one task.
+    * When the scan has fewer partitions than the session's parallelism,
+    * redistribute once — the exchange moves the corpus rows exactly
+    * once, strictly less data than the join output that already
+    * shuffles into the rank window. A production-scale corpus is
+    * already split into many row groups and takes the no-exchange
+    * branch (checking `.rdd.getNumPartitions` plans, but runs no job). */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** embeddings with L2 norm, via vec_dot(v, v). */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
@@ -266,21 +280,25 @@ object Similarity {
     // batch across the corpus scan, one rank window, a vote aggregate
     // — probe cost is |probes|·n dots, never n².
     "ml_knn_probe" -> ((s, dir) => {
+      VectorFunctions.register(s)
       val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), expr(
-          """transform(embedding, x ->
-            |  cast(floor(cast(x as double) * 1000.0d + 0.5d) as bigint))"""
-            .stripMargin).as("q"))
+      // quantize ONLY the 200-row broadcast side up front; the corpus
+      // side stays raw floats and the fused vec_dot_milli expression
+      // quantizes inside the codegen dot loop — the earlier formulation
+      // (transform both sides + aggregate(zip_with)) re-evaluated an
+      // interpreted quantize per JOINED row (|corpus|·|probes| times)
       val probes = e.filter(col("vec_id") < KNN_PROBES)
         .select(col("vec_id").as("qid"), col("label").as("true_label"),
-          col("q").as("qq"))
+          expr(
+            """transform(embedding, x ->
+              |  cast(floor(cast(x as double) * 1000.0d + 0.5d) as bigint))"""
+              .stripMargin).as("qq"))
       val w = Window.partitionBy("qid")
         .orderBy(col("rel").desc, col("nid"))
-      val nn = e.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      val nn = spread(e).join(broadcast(probes), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("true_label"),
           col("vec_id").as("nid"), col("label").as("nlabel"),
-          expr("aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, " +
-            "(acc, v) -> acc + v)").as("rel"))
+          expr("vec_dot_milli(embedding, qq)").as("rel"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= TOPK)
       val voted = nn.groupBy("qid", "true_label", "nlabel")
@@ -331,80 +349,94 @@ object Similarity {
     * round (λ=1/2, scale folded out). ALL similarity is the dot
     * product of milli-quantized BIGINT vectors (the kmeans/SQ8
     * pattern), so every comparison both engines make is integer-exact
-    * and the greedy unrolls into a bit-exact oracle CTE chain. Scale
-    * shape: the corpus-facing work is ONE broadcast-query scan
-    * producing `pool` candidates per query; the greedy rounds touch
-    * only the candidate table and its pool² pairwise sims — model-
-    * parameter scale, independent of corpus size. Each round's
-    * selection is cached so round r references round r−1 as an
-    * InMemoryTableScan instead of re-embedding its lineage (the audit
-    * measured 375 codegen spans uncached vs ~40). `queries`/`corpus`
-    * are (vec_id, v: float-array) frames ([[graft.api.Vectors]]
-    * facade shape). */
+    * and the greedy unrolls into a bit-exact oracle CTE chain.
+    *
+    * Scale shape: the corpus-facing work is ONE broadcast-query scan
+    * producing `pool` candidates per query (codegen'd LongVecDot);
+    * the greedy then runs IN MEMORY inside a single `flatMapGroups`
+    * over each (qid, pool≤20) group — model-parameter scale,
+    * independent of corpus size. Round 5 unrolled the greedy into
+    * k−1 chained window+join+union stages with a cache per round
+    * (~8 s steady for a ≤20-row-per-query selection); the
+    * partition-local pass does the same integer argmax (same
+    * rel−maxsim score, same smaller-nid tiebreak, verified by the
+    * unchanged oracle CTE chain) in one narrow stage.
+    * `queries`/`corpus` are (vec_id, v: float-array) frames
+    * ([[graft.api.Vectors]] facade shape). */
   private[graft] def mmrTopKOf(queries: DataFrame, corpus: DataFrame,
                                k: Int, pool: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    VectorFunctions.register(spark)
     def quant(df: DataFrame): DataFrame =
       df.select(col("vec_id"), expr(
         """transform(v, x ->
           |  cast(floor(cast(x as double) * 1000.0d + 0.5d) as bigint))"""
           .stripMargin).as("q"))
-    def dot(a: String, b: String) = expr(
-      s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, " +
-        "(acc, v) -> acc + v)")
     val qs = quant(queries).select(col("vec_id").as("qid"),
       col("q").as("qq"))
     val qcorpus = quant(corpus)
-    val w = Window.partitionBy("qid").orderBy(col("rel").desc, col("nid"))
     // the top-pool window shuffles ONLY (qid, nid, rel) scalars — the
     // 64-element vectors would multiply the exchange ~60× and are only
-    // needed for the pool·pool pairwise table, so they re-join from
-    // the corpus for just the |queries|·pool survivors
-    val cands = qcorpus.join(broadcast(qs),
+    // needed for the in-memory greedy, so they re-join from the corpus
+    // for just the |queries|·pool survivors
+    // fused quantize+dot on the corpus side (see MilliVecDot: avoids a
+    // per-output-row interpreted transform after CollapseProject)
+    val cands = spread(corpus).join(broadcast(qs),
         col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        dot("q", "qq").as("rel"))
+        expr("vec_dot_milli(v, qq)").as("rel"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("rel").desc, col("nid"))))
       .filter(col("rn") <= pool)
       .join(qcorpus.select(col("vec_id").as("nid"), col("q")), "nid")
       .select(col("qid"), col("nid"), col("q"), col("rel"))
-      // ≤ pool rows per query from here on. Partition by qid — NOT by
-      // a constant: every greedy-round window and join is qid-local,
-      // so this layout is reused all k rounds, it scales with the size
-      // of the caller's query batch (the facade contract), and AQE
-      // coalesces the tiny partitions a 10-query batch leaves. The
-      // corpus scan above keeps full parallelism.
-      .repartition(col("qid"))
-      .cache()
-    val pair = cands.select(col("qid"), col("nid").as("an"),
-        col("q").as("av"))
-      .join(cands.select(col("qid"), col("nid").as("bn"),
-        col("q").as("bv")), "qid")
-      .filter(col("an") =!= col("bn"))
-      .withColumn("sim", dot("av", "bv"))
-      .select("qid", "an", "bn", "sim")
-      .repartition(col("qid"))
-      .cache()
-    val first = cands
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("qid"), col("nid"), col("rel"), lit(1).as("pick"))
-    val selected = (2 to k).foldLeft(first.cache()) { (sel, r) =>
-      val ms = pair.join(sel.select(col("qid"), col("nid").as("bn")),
-          Seq("qid", "bn"))
-        .groupBy(col("qid"), col("an").as("nid"))
-        .agg(max("sim").as("ms"))
-      val pick = cands
-        .join(sel.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
-        .join(ms, Seq("qid", "nid"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid")
-            .orderBy((col("rel") - col("ms")).desc, col("nid"))))
-        .filter(col("rn") === 1)
-        .select(col("qid"), col("nid"), col("rel"), lit(r).as("pick"))
-      sel.unionAll(pick).cache()
-    }
-    selected.select("qid", "pick", "nid", "rel")
+    import spark.implicits._
+    cands.as[(Long, Long, Array[Long], Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Array[Long], Long)]) =>
+        // ≤ pool rows per group: greedy is partition-local, integer-exact
+        val rows = it.toArray.sortBy(r => (-r._4, r._2)) // rel desc, nid asc
+        val n = rows.length
+        def dot(a: Array[Long], b: Array[Long]): Long = {
+          val m = math.min(a.length, b.length)
+          var s = 0L; var i = 0
+          while (i < m) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Long)]
+        if (n > 0) {
+          val picked = Array.fill(n)(false)
+          val maxSim = Array.fill(n)(Long.MinValue) // max sim to picked set
+          picked(0) = true // rows(0) = max rel, ties to smaller nid
+          out += ((qid, 1, rows(0)._2, rows(0)._4))
+          var last = 0
+          var r = 2
+          while (r <= k && r <= n) {
+            var best = -1
+            var bestScore = Long.MinValue
+            var i = 0
+            while (i < n) {
+              if (!picked(i)) {
+                val sim = dot(rows(i)._3, rows(last)._3)
+                if (sim > maxSim(i)) maxSim(i) = sim
+                val score = rows(i)._4 - maxSim(i)
+                // argmax(score) with ties to smaller nid
+                if (best < 0 || score > bestScore ||
+                    (score == bestScore && rows(i)._2 < rows(best)._2))
+                  { best = i; bestScore = score }
+              }
+              i += 1
+            }
+            picked(best) = true
+            out += ((qid, r, rows(best)._2, rows(best)._4))
+            last = best
+            r += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("qid", "pick", "nid", "rel")
   }
 
   /** BIGINT dot product of two 64-dim quantized lists (1-based). */

@@ -87,6 +87,35 @@ class CodegenGuardSpec extends SparkSpec {
     assert(gen === e.eval(row))
   }
 
+  test("LongVecDot generated Java compiles and matches interpreted eval") {
+    val e = graft.functions.LongVecDot(
+      BoundReference(0, ArrayType(LongType), nullable = true),
+      BoundReference(1, ArrayType(LongType), nullable = true))
+    val row = InternalRow(
+      new GenericArrayData(Array[Any](1500L, -2250L, 3000L)),
+      new GenericArrayData(Array[Any](500L, 4000L, -1000L)))
+    val gen = codegenValue(e, row, _.getLong(0))
+    assert(gen === e.eval(row))
+    assert(gen === 1500L * 500L + -2250L * 4000L + 3000L * -1000L)
+  }
+
+  test("MilliVecDot generated Java compiles, matches interpreted eval and " +
+      "the unfused transform+dot formulation") {
+    val e = graft.functions.MilliVecDot(
+      BoundReference(0, ArrayType(FloatType), nullable = true),
+      BoundReference(1, ArrayType(LongType), nullable = true))
+    val fl = Array[Any](1.5f, -2.25f, 3.0009f, -0.0004f)
+    val qs = Array[Any](500L, 4000L, -1000L, 7L)
+    val row = InternalRow(new GenericArrayData(fl), new GenericArrayData(qs))
+    val gen = codegenValue(e, row, _.getLong(0))
+    assert(gen === e.eval(row))
+    // the fused quantize is the oracle's: floor(x·1000 + 0.5) per element
+    val expected = fl.map(x => math.floor(
+      x.asInstanceOf[Float].toDouble * 1000.0 + 0.5).toLong)
+      .zip(qs.map(_.asInstanceOf[Long])).map { case (a, b) => a * b }.sum
+    assert(gen === expected)
+  }
+
   test("BloomMightContain generated Java compiles and matches interpreted eval") {
     val e = graft.functions.BloomMightContain(
       BoundReference(0, LongType, nullable = true),
