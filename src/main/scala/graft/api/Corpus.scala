@@ -151,4 +151,21 @@ object Corpus {
     graft.operators.CorpusQuality.datasetCardOf(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
         col(sourceCol).as("source"), col(langCol).as("lang")))
+
+  /** Streaming curation: the recipe's front gates (quality → exact
+    * dedup → near-dup removal) applied incrementally to a JSON-lines
+    * document stream, each micro-batch probed against the accumulated
+    * corpus state (digest anti-join + banded-signature bucket join —
+    * `dd_incremental`'s batch-vs-corpus shape; batch cost scales with
+    * the batch, never the corpus). Appends survivors to
+    * `outDir/accepted`; under in-order arrival the accepted set equals
+    * the batch recipe's (CorpusStreamSpec twin law). See
+    * [[graft.streaming.CorpusStream]] for state layout and replay
+    * semantics. */
+  def curateStream(spark: org.apache.spark.sql.SparkSession,
+                   srcDir: String, outDir: String, checkpointDir: String,
+                   availableNow: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.CorpusStream.start(
+      spark, srcDir, outDir, checkpointDir, availableNow)
 }

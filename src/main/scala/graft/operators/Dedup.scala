@@ -32,7 +32,7 @@ object Dedup {
           |  ELSE array() END""".stripMargin)).as("shingle"))
       .distinct()
 
-  private val K = 9          // minhash signature length
+  private[graft] val K = 9   // minhash signature length
   private val BANDS = 3      // 3 bands × 3 rows
   private val SIM_BITS = 63  // simhash width (63 avoids BIGINT sign)
   private val SIM_BAND_BITS = 21 // 3 bands ⇒ ham ≤ 2 ⇒ ≥1 band equal

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.streaming.CorpusStream
+
+/** Streaming corpus curation (quality → exact dedup → near-dup) equals
+  * the batch recipe's front gates run over the full corpus, when
+  * batches arrive in doc-id order — the twin law every streaming
+  * operator here is pinned by. */
+class CorpusStreamSpec extends SparkSpec {
+
+  /** The batch twin: pipe_training_recipe stages 1–3 (quality gate,
+    * exact dedup keep-lowest, near-dup id2-drop with pairing over the
+    * FULL corpus). */
+  private def twinAcceptedIds(): Set[Long] = {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val good = docs.filter(size(split(col("text"), " ")) >= 5)
+    val keepExact = good
+      .withColumn("gh",
+        md5(regexp_replace(trim(lower(col("text"))), " +", " ")
+          .cast("binary")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("gh").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val dupIds = Dedup.minhashPairsOf(docs)
+      .select(col("id2").as("doc_id")).distinct()
+    keepExact.join(dupIds, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("streamed curation over ordered batches equals the batch recipe") {
+    val base = Files.createTempDirectory("graft_corpus_stream")
+    val src = Files.createDirectory(base.resolve("src"))
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    // three ordered arrival batches of the sf0.001 corpus, one file each
+    val lines = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("text"))).as("j"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val cuts = Seq(lines.length / 3, 2 * lines.length / 3, lines.length)
+    var lo = 0
+    cuts.zipWithIndex.foreach { case (hi, i) =>
+      val f = src.resolve(f"b$i%02d.json")
+      Files.write(f,
+        lines.slice(lo, hi).map(_._2).mkString("\n").getBytes("UTF-8"))
+      // the file source orders batches by modification time — make the
+      // arrival order explicit instead of racing the filesystem clock
+      Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      lo = hi
+    }
+    val q = CorpusStream.start(spark, src.toString, out, cp,
+      availableNow = true, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$out/accepted")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = twinAcceptedIds()
+    assert(got === want)
+    // the signature index holds every seen doc with MinHash coverage
+    // (>= 3 words), accepted or not — the dd_incremental probe shape
+    val sigDocs = spark.read.parquet(s"$out/sigs")
+      .select("doc_id").distinct().count()
+    val withSigs = Dedup.minhashesOf(
+      Tables(spark, sf, "documents").select("doc_id", "text")).count()
+    assert(sigDocs === withSigs)
+
+    // replaying an already-curated batch appends nothing: the digest
+    // gate filters every replayed good doc against state
+    val before = spark.read.parquet(s"$out/accepted").count()
+    val replay = Tables(spark, sf, "documents")
+      .select("doc_id", "text")
+      .filter(col("doc_id") < lines(cuts.head)._1)
+    CorpusStream.curateBatch(replay, out, 5)
+    val after = spark.read.parquet(s"$out/accepted").count()
+    assert(after === before)
+  }
+}
