@@ -153,6 +153,23 @@ object Soak {
     spark.catalog.clearCache()
     val pqRecall = if (bf.nonEmpty) 1.0 * (bf & pq).size / bf.size else 0.0
     println(f"""{"corpus":"$tag","query":"sim_recall","rows":$nVecs,"brute_s":$tBf%.2f,"ivf_s":$tIvf%.2f,"recall_at_5":$recall%.3f,"sq8_s":$tSq%.2f,"sq8_recall_at_5":$sqRecall%.3f,"pq_s":$tPq%.2f,"pq_recall_at_5":$pqRecall%.3f}""")
+    // steady SEARCH timings: the quantized indexes persist once per
+    // (session, dir) — the first timings above include train+encode+
+    // write; a second run measures the recurring search alone, the
+    // figure a serving deployment quotes at this corpus scale
+    val (_, tSq2) = time(
+      SparkEntry.queries("sim_sq_topk")(spark, dir).count())
+    spark.catalog.clearCache()
+    val (_, tPq2) = time(
+      SparkEntry.queries("sim_pq_topk")(spark, dir).count())
+    spark.catalog.clearCache()
+    val (_, tIp1) = time(
+      SparkEntry.queries("sim_ivfpq_topk")(spark, dir).count())
+    spark.catalog.clearCache()
+    val (_, tIp2) = time(
+      SparkEntry.queries("sim_ivfpq_topk")(spark, dir).count())
+    spark.catalog.clearCache()
+    println(f"""{"corpus":"$tag","query":"sim_search_steady","rows":$nVecs,"sq8_search_s":$tSq2%.2f,"pq_search_s":$tPq2%.2f,"ivfpq_build_s":$tIp1%.2f,"ivfpq_search_s":$tIp2%.2f}""")
     // k-means: 3 full assignment passes over the corpus (2 Lloyd + the
     // reported one) against 8 broadcast centroids — the scale check is
     // that cost moves linearly with rows (no pairwise term exists)
@@ -228,9 +245,10 @@ object Soak {
       "ev_funnel", "ev_retention", "mv_incremental", "ml_linreg",
       "tr_dense_ids", "tr_dataset_card", "ta_outliers",
       "ts_phrase_search", "sim_mmr_topk",
-      // spectral + composite ANN: both are fixed-round broadcast-state
-      // passes — the soak checks cost moves with rows only
-      "ml_power_pc", "sim_ivfpq_topk")) {
+      // spectral: fixed-round broadcast-state passes — the soak checks
+      // cost moves with rows only (sim_ivfpq_topk moved to the explicit
+      // build-vs-search block above)
+      "ml_power_pc")) {
       val (rows, t) = time(SparkEntry.queries(q)(spark, dir).count())
       spark.catalog.clearCache()
       println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
