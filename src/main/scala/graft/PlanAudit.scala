@@ -48,7 +48,9 @@ object PlanAudit {
     // round-5 continuation: sketches / regression / event analytics
     "cs_countmin_probe", "cs_sketch_merge", "ml_linreg",
     "ev_funnel", "ev_retention", "ml_confusion", "az_asof_nearest",
-    "ml_power_pc", "sim_ivfpq_topk", "ml_knn_probe", "dd_lsh_tuning")
+    "ml_power_pc", "sim_ivfpq_topk", "ml_knn_probe", "dd_lsh_tuning",
+    // round-6 additions
+    "sim_index_add", "s11_xml_ingest")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

@@ -155,12 +155,99 @@ object IvfPq {
       .orderBy("qid", "dist", "nid")
   }
 
+  /** Incremental index maintenance — the FAISS `add` after `train`:
+    * encode a NEW vector batch against an index whose coarse cells and
+    * residual codebooks were trained on the BASE corpus only, with NO
+    * retraining. Each new vector assigns to its nearest trained coarse
+    * cell, leaves a residual, and codes per subspace against the frozen
+    * codebooks; output is the (vec_id, cell, code-list) rows a code
+    * table append would take. At 100 TB this is the nightly-ingest
+    * path: batch cost is |batch| × (C + M·CB) broadcast distance
+    * evaluations — it scales with the batch, never the corpus, the
+    * same contract `dd_incremental` pins for dedup. Train-on-base
+    * matters for the gate: the oracle replays the BASE-trained
+    * codebooks, so a retrain leaking batch vectors into training would
+    * hash-mismatch. */
+  private[graft] def indexAddOf(batch: DataFrame, base: DataFrame,
+      index: graft.sources.Materialize.Index =
+        graft.sources.Materialize.cached): DataFrame = {
+    val e = index("ivfadd_qvecs", () => quantize(base, "v"))
+    val coarse = index("ivfadd_coarse", () => e.orderBy("vec_id").limit(C)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("long").as("ccid"), col("q").as("cq")))
+    def nearest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("cdist"), col("ccid"))
+      df.crossJoin(broadcast(coarse))
+        .withColumn("cdist", expr(DIST2.format("q", "cq")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("ccid"),
+          expr("zip_with(q, cq, (a, b) -> a - b)").as("r"))
+    }
+    def subs(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), " +
+          s"m -> slice(r, m * $DSUB + 1, $DSUB))")).as(Seq("m", "sq")))
+    def assign(subv: DataFrame, cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id", "m")
+        .orderBy(col("dist"), col("cid"))
+      subv.join(broadcast(cents), "m")
+        .withColumn("dist", expr(DIST2.format("sq", "cq")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "m", "sq", "cid")
+    }
+    val residB = index("ivfadd_resid", () =>
+      nearest(e.select(col("vec_id"), col("q"))))
+    // one Lloyd round per subspace on BASE residuals; empty cells keep
+    // their seed — identical training rule to ivfPqTopKOf
+    val cb = index("ivfadd_cb", () => {
+      val subv = subs(residB)
+      val seeds = residB.orderBy("vec_id").limit(CB)
+        .select((row_number().over(Window.orderBy("vec_id")) - 1)
+          .cast("long").as("cid"), col("r"))
+      val init = subs(seeds.withColumnRenamed("cid", "vec_id"))
+        .select(col("vec_id").as("cid"), col("m"), col("sq").as("cq"))
+      val re = assign(subv, init)
+        .select(col("m"), col("cid"),
+          posexplode(col("sq")).as(Seq("pos", "x")))
+        .groupBy("m", "cid", "pos")
+        .agg(floor(sum("x").cast("double") / count(lit(1)))
+          .cast("long").as("mm"))
+        .groupBy("m", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mm))), " +
+          "s -> s.mm)").as("cq"))
+      re.unionByName(init.join(re, Seq("m", "cid"), "left_anti"))
+    })
+    val residN = nearest(quantize(batch, "v"))
+    assign(subs(residN), cb)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), " +
+        "s -> s.code)").as("codes"))
+      .join(residN.select("vec_id", "ccid"), "vec_id")
+      .select(col("vec_id"), col("ccid"),
+        expr("array_join(transform(codes, c -> cast(c as string)), ',')")
+          .as("code_csv"))
+      .orderBy("vec_id")
+  }
+
+  private val ADDMOD = 10 // batch = every vec_id ≡ 7 (mod 10), ~10%
+
   val queries: Map[String, Q] = Map(
     "sim_ivfpq_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("v"))
       ivfPqTopKOf(emb.filter(col("vec_id") < NQ), emb,
         TOPK, PROBES, RERANK,
+        index = graft.sources.Materialize.indexOf(s, dir))
+    }),
+
+    "sim_index_add" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      indexAddOf(emb.filter(col("vec_id") % ADDMOD === 7),
+        emb.filter(col("vec_id") % ADDMOD =!= 7),
         index = graft.sources.Materialize.indexOf(s, dir))
     })
   )
@@ -223,7 +310,106 @@ object IvfPq {
        |            i -> r[${m * DSUB} + i]) AS pq
        |        FROM qprobe) p, cb$m c)""".stripMargin
 
+  /** Add-path subspace m: codebook train on BASE residuals (residb) +
+    * batch encode against the frozen codebook (residn). */
+  private def addSubspaceSql(m: Int): String =
+    s"""asub$m AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, ${DSUB + 1}), i -> r[${m * DSUB} + i])
+       |      AS q
+       |  FROM residb),
+       |acbi$m AS (
+       |  SELECT rn - 1 AS cid, q AS cq FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, q
+       |    FROM asub$m) s
+       |  WHERE rn <= $CB),
+       |aa$m AS (
+       |  SELECT vec_id, q, cid FROM (
+       |    SELECT vec_id, q, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY dist, cid) AS rn
+       |    FROM (SELECT n.vec_id, n.q, c.cid,
+       |            ${d2(DSUB, "n.q", "c.cq")} AS dist
+       |          FROM asub$m n, acbi$m c) d) x
+       |  WHERE rn = 1),
+       |acbr$m AS (
+       |  SELECT cid, list(mm ORDER BY i) AS cq FROM (
+       |    SELECT a.cid, g.i,
+       |      CAST(floor(CAST(sum(a.q[g.i]) AS DOUBLE) / count(*))
+       |           AS BIGINT) AS mm
+       |    FROM aa$m a, generate_series(1, $DSUB) g(i)
+       |    GROUP BY a.cid, g.i) s
+       |  GROUP BY cid),
+       |acb$m AS (
+       |  SELECT cid, cq FROM acbr$m
+       |  UNION ALL
+       |  SELECT cid, cq FROM acbi$m
+       |  WHERE cid NOT IN (SELECT cid FROM acbr$m)),
+       |bsub$m AS (
+       |  SELECT vec_id,
+       |    list_transform(range(1, ${DSUB + 1}), i -> r[${m * DSUB} + i])
+       |      AS q
+       |  FROM residn),
+       |bcode$m AS (
+       |  SELECT vec_id, $m AS m, cid AS code FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |                         ORDER BY dist, cid) AS rn
+       |    FROM (SELECT n.vec_id, c.cid,
+       |            ${d2(DSUB, "n.q", "c.cq")} AS dist
+       |          FROM bsub$m n, acb$m c) d) x
+       |  WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // replays the base-trained index (coarse cells + residual codebooks
+    // on base vectors only), then the batch's assign → residual →
+    // frozen-codebook encode. Identical integer arithmetic throughout.
+    "sim_index_add" ->
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+         |      sqrt(list_reduce(
+         |        list_transform(embedding,
+         |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+         |        (acc, z) -> acc + z))
+         |      * 10000.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |base AS (SELECT * FROM e WHERE vec_id % $ADDMOD <> 7),
+         |coarse AS (
+         |  SELECT rn - 1 AS ccid, q AS cq FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, q
+         |    FROM base) s WHERE rn <= $C),
+         |residb AS (
+         |  SELECT vec_id, ccid,
+         |    list_transform(range(1, ${M * DSUB + 1}),
+         |      i -> q[i] - cq[i]) AS r
+         |  FROM (
+         |    SELECT n.vec_id, n.q, c.ccid, c.cq,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d2(M * DSUB, "n.q", "c.cq")}, c.ccid) AS rn
+         |    FROM base n, coarse c) x WHERE rn = 1),
+         |residn AS (
+         |  SELECT vec_id, ccid,
+         |    list_transform(range(1, ${M * DSUB + 1}),
+         |      i -> q[i] - cq[i]) AS r
+         |  FROM (
+         |    SELECT n.vec_id, n.q, c.ccid, c.cq,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${d2(M * DSUB, "n.q", "c.cq")}, c.ccid) AS rn
+         |    FROM e n, coarse c WHERE n.vec_id % $ADDMOD = 7) x
+         |  WHERE rn = 1),
+         |${(0 until M).map(addSubspaceSql).mkString(",\n")},
+         |bcodes AS (${(0 until M).map(m => s"SELECT * FROM bcode$m")
+            .mkString(" UNION ALL ")}),
+         |agg AS (
+         |  SELECT vec_id, list(code ORDER BY m) AS cl
+         |  FROM bcodes GROUP BY vec_id)
+         |SELECT a.vec_id, r.ccid,
+         |  array_to_string(list_transform(cl, c -> CAST(c AS VARCHAR)), ',')
+         |    AS code_csv
+         |FROM agg a JOIN residn r ON a.vec_id = r.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+
     // replays the whole index: coarse assign → residuals → per-subspace
     // residual codebooks → codes → per-(query, probed-cell) LUTs →
     // cell-pruned ADC → exact rerank. Identical integer arithmetic.

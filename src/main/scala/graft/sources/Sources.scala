@@ -98,6 +98,26 @@ object Sources {
         .orderBy("o_orderstatus")
     }),
 
+    // Third non-parquet format: Spark 4's native XML source (rowTag
+    // round trip). Same shape as the ORC/CSV ingests: export, re-ingest
+    // with schema inference, aggregate — long sums and double min/max
+    // only (Double.toString/parse round-trips exactly; a double SUM
+    // would be accumulation-order-dependent across engines).
+    "s11_xml_ingest" -> ((s, dir) => {
+      val path = scratch(dir, "orders_xml")
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").option("rowTag", "order")
+        .format("xml").save(path)
+      s.read.option("rowTag", "order").format("xml").load(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey")).as("sum_cust"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Raw text-lines source — one document per line, the shape of
     // CommonCrawl-style WET dumps a corpus pipeline starts from. Write
     // the documents' bodies as plain text, re-ingest with the line
@@ -172,6 +192,14 @@ object Sources {
         |ORDER BY c_mktsegment""".stripMargin,
 
     "s9_orc_ingest" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "s11_xml_ingest" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
         |  MIN(o_totalprice) AS min_price,

@@ -46,4 +46,24 @@ class IvfPqSpec extends SparkSpec {
         s"neighbor $nid of query $qid from an unprobed cell")
     }
   }
+
+  test("sim_index_add: every batch vector encodes to M in-range codes " +
+    "against the frozen base-trained artifacts, deterministically") {
+    val out = IvfPq.queries("sim_index_add")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // exactly the vec_id ≡ 7 (mod 10) batch, nothing from the base
+    assert(out.forall(_.getLong(0) % 10 == 7))
+    val expected = Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") % 10 === 7).count()
+    assert(out.length.toLong === expected)
+    // one coarse cell in [0, C), M codes each in [0, CB)
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
+    assert(out.forall { r =>
+      val cs = r.getString(2).split(",")
+      cs.length == 8 && cs.forall(c => c.toInt >= 0 && c.toInt < 16)
+    })
+    // a second run reads the persisted artifacts and is bit-identical
+    val again = IvfPq.queries("sim_index_add")(spark, sf).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
