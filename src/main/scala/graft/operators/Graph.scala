@@ -36,6 +36,94 @@ object Graph {
   private val SCALE = 1000000L  // rank units: millionths
   private val ITERS = 3
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Complements
+    * [[Dedup.components]]'s min-label propagation: label propagation
+    * converges in O(diameter) rounds — a chain-shaped component of
+    * depth d costs d shuffles — while star contraction halves the
+    * effective depth per round pair, converging in O(log d) rounds on
+    * the same edge-list join primitives. On a 100 TB dup graph whose
+    * components can be long chains (transitive near-dup families),
+    * that is the difference between ~8 rounds and hundreds.
+    *
+    * Both phases are expressed as joins against a per-node minimum —
+    * no collect_list adjacency materialization, so a star root's
+    * growing neighborhood never concentrates in one task's buffer:
+    *   large-star: m(u) = min(N(u) ∪ {u}); every edge (u,v) with
+    *     v > u rewires to (v, m(u)).
+    *   small-star: over the resulting (u > v) forest, m(u) = min of
+    *     u's smaller neighbors; u and each smaller neighbor rewire
+    *     to m(u).
+    * The fixpoint is a star per component (every node → component
+    * min). Each round localCheckpoints (same lineage-reset rationale
+    * as [[Dedup.components]]) and frees the previous round's blocks.
+    * Returns (cluster_id = component min, node) over edge-touched
+    * nodes. */
+  private[graft] def starComponents(pairDf: DataFrame): DataFrame = {
+    val sc = pairDf.sparkSession.sparkContext
+    def ids: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def free(owned: Set[Int]): Unit = owned.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var snap = ids
+    var e = pairDf.toDF("a", "b").filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    var eIds = ids -- snap
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < 30) {
+      val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = und.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      val joined = large.join(large.groupBy("u").agg(min("v").as("m")), "u")
+      snap = ids
+      val next = joined.select(col("u"), col("m").as("v"))
+        .unionAll(joined.filter(col("v") =!= col("m"))
+          // v and m are both < u with m = min ⇒ the rewired edge (v, m)
+          // already satisfies the (hi, lo) canonical orientation
+          .select(col("v").as("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      val nextIds = ids -- snap
+      // fixpoint test: symmetric difference of two already-distinct sets
+      changed = next.except(e).count() + e.except(next).count()
+      free(eIds -- nextIds)
+      eIds = nextIds
+      e = next
+      rounds += 1
+    }
+    require(changed == 0, s"star contraction did not converge in $rounds")
+    val out = e.select(col("v").as("cluster_id"), col("u").as("node"))
+      .unionAll(e.select(col("v").as("cluster_id"), col("v").as("node"))
+        .distinct())
+    out
+  }
+
+  /** Order-succession graph: each customer's orders chained in
+    * (o_orderdate, o_orderkey) succession, plus a bridge between the
+    * first orders of custkey c and c+1 whenever they share a decade
+    * (c div 10) — chains of chains, so components are ~100-node paths
+    * with real diameter (the regime star contraction is built for). */
+  private[graft] def orderChainEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val chain = o.withColumn("prev", lag("o_orderkey", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("u"), col("o_orderkey").as("v"))
+    val first = o.groupBy("o_custkey").agg(min("o_orderkey").as("f"))
+    val bridge = first.as("a")
+      .join(first.as("b"),
+        col("a.o_custkey") + 1 === col("b.o_custkey") &&
+          expr("a.o_custkey div 10") === expr("b.o_custkey div 10"))
+      .select(col("a.f").as("u"), col("b.f").as("v"))
+    chain.unionAll(bridge)
+  }
+
   /** One damped update: floor per-edge contributions, aggregate by
     * dst, apply 0.85 damping in integer arithmetic. Every node keeps a
     * row (undirected graph ⇒ in-degree ≥ 1, but the left join + base
@@ -89,6 +177,64 @@ object Graph {
             .otherwise(lit("supplier")).as("kind"),
           col("r").as("rank_millionths"))
         .orderBy("node")
+    }),
+
+    // Connected components of the order-succession graph by star
+    // contraction (O(log d) rounds vs label propagation's O(d)); the
+    // output is the component census (root id, size) — the shape a
+    // dedup resolution step consumes. Correctness cross-checked against
+    // min-label propagation in GraphSpec on chain-heavy random graphs.
+    "gr_components" -> ((s, dir) =>
+      starComponents(orderChainEdges(s, dir).select("u", "v"))
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_orders"))
+        .orderBy("cluster_id")),
+
+    // Triangle counting on the strong co-supply graph (suppliers
+    // adjacent iff they co-appear in strictly more orders than the mean
+    // pair + 2 — a data-derived cutoff, so every scale factor yields a
+    // nontrivial graph). Engine side orients each edge from its
+    // lower-(degree, id) endpoint to its higher one — the classic
+    // arboricity bound: every triangle is counted exactly once at its
+    // lowest-degree vertex, and per-node wedge fan-out is bounded by
+    // out-degree ≤ O(√E) instead of raw degree, which is what keeps the
+    // wedge join from exploding on hub nodes at 100 TB. The one-row
+    // threshold aggregate is a broadcast scalar (the documented
+    // model-parameter NLJ pattern). Output: per-supplier triangle
+    // memberships (each triangle credits all three corners).
+    "gr_triangles" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = li.as("a")
+        .join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .groupBy(col("a.l_suppkey").as("x"), col("b.l_suppkey").as("y"))
+        .agg(count(lit(1)).as("cnt"))
+      val thr = pairs.agg(expr("sum(cnt) div count(1) + 2").as("thr"))
+      val edges = pairs.join(broadcast(thr))
+        .filter(col("cnt") > col("thr")).select("x", "y")
+        .cache()
+      val deg = edges.select(col("x").as("n"))
+        .unionAll(edges.select(col("y").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      // orient low→high by (degree, id); struct comparison keeps the
+      // tie-break total
+      val oriented = edges
+        .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+        .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+        .select(
+          when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+            col("x")).otherwise(col("y")).as("src"),
+          when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+            col("y")).otherwise(col("x")).as("dst"))
+      val tri = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+        .join(oriented.as("e3"),
+          col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+        .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+          col("e2.dst").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("l_suppkey"))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("l_suppkey")
     })
   )
 
@@ -127,6 +273,61 @@ object Graph {
          |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
          |    AS kind,
          |  CAST(r AS BIGINT) AS rank_millionths
-         |FROM r3 ORDER BY node""".stripMargin
+         |FROM r3 ORDER BY node""".stripMargin,
+
+    // Components via DuckDB's recursive CTE: reach(v, lbl) saturates to
+    // every (node, reachable-node) pair inside a component (UNION
+    // dedups, so it terminates), then min(lbl) is the component root —
+    // an entirely different algorithm from the engine's star
+    // contraction, which is the point of the cross-check.
+    "gr_components" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS u,
+        |    o_orderkey AS v
+        |  FROM orders),
+        |chainp AS (SELECT u, v FROM chain WHERE u IS NOT NULL),
+        |firsts AS (
+        |  SELECT o_custkey, min(o_orderkey) AS f FROM orders GROUP BY 1),
+        |bridge AS (
+        |  SELECT a.f AS u, b.f AS v FROM firsts a JOIN firsts b
+        |  ON b.o_custkey = a.o_custkey + 1
+        |    AND a.o_custkey // 10 = b.o_custkey // 10),
+        |edges0 AS (
+        |  SELECT u, v FROM chainp UNION ALL SELECT u, v FROM bridge),
+        |edges AS (
+        |  SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+        |reach(v, lbl) AS (
+        |  SELECT DISTINCT u AS v, u AS lbl FROM edges
+        |  UNION
+        |  SELECT e.u AS v, r.lbl FROM edges e JOIN reach r ON e.v = r.v),
+        |comp AS (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)
+        |SELECT cluster_id, count(*) AS n_orders
+        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Triangles via the canonical id-ordered 3-way self-join (edges are
+    // stored x < y, so e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) enumerates each
+    // triangle exactly once); same data-derived threshold in integer
+    // arithmetic. The engine's degree-ordered orientation enumerates
+    // the identical triangle set.
+    "gr_triangles" ->
+      """WITH p AS (
+        |  SELECT l1.l_suppkey AS x, l2.l_suppkey AS y, count(*) AS cnt
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |      AND l1.l_suppkey < l2.l_suppkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT sum(cnt) // count(*) + 2 AS thr FROM p),
+        |e AS (SELECT x, y FROM p, t WHERE cnt > thr),
+        |tri AS (
+        |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |  FROM e e1 JOIN e e2 ON e1.y = e2.x
+        |    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |roles AS (
+        |  SELECT a AS l_suppkey FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT l_suppkey, count(*) AS n_triangles
+        |FROM roles GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

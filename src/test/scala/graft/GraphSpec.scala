@@ -33,6 +33,87 @@ class GraphSpec extends SparkSpec {
     assert(r(3L) === leaf)
   }
 
+  test("star contraction equals label propagation on chain-heavy graphs") {
+    // a 45-node path, a 40-node cycle, a 30-leaf star, random edges —
+    // star contraction must produce the identical component labeling
+    val path = (0L until 44L).map(i => (i, i + 1))
+    val cycle = (200L until 239L).map(i => (i, i + 1)) :+ (239L, 200L)
+    val star = (301L to 330L).map(i => (300L, i))
+    val rnd = new scala.util.Random(7)
+    val rand = Seq.fill(60)((400L + rnd.nextInt(80), 400L + rnd.nextInt(80)))
+      .filter { case (a, b) => a != b }
+    val pairs = (path ++ cycle ++ star ++ rand).toDF("id1", "id2")
+    val viaStar = operators.Graph.starComponents(pairs)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val viaProp = operators.Dedup.components(pairs)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(viaStar === viaProp)
+    // sanity: the path really is one component rooted at its min
+    assert(viaStar(44L) === 0L)
+    assert(viaStar(239L) === 200L)
+  }
+
+  test("star contraction conquers a path label propagation cannot") {
+    // diameter 499: label propagation needs ~500 rounds (its cap is 50
+    // — Dedup.components REFUSES this graph), star contraction's
+    // 30-round cap is ample at O(log d). This is the concrete payoff of
+    // carrying both algorithms.
+    val path = (0L until 499L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = operators.Graph.starComponents(path)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(labels.size === 500)
+    assert(labels.values.toSet === Set(0L))
+    intercept[IllegalArgumentException] {
+      operators.Dedup.components(path).collect()
+    }
+  }
+
+  test("gr_components census equals label propagation on the lake graph") {
+    val edges = operators.Graph.orderChainEdges(spark, sf).select("u", "v")
+    val viaStar = Graph.queries("gr_components")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = operators.Dedup.components(edges)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar === viaProp)
+    assert(viaStar.nonEmpty)
+  }
+
+  test("triangle counts: degree-ordered orientation equals brute force") {
+    // K4 ∪ a triangle ∪ a square (no triangles) ∪ a pendant
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4: 4
+      (10L, 11L), (11L, 12L), (10L, 12L),                         // tri: 1
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L),             // square
+      (1L, 99L))                                                  // pendant
+    val e = edges.toDF("x", "y")
+    val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+      .select(
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          col("x")).otherwise(col("y")).as("src"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          col("y")).otherwise(col("x")).as("dst"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oriented.as("e3"),
+        col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    assert(tri.count() === 5L) // C(4,3) + 1
+    // per-node: K4 corners sit in 3 each, the lone triangle's in 1 each
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy("n").count().collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(perNode(1L) === 3L && perNode(4L) === 3L)
+    assert(perNode(10L) === 1L)
+    assert(!perNode.contains(20L) && !perNode.contains(99L))
+  }
+
   test("pagerank on the lake graph: mass conserved within floor loss") {
     val ranks = Graph.queries("gr_pagerank")(spark, sf)
       .agg(sum("rank_millionths"), count(lit(1))).collect().head
