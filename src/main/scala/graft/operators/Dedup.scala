@@ -447,6 +447,52 @@ object Dedup {
     "dd_cluster" -> ((s, dir) =>
       minhashClusters(s, dir).orderBy("cluster_id", "doc_id")),
 
+    // CONTAINMENT detection (quote / memorization audit): which corpus
+    // documents contain ≥ 80% of a snippet's 3-word shingles? Jaccard
+    // misses this case by design — a 12-word quote inside a 100-word
+    // host scores J ≈ 0.1 — so the asymmetric measure |A∩B| / |A|
+    // (A = snippet grams) is its own operator. Candidates come from a
+    // RARE-GRAM PROBE: each snippet takes its 4 lowest-df grams (df
+    // computed once over the corpus gram table) and any document
+    // hitting ANY probe is a candidate. Recall is exact by pigeonhole:
+    // qualifying docs miss ≤ ⌊0.2·|A|⌋ ≤ 2 of ≤ 10 grams, so they
+    // cannot dodge 4 probes. Rare grams keep candidate volume at
+    // Σ df(rare) — probing with common grams would fan out to the df of
+    // boilerplate. Verify is an exact gram-intersection count on
+    // candidates only, integer percent, no float threshold.
+    "dd_containment" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("snip_id").orderBy("df", "gram")
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 12)
+      val grams = docs.select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(w) - 2)," +
+            " i -> concat_ws(' ', slice(w, i, 3)))")).as("gram"))
+        .distinct()
+      val snips = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("snip_id"),
+          explode(expr("transform(sequence(1, 10)," +
+            " i -> concat_ws(' ', slice(w, i, 3)))")).as("gram"))
+        .distinct()
+      val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      val probes = snips.join(dfreq, "gram")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 4)
+        .select("snip_id", "gram")
+      val cand = probes.join(grams, "gram")
+        .select("snip_id", "doc_id").distinct()
+      val nsg = snips.groupBy("snip_id").agg(count(lit(1)).as("nsg"))
+      val matched = cand.join(grams, "doc_id")
+        .join(snips, Seq("snip_id", "gram"))
+        .groupBy("snip_id", "doc_id").agg(count(lit(1)).as("m"))
+      matched.join(nsg, "snip_id")
+        .withColumn("containment_pct", expr("m * 100 div nsg"))
+        .filter(col("containment_pct") >= 80)
+        .select("snip_id", "doc_id", "containment_pct")
+        .orderBy("snip_id", "doc_id")
+    }),
+
     // Incremental dedup — the daily-ingest shape: dedupe a NEW batch
     // (here doc_id % 5 = 0, ~20%) against the corpus WITHOUT re-pairing
     // it. The band join probes new-batch buckets only, so candidate
@@ -799,6 +845,44 @@ object Dedup {
          |  SELECT e.v, r.l FROM edges e JOIN reach r ON r.v = e.u)
          |SELECT min(l) AS cluster_id, v AS doc_id
          |FROM reach GROUP BY v ORDER BY cluster_id, doc_id""".stripMargin,
+
+    // same rare-gram probe + exact verify replayed; DuckDB list slicing
+    // w[i:i+2] is 1-based inclusive = Spark's slice(w, i, 3)
+    "dd_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 12),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      i -> array_to_string(w[i:i+2], ' '))) AS gram
+        |  FROM docs),
+        |snips AS (
+        |  SELECT DISTINCT doc_id AS snip_id,
+        |    unnest(list_transform(range(1, 11),
+        |      i -> array_to_string(w[i:i+2], ' '))) AS gram
+        |  FROM docs WHERE doc_id % 50 = 0),
+        |dfreq AS (SELECT gram, count(*) AS df FROM grams GROUP BY 1),
+        |probes AS (
+        |  SELECT snip_id, gram FROM (
+        |    SELECT s.snip_id, s.gram,
+        |      row_number() OVER (PARTITION BY s.snip_id
+        |        ORDER BY f.df, s.gram) AS rk
+        |    FROM snips s JOIN dfreq f ON s.gram = f.gram) t
+        |  WHERE rk <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.snip_id, g.doc_id
+        |  FROM probes p JOIN grams g ON p.gram = g.gram),
+        |nsg AS (SELECT snip_id, count(*) AS nsg FROM snips GROUP BY 1),
+        |matched AS (
+        |  SELECT c.snip_id, c.doc_id, count(*) AS m
+        |  FROM cand c JOIN grams g ON c.doc_id = g.doc_id
+        |    JOIN snips s ON s.snip_id = c.snip_id AND s.gram = g.gram
+        |  GROUP BY 1, 2)
+        |SELECT m.snip_id, m.doc_id, m.m * 100 // n.nsg AS containment_pct
+        |FROM matched m JOIN nsg n ON m.snip_id = n.snip_id
+        |WHERE m.m * 100 // n.nsg >= 80
+        |ORDER BY m.snip_id, m.doc_id""".stripMargin,
 
     "split_leakage_free" ->
       s"""WITH RECURSIVE pairs AS ($minhashSql),

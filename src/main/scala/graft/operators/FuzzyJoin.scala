@@ -112,6 +112,28 @@ object FuzzyJoin {
       .distinct()
   }
 
+  /** Syllable rendering of an integer key (digit i → SYL(i)): a
+    * deterministic, engine-agnostic way to give the uniform synthetic
+    * customers varied, fuzzily-matchable names. Chained replaces are
+    * order-safe because syllables contain no digits. `cast` is the
+    * engine's string-cast spelling (STRING vs VARCHAR). */
+  private val SYL =
+    Seq("ba", "ce", "di", "fo", "gu", "ha", "ki", "lo", "mu", "ne")
+  private def sylNameSql(c: String, cast: String): String =
+    SYL.zipWithIndex.foldLeft(s"CAST($c AS $cast)") {
+      case (acc, (syl, i)) => s"replace($acc, '$i', '$syl')"
+    }
+
+  /** Dirty-record mutation, one of four edits keyed by the record id —
+    * drop-first, drop-last, duplicate-3rd-char, append — all within
+    * edit distance 1 of the master name. Shared Spark/DuckDB SQL. */
+  private def mutateSql(id: String, name: String): String =
+    s"""CASE $id % 4
+       |  WHEN 0 THEN substr($name, 2)
+       |  WHEN 1 THEN substr($name, 1, length($name) - 1)
+       |  WHEN 2 THEN concat(substr($name, 1, 3), substr($name, 3))
+       |  ELSE concat($name, 'x') END""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Verified fuzzy pairs through pigeonhole candidates — same output
     // contract as dd_fuzzy_levenshtein, different (scale-path)
@@ -125,7 +147,46 @@ object FuzzyJoin {
             .cast(IntegerType))
         .filter(col("dist").between(0, TAU))
         .select("name_a", "name_b", "dist")
-        .orderBy("name_a", "name_b")))
+        .orderBy("name_a", "name_b")),
+
+    // Entity resolution by MULTI-KEY BLOCKING + bounded verify — the
+    // standard record-linkage shape (Christen, "Data Matching", 2012):
+    // each record emits TWO block keys (name prefix-4 AND suffix-4), a
+    // candidate is any key collision, and candidates verify with a
+    // bounded levenshtein (banded DP, -1 past the threshold). Two keys
+    // beat one because single-key blocking misses edits that damage
+    // that key's end of the string — a dropped first character changes
+    // every prefix but no suffix, and vice versa. Names shorter than
+    // key-length+1 can still lose both keys under a length-changing
+    // edit (the classic short-string blocking gap, enumerated exactly
+    // in FuzzyJoinSpec). The blocking scheme IS part of the operator's
+    // semantics (ER recall is defined relative to it), so the oracle
+    // replays the same keys. Scale: both
+    // sides shuffle on the 4-char key; block population is bounded by
+    // key-prefix frequency, never by table size, and the verify is
+    // O(candidates), not O(n²).
+    "er_blocked_match" -> ((s, dir) => {
+      val master = Tables(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr(sylNameSql("c_custkey", "STRING")).as("name"))
+      val dirty = master
+        .select(col("c_custkey").as("dirty_id"),
+          expr(mutateSql("c_custkey", "name")).as("dname"))
+      def keyed(df: DataFrame, nameCol: String): DataFrame =
+        df.select(expr(s"substr($nameCol, 1, 4)").as("k"), col("*"))
+          .unionAll(df.select(expr(s"right($nameCol, 4)").as("k"),
+            col("*")))
+      val cand = keyed(dirty, "dname").join(keyed(master, "name"), "k")
+        .select("dirty_id", "dname", "c_custkey", "name")
+        .distinct()
+      cand
+        .withColumn("dist",
+          levenshtein(col("dname"), col("name"), 2).cast(IntegerType))
+        .filter(col("dist").between(0, 2))
+        .select(col("dirty_id"), col("c_custkey").as("matched_key"),
+          col("dist"))
+        .orderBy("dirty_id", "matched_key")
+    }))
 
   val oracles: Map[String, String] = Map(
     // identical ground truth to the bucket variant: the all-pairs
@@ -136,5 +197,32 @@ object FuzzyJoin {
         |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
         |FROM n a JOIN n b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
-        |ORDER BY name_a, name_b""".stripMargin)
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    // same blocking scheme replayed (blocking is part of ER semantics);
+    // UNION in the key CTEs dedups where prefix == suffix — the
+    // engine's candidate-level DISTINCT makes the same sets
+    "er_blocked_match" ->
+      s"""WITH master AS (
+         |  SELECT c_custkey, ${sylNameSql("c_custkey", "VARCHAR")} AS name
+         |  FROM customer),
+         |dirty AS (
+         |  SELECT c_custkey AS dirty_id,
+         |    ${mutateSql("c_custkey", "name")} AS dname
+         |  FROM master),
+         |km AS (
+         |  SELECT substr(name, 1, 4) AS k, c_custkey, name FROM master
+         |  UNION
+         |  SELECT right(name, 4) AS k, c_custkey, name FROM master),
+         |kd AS (
+         |  SELECT substr(dname, 1, 4) AS k, dirty_id, dname FROM dirty
+         |  UNION
+         |  SELECT right(dname, 4) AS k, dirty_id, dname FROM dirty),
+         |cand AS (
+         |  SELECT DISTINCT dirty_id, dname, c_custkey, name
+         |  FROM kd JOIN km USING (k))
+         |SELECT dirty_id, c_custkey AS matched_key,
+         |  CAST(levenshtein(dname, name) AS INTEGER) AS dist
+         |FROM cand WHERE levenshtein(dname, name) <= 2
+         |ORDER BY dirty_id, matched_key""".stripMargin)
 }

@@ -472,6 +472,56 @@ object TextAnalysis {
           count(when(col("bucket") < 2, 1)).as("n_sampled"))
         .orderBy("lang")),
 
+    // Weighted sampling, the deterministic integer analog of
+    // Efraimidis–Spirakis A-ES reservoir sampling: each document draws
+    // a uniform 48-bit integer u from md5(doc_id) (the same seedable
+    // cross-engine permutation samp_reservoir uses) and competes with
+    // priority u div weight — integer floor so both engines agree
+    // bit-for-bit where float pow/ln would drift by ulps. Smaller
+    // priority wins, so selection probability grows with weight
+    // (n_chars): the length-biased subsetting a corpus pipeline uses
+    // when long documents should dominate a training mix. Scale: the
+    // top-k is orderBy+limit — per-partition heaps merged at the
+    // driver's k rows, never a global sort of the corpus.
+    "samp_weighted" -> ((s, dir) => {
+      val prio = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          expr("CAST(conv(substr(md5(cast(doc_id as string)), 1, 12)," +
+            " 16, 10) AS BIGINT) div n_chars").as("priority"))
+      val top = prio.orderBy("priority", "doc_id").limit(20)
+      top.withColumn("rk", row_number().over(
+          Window.orderBy(col("priority"), col("doc_id"))))
+        .select("rk", "doc_id", "n_chars", "priority")
+        .orderBy("rk")
+    }),
+
+    // Code-vs-prose detection — the language-mix gate a training
+    // pipeline runs before routing documents to a code or text
+    // curriculum. A third of the corpus gets a deterministic code
+    // appendix (the same synthesis pattern ta_pii_scan uses — the
+    // word-salad testdata carries no code of its own), then the
+    // detector scores raw symbol density: count of {}();:*= characters
+    // against the token count, classified by integer cross-multiply
+    // (25·symbols ≥ tokens) so no float threshold can drift. Pure
+    // codegen'd string expressions, zero shuffles, embarrassingly
+    // parallel at any scale.
+    "ta_code_detect" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("note",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" def fn"), col("doc_id"),
+              lit("(x): { return x * "), col("doc_id"), lit("; }")))
+            .otherwise(col("text")))
+        .select(
+          col("doc_id"),
+          (length(col("note")) -
+            length(regexp_replace(col("note"), "[(){};:*=]", "")))
+            .cast("int").as("n_symbols"),
+          size(split(col("note"), " ")).as("n_tokens"))
+        .withColumn("code_like",
+          col("n_symbols") * 25 >= col("n_tokens"))
+        .orderBy("doc_id")),
+
     // PII detection sweep — the scan-and-extract pass a corpus runs
     // before release: regexp_extract_all pulls EVERY occurrence (not
     // just the first match) of phone-shaped and id-shaped patterns out
@@ -584,6 +634,41 @@ object TextAnalysis {
         |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 2
         |        THEN 1 END) AS n_sampled
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same 48-bit md5 draw via DuckDB's hex-string cast; identical
+    // integer floor division
+    "samp_weighted" ->
+      """WITH prio AS (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |      // n_chars AS priority
+        |  FROM documents),
+        |top AS (
+        |  SELECT * FROM prio ORDER BY priority, doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY priority, doc_id)
+        |    AS INTEGER) AS rk,
+        |  doc_id, n_chars, priority
+        |FROM top ORDER BY rk""".stripMargin,
+
+    // 'g' flag: DuckDB's regexp_replace is first-match-only by default
+    // where Spark's replaces all
+    "ta_code_detect" ->
+      """WITH noted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      text || ' def fn' || doc_id || '(x): { return x * '
+        |        || doc_id || '; }'
+        |    ELSE text END AS note
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(note) -
+        |    length(regexp_replace(note, '[(){};:*=]', '', 'g'))
+        |    AS INTEGER) AS n_symbols,
+        |  CAST(len(string_split(note, ' ')) AS INTEGER) AS n_tokens,
+        |  (length(note) -
+        |    length(regexp_replace(note, '[(){};:*=]', '', 'g'))) * 25
+        |    >= len(string_split(note, ' ')) AS code_like
+        |FROM noted ORDER BY doc_id""".stripMargin,
 
     "ta_lang_id" ->
       s"""WITH markers(mlang, mword) AS (VALUES $markerValues),

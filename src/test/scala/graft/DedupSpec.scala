@@ -194,4 +194,30 @@ class DedupSpec extends SparkSpec {
     // candidate verifies (n_match = 9 >= 6) by construction
     assert(rows("b1r9")._1 === rows("b1r9")._2)
   }
+
+  test("dd_containment equals a local brute-force containment scan") {
+    // the rare-gram probe's recall theorem, checked against an
+    // unblocked all-pairs recompute in plain Scala
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      .filter(_._2.length >= 12)
+    def gramsOf(w: Seq[String]): Set[String] =
+      w.sliding(3).map(_.mkString(" ")).toSet
+    val corpus = docs.map { case (id, w) => id -> gramsOf(w) }
+    val want = (for {
+      (sid, w) <- docs if sid % 50 == 0
+      sg = w.take(12).sliding(3).map(_.mkString(" ")).toSet
+      (did, dg) <- corpus
+      pct = (sg.count(dg.contains) * 100L) / sg.size if pct >= 80
+    } yield (sid, did, pct)).sortBy(t => (t._1, t._2))
+    val got = Dedup.queries("dd_containment")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // every snippet contains itself at 100%
+    val selfs = got.filter(t => t._1 == t._2)
+    assert(selfs.map(_._1).toSet === docs.map(_._1).filter(_ % 50 == 0).toSet)
+    assert(selfs.forall(_._3 == 100L))
+  }
 }

@@ -60,6 +60,29 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  test("er_blocked_match: self-matches recalled, bounds hold, fuzz real") {
+    val rows = FuzzyJoin.queries("er_blocked_match")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every reported distance within the verify bound
+    assert(rows.forall(_._3 <= 2))
+    // every dirty record whose name survives 4-char blocking finds its
+    // own master at distance ≤ 1 (mutations are single edits). The
+    // documented blocking-recall exception: names shorter than 5 chars
+    // (custkey < 100) lose BOTH 4-char keys under any length-changing
+    // edit — the survivors are the no-op duplicate-3rd-char on 2-char
+    // names (c < 10, c%4 = 2) and append-x on exactly-4-char names
+    // (10 ≤ c < 100, c%4 = 3), where the prefix key is untouched.
+    val self = rows.filter(t => t._1 == t._2).map(_._1).toSet
+    val all = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val expectedMisses = all.filter(c =>
+      c < 100 && !(c % 4 == 3 && c >= 10) && !(c % 4 == 2 && c < 10))
+    assert(self === all -- expectedMisses)
+    assert(rows.filter(t => t._1 == t._2).forall(_._3 <= 1))
+    // blocking genuinely surfaces CROSS-record fuzzy matches too
+    assert(rows.exists(t => t._1 != t._2))
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

@@ -175,4 +175,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty) // the rule fires on this corpus
   }
+
+  test("samp_weighted equals a local integer A-ES recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def prio(id: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      java.lang.Long.parseLong(hex, 16) / w
+    }
+    val want = docs.map { case (id, w) => (prio(id, w), id, w) }
+      .sortBy(t => (t._1, t._2)).take(20).zipWithIndex
+      .map { case ((p, id, w), i) => (i + 1, id, w, p) }.toSeq
+    val got = TextAnalysis.queries("samp_weighted")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === want)
+    // weight bias is real: the sample's mean n_chars exceeds the
+    // corpus mean (long docs win more often under u div w)
+    val sampleMean = got.map(_._3).sum.toDouble / got.size
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean)
+  }
+
+  test("ta_code_detect equals a local symbol-density recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, text) =>
+      val note = if (id % 3 == 0)
+        s"$text def fn$id(x): { return x * $id; }" else text
+      val nSym = note.count("(){};:*=".contains(_))
+      val nTok = note.split(" ", -1).length
+      (id, nSym, nTok, nSym * 25 >= nTok)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.queries("ta_code_detect")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+      .toSeq
+    assert(got === want)
+    // both classes present: the synthesized third trips the detector,
+    // pure word-salad does not
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
 }
