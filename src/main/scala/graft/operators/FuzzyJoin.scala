@@ -180,6 +180,10 @@ object FuzzyJoin {
         .select("dirty_id", "dname", "c_custkey", "name")
         .distinct()
       cand
+        // result-preserving prune: dist ≤ 2 implies |Δlength| ≤ 2, so
+        // the length gate drops only rows the verify would reject —
+        // oracle unchanged
+        .filter(abs(length(col("dname")) - length(col("name"))) <= 2)
         .withColumn("dist",
           levenshtein(col("dname"), col("name"), 2).cast(IntegerType))
         .filter(col("dist").between(0, 2))

