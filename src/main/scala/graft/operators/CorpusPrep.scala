@@ -185,7 +185,29 @@ object CorpusPrep {
       packOf(Tables(s, dir, "documents")
           .select(col("doc_id"),
             size(split(col("text"), " ")).as("ntok")))
-        .orderBy("grp", "bin")))
+        .orderBy("grp", "bin")),
+
+    // Curriculum schedule — easy-to-hard training order with per-round
+    // difficulty mixing: documents fall into FIXED difficulty bins
+    // (n_chars div 100 — a data-independent binning, so no corpus-wide
+    // quantile pass), are shuffled deterministically inside each bin by
+    // the md5 draw (a PARTITIONED window — never a global row_number),
+    // and the schedule interleaves one document per bin per round
+    // (ORDER BY round, bin): every training window sees the full
+    // difficulty spread while overall difficulty ramps as shallow bins
+    // exhaust. The only global operation is the final output sort — a
+    // range-partitioned total order, the unavoidable cost of emitting
+    // any schedule manifest.
+    "tr_curriculum" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          expr("n_chars div 100").as("bin"))
+        .withColumn("round", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("bin")
+            .orderBy(expr("md5(cast(doc_id as string))"), col("doc_id"))))
+        .select("round", "bin", "doc_id", "n_chars")
+        .orderBy("round", "bin", "doc_id")))
 
   val oracles: Map[String, String] = Map(
     // the oracle IS the naive global spelling — the operator's claim is
@@ -256,5 +278,14 @@ object CorpusPrep {
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM w
          |GROUP BY 1, 2
-         |ORDER BY grp, bin""".stripMargin)
+         |ORDER BY grp, bin""".stripMargin,
+
+    "tr_curriculum" ->
+      """SELECT
+        |  CAST(row_number() OVER (PARTITION BY n_chars // 100
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS INTEGER) AS round,
+        |  n_chars // 100 AS bin, doc_id, n_chars
+        |FROM documents
+        |ORDER BY round, bin, doc_id""".stripMargin)
 }

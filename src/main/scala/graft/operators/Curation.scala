@@ -118,7 +118,41 @@ object Curation {
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic
         // lineitem — extend the sort key to a total order for the oracle
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
-          "net_amt"))
+          "net_amt")),
+
+    // Right-to-be-forgotten cascade — the compliance sweep every lake
+    // with personal data runs: a deterministic request set (custkey %
+    // 97 = 0) propagates through the foreign-key graph (customer →
+    // orders → lineitem, customer → events) and the audit report
+    // counts forgotten vs retained per table. Direct-FK tables mark
+    // rows with a codegen'd predicate (zero joins); lineitem — two
+    // hops from the request — marks through ONE join against the
+    // forgotten order keys. At sf the forgotten-keys side broadcasts;
+    // when a request wave is too large to broadcast, the Bloom
+    // runtime-filter pattern (JoinReduction) is the drop-in escape
+    // hatch. Counts only — the actual anti-join delete is the same
+    // predicate applied with `filter(!...)` at write time.
+    "gdpr_cascade" -> ((s, dir) => {
+      def report(tbl: String, df: DataFrame, flag: Column): DataFrame =
+        df.agg(
+          sum(when(flag, 1L).otherwise(0L)).as("n_forgotten"),
+          sum(when(flag, 0L).otherwise(1L)).as("n_retained"))
+          .select(lit(tbl).as("tbl"), col("n_forgotten"),
+            col("n_retained"))
+      val cust = Tables(s, dir, "customer")
+      val orders = Tables(s, dir, "orders")
+      val forgottenOrders = orders
+        .filter(col("o_custkey") % 97 === 0).select("o_orderkey")
+      val li = Tables(s, dir, "lineitem")
+        .join(broadcast(forgottenOrders.withColumn("hit", lit(1))),
+          col("l_orderkey") === col("o_orderkey"), "left")
+      report("customer", cust, col("c_custkey") % 97 === 0)
+        .unionAll(report("events", Tables(s, dir, "events"),
+          col("user_id") % 97 === 0))
+        .unionAll(report("lineitem", li, col("hit").isNotNull))
+        .unionAll(report("orders", orders, col("o_custkey") % 97 === 0))
+        .orderBy("tbl")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -248,6 +282,31 @@ object Curation {
         |JOIN customer ON o_custkey = c_custkey
         |LEFT JOIN master ON l_partkey = master_partkey
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, net_amt
-        |""".stripMargin
+        |""".stripMargin,
+
+    "gdpr_cascade" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS tbl,
+        |    CAST(count(CASE WHEN c_custkey % 97 = 0 THEN 1 END)
+        |      AS BIGINT) AS n_forgotten,
+        |    CAST(count(CASE WHEN c_custkey % 97 <> 0 THEN 1 END)
+        |      AS BIGINT) AS n_retained
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'events',
+        |    CAST(count(CASE WHEN user_id % 97 = 0 THEN 1 END) AS BIGINT),
+        |    CAST(count(CASE WHEN user_id % 97 <> 0 THEN 1 END) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    CAST(count(CASE WHEN o_custkey % 97 = 0 THEN 1 END) AS BIGINT),
+        |    CAST(count(CASE WHEN o_custkey % 97 <> 0 THEN 1 END) AS BIGINT)
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    CAST(count(CASE WHEN o_custkey % 97 = 0 THEN 1 END) AS BIGINT),
+        |    CAST(count(CASE WHEN o_custkey % 97 <> 0 THEN 1 END) AS BIGINT)
+        |  FROM orders) t
+        |ORDER BY tbl""".stripMargin
   )
 }

@@ -165,32 +165,57 @@ object FuzzyJoin {
     // sides shuffle on the 4-char key; block population is bounded by
     // key-prefix frequency, never by table size, and the verify is
     // O(candidates), not O(n²).
-    "er_blocked_match" -> ((s, dir) => {
-      val master = Tables(s, dir, "customer")
-        .select(col("c_custkey"),
-          expr(sylNameSql("c_custkey", "STRING")).as("name"))
-      val dirty = master
-        .select(col("c_custkey").as("dirty_id"),
-          expr(mutateSql("c_custkey", "name")).as("dname"))
-      def keyed(df: DataFrame, nameCol: String): DataFrame =
-        df.select(expr(s"substr($nameCol, 1, 4)").as("k"), col("*"))
-          .unionAll(df.select(expr(s"right($nameCol, 4)").as("k"),
-            col("*")))
-      val cand = keyed(dirty, "dname").join(keyed(master, "name"), "k")
-        .select("dirty_id", "dname", "c_custkey", "name")
-        .distinct()
-      cand
-        // result-preserving prune: dist ≤ 2 implies |Δlength| ≤ 2, so
-        // the length gate drops only rows the verify would reject —
-        // oracle unchanged
-        .filter(abs(length(col("dname")) - length(col("name"))) <= 2)
-        .withColumn("dist",
-          levenshtein(col("dname"), col("name"), 2).cast(IntegerType))
-        .filter(col("dist").between(0, 2))
-        .select(col("dirty_id"), col("c_custkey").as("matched_key"),
-          col("dist"))
-        .orderBy("dirty_id", "matched_key")
+    "er_blocked_match" -> ((s, dir) =>
+      erMatches(s, dir).orderBy("dirty_id", "matched_key")),
+
+    // ER completion: consolidate pairwise matches into ENTITIES. The
+    // match graph is bipartite (dirty record ↔ master record, encoded
+    // on disjoint id planes 2d+1 / 2m), and its connected components —
+    // by the same O(log d) star contraction the graph family uses —
+    // are the resolved entities: a master matched by several dirty
+    // variants, or several masters bridged by an ambiguous variant,
+    // collapse into one. Consolidation takes only HIGH-PRECISION edges
+    // (dist ≤ 1) — transitive closure amplifies every false link, so
+    // the standard practice is a stricter merge threshold than the
+    // review-queue match (dist ≤ 2 would chain this corpus into 3
+    // giant blobs; ≤ 1 yields a real census). Output: entity census.
+    "er_entities" -> ((s, dir) => {
+      val m = erMatches(s, dir).filter(col("dist") <= 1)
+      val edges = m.select((col("dirty_id") * 2 + 1).as("u"),
+        (col("matched_key") * 2).as("v"))
+      Graph.starComponents(edges)
+        .groupBy(col("cluster_id").as("entity_id"))
+        .agg(count(lit(1)).as("n_records"))
+        .orderBy("entity_id")
     }))
+
+  /** The blocked-and-verified match table (dirty_id, matched_key,
+    * dist) shared by er_blocked_match and er_entities. */
+  private def erMatches(s: SparkSession, dir: String): DataFrame = {
+    val master = Tables(s, dir, "customer")
+      .select(col("c_custkey"),
+        expr(sylNameSql("c_custkey", "STRING")).as("name"))
+    val dirty = master
+      .select(col("c_custkey").as("dirty_id"),
+        expr(mutateSql("c_custkey", "name")).as("dname"))
+    def keyed(df: DataFrame, nameCol: String): DataFrame =
+      df.select(expr(s"substr($nameCol, 1, 4)").as("k"), col("*"))
+        .unionAll(df.select(expr(s"right($nameCol, 4)").as("k"),
+          col("*")))
+    val cand = keyed(dirty, "dname").join(keyed(master, "name"), "k")
+      .select("dirty_id", "dname", "c_custkey", "name")
+      .distinct()
+    cand
+      // result-preserving prune: dist ≤ 2 implies |Δlength| ≤ 2, so
+      // the length gate drops only rows the verify would reject —
+      // oracle unchanged
+      .filter(abs(length(col("dname")) - length(col("name"))) <= 2)
+      .withColumn("dist",
+        levenshtein(col("dname"), col("name"), 2).cast(IntegerType))
+      .filter(col("dist").between(0, 2))
+      .select(col("dirty_id"), col("c_custkey").as("matched_key"),
+        col("dist"))
+  }
 
   val oracles: Map[String, String] = Map(
     // identical ground truth to the bucket variant: the all-pairs
@@ -207,26 +232,50 @@ object FuzzyJoin {
     // UNION in the key CTEs dedups where prefix == suffix — the
     // engine's candidate-level DISTINCT makes the same sets
     "er_blocked_match" ->
-      s"""WITH master AS (
-         |  SELECT c_custkey, ${sylNameSql("c_custkey", "VARCHAR")} AS name
-         |  FROM customer),
-         |dirty AS (
-         |  SELECT c_custkey AS dirty_id,
-         |    ${mutateSql("c_custkey", "name")} AS dname
-         |  FROM master),
-         |km AS (
-         |  SELECT substr(name, 1, 4) AS k, c_custkey, name FROM master
+      s"""WITH $erCtes
+         |SELECT dirty_id, matched_key, dist FROM matches
+         |ORDER BY dirty_id, matched_key""".stripMargin,
+
+    // entities via the recursive-reachability components oracle (see
+    // gr_components) over the bipartite match graph
+    "er_entities" ->
+      s"""WITH RECURSIVE $erCtes,
+         |edges0 AS (
+         |  SELECT 2 * dirty_id + 1 AS u, 2 * matched_key AS v
+         |  FROM matches WHERE dist <= 1),
+         |edges AS (
+         |  SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+         |reach(v, lbl) AS (
+         |  SELECT DISTINCT u AS v, u AS lbl FROM edges
          |  UNION
-         |  SELECT right(name, 4) AS k, c_custkey, name FROM master),
-         |kd AS (
-         |  SELECT substr(dname, 1, 4) AS k, dirty_id, dname FROM dirty
-         |  UNION
-         |  SELECT right(dname, 4) AS k, dirty_id, dname FROM dirty),
-         |cand AS (
-         |  SELECT DISTINCT dirty_id, dname, c_custkey, name
-         |  FROM kd JOIN km USING (k))
-         |SELECT dirty_id, c_custkey AS matched_key,
-         |  CAST(levenshtein(dname, name) AS INTEGER) AS dist
-         |FROM cand WHERE levenshtein(dname, name) <= 2
-         |ORDER BY dirty_id, matched_key""".stripMargin)
+         |  SELECT e.u AS v, r.lbl FROM edges e JOIN reach r ON e.v = r.v),
+         |comp AS (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)
+         |SELECT cluster_id AS entity_id, count(*) AS n_records
+         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** ER oracle CTE chain up through the verified `matches` table,
+    * shared by er_blocked_match and er_entities. */
+  private lazy val erCtes: String =
+    s"""master AS (
+       |  SELECT c_custkey, ${sylNameSql("c_custkey", "VARCHAR")} AS name
+       |  FROM customer),
+       |dirty AS (
+       |  SELECT c_custkey AS dirty_id,
+       |    ${mutateSql("c_custkey", "name")} AS dname
+       |  FROM master),
+       |km AS (
+       |  SELECT substr(name, 1, 4) AS k, c_custkey, name FROM master
+       |  UNION
+       |  SELECT right(name, 4) AS k, c_custkey, name FROM master),
+       |kd AS (
+       |  SELECT substr(dname, 1, 4) AS k, dirty_id, dname FROM dirty
+       |  UNION
+       |  SELECT right(dname, 4) AS k, dirty_id, dname FROM dirty),
+       |cand AS (
+       |  SELECT DISTINCT dirty_id, dname, c_custkey, name
+       |  FROM kd JOIN km USING (k)),
+       |matches AS (
+       |  SELECT dirty_id, c_custkey AS matched_key,
+       |    CAST(levenshtein(dname, name) AS INTEGER) AS dist
+       |  FROM cand WHERE levenshtein(dname, name) <= 2)""".stripMargin
 }

@@ -236,6 +236,55 @@ object Maintenance {
         .orderBy("col_name")
     }),
 
+    // Clustering-depth report — the layout-quality metric behind
+    // "should I re-cluster this table?" (Snowflake's
+    // CLUSTERING_INFORMATION / Delta OPTIMIZE metrics): for each file's
+    // [min, max] interval of the cluster key, depth = how many file
+    // intervals overlap its start; a perfectly clustered layout reads
+    // depth 1, an interleaved one reads depth ≈ n_files. Two proxy
+    // layouts computed from the SAME rows make the before/after
+    // comparison: ingest order (orderkey-ranged files, shipdates
+    // interleave badly) vs date-clustered (quarter files, disjoint by
+    // construction). The sweep is the scalable interval-stabbing
+    // spelling: depth(p) = starts ≤ p minus ends < p via ONE
+    // partitioned cumulative window over the FILE-scale boundary table
+    // (2 rows per file — at 100 TB with a million files that is 2M
+    // rows, never row-scale), aggregated at distinct positions first so
+    // tied boundaries are order-independent.
+    "mt_clustering_depth" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      def filesOf(layout: String, fileExpr: org.apache.spark.sql.Column) =
+        li.groupBy(fileExpr.as("f"))
+          .agg(min("l_shipdate").as("mn"), max("l_shipdate").as("mx"))
+          .withColumn("layout", lit(layout))
+      val files = filesOf("ingest_order", expr("l_orderkey div 1500"))
+        .unionAll(filesOf("date_clustered",
+          expr("year(l_shipdate) * 4 + (month(l_shipdate) - 1) div 3")))
+        .cache()
+      val events = files
+        .select(col("layout"), col("mn").as("pos"), lit(1L).as("d"))
+        .unionAll(files
+          .select(col("layout"), col("mx").as("pos"), lit(-1L).as("d")))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("layout").orderBy("pos")
+        .rowsBetween(Long.MinValue, 0)
+      val depthAt = events.groupBy("layout", "pos")
+        .agg(sum(when(col("d") === 1, 1L).otherwise(0L)).as("st"),
+          sum(when(col("d") === -1, 1L).otherwise(0L)).as("en"))
+        .withColumn("cum_s", sum("st").over(wCum))
+        .withColumn("cum_e", sum("en").over(wCum))
+        .select(col("layout"), col("pos"),
+          (col("cum_s") - (col("cum_e") - col("en"))).as("depth"))
+      files.select(col("layout"), col("mn").as("pos"))
+        .join(depthAt, Seq("layout", "pos"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          max("depth").as("max_depth"),
+          expr("sum(depth) * 100 div count(1)").as("avg_depth_x100"))
+        .orderBy("layout")
+    }),
+
     // Small-file compaction — the OPTIMIZE/auto-compaction maintenance a
     // lakehouse runs behind streaming ingest. The events feed lands as 64
     // undersized files (a micro-batch sink's typical residue); compaction
@@ -466,6 +515,41 @@ object Maintenance {
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same boundary sweep: depth(p) = starts ≤ p − ends < p, cumulative
+    // sums over per-position aggregates so ties are order-independent
+    "mt_clustering_depth" ->
+      """WITH files AS (
+        |  SELECT 'ingest_order' AS layout, l_orderkey // 1500 AS f,
+        |    min(l_shipdate) AS mn, max(l_shipdate) AS mx
+        |  FROM lineitem GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'date_clustered',
+        |    year(l_shipdate) * 4 + (month(l_shipdate) - 1) // 3,
+        |    min(l_shipdate), max(l_shipdate)
+        |  FROM lineitem GROUP BY 1, 2),
+        |evts AS (
+        |  SELECT layout, mn AS pos, 1 AS d FROM files
+        |  UNION ALL
+        |  SELECT layout, mx AS pos, -1 AS d FROM files),
+        |posagg AS (
+        |  SELECT layout, pos,
+        |    sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS st,
+        |    sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS en
+        |  FROM evts GROUP BY 1, 2),
+        |depth_at AS (
+        |  SELECT layout, pos,
+        |    sum(st) OVER w - (sum(en) OVER w - en) AS depth
+        |  FROM posagg
+        |  WINDOW w AS (PARTITION BY layout ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT f.layout, count(*) AS n_files,
+        |  CAST(max(d.depth) AS BIGINT) AS max_depth,
+        |  CAST(sum(d.depth) * 100 // count(*) AS BIGINT)
+        |    AS avg_depth_x100
+        |FROM files f JOIN depth_at d
+        |  ON f.layout = d.layout AND f.mn = d.pos
+        |GROUP BY f.layout ORDER BY f.layout""".stripMargin,
 
     "sj_salted_join" ->
       """WITH li AS (

@@ -150,4 +150,24 @@ class CorpusPrepSpec extends SparkSpec {
       assert(r.getAs[Long]("dense_id") === i.toLong)
     }
   }
+
+  test("curriculum: a permutation, interleaved, bins drain monotonically") {
+    val rows = CorpusPrep.queries("tr_curriculum")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    // every document scheduled exactly once
+    assert(rows.map(_._3).distinct.length.toLong === n)
+    assert(rows.length.toLong === n)
+    // within a round, each bin contributes at most one document
+    assert(rows.groupBy(t => (t._1, t._2)).values.forall(_.length == 1))
+    // bins drain monotonically: a bin present in round r+1 was present
+    // in round r (row_number is gapless per bin)
+    val byRound = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val maxRound = byRound.keys.max
+    for (r <- 1 until maxRound)
+      assert(byRound(r + 1).subsetOf(byRound(r)), s"round ${r + 1}")
+    // early rounds mix difficulties: round 1 covers every bin
+    assert(byRound(1) === rows.map(_._2).toSet)
+  }
 }

@@ -155,4 +155,25 @@ class CurationSpec extends SparkSpec {
     assert(status("after_doomed").startsWith("skipped: dep doomed"))
     assert(dag.schedules === Map("flaky" -> "60 MINUTE"))
   }
+
+  test("gdpr cascade: totals conserved, hops independently recomputed") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Curation.queries("gdpr_cascade")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // forgotten + retained = table cardinality, per table
+    for ((tbl, (f, k)) <- rows)
+      assert(f + k === spark.read.parquet(s"$sf/$tbl.parquet").count(),
+        s"conservation for $tbl")
+    // every table has both classes at this sf
+    assert(rows.values.forall { case (f, k) => f > 0 && k > 0 })
+    // the two-hop lineitem count, recomputed through the OTHER join
+    // direction (orders → lineitem semi join)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val independent = li.join(
+      orders.filter(col("o_custkey") % 97 === 0).select("o_orderkey"),
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(rows("lineitem")._1 === independent)
+  }
 }

@@ -83,6 +83,26 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(rows.exists(t => t._1 != t._2))
   }
 
+  test("er_entities: census partitions the match graph, algorithms agree") {
+    val rows = FuzzyJoin.queries("er_blocked_match")(spark, sf)
+      .filter(col("dist") <= 1)
+      .select((col("dirty_id") * 2 + 1).as("u"),
+        (col("matched_key") * 2).as("v"))
+    val census = FuzzyJoin.queries("er_entities")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // entities partition the node set of the high-precision match graph
+    val nNodes = rows.select(col("u").as("n"))
+      .unionAll(rows.select(col("v").as("n"))).distinct().count()
+    assert(census.values.sum === nNodes)
+    // every entity spans at least one edge ⇒ ≥ 2 records
+    assert(census.values.forall(_ >= 2))
+    // cross-algorithm: label propagation yields the identical census
+    val viaProp = operators.Dedup.components(rows.toDF("id1", "id2"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(census === viaProp)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

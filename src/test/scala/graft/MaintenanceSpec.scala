@@ -181,4 +181,22 @@ class MaintenanceSpec extends SparkSpec {
     assert(phys.toLowerCase.contains("greaterthanorequal") ||
       phys.contains(">= 2001-01-01"))
   }
+
+  test("clustering depth: clustered layout reads 1, interleaved reads n") {
+    val rows = graft.operators.Maintenance
+      .queries("mt_clustering_depth")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (_, dcMax, dcAvg) = rows("date_clustered")
+    // quarter files are disjoint by construction: every start sees
+    // exactly its own interval
+    assert(dcMax === 1L && dcAvg === 100L)
+    // orderkey-ranged files all span the full shipdate range: the
+    // deepest start sees every file open — the re-cluster signal
+    val (ioN, ioMax, ioAvg) = rows("ingest_order")
+    assert(ioMax === ioN)
+    // at sf0.001 a single 1500-order range yields one file (avg 100);
+    // with 2+ files the interleave must show
+    assert(if (ioN > 1) ioAvg > 100L else ioAvg === 100L)
+  }
 }
