@@ -202,9 +202,14 @@ object FuzzyJoin {
       df.select(expr(s"substr($nameCol, 1, 4)").as("k"), col("*"))
         .unionAll(df.select(expr(s"right($nameCol, 4)").as("k"),
           col("*")))
+    // candidates are NOT deduped before the verify: the bounded
+    // levenshtein on short strings is cheaper per row than shuffling
+    // the wide candidate tuple, so duplicates (a pair whose prefix AND
+    // suffix keys both collide) flow through the codegen'd verify and
+    // collapse in the final distinct over the narrow match rows —
+    // result-identical because names are functions of the ids
     val cand = keyed(dirty, "dname").join(keyed(master, "name"), "k")
       .select("dirty_id", "dname", "c_custkey", "name")
-      .distinct()
     cand
       // result-preserving prune: dist ≤ 2 implies |Δlength| ≤ 2, so
       // the length gate drops only rows the verify would reject —
@@ -215,6 +220,7 @@ object FuzzyJoin {
       .filter(col("dist").between(0, 2))
       .select(col("dirty_id"), col("c_custkey").as("matched_key"),
         col("dist"))
+      .distinct()
   }
 
   val oracles: Map[String, String] = Map(
