@@ -97,8 +97,13 @@ object Bench {
         catch { case _: Throwable => if (!failed.contains(name)) failed += name }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // clear per-query caches outside the timed region so one query's
-        // pinned blocks don't skew the next query's memory
+        // pinned blocks don't skew the next query's memory; ALSO drop
+        // raw persisted RDDs — catalog.clearCache() misses them, and the
+        // iterative queries' final localCheckpoint blocks would
+        // otherwise pin storage memory for the rest of the run
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         name -> elapsed
       }
     resetScratch()

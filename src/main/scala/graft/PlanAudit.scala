@@ -50,7 +50,10 @@ object PlanAudit {
     "ev_funnel", "ev_retention", "ml_confusion", "az_asof_nearest",
     "ml_power_pc", "sim_ivfpq_topk", "ml_knn_probe", "dd_lsh_tuning",
     // round-6 additions
-    "sim_index_add", "s11_xml_ingest")
+    "sim_index_add", "s11_xml_ingest",
+    "gr_components", "gr_triangles", "er_blocked_match", "er_entities",
+    "dd_containment", "samp_weighted", "ta_code_detect", "tr_curriculum",
+    "gdpr_cascade", "mt_clustering_depth")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,
@@ -93,7 +96,7 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val out = if (args.nonEmpty) args(0) else "PLANS_r5.md"
+    val out = if (args.nonEmpty) args(0) else "PLANS_r6.md"
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -124,7 +127,7 @@ object PlanAudit {
       "broadcast joins", "shuffle joins", "nested-loop/cartesian",
       "pushed-filter scans")
     val md = new StringBuilder
-    md ++= "# PLANS_r5 — physical-plan audit\n\n"
+    md ++= "# PLANS_r6 — physical-plan audit\n\n"
     md ++= s"Final adaptive plans at `$dir` " +
       "(`sbt \"runMain graft.PlanAudit\"`), counted by tree traversal — " +
       "each cached pipeline visited once, adaptive stages unwrapped.\n" +
@@ -139,8 +142,15 @@ object PlanAudit {
       "ml_power_pc's one-row iterated-vector and moment frames (its 12 " +
       "entries are two fixed power rounds x broadcast 1-row states), " +
       "sim_mmr_topk's and sim_ivfpq_topk's NQ-row query batches, and " +
-      "az_asof_nearest's scalar stats " +
-      "(each asserted broadcast-bounded in PlanInvariantSpec).\n\n"
+      "az_asof_nearest's scalar stats, and gr_triangles' one-row " +
+      "co-occurrence threshold " +
+      "(each asserted broadcast-bounded in PlanInvariantSpec or scalar " +
+      "by construction).\n" +
+      "A 0/N pushed-filter entry is NOT a miss when the query has no " +
+      "pushable predicate by nature: aggregate-input scans read every " +
+      "row on purpose (j4_semi_having 0/2, a2_agg_having 0/1, and every " +
+      "whole-corpus scan in the dedup/text families) — the column " +
+      "reports pushdown only where a filter exists to push.\n\n"
     md ++= header.mkString("| ", " | ", " |\n")
     md ++= header.map(_ => "---").mkString("| ", " | ", " |\n")
     rows.foreach(r => md ++= r.mkString("| ", " | ", " |\n"))

@@ -87,6 +87,18 @@ object Soak {
       Seq("l_orderkey", "l_suppkey"), "lineitem")
     replicate(Tables.events(spark, base),
       Seq("event_id", "user_id"), "events")
+    // customer replicates with INTERLEAVED keys (k·copies + c), not the
+    // +OFFSET worlds: offset keys would share their long leading-digit
+    // run, collapsing the ER name-prefix block into one giant bucket —
+    // a blocking-key design lesson, but one that would measure the
+    // collapse, not the operator. Interleaving keeps the leading-digit
+    // distribution (and so block population) realistic while staying
+    // disjoint.
+    val cust = Tables(spark, base, "customer")
+    (0 until copies).map(c =>
+      cust.withColumn("c_custkey", col("c_custkey") * copies + c))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
   }
 
   private def time[T](f: => T): (T, Double) = {
@@ -248,11 +260,28 @@ object Soak {
       // spectral: fixed-round broadcast-state passes — the soak checks
       // cost moves with rows only (sim_ivfpq_topk moved to the explicit
       // build-vs-search block above)
-      "ml_power_pc")) {
+      "ml_power_pc",
+      // round-6 additions: components/triangles grow by whole disjoint
+      // copies, containment's probe volume moves with the (rotated,
+      // gram-sharing) corpus, entity resolution and the rest are
+      // blocked-join/window/scan shaped — the soak checks each moves
+      // with rows, never pairwise
+      "gr_components", "gr_triangles", "dd_containment", "er_entities",
+      "tr_curriculum", "samp_weighted", "ta_code_detect", "gdpr_cascade",
+      "mt_clustering_depth")) {
       val (rows, t) = time(SparkEntry.queries(q)(spark, dir).count())
       spark.catalog.clearCache()
       println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
     }
+    // ER with explicit candidate accounting: blocked candidates vs the
+    // all-pairs square over the customer table
+    val nCust = Tables(spark, dir, "customer").count()
+    val erCand = operators.FuzzyJoin.erCandidates(spark, dir).count()
+    spark.catalog.clearCache()
+    val (erRows, tEr) =
+      time(SparkEntry.queries("er_blocked_match")(spark, dir).count())
+    spark.catalog.clearCache()
+    emit("er_blocked_match", nCust, tEr, erCand, erRows)
   }
 
   /** pre-verification pair count of the length-bucket variant (same

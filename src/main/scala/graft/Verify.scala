@@ -28,7 +28,10 @@ object Verify {
       }
       // queries cache reused intermediates (signatures, purchase sets);
       // drop them so storage memory doesn't accumulate across the suite
+      // — including raw localCheckpoint blocks clearCache misses
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

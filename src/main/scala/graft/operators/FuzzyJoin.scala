@@ -189,9 +189,9 @@ object FuzzyJoin {
         .orderBy("entity_id")
     }))
 
-  /** The blocked-and-verified match table (dirty_id, matched_key,
-    * dist) shared by er_blocked_match and er_entities. */
-  private def erMatches(s: SparkSession, dir: String): DataFrame = {
+  /** Pre-verify blocked candidates (dirty_id, dname, c_custkey, name)
+    * — exposed for the scale soak's candidate accounting. */
+  private[graft] def erCandidates(s: SparkSession, dir: String): DataFrame = {
     val master = Tables(s, dir, "customer")
       .select(col("c_custkey"),
         expr(sylNameSql("c_custkey", "STRING")).as("name"))
@@ -208,9 +208,14 @@ object FuzzyJoin {
     // suffix keys both collide) flow through the codegen'd verify and
     // collapse in the final distinct over the narrow match rows —
     // result-identical because names are functions of the ids
-    val cand = keyed(dirty, "dname").join(keyed(master, "name"), "k")
+    keyed(dirty, "dname").join(keyed(master, "name"), "k")
       .select("dirty_id", "dname", "c_custkey", "name")
-    cand
+  }
+
+  /** The blocked-and-verified match table (dirty_id, matched_key,
+    * dist) shared by er_blocked_match and er_entities. */
+  private def erMatches(s: SparkSession, dir: String): DataFrame = {
+    erCandidates(s, dir)
       // result-preserving prune: dist ≤ 2 implies |Δlength| ≤ 2, so
       // the length gate drops only rows the verify would reject —
       // oracle unchanged
