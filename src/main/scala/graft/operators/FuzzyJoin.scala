@@ -190,18 +190,39 @@ object FuzzyJoin {
     }))
 
   /** Pre-verify blocked candidates (dirty_id, dname, c_custkey, name)
-    * — exposed for the scale soak's candidate accounting. */
+    * — exposed for the scale soak's candidate accounting.
+    *
+    * The block-key length ADAPTS to corpus size: klen = 4 +
+    * 2·⌊log10(n/1500)⌋ (clamped at 4). A fixed key over a low-entropy
+    * name space has bounded key cardinality, so block population — and
+    * with it candidate volume — grows quadratically with the table
+    * (the x10 soak measured a flat 6.3% of all-pairs before this).
+    * Lengthening the key by one syllable per decade of corpus growth
+    * keeps expected block size roughly constant, which is exactly how
+    * production blocking keys are tuned: precision of the key scales
+    * with the density of the space. The tradeoff is explicit: longer
+    * keys lose recall on names shorter than klen+1 under
+    * length-changing edits (the short-string gap the spec enumerates at
+    * the base klen of 4). The scalar is one broadcast row; the oracle
+    * replays the same formula. */
   private[graft] def erCandidates(s: SparkSession, dir: String): DataFrame = {
     val master = Tables(s, dir, "customer")
       .select(col("c_custkey"),
         expr(sylNameSql("c_custkey", "STRING")).as("name"))
+    val kl = master.agg(
+      (lit(4) + lit(2) *
+        greatest(lit(0.0), floor(log10(count(lit(1)) / 1500.0))))
+        .cast("int").as("klen"))
     val dirty = master
       .select(col("c_custkey").as("dirty_id"),
         expr(mutateSql("c_custkey", "name")).as("dname"))
-    def keyed(df: DataFrame, nameCol: String): DataFrame =
-      df.select(expr(s"substr($nameCol, 1, 4)").as("k"), col("*"))
-        .unionAll(df.select(expr(s"right($nameCol, 4)").as("k"),
-          col("*")))
+    def keyed(df: DataFrame, nameCol: String): DataFrame = {
+      val withK = df.join(broadcast(kl))
+      withK.select(expr(s"substr($nameCol, 1, klen)").as("k"), col("*"))
+        .unionAll(
+          withK.select(expr(s"right($nameCol, klen)").as("k"), col("*")))
+        .drop("klen")
+    }
     // candidates are NOT deduped before the verify: the bounded
     // levenshtein on short strings is cheaper per row than shuffling
     // the wide candidate tuple, so duplicates (a pair whose prefix AND
@@ -270,18 +291,24 @@ object FuzzyJoin {
     s"""master AS (
        |  SELECT c_custkey, ${sylNameSql("c_custkey", "VARCHAR")} AS name
        |  FROM customer),
+       |kl AS (
+       |  SELECT CAST(4 + 2 * greatest(0, floor(log10(count(*) / 1500.0)))
+       |    AS INTEGER) AS klen
+       |  FROM master),
        |dirty AS (
        |  SELECT c_custkey AS dirty_id,
        |    ${mutateSql("c_custkey", "name")} AS dname
        |  FROM master),
        |km AS (
-       |  SELECT substr(name, 1, 4) AS k, c_custkey, name FROM master
+       |  SELECT substr(name, 1, klen) AS k, c_custkey, name
+       |  FROM master, kl
        |  UNION
-       |  SELECT right(name, 4) AS k, c_custkey, name FROM master),
+       |  SELECT right(name, klen) AS k, c_custkey, name FROM master, kl),
        |kd AS (
-       |  SELECT substr(dname, 1, 4) AS k, dirty_id, dname FROM dirty
+       |  SELECT substr(dname, 1, klen) AS k, dirty_id, dname
+       |  FROM dirty, kl
        |  UNION
-       |  SELECT right(dname, 4) AS k, dirty_id, dname FROM dirty),
+       |  SELECT right(dname, klen) AS k, dirty_id, dname FROM dirty, kl),
        |cand AS (
        |  SELECT DISTINCT dirty_id, dname, c_custkey, name
        |  FROM kd JOIN km USING (k)),
