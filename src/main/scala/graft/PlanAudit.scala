@@ -53,7 +53,8 @@ object PlanAudit {
     "sim_index_add", "s11_xml_ingest",
     "gr_components", "gr_triangles", "er_blocked_match", "er_entities",
     "dd_containment", "samp_weighted", "ta_code_detect", "tr_curriculum",
-    "gdpr_cascade", "mt_clustering_depth")
+    "gdpr_cascade", "mt_clustering_depth",
+    "tt_asof_read", "pv_k_anonymity", "tc_normalize", "dq_drift_report")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

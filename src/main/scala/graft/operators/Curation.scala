@@ -120,6 +120,30 @@ object Curation {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
           "net_amt")),
 
+    // K-ANONYMITY audit — the re-identification check a privacy review
+    // runs before a dataset release: rows grouped by their
+    // quasi-identifier tuple (nation, market segment, account-balance
+    // band); any group smaller than k = 5 is a re-identification risk
+    // and would be suppressed or generalized. One aggregate over the
+    // QID groupBy feeds a one-row summary (group counts, rows at risk,
+    // integer suppression percentage) — robust output shape at every
+    // scale factor. At 100 TB this is one shuffle on the QID key with
+    // full partial aggregation.
+    "pv_k_anonymity" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(c_acctbal AS BIGINT) div 2000").as("bal_band"))
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_risky_groups"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L))
+            .as("rows_at_risk"),
+          sum(col("n")).as("n_rows"))
+        .select(col("n_groups"), col("n_risky_groups"),
+          col("rows_at_risk"), col("n_rows"),
+          expr("rows_at_risk * 100 div n_rows").as("risk_pct"))),
+
     // Right-to-be-forgotten cascade — the compliance sweep every lake
     // with personal data runs: a deterministic request set (custkey %
     // 97 = 0) propagates through the foreign-key graph (customer →
@@ -283,6 +307,22 @@ object Curation {
         |LEFT JOIN master ON l_partkey = master_partkey
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, net_amt
         |""".stripMargin,
+
+    "pv_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(c_acctbal AS BIGINT) // 2000 AS bal_band,
+        |    count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 100 // sum(n)
+        |    AS BIGINT) AS risk_pct
+        |FROM g""".stripMargin,
 
     "gdpr_cascade" ->
       """SELECT * FROM (

@@ -89,6 +89,32 @@ object Maintenance {
         .orderBy("c_custkey", "valid_from")
     }),
 
+    // TIME-TRAVEL read over the SCD2 dimension: reconstruct the table
+    // AS OF a past instant by stabbing the validity intervals
+    // (valid_from ≤ t < valid_to) — the lakehouse "SELECT ... AS OF"
+    // a warehouse answers from version metadata, here answered from
+    // history rows. Two instants straddling the June re-segmentation
+    // prove the snapshots differ exactly by the restated customers.
+    // Same one-window history build as scd2_history; each snapshot is
+    // a codegen'd interval filter, no join.
+    "tt_asof_read" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("valid_from", lit("2024-01-01"))
+      val upd = base.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("PROMO"))
+        .withColumn("valid_from", lit("2024-06-01"))
+      val hist = Scd2.finalizeHistory(base.unionAll(upd),
+        Seq("c_custkey"), "valid_from")
+      def snapshot(t: String): DataFrame =
+        hist.filter(col("valid_from") <= lit(t) &&
+            col("valid_to") > lit(t))
+          .groupBy(lit(t).as("as_of"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+      snapshot("2024-03-15").unionAll(snapshot("2024-07-01"))
+        .orderBy("as_of", "c_mktsegment")
+    }),
+
     // Data-quality gate over the raw fact feed: per-rule violation
     // counts plus the quarantine total, one aggregate pass (see
     // jobs.DataQuality; the pass/fail split itself is spec-exercised).
@@ -404,6 +430,35 @@ object Maintenance {
         |                                     ORDER BY valid_from),
         |           '9999-12-31') = '9999-12-31' AS is_current
         |FROM versions ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "tt_asof_read" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment, '2024-01-01' AS valid_from
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, 'PROMO' AS c_mktsegment,
+        |         '2024-06-01' AS valid_from
+        |  FROM base WHERE c_custkey % 7 = 0),
+        |versions AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |hist AS (
+        |  SELECT c_custkey, c_mktsegment, valid_from,
+        |    coalesce(lead(valid_from, 1) OVER (PARTITION BY c_custkey
+        |                                       ORDER BY valid_from),
+        |             '9999-12-31') AS valid_to
+        |  FROM versions),
+        |snaps AS (
+        |  SELECT '2024-03-15' AS as_of, c_mktsegment,
+        |    count(*) AS n_customers
+        |  FROM hist
+        |  WHERE valid_from <= '2024-03-15' AND valid_to > '2024-03-15'
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT '2024-07-01', c_mktsegment, count(*)
+        |  FROM hist
+        |  WHERE valid_from <= '2024-07-01' AND valid_to > '2024-07-01'
+        |  GROUP BY 2)
+        |SELECT as_of, c_mktsegment, n_customers
+        |FROM snaps ORDER BY as_of, c_mktsegment""".stripMargin,
 
     "dq_quarantine" ->
       """WITH agg AS (

@@ -522,6 +522,52 @@ object TextAnalysis {
           col("n_symbols") * 25 >= col("n_tokens"))
         .orderBy("doc_id")),
 
+    // Text canonicalization — the normalize-before-dedup step every
+    // corpus pipeline runs first (lowercase, strip non-alphanumerics,
+    // collapse runs of whitespace, trim). The corpus is already clean
+    // word salad, so the messiness is synthesized deterministically
+    // (shouting prefix, punctuation, ragged spacing) and the operator
+    // proves the round trip: the normal form of the messy rendering
+    // equals the original text. Pure codegen'd string expressions,
+    // zero shuffles; output carries an md5 of the normal form so the
+    // oracle compares canonicalization bit-for-bit without shipping
+    // full documents.
+    "tc_normalize" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("messy", concat(
+          lit("  !! "), upper(col("text")), lit(" ,,  ")))
+        .withColumn("norm", trim(
+          regexp_replace(
+            regexp_replace(lower(col("messy")), "[^a-z0-9 ]", ""),
+            " +", " ")))
+        .select(col("doc_id"),
+          length(col("norm")).cast("int").as("n_norm_chars"),
+          md5(col("norm")).as("norm_md5"),
+          (col("norm") === col("text")).as("roundtrip_ok"))
+        .orderBy("doc_id")),
+
+    // Corpus drift report — the distribution monitor run between two
+    // corpus snapshots (here the even/odd doc_id halves standing in for
+    // yesterday/today): per-token counts in each snapshot full-outer
+    // joined, top movers by absolute delta. At 100 TB each side is one
+    // token-keyed partial-agg shuffle and the join is token-keyed —
+    // never document-pairwise; the top-k is orderBy+limit.
+    "dq_drift_report" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      def side(m: Int, name: String): DataFrame =
+        tok.filter(col("doc_id") % 2 === m)
+          .groupBy("token").agg(count(lit(1)).as(name))
+      side(0, "cnt_a")
+        .join(side(1, "cnt_b"), Seq("token"), "full_outer")
+        .select(col("token"),
+          coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+          coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+        .withColumn("delta", col("cnt_b") - col("cnt_a"))
+        .orderBy(abs(col("delta")).desc, col("token"))
+        .limit(15)
+    }),
+
     // PII detection sweep — the scan-and-extract pass a corpus runs
     // before release: regexp_extract_all pulls EVERY occurrence (not
     // just the first match) of phone-shaped and id-shaped patterns out
@@ -649,6 +695,38 @@ object TextAnalysis {
         |    AS INTEGER) AS rk,
         |  doc_id, n_chars, priority
         |FROM top ORDER BY rk""".stripMargin,
+
+    "tc_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    '  !! ' || upper(text) || ' ,,  ' AS messy
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(messy),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM m)
+        |SELECT doc_id, CAST(length(norm) AS INTEGER) AS n_norm_chars,
+        |  md5(norm) AS norm_md5, norm = text AS roundtrip_ok
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "dq_drift_report" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |a AS (SELECT token, count(*) AS cnt_a FROM tok
+        |      WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT token, count(*) AS cnt_b FROM tok
+        |      WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(a.token, b.token) AS token,
+        |    CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+        |    CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b
+        |  FROM a FULL OUTER JOIN b ON a.token = b.token)
+        |SELECT token, cnt_a, cnt_b, cnt_b - cnt_a AS delta
+        |FROM j
+        |ORDER BY abs(cnt_b - cnt_a) DESC, token
+        |LIMIT 15""".stripMargin,
 
     // 'g' flag: DuckDB's regexp_replace is first-match-only by default
     // where Spark's replaces all

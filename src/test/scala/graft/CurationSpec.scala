@@ -156,6 +156,28 @@ class CurationSpec extends SparkSpec {
     assert(dag.schedules === Map("flaky" -> "60 MINUTE"))
   }
 
+  test("k-anonymity: conservation and an independent risk recompute") {
+    import org.apache.spark.sql.functions._
+    val r = graft.operators.Curation.queries("pv_k_anonymity")(spark, sf)
+      .collect().head
+    val (groups, risky, atRisk, total, pct) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(total === spark.read.parquet(s"$sf/customer.parquet").count())
+    assert(risky <= groups && atRisk <= total)
+    assert(pct === atRisk * 100 / total)
+    // independent recompute of rows-at-risk through a different plan
+    // (join back to groups instead of conditional aggregation)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumn("bal_band", expr("CAST(c_acctbal AS BIGINT) div 2000"))
+    val g = cust.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("n"))
+    val independent = cust
+      .join(g.filter(col("n") < 5),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), "left_semi")
+      .count()
+    assert(atRisk === independent)
+  }
+
   test("gdpr cascade: totals conserved, hops independently recomputed") {
     import org.apache.spark.sql.functions._
     val rows = graft.operators.Curation.queries("gdpr_cascade")(spark, sf)

@@ -182,6 +182,27 @@ class MaintenanceSpec extends SparkSpec {
       phys.contains(">= 2001-01-01"))
   }
 
+  test("time travel: snapshots conserve rows and differ by the restated set") {
+    val rows = graft.operators.Maintenance
+      .queries("tt_asof_read")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byInstant = rows.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val n = spark.read.parquet(s"$sf/customer.parquet").count()
+    val nPromo = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_custkey") % 7 === 0).count()
+    // every snapshot is a complete table: totals conserved
+    assert(byInstant.values.forall(_.values.sum === n))
+    // March predates the re-segmentation; July reflects it exactly
+    assert(!byInstant("2024-03-15").contains("PROMO"))
+    assert(byInstant("2024-07-01")("PROMO") === nPromo)
+    // July's non-PROMO segments shrink by exactly their restated rows
+    val shrunk = byInstant("2024-03-15").map { case (seg, c) =>
+      c - byInstant("2024-07-01").getOrElse(seg, 0L)
+    }.sum
+    assert(shrunk === nPromo)
+  }
+
   test("clustering depth: clustered layout reads 1, interleaved reads n") {
     val rows = graft.operators.Maintenance
       .queries("mt_clustering_depth")(spark, sf).collect()

@@ -176,6 +176,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.nonEmpty) // the rule fires on this corpus
   }
 
+  test("tc_normalize: canonicalization round-trips the messy rendering") {
+    val got = TextAnalysis.queries("tc_normalize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getBoolean(3)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.length === docs.size)
+    // the corpus is pure [a-z0-9 ] single-spaced, so normalization of
+    // the shouting/punctuated rendering must restore it exactly
+    assert(got.forall(_._4))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    got.take(25).foreach { case (id, len, h, _) =>
+      assert(len === docs(id).length)
+      assert(h === md5hex(docs(id)))
+    }
+  }
+
+  test("dq_drift_report equals a local token-count replay") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map
+      .empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    for ((id, text) <- docs; t <- text.split(" ", -1)) {
+      val (a, b) = counts(t)
+      counts(t) = if (id % 2 == 0) (a + 1, b) else (a, b + 1)
+    }
+    val want = counts.toSeq
+      .map { case (t, (a, b)) => (t, a, b, b - a) }
+      .sortBy { case (t, _, _, d) => (-math.abs(d), t) }
+      .take(15)
+    val got = TextAnalysis.queries("dq_drift_report")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === want)
+  }
+
   test("samp_weighted equals a local integer A-ES recompute") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "n_chars").collect()
