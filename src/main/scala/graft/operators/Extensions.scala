@@ -393,6 +393,44 @@ object Extensions {
         .orderBy("o_custkey")
     }),
 
+    // Per-entity daily spine + LOCF (last observation carried forward)
+    // — the gap-fill a time-series store runs before resampling: each
+    // user's purchase-value series is densified to one row per day over
+    // the GLOBAL observation window, missing days inherit the latest
+    // earlier value (ignore-nulls window last), leading gaps stay NULL.
+    // Per-day observation = the latest event that day by (ts, event_id)
+    // — a deterministic tie-break. Everything is partitioned by user:
+    // the spine explode, the fill window, the output — no global
+    // window anywhere; the spine is |users| × |days| rows, the
+    // densified shape the consumer asked for.
+    "x_locf_fill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") < 20 && col("event_type") === "purchase")
+      val bounds = ev.agg(to_date(min("ts")).as("lo"),
+        to_date(max("ts")).as("hi"))
+      val daily = ev
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "day")
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("day"), col("value"))
+      val spine = ev.select("user_id").distinct()
+        .join(broadcast(bounds))
+        .select(col("user_id"),
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val wFill = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+        .rowsBetween(Long.MinValue, 0)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled_value",
+          last(col("value"), ignoreNulls = true).over(wFill))
+        .withColumn("is_observed", col("value").isNotNull)
+        .select("user_id", "day", "filled_value", "is_observed")
+        .orderBy("user_id", "day")
+    }),
+
     // Error-safe SQL surface: try_cast (malformed → NULL, not a crash)
     // and try_divide (÷0 → NULL) — the fault-tolerant expressions an
     // ingest pipeline uses where ANSI mode would abort a 100 TB job on
@@ -713,6 +751,36 @@ object Extensions {
         |SELECT o_custkey, count(*) AS n_islands,
         |  CAST(max(len) AS BIGINT) AS max_streak
         |FROM islands GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // Tables.events normalizes both generator timestamp encodings; the
+    // oracle reads the raw parquet, whose epoch-micros ts casts to the
+    // same instants
+    "x_locf_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE user_id < 20 AND event_type = 'purchase'),
+        |b AS (SELECT CAST(min(ts) AS DATE) AS lo,
+        |             CAST(max(ts) AS DATE) AS hi FROM ev),
+        |daily AS (
+        |  SELECT user_id, day, value FROM (
+        |    SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |        ORDER BY ts DESC, event_id DESC) AS rk
+        |    FROM ev) t
+        |  WHERE rk = 1),
+        |spine AS (
+        |  SELECT u.user_id,
+        |    CAST(UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY))
+        |      AS DATE) AS day
+        |  FROM (SELECT DISTINCT user_id FROM ev) u, b)
+        |SELECT s.user_id, s.day,
+        |  last_value(d.value IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.day
+        |    ROWS UNBOUNDED PRECEDING) AS filled_value,
+        |  d.value IS NOT NULL AS is_observed
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
 
     "x_try_funcs" ->
       """WITH t AS (

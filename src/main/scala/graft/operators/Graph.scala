@@ -60,6 +60,10 @@ object Graph {
     * as [[Dedup.components]]) and frees the previous round's blocks.
     * Returns (cluster_id = component min, node) over edge-touched
     * nodes. */
+  /** Rounds the most recent starComponents call took — test-only
+    * observability for the incremental-contraction claim. */
+  @volatile private[graft] var lastRounds: Int = 0
+
   private[graft] def starComponents(pairDf: DataFrame): DataFrame = {
     val sc = pairDf.sparkSession.sparkContext
     def ids: Set[Int] = sc.getPersistentRDDs.keySet.toSet
@@ -109,6 +113,7 @@ object Graph {
       rounds += 1
     }
     require(changed == 0, s"star contraction did not converge in $rounds")
+    lastRounds = rounds
     val out = e.select(col("v").as("cluster_id"), col("u").as("node"))
       .unionAll(e.select(col("v").as("cluster_id"), col("v").as("node"))
         .distinct())
@@ -120,21 +125,50 @@ object Graph {
     * first orders of custkey c and c+1 whenever they share a decade
     * (c div 10) — chains of chains, so components are ~100-node paths
     * with real diameter (the regime star contraction is built for). */
-  private[graft] def orderChainEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def chainEdges(s: SparkSession, dir: String): DataFrame = {
     val o = Tables(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    val chain = o.withColumn("prev", lag("o_orderkey", 1).over(w))
+    o.withColumn("prev", lag("o_orderkey", 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("prev").as("u"), col("o_orderkey").as("v"))
-    val first = o.groupBy("o_custkey").agg(min("o_orderkey").as("f"))
-    val bridge = first.as("a")
+  }
+
+  private[graft] def bridgeEdges(s: SparkSession, dir: String): DataFrame = {
+    val first = Tables(s, dir, "orders")
+      .groupBy("o_custkey").agg(min("o_orderkey").as("f"))
+    first.as("a")
       .join(first.as("b"),
         col("a.o_custkey") + 1 === col("b.o_custkey") &&
           expr("a.o_custkey div 10") === expr("b.o_custkey div 10"))
       .select(col("a.f").as("u"), col("b.f").as("v"))
-    chain.unionAll(bridge)
+  }
+
+  private[graft] def orderChainEdges(s: SparkSession, dir: String): DataFrame =
+    chainEdges(s, dir).unionAll(bridgeEdges(s, dir))
+
+  /** Strong co-supply edges (x < y): supplier pairs co-appearing in
+    * strictly more orders than the mean pair + 2 — the data-derived
+    * cutoff shared by gr_triangles and gr_link_predict. Per-order
+    * supplier sets come from one groupBy; two chained codegen explodes
+    * emit the ordered pairs (an interpreted lambda comprehension runs
+    * ~40% slower, a self-join ~60%); the one-row threshold rides a
+    * broadcast. */
+  private[graft] def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val pairs = li.groupBy("l_orderkey")
+      .agg(collect_set("l_suppkey").as("ss"))
+      .select(col("ss"), explode(col("ss")).as("a"))
+      .select(col("a"), explode(col("ss")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").as("x"), col("b").as("y"))
+      .agg(count(lit(1)).as("cnt"))
+      // cached: both the threshold scalar and the edge filter read pairs
+      .cache()
+    val thr = pairs.agg(expr("sum(cnt) div count(1) + 2").as("thr"))
+    pairs.join(broadcast(thr))
+      .filter(col("cnt") > col("thr")).select("x", "y")
   }
 
   /** One damped update: floor per-edge contributions, aggregate by
@@ -202,6 +236,58 @@ object Graph {
         .groupBy("cluster_id").agg(count(lit(1)).as("n_orders"))
         .orderBy("cluster_id")),
 
+    // INCREMENTAL components — the nightly shape: yesterday's labeling
+    // is already a star forest, so contracting (yesterday's star edges
+    // ∪ tonight's new edges) re-converges in rounds governed by the NEW
+    // edges' link structure, never re-pairing yesterday's graph. Here
+    // the chain graph plays yesterday and the bridges play tonight's
+    // linking batch; the census equals the from-scratch gr_components
+    // exactly (same oracle), and GraphSpec pins that the second
+    // contraction takes fewer rounds than the full one. Yesterday's
+    // star forest persists once per (session, corpus) via Materialize —
+    // exactly like the ANN index artifacts: the nightly job READS
+    // yesterday's labeling, it does not recompute it.
+    "gr_components_incr" -> ((s, dir) => {
+      val oldStars = graft.sources.Materialize
+        .tableOnce(s, dir,
+          graft.sources.Materialize.indexTable("chain_stars", dir)) {
+          starComponents(chainEdges(s, dir))
+            .filter(col("node") =!= col("cluster_id"))
+            .select(col("node").as("u"), col("cluster_id").as("v"))
+        }
+      starComponents(oldStars.unionAll(bridgeEdges(s, dir)))
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_orders"))
+        .orderBy("cluster_id")
+    }),
+
+    // Common-neighbor LINK PREDICTION on the strong co-supply graph:
+    // for each non-adjacent supplier pair, score = number of distinct
+    // common neighbors (the friend-of-friend primitive under
+    // Adamic-Adar and company), report the top-20 predicted links.
+    // Wedges come from one hash self-join on the midpoint; existing
+    // edges are removed by an anti-join before scoring. Fan-out per
+    // midpoint is its degree — on a thresholded graph that is bounded
+    // by construction; on a power-law graph the standard hub cap
+    // applies (same guard the SRP bucket window uses). Top-k is
+    // orderBy+limit with a total (score desc, pair) order.
+    "gr_link_predict" -> ((s, dir) => {
+      val edges = coSupplyEdges(s, dir).cache()
+      val und = edges.select("x", "y")
+        .unionAll(edges.select(col("y").as("x"), col("x").as("y")))
+      val wedges = und.as("e1")
+        .join(und.as("e2"),
+          col("e1.y") === col("e2.x") && col("e1.x") < col("e2.y"))
+        .select(col("e1.x").as("a"), col("e2.y").as("c"),
+          col("e1.y").as("b"))
+      wedges
+        .join(edges.select(col("x").as("a"), col("y").as("c")),
+          Seq("a", "c"), "left_anti")
+        .groupBy("a", "c")
+        .agg(countDistinct(col("b")).as("common_neighbors"))
+        .orderBy(col("common_neighbors").desc, col("a"), col("c"))
+        .limit(20)
+    }),
+
     // Triangle counting on the strong co-supply graph (suppliers
     // adjacent iff they co-appear in strictly more orders than the mean
     // pair + 2 — a data-derived cutoff, so every scale factor yields a
@@ -215,27 +301,7 @@ object Graph {
     // model-parameter NLJ pattern). Output: per-supplier triangle
     // memberships (each triangle credits all three corners).
     "gr_triangles" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      // per-order supplier pairs WITHOUT a self-join: one groupBy
-      // gathers each order's (tiny, bounded-by-lines-per-order)
-      // supplier set; two chained explodes + a < filter emit the
-      // ordered pairs inside whole-stage codegen (a lambda
-      // comprehension here runs interpreted and measures ~40% slower,
-      // a self-join ~60%) — one wide shuffle instead of two
-      val pairs = li.groupBy("l_orderkey")
-        .agg(collect_set("l_suppkey").as("ss"))
-        .select(col("ss"), explode(col("ss")).as("a"))
-        .select(col("a"), explode(col("ss")).as("b"))
-        .filter(col("a") < col("b"))
-        .groupBy(col("a").as("x"), col("b").as("y"))
-        .agg(count(lit(1)).as("cnt"))
-        // cached: both the threshold scalar and the edge filter read
-        // pairs — without the cache the lineitem pass runs twice
-        .cache()
-      val thr = pairs.agg(expr("sum(cnt) div count(1) + 2").as("thr"))
-      val edges = pairs.join(broadcast(thr))
-        .filter(col("cnt") > col("thr")).select("x", "y")
-        .cache()
+      val edges = coSupplyEdges(s, dir).cache()
       val deg = edges.select(col("x").as("n"))
         .unionAll(edges.select(col("y").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
@@ -356,6 +422,59 @@ object Graph {
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri)
         |SELECT l_suppkey, count(*) AS n_triangles
-        |FROM roles GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM roles GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the incremental path lands on the SAME final graph, so its oracle
+    // is the from-scratch census verbatim
+    "gr_components_incr" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS u,
+        |    o_orderkey AS v
+        |  FROM orders),
+        |chainp AS (SELECT u, v FROM chain WHERE u IS NOT NULL),
+        |firsts AS (
+        |  SELECT o_custkey, min(o_orderkey) AS f FROM orders GROUP BY 1),
+        |bridge AS (
+        |  SELECT a.f AS u, b.f AS v FROM firsts a JOIN firsts b
+        |  ON b.o_custkey = a.o_custkey + 1
+        |    AND a.o_custkey // 10 = b.o_custkey // 10),
+        |edges0 AS (
+        |  SELECT u, v FROM chainp UNION ALL SELECT u, v FROM bridge),
+        |edges AS (
+        |  SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+        |reach(v, lbl) AS (
+        |  SELECT DISTINCT u AS v, u AS lbl FROM edges
+        |  UNION
+        |  SELECT e.u AS v, r.lbl FROM edges e JOIN reach r ON e.v = r.v),
+        |comp AS (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)
+        |SELECT cluster_id, count(*) AS n_orders
+        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same thresholded edge set; wedges via the undirected view,
+    // existing links anti-joined out before scoring
+    "gr_link_predict" ->
+      """WITH ds AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |p AS (
+        |  SELECT l1.l_suppkey AS x, l2.l_suppkey AS y, count(*) AS cnt
+        |  FROM ds l1 JOIN ds l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |      AND l1.l_suppkey < l2.l_suppkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT sum(cnt) // count(*) + 2 AS thr FROM p),
+        |e AS (SELECT x, y FROM p, t WHERE cnt > thr),
+        |und AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+        |wedges AS (
+        |  SELECT e1.x AS a, e2.y AS c, e1.y AS b
+        |  FROM und e1 JOIN und e2 ON e1.y = e2.x AND e1.x < e2.y),
+        |open_w AS (
+        |  SELECT w.a, w.c, w.b FROM wedges w
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e WHERE e.x = w.a AND e.y = w.c))
+        |SELECT a, c, count(DISTINCT b) AS common_neighbors
+        |FROM open_w GROUP BY a, c
+        |ORDER BY common_neighbors DESC, a, c
+        |LIMIT 20""".stripMargin
   )
 }

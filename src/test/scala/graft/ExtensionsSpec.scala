@@ -36,4 +36,37 @@ class ExtensionsSpec extends SparkSpec {
       .filter(col("final") =!= col("total"))
     assert(joined.count() === 0)
   }
+
+  test("locf fill equals a local forward-fill replay") {
+    val ev = graft.Tables.events(spark, sf)
+      .filter(col("user_id") < 20 && col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getDouble(3)))
+    assert(ev.nonEmpty)
+    val utc = java.time.ZoneOffset.UTC
+    def dayOf(ts: java.sql.Timestamp) =
+      ts.toInstant.atZone(utc).toLocalDate
+    val (lo, hi) = (ev.map(e => dayOf(e._3)).min, ev.map(e => dayOf(e._3)).max)
+    // per (user, day): value of the max-(ts, event_id) event
+    val daily = ev.groupBy(e => (e._1, dayOf(e._3))).view
+      .mapValues(_.maxBy(e => (e._3.getTime, e._2))._4).toMap
+    val want = (for {
+      u <- ev.map(_._1).distinct.sorted
+      n <- 0L to java.time.temporal.ChronoUnit.DAYS.between(lo, hi)
+      day = lo.plusDays(n)
+    } yield {
+      val filled = Iterator.iterate(day)(_.minusDays(1))
+        .takeWhile(!_.isBefore(lo))
+        .collectFirst { case d if daily.contains((u, d)) => daily((u, d)) }
+      (u, day.toString, filled, daily.contains((u, day)))
+    }).toSeq
+    val got = Extensions.queries("x_locf_fill")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getBoolean(3))).toSeq
+    assert(got === want)
+    // gaps exist and get filled: some row is unobserved but non-null
+    assert(got.exists(r => !r._4 && r._3.nonEmpty))
+  }
 }

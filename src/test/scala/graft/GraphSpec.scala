@@ -79,6 +79,48 @@ class GraphSpec extends SparkSpec {
     assert(viaStar.nonEmpty)
   }
 
+  test("incremental components equal from-scratch and converge faster") {
+    val full = Graph.queries("gr_components")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullRounds = operators.Graph.lastRounds
+    val incr = Graph.queries("gr_components_incr")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incrRounds = operators.Graph.lastRounds
+    assert(incr === full)
+    // yesterday's graph arrives pre-contracted: the re-run converges in
+    // strictly fewer rounds than the from-scratch contraction
+    assert(incrRounds < fullRounds,
+      s"incr $incrRounds vs full $fullRounds")
+  }
+
+  test("link prediction: common-neighbor scores equal brute force") {
+    // two hubs sharing 3 neighbors, plus a chain: hand-checkable wedges
+    val edges = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),   // hub 1
+      (2L, 10L), (2L, 11L), (2L, 12L),   // hub 2 — cn(1,2) = 3
+      (3L, 10L),                         // cn(3, 1) = cn(3, 2) = 1
+      (1L, 2L)                           // existing link: must be excluded
+    ).toDF("x", "y")
+    val und = edges.select("x", "y")
+      .unionAll(edges.select(col("y").as("x"), col("x").as("y")))
+    val wedges = und.as("e1")
+      .join(und.as("e2"),
+        col("e1.y") === col("e2.x") && col("e1.x") < col("e2.y"))
+      .select(col("e1.x").as("a"), col("e2.y").as("c"),
+        col("e1.y").as("b"))
+    val scored = wedges
+      .join(edges.select(col("x").as("a"), col("y").as("c")),
+        Seq("a", "c"), "left_anti")
+      .groupBy("a", "c").agg(countDistinct(col("b")).as("cn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // (1,2) is an EXISTING edge: excluded despite 3 common neighbors
+    assert(!scored.contains((1L, 2L)))
+    assert(scored((1L, 3L)) === 1L && scored((2L, 3L)) === 1L)
+    // neighbors of the same hub share that hub: (10,11) via 1 and 2
+    assert(scored((10L, 11L)) === 2L)
+  }
+
   test("triangle counts: degree-ordered orientation equals brute force") {
     // K4 ∪ a triangle ∪ a square (no triangles) ∪ a pendant
     val edges = Seq(

@@ -153,4 +153,32 @@ class PlanInvariantSpec extends SparkSpec {
       assert(bnlj.forall(_.contains("BuildRight")), plan)
     }
   }
+
+  test("er_blocked_match and dd_containment: blocked equi-joins only") {
+    for (q <- Seq(FuzzyJoin.queries("er_blocked_match"),
+        Dedup.queries("dd_containment"))) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), plan)
+      // the only nested loop either query may carry is the one-row
+      // klen scalar riding a broadcast
+      val bnlj = plan.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(bnlj.forall(_.contains("BuildRight")) ||
+        bnlj.forall(_.contains("BuildLeft")), plan)
+    }
+  }
+
+  test("gr_triangles: wedge close is a hash equi-join; threshold is the " +
+    "only scalar nested loop") {
+    val plan = executedPlan(graft.operators.Graph.queries("gr_triangles"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the plan string re-prints the cached edge subtree at each
+    // consumer; every nested-loop line must be the SAME one-row
+    // threshold broadcast (cnt > thr, BuildRight)
+    val bnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.nonEmpty, plan)
+    assert(bnlj.forall(l => l.contains("BuildRight") && l.contains("thr")),
+      plan)
+  }
 }
