@@ -21,4 +21,32 @@ object Graphs {
     graft.operators.Graph.pagerankOf(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")), iters)
       .select(col("node"), col("r").as("rank"))
+
+  /** Connected components of an UNDIRECTED edge frame by alternating
+    * star contraction — O(log diameter) rounds, the algorithm behind
+    * `gr_components` (label propagation pays O(diameter) and refuses
+    * deep chains). Returns (component, node); the component id is the
+    * component's minimum node id. */
+  def components(edges: DataFrame, aCol: String = "src",
+                 bCol: String = "dst"): DataFrame =
+    graft.operators.Graph.starComponents(
+      edges.select(col(aCol), col(bCol)))
+      .select(col("cluster_id").as("component"), col("node"))
+
+  /** Per-node triangle memberships of an UNDIRECTED edge frame —
+    * low-(degree, id) orientation bounds wedge fan-out by arboricity,
+    * the hub guard that keeps the close join linear-ish at scale.
+    * Returns (node, n_triangles); nodes in no triangle are absent. */
+  def triangles(edges: DataFrame, aCol: String = "src",
+                bCol: String = "dst"): DataFrame =
+    graft.operators.Graph.trianglesOf(
+      edges.select(col(aCol).as("x"), col(bCol).as("y")))
+
+  /** Top-k predicted links of an UNDIRECTED edge frame by distinct
+    * common-neighbor count (friend-of-friend), existing edges
+    * excluded. Returns (a, b, common_neighbors), best first. */
+  def predictLinks(edges: DataFrame, k: Int = 20,
+                   aCol: String = "src", bCol: String = "dst"): DataFrame =
+    graft.operators.Graph.linkPredictOf(
+      edges.select(col(aCol).as("x"), col(bCol).as("y")), k)
 }

@@ -270,23 +270,8 @@ object Graph {
     // by construction; on a power-law graph the standard hub cap
     // applies (same guard the SRP bucket window uses). Top-k is
     // orderBy+limit with a total (score desc, pair) order.
-    "gr_link_predict" -> ((s, dir) => {
-      val edges = coSupplyEdges(s, dir).cache()
-      val und = edges.select("x", "y")
-        .unionAll(edges.select(col("y").as("x"), col("x").as("y")))
-      val wedges = und.as("e1")
-        .join(und.as("e2"),
-          col("e1.y") === col("e2.x") && col("e1.x") < col("e2.y"))
-        .select(col("e1.x").as("a"), col("e2.y").as("c"),
-          col("e1.y").as("b"))
-      wedges
-        .join(edges.select(col("x").as("a"), col("y").as("c")),
-          Seq("a", "c"), "left_anti")
-        .groupBy("a", "c")
-        .agg(countDistinct(col("b")).as("common_neighbors"))
-        .orderBy(col("common_neighbors").desc, col("a"), col("c"))
-        .limit(20)
-    }),
+    "gr_link_predict" -> ((s, dir) =>
+      linkPredictOf(coSupplyEdges(s, dir), 20)),
 
     // Triangle counting on the strong co-supply graph (suppliers
     // adjacent iff they co-appear in strictly more orders than the mean
@@ -300,35 +285,73 @@ object Graph {
     // threshold aggregate is a broadcast scalar (the documented
     // model-parameter NLJ pattern). Output: per-supplier triangle
     // memberships (each triangle credits all three corners).
-    "gr_triangles" -> ((s, dir) => {
-      val edges = coSupplyEdges(s, dir).cache()
-      val deg = edges.select(col("x").as("n"))
-        .unionAll(edges.select(col("y").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      // orient low→high by (degree, id); struct comparison keeps the
-      // tie-break total
-      val oriented = edges
-        .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
-        .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
-        .select(
-          when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
-            col("x")).otherwise(col("y")).as("src"),
-          when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
-            col("y")).otherwise(col("x")).as("dst"))
-        // cached: the wedge-close join reads the oriented edge set
-        // three times (e1, e2, e3)
-        .cache()
-      val tri = oriented.as("e1")
-        .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
-        .join(oriented.as("e3"),
-          col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
-        .select(col("e1.src").as("a"), col("e1.dst").as("b"),
-          col("e2.dst").as("c"))
-      tri.select(explode(array(col("a"), col("b"), col("c"))).as("l_suppkey"))
-        .groupBy("l_suppkey").agg(count(lit(1)).as("n_triangles"))
-        .orderBy("l_suppkey")
-    })
+    "gr_triangles" -> ((s, dir) =>
+      trianglesOf(coSupplyEdges(s, dir))
+        .select(col("node").as("l_suppkey"), col("n_triangles"))
+        .orderBy("l_suppkey"))
   )
+
+  /** Per-node triangle memberships of an (x, y) edge frame (any
+    * orientation; self-loops and duplicates tolerated). Orients each
+    * edge from its lower-(degree, id) endpoint — every triangle is
+    * counted once at its lowest-degree corner and wedge fan-out is
+    * bounded by out-degree ≤ O(√E) (arboricity), the hub guard.
+    * Returns (node, n_triangles). */
+  private[graft] def trianglesOf(edges0: DataFrame): DataFrame = {
+    val edges = edges0.filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .distinct().cache()
+    val deg = edges.select(col("x").as("n"))
+      .unionAll(edges.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient low→high by (degree, id); struct comparison keeps the
+    // tie-break total
+    val oriented = edges
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+      .select(
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          col("x")).otherwise(col("y")).as("src"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          col("y")).otherwise(col("x")).as("dst"))
+      // cached: the wedge-close join reads the oriented edge set three
+      // times (e1, e2, e3)
+      .cache()
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(oriented.as("e3"),
+        col("e1.src") === col("e3.src") && col("e2.dst") === col("e3.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Top-k predicted links of an (x, y) edge frame by distinct
+    * common-neighbor count; existing edges anti-joined out. Returns
+    * (a, c, common_neighbors) best-first under the total
+    * (score desc, a, c) order. */
+  private[graft] def linkPredictOf(edges0: DataFrame, k: Int): DataFrame = {
+    val edges = edges0.filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .distinct().cache()
+    val und = edges.select("x", "y")
+      .unionAll(edges.select(col("y").as("x"), col("x").as("y")))
+    val wedges = und.as("e1")
+      .join(und.as("e2"),
+        col("e1.y") === col("e2.x") && col("e1.x") < col("e2.y"))
+      .select(col("e1.x").as("a"), col("e2.y").as("c"),
+        col("e1.y").as("b"))
+    wedges
+      .join(edges.select(col("x").as("a"), col("y").as("c")),
+        Seq("a", "c"), "left_anti")
+      .groupBy("a", "c")
+      .agg(countDistinct(col("b")).as("common_neighbors"))
+      .orderBy(col("common_neighbors").desc, col("a"), col("c"))
+      .limit(k)
+  }
 
   /** One update as a DuckDB CTE (integer floor division `//`). */
   private def stepSql(prev: String, out: String): String =

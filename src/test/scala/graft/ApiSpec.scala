@@ -232,6 +232,30 @@ class ApiSpec extends SparkSpec {
     assert(pr === prQ)
   }
 
+  test("facade components / triangles / predictLinks parity") {
+    // the named queries' graphs, through the facade over renamed cols
+    val chainB = operators.Graph.orderChainEdges(spark, sf)
+      .select(col("u").as("s"), col("v").as("d"))
+    val comp = graft.api.Graphs.components(chainB, "s", "d")
+      .groupBy("component").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val compQ = operators.Graph.queries("gr_components")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === compQ)
+    val co = operators.Graph.coSupplyEdges(spark, sf)
+      .select(col("x").as("s"), col("y").as("d"))
+    val tri = graft.api.Graphs.triangles(co, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val triQ = operators.Graph.queries("gr_triangles")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri === triQ)
+    val lp = graft.api.Graphs.predictLinks(co, 20, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val lpQ = operators.Graph.queries("gr_link_predict")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(lp === lpQ)
+  }
+
   test("dropNearDups removes exactly the id2 side, schema unchanged") {
     val kept = Corpus.dropNearDups(renamedDocs, "id", "body")
     assert(kept.columns.toSeq === Seq("id", "body"))
