@@ -73,6 +73,95 @@ object Maintenance {
         .orderBy("o_orderpriority", "ym")
     }),
 
+    // Incremental maintenance of a JOIN view — the full IVM algebra:
+    // with deltas on BOTH join sides, ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, each
+    // term delta-sized on at least one side, merged into the stored
+    // aggregate state. Tonight's batch holds both new orders (by date)
+    // and newly-arrived customers (custkey % 11 — their historical
+    // orders join in via the A⋈ΔB term, the FK-late-arrival case).
+    // The oracle IS the full recompute over the final tables, so the
+    // gate proves the three-term refresh ≡ recompute. At 100 TB the
+    // refresh never rescans old⋈old; the A⋈ΔB term is the full fact
+    // side filtered by a broadcast of the (small) new-dimension keys.
+    "mv_join_delta" -> ((s, dir) => {
+      val cutoff = "2001-01-01"
+      val orders = Tables(s, dir, "orders")
+      val cust = Tables(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+      val oldO = orders.filter(col("o_orderdate") < lit(cutoff))
+      val dO = orders.filter(col("o_orderdate") >= lit(cutoff))
+      val oldC = cust.filter(col("c_custkey") % 11 =!= 0)
+      val dC = cust.filter(col("c_custkey") % 11 === 0)
+      def viewAgg(o: DataFrame, c: DataFrame): DataFrame =
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec2(col("o_totalprice"))).as("rev"))
+      val mvPath = scratch(dir, "mv_join_base")
+      viewAgg(oldO, oldC).write.mode("overwrite").parquet(mvPath)
+      val state = s.read.parquet(mvPath)
+      state
+        .unionByName(viewAgg(dO, oldC))
+        .unionByName(viewAgg(oldO, dC))
+        .unionByName(viewAgg(dO, dC))
+        .groupBy("c_nationkey")
+        .agg(sum("cnt").as("n_orders"),
+          sum("rev").cast("double").as("revenue"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Join-size PROFILER — predict |A ⋈ B| without executing the join:
+    // |A ⋈_k B| = Σ_k cntA(k)·cntB(k), computed from the two key
+    // histograms joined on the key (aggregate-scale inputs, never the
+    // row-scale join). The cost-based-optimizer primitive behind join
+    // reordering and broadcast decisions; the spec proves each estimate
+    // EQUALS the executed join's cardinality (the formula is exact when
+    // computed from full histograms — production CBOs apply it to
+    // sampled or sketched ones).
+    "mt_join_profile" -> ((s, dir) => {
+      def profile(name: String, a: DataFrame, ak: String,
+                  b: DataFrame, bk: String): DataFrame = {
+        val ha = a.groupBy(col(ak).as("k")).agg(count(lit(1)).as("ca"))
+        val hb = b.groupBy(col(bk).as("k")).agg(count(lit(1)).as("cb"))
+        ha.join(hb, "k")
+          .agg(sum(col("ca") * col("cb")).as("est_rows"),
+            count(lit(1)).as("matched_keys"),
+            max(col("ca") * col("cb")).as("max_key_contrib"))
+          .select(lit(name).as("join_name"), col("est_rows"),
+            col("matched_keys"), col("max_key_contrib"))
+      }
+      val li = Tables(s, dir, "lineitem")
+      profile("lineitem_orders", li, "l_orderkey",
+          Tables(s, dir, "orders"), "o_orderkey")
+        .unionAll(profile("lineitem_part", li, "l_partkey",
+          Tables(s, dir, "part"), "p_partkey"))
+        .orderBy("join_name")
+    }),
+
+    // Join-key SKEW advisor — the diagnostic that decides between a
+    // plain hash join, AQE skew splitting, and explicit salting (what
+    // sj_salted_join then executes): per-key counts on the same skewed
+    // key derivation sj_salted_join uses, top-5 heaviest keys with
+    // their share in basis points and a rule-based recommendation
+    // (> 5% of all rows on one key ⇒ salt). One partial-agg shuffle on
+    // the key; the top-k is orderBy+limit.
+    "mt_skew_advisor" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("sk_partkey",
+          when(col("l_orderkey") % 3 === 0, lit(1L))
+            .otherwise(col("l_partkey")))
+      val total = li.agg(count(lit(1)).as("total"))
+      li.groupBy("sk_partkey").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(total))
+        .withColumn("share_bp", expr("cnt * 10000 div total"))
+        .withColumn("advice",
+          when(col("cnt") * 100 > col("total") * 5, lit("salt"))
+            .otherwise(lit("hash_ok")))
+        .select("sk_partkey", "cnt", "share_bp", "advice")
+        .orderBy(col("cnt").desc, col("sk_partkey"))
+        .limit(5)
+    }),
+
     // SCD2 dimension maintenance: a June re-segmentation of every 7th
     // customer lands as a NEW version; the January row closes at the
     // update's effective date instead of being overwritten. One window,
@@ -430,6 +519,52 @@ object Maintenance {
         |                                     ORDER BY valid_from),
         |           '9999-12-31') = '9999-12-31' AS is_current
         |FROM versions ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // the oracle IS the full recompute the refresh must equal
+    "mv_join_delta" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mt_join_profile" ->
+      """WITH ho AS (
+        |  SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1),
+        |hl AS (
+        |  SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
+        |hp AS (
+        |  SELECT p_partkey AS k, count(*) AS cb FROM part GROUP BY 1),
+        |hlp AS (
+        |  SELECT l_partkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
+        |prof AS (
+        |  SELECT 'lineitem_orders' AS join_name,
+        |    CAST(sum(ca * cb) AS BIGINT) AS est_rows,
+        |    count(*) AS matched_keys,
+        |    CAST(max(ca * cb) AS BIGINT) AS max_key_contrib
+        |  FROM hl JOIN ho USING (k)
+        |  UNION ALL
+        |  SELECT 'lineitem_part',
+        |    CAST(sum(ca * cb) AS BIGINT), count(*),
+        |    CAST(max(ca * cb) AS BIGINT)
+        |  FROM hlp JOIN hp USING (k))
+        |SELECT join_name, est_rows, matched_keys, max_key_contrib
+        |FROM prof ORDER BY join_name""".stripMargin,
+
+    "mt_skew_advisor" ->
+      """WITH sk AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1
+        |              ELSE l_partkey END AS sk_partkey
+        |  FROM lineitem),
+        |t AS (SELECT count(*) AS total FROM sk),
+        |g AS (SELECT sk_partkey, count(*) AS cnt FROM sk GROUP BY 1)
+        |SELECT sk_partkey, cnt,
+        |  cnt * 10000 // total AS share_bp,
+        |  CASE WHEN cnt * 100 > total * 5 THEN 'salt'
+        |       ELSE 'hash_ok' END AS advice
+        |FROM g, t
+        |ORDER BY cnt DESC, sk_partkey
+        |LIMIT 5""".stripMargin,
 
     "tt_asof_read" ->
       """WITH base AS (

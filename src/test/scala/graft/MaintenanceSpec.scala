@@ -182,6 +182,48 @@ class MaintenanceSpec extends SparkSpec {
       phys.contains(">= 2001-01-01"))
   }
 
+  test("join profiler estimates EQUAL executed join cardinalities") {
+    val got = graft.operators.Maintenance
+      .queries("mt_join_profile")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = Tables(spark, sf, "lineitem")
+    val actualLO = li.join(Tables(spark, sf, "orders"),
+      col("l_orderkey") === col("o_orderkey")).count()
+    val actualLP = li.join(Tables(spark, sf, "part"),
+      col("l_partkey") === col("p_partkey")).count()
+    assert(got("lineitem_orders") === actualLO)
+    assert(got("lineitem_part") === actualLP)
+  }
+
+  test("skew advisor flags the hot key salting then handles") {
+    val rows = graft.operators.Maintenance
+      .queries("mt_skew_advisor")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // the synthesized hot key (1) dominates: ~1/3 of all rows
+    assert(rows.head._1 === 1L)
+    assert(rows.head._4 === "salt")
+    assert(rows.head._3 > 3000L && rows.head._3 < 3700L) // basis points
+    // the uniform tail is individually cold
+    assert(rows.tail.forall(_._4 === "hash_ok"))
+  }
+
+  test("join-view IVM: three-term delta refresh equals full recompute") {
+    import org.apache.spark.sql.types.DecimalType
+    val got = graft.operators.Maintenance
+      .queries("mv_join_delta")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val full = Tables(spark, sf, "orders")
+      .join(Tables(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("rev"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got === full)
+  }
+
   test("time travel: snapshots conserve rows and differ by the restated set") {
     val rows = graft.operators.Maintenance
       .queries("tt_asof_read")(spark, sf).collect()
