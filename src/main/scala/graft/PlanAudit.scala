@@ -54,7 +54,9 @@ object PlanAudit {
     "gr_components", "gr_triangles", "er_blocked_match", "er_entities",
     "dd_containment", "samp_weighted", "ta_code_detect", "tr_curriculum",
     "gdpr_cascade", "mt_clustering_depth",
-    "tt_asof_read", "pv_k_anonymity", "tc_normalize", "dq_drift_report")
+    "tt_asof_read", "pv_k_anonymity", "tc_normalize", "dq_drift_report",
+    "gr_components_incr", "gr_link_predict", "x_locf_fill",
+    "mv_join_delta", "mt_join_profile", "mt_skew_advisor")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

@@ -268,10 +268,30 @@ object Soak {
       // with rows, never pairwise
       "gr_components", "gr_triangles", "dd_containment", "er_entities",
       "tr_curriculum", "samp_weighted", "ta_code_detect", "gdpr_cascade",
-      "mt_clustering_depth")) {
-      val (rows, t) = time(SparkEntry.queries(q)(spark, dir).count())
+      "mt_clustering_depth",
+      // continuation-2: wedge volume moves with Σdeg² of disjoint copy
+      // worlds (linear in copies); IVM/advisor/time-travel/anonymity/
+      // normalize/drift/LOCF are aggregate- or window-shaped.
+      // (mt_join_profile is absent: the soak corpus swaps `part` for
+      // the keyless fuzzy vocabulary, so the lineitem_part histogram
+      // has no key column here.)
+      "gr_components_incr", "gr_link_predict", "mv_join_delta",
+      "mt_skew_advisor", "tt_asof_read",
+      "pv_k_anonymity", "tc_normalize", "dq_drift_report",
+      "x_locf_fill")) {
+      // a corpus-shape limitation in ONE query must not kill the whole
+      // report — log and continue
+      try {
+        val (rows, t) = time(SparkEntry.queries(q)(spark, dir).count())
+        println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
+      } catch {
+        case e: Throwable =>
+          println(s"""{"corpus":"$tag","query":"$q","skipped":"${
+            e.getMessage.takeWhile(_ != '\n').take(80)}"}""")
+      }
       spark.catalog.clearCache()
-      println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // ER with explicit candidate accounting: blocked candidates vs the
     // all-pairs square over the customer table
