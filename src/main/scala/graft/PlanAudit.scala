@@ -145,8 +145,10 @@ object PlanAudit {
       "ml_power_pc's one-row iterated-vector and moment frames (its 12 " +
       "entries are two fixed power rounds x broadcast 1-row states), " +
       "sim_mmr_topk's and sim_ivfpq_topk's NQ-row query batches, and " +
-      "az_asof_nearest's scalar stats, and gr_triangles' one-row " +
-      "co-occurrence threshold " +
+      "az_asof_nearest's scalar stats, and the one-row scalar " +
+      "broadcasts of gr_triangles/gr_link_predict (co-occurrence " +
+      "threshold), x_locf_fill (date bounds), and mt_skew_advisor " +
+      "(row total) " +
       "(each asserted broadcast-bounded in PlanInvariantSpec or scalar " +
       "by construction).\n" +
       "A 0/N pushed-filter entry is NOT a miss when the query has no " +
