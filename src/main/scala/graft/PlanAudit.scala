@@ -56,7 +56,8 @@ object PlanAudit {
     "gdpr_cascade", "mt_clustering_depth",
     "tt_asof_read", "pv_k_anonymity", "tc_normalize", "dq_drift_report",
     "gr_components_incr", "gr_link_predict", "x_locf_fill",
-    "mv_join_delta", "mt_join_profile", "mt_skew_advisor")
+    "mv_join_delta", "mt_join_profile", "mt_skew_advisor",
+    "mt_file_skipping", "ev_attribution")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

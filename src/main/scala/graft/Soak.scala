@@ -278,7 +278,7 @@ object Soak {
       "gr_components_incr", "gr_link_predict", "mv_join_delta",
       "mt_skew_advisor", "tt_asof_read",
       "pv_k_anonymity", "tc_normalize", "dq_drift_report",
-      "x_locf_fill")) {
+      "x_locf_fill", "mt_file_skipping", "ev_attribution")) {
       // a corpus-shape limitation in ONE query must not kill the whole
       // report — log and continue
       try {

@@ -63,6 +63,35 @@ object EventAnalytics {
         .select(col("cohort_day").cast("string").as("cohort_day"),
           col("day_offset"), col("users"))
         .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Marketing ATTRIBUTION — first-touch vs last-touch for every
+    // conversion: each purchase credits the user's earliest and the
+    // most recent preceding non-purchase event type (ignore-nulls
+    // window first/last over the strictly-prior frame, total-ordered
+    // by (ts, event_id)); purchases with no prior touch credit
+    // 'none'. Output is the first×last attribution matrix — the
+    // report that shows how much credit moves when the model changes.
+    // One user-keyed window shuffle; the matrix aggregate is
+    // category-scale.
+    "ev_attribution" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Long.MinValue, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("first_touch",
+          first(touch, ignoreNulls = true).over(w))
+        .withColumn("last_touch",
+          last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(
+          coalesce(col("first_touch"), lit("none")).as("first_touch"),
+          coalesce(col("last_touch"), lit("none")).as("last_touch"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("first_touch", "last_touch")
     })
   )
 
@@ -99,6 +128,29 @@ object EventAnalytics {
         |  count(DISTINCT e.user_id) AS users
         |FROM e JOIN cohort c ON e.user_id = c.user_id
         |GROUP BY 1, 2
-        |ORDER BY cohort_day, day_offset""".stripMargin
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    // identical strictly-prior ignore-nulls frames
+    "ev_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type,
+        |    first_value(CASE WHEN event_type <> 'purchase'
+        |                     THEN event_type END IGNORE NULLS)
+        |      OVER w AS first_touch,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER w AS last_touch
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT coalesce(first_touch, 'none') AS first_touch,
+        |  coalesce(last_touch, 'none') AS last_touch,
+        |  count(*) AS n_purchases
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1, 2
+        |ORDER BY first_touch, last_touch""".stripMargin
   )
 }

@@ -400,6 +400,37 @@ object Maintenance {
         .orderBy("layout")
     }),
 
+    // Zone-map DATA-SKIPPING effectiveness — the payoff metric for
+    // mt_clustering_depth's layout diagnosis: for a month-long shipdate
+    // predicate, how many proxy files does each layout's [min, max]
+    // zone map let the scan SKIP? Prunable ⇔ the file interval misses
+    // the predicate interval entirely (mx < lo ∨ mn > hi). The
+    // date-clustered layout skips everything outside the month; the
+    // ingest layout's full-range files skip nothing — the measured
+    // translation of clustering depth into scan cost. File-scale
+    // aggregates only; share in basis points, integer.
+    "mt_file_skipping" -> ((s, dir) => {
+      val lo = "1997-06-01"
+      val hi = "1997-06-30"
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      def filesOf(layout: String, fileExpr: org.apache.spark.sql.Column) =
+        li.groupBy(fileExpr.as("f"))
+          .agg(min("l_shipdate").as("mn"), max("l_shipdate").as("mx"))
+          .withColumn("layout", lit(layout))
+      filesOf("ingest_order", expr("l_orderkey div 1500"))
+        .unionAll(filesOf("date_clustered",
+          expr("year(l_shipdate) * 4 + (month(l_shipdate) - 1) div 3")))
+        .withColumn("prunable",
+          col("mx") < lit(lo).cast("timestamp") ||
+            col("mn") > lit(s"$hi 23:59:59").cast("timestamp"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("prunable"), 1L).otherwise(0L)).as("n_skipped"))
+        .withColumn("skip_bp", expr("n_skipped * 10000 div n_files"))
+        .orderBy("layout")
+    }),
+
     // Small-file compaction — the OPTIMIZE/auto-compaction maintenance a
     // lakehouse runs behind streaming ingest. The events feed lands as 64
     // undersized files (a micro-batch sink's typical residue); compaction
@@ -705,6 +736,26 @@ object Maintenance {
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "mt_file_skipping" ->
+      """WITH files AS (
+        |  SELECT 'ingest_order' AS layout, l_orderkey // 1500 AS f,
+        |    min(l_shipdate) AS mn, max(l_shipdate) AS mx
+        |  FROM lineitem GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'date_clustered',
+        |    year(l_shipdate) * 4 + (month(l_shipdate) - 1) // 3,
+        |    min(l_shipdate), max(l_shipdate)
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT layout, count(*) AS n_files,
+        |  CAST(sum(CASE WHEN mx < TIMESTAMP '1997-06-01 00:00:00'
+        |                  OR mn > TIMESTAMP '1997-06-30 23:59:59'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+        |  CAST(sum(CASE WHEN mx < TIMESTAMP '1997-06-01 00:00:00'
+        |                  OR mn > TIMESTAMP '1997-06-30 23:59:59'
+        |                THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+        |    AS skip_bp
+        |FROM files GROUP BY layout ORDER BY layout""".stripMargin,
 
     // same boundary sweep: depth(p) = starts ≤ p − ends < p, cumulative
     // sums over per-position aggregates so ties are order-independent

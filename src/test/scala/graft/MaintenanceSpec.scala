@@ -224,6 +224,20 @@ class MaintenanceSpec extends SparkSpec {
     assert(got === full)
   }
 
+  test("file skipping: clustered layout prunes all-but-one, ingest none") {
+    val rows = graft.operators.Maintenance
+      .queries("mt_file_skipping")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (dcN, dcSkip, dcBp) = rows("date_clustered")
+    // June 1997 sits inside one quarter file: every other file prunes
+    assert(dcSkip === dcN - 1)
+    assert(dcBp === (dcN - 1) * 10000 / dcN)
+    // orderkey-ranged files span the full date range: zone maps skip 0
+    val (_, ioSkip, ioBp) = rows("ingest_order")
+    assert(ioSkip === 0L && ioBp === 0L)
+  }
+
   test("time travel: snapshots conserve rows and differ by the restated set") {
     val rows = graft.operators.Maintenance
       .queries("tt_asof_read")(spark, sf).collect()

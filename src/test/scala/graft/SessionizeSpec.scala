@@ -74,4 +74,27 @@ class SessionizeSpec extends SparkSpec {
     // offsets never negative
     assert(ret.filter(col("day_offset") < 0).count() === 0)
   }
+
+  test("attribution matrix equals a local first/last-touch replay") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).values.flatMap { rows =>
+      val ordered = rows.sortBy(e => (e._4, e._2))
+      ordered.zipWithIndex.collect {
+        case ((_, _, "purchase", _), i) =>
+          val prior = ordered.take(i).filter(_._3 != "purchase")
+          (prior.headOption.map(_._3).getOrElse("none"),
+            prior.lastOption.map(_._3).getOrElse("none"))
+      }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.EventAnalytics
+      .queries("ev_attribution")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    // total conservation: every purchase is attributed exactly once
+    assert(got.values.sum === ev.count(_._3 == "purchase").toLong)
+  }
 }
