@@ -81,8 +81,22 @@ object Soak {
           d.withColumn(k, col(k) + lit(c * OFFSET)))
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
-    replicate(Tables(spark, base, "orders"),
-      Seq("o_orderkey", "o_custkey"), "orders")
+    // o_custkey INTERLEAVES (k·copies + c) to mirror the customer
+    // replicate below — offset custkeys would only ever join copy-0
+    // customers, so every customer-joining soak query (mv_join_delta,
+    // the profiler, gdpr's FK reasoning) would measure scan growth
+    // instead of join growth. Orderkeys stay on the +OFFSET plane to
+    // match lineitem. Copy c's orders still join exactly copy c's
+    // customers — worlds remain disjoint, just interleaved; the one
+    // intentional cross-copy touch is gr_components' custkey+1 decade
+    // bridge, which now occasionally links adjacent copies (deeper
+    // chains — a harder, not easier, contraction input).
+    (0 until copies).map { c =>
+      Tables(spark, base, "orders")
+        .withColumn("o_orderkey", col("o_orderkey") + lit(c * OFFSET))
+        .withColumn("o_custkey", col("o_custkey") * copies + c)
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
     replicate(Tables(spark, base, "lineitem"),
       Seq("l_orderkey", "l_suppkey"), "lineitem")
     replicate(Tables.events(spark, base),
@@ -272,9 +286,10 @@ object Soak {
       // continuation-2: wedge volume moves with Σdeg² of disjoint copy
       // worlds (linear in copies); IVM/advisor/time-travel/anonymity/
       // normalize/drift/LOCF are aggregate- or window-shaped.
-      // (mt_join_profile is absent: the soak corpus swaps `part` for
-      // the keyless fuzzy vocabulary, so the lineitem_part histogram
-      // has no key column here.)
+      // (the mt_join_profile QUERY is absent — its lineitem_part leg
+      // has no key column here, the soak corpus swaps `part` for the
+      // keyless fuzzy vocabulary — but the profiler itself gets its
+      // scale datapoint in the dedicated estimate==actual block below)
       "gr_components_incr", "gr_link_predict", "mv_join_delta",
       "mt_skew_advisor", "tt_asof_read",
       "pv_k_anonymity", "tc_normalize", "dq_drift_report",
@@ -292,6 +307,34 @@ object Soak {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+    }
+    // join-size profiler at scale: the CBO primitive's estimate must
+    // EQUAL each executed join's cardinality on the replicated corpus
+    // (the histogram-product formula is exact on full histograms, at
+    // every scale). Profiled on the two joins the soak corpus keys
+    // properly — lineitem⋈orders (offset worlds) and orders⋈customer
+    // (interleaved custkeys, every copy joins its own customers).
+    locally {
+      val li = Tables(spark, dir, "lineitem")
+      val o = Tables(spark, dir, "orders")
+      val cu = Tables(spark, dir, "customer")
+      val (prof, tProf) = time(
+        operators.Maintenance.joinProfile(
+            "lineitem_orders", li, "l_orderkey", o, "o_orderkey")
+          .unionAll(operators.Maintenance.joinProfile(
+            "orders_customer", o, "o_custkey", cu, "c_custkey"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      spark.catalog.clearCache()
+      val (actLo, _) = time(
+        li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+      val (actOc, _) = time(
+        o.join(cu, col("o_custkey") === col("c_custkey")).count())
+      spark.catalog.clearCache()
+      require(prof("lineitem_orders") == actLo,
+        s"profile est ${prof("lineitem_orders")} != actual $actLo")
+      require(prof("orders_customer") == actOc,
+        s"profile est ${prof("orders_customer")} != actual $actOc")
+      println(f"""{"corpus":"$tag","query":"mt_join_profile","est_lineitem_orders":${prof("lineitem_orders")},"actual_lineitem_orders":$actLo,"est_orders_customer":${prof("orders_customer")},"actual_orders_customer":$actOc,"profile_s":$tProf%.2f,"estimates_exact":true}""")
     }
     // ER with explicit candidate accounting: blocked candidates vs the
     // all-pairs square over the customer table

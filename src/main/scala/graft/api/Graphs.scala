@@ -44,9 +44,18 @@ object Graphs {
 
   /** Top-k predicted links of an UNDIRECTED edge frame by distinct
     * common-neighbor count (friend-of-friend), existing edges
-    * excluded. Returns (a, b, common_neighbors), best first. */
+    * excluded. Returns (a, b, common_neighbors), best first.
+    *
+    * Safe on power-law graphs: wedge fan-out through any midpoint of
+    * degree > `hubCap` is capped to the midpoint's `hubCap`
+    * lowest-(degree, id) neighbors — one hub costs hubCap² wedges,
+    * never degree². On graphs whose degrees stay ≤ `hubCap` the cap
+    * never engages and the scores are exact; above it, the recall
+    * contract keeps the LOW-degree common neighbors (the informative
+    * ones, per the Adamic-Adar weighting argument). */
   def predictLinks(edges: DataFrame, k: Int = 20,
-                   aCol: String = "src", bCol: String = "dst"): DataFrame =
+                   aCol: String = "src", bCol: String = "dst",
+                   hubCap: Int = graft.operators.Graph.HubCap): DataFrame =
     graft.operators.Graph.linkPredictOf(
-      edges.select(col(aCol).as("x"), col(bCol).as("y")), k)
+      edges.select(col(aCol).as("x"), col(bCol).as("y")), k, hubCap)
 }

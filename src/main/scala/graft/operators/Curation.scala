@@ -309,9 +309,15 @@ object Curation {
         |""".stripMargin,
 
     "pv_k_anonymity" ->
+      // trunc() before the cast: DuckDB's double→BIGINT cast ROUNDS to
+      // nearest (-999.99 → -1000) while Spark's truncates toward zero
+      // (-999.99 → -999); trunc matches Spark's semantics for both
+      // signs, so band membership agrees for balances within 0.5 of a
+      // band boundary (DuckDB `//` and Spark `div` both already
+      // truncate, verified: -2001//2000 = -1, -999//2000 = 0)
       """WITH g AS (
         |  SELECT c_nationkey, c_mktsegment,
-        |    CAST(c_acctbal AS BIGINT) // 2000 AS bal_band,
+        |    CAST(trunc(c_acctbal) AS BIGINT) // 2000 AS bal_band,
         |    count(*) AS n
         |  FROM customer GROUP BY 1, 2, 3)
         |SELECT CAST(count(*) AS BIGINT) AS n_groups,

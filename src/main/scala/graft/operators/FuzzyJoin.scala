@@ -119,7 +119,7 @@ object FuzzyJoin {
     * engine's string-cast spelling (STRING vs VARCHAR). */
   private val SYL =
     Seq("ba", "ce", "di", "fo", "gu", "ha", "ki", "lo", "mu", "ne")
-  private def sylNameSql(c: String, cast: String): String =
+  private[graft] def sylNameSql(c: String, cast: String): String =
     SYL.zipWithIndex.foldLeft(s"CAST($c AS $cast)") {
       case (acc, (syl, i)) => s"replace($acc, '$i', '$syl')"
     }
@@ -127,7 +127,7 @@ object FuzzyJoin {
   /** Dirty-record mutation, one of four edits keyed by the record id —
     * drop-first, drop-last, duplicate-3rd-char, append — all within
     * edit distance 1 of the master name. Shared Spark/DuckDB SQL. */
-  private def mutateSql(id: String, name: String): String =
+  private[graft] def mutateSql(id: String, name: String): String =
     s"""CASE $id % 4
        |  WHEN 0 THEN substr($name, 2)
        |  WHEN 1 THEN substr($name, 1, length($name) - 1)
@@ -209,13 +209,31 @@ object FuzzyJoin {
     val master = Tables(s, dir, "customer")
       .select(col("c_custkey"),
         expr(sylNameSql("c_custkey", "STRING")).as("name"))
+    val dirty = master
+      .select(col("c_custkey").as("dirty_id"),
+        expr(mutateSql("c_custkey", "name")).as("dname"))
+    blockedCandidates(dirty, master.select(col("c_custkey"), col("name")))
+  }
+
+  /** Generic adaptive-key blocked candidates over CALLER frames:
+    * `dirty` = (dirty_id, dname), `master` = (master_id, name) — any
+    * original column names, positionally mapped by the facade. Each
+    * side emits its klen-prefix AND klen-suffix keys; a candidate is
+    * any key collision. klen adapts to master cardinality (the
+    * size-adaptive rule the ×10 soak validated as measured-linear).
+    * Candidates are NOT deduped before the verify: the bounded
+    * levenshtein on short strings is cheaper per row than shuffling
+    * the wide candidate tuple, so duplicates (a pair whose prefix AND
+    * suffix keys both collide) flow through the codegen'd verify and
+    * collapse in the final distinct over the narrow match rows. */
+  private[graft] def blockedCandidates(dirty0: DataFrame,
+                                       master0: DataFrame): DataFrame = {
+    val dirty = dirty0.toDF("dirty_id", "dname")
+    val master = master0.toDF("c_custkey", "name")
     val kl = master.agg(
       (lit(4) + lit(2) *
         greatest(lit(0.0), floor(log10(count(lit(1)) / 1500.0))))
         .cast("int").as("klen"))
-    val dirty = master
-      .select(col("c_custkey").as("dirty_id"),
-        expr(mutateSql("c_custkey", "name")).as("dname"))
     def keyed(df: DataFrame, nameCol: String): DataFrame = {
       val withK = df.join(broadcast(kl))
       withK.select(expr(s"substr($nameCol, 1, klen)").as("k"), col("*"))
@@ -223,30 +241,36 @@ object FuzzyJoin {
           withK.select(expr(s"right($nameCol, klen)").as("k"), col("*")))
         .drop("klen")
     }
-    // candidates are NOT deduped before the verify: the bounded
-    // levenshtein on short strings is cheaper per row than shuffling
-    // the wide candidate tuple, so duplicates (a pair whose prefix AND
-    // suffix keys both collide) flow through the codegen'd verify and
-    // collapse in the final distinct over the narrow match rows —
-    // result-identical because names are functions of the ids
     keyed(dirty, "dname").join(keyed(master, "name"), "k")
       .select("dirty_id", "dname", "c_custkey", "name")
   }
 
-  /** The blocked-and-verified match table (dirty_id, matched_key,
-    * dist) shared by er_blocked_match and er_entities. */
-  private def erMatches(s: SparkSession, dir: String): DataFrame = {
-    erCandidates(s, dir)
-      // result-preserving prune: dist ≤ 2 implies |Δlength| ≤ 2, so
-      // the length gate drops only rows the verify would reject —
-      // oracle unchanged
-      .filter(abs(length(col("dname")) - length(col("name"))) <= 2)
+  /** Blocked-and-verified matches over caller frames — the facade
+    * path. Returns (dirty_id, matched_key, dist), dist ≤ maxDist. */
+  private[graft] def blockedMatches(dirty: DataFrame, master: DataFrame,
+                                    maxDist: Int): DataFrame =
+    blockedCandidates(dirty, master)
+      // result-preserving prune: dist ≤ maxDist implies |Δlength| ≤
+      // maxDist, so the length gate drops only rows the verify would
+      // reject — oracle unchanged
+      .filter(abs(length(col("dname")) - length(col("name"))) <= maxDist)
       .withColumn("dist",
-        levenshtein(col("dname"), col("name"), 2).cast(IntegerType))
-      .filter(col("dist").between(0, 2))
+        levenshtein(col("dname"), col("name"), maxDist).cast(IntegerType))
+      .filter(col("dist").between(0, maxDist))
       .select(col("dirty_id"), col("c_custkey").as("matched_key"),
         col("dist"))
       .distinct()
+
+  /** The blocked-and-verified match table (dirty_id, matched_key,
+    * dist) shared by er_blocked_match and er_entities. */
+  private def erMatches(s: SparkSession, dir: String): DataFrame = {
+    val master = Tables(s, dir, "customer")
+      .select(col("c_custkey"),
+        expr(sylNameSql("c_custkey", "STRING")).as("name"))
+    val dirty = master
+      .select(col("c_custkey").as("dirty_id"),
+        expr(mutateSql("c_custkey", "name")).as("dname"))
+    blockedMatches(dirty, master, maxDist = 2)
   }
 
   val oracles: Map[String, String] = Map(

@@ -36,6 +36,10 @@ object Graph {
   private val SCALE = 1000000L  // rank units: millionths
   private val ITERS = 3
 
+  /** Rounds the most recent starComponents call took — test-only
+    * observability for the incremental-contraction claim. */
+  @volatile private[graft] var lastRounds: Int = 0
+
   /** Connected components by ALTERNATING STAR CONTRACTION (the
     * large-star/small-star algorithm of Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14). Complements
@@ -58,31 +62,46 @@ object Graph {
     * The fixpoint is a star per component (every node → component
     * min). Each round localCheckpoints (same lineage-reset rationale
     * as [[Dedup.components]]) and frees the previous round's blocks.
+    *
+    * Cost shape: ONE Spark job per round. The round's checkpoint is
+    * LAZY and the single action is a (next ⋈ e) left-join aggregate
+    * computing (|next|, |next ∩ e|) — it materializes next's blocks
+    * and decides the fixpoint (next ⊆ e ∧ |next| = |e| ⇒ next = e,
+    * both sets being distinct) in the same job, instead of the
+    * count + conditional anti-join-count pair a naive fixpoint test
+    * pays on top of an eager checkpoint (3 jobs per round → 1).
+    * GraphSpec pins the job count with a listener.
+    *
+    * Block bookkeeping holds the checkpointed RDD handles directly
+    * (pattern-matched out of the LogicalRDD the checkpoint returns) —
+    * no global getPersistentRDDs diff, so concurrent jobs on the same
+    * SparkContext can persist blocks without this loop unpersisting
+    * them.
     * Returns (cluster_id = component min, node) over edge-touched
     * nodes. */
-  /** Rounds the most recent starComponents call took — test-only
-    * observability for the incremental-contraction claim. */
-  @volatile private[graft] var lastRounds: Int = 0
-
   private[graft] def starComponents(pairDf: DataFrame): DataFrame = {
-    val sc = pairDf.sparkSession.sparkContext
-    def ids: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def free(owned: Set[Int]): Unit = owned.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    var snap = ids
+    import pairDf.sparkSession.implicits._
+    // the checkpointed blocks behind a lazily-localCheckpointed frame:
+    // Dataset.localCheckpoint wraps the (possibly not-yet-materialized)
+    // checkpoint RDD in a LogicalRDD — that handle is exactly what a
+    // later unpersist must target
+    def ckRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
     var e = pairDf.toDF("a", "b").filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint()
-    var eIds = ids -- snap
-    var cntE = e.count()
+      .distinct().localCheckpoint(eager = false)
+    var eRdds = ckRdds(e)
+    var cntE = e.count() // materializes the initial checkpoint too
     var rounds = 0
-    var changed = 1L
+    var changed = true
     // each star phase is ONE partition-window min (a single shuffle on
     // u), not a groupBy + join pair — per-round stage count is what
     // iterative graph algorithms pay for, so it is kept minimal
     val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
-    while (changed > 0 && rounds < 30) {
+    while (changed && rounds < 30) {
       val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       // large-star: m = min(N(u) ∪ {u}); duplicate (v, m) rewires are
       // bounded by |und| and collapse in the round-final distinct
@@ -94,25 +113,26 @@ object Graph {
       // neighbors; v and m are both < u with m = min ⇒ the rewired
       // edge (v, m) already satisfies the (hi, lo) orientation
       val small = large.withColumn("m", min("v").over(wU))
-      snap = ids
       val next = small.select(col("u"), col("m").as("v"))
         .unionAll(small.filter(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
-      val nextIds = ids -- snap
-      // fixpoint test on two distinct sets: equal cardinality plus an
-      // empty anti-join ⇒ equal sets (half the cost of two excepts)
-      val cntNext = next.count()
-      changed =
-        if (cntNext != cntE) 1L
-        else next.join(e, Seq("u", "v"), "left_anti").count()
+        .distinct().localCheckpoint(eager = false)
+      val nextRdds = ckRdds(next)
+      // the round's ONE action: persist next and test the fixpoint —
+      // both frames are (u,v)-distinct, so next = e iff next ⊆ e
+      // (matched = |next|) and |next| = |e|
+      val (cntNext, matched) = next
+        .join(e.withColumn("old", lit(1)), Seq("u", "v"), "left")
+        .agg(count(lit(1)), count(col("old")))
+        .as[(Long, Long)].first()
+      changed = cntNext != cntE || matched != cntNext
       cntE = cntNext
-      free(eIds -- nextIds)
-      eIds = nextIds
+      eRdds.foreach(_.unpersist(blocking = false))
+      eRdds = nextRdds
       e = next
       rounds += 1
     }
-    require(changed == 0, s"star contraction did not converge in $rounds")
+    require(!changed, s"star contraction did not converge in $rounds")
     lastRounds = rounds
     val out = e.select(col("v").as("cluster_id"), col("u").as("node"))
       .unionAll(e.select(col("v").as("cluster_id"), col("v").as("node"))
@@ -266,10 +286,12 @@ object Graph {
     // Adamic-Adar and company), report the top-20 predicted links.
     // Wedges come from one hash self-join on the midpoint; existing
     // edges are removed by an anti-join before scoring. Fan-out per
-    // midpoint is its degree — on a thresholded graph that is bounded
-    // by construction; on a power-law graph the standard hub cap
-    // applies (same guard the SRP bucket window uses). Top-k is
-    // orderBy+limit with a total (score desc, pair) order.
+    // midpoint is its degree — on the thresholded graph that is
+    // bounded by construction (degree ≪ HubCap, spec-asserted), so
+    // the guard's zero-cost branch runs and results are exact; an
+    // arbitrary power-law caller graph hits linkPredictOf's
+    // per-midpoint HubCap (see its scaladoc for the recall contract).
+    // Top-k is orderBy+limit with a total (score desc, pair) order.
     "gr_link_predict" -> ((s, dir) =>
       linkPredictOf(coSupplyEdges(s, dir), 20)),
 
@@ -328,22 +350,53 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Default midpoint fan-out cap for [[linkPredictOf]] — far above
+    * any degree the thresholded co-supply graph produces (so the named
+    * query's oracle is byte-identical, spec-asserted), low enough that
+    * one hub caps at 512² = 262k wedges instead of deg². */
+  private[graft] val HubCap = 512
+
   /** Top-k predicted links of an (x, y) edge frame by distinct
     * common-neighbor count; existing edges anti-joined out. Returns
     * (a, c, common_neighbors) best-first under the total
-    * (score desc, a, c) order. */
-  private[graft] def linkPredictOf(edges0: DataFrame, k: Int): DataFrame = {
+    * (score desc, a, c) order.
+    *
+    * HUB GUARD: the wedge join fans out deg(b)² pairs per midpoint b —
+    * on a power-law graph one 10M-degree hub alone is 10¹⁴ wedges. Any
+    * midpoint whose degree exceeds `hubCap` keeps only its `hubCap`
+    * LOWEST-(degree, id) neighbors as wedge endpoints (the recall
+    * contract: low-degree common neighbors are the informative ones —
+    * the same weighting argument behind Adamic-Adar — and the
+    * (degree, id) order keeps the cap deterministic). Bounded-degree
+    * graphs (degree ≤ hubCap everywhere, e.g. the thresholded
+    * co-supply graph) take the zero-cost branch: no window runs and
+    * results are exact. Hub rows alone pay one partition-sort window —
+    * O(deg log deg) per hub, never deg². */
+  private[graft] def linkPredictOf(edges0: DataFrame, k: Int,
+                                   hubCap: Int = HubCap): DataFrame = {
     val edges = edges0.filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("x"),
         greatest(col("x"), col("y")).as("y"))
       .distinct().cache()
     val und = edges.select("x", "y")
       .unionAll(edges.select(col("y").as("x"), col("x").as("y")))
-    val wedges = und.as("e1")
-      .join(und.as("e2"),
-        col("e1.y") === col("e2.x") && col("e1.x") < col("e2.y"))
-      .select(col("e1.x").as("a"), col("e2.y").as("c"),
-        col("e1.y").as("b"))
+    // midpoint-keyed neighbor table with the midpoint's degree; only
+    // rows of over-cap midpoints enter the ranking window
+    val deg = und.groupBy("x").agg(count(lit(1)).as("dm"))
+    val ann = und.join(deg, "x")
+    val smallMid = ann.filter(col("dm") <= hubCap).select("x", "y")
+    val hubMid = ann.filter(col("dm") > hubCap)
+      .join(deg.select(col("x").as("y"), col("dm").as("dn")), "y")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("x")
+          .orderBy(col("dn"), col("y"))))
+      .filter(col("rn") <= hubCap).select("x", "y")
+    val undCapped = smallMid.unionAll(hubMid)
+    val wedges = undCapped.as("e1")
+      .join(undCapped.as("e2"),
+        col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
+      .select(col("e1.y").as("a"), col("e2.y").as("c"),
+        col("e1.x").as("b"))
     wedges
       .join(edges.select(col("x").as("a"), col("y").as("c")),
         Seq("a", "c"), "left_anti")

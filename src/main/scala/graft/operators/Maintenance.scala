@@ -119,22 +119,14 @@ object Maintenance {
     // computed from full histograms — production CBOs apply it to
     // sampled or sketched ones).
     "mt_join_profile" -> ((s, dir) => {
-      def profile(name: String, a: DataFrame, ak: String,
-                  b: DataFrame, bk: String): DataFrame = {
-        val ha = a.groupBy(col(ak).as("k")).agg(count(lit(1)).as("ca"))
-        val hb = b.groupBy(col(bk).as("k")).agg(count(lit(1)).as("cb"))
-        ha.join(hb, "k")
-          .agg(sum(col("ca") * col("cb")).as("est_rows"),
-            count(lit(1)).as("matched_keys"),
-            max(col("ca") * col("cb")).as("max_key_contrib"))
-          .select(lit(name).as("join_name"), col("est_rows"),
-            col("matched_keys"), col("max_key_contrib"))
-      }
       val li = Tables(s, dir, "lineitem")
-      profile("lineitem_orders", li, "l_orderkey",
+      joinProfile("lineitem_orders", li, "l_orderkey",
           Tables(s, dir, "orders"), "o_orderkey")
-        .unionAll(profile("lineitem_part", li, "l_partkey",
+        .unionAll(joinProfile("lineitem_part", li, "l_partkey",
           Tables(s, dir, "part"), "p_partkey"))
+        .unionAll(joinProfile("orders_customer",
+          Tables(s, dir, "orders"), "o_custkey",
+          Tables(s, dir, "customer"), "c_custkey"))
         .orderBy("join_name")
     }),
 
@@ -488,6 +480,23 @@ object Maintenance {
     })
   )
 
+  /** |A ⋈_k B| predicted from the two key histograms without executing
+    * the join: Σ_k cntA(k)·cntB(k) — exact on full histograms (the
+    * soak pins estimate == executed count at ×10/×30; production CBOs
+    * run the same formula over samples or sketches). Shared by the
+    * mt_join_profile query and the scale soak. */
+  private[graft] def joinProfile(name: String, a: DataFrame, ak: String,
+                                 b: DataFrame, bk: String): DataFrame = {
+    val ha = a.groupBy(col(ak).as("k")).agg(count(lit(1)).as("ca"))
+    val hb = b.groupBy(col(bk).as("k")).agg(count(lit(1)).as("cb"))
+    ha.join(hb, "k")
+      .agg(sum(col("ca") * col("cb")).as("est_rows"),
+        count(lit(1)).as("matched_keys"),
+        max(col("ca") * col("cb")).as("max_key_contrib"))
+      .select(lit(name).as("join_name"), col("est_rows"),
+        col("matched_keys"), col("max_key_contrib"))
+  }
+
   private def dec2(c: org.apache.spark.sql.Column) =
     c.cast(DecimalType(18, 2))
 
@@ -568,6 +577,10 @@ object Maintenance {
         |  SELECT p_partkey AS k, count(*) AS cb FROM part GROUP BY 1),
         |hlp AS (
         |  SELECT l_partkey AS k, count(*) AS ca FROM lineitem GROUP BY 1),
+        |hc AS (
+        |  SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1),
+        |hoc AS (
+        |  SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1),
         |prof AS (
         |  SELECT 'lineitem_orders' AS join_name,
         |    CAST(sum(ca * cb) AS BIGINT) AS est_rows,
@@ -578,7 +591,12 @@ object Maintenance {
         |  SELECT 'lineitem_part',
         |    CAST(sum(ca * cb) AS BIGINT), count(*),
         |    CAST(max(ca * cb) AS BIGINT)
-        |  FROM hlp JOIN hp USING (k))
+        |  FROM hlp JOIN hp USING (k)
+        |  UNION ALL
+        |  SELECT 'orders_customer',
+        |    CAST(sum(ca * cb) AS BIGINT), count(*),
+        |    CAST(max(ca * cb) AS BIGINT)
+        |  FROM hoc JOIN hc USING (k))
         |SELECT join_name, est_rows, matched_keys, max_key_contrib
         |FROM prof ORDER BY join_name""".stripMargin,
 

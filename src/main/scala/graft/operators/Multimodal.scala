@@ -1,68 +1,231 @@
 package graft.operators
 
-import java.security.MessageDigest
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Multimodal-column plumbing: image/audio/video payloads as opaque
-  * `binary` columns with typed metadata. The real decode (pixels,
-  * samples, frames) needs codec libraries that do not ship in this
-  * environment, so the decode step is a DETERMINISTIC FAKE — a magic
-  * header + digest extraction — while everything Spark-side is real and
-  * oracle-checked: binary column construction, schema, `mapPartitions`
-  * batch shape over typed Datasets, and frame-offset slicing with
-  * binary `substring`.
+/** Multimodal-column operators: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, decoded with REAL codecs —
+  * the JDK ships them (`javax.imageio`: PNG/JPEG/BMP/GIF/TIFF;
+  * `javax.sound.sampled`: WAV/AU/AIFF PCM), so nothing here is
+  * stubbed except video (no video codec exists in the JDK — the
+  * frame-sample operator treats video as opaque fixed-stride binary,
+  * which is exactly what a demuxer-less pipeline stage can do).
   *
-  * Swap [[Multimodal.decodeStub]] for a real codec call (PDFBox-style,
-  * see graft.functions.PdfText for the PDF case we DO implement) and the
-  * pipeline is production-shaped: payloads never leave executors, the
-  * driver sees only metadata rows.
+  * The engine-side generalization of the reference's binary→derived-
+  * column pattern (3B1_pdf_to_text_udf.sql:1-20 decodes PDF bytes to
+  * text; here image bytes decode to dimensions/channel statistics and
+  * WAV bytes to sample statistics). The pipeline shape is the
+  * production one: payloads are encoded and decoded entirely on
+  * executors inside `mapPartitions` batches over typed Datasets; the
+  * driver only ever sees metadata rows.
+  *
+  * Oracle strategy: payload CONTENT is derived arithmetically from
+  * `doc_id` (width, height, base intensity, sample count), the engine
+  * round-trips it through the real encoder AND decoder, and the DuckDB
+  * oracle recomputes the closed-form pixel/sample sums — so a
+  * hash-green run proves the codec round-trip is bit-exact, not that
+  * two fakes agree.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
-  /** "Image" payload: 4-byte magic + utf-8 body (deterministic fake of
-    * an encoded image; in production this is the raw file from a
-    * binaryFile scan). */
-  private def payloads(s: SparkSession, dir: String): DataFrame =
+  // ---- image family ------------------------------------------------
+
+  /** Per-doc image spec, all values arithmetic in doc_id so the oracle
+    * can recompute every decoded statistic in closed form:
+    * w ∈ [8,16], h ∈ [8,14], base ∈ [0,199]; pixel (x,y) is
+    * r = base+x, g = base+y, b = base+x+y (all < 256 by construction,
+    * so no wraparound and the sums have polynomial closed forms). */
+  final case class ImgSpec(doc_id: Long, w: Int, h: Int, base: Int)
+  final case class ImgPayload(doc_id: Long, payload: Array[Byte])
+  final case class ImgMeta(doc_id: Long, magic: String, width: Long,
+                           height: Long, channels: Long, sum_r: Long,
+                           sum_g: Long, sum_b: Long)
+
+  private def imgSpecs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+      (lit(8) + col("doc_id") % 7).cast("int").as("h"),
+      (col("doc_id") % 200).cast("int").as("base")).as[ImgSpec]
+  }
+
+  /** ENCODE: render the spec'd gradient and compress it to real PNG
+    * bytes with the JDK encoder — per-partition batches, payloads
+    * never leave the executor. */
+  private[graft] def encodePng(rows: Iterator[ImgSpec]): Iterator[ImgPayload] =
+    rows.map { sp =>
+      val img = new BufferedImage(sp.w, sp.h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until sp.h; x <- 0 until sp.w) {
+        val r = sp.base + x; val g = sp.base + y; val b = sp.base + x + y
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      ImgPayload(sp.doc_id, bos.toByteArray)
+    }
+
+  /** DECODE: real `ImageIO` PNG decode — dimensions and channel count
+    * from the decoder, per-channel integer pixel sums from the decoded
+    * raster (images here are ≤ 16×14; a bulk-raster read is the same
+    * loop at production sizes). */
+  private[graft] def decodeMeta(rows: Iterator[ImgPayload]): Iterator[ImgMeta] =
+    rows.map { p =>
+      val magic = p.payload.take(4).map("%02x".format(_)).mkString
+      val img = ImageIO.read(new ByteArrayInputStream(p.payload))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val px = img.getRGB(x, y)
+        sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+      }
+      ImgMeta(p.doc_id, magic, img.getWidth.toLong, img.getHeight.toLong,
+        img.getRaster.getNumBands.toLong, sr, sg, sb)
+    }
+
+  final case class ResizeMeta(doc_id: Long, rw: Long, rh: Long,
+                              sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** DECODE + RESIZE: decode, nearest-neighbor downscale ×2 (keep
+    * pixels at even coordinates — deterministic, so the oracle's
+    * closed form holds exactly; bilinear would be the one-line swap in
+    * production), then per-channel sums of the RESIZED image. */
+  private[graft] def resizeMeta(rows: Iterator[ImgPayload]): Iterator[ResizeMeta] =
+    rows.map { p =>
+      val img = ImageIO.read(new ByteArrayInputStream(p.payload))
+      val rw = (img.getWidth + 1) / 2; val rh = (img.getHeight + 1) / 2
+      val out = new BufferedImage(rw, rh, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until rh; x <- 0 until rw)
+        out.setRGB(x, y, img.getRGB(x * 2, y * 2))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until rh; x <- 0 until rw) {
+        val px = out.getRGB(x, y)
+        sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+      }
+      ResizeMeta(p.doc_id, rw.toLong, rh.toLong, sr, sg, sb)
+    }
+
+  // ---- audio family ------------------------------------------------
+
+  /** Per-doc audio spec: n ∈ [400,499] frames of mono 16-bit PCM at
+    * 8 kHz, sample i = a + i with a = doc_id % 500 (a + n < 1000 — no
+    * int16 overflow, and sum/min/max have closed forms). */
+  final case class AudSpec(doc_id: Long, n: Int, a: Int)
+  final case class AudPayload(doc_id: Long, payload: Array[Byte])
+  final case class AudMeta(doc_id: Long, n_frames: Long, channels: Long,
+                           sample_rate: Long, bits: Long, sum_s: Long,
+                           min_s: Long, max_s: Long)
+
+  private def audSpecs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      (lit(400) + col("doc_id") % 100).cast("int").as("n"),
+      (col("doc_id") % 500).cast("int").as("a")).as[AudSpec]
+  }
+
+  /** ENCODE: real WAV bytes via `AudioSystem.write` (RIFF header +
+    * little-endian PCM), the JDK's own encoder. */
+  private[graft] def encodeWav(rows: Iterator[AudSpec]): Iterator[AudPayload] =
+    rows.map { sp =>
+      val fmt = new AudioFormat(8000f, 16, 1, true, false) // signed LE
+      val data = new Array[Byte](sp.n * 2)
+      for (i <- 0 until sp.n) {
+        val v = sp.a + i
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(data), fmt, sp.n.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      AudPayload(sp.doc_id, bos.toByteArray)
+    }
+
+  /** DECODE: `AudioSystem.getAudioInputStream` parses the RIFF header
+    * (format, frame count), then the PCM frames stream through a
+    * sum/min/max fold. */
+  private[graft] def decodeWav(rows: Iterator[AudPayload]): Iterator[AudMeta] =
+    rows.map { p =>
+      val in = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(p.payload))
+      val f = in.getFormat
+      val frames = in.getFrameLength
+      val bytes = in.readAllBytes()
+      in.close()
+      var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val v = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toLong
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        i += 2
+      }
+      AudMeta(p.doc_id, frames, f.getChannels.toLong,
+        f.getSampleRate.toLong, f.getSampleSizeInBits.toLong, sum, mn, mx)
+    }
+
+  // ---- video (documented stub) ------------------------------------
+
+  /** "Video" payload for the frame sampler: a binary column treated as
+    * fixed-stride frames. The JDK has NO video codec (unlike images
+    * and WAV audio above), so this family stays at the
+    * opaque-binary-plumbing level: stride slicing, frame admission,
+    * fingerprinting — all codegen'd binary expressions, no UDF. */
+  private def framePayloads(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents").select(col("doc_id"),
       concat(lit("IMG0").cast("binary"), col("text").cast("binary"))
         .as("payload"))
 
-  final case class MmIn(doc_id: Long, payload: Array[Byte])
-  final case class MmMeta(doc_id: Long, n_bytes: Int, magic: String,
-                          digest: String)
-
-  /** The stubbed decode: per-partition iteration over binary payloads
-    * extracting metadata. Replace the body with a codec call for real
-    * decoding — the signature (Iterator of payload rows → Iterator of
-    * typed metadata) is the production batch shape. */
-  def decodeStub(rows: Iterator[MmIn]): Iterator[MmMeta] = {
-    val md = MessageDigest.getInstance("MD5") // one instance per partition
-    rows.map { r =>
-      md.reset()
-      val hex = md.digest(r.payload).map("%02x".format(_)).mkString
-      val magic = r.payload.take(4).map("%02x".format(_)).mkString
-      MmMeta(r.doc_id, r.payload.length, magic, hex.take(16))
-    }
-  }
-
   val queries: Map[String, Q] = Map(
-    // Binary decode via mapPartitions: payload → (size, magic, digest).
+    // Real PNG round-trip: encode the doc_id-derived gradient with the
+    // JDK PNG encoder, decode with ImageIO, report decoder-observed
+    // dimensions/channels and integer per-channel pixel sums. The
+    // oracle recomputes every column in closed form — hash-green means
+    // the codec round-trip is bit-exact.
     "mm_decode_meta" -> ((s, dir) => {
       import s.implicits._
-      payloads(s, dir).as[MmIn]
-        .mapPartitions(decodeStub)
+      imgSpecs(s, dir)
+        .mapPartitions(encodePng)
+        .mapPartitions(decodeMeta)
         .toDF()
         .orderBy("doc_id")
     }),
 
-    // Frame sampling: treat the payload as fixed-size 100-byte frames,
-    // keep every 3rd frame, fingerprint each — binary substring +
-    // sequence explode, all codegen'd expressions, no UDF.
+    // Decode + nearest-neighbor ×2 downscale + channel stats of the
+    // resized image — the feature-extract/resize stage of an image
+    // training pipeline, again against a closed-form oracle.
+    "mm_resize_stats" -> ((s, dir) => {
+      import s.implicits._
+      imgSpecs(s, dir)
+        .mapPartitions(encodePng)
+        .mapPartitions(resizeMeta)
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // Real WAV round-trip: PCM frames → AudioSystem WAV encoder →
+    // AudioSystem decoder → header metadata + sample statistics.
+    "mm_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      audSpecs(s, dir)
+        .mapPartitions(encodeWav)
+        .mapPartitions(decodeWav)
+        .toDF()
+        .orderBy("doc_id")
+    }),
+
+    // Frame sampling over opaque binary: treat the payload as
+    // fixed-size 100-byte frames, keep every 3rd frame, fingerprint
+    // each — binary substring + sequence explode, all codegen'd
+    // expressions, no UDF. (The video-shaped path: stride slicing
+    // works without a codec.)
     "mm_frame_sample" -> ((s, dir) =>
-      payloads(s, dir)
+      framePayloads(s, dir)
         // integer div: Spark '/' is float division and DuckDB rounds on
         // double→int casts, so both sides use explicit integer division
         .withColumn("n_frames", expr("octet_length(payload) div 100"))
@@ -76,15 +239,60 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
-    // Text is pure ASCII (verified), so byte offsets == char offsets and
-    // the oracle can mirror the binary ops on strings.
+    // closed forms over w = 8 + id%9, h = 8 + id%7, base = id%200:
+    //   Σ_pixels r = Σ_y Σ_x (base+x) = h·(w·base + w(w-1)/2)
+    //   Σ_pixels g = w·(h·base + h(h-1)/2)
+    //   Σ_pixels b = w·h·base + h·w(w-1)/2 + w·h(h-1)/2
+    // 89504e47 is the real PNG signature's first four bytes.
     "mm_decode_meta" ->
-      """SELECT doc_id,
-        |  CAST(4 + octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
-        |  lower(hex(CAST('IMG0' AS BLOB))) AS magic,
-        |  substr(md5('IMG0' || text), 1, 16) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH sp AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |         doc_id % 200 AS base
+        |  FROM documents)
+        |SELECT doc_id, '89504e47' AS magic,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(h * (w * base + w * (w - 1) // 2) AS BIGINT) AS sum_r,
+        |  CAST(w * (h * base + h * (h - 1) // 2) AS BIGINT) AS sum_g,
+        |  CAST(w * h * base + h * (w * (w - 1) // 2)
+        |       + w * (h * (h - 1) // 2) AS BIGINT) AS sum_b
+        |FROM sp ORDER BY doc_id""".stripMargin,
 
+    // resized image keeps pixels at even (x, y): rw = (w+1)//2,
+    // rh = (h+1)//2, and Σ over even x of x = 2·(rw(rw-1)/2) = rw(rw-1)
+    "mm_resize_stats" ->
+      """WITH sp AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |         doc_id % 200 AS base
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, base, (w + 1) // 2 AS rw, (h + 1) // 2 AS rh
+        |  FROM sp)
+        |SELECT doc_id,
+        |  CAST(rw AS BIGINT) AS rw, CAST(rh AS BIGINT) AS rh,
+        |  CAST(rh * (rw * base + rw * (rw - 1)) AS BIGINT) AS sum_r,
+        |  CAST(rw * (rh * base + rh * (rh - 1)) AS BIGINT) AS sum_g,
+        |  CAST(rw * rh * base + rh * rw * (rw - 1)
+        |       + rw * rh * (rh - 1) AS BIGINT) AS sum_b
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // n = 400 + id%100 frames of sample a+i, a = id%500:
+    // Σ = n·a + n(n-1)/2, min = a, max = a+n-1; header says mono,
+    // 8 kHz, 16-bit
+    "mm_audio_meta" ->
+      """WITH sp AS (
+        |  SELECT doc_id, 400 + doc_id % 100 AS n, doc_id % 500 AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_frames, CAST(1 AS BIGINT) AS channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits,
+        |  CAST(n * a + n * (n - 1) // 2 AS BIGINT) AS sum_s,
+        |  CAST(a AS BIGINT) AS min_s,
+        |  CAST(a + n - 1 AS BIGINT) AS max_s
+        |FROM sp ORDER BY doc_id""".stripMargin,
+
+    // Text is pure ASCII (verified), so byte offsets == char offsets
+    // and the oracle can mirror the binary ops on strings.
     "mm_frame_sample" ->
       """WITH p AS (
         |  SELECT doc_id, 'IMG0' || text AS payload,

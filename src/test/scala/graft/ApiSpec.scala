@@ -256,6 +256,39 @@ class ApiSpec extends SparkSpec {
     assert(lp === lpQ)
   }
 
+  test("facade entity resolution parity with er_blocked_match/er_entities") {
+    import graft.api.Entities
+    import graft.operators.FuzzyJoin
+    // the same synthetic master/dirty frames the named queries derive,
+    // under caller column names — the facade must reproduce both the
+    // review queue and the consolidated census exactly
+    val master = Tables(spark, sf, "customer").select(
+      col("c_custkey").as("mid"),
+      expr(FuzzyJoin.sylNameSql("c_custkey", "STRING")).as("mname"))
+    val dirty = master.select(col("mid").as("did"),
+      expr(FuzzyJoin.mutateSql("mid", "mname")).as("dname"))
+    val api = Entities.matchRecords(dirty, master,
+        "did", "dname", "mid", "mname", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val query = operators.FuzzyJoin.queries("er_blocked_match")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(api === query)
+    val census = Entities.resolve(dirty, master,
+        "did", "dname", "mid", "mname")
+      .groupBy("entity_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val censusQ = operators.FuzzyJoin.queries("er_entities")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(census === censusQ)
+    // kind decode: every dirty assignment is a real dirty id, every
+    // master assignment a real master id
+    val kinds = Entities.resolve(dirty, master,
+        "did", "dname", "mid", "mname")
+      .groupBy("kind").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet === Set("dirty", "master"))
+  }
+
   test("dropNearDups removes exactly the id2 side, schema unchanged") {
     val kept = Corpus.dropNearDups(renamedDocs, "id", "body")
     assert(kept.columns.toSeq === Seq("id", "body"))

@@ -93,6 +93,90 @@ class GraphSpec extends SparkSpec {
       s"incr $incrRounds vs full $fullRounds")
   }
 
+  test("star contraction pays one action per round (plus init)") {
+    // the fixpoint test is folded into each round's single
+    // materialize-and-compare action — a path graph converging in R
+    // rounds must cost exactly R + 1 MATERIALIZING actions (1 = the
+    // initial checkpoint count), not the 3R of an eager checkpoint +
+    // count + anti-join-count loop. A lazy Dataset.localCheckpoint
+    // also emits a listener event without running any job — filter
+    // those bookkeeping entries out by funcName.
+    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = names.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = names.add(funcName)
+    }
+    // the listener is notified asynchronously — poll until the count
+    // is stable for 500 ms
+    def settled(): Seq[String] = {
+      var prev = -1
+      var cur = names.size()
+      var spins = 0
+      while (cur != prev && spins < 20) {
+        prev = cur; Thread.sleep(500); cur = names.size(); spins += 1
+      }
+      import scala.jdk.CollectionConverters._
+      names.asScala.toSeq
+    }
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
+    spark.listenerManager.register(listener)
+    try {
+      Graph.starComponents(path) // internal loop actions run eagerly
+      val all = settled()
+      val actions = all.count(n => !n.toLowerCase.contains("checkpoint"))
+      val rounds = Graph.lastRounds
+      assert(rounds >= 2)
+      assert(actions === rounds + 1,
+        s"$actions materializing actions ($all) for $rounds rounds — " +
+          "fixpoint not folded in")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("link prediction hub guard: capped fan-out, exact when bounded") {
+    // power-law shape: one hub of degree 2000 — uncapped, the midpoint
+    // wedge join would emit C(2000,2) ≈ 2M pairs through it; the guard
+    // keeps the hub's 64 lowest-(degree, id) neighbors, so leaf pairs
+    // from {1..64} are the only predictions and top-k under
+    // (score desc, a, c) is hand-computable
+    val hub = (1L to 2000L).map(i => (0L, i))
+    val e = hub.toDF("x", "y")
+    val top = Graph.linkPredictOf(e, 5, hubCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(top.toSeq === Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (1L, 5L, 1L), (1L, 6L, 1L)))
+    // and the capped pool really is {1..64}: no prediction touches a
+    // leaf above the cap
+    val all = Graph.linkPredictOf(e, 10000, hubCap = 64).collect()
+    assert(all.length === 64L * 63L / 2)
+    assert(all.forall(r => r.getLong(0) <= 64L && r.getLong(1) <= 64L))
+    // a graph whose degrees stay under the cap takes the exact branch:
+    // same two-hubs fixture as the brute-force test above
+    val bounded = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 10L), (1L, 2L)).toDF("x", "y")
+    val capped = Graph.linkPredictOf(bounded, 100, hubCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val exact = Graph.linkPredictOf(bounded, 100, hubCap = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(capped === exact)
+    assert(capped((10L, 11L)) === 2L && !capped.contains((1L, 2L)))
+    // the named query's graph never engages the guard: co-supply
+    // degrees sit far under HubCap, so gr_link_predict stays exact
+    val cos = Graph.coSupplyEdges(spark, sf)
+    val maxDeg = cos.select(col("x").as("n"))
+      .unionAll(cos.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .agg(max("d")).collect().head.getLong(0)
+    assert(maxDeg < Graph.HubCap, s"co-supply max degree $maxDeg")
+  }
+
   test("link prediction: common-neighbor scores equal brute force") {
     // two hubs sharing 3 neighbors, plus a chain: hand-checkable wedges
     val edges = Seq(

@@ -1,0 +1,110 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.File
+import javax.imageio.ImageIO
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Real-codec multimodal decode: fixture files on disk through the
+  * binaryFile source, plus round-trip pins for the oracle queries. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val nDocs: Int =
+    Tables(spark, sf, "documents").count().toInt
+
+  private def fixtureDir: File = {
+    val d = new File(sys.props("java.io.tmpdir"), "graft_mm_fixtures")
+    d.mkdirs()
+    d
+  }
+
+  /** 5×4 test card: r = 10x, g = 20y, b = 40 constant. */
+  private def testCard(): BufferedImage = {
+    val img = new BufferedImage(5, 4, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 5)
+      img.setRGB(x, y, ((10 * x) << 16) | ((20 * y) << 8) | 40)
+    img
+  }
+
+  test("real PNG and BMP files decode through the binaryFile source") {
+    // fixtures written by the JDK encoder itself — two different real
+    // container formats, one decoder path
+    val png = new File(fixtureDir, "card.png")
+    val bmp = new File(fixtureDir, "card.bmp")
+    assert(ImageIO.write(testCard(), "png", png))
+    assert(ImageIO.write(testCard(), "bmp", bmp))
+    val files = spark.read.format("binaryFile")
+      .load(fixtureDir.getAbsolutePath + "/card.*")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .collect().toMap
+    assert(files.size === 2)
+    // run each payload through the SAME decode stage the query uses
+    val metas = Multimodal.decodeMeta(files.iterator.map { case (p, b) =>
+      Multimodal.ImgPayload(if (p.endsWith("png")) 1L else 2L, b)
+    }).toList.sortBy(_.doc_id)
+    // expected sums: Σr = 4·(10·(0+1+2+3+4)) = 400,
+    // Σg = 5·(20·(0+1+2+3)) = 600, Σb = 20·40 = 800
+    for (m <- metas) {
+      assert(m.width === 5L && m.height === 4L && m.channels === 3L)
+      assert(m.sum_r === 400L && m.sum_g === 600L && m.sum_b === 800L)
+    }
+    // container magics differ even though the pixels agree: PNG
+    // signature vs 'BM' header
+    assert(metas.head.magic === "89504e47")
+    assert(metas(1).magic.startsWith("424d"))
+  }
+
+  test("mm_decode_meta round-trips the real PNG encoder bit-exactly") {
+    val out = SparkEntry.queries("mm_decode_meta")(spark, sf)
+      .collect()
+    assert(out.length === nDocs)
+    for (r <- out) {
+      val id = r.getLong(0)
+      val (w, h, base) = (8 + id % 9, 8 + id % 7, id % 200)
+      assert(r.getString(1) === "89504e47") // real PNG signature
+      assert(r.getLong(2) === w && r.getLong(3) === h)
+      assert(r.getLong(4) === 3L)
+      assert(r.getLong(5) === h * (w * base + w * (w - 1) / 2))
+      assert(r.getLong(6) === w * (h * base + h * (h - 1) / 2))
+      assert(r.getLong(7) ===
+        w * h * base + h * (w * (w - 1) / 2) + w * (h * (h - 1) / 2))
+    }
+  }
+
+  test("mm_resize_stats: nearest-neighbor ×2 keeps even-coordinate pixels") {
+    val out = SparkEntry.queries("mm_resize_stats")(spark, sf).collect()
+    assert(out.length === nDocs)
+    for (r <- out) {
+      val id = r.getLong(0)
+      val (w, h, base) = (8 + id % 9, 8 + id % 7, id % 200)
+      val (rw, rh) = ((w + 1) / 2, (h + 1) / 2)
+      assert(r.getLong(1) === rw && r.getLong(2) === rh)
+      assert(r.getLong(3) === rh * (rw * base + rw * (rw - 1)))
+      assert(r.getLong(4) === rw * (rh * base + rh * (rh - 1)))
+      assert(r.getLong(5) ===
+        rw * rh * base + rh * rw * (rw - 1) + rw * rh * (rh - 1))
+    }
+  }
+
+  test("mm_audio_meta: WAV header and PCM samples survive the round-trip") {
+    val out = SparkEntry.queries("mm_audio_meta")(spark, sf).collect()
+    assert(out.length === nDocs)
+    for (r <- out) {
+      val id = r.getLong(0)
+      val (n, a) = (400 + id % 100, id % 500)
+      assert(r.getLong(1) === n)                        // frame count
+      assert(r.getLong(2) === 1L && r.getLong(3) === 8000L &&
+        r.getLong(4) === 16L)                           // mono 8k 16-bit
+      assert(r.getLong(5) === n * a + n * (n - 1) / 2)  // Σ samples
+      assert(r.getLong(6) === a && r.getLong(7) === a + n - 1)
+    }
+    // negative samples survive too: the sign bit is the usual 16-bit
+    // PCM trap (a byte-order or signedness slip flips it)
+    val m = Multimodal.decodeWav(Multimodal.encodeWav(Iterator(
+      Multimodal.AudSpec(0L, 4, -1000)))).next()
+    assert(m.sum_s === -1000 * 4 + 6 && m.min_s === -1000L)
+  }
+}
