@@ -57,7 +57,9 @@ object PlanAudit {
     "tt_asof_read", "pv_k_anonymity", "tc_normalize", "dq_drift_report",
     "gr_components_incr", "gr_link_predict", "x_locf_fill",
     "mv_join_delta", "mt_join_profile", "mt_skew_advisor",
-    "mt_file_skipping", "ev_attribution")
+    "mt_file_skipping", "ev_attribution",
+    // round-7 additions
+    "gr_triangles_incr", "mm_decode_meta", "mm_audio_meta")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

@@ -290,7 +290,8 @@ object Soak {
       // has no key column here, the soak corpus swaps `part` for the
       // keyless fuzzy vocabulary — but the profiler itself gets its
       // scale datapoint in the dedicated estimate==actual block below)
-      "gr_components_incr", "gr_link_predict", "mv_join_delta",
+      "gr_components_incr", "gr_link_predict", "gr_triangles_incr",
+      "mv_join_delta",
       "mt_skew_advisor", "tt_asof_read",
       "pv_k_anonymity", "tc_normalize", "dq_drift_report",
       "x_locf_fill", "mt_file_skipping", "ev_attribution")) {

@@ -295,6 +295,32 @@ object Graph {
     "gr_link_predict" -> ((s, dir) =>
       linkPredictOf(coSupplyEdges(s, dir), 20)),
 
+    // INCREMENTAL triangle maintenance — the IVM story applied to the
+    // graph family: yesterday's per-node census (the co-supply graph
+    // minus tonight's batch) persists once via Materialize exactly
+    // like the ANN index artifacts; the nightly job counts ONLY the
+    // triangles stabbed by new edges (for each new edge (a,b), common
+    // neighbors of a and b in the new graph; triple-dedup handles
+    // triangles with 2–3 new edges) and adds them on. Delta cost is
+    // Σ_{(a,b)∈Δ} deg(a) — batch-scale, never graph-scale. The final
+    // census equals the from-scratch gr_triangles exactly (same
+    // oracle); GraphSpec additionally pins delta+old == full on
+    // adversarial splits.
+    "gr_triangles_incr" -> ((s, dir) => {
+      val g = coSupplyEdges(s, dir)
+      val isNew = (col("x") + col("y")) % 5 === 0
+      val oldCensus = graft.sources.Materialize
+        .tableOnce(s, dir,
+          graft.sources.Materialize.indexTable("cosupply_tri", dir)) {
+          trianglesOf(g.filter(!isNew))
+        }
+      oldCensus.select(col("node"), col("n_triangles"))
+        .unionAll(triangleDelta(g, g.filter(isNew)))
+        .groupBy("node").agg(sum("n_triangles").as("n_triangles"))
+        .select(col("node").as("l_suppkey"), col("n_triangles"))
+        .orderBy("l_suppkey")
+    }),
+
     // Triangle counting on the strong co-supply graph (suppliers
     // adjacent iff they co-appear in strictly more orders than the mean
     // pair + 2 — a data-derived cutoff, so every scale factor yields a
@@ -350,6 +376,38 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node counts of triangles in `g` (canonical x < y edges)
+    * containing AT LEAST ONE edge of `delta` (a subset of g, same
+    * canonical form). For each delta edge (a, b): candidates are a's
+    * neighbors c (one hash join against the undirected view), closed
+    * by a semi-join probe of the (b, c) edge; the sorted-triple
+    * distinct counts each new triangle exactly once however many new
+    * edges it contains. Candidate volume is Σ_{(a,b)∈Δ} deg(a) —
+    * the incremental bound that makes nightly maintenance cheaper
+    * than recount whenever |Δ| ≪ |E|. */
+  private[graft] def triangleDelta(g: DataFrame,
+                                   delta: DataFrame): DataFrame = {
+    val und = g.select("x", "y")
+      .unionAll(g.select(col("y").as("x"), col("x").as("y")))
+    val cand = delta.select(col("x").as("a"), col("y").as("b")).as("d")
+      .join(und.as("n"), col("a") === col("n.x"))
+      .select(col("a"), col("b"), col("n.y").as("c"))
+      .filter(col("c") =!= col("b"))
+    val closed = cand.join(
+      g.select(col("x").as("e1"), col("y").as("e2")),
+      least(col("b"), col("c")) === col("e1") &&
+        greatest(col("b"), col("c")) === col("e2"), "left_semi")
+    val tris = closed.select(
+        least(col("a"), col("b"), col("c")).as("t1"),
+        (col("a") + col("b") + col("c")
+          - least(col("a"), col("b"), col("c"))
+          - greatest(col("a"), col("b"), col("c"))).as("t2"),
+        greatest(col("a"), col("b"), col("c")).as("t3"))
+      .distinct()
+    tris.select(explode(array(col("t1"), col("t2"), col("t3"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Default midpoint fan-out cap for [[linkPredictOf]] — far above
     * any degree the thresholded co-supply graph produces (so the named
     * query's oracle is byte-identical, spec-asserted), low enough that
@@ -380,20 +438,33 @@ object Graph {
       .distinct().cache()
     val und = edges.select("x", "y")
       .unionAll(edges.select(col("y").as("x"), col("x").as("y")))
-    // midpoint-keyed neighbor table with the midpoint's degree; only
-    // rows of over-cap midpoints enter the ranking window
-    val deg = und.groupBy("x").agg(count(lit(1)).as("dm"))
-    val ann = und.join(deg, "x")
-    val smallMid = ann.filter(col("dm") <= hubCap).select("x", "y")
-    val hubMid = ann.filter(col("dm") > hubCap)
-      .join(deg.select(col("x").as("y"), col("dm").as("dn")), "y")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("x")
-          .orderBy(col("dn"), col("y"))))
-      .filter(col("rn") <= hubCap).select("x", "y")
-    val undCapped = smallMid.unionAll(hubMid)
-    val wedges = undCapped.as("e1")
-      .join(undCapped.as("e2"),
+    // GUARD PROBE: one aggregate over the cached edge list decides
+    // whether any midpoint exceeds the cap — the scalar-config-fetch
+    // pattern (Maintenance restatement uses it too). Bounded graphs
+    // (the named co-supply query, spec-asserted) take the un-capped
+    // plan VERBATIM — no degree join, no window, no perf tax — and
+    // results are exact; only a graph that actually carries a hub pays
+    // the ranking window. (An always-on window measured 2× slower on
+    // the named query: it re-shapes the 90M-wedge self-join from a
+    // hash probe of a narrow projection into sorted-partition
+    // iteration.)
+    val deg = und.groupBy("x").agg(count(lit(1)).as("d"))
+    val maxDeg = deg.agg(max("d")).first().getLong(0)
+    val pool =
+      if (maxDeg <= hubCap) und
+      else und
+        // rank each midpoint's neighbors by (neighbor degree, id) and
+        // keep the first hubCap — the recall contract prefers
+        // low-degree common neighbors, the informative ones under the
+        // Adamic-Adar weighting argument
+        .join(deg.select(col("x").as("y"), col("d").as("dn")), "y")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("x")
+            .orderBy(col("dn"), col("y"))))
+        .filter(col("rn") <= hubCap)
+        .select("x", "y")
+    val wedges = pool.as("e1")
+      .join(pool.as("e2"),
         col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
       .select(col("e1.y").as("a"), col("e2.y").as("c"),
         col("e1.x").as("b"))
@@ -526,6 +597,30 @@ object Graph {
         |comp AS (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)
         |SELECT cluster_id, count(*) AS n_orders
         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the incremental path maintains the census of the SAME final
+    // graph, so its oracle is the from-scratch triangle count verbatim
+    "gr_triangles_incr" ->
+      """WITH ds AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |p AS (
+        |  SELECT l1.l_suppkey AS x, l2.l_suppkey AS y, count(*) AS cnt
+        |  FROM ds l1 JOIN ds l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |      AND l1.l_suppkey < l2.l_suppkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT sum(cnt) // count(*) + 2 AS thr FROM p),
+        |e AS (SELECT x, y FROM p, t WHERE cnt > thr),
+        |tri AS (
+        |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |  FROM e e1 JOIN e e2 ON e1.y = e2.x
+        |    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |roles AS (
+        |  SELECT a AS l_suppkey FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT l_suppkey, count(*) AS n_triangles
+        |FROM roles GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same thresholded edge set; wedges via the undirected view,
     // existing links anti-joined out before scoring

@@ -53,7 +53,13 @@ object Multimodal {
       col("doc_id"),
       (lit(8) + col("doc_id") % 9).cast("int").as("w"),
       (lit(8) + col("doc_id") % 7).cast("int").as("h"),
-      (col("doc_id") % 200).cast("int").as("base")).as[ImgSpec]
+      (col("doc_id") % 200).cast("int").as("base"))
+      // codec work is CPU-bound: spread it over the full core count
+      // instead of inheriting the scan's file-layout partitioning (one
+      // small parquet file = one partition = single-threaded encode —
+      // measured 2× slower); the shuffled rows are 4 scalars each
+      .repartition(col("doc_id"))
+      .as[ImgSpec]
   }
 
   /** ENCODE: render the spec'd gradient and compress it to real PNG
@@ -126,7 +132,9 @@ object Multimodal {
     Tables(s, dir, "documents").select(
       col("doc_id"),
       (lit(400) + col("doc_id") % 100).cast("int").as("n"),
-      (col("doc_id") % 500).cast("int").as("a")).as[AudSpec]
+      (col("doc_id") % 500).cast("int").as("a"))
+      .repartition(col("doc_id")) // same CPU-spread as imgSpecs
+      .as[AudSpec]
   }
 
   /** ENCODE: real WAV bytes via `AudioSystem.write` (RIFF header +

@@ -240,6 +240,31 @@ class GraphSpec extends SparkSpec {
     assert(!perNode.contains(20L) && !perNode.contains(99L))
   }
 
+  test("triangle delta: old census + stabbed triangles == full recount") {
+    // K5 ∪ triangle ∪ square, canonical x < y; three delta splits,
+    // including one where a triangle is entirely new (all 3 edges in
+    // the batch — the triple-dedup case) and one empty delta
+    val all = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L),
+      (2L, 5L), (3L, 4L), (3L, 5L), (4L, 5L),             // K5: 10 tris
+      (10L, 11L), (11L, 12L), (10L, 12L),                 // triangle
+      (20L, 21L), (21L, 22L), (22L, 23L), (20L, 23L))     // square
+    val g = all.toDF("x", "y")
+    val full = Graph.trianglesOf(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (pred <- Seq[((Long, Long)) => Boolean](
+      { case (a, b) => (a + b) % 3 == 0 },      // scattered batch
+      { case (a, b) => a >= 10 },               // whole triangle is new
+      { case _ => false })) {                   // empty batch
+      val delta = all.filter(pred).toDF("x", "y")
+      val old = Graph.trianglesOf(all.filterNot(pred).toDF("x", "y"))
+      val incr = old.unionAll(Graph.triangleDelta(g, delta))
+        .groupBy("node").agg(sum("n_triangles").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(incr === full, s"split $pred")
+    }
+  }
+
   test("pagerank on the lake graph: mass conserved within floor loss") {
     val ranks = Graph.queries("gr_pagerank")(spark, sf)
       .agg(sum("rank_millionths"), count(lit(1))).collect().head
