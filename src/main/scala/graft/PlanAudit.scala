@@ -59,7 +59,8 @@ object PlanAudit {
     "mv_join_delta", "mt_join_profile", "mt_skew_advisor",
     "mt_file_skipping", "ev_attribution",
     // round-7 additions
-    "gr_triangles_incr", "mm_decode_meta", "mm_audio_meta")
+    "gr_triangles_incr", "mm_decode_meta", "mm_audio_meta",
+    "mm_phash_dedup")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

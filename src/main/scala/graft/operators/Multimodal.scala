@@ -116,6 +116,68 @@ object Multimodal {
       ResizeMeta(p.doc_id, rw.toLong, rh.toLong, sr, sg, sb)
     }
 
+  // ---- perceptual dedup (aHash) ------------------------------------
+
+  /** Pattern spec for perceptual dedup: every doc renders a 16×16
+    * grayscale PNG whose SHAPE is one of four patterns (doc_id % 4:
+    * x-gradient / y-gradient / diagonal / 4px-checkerboard) and whose
+    * BRIGHTNESS varies per doc (base = doc_id % 100, all values
+    * base + [0,120] < 256). Average-hash is exactly invariant to the
+    * brightness shift (the mean shifts with the pixels, so the
+    * bit comparisons cancel base), so the perceptual groups are the
+    * four patterns — which the oracle can name without computing a
+    * single hash. */
+  final case class PatSpec(doc_id: Long, p: Int, base: Int)
+  final case class PHash(doc_id: Long, phash: String)
+
+  private def patSpecs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      (col("doc_id") % 4).cast("int").as("p"),
+      (col("doc_id") % 100).cast("int").as("base"))
+      .repartition(col("doc_id")) // same CPU-spread as imgSpecs
+      .as[PatSpec]
+  }
+
+  private[graft] def encodePattern(rows: Iterator[PatSpec]): Iterator[ImgPayload] =
+    rows.map { sp =>
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val v = sp.p match {
+          case 0 => x * 8
+          case 1 => y * 8
+          case 2 => (x + y) * 4
+          case _ => ((x / 4 + y / 4) % 2) * 120
+        }
+        val c = sp.base + v
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      ImgPayload(sp.doc_id, bos.toByteArray)
+    }
+
+  /** Classic average-hash over the DECODED image: nearest-neighbor
+    * 8×8 downsample, bit = (pixel > mean of the 64 samples), 64 bits
+    * row-major to a 16-hex-digit string. Integer-exact: the mean
+    * comparison is `g·64 > Σg` — no float division. */
+  private[graft] def avgHash(rows: Iterator[ImgPayload]): Iterator[PHash] =
+    rows.map { pl =>
+      val img = ImageIO.read(new ByteArrayInputStream(pl.payload))
+      val g = new Array[Int](64)
+      var sum = 0
+      for (j <- 0 until 8; i <- 0 until 8) {
+        val px = img.getRGB(
+          i * img.getWidth / 8, j * img.getHeight / 8) & 0xff
+        g(j * 8 + i) = px; sum += px
+      }
+      var hash = 0L
+      for (idx <- 0 until 64)
+        if (g(idx).toLong * 64 > sum) hash |= (1L << (63 - idx))
+      PHash(pl.doc_id, f"$hash%016x")
+    }
+
   // ---- audio family ------------------------------------------------
 
   /** Per-doc audio spec: n ∈ [400,499] frames of mono 16-bit PCM at
@@ -216,6 +278,27 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // Perceptual image dedup: render → PNG → decode → average-hash →
+    // group by hash. The engine must decode and hash bit-identically
+    // across brightness variants to reproduce the pattern census the
+    // oracle names arithmetically — a dedup-family operator whose
+    // blocking key is computed by a real image codec. Scale shape:
+    // codec work is embarrassingly parallel; the hash groupBy is one
+    // digest-keyed shuffle (the dd_exact shape).
+    "mm_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = patSpecs(s, dir)
+        .mapPartitions(encodePattern)
+        .mapPartitions(avgHash)
+        .toDF()
+      val groups = hashes.groupBy("phash")
+        .agg(min(col("doc_id")).as("dup_group"),
+          count(lit(1)).as("group_size"))
+      hashes.join(groups, "phash")
+        .select(col("doc_id"), col("dup_group"), col("group_size"))
+        .orderBy("doc_id")
+    }),
+
     // Real WAV round-trip: PCM frames → AudioSystem WAV encoder →
     // AudioSystem decoder → header metadata + sample statistics.
     "mm_audio_meta" -> ((s, dir) => {
@@ -283,6 +366,17 @@ object Multimodal {
         |  CAST(rw * rh * base + rh * rw * (rw - 1)
         |       + rw * rh * (rh - 1) AS BIGINT) AS sum_b
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // perceptual groups == the four patterns (aHash is exactly
+    // brightness-invariant and the four 8×8 bit grids are pairwise
+    // distinct — right-half / bottom-half / lower-triangle / checker,
+    // MultimodalSpec pins this); dup_group = min doc of the pattern
+    // class, which is the class index itself since docs 0..3 exist
+    "mm_phash_dedup" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY doc_id % 4) AS dup_group,
+        |  count(*) OVER (PARTITION BY doc_id % 4) AS group_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // n = 400 + id%100 frames of sample a+i, a = id%500:
     // Σ = n·a + n(n-1)/2, min = a, max = a+n-1; header says mono,

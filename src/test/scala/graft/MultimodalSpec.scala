@@ -89,6 +89,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("average-hash: brightness-invariant, four patterns pairwise distinct") {
+    def hashOf(p: Int, base: Int): String =
+      Multimodal.avgHash(Multimodal.encodePattern(Iterator(
+        Multimodal.PatSpec(0L, p, base)))).next().phash
+    // brightness shifts cancel exactly in the mean comparison
+    for (p <- 0 to 3)
+      assert(hashOf(p, 0) === hashOf(p, 99), s"pattern $p not invariant")
+    // the four pattern hashes are pairwise distinct
+    val hs = (0 to 3).map(hashOf(_, 37))
+    assert(hs.distinct.size === 4)
+    // and the x-gradient's grid is the hand-computable right-half mask:
+    // each row has bits 0000 1111 (sampled v = 16i > mean 56 ⟺ i ≥ 4)
+    assert(hs(0) === "0f" * 8)
+    val groups = SparkEntry.queries("mm_phash_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(groups.length === nDocs)
+    assert(groups.forall { case (id, grp, _) => grp === id % 4 })
+  }
+
   test("mm_audio_meta: WAV header and PCM samples survive the round-trip") {
     val out = SparkEntry.queries("mm_audio_meta")(spark, sf).collect()
     assert(out.length === nDocs)
