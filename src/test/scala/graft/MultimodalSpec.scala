@@ -108,6 +108,35 @@ class MultimodalSpec extends SparkSpec {
     assert(groups.forall { case (id, grp, _) => grp === id % 4 })
   }
 
+  test("Media facade: binaryFile images and caller payloads, query parity") {
+    import graft.api.Media
+    // imageMeta over the on-disk fixtures through binaryFile
+    val png = new File(fixtureDir, "card.png")
+    assert(png.exists() || ImageIO.write(testCard(), "png", png))
+    val meta = Media.imageMeta(
+      spark.read.format("binaryFile").load(png.getAbsolutePath)
+        .withColumn("id", lit(7L)), "id", "content")
+      .collect().head
+    assert(meta.getLong(2) === 5L && meta.getLong(3) === 4L) // w, h
+    assert(meta.getLong(5) === 400L)                         // sum_r
+    // imageDedup over the pattern payloads == the named query's groups
+    val payloads = {
+      val specs = Tables(spark, sf, "documents").select(
+        col("doc_id"), (col("doc_id") % 4).cast("int").as("p"),
+        (col("doc_id") % 100).cast("int").as("base"))
+        .as[(Long, Int, Int)]
+      specs.mapPartitions(it => Multimodal.encodePattern(it.map {
+        case (id, p, b) => Multimodal.PatSpec(id, p, b) }))
+        .toDF("bytes_id", "blob")
+    }
+    val api = Media.imageDedup(payloads, "bytes_id", "blob")
+      .select(col("bytes_id"), col("dup_group"), col("group_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val query = SparkEntry.queries("mm_phash_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(api === query)
+  }
+
   test("mm_audio_meta: WAV header and PCM samples survive the round-trip") {
     val out = SparkEntry.queries("mm_audio_meta")(spark, sf).collect()
     assert(out.length === nDocs)
