@@ -36,6 +36,9 @@ object SparkEntry {
       operators.Graph.queries ++
       operators.Spectral.queries ++
       operators.IvfPq.queries ++
+      operators.TimeSeries.queries ++
+      operators.DataQuality.queries ++
+      operators.Skyline.queries ++
       sources.Sources.queries ++
       sources.Bucketing.queries
 
@@ -68,6 +71,9 @@ object SparkEntry {
       operators.Graph.oracles ++
       operators.Spectral.oracles ++
       operators.IvfPq.oracles ++
+      operators.TimeSeries.oracles ++
+      operators.DataQuality.oracles ++
+      operators.Skyline.oracles ++
       sources.Sources.oracles ++
       sources.Bucketing.oracles
 }

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Declarative data-quality auditing — the expectation-suite and
+  * referential-integrity checks a curation zone runs before promoting
+  * a load (the reference gates its curated zone behind stored-proc
+  * standardization, `code/curate/02_customer_sp.sql`; production
+  * pipelines bolt exactly these assertions onto that promotion).
+  *
+  * Design for 100 TB: every expectation over a table compiles into ONE
+  * conditional-aggregation pass — violations are `sum(case when ...)`
+  * columns of a single scan, never one job per rule — and the
+  * rule→row reshape happens on the already-aggregated 1-row frame
+  * (stack of literals, zero extra reads). Referential checks are
+  * anti-join counts: each FK edge costs one shuffle on the key, and
+  * the dimension side broadcasts when small. Nothing here collects,
+  * loops, or re-reads.
+  */
+object DataQuality {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def viol(cond: Column): Column =
+    sum(when(cond, 1L).otherwise(0L))
+
+  /** (table, check, total, violations) rows from one agg pass. */
+  private def suite(df: DataFrame, table: String,
+                    checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("_total") +:
+      checks.map { case (n, c) => viol(c).as(s"_v_$n") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = checks.map { case (n, _) =>
+      one.select(lit(table).as("tbl"), lit(n).as("check_name"),
+        col("_total").as("total"), col(s"_v_$n").as("violations"))
+    }.reduce(_.unionAll(_))
+    stacked.withColumn("pass", col("violations") === 0L)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Expectation suite over the three core tables: null / uniqueness
+    // / range / domain rules, one row per rule with violation counts.
+    // c_acctbal_nonneg is a deliberately strict rule that FAILS on
+    // this corpus (negative balances are legal TPC-H data) — the audit
+    // must demonstrably count, not rubber-stamp.
+    "dq_expect_suite" -> ((s, dir) => {
+      val cust = suite(Tables(s, dir, "customer"), "customer", Seq(
+        "c_custkey_not_null" -> col("c_custkey").isNull,
+        "c_acctbal_range" -> !col("c_acctbal").between(-1000.0, 10000.0),
+        "c_acctbal_nonneg" -> (col("c_acctbal") < 0.0),
+        "c_mktsegment_domain" -> !col("c_mktsegment").isin(
+          "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")))
+      val ord = suite(Tables(s, dir, "orders"), "orders", Seq(
+        "o_orderstatus_domain" -> !col("o_orderstatus").isin("F", "O", "P"),
+        "o_totalprice_positive" -> (col("o_totalprice") <= 0.0),
+        "o_orderdate_range" -> !col("o_orderdate").between(
+          lit("1992-01-01").cast("timestamp"),
+          lit("2003-01-01").cast("timestamp"))))
+      val li = suite(Tables(s, dir, "lineitem"), "lineitem", Seq(
+        "l_quantity_range" -> !col("l_quantity").between(1.0, 50.0),
+        "l_discount_range" -> !col("l_discount").between(0.0, 0.1),
+        "l_shipdate_not_null" -> col("l_shipdate").isNull))
+      cust.unionAll(ord).unionAll(li)
+        .select("tbl", "check_name", "total", "violations", "pass")
+        .orderBy("tbl", "check_name")
+    }),
+
+    // Referential-integrity audit across the star's FK edges, both
+    // directions: orphans (child key with no parent — must be 0 on a
+    // consistent load) and childless parents (dimension rows no fact
+    // references — a coverage metric, legitimately non-zero). Each
+    // edge is one anti-join; uniqueness probes on the child side
+    // dedup before joining so the count is of KEYS, not rows.
+    "dq_referential" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer").select("c_custkey")
+      val ord = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      val part = Tables(s, dir, "part").select("p_partkey")
+      val supp = Tables(s, dir, "supplier").select("s_suppkey")
+      def edge(name: String, child: DataFrame, childKey: String,
+               parent: DataFrame, parentKey: String): DataFrame = {
+        val keys = child.select(col(childKey).as("k")).distinct()
+        val orphans = keys.join(parent.select(col(parentKey).as("k")),
+          Seq("k"), "left_anti")
+        orphans.agg(count(lit(1)).as("orphan_keys"))
+          .crossJoin(keys.agg(count(lit(1)).as("child_keys")))
+          .select(lit(name).as("fk"), col("child_keys"),
+            col("orphan_keys"))
+      }
+      edge("orders.o_custkey->customer", ord, "o_custkey", cust,
+          "c_custkey")
+        .unionAll(edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+          ord, "o_orderkey"))
+        .unionAll(edge("lineitem.l_partkey->part", li, "l_partkey",
+          part, "p_partkey"))
+        .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          supp, "s_suppkey"))
+        .unionAll(edge("customer<-orders (childless)", cust, "c_custkey",
+          ord.select("o_custkey"), "o_custkey"))
+        .unionAll(edge("part<-lineitem (never ordered)", part,
+          "p_partkey", li.select("l_partkey"), "l_partkey"))
+        .orderBy("fk")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "dq_expect_suite" -> {
+      def row(tbl: String, check: String, violSql: String) =
+        s"""SELECT '$tbl' AS tbl, '$check' AS check_name,
+           |  CAST(count(*) AS BIGINT) AS total,
+           |  CAST(COALESCE(SUM(CASE WHEN $violSql THEN 1 END), 0)
+           |    AS BIGINT) AS violations,
+           |  COALESCE(SUM(CASE WHEN $violSql THEN 1 END), 0) = 0 AS pass
+           |FROM $tbl""".stripMargin
+      Seq(
+        row("customer", "c_custkey_not_null", "c_custkey IS NULL"),
+        row("customer", "c_acctbal_range",
+          "c_acctbal NOT BETWEEN -1000.0 AND 10000.0"),
+        row("customer", "c_acctbal_nonneg", "c_acctbal < 0.0"),
+        row("customer", "c_mktsegment_domain",
+          "c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE'," +
+            "'HOUSEHOLD','MACHINERY')"),
+        row("orders", "o_orderstatus_domain",
+          "o_orderstatus NOT IN ('F','O','P')"),
+        row("orders", "o_totalprice_positive", "o_totalprice <= 0.0"),
+        row("orders", "o_orderdate_range",
+          "o_orderdate NOT BETWEEN TIMESTAMP '1992-01-01' " +
+            "AND TIMESTAMP '2003-01-01'"),
+        row("lineitem", "l_quantity_range",
+          "l_quantity NOT BETWEEN 1.0 AND 50.0"),
+        row("lineitem", "l_discount_range",
+          "l_discount NOT BETWEEN 0.0 AND 0.1"),
+        row("lineitem", "l_shipdate_not_null", "l_shipdate IS NULL"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, check_name")
+    },
+
+    "dq_referential" -> {
+      def edge(name: String, childKey: String, childTbl: String,
+               parentKey: String, parentTbl: String) =
+        s"""SELECT '$name' AS fk,
+           |  (SELECT CAST(count(DISTINCT $childKey) AS BIGINT)
+           |     FROM $childTbl) AS child_keys,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM (
+           |     SELECT DISTINCT $childKey AS k FROM $childTbl) c
+           |   WHERE NOT EXISTS (SELECT 1 FROM $parentTbl p
+           |     WHERE p.$parentKey = c.k)) AS orphan_keys""".stripMargin
+      Seq(
+        edge("orders.o_custkey->customer", "o_custkey", "orders",
+          "c_custkey", "customer"),
+        edge("lineitem.l_orderkey->orders", "l_orderkey", "lineitem",
+          "o_orderkey", "orders"),
+        edge("lineitem.l_partkey->part", "l_partkey", "lineitem",
+          "p_partkey", "part"),
+        edge("lineitem.l_suppkey->supplier", "l_suppkey", "lineitem",
+          "s_suppkey", "supplier"),
+        edge("customer<-orders (childless)", "c_custkey", "customer",
+          "o_custkey", "orders"),
+        edge("part<-lineitem (never ordered)", "p_partkey", "part",
+          "l_partkey", "lineitem"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+    })
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
@@ -179,6 +180,32 @@ object FuzzyJoin {
     // the standard practice is a stricter merge threshold than the
     // review-queue match (dist ≤ 2 would chain this corpus into 3
     // giant blobs; ≤ 1 yields a real census). Output: entity census.
+    // ER scoring with JARO-WINKLER instead of edit distance — the
+    // linkage scorer practitioners reach for on short typo-noised
+    // names (prefix agreement weighted, transposition-tolerant).
+    // Same adaptive blocking as er_blocked_match (blocking is part of
+    // the operator's recall contract); each dirty record keeps its
+    // single best master at jw ≥ 0.85, tie-broken by key. The score
+    // comes from the native codegen'd `jaro_winkler` expression
+    // (functions/JaroWinkler.scala) — Spark has no Jaro family
+    // built-in, and a Scala UDF here would break the codegen span
+    // around the verify filter. The oracle replays the same blocking
+    // and scores with DuckDB's own jaro_winkler_similarity: the
+    // expression is pinned bit-for-bit against an independent engine.
+    "er_jaro_winkler" -> ((s, dir) => {
+      graft.functions.JaroWinklerSim.register(s)
+      val cand = erCandidates(s, dir).distinct()
+      cand.withColumn("jw", expr("jaro_winkler(dname, name)"))
+        .filter(col("jw") >= 0.85)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("dirty_id")
+            .orderBy(col("jw").desc, col("c_custkey"))))
+        .filter(col("rn") === 1)
+        .select(col("dirty_id"), col("c_custkey").as("matched_key"),
+          col("jw"))
+        .orderBy("dirty_id")
+    }),
+
     "er_entities" -> ((s, dir) => {
       val m = erMatches(s, dir).filter(col("dist") <= 1)
       val edges = m.select((col("dirty_id") * 2 + 1).as("u"),
@@ -291,6 +318,20 @@ object FuzzyJoin {
       s"""WITH $erCtes
          |SELECT dirty_id, matched_key, dist FROM matches
          |ORDER BY dirty_id, matched_key""".stripMargin,
+
+    // same candidates, DuckDB's own jaro_winkler scores them — an
+    // independent C++ implementation pins the native expression
+    "er_jaro_winkler" ->
+      s"""WITH $erCtes
+         |SELECT dirty_id, matched_key, jw FROM (
+         |  SELECT dirty_id, c_custkey AS matched_key,
+         |    jaro_winkler_similarity(dname, name) AS jw,
+         |    row_number() OVER (PARTITION BY dirty_id
+         |      ORDER BY jaro_winkler_similarity(dname, name) DESC,
+         |        c_custkey) AS rn
+         |  FROM cand) t
+         |WHERE rn = 1 AND jw >= 0.85
+         |ORDER BY dirty_id""".stripMargin,
 
     // entities via the recursive-reachability components oracle (see
     // gr_components) over the bipartite match graph

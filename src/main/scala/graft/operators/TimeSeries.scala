@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Time-series downsampling and smoothing over the lineitem event
+  * stream — the feature-engineering shapes a demand-forecast or
+  * monitoring pipeline derives from a transaction fact table
+  * (generalizes the reference's enriched sales fact,
+  * `code/curate/04_sales_enrich_sp.sql`, toward its time axis).
+  *
+  * Both operators are single-pass window/group pipelines: one shuffle
+  * on the series key, no self-joins, no collects. At 100 TB the
+  * partition key (supplier) is the natural series id — state per key
+  * is O(lag depth) for the EWMA and O(1) for the bars, so executor
+  * memory is flat no matter how long the history grows.
+  *
+  * Cross-engine exactness is engineered, not hoped for: the EWMA uses
+  * dyadic weights 2^-(k+1) over a FIXED 10-lag horizon, so numerator
+  * and denominator are exact integers (quantities are integral ≤ 50:
+  * every product and partial sum is far below 2^53) and the single
+  * final division of two exact doubles is IEEE-identical in any
+  * engine. The bars sum money through DECIMAL(38,2) and cast the
+  * result to double once.
+  */
+object TimeSeries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column) = c.cast(DecimalType(38, 2))
+
+  /** Lags 0..9, weight 2^(9-k) — integer EWMA numerator/denominator. */
+  private val LAGS = 0 to 9
+
+  val queries: Map[String, Q] = Map(
+    // Exponentially-weighted moving average of shipped quantity per
+    // supplier (alpha = 1/2, truncated at 10 lags, weights
+    // renormalized over the available prefix), reported at each
+    // supplier's LATEST shipment — the "current demand level" feature
+    // a forecaster joins back to the dimension. One window over
+    // (supplier | shipdate, orderkey, linenumber): lag() replays the
+    // last 10 observations without a self-join.
+    "tm_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      val q = col("l_quantity").cast("long")
+      val num = LAGS.map(k => coalesce(lag(q, k).over(w), lit(0L)) *
+        lit(1L << (9 - k))).reduce(_ + _)
+      val den = LAGS.map(k =>
+        when(lag(q, k).over(w).isNotNull, lit(1L << (9 - k)))
+          .otherwise(lit(0L))).reduce(_ + _)
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_quantity"))
+        .withColumn("num", num)
+        .withColumn("den", den)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_suppkey")
+            .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+              col("l_linenumber").desc)))
+        .filter(col("rn") === 1)
+        .select(col("l_suppkey"),
+          col("num"), col("den"),
+          (col("num").cast("double") / col("den").cast("double"))
+            .as("ewma_qty"))
+        .orderBy("l_suppkey")
+    }),
+
+    // Monthly OHLC bars per supplier: open/close = extended price of
+    // the first/last shipment in the bar (order: shipdate, orderkey,
+    // linenumber — unique, so deterministic), high/low = max/min,
+    // volume = total quantity through DECIMAL. The downsample is the
+    // classic "candlestick" reshape: row count drops from events to
+    // (series × bar) — the shape dashboards and models read.
+    "tm_ohlc" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_extendedprice"), col("l_quantity"))
+        .withColumn("bar", date_trunc("month", col("l_shipdate"))
+          .cast("date"))
+      val wAsc = Window.partitionBy("l_suppkey", "bar")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      val wDesc = Window.partitionBy("l_suppkey", "bar")
+        .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+          col("l_linenumber").desc)
+      li.withColumn("ra", row_number().over(wAsc))
+        .withColumn("rd", row_number().over(wDesc))
+        .groupBy("l_suppkey", "bar")
+        .agg(
+          count(lit(1)).as("n_trades"),
+          max(when(col("ra") === 1, col("l_extendedprice"))).as("open"),
+          max(col("l_extendedprice")).as("high"),
+          min(col("l_extendedprice")).as("low"),
+          max(when(col("rd") === 1, col("l_extendedprice"))).as("close"),
+          sum(dec(col("l_quantity"))).cast("double").as("volume"))
+        .orderBy("l_suppkey", "bar")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "tm_ewma" -> {
+      val num = LAGS.map(k =>
+        s"COALESCE(lag(CAST(l_quantity AS BIGINT), $k) OVER w, 0) " +
+          s"* ${1L << (9 - k)}").mkString(" + ")
+      val den = LAGS.map(k =>
+        s"CASE WHEN lag(CAST(l_quantity AS BIGINT), $k) OVER w " +
+          s"IS NOT NULL THEN ${1L << (9 - k)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH scored AS (
+         |  SELECT l_suppkey,
+         |    CAST($num AS BIGINT) AS num,
+         |    CAST($den AS BIGINT) AS den,
+         |    row_number() OVER (PARTITION BY l_suppkey
+         |      ORDER BY l_shipdate DESC, l_orderkey DESC,
+         |        l_linenumber DESC) AS rn
+         |  FROM lineitem
+         |  WINDOW w AS (PARTITION BY l_suppkey
+         |    ORDER BY l_shipdate, l_orderkey, l_linenumber))
+         |SELECT l_suppkey, num, den,
+         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma_qty
+         |FROM scored WHERE rn = 1 ORDER BY l_suppkey""".stripMargin
+    },
+
+    "tm_ohlc" ->
+      """WITH e AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |    l_extendedprice, l_quantity,
+        |    CAST(date_trunc('month', l_shipdate) AS DATE) AS bar
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY l_suppkey, bar
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS ra,
+        |    row_number() OVER (PARTITION BY l_suppkey, bar
+        |      ORDER BY l_shipdate DESC, l_orderkey DESC,
+        |        l_linenumber DESC) AS rd
+        |  FROM e)
+        |SELECT l_suppkey, bar,
+        |  count(*) AS n_trades,
+        |  max(CASE WHEN ra = 1 THEN l_extendedprice END) AS open,
+        |  max(l_extendedprice) AS high,
+        |  min(l_extendedprice) AS low,
+        |  max(CASE WHEN rd = 1 THEN l_extendedprice END) AS close,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS volume
+        |FROM r GROUP BY l_suppkey, bar
+        |ORDER BY l_suppkey, bar""".stripMargin)
+}

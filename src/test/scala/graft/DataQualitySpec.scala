@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.DataQuality
+
+class DataQualitySpec extends SparkSpec {
+
+  test("expectation suite counts injected violations exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dq").toString
+    // 5 customers: 1 out-of-range balance, 2 negative, 1 bad segment
+    Seq(
+      (1L, "a", 1, 500.0, "BUILDING"),
+      (2L, "b", 1, -50.0, "BUILDING"),
+      (3L, "c", 1, -20000.0, "PLASTICS"), // range AND nonneg AND domain
+      (4L, "d", 1, 9999.0, "MACHINERY"),
+      (5L, "e", 1, 0.0, "FURNITURE"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, "O", 10.0, Timestamp.valueOf("1990-01-01 00:00:00"),
+        "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 99.0, 1.0, 0.05, 0.0, "N", "O",
+        Timestamp.valueOf("1990-02-01 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = DataQuality.queries("dq_expect_suite")(spark, dir)
+      .collect()
+      .map(r => r.getString(1) -> ((r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got("c_acctbal_range") === ((1L, false)))
+    assert(got("c_acctbal_nonneg") === ((2L, false)))
+    assert(got("c_mktsegment_domain") === ((1L, false)))
+    assert(got("c_custkey_not_null") === ((0L, true)))
+    assert(got("o_orderdate_range") === ((1L, false)))
+    assert(got("l_quantity_range") === ((1L, false)))
+    assert(got("l_discount_range") === ((0L, true)))
+  }
+
+  test("referential audit: orphans and childless parents counted by key") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dq_ref").toString
+    Seq((1L, "a", 1, 0.0, "BUILDING"), (2L, "b", 1, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // custkey 9 is an orphan twice → ONE orphan key; customer 2 childless
+    Seq((10L, 1L, "O", 1.0, Timestamp.valueOf("1995-01-01 00:00:00"), "x"),
+      (11L, 9L, "O", 1.0, Timestamp.valueOf("1995-01-01 00:00:00"), "x"),
+      (12L, 9L, "O", 1.0, Timestamp.valueOf("1995-01-01 00:00:00"), "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq.empty[(Long, Long, Long, Int)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq.empty[Tuple1[Long]].toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq.empty[Tuple1[Long]].toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = DataQuality.queries("dq_referential")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got("orders.o_custkey->customer") === ((2L, 1L)))
+    assert(got("customer<-orders (childless)") === ((2L, 1L)))
+    assert(got("lineitem.l_orderkey->orders") === ((0L, 0L)))
+  }
+}

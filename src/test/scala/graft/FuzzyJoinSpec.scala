@@ -103,6 +103,44 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(census === viaProp)
   }
 
+  test("jaro-winkler: textbook values, boost threshold, prefix cap") {
+    import graft.functions.JaroWinklerSim.compute
+    // classic literature pairs (also DuckDB's jaro_winkler_similarity
+    // outputs, probed to the last ulp)
+    assert(compute("MARTHA", "MARHTA") === 0.9611111111111111)
+    assert(compute("DWAYNE", "DUANE") === 0.8400000000000001)
+    assert(compute("DIXON", "DICKSONX") === 0.8133333333333332)
+    // boost applies only STRICTLY above 0.7
+    assert(compute("ab", "ac") === 0.6666666666666666)
+    assert(compute("aaaaaaaaaa", "aaaaabbbbb") === 0.6666666666666666)
+    // prefix bonus caps at 4 even with a 6-char common prefix
+    assert(compute("prefixaaaa", "prefixbbbb") === 0.8400000000000001)
+    // edges: empty → 0 (DuckDB convention), identity → 1, symmetric
+    assert(compute("", "") === 0.0)
+    assert(compute("", "abc") === 0.0)
+    assert(compute("abc", "abc") === 1.0)
+    assert(compute("DIXON", "DICKSONX") === compute("DICKSONX", "DIXON"))
+    // no matches inside the window → 0 ("ab"/"ba" has window 0)
+    assert(compute("ab", "ba") === 0.0)
+  }
+
+  test("jaro-winkler codegen path equals direct compute on real names") {
+    import spark.implicits._
+    graft.functions.JaroWinklerSim.register(spark)
+    val names = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_name").distinct().limit(60)
+      .collect().map(_.getString(0))
+    val pairs = (for (a <- names; b <- names) yield (a, b)).toSeq
+    val viaExpr = pairs.toDF("a", "b")
+      .withColumn("jw", expr("jaro_winkler(a, b)"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    viaExpr.foreach { case (a, b, jw) =>
+      assert(jw === graft.functions.JaroWinklerSim.compute(a, b),
+        s"($a, $b)")
+    }
+    assert(viaExpr.exists(t => t._3 > 0.0 && t._3 < 1.0))
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
