@@ -224,6 +224,51 @@ object Graph {
     (1 to iters).foldLeft(r0)((r, _) => step(edges, r))
   }
 
+  /** One damped PERSONALIZED update: identical integer arithmetic to
+    * [[step]], but the restart mass lands only on the seed set —
+    * `r' = 1[seed]·0.15·SCALE + 0.85·Σ inflow` — so rank measures
+    * proximity to the seeds, not global centrality (Page et al. 1999
+    * §6 "personalized" vector; Jeh & Widom WWW'03). Same shuffle
+    * profile as the global step: the seed flag rides the node frame,
+    * no extra joins per iteration. */
+  private def pprStep(edges: DataFrame, flaggedNodes: DataFrame,
+                      ranks: DataFrame): DataFrame = {
+    val inflow = edges.join(ranks, col("src") === col("node"))
+      .select(col("dst"), expr("r div deg").as("c"))
+      .groupBy("dst").agg(sum("c").as("inflow"))
+    flaggedNodes
+      .join(inflow, col("node") === col("dst"), "left")
+      .select(col("node"), col("is_seed"),
+        (when(col("is_seed"), lit(150000L)).otherwise(lit(0L))
+          + expr("(85 * coalesce(inflow, 0L)) div 100")).as("r"))
+  }
+
+  /** Personalized PageRank: integer-exact damped iterations with the
+    * restart vector concentrated on `seeds` (a (node) frame). Seeds
+    * start with SCALE mass, everything else at zero. */
+  private[graft] def personalizedPagerankOf(directed: DataFrame,
+                                            seeds: DataFrame,
+                                            iters: Int = ITERS)
+      : DataFrame = {
+    val deg = directed.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edges = directed.join(deg, "src")
+      .repartition(col("src"))
+      .cache()
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .distinct()
+    val flagged = nodes.join(
+        seeds.select(col("node")).distinct().withColumn("s", lit(true)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(false)).as("is_seed"))
+      .cache()
+    val r0 = flagged.select(col("node"), col("is_seed"),
+      when(col("is_seed"), lit(SCALE)).otherwise(lit(0L)).as("r"))
+    (1 to iters).foldLeft(r0)((r, _) =>
+      pprStep(edges, flagged, r.select("node", "r")))
+      .select("node", "r")
+  }
+
   val queries: Map[String, Q] = Map(
     "gr_pagerank" -> ((s, dir) => {
       val pairs = Tables(s, dir, "orders")
@@ -244,6 +289,41 @@ object Graph {
             .otherwise(lit("supplier")).as("kind"),
           col("r").as("rank_millionths"))
         .orderBy("node")
+    }),
+
+    // PERSONALIZED PageRank over the same co-purchase graph: restart
+    // mass pinned to one market's customers (nation 1), output the 20
+    // suppliers most proximate to that market — "who serves this
+    // segment", the recommender-adjacent query global PageRank cannot
+    // answer. Same integer fixed-point arithmetic as gr_pagerank
+    // (exactness proof unchanged); the only delta is the seed-
+    // conditional restart term.
+    "gr_ppr" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cnode"),
+          (col("l_suppkey") * 2 + 1).as("snode"))
+        .distinct()
+      val directed = pairs
+        .select(col("cnode").as("src"), col("snode").as("dst"))
+        .unionAll(
+          pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+      val seeds = Tables(s, dir, "customer")
+        .filter(col("c_nationkey") === 1)
+        .select((col("c_custkey") * 2).as("node"))
+      val top = personalizedPagerankOf(directed, seeds)
+        .filter(col("node") % 2 === 1)
+        .orderBy(col("r").desc, col("node"))
+        .limit(20)
+      top.withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("r").desc, col("node"))))
+        .select(col("pos"), expr("(node - 1) div 2").as("s_suppkey"),
+          col("r").as("rank_millionths"))
+        .orderBy("pos")
     }),
 
     // Connected components of the order-succession graph by star
@@ -489,7 +569,55 @@ object Graph {
        |  FROM nodes n LEFT JOIN ${out}_in i ON n.node = i.dst)"""
       .stripMargin
 
+  /** One PERSONALIZED update as a DuckDB CTE (seed-conditional base). */
+  private def pprStepSql(prev: String, out: String): String =
+    s"""${out}_in AS (
+       |  SELECT e.dst, SUM(p.r // e.deg) AS inflow
+       |  FROM edges e JOIN $prev p ON e.src = p.node
+       |  GROUP BY e.dst),
+       |$out AS (
+       |  SELECT n.node,
+       |    CASE WHEN n.is_seed THEN 150000 ELSE 0 END
+       |      + (85 * COALESCE(i.inflow, 0)) // 100 AS r
+       |  FROM fnodes n LEFT JOIN ${out}_in i ON n.node = i.dst)"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
+    "gr_ppr" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS cnode,
+         |    l.l_suppkey * 2 + 1 AS snode
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |directed AS (
+         |  SELECT cnode AS src, snode AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT snode AS src, cnode AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM directed GROUP BY src),
+         |edges AS (
+         |  SELECT d.src, d.dst, g.deg FROM directed d
+         |  JOIN deg g ON d.src = g.src),
+         |nodes AS (SELECT DISTINCT src AS node FROM directed),
+         |seeds AS (SELECT DISTINCT c_custkey * 2 AS node
+         |          FROM customer WHERE c_nationkey = 1),
+         |fnodes AS (
+         |  SELECT n.node, s.node IS NOT NULL AS is_seed
+         |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+         |r0 AS (SELECT node,
+         |    CASE WHEN is_seed THEN CAST($SCALE AS BIGINT) ELSE 0 END AS r
+         |  FROM fnodes),
+         |${pprStepSql("r0", "r1")},
+         |${pprStepSql("r1", "r2")},
+         |${pprStepSql("r2", "r3")},
+         |top AS (
+         |  SELECT node, CAST(r AS BIGINT) AS r FROM r3
+         |  WHERE node % 2 = 1
+         |  ORDER BY r DESC, node LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY r DESC, node)
+         |    AS INTEGER) AS pos,
+         |  (node - 1) // 2 AS s_suppkey,
+         |  r AS rank_millionths
+         |FROM top ORDER BY pos""".stripMargin,
+
     "gr_pagerank" ->
       s"""WITH pairs AS (
          |  SELECT DISTINCT o.o_custkey * 2 AS cnode,

@@ -208,6 +208,35 @@ object Similarity {
         .orderBy("qid", "rn")
     }),
 
+    // MATRYOSHKA two-stage retrieval (Kusupati et al., NeurIPS 2022 —
+    // MRL: nested prefixes of an embedding are themselves usable
+    // representations): stage 1 shortlists RERANK candidates per query
+    // by cosine over only the FIRST 8 dimensions — at 100 TB that scan
+    // reads an 8/d slice of the vector bytes (with vectors stored
+    // dim-major / truncated-copy, a genuine d/8× I/O and FLOP cut) —
+    // and stage 2 re-ranks the shortlist with full-dimension exact
+    // cosine. Same shape as SQ8's coarse-then-exact split; the knob
+    // traded is prefix width instead of quantization error.
+    "sim_matryoshka" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val pref = e.select(col("vec_id"), expr("slice(v, 1, 8)").as("v"))
+        .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))
+      val short = bruteTopKOf(pref.filter(col("vec_id") < NQ), pref,
+        RERANK).select("qid", "nid")
+      val w = Window.partitionBy("qid")
+        .orderBy(col("c").desc, col("nid"))
+      short
+        .join(e.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn")), "qid")
+        .join(e.select(col("vec_id").as("nid"), col("v").as("nv"),
+          col("nrm").as("nn")), "nid")
+        .withColumn("c", cos("qv", "qn", "nv", "nn"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TOPK)
+        .select("qid", "nid")
+        .orderBy("qid", "rn")
+    }),
+
     // IVF: centroid assignment (broadcast) → multi-probe → exact rerank
     // inside probed buckets only.
     "sim_ivf_topk" -> ((s, dir) => {
@@ -538,6 +567,28 @@ object Similarity {
          |               DESC, n.vec_id) AS rn
          |  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
          |  WHERE q.vec_id < $NQ) t
+         |WHERE rn <= $TOPK ORDER BY qid, rn""".stripMargin,
+
+    "sim_matryoshka" ->
+      s"""WITH pref AS (SELECT vec_id, embedding[1:8] AS p
+         |              FROM embeddings),
+         |short AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.p, n.p) DESC,
+         |                 n.vec_id) AS rn
+         |    FROM pref q JOIN pref n ON n.vec_id <> q.vec_id
+         |    WHERE q.vec_id < $NQ) t
+         |  WHERE rn <= $RERANK)
+         |SELECT qid, nid FROM (
+         |  SELECT s.qid, s.nid,
+         |    row_number() OVER (PARTITION BY s.qid
+         |      ORDER BY list_cosine_similarity(q.embedding, n.embedding)
+         |               DESC, s.nid) AS rn
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.qid
+         |  JOIN embeddings n ON n.vec_id = s.nid) t
          |WHERE rn <= $TOPK ORDER BY qid, rn""".stripMargin,
 
     "sim_ivf_topk" ->

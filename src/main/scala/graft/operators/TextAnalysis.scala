@@ -404,6 +404,52 @@ object TextAnalysis {
     "ta_fingerprint" -> ((s, dir) =>
       fingerprintOf(Tables(s, dir, "documents")).orderBy("doc_id")),
 
+    // Bigram language-model scoring — the context-aware upgrade of
+    // ta_unigram_lm: each document's average add-one-smoothed bigram
+    // log-probability under the corpus's OWN bigram statistics. A
+    // low-order LM over the training corpus itself is the standard
+    // cheap quality/contamination signal (CCNet, Wenzek et al. 2020
+    // uses exactly this shape with a 5-gram model). Bigrams come from
+    // one lead() window per document (no self-join of the token
+    // table); the model tables (c12, c1) broadcast; per-doc log-probs
+    // fold in sorted (w1, w2) order — float addition is not
+    // associative, so a canonical order is what makes the score
+    // engine-independent. Output: the 10 most surprising documents.
+    "ta_bigram_lm" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      val big = tok
+        .withColumn("w2", lead(col("term"), 1).over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("term").as("w1"), col("w2"))
+      val tf = big.groupBy("doc_id", "w1", "w2")
+        .agg(count(lit(1)).as("tf"))
+      val c12 = tf.groupBy("w1", "w2").agg(sum("tf").as("c12"))
+      val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+      val vocab = tok.agg(countDistinct("term").as("v"))
+      val contrib = tf
+        .join(broadcast(c12), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("c", col("tf").cast("double") *
+          log((col("c12") + 1).cast("double")
+            / (col("c1") + col("v")).cast("double")))
+      val lens = big.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+      val scored = contrib.groupBy("doc_id")
+        .agg(expr(
+          """aggregate(array_sort(collect_list(struct(w1, w2, c))), 0.0d,
+            |  (acc, s) -> acc + s.c)""".stripMargin).as("lp"))
+        .join(lens, "doc_id")
+        .withColumn("avg_lp", col("lp") / col("nb").cast("double"))
+      scored.orderBy(col("avg_lp").asc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("avg_lp").asc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"))
+        .orderBy("rank")
+    }),
+
     // Unigram language-model scoring — the cheap perplexity proxy used
     // to rank documents by "surprise" (low average token log-probability
     // under the corpus's own unigram distribution flags gibberish /
@@ -637,6 +683,48 @@ object TextAnalysis {
 
     // same fold order: list(c ORDER BY term) + list_reduce mirrors
     // Spark's array_sort + aggregate left fold over unique terms
+    // independent construction: bigrams from 1-based list slicing (no
+    // window), same smoothed score, same sorted-fold discipline
+    "ta_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)),
+        |      i -> struct_pack(w1 := w[i], w2 := w[i + 1])),
+        |      recursive := true)
+        |  FROM w),
+        |tf AS (SELECT doc_id, w1, w2, count(*) AS tf
+        |       FROM big GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12
+        |        FROM tf GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+        |       FROM c12 GROUP BY 1),
+        |voc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+        |        FROM tok),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.w1, tf.w2,
+        |    CAST(tf.tf AS DOUBLE)
+        |      * ln(CAST(c12.c12 + 1 AS DOUBLE)
+        |            / CAST(c1.c1 + v AS DOUBLE)) AS c
+        |  FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1), voc),
+        |lens AS (SELECT doc_id, count(*) AS nb FROM big GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0.0, list(c ORDER BY w1, w2)),
+        |                (a, b) -> a + b) AS lp
+        |  FROM contrib GROUP BY doc_id),
+        |avgs AS (
+        |  SELECT s.doc_id, lp / CAST(nb AS DOUBLE) AS avg_lp
+        |  FROM scored s JOIN lens USING (doc_id)),
+        |bottom AS (
+        |  SELECT doc_id, avg_lp FROM avgs
+        |  ORDER BY avg_lp ASC, doc_id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY avg_lp ASC, doc_id)
+        |  AS INTEGER) AS rank, doc_id
+        |FROM bottom ORDER BY rank""".stripMargin,
+
     "ta_unigram_lm" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |             FROM documents),

@@ -279,4 +279,40 @@ class GraphSpec extends SparkSpec {
       .select("kind").distinct().collect().map(_.getString(0)).toSet
     assert(kinds === Set("customer", "supplier"))
   }
+
+  test("personalized pagerank: exact integer replay, locality property") {
+    import spark.implicits._
+    // two 4-cycles joined by one bridge edge; seeds in the left cycle
+    //   left: 1-2-3-4-1   bridge: 4-5   right: 5-6-7-8-5
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L))
+    val directed = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.personalizedPagerankOf(directed, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact local replay of the integer fixed-point
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    var r = (1L to 8L).map(n => n -> (if (n == 1L) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val inflow = adj.toSeq.flatMap { case (src, dsts) =>
+        dsts.map(d => d -> r(src) / dsts.size)
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      r = (1L to 8L).map(n => n ->
+        ((if (n == 1L) 150000L else 0L) +
+          85L * inflow.getOrElse(n, 0L) / 100L)).toMap
+    }
+    assert(got === r)
+    // locality: every left-cycle node outranks every right-cycle node
+    val left = Seq(1L, 2L, 3L, 4L).map(got)
+    val right = Seq(5L, 6L, 7L, 8L).map(got)
+    assert(left.min > right.max)
+    // gr_ppr surfaces suppliers only, ranked deterministically (the
+    // sf0.001 graph has only 10 suppliers, under the LIMIT 20)
+    val named = Graph.queries("gr_ppr")(spark, sf).collect()
+    assert(named.length >= 10 && named.length <= 20)
+    assert(named.map(_.getInt(0)).toSeq === (1 to named.length))
+    val rm = named.map(_.getLong(2))
+    assert(rm.zip(rm.tail).forall { case (a, b) => a >= b })
+  }
 }

@@ -172,4 +172,33 @@ class SimilaritySpec extends SparkSpec {
       assert(gotOrder.head === cands.head._1)
     }
   }
+
+  test("matryoshka two-stage: high full-dim recall, exact within shortlist") {
+    import org.apache.spark.sql.functions._
+    val brute = Similarity.queries("sim_bruteforce_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mat = Similarity.queries("sim_matryoshka")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mat.map(_._1).distinct.sorted === brute.map(_._1).distinct.sorted)
+    // These embeddings are RANDOM (no MRL training), so an 8-of-64-dim
+    // prefix carries only 1/8 of the signal — the bound here is that
+    // the shortlist is a real signal, several times better than a
+    // random 50-of-500 shortlist's ~10% expected recall. (With
+    // MRL-trained vectors the prefix is constructed to concentrate
+    // the signal and recall approaches 1; that property belongs to
+    // the model, not the operator.)
+    val recall = mat.toSet.intersect(brute.toSet).size.toDouble /
+      brute.length
+    assert(recall >= 0.25, s"recall $recall")
+    // stage 2 is EXACT within its shortlist: every returned neighbor
+    // the brute top-5 also contains must appear at the same rank
+    val byQ = mat.groupBy(_._1)
+    val bruteByQ = brute.groupBy(_._1)
+    byQ.foreach { case (q, got) =>
+      val wantOrder = bruteByQ(q).map(_._2)
+        .filter(n => got.exists(_._2 == n))
+      assert(got.map(_._2).filter(wantOrder.contains).toSeq
+        === wantOrder.toSeq, s"query $q rerank order")
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, length, lit}
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpec {
@@ -257,5 +257,43 @@ class TextAnalysisSpec extends SparkSpec {
     // both classes present: the synthesized third trips the detector,
     // pure word-salad does not
     assert(got.exists(_._4) && got.exists(!_._4))
+  }
+
+  test("bigram LM: local replay ranks the off-distribution doc most surprising") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bigram").toString
+    // docs 1-3 share the corpus's dominant bigrams; doc 4 is one rare
+    // transition after another → lowest avg log-prob
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the hat"),
+      (3L, "the dog sat on the mat"),
+      (4L, "zig zag zog zug zeg zip"))
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("ta_bigram_lm")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq === (1 to 4))
+    assert(got.head._2 === 4L) // rank 1 = most surprising
+    // full local replay of the smoothed score
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val bigs = toks.map { case (id, w) => id -> w.zip(w.tail) }
+    val c12 = bigs.flatMap(_._2).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val c1 = c12.toSeq.groupBy(_._1._1)
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    val v = toks.flatMap(_._2).distinct.size.toLong
+    val want = bigs.map { case (id, bs) =>
+      val byPair = bs.groupBy(identity)
+        .map { case (k, g) => (k, g.size) }.toSeq.sortBy(_._1)
+      val lp = byPair.foldLeft(0.0) { case (acc, ((w1, w2), tf)) =>
+        acc + tf * math.log((c12((w1, w2)) + 1).toDouble /
+          (c1(w1) + v).toDouble)
+      }
+      id -> lp / bs.size
+    }.sortBy { case (id, s) => (s, id) }.map(_._1)
+    assert(got.map(_._2).toSeq === want)
   }
 }
