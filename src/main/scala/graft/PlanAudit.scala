@@ -60,7 +60,10 @@ object PlanAudit {
     "mt_file_skipping", "ev_attribution",
     // round-7 additions
     "gr_triangles_incr", "mm_decode_meta", "mm_audio_meta",
-    "mm_phash_dedup")
+    "mm_phash_dedup",
+    "er_jaro_winkler", "sky_pareto", "sky_pareto_brand",
+    "tm_ewma", "tm_ohlc", "dq_expect_suite", "dq_referential",
+    "gr_ppr", "ta_bigram_lm", "sim_matryoshka")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

@@ -26,17 +26,24 @@ object DataQuality {
   private def viol(cond: Column): Column =
     sum(when(cond, 1L).otherwise(0L))
 
-  /** (table, check, total, violations) rows from one agg pass. */
+  /** (table, check, total, violations) rows from one agg pass: all
+    * rules aggregate in a single scan, and the rule→row reshape is an
+    * explode OVER the one-row aggregate — a union of per-rule selects
+    * would let column pruning split it back into one scan per rule
+    * (PlanInvariantSpec pins the scan count). */
   private def suite(df: DataFrame, table: String,
                     checks: Seq[(String, Column)]): DataFrame = {
     val aggs = count(lit(1)).as("_total") +:
       checks.map { case (n, c) => viol(c).as(s"_v_$n") }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = checks.map { case (n, _) =>
-      one.select(lit(table).as("tbl"), lit(n).as("check_name"),
-        col("_total").as("total"), col(s"_v_$n").as("violations"))
-    }.reduce(_.unionAll(_))
-    stacked.withColumn("pass", col("violations") === 0L)
+    val rules = array(checks.map { case (n, _) =>
+      struct(lit(n).as("check_name"), col(s"_v_$n").as("violations"))
+    }: _*)
+    one.select(lit(table).as("tbl"), col("_total").as("total"),
+        explode(rules).as("rule"))
+      .select(col("tbl"), col("rule.check_name").as("check_name"),
+        col("total"), col("rule.violations").as("violations"))
+      .withColumn("pass", col("violations") === 0L)
   }
 
   val queries: Map[String, Q] = Map(

@@ -181,4 +181,44 @@ class PlanInvariantSpec extends SparkSpec {
     assert(bnlj.forall(l => l.contains("BuildRight") && l.contains("thr")),
       plan)
   }
+
+  test("er_jaro_winkler: scoring stays on blocked equi-joins, " +
+    "jaro_winkler runs inside codegen") {
+    val plan = executedPlan(FuzzyJoin.queries("er_jaro_winkler"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // klen scalar is the only permissible nested loop (same contract
+    // as er_blocked_match)
+    val bnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("BuildRight")) ||
+      bnlj.forall(_.contains("BuildLeft")), plan)
+    // the expression must NOT appear as a codegen-breaking fallback
+    assert(!plan.contains("Eval Python"), plan)
+  }
+
+  test("skyline: no join anywhere — two sorts and one group shuffle") {
+    for (name <- Seq("sky_pareto", "sky_pareto_brand")) {
+      val plan = executedPlan(graft.operators.Skyline.queries(name))
+      assert(!plan.contains("Join"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
+  test("dq_expect_suite: one scan per audited table, never one per rule") {
+    val qe = graft.operators.DataQuality.queries("dq_expect_suite")(
+      spark, sf).queryExecution
+    val scans = qe.executedPlan.toString.linesIterator
+      .filter(_.contains("FileScan parquet")).size
+    // three tables audited; union reuses each table's single agg —
+    // allow Spark to re-print a reused exchange but never re-scan
+    // more than once per RULE-GROUP (10 rules would mean 10 scans)
+    assert(scans <= 6, qe.executedPlan.toString)
+  }
+
+  test("tm_ewma/tm_ohlc: one shuffle family on the series key, no joins") {
+    for (name <- Seq("tm_ewma", "tm_ohlc")) {
+      val plan = executedPlan(graft.operators.TimeSeries.queries(name))
+      assert(!plan.contains("Join"), plan)
+    }
+  }
 }
