@@ -63,7 +63,7 @@ object PlanAudit {
     "mm_phash_dedup",
     "er_jaro_winkler", "sky_pareto", "sky_pareto_brand",
     "tm_ewma", "tm_ohlc", "dq_expect_suite", "dq_referential",
-    "gr_ppr", "ta_bigram_lm", "sim_matryoshka")
+    "gr_ppr", "ta_bigram_lm", "sim_matryoshka", "gr_kcore")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

@@ -58,4 +58,29 @@ object Graphs {
                    hubCap: Int = graft.operators.Graph.HubCap): DataFrame =
     graft.operators.Graph.linkPredictOf(
       edges.select(col(aCol).as("x"), col(bCol).as("y")), k, hubCap)
+
+  /** Personalized PageRank: same integer-exact damped iterations as
+    * [[pagerank]], but the restart mass lands only on `seeds` (a
+    * one-column frame of node ids) — rank measures proximity to the
+    * seed set instead of global centrality. Returns (node, rank);
+    * nodes unreachable from the seeds hold rank 0. */
+  def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 3, srcCol: String = "src",
+                           dstCol: String = "dst"): DataFrame =
+    graft.operators.Graph.personalizedPagerankOf(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      seeds.toDF("node"), iters)
+      .select(col("node"), col("r").as("rank"))
+
+  /** K-core of an UNDIRECTED edge frame (pass each edge once; both
+    * directions are derived): iterative degree peeling to the maximal
+    * subgraph where every node keeps ≥ k neighbors. Each round is two
+    * partition-window counts — no joins — and rounds follow the peel
+    * cascade depth, not node count. Returns (node, core_deg). */
+  def kcore(edges: DataFrame, k: Int, aCol: String = "src",
+            bCol: String = "dst"): DataFrame = {
+    val und = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    graft.operators.Graph.kcoreOf(
+      und.unionAll(und.select(col("v").as("u"), col("u").as("v"))), k)
+  }
 }

@@ -269,6 +269,65 @@ object Graph {
       .select("node", "r")
   }
 
+  /** Rounds the last [[kcoreOf]] call took (observability, cf.
+    * [[lastRounds]]). */
+  @volatile private[graft] var kcoreRounds: Int = 0
+
+  /** K-CORE decomposition by iterative degree peeling (Seidman 1983;
+    * the distributed formulation of Montresor et al. 2013): delete
+    * every node of degree < k, which lowers neighbors' degrees, and
+    * repeat to fixpoint — the k-core is the maximal subgraph where
+    * every node keeps ≥ k neighbors, the standard "dense backbone"
+    * filter for community mining and spam/bot subgraph isolation.
+    *
+    * `edges` is DIRECTED both ways (u,v)+(v,u), one row per arc.
+    * Each round is two partition-window counts (deg(u) rides
+    * PARTITION BY u, deg(v) PARTITION BY v — the frame is symmetric)
+    * and a filter; NO joins, no bad-node set to anti-join, so a round
+    * costs exactly the two key-shuffles the degree computation needs.
+    * Peeling only deletes rows, so next ⊆ e always and the fixpoint
+    * test is a row count — the round's single action, which also
+    * materializes the round's localCheckpoint (same 1-job/round
+    * discipline as [[starComponents]], same direct-RDD-handle block
+    * bookkeeping). Rounds are data-bounded: each non-final round
+    * deletes ≥ 1 node, and on shell-structured graphs the cascade
+    * depth is the peel chain length, not the node count.
+    *
+    * Returns (node, core_deg) for the surviving subgraph. */
+  private[graft] def kcoreOf(edges: DataFrame, k: Int): DataFrame = {
+    def ckRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    val wV = org.apache.spark.sql.expressions.Window.partitionBy("v")
+    var e = edges.toDF("u", "v").localCheckpoint(eager = false)
+    var eRdds = ckRdds(e)
+    var cntE = e.count()
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 60) {
+      val next = e
+        .withColumn("du", count(lit(1)).over(wU))
+        .withColumn("dv", count(lit(1)).over(wV))
+        .filter(col("du") >= k && col("dv") >= k)
+        .select("u", "v")
+        .localCheckpoint(eager = false)
+      val nextRdds = ckRdds(next)
+      val cntNext = next.count() // materializes + tests the fixpoint
+      changed = cntNext != cntE
+      cntE = cntNext
+      eRdds.foreach(_.unpersist(blocking = false))
+      eRdds = nextRdds
+      e = next
+      rounds += 1
+    }
+    require(!changed, s"k-core peel did not converge in $rounds rounds")
+    kcoreRounds = rounds
+    e.groupBy("u").agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("node"), col("core_deg"))
+  }
+
   val queries: Map[String, Q] = Map(
     "gr_pagerank" -> ((s, dir) => {
       val pairs = Tables(s, dir, "orders")
@@ -289,6 +348,30 @@ object Graph {
             .otherwise(lit("supplier")).as("kind"),
           col("r").as("rank_millionths"))
         .orderBy("node")
+    }),
+
+    // K-CORE of the customer↔supplier bipartite graph at k=45: the
+    // "dense market backbone" — customers spread across ≥45 suppliers
+    // whose suppliers in turn keep ≥45 such customers after the
+    // cascade. Peeling, not a one-shot degree filter: removing sparse
+    // customers lowers supplier degrees, which can knock suppliers
+    // (and then more customers) out — the fixpoint is what a degree
+    // filter cannot express. Output = surviving nodes with their
+    // within-core degree.
+    "gr_kcore" -> ((s, dir) => {
+      val pairs = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cnode"),
+          (col("l_suppkey") * 2 + 1).as("snode"))
+        .distinct()
+      val directed = pairs
+        .select(col("cnode").as("u"), col("snode").as("v"))
+        .unionAll(
+          pairs.select(col("snode").as("u"), col("cnode").as("v")))
+      kcoreOf(directed, 45).orderBy("node")
     }),
 
     // PERSONALIZED PageRank over the same co-purchase graph: restart
@@ -582,7 +665,35 @@ object Graph {
        |  FROM fnodes n LEFT JOIN ${out}_in i ON n.node = i.dst)"""
       .stripMargin
 
+  /** One peel round as a DuckDB CTE (window degrees, no joins —
+    * mirrors the engine's round shape). */
+  private def peelSql(prev: String, out: String, k: Int): String =
+    s"""$out AS (
+       |  SELECT u, v FROM (
+       |    SELECT u, v,
+       |      count(*) OVER (PARTITION BY u) AS du,
+       |      count(*) OVER (PARTITION BY v) AS dv
+       |    FROM $prev) t
+       |  WHERE du >= $k AND dv >= $k)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // 12 unrolled peel rounds — far past this graph's measured
+    // fixpoint (≤ 2 at sf0.01/sf0.1); once converged, further rounds
+    // are identity, so the unroll equals the engine's fixpoint
+    "gr_kcore" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o.o_custkey * 2 AS cnode,
+         |    l.l_suppkey * 2 + 1 AS snode
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e0 AS (
+         |  SELECT cnode AS u, snode AS v FROM pairs
+         |  UNION ALL
+         |  SELECT snode AS u, cnode AS v FROM pairs),
+         |${(0 until 12).map(i => peelSql(s"e$i", s"e${i + 1}", 45))
+            .mkString(",\n")}
+         |SELECT u AS node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e12 GROUP BY u ORDER BY node""".stripMargin,
+
     "gr_ppr" ->
       s"""WITH pairs AS (
          |  SELECT DISTINCT o.o_custkey * 2 AS cnode,

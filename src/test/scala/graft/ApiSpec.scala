@@ -289,6 +289,37 @@ class ApiSpec extends SparkSpec {
     assert(kinds.keySet === Set("dirty", "master"))
   }
 
+  test("facade kcore / personalizedPagerank parity with the named queries") {
+    import spark.implicits._
+    val pairs = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val viaApi = graft.api.Graphs.kcore(pairs, 45, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaQuery = operators.Graph.queries("gr_kcore")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaApi === viaQuery)
+    // personalized pagerank: facade over the directed frame + seeds
+    val directed = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_nationkey") === 1)
+      .select((col("c_custkey") * 2).as("node"))
+    val ranks = graft.api.Graphs.personalizedPagerank(directed, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val named = operators.Graph.queries("gr_ppr")(spark, sf)
+      .collect().map(r => (r.getLong(1) * 2 + 1) -> r.getLong(2))
+    assert(named.forall { case (node, r) => ranks(node) == r })
+    // seeds hold restart mass: some seed outranks zero
+    val seedIds = seeds.collect().map(_.getLong(0)).toSet
+    assert(seedIds.exists(s => ranks.getOrElse(s, 0L) > 0L))
+  }
+
   test("dropNearDups removes exactly the id2 side, schema unchanged") {
     val kept = Corpus.dropNearDups(renamedDocs, "id", "body")
     assert(kept.columns.toSeq === Seq("id", "body"))

@@ -315,4 +315,46 @@ class GraphSpec extends SparkSpec {
     val rm = named.map(_.getLong(2))
     assert(rm.zip(rm.tail).forall { case (a, b) => a >= b })
   }
+
+  test("k-core: pendant-path cascade peels one node per round, " +
+    "core equals brute-force fixpoint") {
+    import spark.implicits._
+    // K6 clique (a 5-core) with a 5-node pendant path off node 1:
+    // k=2 must cascade from the path's tip, one node per round
+    val clique = for (a <- 1L to 6L; b <- 1L to 6L if a < b) yield (a, b)
+    val path = Seq((1L, 10L), (10L, 11L), (11L, 12L), (12L, 13L),
+      (13L, 14L))
+    val und = clique ++ path
+    val directed = (und ++ und.map(_.swap)).toDF("u", "v")
+    val got = Graph.kcoreOf(directed, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2-core = the clique alone, every member at degree 5
+    assert(got === (1L to 6L).map(_ -> 5L).toMap)
+    // the cascade is real: ≥ 5 peel rounds (one per path node) + the
+    // final no-change round
+    assert(Graph.kcoreRounds >= 5, s"rounds ${Graph.kcoreRounds}")
+    // brute-force fixpoint replay on the named query's real graph
+    val pairs = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges = (pairs ++ pairs.map(_.swap)).toSet
+    var done = false
+    while (!done) {
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val keep = deg.filter(_._2 >= 45).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      done = next == edges
+      edges = next
+    }
+    val want = edges.groupBy(_._1)
+      .map { case (n, es) => n -> es.size.toLong }
+    val named = Graph.queries("gr_kcore")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(named === want)
+  }
 }
