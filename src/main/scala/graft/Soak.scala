@@ -113,6 +113,17 @@ object Soak {
       cust.withColumn("c_custkey", col("c_custkey") * copies + c))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
+    // supplier replicates interleaved for the spatial family: the
+    // key-derived coordinates stay uniform over the grid, so cell
+    // occupancy (the spatial join's skew bound) grows linearly with
+    // copies. With BOTH point sets ×copies, within-radius pair count
+    // grows ~copies² — the ground truth is quadratic in density, so
+    // the soak checks output tracks density, not that output is linear.
+    val supp = Tables(spark, base, "supplier")
+    (0 until copies).map(c =>
+      supp.withColumn("s_suppkey", col("s_suppkey") * copies + c))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
   }
 
   private def time[T](f: => T): (T, Double) = {
@@ -294,7 +305,16 @@ object Soak {
       "mv_join_delta",
       "mt_skew_advisor", "tt_asof_read",
       "pv_k_anonymity", "tc_normalize", "dq_drift_report",
-      "x_locf_fill", "mt_file_skipping", "ev_attribution")) {
+      "x_locf_fill", "mt_file_skipping", "ev_attribution",
+      // round-7 families: graph additions, ER scoring, time-series
+      // bars, DQ audits, Matryoshka retrieval, perceptual dedup (the
+      // codec path is embarrassingly parallel — the soak pins that),
+      // affinity mining, spatial grid join, and walk generation
+      "gr_kcore", "gr_ppr", "er_jaro_winkler", "tm_ewma", "tm_ohlc",
+      "dq_expect_suite", "dq_quarantine", "dq_referential",
+      "ta_bigram_lm", "sim_matryoshka", "mm_phash_dedup",
+      "mb_item_pairs", "ev_transitions", "gr_walks",
+      "geo_radius_join", "geo_grid_knn")) {
       // a corpus-shape limitation in ONE query must not kill the whole
       // report — log and continue
       try {
@@ -346,6 +366,18 @@ object Soak {
       time(SparkEntry.queries("er_blocked_match")(spark, dir).count())
     spark.catalog.clearCache()
     emit("er_blocked_match", nCust, tEr, erCand, erRows)
+    // skyline at scale: the NAMED queries read `part` (swapped for the
+    // fuzzy vocabulary here), so the soak drives the facade over the
+    // replicated customer table instead — what must hold is that the
+    // merge-phase input (the per-partition local skylines) stays
+    // orders of magnitude under the row count
+    locally {
+      val cu = Tables(spark, dir, "customer")
+      val (skyRows, tSky) = time(operators.Skyline.skyline(
+        cu, "c_mktsegment", "c_custkey", "c_acctbal", "c_nationkey")
+        .count())
+      println(f"""{"corpus":"$tag","query":"sky_facade_customer","rows":$skyRows,"input_rows":$nCust,"time_s":$tSky%.2f}""")
+    }
   }
 
   /** pre-verification pair count of the length-bucket variant (same

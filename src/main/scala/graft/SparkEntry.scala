@@ -39,6 +39,9 @@ object SparkEntry {
       operators.TimeSeries.queries ++
       operators.DataQuality.queries ++
       operators.Skyline.queries ++
+      operators.Affinity.queries ++
+      operators.Spatial.queries ++
+      operators.Walks.queries ++
       sources.Sources.queries ++
       sources.Bucketing.queries
 
@@ -74,6 +77,9 @@ object SparkEntry {
       operators.TimeSeries.oracles ++
       operators.DataQuality.oracles ++
       operators.Skyline.oracles ++
+      operators.Affinity.oracles ++
+      operators.Spatial.oracles ++
+      operators.Walks.oracles ++
       sources.Sources.oracles ++
       sources.Bucketing.oracles
 }

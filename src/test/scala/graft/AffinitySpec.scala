@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Affinity, Spatial, Walks}
+
+class AffinitySpec extends SparkSpec {
+
+  test("mb_item_pairs: counts are symmetric-consistent and lift inputs exact") {
+    val out = Affinity.queries("mb_item_pairs")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val byPart = li.groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nBaskets = li.select("l_orderkey").distinct().count()
+    out.foreach { r =>
+      val (p1, p2) = (r.getLong(0), r.getLong(1))
+      assert(p1 < p2)
+      assert(r.getLong(2) >= 2)                    // c12 >= minsup
+      assert(r.getLong(3) === byPart(p1))          // c1 exact
+      assert(r.getLong(4) === byPart(p2))          // c2 exact
+      assert(r.getLong(2) <= math.min(byPart(p1), byPart(p2)))
+      assert(r.getLong(5) === nBaskets)
+    }
+    // ordering contract: c12 non-increasing
+    val c12s = out.map(_.getLong(2))
+    assert(c12s.zip(c12s.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("ev_transitions: row totals add up and transitions follow time order") {
+    val out = Affinity.queries("ev_transitions")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // n_from is the sum of n over the from-state's rows
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val total = rows.map(_.getLong(2)).sum
+      rows.foreach(r => assert(r.getLong(3) === total))
+    }
+    // total transitions = events - distinct users with >=1 event
+    val e = Tables.events(spark, sf)
+    val expected = e.count() - e.select("user_id").distinct().count()
+    assert(out.map(_.getLong(2)).sum === expected)
+  }
+
+  test("geo_radius_join matches a brute-force cross join; knn picks the min") {
+    val got = Spatial.queries("geo_radius_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cu = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val su = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey").collect().map(_.getLong(0))
+    val brute = (for {
+      c <- cu; s2 <- su
+      dx = c * 37 % 1000 - s2 * 41 % 1000
+      dy = c * 73 % 1000 - s2 * 97 % 1000
+      d2 = dx * dx + dy * dy if d2 <= 64
+    } yield (c, s2, d2)).toSet
+    assert(got === brute)
+    assert(got.nonEmpty) // the fixture radius actually finds pairs
+    val knn = Spatial.queries("geo_grid_knn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bestByC = brute.groupBy(_._1).map { case (c, ps) =>
+      c -> ps.minBy(p => (p._3, p._2))
+    }
+    assert(knn.toSet === bestByC.values.toSet)
+    assert(knn.map(_._1).distinct.length === knn.length)
+  }
+
+  test("gr_walks: every step follows a real edge chosen by the pinned hash") {
+    val out = Walks.queries("gr_walks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val byWalk = out.groupBy(_._1)
+    // every walk has exactly L+1 positions starting at its walk_id
+    byWalk.foreach { case (wid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+      assert(sorted.head._3 === wid)
+    }
+    // replay the hash walk on a driver-side adjacency copy
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val e0 = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_partkey") + 10000000L).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e0 ++ e0.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (s2, es) =>
+        s2 -> es.map(_._2).sorted
+      }
+    def h(v: Long, t: Long) =
+      ((v % 1000000007L) * 1315423911L + t * 2654435761L) % 1000000007L
+    byWalk.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2).map(_._3)
+      for (t <- 1 to 3) {
+        val prev = sorted(t - 1)
+        val ns = adj(prev)
+        assert(sorted(t) === ns((h(prev, t) % ns.length).toInt))
+      }
+    }
+  }
+}

@@ -221,4 +221,43 @@ class PlanInvariantSpec extends SparkSpec {
       assert(!plan.contains("Join"), plan)
     }
   }
+
+  test("mb_item_pairs: basket self-join is an equi-join; only the one-row "
+      + "basket count rides a nested loop") {
+    val plan = executedPlan(
+      graft.operators.Affinity.queries("mb_item_pairs"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size <= 1, plan) // the countDistinct scalar
+    assert(bnlj.forall(_.contains("BuildRight")), plan)
+  }
+
+  test("geo_radius_join / geo_grid_knn: cell-keyed equi-join, no cartesian") {
+    for (name <- Seq("geo_radius_join", "geo_grid_knn")) {
+      val plan = executedPlan(graft.operators.Spatial.queries(name))
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      // the distance test must be a post-join Filter, not a join
+      // condition that downgrades the strategy
+      assert(plan.contains("dist2"), plan)
+    }
+  }
+
+  test("gr_walks: every step is an equi-join on (node, rank)") {
+    val plan = executedPlan(graft.operators.Walks.queries("gr_walks"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the ranked adjacency is built once and reused: the cached plan
+    // shows as InMemoryTableScan at each of the L probe sites
+    assert(plan.contains("InMemoryTableScan"), plan)
+  }
+
+  test("ev_transitions: no join before the from-total rejoin; both "
+      + "aggregations partial-merge") {
+    val plan = executedPlan(
+      graft.operators.Affinity.queries("ev_transitions"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
