@@ -40,6 +40,7 @@ object SparkEntry {
       operators.DataQuality.queries ++
       operators.Skyline.queries ++
       operators.Affinity.queries ++
+      operators.Collocations.queries ++
       operators.Spatial.queries ++
       operators.Walks.queries ++
       sources.Sources.queries ++
@@ -78,6 +79,7 @@ object SparkEntry {
       operators.DataQuality.oracles ++
       operators.Skyline.oracles ++
       operators.Affinity.oracles ++
+      operators.Collocations.oracles ++
       operators.Spatial.oracles ++
       operators.Walks.oracles ++
       sources.Sources.oracles ++

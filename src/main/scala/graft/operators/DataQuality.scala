@@ -110,6 +110,32 @@ object DataQuality {
         .unionAll(edge("part<-lineitem (never ordered)", part,
           "p_partkey", li.select("l_partkey"), "l_partkey"))
         .orderBy("fk")
+    }),
+
+    // Benford first-digit audit over order totals — the classic fraud/
+    // fabrication screen: observed first-significant-digit counts next
+    // to the Benford expectation log10(1+1/d), carried as fixed
+    // per-mille integers so the comparison is cross-engine exact. The
+    // digit comes from the STRING of floor(price) (never a float log:
+    // log10 at a power-of-ten boundary is FP-fragile). One scan + a
+    // 9-group aggregation; the expectation joins as a broadcast
+    // 9-row literal.
+    "dq_benford" -> ((s, dir) => {
+      val expect = s.createDataFrame(Seq(
+        (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+        (6, 67), (7, 58), (8, 51), (9, 46)))
+        .toDF("digit", "expected_pm")
+      val obs = Tables(s, dir, "orders")
+        .select(substring(expr("cast(cast(floor(o_totalprice) as bigint) "
+          + "as string)"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = obs.select(sum("n").as("total"))
+      obs.join(expect, Seq("digit"), "right") // all 9 digits in output
+        .na.fill(0L, Seq("n"))
+        .crossJoin(tot)
+        .withColumn("observed_pm", expr("n * 1000 div total"))
+        .select("digit", "n", "total", "observed_pm", "expected_pm")
+        .orderBy("digit")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -167,5 +193,23 @@ object DataQuality {
         edge("part<-lineitem (never ordered)", "p_partkey", "part",
           "l_partkey", "lineitem"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
-    })
+    },
+
+    "dq_benford" ->
+      """WITH expect(digit, expected_pm) AS (VALUES
+        |  (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+        |  (6, 67), (7, 58), (8, 51), (9, 46)),
+        |obs AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs)
+        |SELECT e.digit, CAST(COALESCE(obs.n, 0) AS BIGINT) AS n, total,
+        |  CAST(COALESCE(obs.n, 0) * 1000 // total AS BIGINT)
+        |    AS observed_pm,
+        |  e.expected_pm
+        |FROM expect e LEFT JOIN obs ON obs.digit = e.digit
+        |CROSS JOIN tot ORDER BY e.digit""".stripMargin
+  )
 }

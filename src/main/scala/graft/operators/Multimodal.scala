@@ -160,22 +160,88 @@ object Multimodal {
 
   /** Classic average-hash over the DECODED image: nearest-neighbor
     * 8×8 downsample, bit = (pixel > mean of the 64 samples), 64 bits
-    * row-major to a 16-hex-digit string. Integer-exact: the mean
-    * comparison is `g·64 > Σg` — no float division. */
+    * row-major. Integer-exact: the mean comparison is `g·64 > Σg` —
+    * no float division. */
+  private[graft] def avgHashLong(pl: ImgPayload): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(pl.payload))
+    val g = new Array[Int](64)
+    var sum = 0
+    for (j <- 0 until 8; i <- 0 until 8) {
+      val px = img.getRGB(
+        i * img.getWidth / 8, j * img.getHeight / 8) & 0xff
+      g(j * 8 + i) = px; sum += px
+    }
+    var hash = 0L
+    for (idx <- 0 until 64)
+      if (g(idx).toLong * 64 > sum) hash |= (1L << (63 - idx))
+    hash
+  }
+
   private[graft] def avgHash(rows: Iterator[ImgPayload]): Iterator[PHash] =
-    rows.map { pl =>
-      val img = ImageIO.read(new ByteArrayInputStream(pl.payload))
-      val g = new Array[Int](64)
-      var sum = 0
+    rows.map(pl => PHash(pl.doc_id, f"${avgHashLong(pl)}%016x"))
+
+  /** The same hash as a packed long — the near-dup join's shuffle
+    * currency (8 bytes a row instead of a 16-char string). */
+  final case class PHashBits(doc_id: Long, bits: Long)
+  private[graft] def avgHashBits(rows: Iterator[ImgPayload]): Iterator[PHashBits] =
+    rows.map(pl => PHashBits(pl.doc_id, avgHashLong(pl)))
+
+  // ---- perceptual NEAR-dup (Hamming ≤ 2 via multi-index hashing) ---
+
+  /** Near-dup spec: pattern p = id%16 picks a HIGH cell set (seven
+    * vertical thresholds i≥1..7, seven horizontal j≥1..7, a diagonal
+    * i+j≥7, a 2×2 checkerboard; value base+160 vs base, rendered as
+    * 2×2 blocks of a 16×16 image so the aHash 8×8 sample grid reads
+    * exactly one block each); flip f = (id div 16)%8 additionally
+    * raises the f-th LOW cell of the pattern to base+200 — toggling
+    * exactly ONE aHash bit (margins are decisive for every base ≤ 55
+    * and every pattern: worst high-cell margin is 1080 scaled units
+    * vs a 200-unit mean shift). Consequence, provable in closed form
+    * AND pinned exhaustively by CollocationsSpec over all 128
+    * classes: Hamming(a, b) = 0 iff same (p, f), = 2 for same p
+    * different f, ≥ 6 across patterns — so the ≤2 near-dup relation
+    * is exactly "same pattern", which the oracle names arithmetically
+    * while the engine must earn it through real PNG decode + hashing.
+    * 16 patterns (not 4) keep the true near-dup classes at n/16 —
+    * the operator's output is the ground-truth pair set, so class
+    * design is what bounds it. */
+  final case class NearSpec(doc_id: Long, p: Int, f: Int, base: Int)
+
+  private def nearSpecs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      (col("doc_id") % 16).cast("int").as("p"),
+      expr("doc_id div 16 % 8").cast("int").as("f"),
+      (col("doc_id") % 56).cast("int").as("base"))
+      .repartition(col("doc_id")) // same CPU-spread as imgSpecs
+      .as[NearSpec]
+  }
+
+  private def highCell(p: Int, i: Int, j: Int): Boolean =
+    if (p <= 6) i >= p + 1
+    else if (p <= 13) j >= p - 6
+    else if (p == 14) i + j >= 7
+    else ((i / 2) + (j / 2)) % 2 == 1
+
+  private[graft] def encodeNear(rows: Iterator[NearSpec]): Iterator[ImgPayload] =
+    rows.map { sp =>
+      // the f-th low cell in row-major (j, i) order
+      val lows = for (j <- 0 until 8; i <- 0 until 8
+                      if !highCell(sp.p, i, j)) yield (i, j)
+      val (fi, fj) = lows(sp.f)
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_3BYTE_BGR)
       for (j <- 0 until 8; i <- 0 until 8) {
-        val px = img.getRGB(
-          i * img.getWidth / 8, j * img.getHeight / 8) & 0xff
-        g(j * 8 + i) = px; sum += px
+        val v =
+          if ((i, j) == (fi, fj)) sp.base + 200
+          else if (highCell(sp.p, i, j)) sp.base + 160
+          else sp.base
+        for (dy <- 0 to 1; dx <- 0 to 1)
+          img.setRGB(i * 2 + dx, j * 2 + dy, (v << 16) | (v << 8) | v)
       }
-      var hash = 0L
-      for (idx <- 0 until 64)
-        if (g(idx).toLong * 64 > sum) hash |= (1L << (63 - idx))
-      PHash(pl.doc_id, f"$hash%016x")
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      ImgPayload(sp.doc_id, bos.toByteArray)
     }
 
   // ---- audio family ------------------------------------------------
@@ -299,6 +365,46 @@ object Multimodal {
         .orderBy("doc_id")
     }),
 
+    // Perceptual NEAR-dup join: decode → average-hash → 3-band bit
+    // split (22/21/21) → band-keyed self-join (multi-index hashing,
+    // Norouzi et al.: any pair within Hamming d ≤ 2 agrees on ≥1 of
+    // 3 bands, by pigeonhole) → exact bit_count(xor) verify ≤ 2. The
+    // band join is the dd_minhash_lsh shape applied to image space:
+    // candidates are band-bucket pairs, never all pairs, and the
+    // shuffle currency is one packed long per hash (no strings). The
+    // output is the TRUE near-pair set, so its size is governed by
+    // near-dup class sizes (n/16 here by spec design) — quadratic
+    // only where ground truth is, the dd_containment contract.
+    "mm_phash_near" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = nearSpecs(s, dir)
+        .mapPartitions(encodeNear)
+        .mapPartitions(avgHashBits)
+        .toDF()
+      def bandCol(k: Int) = k match {
+        case 0 => shiftrightunsigned(col("bits"), 42)
+        case 1 => shiftrightunsigned(col("bits"), 21)
+          .bitwiseAND(lit(0x1FFFFFL))
+        case _ => col("bits").bitwiseAND(lit(0x1FFFFFL))
+      }
+      val banded = hashes.select(col("doc_id"), col("bits"),
+        explode(array((0 until 3).map(k =>
+          struct(lit(k).as("k"), bandCol(k).as("bv"))): _*)).as("b"))
+        .select(col("doc_id"), col("bits"),
+          col("b.k").as("k"), col("b.bv").as("bv"))
+      banded.select(col("doc_id").as("id1"),
+          col("bits").as("h1"), col("k"), col("bv"))
+        .join(banded.select(col("doc_id").as("id2"),
+          col("bits").as("h2"), col("k"), col("bv")), Seq("k", "bv"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2", "h1", "h2")
+        .distinct()
+        .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as bigint)"))
+        .filter(col("hamming") <= 2)
+        .select("id1", "id2", "hamming")
+        .orderBy("id1", "id2")
+    }),
+
     // Real WAV round-trip: PCM frames → AudioSystem WAV encoder →
     // AudioSystem decoder → header metadata + sample statistics.
     "mm_audio_meta" -> ((s, dir) => {
@@ -377,6 +483,18 @@ object Multimodal {
         |  min(doc_id) OVER (PARTITION BY doc_id % 4) AS dup_group,
         |  count(*) OVER (PARTITION BY doc_id % 4) AS group_size
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // near-dup relation provable from the spec: ≤2 ⇔ same pattern
+    // (same id%16); distance is 0 iff also same flip cell (same
+    // id div 16 % 8), else exactly 2 — the oracle names the geometry,
+    // the engine must reproduce it through a real codec round-trip
+    "mm_phash_near" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(CASE WHEN (a.doc_id // 16) % 8 = (b.doc_id // 16) % 8
+        |    THEN 0 ELSE 2 END AS BIGINT) AS hamming
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id AND a.doc_id % 16 = b.doc_id % 16
+        |ORDER BY id1, id2""".stripMargin,
 
     // n = 400 + id%100 frames of sample a+i, a = id%500:
     // Σ = n·a + n(n-1)/2, min = a, max = a+n-1; header says mono,
