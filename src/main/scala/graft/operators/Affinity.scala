@@ -59,7 +59,10 @@ object Affinity {
       pairs
         .join(itemCnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
         .join(itemCnt.select(col("pk").as("p2"), col("c").as("c2")), "p2")
-        .crossJoin(nBaskets) // single-row scalar — broadcast NLJ
+        // single-row scalar: hint the broadcast explicitly — the
+        // pre-AQE size estimate of a global aggregate can exceed the
+        // broadcast threshold and downgrade this to CartesianProduct
+        .crossJoin(broadcast(nBaskets))
         .select(col("p1"), col("p2"), col("c12"), col("c1"), col("c2"),
           col("n_baskets"))
         .orderBy(col("c12").desc, col("p1"), col("p2"))
