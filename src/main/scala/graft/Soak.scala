@@ -314,7 +314,11 @@ object Soak {
       "dq_expect_suite", "dq_quarantine", "dq_referential",
       "ta_bigram_lm", "sim_matryoshka", "mm_phash_dedup",
       "mb_item_pairs", "ev_transitions", "gr_walks",
-      "geo_radius_join", "geo_grid_knn")) {
+      "geo_radius_join", "geo_grid_knn",
+      // round-7 continuation: retrieval eval is the brute pass plus a
+      // result-sized grading join; fusion is two distributed top-20s;
+      // keep-best is the dd_exact digest shuffle with a window
+      "sim_eval_mrr", "ts_hybrid_fusion", "dd_keep_best")) {
       // a corpus-shape limitation in ONE query must not kill the whole
       // report — log and continue
       try {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -386,6 +387,31 @@ object Dedup {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .select("keep_id", "n_copies")
         .orderBy("keep_id")),
+
+    // Quality-aware survivor selection — the pipeline-defining variant
+    // of exact dedup: instead of keeping the FIRST duplicate (min id,
+    // the dd_exact policy), keep the BEST one by an integer quality
+    // signal (distinct-token count here; any scored column works).
+    // Exact-dup groups share normalized text but not raw text, so
+    // quality genuinely varies inside a group. Same digest-keyed
+    // shuffle as dd_exact — one window per group, no extra pass.
+    "dd_keep_best" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .withColumn("norm",
+          regexp_replace(trim(lower(col("text"))), " +", " "))
+        .withColumn("grp", md5(col("norm").cast("binary")))
+        .withColumn("q",
+          size(array_distinct(split(col("text"), " "))).cast("long"))
+      val w = Window.partitionBy("grp")
+        .orderBy(col("q").desc, col("doc_id"))
+      d.withColumn("rn", row_number().over(w))
+        .withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy("grp")))
+        .filter(col("rn") === 1)
+        .select(col("doc_id").as("keep_id"), col("q").as("quality"),
+          col("n_copies"))
+        .orderBy("keep_id")
+    }),
 
     // MinHash + LSH: shingle → K minhashes → band digests → bucket join
     // for candidates → verify with full-signature agreement ≥ 6/9.
@@ -791,6 +817,20 @@ object Dedup {
         |        md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS grp
         |      FROM documents) t
         |GROUP BY grp ORDER BY keep_id""".stripMargin,
+
+    "dd_keep_best" ->
+      """SELECT doc_id AS keep_id, q AS quality, n_copies FROM (
+        |  SELECT doc_id, q,
+        |    row_number() OVER (PARTITION BY grp
+        |      ORDER BY q DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS n_copies
+        |  FROM (SELECT doc_id,
+        |          md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+        |            AS grp,
+        |          CAST(len(list_distinct(string_split(text, ' ')))
+        |            AS BIGINT) AS q
+        |        FROM documents) t) z
+        |WHERE rn = 1 ORDER BY keep_id""".stripMargin,
 
     "dd_minhash_lsh" -> minhashSql,
     "dd_lsh_tuning" -> {

@@ -237,6 +237,41 @@ object Similarity {
         .orderBy("qid", "rn")
     }),
 
+    // Retrieval EVALUATION — the measurement operator that closes the
+    // ANN loop: for each query, run the exact top-TOPK retrieval and
+    // grade it against label relevance (a neighbor is relevant iff it
+    // shares the query's label — the standard proxy when no human
+    // judgments exist). Emits the per-query ingredients every IR
+    // report aggregates: rank of the first relevant hit, reciprocal
+    // rank scaled by 60 (exact integer for ranks 1..5 — 60 is
+    // lcm(1..5), the fixed-point trick that keeps MRR hash-exact
+    // cross-engine), and precision@k numerator. At 100 TB the cost is
+    // the retrieval pass itself; the grading join touches only the
+    // NQ×TOPK result rows against the label column.
+    "sim_eval_mrr" -> ((s, dir) => {
+      val e = vecs(s, dir)
+      val lab = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val top = bruteTopKOf(e.filter(col("vec_id") < NQ), e, TOPK)
+        .select(col("qid"), col("nid"), col("rn"))
+      top
+        .join(lab.select(col("vec_id").as("qid"),
+          col("label").as("ql")), "qid")
+        .join(lab.select(col("vec_id").as("nid"),
+          col("label").as("nl")), "nid")
+        .groupBy("qid")
+        .agg(
+          coalesce(min(when(col("nl") === col("ql"), col("rn"))),
+            lit(0)).cast("long").as("first_rel_rank"),
+          sum(when(col("nl") === col("ql"), 1L).otherwise(0L))
+            .as("rel_at_5"))
+        .withColumn("rr_x60",
+          expr("CASE WHEN first_rel_rank > 0 " +
+            "THEN 60 div first_rel_rank ELSE 0 END").cast("long"))
+        .select("qid", "first_rel_rank", "rr_x60", "rel_at_5")
+        .orderBy("qid")
+    }),
+
     // IVF: centroid assignment (broadcast) → multi-probe → exact rerank
     // inside probed buckets only.
     "sim_ivf_topk" -> ((s, dir) => {
@@ -568,6 +603,32 @@ object Similarity {
          |  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
          |  WHERE q.vec_id < $NQ) t
          |WHERE rn <= $TOPK ORDER BY qid, rn""".stripMargin,
+
+    "sim_eval_mrr" ->
+      s"""WITH top5 AS (
+         |  SELECT qid, nid, rn FROM (
+         |    SELECT q.vec_id AS qid, n.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.embedding, n.embedding)
+         |                 DESC, n.vec_id) AS rn
+         |    FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+         |    WHERE q.vec_id < $NQ) t
+         |  WHERE rn <= $TOPK),
+         |graded AS (
+         |  SELECT t.qid,
+         |    COALESCE(MIN(CASE WHEN nl.label = ql.label THEN t.rn END),
+         |             0) AS first_rel_rank,
+         |    CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS rel_at_5
+         |  FROM top5 t
+         |  JOIN embeddings ql ON ql.vec_id = t.qid
+         |  JOIN embeddings nl ON nl.vec_id = t.nid
+         |  GROUP BY t.qid)
+         |SELECT qid, CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+         |  CAST(CASE WHEN first_rel_rank > 0
+         |       THEN 60 // first_rel_rank ELSE 0 END AS BIGINT) AS rr_x60,
+         |  rel_at_5
+         |FROM graded ORDER BY qid""".stripMargin,
 
     "sim_matryoshka" ->
       s"""WITH pref AS (SELECT vec_id, embedding[1:8] AS p

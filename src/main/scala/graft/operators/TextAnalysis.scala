@@ -254,6 +254,41 @@ object TextAnalysis {
     // see bm25Of for the index-probe shape and float-order discipline.
     "ts_bm25" -> ((s, dir) =>
       bm25Of(Tables(s, dir, "documents"), bm25Terms, 10).orderBy("rank")),
+
+    // HYBRID retrieval fusion — the RAG-serving pattern of combining
+    // two rankers without comparable scores. Ranker A is BM25 top-20;
+    // ranker B ranks the same query terms by raw term-frequency
+    // (standing in for any second signal — dense retrieval, recency,
+    // clicks). Fusion is Borda counting: each ranker contributes
+    // (K+1 − rank) points, absent docs contribute 0 — integer
+    // arithmetic end-to-end, so unlike reciprocal-rank fusion the
+    // fused score hashes bit-exactly cross-engine while ordering
+    // documents the same way RRF does at this depth. At 100 TB each
+    // ranker is its own distributed top-K (TakeOrderedAndProject);
+    // the fusion join touches only 2K rows.
+    "ts_hybrid_fusion" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val deep = 20
+      val a = bm25Of(docs, bm25Terms, deep)
+        .select(col("doc_id"), col("rank").as("ra"))
+      val tfTop = docs
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin(bm25Terms: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("doc_id")).limit(deep)
+      val b = tfTop.withColumn("rb", row_number().over(
+          Window.orderBy(col("tf").desc, col("doc_id"))))
+        .select("doc_id", "rb")
+      val fused = a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("borda",
+          (coalesce(lit(deep + 1) - col("ra"), lit(0)) +
+            coalesce(lit(deep + 1) - col("rb"), lit(0))).cast("long"))
+        .orderBy(col("borda").desc, col("doc_id")).limit(10)
+      fused.withColumn("rank", row_number().over(
+          Window.orderBy(col("borda").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("borda"))
+    }),
     // Language ID: count marker-word hits per candidate language, take
     // the argmax (ties broken by language code), 'und' when no marker
     // hits at all. The marker dimension broadcasts; the aggregate is a
@@ -679,6 +714,60 @@ object TextAnalysis {
          |  ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
          |  AS INTEGER) AS rank, doc_id
+         |FROM top ORDER BY rank""".stripMargin,
+
+    // BM25 leg re-derived at depth 20 (same formula/fold order as
+    // ts_bm25), tf leg by plain counts; Borda fusion is pure integers
+    "ts_hybrid_fusion" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS dl
+         |  FROM documents),
+         |stats AS (
+         |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+         |  FROM lens),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents) x
+         |  WHERE term IN ('spark', 'window', 'merge', 'stream')
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+         |       / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+         |    * (CAST(tf.tf AS DOUBLE) * ($K1 + 1.0))
+         |    / (CAST(tf.tf AS DOUBLE)
+         |       + $K1 * (1.0 - $B + $B * (CAST(lens.dl AS DOUBLE)
+         |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+         |      AS c
+         |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), stats),
+         |scored AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(0.0, list(c ORDER BY term)),
+         |                (a, b) -> a + b) AS score
+         |  FROM contrib GROUP BY doc_id),
+         |ra AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY score DESC, doc_id) AS INTEGER) AS ra
+         |  FROM (SELECT doc_id, score FROM scored
+         |        ORDER BY score DESC, doc_id LIMIT 20) t),
+         |tft AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tfs
+         |        FROM tf GROUP BY doc_id),
+         |rb AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY tfs DESC, doc_id) AS INTEGER) AS rb
+         |  FROM (SELECT doc_id, tfs FROM tft
+         |        ORDER BY tfs DESC, doc_id LIMIT 20) t),
+         |fused AS (
+         |  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         |    CAST(COALESCE(21 - ra.ra, 0)
+         |         + COALESCE(21 - rb.rb, 0) AS BIGINT) AS borda
+         |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id),
+         |top AS (SELECT doc_id, borda FROM fused
+         |        ORDER BY borda DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY borda DESC, doc_id)
+         |  AS INTEGER) AS rank, doc_id, borda
          |FROM top ORDER BY rank""".stripMargin,
 
     // same fold order: list(c ORDER BY term) + list_reduce mirrors

@@ -220,4 +220,33 @@ class DedupSpec extends SparkSpec {
     assert(selfs.map(_._1).toSet === docs.map(_._1).filter(_ % 50 == 0).toSet)
     assert(selfs.forall(_._3 == 100L))
   }
+
+  test("dd_keep_best partitions like dd_exact but keeps the " +
+      "highest-quality duplicate, not the first") {
+    val exact = Dedup.queries("dd_exact")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    val best = Dedup.queries("dd_keep_best")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("quality"),
+        r.getAs[Long]("n_copies")))
+    // same clustering: one survivor per group, identical group-size
+    // multiset
+    assert(best.length === exact.length)
+    assert(best.map(_._3).sorted.toSeq === exact.map(_._2).sorted.toSeq)
+    // the survivor's quality is the group max: replay locally
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val byGrp = docs.groupBy { case (_, t) =>
+      t.trim.toLowerCase.replaceAll(" +", " ")
+    }
+    val want = byGrp.values.map { g =>
+      val scored = g.map { case (id, t) =>
+        // split(..., -1): Spark's split keeps trailing empty tokens
+        (id, t.split(" ", -1).distinct.length.toLong)
+      }
+      val (id, q) = scored.minBy { case (id, q) => (-q, id) }
+      (id, q, g.size.toLong)
+    }.toSeq.sortBy(_._1)
+    assert(best.toSeq.sortBy(_._1) === want)
+  }
 }

@@ -260,4 +260,18 @@ class PlanInvariantSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("dd_keep_best: one digest shuffle, no joins at all") {
+    val plan = executedPlan(Dedup.queries("dd_keep_best"))
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("ts_hybrid_fusion / sim_eval_mrr: equi-joins only, both global "
+      + "top-ks are TakeOrderedAndProject not full-sort") {
+    val fusion = executedPlan(TextAnalysis.queries("ts_hybrid_fusion"))
+    assert(!fusion.contains("CartesianProduct"), fusion)
+    assert(fusion.contains("TakeOrderedAndProject"), fusion)
+    val mrr = executedPlan(Similarity.queries("sim_eval_mrr"))
+    assert(!mrr.contains("CartesianProduct"), mrr)
+  }
 }

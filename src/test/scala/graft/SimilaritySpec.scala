@@ -201,4 +201,37 @@ class SimilaritySpec extends SparkSpec {
         === wantOrder.toSeq, s"query $q rerank order")
     }
   }
+
+  test("sim_eval_mrr grades the brute top-5 against labels with exact " +
+      "fixed-point reciprocal ranks") {
+    val rows = Similarity.queries("sim_eval_mrr")(spark, sf).collect()
+    assert(rows.length === 10)
+    val legalRr = Set(0L, 12L, 15L, 20L, 30L, 60L)
+    rows.foreach { r =>
+      val rank = r.getAs[Long]("first_rel_rank")
+      val rr = r.getAs[Long]("rr_x60")
+      val rel = r.getAs[Long]("rel_at_5")
+      assert(rank >= 0 && rank <= 5)
+      assert(legalRr.contains(rr), s"rr $rr")
+      // rr is 60/rank exactly, and a relevant hit exists iff rank > 0
+      if (rank > 0) assert(rr === 60 / rank && rel >= 1)
+      else assert(rr === 0 && rel === 0)
+      assert(rel <= 5)
+    }
+    // cross-check one query against a local replay: the first
+    // same-label position in the brute list IS first_rel_rank
+    val lab = Tables(spark, sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val brute = Similarity.queries("sim_bruteforce_topk")(spark, sf)
+      .collect().map(r =>
+        (r.getAs[Long]("qid"), r.getAs[Long]("nid")))
+    val want = brute.groupBy(_._1).map { case (q, ns) =>
+      q -> (ns.map(_._2).indexWhere(n => lab(n) == lab(q)) + 1)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("first_rel_rank") ===
+        want(r.getAs[Long]("qid")).toLong)
+    }
+  }
 }

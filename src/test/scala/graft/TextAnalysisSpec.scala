@@ -296,4 +296,25 @@ class TextAnalysisSpec extends SparkSpec {
     }.sortBy { case (id, s) => (s, id) }.map(_._1)
     assert(got.map(_._2).toSeq === want)
   }
+
+  test("ts_hybrid_fusion: Borda scores are bounded, ranks dense, and " +
+      "a doc topping BOTH rankers tops the fusion") {
+    val fused = TextAnalysis.queries("ts_hybrid_fusion")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("borda")))
+    assert(fused.nonEmpty && fused.length <= 10)
+    assert(fused.map(_._1).toSeq === (1 to fused.length))
+    // two depth-20 rankers: max possible score is 20 + 20
+    assert(fused.forall(t => t._3 >= 1 && t._3 <= 40))
+    // scores are non-increasing in rank
+    assert(fused.map(_._3).toSeq === fused.map(_._3).sortBy(-_).toSeq)
+    // the BM25 winner carries 20 points, so it must appear in the
+    // fused top-10 (max competitor score is 40, min winner score 20,
+    // and ties can't push 10 docs above it: at most 9 docs can strictly
+    // exceed 20+19... keep the weak form: membership)
+    val bm25Top = TextAnalysis.queries("ts_bm25")(spark, sf)
+      .collect().head.getAs[Long]("doc_id")
+    assert(fused.map(_._2).contains(bm25Top))
+  }
 }
