@@ -70,7 +70,12 @@ object Similarity {
       col("nrm").as("nn"))
     val w = Window.partitionBy("qid")
       .orderBy(col("c").desc, col("nid"))
-    q.join(n, col("nid") =!= col("qid"))
+    // the query batch is the small side by contract (NQ rows vs the
+    // corpus): broadcast it EXPLICITLY so the non-equi join is a
+    // BroadcastNestedLoopJoin streamed over the corpus regardless of
+    // session threshold settings — auto-detection alone flips this to
+    // a CartesianProduct under autoBroadcastJoinThreshold=-1
+    broadcast(q).join(n, col("nid") =!= col("qid"))
       .withColumn("c", cos("qv", "qn", "nv", "nn"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -12,6 +12,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class AqeSkewSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = {
+    // getOrCreate on an existing session APPLIES this builder's runtime
+    // SQL confs to it — leaking autoBroadcastJoinThreshold=-1 etc. into
+    // the shared TestSpark session for every suite that runs after this
+    // one (observed: PlanInvariantSpec broadcast pins flipping to
+    // CartesianProduct in full-suite runs only). Clear the
+    // active/default session so a FRESH session (same SparkContext)
+    // carries the skew-tuned confs, then restore the shared one.
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-aqe-test")
@@ -35,6 +45,10 @@ class AqeSkewSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    prior.foreach { p =>
+      SparkSession.setDefaultSession(p)
+      SparkSession.setActiveSession(p)
+    }
     s
   }
 
