@@ -37,6 +37,7 @@ object SparkEntry {
       operators.Spectral.queries ++
       operators.IvfPq.queries ++
       operators.TimeSeries.queries ++
+      operators.Classify.queries ++
       operators.DataQuality.queries ++
       operators.Skyline.queries ++
       operators.Affinity.queries ++
@@ -76,6 +77,7 @@ object SparkEntry {
       operators.Spectral.oracles ++
       operators.IvfPq.oracles ++
       operators.TimeSeries.oracles ++
+      operators.Classify.oracles ++
       operators.DataQuality.oracles ++
       operators.Skyline.oracles ++
       operators.Affinity.oracles ++

@@ -59,6 +59,17 @@ object Graphs {
     graft.operators.Graph.linkPredictOf(
       edges.select(col(aCol).as("x"), col(bCol).as("y")), k, hubCap)
 
+  /** [[predictLinks]] with Adamic–Adar weighting: each distinct
+    * common neighbor contributes 1/ln(degree) instead of 1 — rare
+    * shared neighbors dominate, hubs are discounted. Scores are
+    * fixed-point integers (×10⁶). Returns (a, b, aa_x1e6), best
+    * first; the same hub-cap recall contract applies. */
+  def adamicAdar(edges: DataFrame, k: Int = 20,
+                 aCol: String = "src", bCol: String = "dst",
+                 hubCap: Int = graft.operators.Graph.HubCap): DataFrame =
+    graft.operators.Graph.adamicAdarOf(
+      edges.select(col(aCol).as("x"), col(bCol).as("y")), k, hubCap)
+
   /** Personalized PageRank: same integer-exact damped iterations as
     * [[pagerank]], but the restart mass lands only on `seeds` (a
     * one-column frame of node ids) — rank measures proximity to the

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Weak-supervision document classification — the quality/topic
+  * classifier stage of an LLM data pipeline (CCNet/C4 train a simple
+  * classifier on proxy labels and score the whole corpus with it;
+  * generalizes the reference's feature-text scoring surface,
+  * `code/ml/05_product_recommender_sp.sql`, from retrieval to
+  * classification):
+  *
+  *   1. SEED RULES label the confident slice: three keyword classes;
+  *      a doc gets a weak label iff one class's seed-hit count is a
+  *      strict maximum and ≥ 2 (ties and weak evidence stay
+  *      unlabeled — they are exactly the docs the classifier is FOR).
+  *   2. A multinomial NAIVE BAYES model trains on the weak-labeled
+  *      slice: add-one-smoothed token likelihoods over the train
+  *      vocabulary plus class priors.
+  *   3. The model scores EVERY doc (labeled or not) and the report is
+  *      the weak-label × predicted-label confusion matrix.
+  *
+  * Cross-engine exactness: every log-weight is fixed-point —
+  * round(ln(p)·10⁶) as BIGINT — so scores are integer sums. The ln
+  * inputs are ratios of exact integers evaluated in double (IEEE-
+  * identical in any engine); ln itself is correctly rounded to ≤ 1
+  * ulp on both JVMs and libm, and a 1-ulp wobble (~10⁻¹⁶ relative)
+  * sits ~10⁻⁹ of a fixed-point step from any rounding boundary — the
+  * contract every fixed-point ln operator in this repo shares.
+  *
+  * Scale shape: the model is parameter-sized (train-vocab × 3 grid +
+  * 3 class rows) and BROADCAST; the corpus-sized path is one
+  * token-explode scan, a ×3 class fan-out against the broadcast
+  * 3-row table, a broadcast equi-join against the grid, and one
+  * (doc, class) partial-aggregated shuffle. Training is two shuffles
+  * on (class, word). No collects anywhere — the model stays a frame.
+  */
+object Classify {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val SEEDS: Map[String, Seq[String]] = Map(
+    "sql"  -> Seq("join", "query", "table", "filter", "group"),
+    "perf" -> Seq("fast", "slow", "batch", "scan", "sort"),
+    "ml"   -> Seq("vector", "hash", "stream", "window", "merge"))
+
+  /** Fixed-point natural log: round(ln(x)·10⁶) as BIGINT. */
+  private def lnFx(x: org.apache.spark.sql.Column) =
+    round(log(x) * lit(1000000d)).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    "ml_weak_nb" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val tok = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+
+      // 1. seed rule: strict-max seed class with ≥ 2 hits
+      def hits(cls: String) = sum(
+        when(col("word").isin(SEEDS(cls): _*), 1L).otherwise(0L))
+      val weak = tok.groupBy("doc_id")
+        .agg(hits("sql").as("sql_n"), hits("perf").as("perf_n"),
+          hits("ml").as("ml_n"))
+        .select(col("doc_id"),
+          when(col("sql_n") >= 2 &&
+            col("sql_n") > greatest(col("perf_n"), col("ml_n")), "sql")
+            .when(col("perf_n") >= 2 &&
+              col("perf_n") > greatest(col("sql_n"), col("ml_n")), "perf")
+            .when(col("ml_n") >= 2 &&
+              col("ml_n") > greatest(col("sql_n"), col("perf_n")), "ml")
+            .as("weak"))
+      val labeled = weak.filter(col("weak").isNotNull)
+
+      // 2. train: smoothed token log-likelihoods + priors, all as a
+      // parameter-sized frame (never collected)
+      val cnts = tok.join(labeled, "doc_id")
+        .groupBy(col("weak").as("cls"), col("word"))
+        .agg(count(lit(1)).as("c"))
+      val tots = cnts.groupBy("cls").agg(sum(col("c")).as("tot"))
+      val vocab = cnts.select("word").distinct()
+      val vsz = vocab.agg(count(lit(1)).as("v"))
+      val nd = labeled.groupBy(col("weak").as("cls"))
+        .agg(count(lit(1)).as("nd"))
+      val ndt = labeled.agg(count(lit(1)).as("ndt"))
+      val cls = tots.join(nd, "cls")
+        .crossJoin(broadcast(vsz)).crossJoin(broadcast(ndt))
+        .select(col("cls"), col("tot"), col("v"),
+          lnFx(col("nd").cast("double") / col("ndt")).as("prior"),
+          lnFx(lit(1d) / (col("tot") + col("v")).cast("double"))
+            .as("dflt"))
+      val grid = vocab.crossJoin(broadcast(cls.select("cls", "tot", "v")))
+        .join(cnts, Seq("word", "cls"), "left")
+        .select(col("word"), col("cls"),
+          lnFx((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+            (col("tot") + col("v")).cast("double")).as("w"))
+
+      // 3. score every doc against the broadcast model; argmax class
+      val scored = tok
+        .crossJoin(broadcast(cls.select("cls", "prior", "dflt")))
+        .join(broadcast(grid), Seq("word", "cls"), "left")
+        .groupBy("doc_id", "cls", "prior")
+        .agg(sum(coalesce(col("w"), col("dflt"))).as("tw"))
+        .select(col("doc_id"), col("cls"),
+          (col("prior") + col("tw")).as("score"))
+      val wDoc = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cls"))
+      val pred = scored.withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cls").as("pred"))
+
+      pred.join(labeled, Seq("doc_id"), "left")
+        .groupBy(coalesce(col("weak"), lit("unlabeled")).as("weak_label"),
+          col("pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("weak_label", "pred")
+    }))
+
+  private def inList(ws: Seq[String]) =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "ml_weak_nb" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |tok2 AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+         |seedcnt AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN word IN ${inList(SEEDS("sql"))}
+         |        THEN 1 ELSE 0 END) AS sql_n,
+         |    SUM(CASE WHEN word IN ${inList(SEEDS("perf"))}
+         |        THEN 1 ELSE 0 END) AS perf_n,
+         |    SUM(CASE WHEN word IN ${inList(SEEDS("ml"))}
+         |        THEN 1 ELSE 0 END) AS ml_n
+         |  FROM tok2 GROUP BY doc_id),
+         |weak AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN sql_n >= 2 AND sql_n > greatest(perf_n, ml_n)
+         |        THEN 'sql'
+         |      WHEN perf_n >= 2 AND perf_n > greatest(sql_n, ml_n)
+         |        THEN 'perf'
+         |      WHEN ml_n >= 2 AND ml_n > greatest(sql_n, perf_n)
+         |        THEN 'ml'
+         |    END AS weak
+         |  FROM seedcnt),
+         |labeled AS (SELECT doc_id, weak FROM weak WHERE weak IS NOT NULL),
+         |cnts AS (
+         |  SELECT l.weak AS cls, t.word, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok2 t JOIN labeled l USING (doc_id) GROUP BY 1, 2),
+         |tots AS (SELECT cls, CAST(SUM(c) AS BIGINT) AS tot
+         |         FROM cnts GROUP BY 1),
+         |vocab AS (SELECT DISTINCT word FROM cnts),
+         |vsz AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+         |nd AS (SELECT weak AS cls, CAST(count(*) AS BIGINT) AS nd
+         |       FROM labeled GROUP BY 1),
+         |ndt AS (SELECT CAST(count(*) AS BIGINT) AS ndt FROM labeled),
+         |cls AS (
+         |  SELECT t.cls, t.tot, v.v,
+         |    CAST(round(ln(CAST(n.nd AS DOUBLE) / d.ndt) * 1000000)
+         |      AS BIGINT) AS prior,
+         |    CAST(round(ln(1.0 / (t.tot + v.v)) * 1000000)
+         |      AS BIGINT) AS dflt
+         |  FROM tots t JOIN nd n ON n.cls = t.cls
+         |  CROSS JOIN vsz v CROSS JOIN ndt d),
+         |grid AS (
+         |  SELECT vb.word, c.cls,
+         |    CAST(round(ln((COALESCE(k.c, 0) + 1)
+         |      / CAST(c.tot + c.v AS DOUBLE)) * 1000000) AS BIGINT) AS w
+         |  FROM vocab vb CROSS JOIN cls c
+         |  LEFT JOIN cnts k ON k.word = vb.word AND k.cls = c.cls),
+         |scored AS (
+         |  SELECT t.doc_id, c.cls,
+         |    c.prior + SUM(COALESCE(g.w, c.dflt)) AS score
+         |  FROM tok2 t CROSS JOIN cls c
+         |  LEFT JOIN grid g ON g.word = t.word AND g.cls = c.cls
+         |  GROUP BY t.doc_id, c.cls, c.prior),
+         |pred AS (
+         |  SELECT doc_id, cls AS pred FROM (
+         |    SELECT doc_id, cls, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+         |    FROM scored) r WHERE rn = 1)
+         |SELECT COALESCE(l.weak, 'unlabeled') AS weak_label, p.pred,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pred p LEFT JOIN labeled l USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

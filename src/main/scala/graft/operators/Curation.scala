@@ -144,6 +144,25 @@ object Curation {
           col("rows_at_risk"), col("n_rows"),
           expr("rows_at_risk * 100 div n_rows").as("risk_pct"))),
 
+    // L-DIVERSITY audit — k-anonymity's companion check: a QID group
+    // can be large (k-safe) yet still leak if every member shares the
+    // SAME sensitive value. Per (nation, balance-band) group, l =
+    // distinct sensitive values (market segment); the report is the
+    // distribution of groups and rows by l, so l = 1 rows are exact
+    // attribute disclosures and l < 3 is the usual release bar. Two
+    // stacked aggregates — QID shuffle with partial count-distinct,
+    // then an l-grain regroup (≤ 5 rows) — never a row-scale window.
+    // Band uses the same toward-zero trunc contract as pv_k_anonymity.
+    "pv_l_diversity" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"),
+          expr("CAST(c_acctbal AS BIGINT) div 2000").as("bal_band"))
+        .agg(countDistinct(col("c_mktsegment")).as("l"),
+          count(lit(1)).as("n"))
+        .groupBy("l")
+        .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_rows"))
+        .orderBy("l")),
+
     // Right-to-be-forgotten cascade — the compliance sweep every lake
     // with personal data runs: a deterministic request set (custkey %
     // 97 = 0) propagates through the foreign-key graph (customer →
@@ -329,6 +348,18 @@ object Curation {
         |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 100 // sum(n)
         |    AS BIGINT) AS risk_pct
         |FROM g""".stripMargin,
+
+    "pv_l_diversity" ->
+      // same trunc-before-cast contract as pv_k_anonymity
+      """WITH g AS (
+        |  SELECT c_nationkey,
+        |    CAST(trunc(c_acctbal) AS BIGINT) // 2000 AS bal_band,
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l,
+        |    count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM g GROUP BY l ORDER BY l""".stripMargin,
 
     "gdpr_cascade" ->
       """SELECT * FROM (

@@ -458,6 +458,13 @@ object Graph {
     "gr_link_predict" -> ((s, dir) =>
       linkPredictOf(coSupplyEdges(s, dir), 20)),
 
+    // Adamic–Adar scoring of the same co-supply graph: the
+    // degree-discounted refinement of gr_link_predict (rare shared
+    // suppliers count, ubiquitous ones don't) — the score most link-
+    // prediction baselines actually report.
+    "gr_adamic_adar" -> ((s, dir) =>
+      adamicAdarOf(coSupplyEdges(s, dir), 20)),
+
     // INCREMENTAL triangle maintenance — the IVM story applied to the
     // graph family: yesterday's per-node census (the co-supply graph
     // minus tonight's batch) persists once via Materialize exactly
@@ -595,6 +602,42 @@ object Graph {
     * O(deg log deg) per hub, never deg². */
   private[graft] def linkPredictOf(edges0: DataFrame, k: Int,
                                    hubCap: Int = HubCap): DataFrame = {
+    val (open, _) = openWedgesOf(edges0, hubCap)
+    open
+      .groupBy("a", "c")
+      .agg(countDistinct(col("b")).as("common_neighbors"))
+      .orderBy(col("common_neighbors").desc, col("a"), col("c"))
+      .limit(k)
+  }
+
+  /** Adamic–Adar link scoring: same open wedges as [[linkPredictOf]],
+    * but each distinct common neighbor b contributes 1/ln(deg(b)) —
+    * a rare shared neighbor is strong evidence, a hub says nothing.
+    * Fixed-point: per-neighbor weight round(10⁶/ln(d)) as BIGINT, the
+    * score an integer sum (same cross-engine ln contract as the NB
+    * classifier; deg(b) ≥ 2 for any wedge midpoint, so ln > 0).
+    * Returns (a, c, aa_x1e6) best-first under (score desc, a, c).
+    * The degree join is vertex-scale against the wedge midpoint — an
+    * equi-join, no new fan-out; the hub guard story is inherited. */
+  private[graft] def adamicAdarOf(edges0: DataFrame, k: Int,
+                                  hubCap: Int = HubCap): DataFrame = {
+    val (open, deg) = openWedgesOf(edges0, hubCap)
+    open.select("a", "c", "b").distinct()
+      .join(deg.select(col("x").as("b"), col("d")), "b")
+      .withColumn("w",
+        round(lit(1000000d) / log(col("d").cast("double"))).cast("long"))
+      .groupBy("a", "c")
+      .agg(sum(col("w")).as("aa_x1e6"))
+      .orderBy(col("aa_x1e6").desc, col("a"), col("c"))
+      .limit(k)
+  }
+
+  /** Shared wedge machinery for [[linkPredictOf]] / [[adamicAdarOf]]:
+    * returns (open wedges (a, c, b) with existing edges anti-joined
+    * out, full undirected degree table (x, d) — degrees BEFORE any
+    * capping, so scorers weight by true degree). */
+  private def openWedgesOf(edges0: DataFrame,
+                           hubCap: Int): (DataFrame, DataFrame) = {
     val edges = edges0.filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("x"),
         greatest(col("x"), col("y")).as("y"))
@@ -631,13 +674,10 @@ object Graph {
         col("e1.x") === col("e2.x") && col("e1.y") < col("e2.y"))
       .select(col("e1.y").as("a"), col("e2.y").as("c"),
         col("e1.x").as("b"))
-    wedges
+    val open = wedges
       .join(edges.select(col("x").as("a"), col("y").as("c")),
         Seq("a", "c"), "left_anti")
-      .groupBy("a", "c")
-      .agg(countDistinct(col("b")).as("common_neighbors"))
-      .orderBy(col("common_neighbors").desc, col("a"), col("c"))
-      .limit(k)
+    (open, deg)
   }
 
   /** One update as a DuckDB CTE (integer floor division `//`). */
@@ -885,6 +925,35 @@ object Graph {
         |SELECT a, c, count(DISTINCT b) AS common_neighbors
         |FROM open_w GROUP BY a, c
         |ORDER BY common_neighbors DESC, a, c
+        |LIMIT 20""".stripMargin,
+
+    "gr_adamic_adar" ->
+      """WITH ds AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |p AS (
+        |  SELECT l1.l_suppkey AS x, l2.l_suppkey AS y, count(*) AS cnt
+        |  FROM ds l1 JOIN ds l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |      AND l1.l_suppkey < l2.l_suppkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT sum(cnt) // count(*) + 2 AS thr FROM p),
+        |e AS (SELECT x, y FROM p, t WHERE cnt > thr),
+        |und AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+        |deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d
+        |        FROM und GROUP BY 1),
+        |wedges AS (
+        |  SELECT e1.x AS a, e2.y AS c, e1.y AS b
+        |  FROM und e1 JOIN und e2 ON e1.y = e2.x AND e1.x < e2.y),
+        |ow AS (
+        |  SELECT DISTINCT w.a, w.c, w.b FROM wedges w
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM e WHERE e.x = w.a AND e.y = w.c))
+        |SELECT a, c,
+        |  CAST(SUM(CAST(round(1000000 / ln(d)) AS BIGINT)) AS BIGINT)
+        |    AS aa_x1e6
+        |FROM ow JOIN deg ON deg.node = ow.b
+        |GROUP BY a, c
+        |ORDER BY aa_x1e6 DESC, a, c
         |LIMIT 20""".stripMargin
   )
 }

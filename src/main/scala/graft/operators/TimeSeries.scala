@@ -97,6 +97,86 @@ object TimeSeries {
           max(when(col("rd") === 1, col("l_extendedprice"))).as("close"),
           sum(dec(col("l_quantity"))).cast("double").as("volume"))
         .orderBy("l_suppkey", "bar")
+    }),
+
+    // AUTOCORRELATION at lags 1..7 of the daily-revenue series — the
+    // seasonality probe a forecaster runs before choosing model lags.
+    // The series is daily revenue quantized to whole thousands of
+    // dollars (integer div — the oracle replays the same quantization),
+    // so every moment is an exact BIGINT: per lag l the three
+    // Pearson ingredients n·Σab−Σa·Σb, n·Σa²−(Σa)², n·Σb²−(Σb)² are
+    // emitted raw (r_l = sxy/√(sxx·syy) is the caller's one float).
+    // Shape at 100 TB: the day-grain aggregate is one shuffle with
+    // full partial aggregation (events → ~constant rows/day); the lag
+    // alignment is an EQUI-join of the day-grain series with itself on
+    // day+l (7 broadcast lag rows fan out the probe side) — never a
+    // window over the raw facts. Headroom: k$² × days² stays under
+    // 2^63 through ~sf2; beyond that the quantization unit is the one
+    // knob (the statistic is defined on the quantized series).
+    "tm_acf" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(floor(col("o_totalprice")).cast("long")).as("rev"))
+        .select(col("day"), expr("rev div 1000").as("x"))
+      val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+      val a = daily.select(col("day"), col("x").as("xa"))
+      val b = daily.select(col("day").as("day_b"), col("x").as("xb"))
+      a.crossJoin(broadcast(lags))
+        .withColumn("day_b", date_add(col("day"), col("lag")))
+        .join(b, "day_b")
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("xa")).as("sa"), sum(col("xb")).as("sb"),
+          sum(col("xa") * col("xb")).as("sab"),
+          sum(col("xa") * col("xa")).as("saa"),
+          sum(col("xb") * col("xb")).as("sbb"))
+        .select(col("lag"), col("n_pairs"),
+          (col("n_pairs") * col("sab") - col("sa") * col("sb"))
+            .as("sxy_n"),
+          (col("n_pairs") * col("saa") - col("sa") * col("sa"))
+            .as("sxx_n"),
+          (col("n_pairs") * col("sbb") - col("sb") * col("sb"))
+            .as("syy_n"))
+        .orderBy("lag")
+    }),
+
+    // CUSUM changepoint scan over the daily order-count series — the
+    // level-shift detector a monitoring pipeline runs on ingest
+    // volumes. The centered cumulative sum S_t = Σ_{i≤t}(x_i − x̄) is
+    // kept integer by multiplying through by n: T_t = n·P_t − t·S
+    // (P_t prefix sum, S total, t day index); the top-3 |T_t| days are
+    // the candidate changepoints. The prefix sum is distributed
+    // two-phase — per-month cumsum (shuffle on month) plus a running
+    // month-offset computed on the MONTH-grain table (~n_days/30 rows,
+    // never row-scale) — the same bucketed-rank shape as dense IDs;
+    // the top-3 is TakeOrderedAndProject, not a global sort.
+    "tm_changepoint" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("m", date_trunc("month", col("day")).cast("date"))
+      val wInM = Window.partitionBy("m").orderBy("day")
+      val inMonth = daily
+        .withColumn("pm", sum(col("x")).over(wInM))
+        .withColumn("rm", row_number().over(wInM))
+      val wM = Window.orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      val monthOff = daily.groupBy("m")
+        .agg(sum(col("x")).as("mx"), count(lit(1)).as("md"))
+        .select(col("m"),
+          coalesce(sum(col("mx")).over(wM), lit(0L)).as("xoff"),
+          coalesce(sum(col("md")).over(wM), lit(0L)).as("doff"))
+      val tot = daily.agg(sum(col("x")).as("s"),
+        count(lit(1)).as("n"))
+      inMonth.join(broadcast(monthOff), "m")
+        .withColumn("p", col("pm") + col("xoff"))
+        .withColumn("t_idx", col("rm") + col("doff"))
+        .crossJoin(broadcast(tot))
+        .select(col("day"), col("t_idx"),
+          (col("n") * col("p") - col("t_idx") * col("s")).as("t_stat"))
+        .orderBy(abs(col("t_stat")).desc, col("day"))
+        .limit(3)
+        .select("day", "t_idx", "t_stat")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -145,5 +225,47 @@ object TimeSeries {
         |  max(CASE WHEN rd = 1 THEN l_extendedprice END) AS close,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS volume
         |FROM r GROUP BY l_suppkey, bar
-        |ORDER BY l_suppkey, bar""".stripMargin)
+        |ORDER BY l_suppkey, bar""".stripMargin,
+
+    "tm_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+        |      // 1000 AS x
+        |  FROM orders GROUP BY 1),
+        |lags AS (SELECT CAST(r AS INT) AS lag
+        |         FROM generate_series(1, 7) t(r)),
+        |pairs AS (
+        |  SELECT l.lag, a.x AS xa, b.x AS xb
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON b.day = a.day + l.lag),
+        |m AS (
+        |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(xa) AS BIGINT) AS sa,
+        |    CAST(SUM(xb) AS BIGINT) AS sb,
+        |    CAST(SUM(xa * xb) AS BIGINT) AS sab,
+        |    CAST(SUM(xa * xa) AS BIGINT) AS saa,
+        |    CAST(SUM(xb * xb) AS BIGINT) AS sbb
+        |  FROM pairs GROUP BY lag)
+        |SELECT lag, n_pairs,
+        |  n_pairs * sab - sa * sb AS sxy_n,
+        |  n_pairs * saa - sa * sa AS sxx_n,
+        |  n_pairs * sbb - sb * sb AS syy_n
+        |FROM m ORDER BY lag""".stripMargin,
+
+    "tm_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT day,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t_idx,
+        |    CAST(SUM(x) OVER (ORDER BY day) AS BIGINT) AS p
+        |  FROM daily),
+        |tot AS (SELECT CAST(SUM(x) AS BIGINT) AS s,
+        |               CAST(count(*) AS BIGINT) AS n FROM daily)
+        |SELECT day, t_idx, n * p - t_idx * s AS t_stat
+        |FROM c CROSS JOIN tot
+        |ORDER BY abs(n * p - t_idx * s) DESC, day LIMIT 3""".stripMargin)
 }

@@ -198,4 +198,30 @@ class CurationSpec extends SparkSpec {
       col("l_orderkey") === col("o_orderkey"), "left_semi").count()
     assert(rows("lineitem")._1 === independent)
   }
+
+  test("pv_l_diversity: row conservation, l bounds, and brute-force " +
+      "group replay") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Curation.queries("pv_l_diversity")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    // conservation: every customer row lands in exactly one l bucket
+    assert(got.values.map(_._2).sum === cust.count())
+    // l is a distinct-count over 5 market segments
+    assert(got.keys.forall(l => l >= 1 && l <= 5))
+    // brute-force replay of the QID grouping on the driver
+    val groups = cust.select(col("c_nationkey"),
+        expr("CAST(c_acctbal AS BIGINT) div 2000").as("b"),
+        col("c_mktsegment"))
+      .collect()
+      .groupBy(r => (r.getAs[Number](0).longValue(), r.getLong(1)))
+      .toSeq // before map: (l, size) tuples repeat across QID groups
+      .map { case (_, rs) =>
+        (rs.map(_.getString(2)).distinct.length.toLong, rs.length.toLong)
+      }
+    val want = groups.groupBy(_._1)
+      .map { case (l, gs) => l -> (gs.length.toLong, gs.map(_._2).sum) }
+    assert(got === want)
+  }
 }

@@ -357,4 +357,35 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(named === want)
   }
+
+  test("adamic-adar: hand-computed degree-discounted scores; hub cap " +
+      "and open-wedge set shared with link prediction") {
+    // two strong pairs via deg-4 midpoints, one weak pair via a deg-3
+    // midpoint; (1,2) is an existing edge and must not be predicted
+    val e = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 10L), (1L, 2L)).toDF("x", "y")
+    def w(d: Long) = math.round(1000000d / math.log(d.toDouble))
+    val got = Graph.adamicAdarOf(e, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // midpoints 1 and 2 both have degree 4; midpoint 10 degree 3
+    val strong = 2 * w(4)
+    assert(got === Map(
+      (10L, 11L) -> strong, (10L, 12L) -> strong, (11L, 12L) -> strong,
+      (1L, 3L) -> w(3), (2L, 3L) -> w(3)))
+    // same open-wedge machinery as linkPredictOf: identical pair sets
+    val cn = Graph.linkPredictOf(e, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.keySet === cn)
+    // the hub guard is inherited: a 2000-degree hub stays bounded and
+    // every scored pair comes from the capped low-id pool
+    val hub = (1L to 2000L).map(i => (0L, i)).toDF("x", "y")
+    val capped = Graph.adamicAdarOf(hub, 10000, hubCap = 64).collect()
+    assert(capped.length === 64 * 63 / 2)
+    assert(capped.forall(r => r.getLong(0) <= 64 && r.getLong(1) <= 64))
+    // each pair's only common neighbor is the deg-2000 hub itself
+    assert(capped.forall(_.getLong(2) === w(2000)))
+  }
 }

@@ -274,4 +274,44 @@ class PlanInvariantSpec extends SparkSpec {
     val mrr = executedPlan(Similarity.queries("sim_eval_mrr"))
     assert(!mrr.contains("CartesianProduct"), mrr)
   }
+
+  test("ml_weak_nb: model is broadcast-bounded; data path has no " +
+      "cartesian and no shuffle nested loop") {
+    val plan = executedPlan(graft.operators.Classify.queries("ml_weak_nb"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the 3-row class table and the vocab×3 grid ride broadcasts; any
+    // nested loop must be one of those broadcast fan-outs
+    val bnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(l => l.contains("BuildRight") ||
+      l.contains("BuildLeft")), plan)
+    assert(bnlj.nonEmpty, plan) // the class fan-out is expected
+  }
+
+  test("tm_acf / tm_changepoint: lag alignment is an equi-join on day;" +
+      " top-3 is TakeOrderedAndProject") {
+    val acf = executedPlan(
+      graft.operators.TimeSeries.queries("tm_acf"))
+    assert(!acf.contains("CartesianProduct"), acf)
+    val cp = executedPlan(
+      graft.operators.TimeSeries.queries("tm_changepoint"))
+    assert(!cp.contains("CartesianProduct"), cp)
+    assert(cp.contains("TakeOrderedAndProject"), cp)
+  }
+
+  test("gr_adamic_adar: wedge and degree joins are equi-joins; the " +
+      "co-supply threshold is the only scalar nested loop") {
+    val plan = executedPlan(graft.operators.Graph.queries("gr_adamic_adar"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val bnlj = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(l => l.contains("BuildRight") && l.contains("thr")),
+      plan)
+  }
+
+  test("pv_l_diversity: two stacked aggregates, no joins at all") {
+    val plan = executedPlan(
+      graft.operators.Curation.queries("pv_l_diversity"))
+    assert(!plan.contains("Join"), plan)
+  }
 }

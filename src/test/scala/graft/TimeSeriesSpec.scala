@@ -72,4 +72,62 @@ class TimeSeriesSpec extends SparkSpec {
       (1L, "2024-02-01", 1L, 7.0, 7.0, 7.0, 7.0, 4.0),
       (2L, "2024-03-01", 2L, 1.0, 2.0, 1.0, 2.0, 2.0)))
   }
+
+  test("tm_acf: the distributed lag join equals a driver-side exact " +
+      "replay on the named data (calendar gaps pair by DATE, not row)") {
+    import org.apache.spark.sql.functions._
+    val got = TimeSeries.queries("tm_acf")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // brute force on the driver: the quantized daily series as a
+    // date→value map; a lag-l pair exists iff BOTH calendar days exist
+    // (the equi-join semantics — lead(l) over a row window would skip
+    // days across calendar gaps and undercount)
+    val daily = graft.Tables(spark, sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(floor(col("o_totalprice")).cast("long")).as("rev"))
+      .select(col("day"), expr("rev div 1000").as("x"))
+      .collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    for (l <- 1 to 7) {
+      val pairs = daily.toSeq.flatMap { case (d, xa) =>
+        daily.get(d.plusDays(l.toLong)).map(xb => (xa, xb)) }
+      val n = pairs.length.toLong
+      val sa = pairs.map(_._1).sum; val sb = pairs.map(_._2).sum
+      val sab = pairs.map(p => p._1 * p._2).sum
+      val saa = pairs.map(p => p._1 * p._1).sum
+      val sbb = pairs.map(p => p._2 * p._2).sum
+      val exp = (l, n, n * sab - sa * sb, n * saa - sa * sa,
+        n * sbb - sb * sb)
+      assert(got(l - 1) === exp, s"lag $l")
+    }
+  }
+
+  test("tm_changepoint: two-phase month-bucketed prefix sum equals " +
+      "one global window; T_n = 0 identity holds") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = TimeSeries.queries("tm_changepoint")(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val daily = graft.Tables(spark, sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy("day")
+    val t = daily
+      .withColumn("t_idx", row_number().over(w).cast("long"))
+      .withColumn("p", sum("x").over(w))
+      .crossJoin(broadcast(daily.agg(sum("x").as("s"),
+        count(lit(1)).as("n"))))
+      .select(col("day"), col("t_idx"),
+        (col("n") * col("p") - col("t_idx") * col("s")).as("t"))
+      .cache()
+    val exp = t.orderBy(abs(col("t")).desc, col("day")).limit(3)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2)))
+    assert(got.toSeq === exp.toSeq)
+    // the centered cumulative sum returns to zero at the series end
+    val last = t.orderBy(col("t_idx").desc).limit(1).collect()(0)
+    assert(last.getLong(2) === 0L)
+    t.unpersist()
+  }
 }
