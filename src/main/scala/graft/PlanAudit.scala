@@ -63,7 +63,12 @@ object PlanAudit {
     "mm_phash_dedup",
     "er_jaro_winkler", "sky_pareto", "sky_pareto_brand",
     "tm_ewma", "tm_ohlc", "dq_expect_suite", "dq_referential",
-    "gr_ppr", "ta_bigram_lm", "sim_matryoshka", "gr_kcore")
+    "gr_ppr", "ta_bigram_lm", "sim_matryoshka", "gr_kcore",
+    // round-7 continuation: hierarchy / density / interval / sketch /
+    // privacy / BFS additions
+    "hr_tree_rollup", "db_dbscan_grid", "iv_interval_join",
+    "cs_kmv_intersect", "pv_t_closeness", "gr_bfs_dist",
+    "gr_sssp_bounded", "dq_profile", "er_mutual_best", "tm_backtest")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

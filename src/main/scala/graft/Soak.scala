@@ -318,7 +318,19 @@ object Soak {
       // round-7 continuation: retrieval eval is the brute pass plus a
       // result-sized grading join; fusion is two distributed top-20s;
       // keep-best is the dd_exact digest shuffle with a window
-      "sim_eval_mrr", "ts_hybrid_fusion", "dd_keep_best")) {
+      "sim_eval_mrr", "ts_hybrid_fusion", "dd_keep_best",
+      // round-7 continuation: pointer-jumping stays log-round as the
+      // interleaved customer replicate deepens the tree; bounded BFS
+      // is 6 fixed frontier joins; the interval join's bucket volume
+      // moves with rows × (interval/bucket ≤ 2); KMV is top-K over a
+      // distinct; t-closeness is three same-grain aggregates
+      "hr_tree_rollup", "hr_level_census", "gr_bfs_dist",
+      "iv_interval_join", "cs_kmv_intersect", "pv_t_closeness",
+      // min-plus BFS sibling (6 fixed rounds), daily-grain backtest,
+      // one-pass profiler, and the two match-table windows of the
+      // reciprocal argmin — all shuffle-bounded by their input grain
+      "gr_sssp_bounded", "tm_backtest", "dq_profile",
+      "er_mutual_best")) {
       // a corpus-shape limitation in ONE query must not kill the whole
       // report — log and continue
       try {
@@ -332,6 +344,31 @@ object Soak {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+    }
+    // density clustering: on the replicated corpus DENSITY itself grows
+    // with copies (same 512x512 grid, x-times the points), so neighbor
+    // volume is quadratic in copies BY GROUND TRUTH — the cluster
+    // structure densifies, which is the regime DBSCAN parameters are
+    // re-tuned for, not scaled through. A real 100 TB deployment keeps
+    // density roughly constant (coordinates span a real domain that
+    // widens with the data), where the cell join is linear. The soak
+    // therefore reports the measured neighbor-pair count next to the
+    // wall time at x10 and logs the densification skip at x30+.
+    {
+      val p = operators.Density.pts(spark, dir)
+      val nPts = p.count()
+      if (nPts <= 200000) {
+        val (nNbr, tNbr) =
+          time(operators.Density.neighborPairs(p, 144L, 12L).count())
+        spark.catalog.clearCache()
+        val (rows, t) =
+          time(SparkEntry.queries("db_dbscan_grid")(spark, dir).count())
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        println(f"""{"corpus":"$tag","query":"db_dbscan_grid","points":$nPts,"neighbor_pairs":$nNbr,"pairs_s":$tNbr%.2f,"rows":$rows,"time_s":$t%.2f}""")
+      } else
+        println(s"""{"corpus":"$tag","query":"db_dbscan_grid","points":$nPts,"skipped":"replicate densifies the fixed grid - pair volume quadratic in copies by ground truth; see comment"}""")
     }
     // join-size profiler at scale: the CBO primitive's estimate must
     // EQUAL each executed join's cardinality on the replicated corpus

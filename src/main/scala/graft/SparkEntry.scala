@@ -44,6 +44,8 @@ object SparkEntry {
       operators.Collocations.queries ++
       operators.Spatial.queries ++
       operators.Walks.queries ++
+      operators.Hierarchy.queries ++
+      operators.Density.queries ++
       sources.Sources.queries ++
       sources.Bucketing.queries
 
@@ -84,6 +86,8 @@ object SparkEntry {
       operators.Collocations.oracles ++
       operators.Spatial.oracles ++
       operators.Walks.oracles ++
+      operators.Hierarchy.oracles ++
+      operators.Density.oracles ++
       sources.Sources.oracles ++
       sources.Bucketing.oracles
 }

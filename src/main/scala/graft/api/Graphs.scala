@@ -94,4 +94,19 @@ object Graphs {
     graft.operators.Graph.kcoreOf(
       und.unionAll(und.select(col("v").as("u"), col("u").as("v"))), k)
   }
+
+  /** Bounded multi-source BFS over an UNDIRECTED edge frame (pass
+    * each edge once; both directions are derived): hop distance to
+    * the nearest node of `seeds` (a one-column frame), for every node
+    * within `maxHops`. The hop bound is a query constant — the plan
+    * is maxHops chained frontier joins, no data-driven convergence
+    * probes. Returns (node, d); unreached nodes are absent. Behind
+    * the oracle-checked `gr_bfs_dist` query. */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int = 6,
+          aCol: String = "src", bCol: String = "dst"): DataFrame = {
+    val und = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    graft.operators.Graph.bfsOf(
+      und.unionAll(und.select(col("v").as("u"), col("u").as("v"))),
+      seeds, maxHops)
+  }
 }

@@ -132,6 +132,53 @@ object AsOf {
         .groupBy("purchase_id")
         .agg(count(col("ets")).as("n_following"))
         .orderBy("purchase_id")
+    }),
+
+    // INTERVAL-OVERLAP self-join — the temporal join neither Spark nor
+    // the reference has as a built-in: per supplier, how many pairs of
+    // shipments were in flight simultaneously (interval [ship, ship +
+    // (1 + qty % 14) days]). A naive theta-join on the overlap
+    // predicate is a per-key cross product; the scalable plan is the
+    // TEMPORAL BUCKETING one (the interval-join analogue of the LSH
+    // band join): intervals span ≤ 15 days, the bucket width is 16
+    // days, so every interval covers ≤ 2 buckets — each side explodes
+    // ≤ 2×, the join is equi on (supplier, bucket), the exact overlap
+    // predicate filters candidates, and a pair is COUNTED only in the
+    // bucket holding the later start (it lies in both intervals'
+    // bucket ranges whenever they overlap — pigeonhole dedup, no
+    // distinct over the pair set). At 100 TB: shuffle keyed by
+    // (supplier, 16-day epoch) — time-sliced parallelism within a hot
+    // supplier comes free from the bucket component of the key.
+    "iv_interval_join" -> ((s, dir) => {
+      val DAY = 86400000000L // µs
+      val W = 16 * DAY
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // lineitem, so the pair id is a per-supplier row_number — unique
+      // within the join key (all the dedup rule needs), shuffled on the
+      // same supplier key the join uses, never a global window. Ties in
+      // the sort land on rows with identical intervals, so id order
+      // among them cannot change the count.
+      val idw = Window.partitionBy("l_suppkey").orderBy("l_shipdate",
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      val iv = Tables(s, dir, "lineitem").select(
+        col("l_suppkey").as("s"),
+        row_number().over(idw).cast("long").as("id"),
+        // l_shipdate is TIMESTAMP_NTZ; the session is pinned UTC, so the
+        // cast reinterprets the same wall clock DuckDB's epoch_us reads
+        expr("unix_micros(cast(l_shipdate as timestamp))").as("a"),
+        (expr("unix_micros(cast(l_shipdate as timestamp))") +
+          expr(s"(1 + CAST(l_quantity AS BIGINT) % 14) * $DAY")).as("b"))
+      val x = iv.withColumn("g",
+        explode(expr(s"sequence(a div $W, b div $W)")))
+      val y = x.select(col("s"), col("g"), col("id").as("id2"),
+        col("a").as("a2"), col("b").as("b2"))
+      x.join(y, Seq("s", "g"))
+        .filter(col("id") < col("id2") &&
+          col("a") <= col("b2") && col("a2") <= col("b") &&
+          col("g") === expr(s"greatest(a, a2) div $W"))
+        .groupBy(col("s").as("l_suppkey"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("l_suppkey")
     })
   )
 
@@ -181,6 +228,26 @@ object AsOf {
         |FROM purch p LEFT JOIN events e
         |  ON e.user_id = p.user_id
         |  AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 60 SECOND
-        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin
+        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin,
+
+    // brute-force quadratic within supplier — feasible at oracle scale,
+    // a different algorithm from the engine's bucketed join. trunc on
+    // l_quantity: the established toward-zero cast contract (integral
+    // doubles here, but the pattern is uniform)
+    "iv_interval_join" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS s,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |               l_partkey, l_quantity) AS id,
+        |    epoch_us(l_shipdate) AS a,
+        |    epoch_us(l_shipdate)
+        |      + (1 + CAST(trunc(l_quantity) AS BIGINT) % 14)
+        |        * 86400000000 AS b
+        |  FROM lineitem)
+        |SELECT x.s AS l_suppkey, count(*) AS n_overlaps
+        |FROM iv x JOIN iv y
+        |  ON x.s = y.s AND x.id < y.id AND x.a <= y.b AND y.a <= x.b
+        |GROUP BY x.s ORDER BY l_suppkey""".stripMargin
   )
 }

@@ -163,6 +163,47 @@ object Curation {
         .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_rows"))
         .orderBy("l")),
 
+    // T-CLOSENESS audit — the third leg of the release-privacy triad
+    // (Li, Li & Venkatasubramanian ICDE'07): a QID group can be k-safe
+    // and l-diverse yet still leak if its sensitive-value DISTRIBUTION
+    // diverges from the table's. For a categorical sensitive attribute
+    // the Earth Mover's Distance reduces to total variation
+    // ½·Σ|p_i − q_i|; with p = cnt/n_g and q = tot/N that is
+    // tv = Σ|cnt·N − tot·n_g| / (2·n_g·N) — kept as the integer
+    // numerator so the cross-engine comparison never touches a float
+    // division, and the t ≤ 0.4 gate is the cross-multiplied compare
+    // 10·tv_num ≤ 8·n_g·N. (At petabyte row counts the cnt·N products
+    // want DECIMAL headroom or per-million normalization; the plan
+    // shape is unchanged.) Cost: three aggregates on the same QID
+    // shuffle grain plus a broadcast of the 5-row segment margin and
+    // the 1-row total — the group×segment grid is output-sized.
+    "pv_t_closeness" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_nationkey"),
+        expr("CAST(c_acctbal AS BIGINT) div 2000").as("bal_band"),
+        col("c_mktsegment"))
+      val cell = c.groupBy("c_nationkey", "bal_band", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+      val grp = c.groupBy("c_nationkey", "bal_band")
+        .agg(count(lit(1)).as("n_g"))
+      val seg = c.groupBy("c_mktsegment").agg(count(lit(1)).as("tot"))
+      val tot = c.agg(count(lit(1)).as("n_all"))
+      grp.crossJoin(broadcast(seg)).crossJoin(broadcast(tot))
+        .join(cell, Seq("c_nationkey", "bal_band", "c_mktsegment"),
+          "left")
+        .withColumn("term",
+          abs(coalesce(col("cnt"), lit(0L)) * col("n_all") -
+            col("tot") * col("n_g")))
+        .groupBy("c_nationkey", "bal_band")
+        .agg(max("n_g").as("n_g"), max("n_all").as("n_all"),
+          sum("term").as("tv_num"))
+        .select(col("c_nationkey"), col("bal_band"), col("n_g"),
+          col("tv_num"),
+          (lit(10L) * col("tv_num") >
+            lit(8L) * col("n_g") * col("n_all")).cast("int")
+            .as("t_violation"))
+        .orderBy("c_nationkey", "bal_band")
+    }),
+
     // Right-to-be-forgotten cascade — the compliance sweep every lake
     // with personal data runs: a deterministic request set (custkey %
     // 97 = 0) propagates through the foreign-key graph (customer →
@@ -360,6 +401,37 @@ object Curation {
         |SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
         |  CAST(sum(n) AS BIGINT) AS n_rows
         |FROM g GROUP BY l ORDER BY l""".stripMargin,
+
+    "pv_t_closeness" ->
+      // same trunc-before-cast band contract as pv_k_anonymity; the
+      // tv numerator and the 0.4 gate replay in the same integer
+      // arithmetic (DuckDB sums widen to HUGEINT — cast back)
+      """WITH c AS (
+        |  SELECT c_nationkey,
+        |    CAST(trunc(c_acctbal) AS BIGINT) // 2000 AS bal_band,
+        |    c_mktsegment
+        |  FROM customer),
+        |grp AS (SELECT c_nationkey, bal_band, count(*) AS n_g
+        |        FROM c GROUP BY 1, 2),
+        |seg AS (SELECT c_mktsegment, count(*) AS tot FROM c GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_all FROM c),
+        |cell AS (SELECT c_nationkey, bal_band, c_mktsegment,
+        |           count(*) AS cnt
+        |         FROM c GROUP BY 1, 2, 3),
+        |terms AS (
+        |  SELECT g.c_nationkey, g.bal_band, g.n_g, t.n_all,
+        |    abs(coalesce(cl.cnt, 0) * t.n_all - s.tot * g.n_g) AS term
+        |  FROM grp g CROSS JOIN seg s CROSS JOIN tot t
+        |  LEFT JOIN cell cl
+        |    ON cl.c_nationkey = g.c_nationkey
+        |   AND cl.bal_band = g.bal_band
+        |   AND cl.c_mktsegment = s.c_mktsegment)
+        |SELECT c_nationkey, bal_band, CAST(n_g AS BIGINT) AS n_g,
+        |  CAST(sum(term) AS BIGINT) AS tv_num,
+        |  CAST(CASE WHEN 10 * sum(term) > 8 * n_g * n_all
+        |       THEN 1 ELSE 0 END AS INTEGER) AS t_violation
+        |FROM terms GROUP BY c_nationkey, bal_band, n_g, n_all
+        |ORDER BY c_nationkey, bal_band""".stripMargin,
 
     "gdpr_cascade" ->
       """SELECT * FROM (

@@ -136,6 +136,48 @@ object DataQuality {
         .withColumn("observed_pm", expr("n * 1000 div total"))
         .select("digit", "n", "total", "observed_pm", "expected_pm")
         .orderBy("digit")
+    }),
+
+    // COLUMN PROFILER — the per-column census (nulls, cardinality,
+    // extremes, payload volume) every catalog / data-discovery layer
+    // computes on registration. All five columns profile in ONE
+    // aggregation pass over one scan — metrics are parallel aggregate
+    // columns, and the column→row reshape explodes an array of
+    // structs OVER the already-aggregated single row (same
+    // one-scan-then-reshape shape as dq_expect_suite; a union of
+    // per-column selects would re-read the table per column, which at
+    // 100 TB is the difference between one pass and five). Values
+    // profile through an engine-portable RENDERING: integers/strings
+    // verbatim, doubles through the established trunc-toward-zero
+    // BIGINT contract, so min/max/length never touch float formatting.
+    // The count(distinct) per column costs one Expand (×5 rows) —
+    // the standard multi-distinct plan, still a single scan.
+    "dq_profile" -> ((s, dir) => {
+      val cols: Seq[(String, String)] = Seq(
+        "c_custkey" -> "cast(c_custkey as string)",
+        "c_name" -> "c_name",
+        "c_nationkey" -> "cast(c_nationkey as string)",
+        "c_acctbal" -> "cast(cast(c_acctbal as bigint) as string)",
+        "c_mktsegment" -> "c_mktsegment")
+      val aggs = count(lit(1)).as("_n") +: cols.flatMap { case (n, r) =>
+        Seq(viol(expr(n).isNull).as(s"_null_$n"),
+          countDistinct(expr(r)).as(s"_dist_$n"),
+          min(expr(r)).as(s"_min_$n"),
+          max(expr(r)).as(s"_max_$n"),
+          sum(length(expr(r))).as(s"_len_$n"))
+      }
+      val one = Tables(s, dir, "customer").agg(aggs.head, aggs.tail: _*)
+      val rows = array(cols.map { case (n, _) =>
+        struct(lit(n).as("column_name"), col(s"_null_$n").as("n_null"),
+          col(s"_dist_$n").as("n_distinct"),
+          col(s"_min_$n").as("min_val"), col(s"_max_$n").as("max_val"),
+          col(s"_len_$n").as("sum_len"))
+      }: _*)
+      one.select(col("_n").as("n_rows"), explode(rows).as("p"))
+        .select(lit("customer").as("tbl"), col("p.column_name"),
+          col("n_rows"), col("p.n_null"), col("p.n_distinct"),
+          col("p.min_val"), col("p.max_val"), col("p.sum_len"))
+        .orderBy("column_name")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -193,6 +235,26 @@ object DataQuality {
         edge("part<-lineitem (never ordered)", "p_partkey", "part",
           "l_partkey", "lineitem"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+    },
+
+    "dq_profile" -> {
+      // same trunc-before-cast double contract as pv_k_anonymity
+      def row(name: String, rendered: String) =
+        s"""SELECT 'customer' AS tbl, '$name' AS column_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(COALESCE(SUM(CASE WHEN $name IS NULL THEN 1 END), 0)
+           |    AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $rendered) AS BIGINT) AS n_distinct,
+           |  min($rendered) AS min_val, max($rendered) AS max_val,
+           |  CAST(sum(length($rendered)) AS BIGINT) AS sum_len
+           |FROM customer""".stripMargin
+      Seq(
+        row("c_custkey", "CAST(c_custkey AS VARCHAR)"),
+        row("c_name", "c_name"),
+        row("c_nationkey", "CAST(c_nationkey AS VARCHAR)"),
+        row("c_acctbal", "CAST(CAST(trunc(c_acctbal) AS BIGINT) AS VARCHAR)"),
+        row("c_mktsegment", "c_mktsegment"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     },
 
     "dq_benford" ->

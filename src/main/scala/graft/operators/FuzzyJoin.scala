@@ -214,6 +214,31 @@ object FuzzyJoin {
         .groupBy(col("cluster_id").as("entity_id"))
         .agg(count(lit(1)).as("n_records"))
         .orderBy("entity_id")
+    }),
+
+    // RECIPROCAL BEST MATCH — the 1:1 linkage discipline layered on
+    // the same blocked match table: keep (dirty, master) only when
+    // the master is the dirty record's best candidate AND the dirty
+    // record is the master's best candidate (ties broken by key on
+    // both sides). Mutual-best is the standard guard against the
+    // star pattern a greedy per-left argmin produces when one master
+    // absorbs many variants — each side's argmin is a row_number
+    // window PARTITIONED BY ITS OWN KEY over the match table (two
+    // shuffles of match-table size, grain bounded by block
+    // population), and the reciprocal check is one equi-join of the
+    // two rank-1 sets. No global window, no driver loop.
+    "er_mutual_best" -> ((s, dir) => {
+      val m = erMatches(s, dir)
+      val bestM = m.withColumn("rn", row_number().over(
+          Window.partitionBy("dirty_id")
+            .orderBy(col("dist"), col("matched_key"))))
+        .filter(col("rn") === 1).drop("rn")
+      val bestD = m.withColumn("rn", row_number().over(
+          Window.partitionBy("matched_key")
+            .orderBy(col("dist"), col("dirty_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      bestM.join(bestD, Seq("dirty_id", "matched_key", "dist"))
+        .orderBy("dirty_id")
     }))
 
   /** Pre-verify blocked candidates (dirty_id, dname, c_custkey, name)
@@ -331,6 +356,26 @@ object FuzzyJoin {
          |        c_custkey) AS rn
          |  FROM cand) t
          |WHERE rn = 1 AND jw >= 0.85
+         |ORDER BY dirty_id""".stripMargin,
+
+    // same match table, both argmins replayed as window ranks, the
+    // reciprocal check as a self-join of the two rank-1 sets
+    "er_mutual_best" ->
+      s"""WITH $erCtes,
+         |bm AS (
+         |  SELECT dirty_id, matched_key, dist FROM (
+         |    SELECT dirty_id, matched_key, dist,
+         |      row_number() OVER (PARTITION BY dirty_id
+         |        ORDER BY dist, matched_key) AS rn
+         |    FROM matches) t WHERE rn = 1),
+         |bd AS (
+         |  SELECT dirty_id, matched_key, dist FROM (
+         |    SELECT dirty_id, matched_key, dist,
+         |      row_number() OVER (PARTITION BY matched_key
+         |        ORDER BY dist, dirty_id) AS rn
+         |    FROM matches) t WHERE rn = 1)
+         |SELECT bm.dirty_id, bm.matched_key, bm.dist
+         |FROM bm JOIN bd USING (dirty_id, matched_key, dist)
          |ORDER BY dirty_id""".stripMargin,
 
     // entities via the recursive-reachability components oracle (see

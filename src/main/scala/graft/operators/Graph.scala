@@ -506,8 +506,141 @@ object Graph {
     "gr_triangles" -> ((s, dir) =>
       trianglesOf(coSupplyEdges(s, dir))
         .select(col("node").as("l_suppkey"), col("n_triangles"))
-        .orderBy("l_suppkey"))
+        .orderBy("l_suppkey")),
+
+    // Bounded MULTI-SOURCE BFS — "distance to nearest seed", the
+    // k-hop-neighborhood primitive (influence radius, blast-radius
+    // audits, label spreading). Seeds are every 50th customer's first
+    // order; the frontier expands 6 fixed hops over the symmetrized
+    // order-succession graph. Frontier-style BFS is the textbook
+    // Pregel iteration expressed as joins: each round is ONE equi-join
+    // of the frontier against the src-keyed edge list plus an
+    // anti-join against the visited set — cost Σ|frontier|·deg, never
+    // nodes × rounds, and the hop count is a constant of the QUERY
+    // (k = 6), not of the data, so the plan is 6 chained joins with
+    // zero driver-side convergence probes (contrast starComponents,
+    // whose round count is data-driven and must probe). Output is the
+    // per-distance census: d, node count, key extremes.
+    "gr_bfs_dist" -> ((s, dir) => {
+      val e = orderChainEdges(s, dir)
+      val sym = e.select(col("u"), col("v"))
+        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val seeds = Tables(s, dir, "orders")
+        .filter(col("o_custkey") % 50 === 0)
+        .groupBy("o_custkey").agg(min("o_orderkey").as("node"))
+        .select("node")
+      bfsOf(sym, seeds, 6)
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_nodes"),
+          min("node").as("min_key"), max("node").as("max_key"))
+        .orderBy("d")
+    }),
+
+    // Bounded WEIGHTED shortest paths — gr_bfs_dist's min-plus
+    // sibling: hop counts become day-gap weights (chain edge weight =
+    // days between the consecutive orders + 1, bridge edges weight 1),
+    // and the frontier iteration becomes delta-stepping Bellman–Ford:
+    // each round relaxes ONLY the edges of nodes whose distance
+    // improved last round (a node whose label is final contributes
+    // nothing new — the classic delta optimization), so round cost is
+    // Σ|improved|·deg, and 6 rounds compute exactly min-cost-over-
+    // ≤6-edge-paths — a query constant again, no convergence probes.
+    // Unlike BFS, a later round can LOWER an earlier label (a 3-hop
+    // path of light edges beats a 1-hop heavy edge), which is why the
+    // visited-set anti-join is replaced by a min-merge. Output: census
+    // per 16-day distance band.
+    "gr_sssp_bounded" -> ((s, dir) => {
+      val e = weightedChainEdges(s, dir)
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v"),
+        col("w")))
+      val seeds = Tables(s, dir, "orders")
+        .filter(col("o_custkey") % 50 === 0)
+        .groupBy("o_custkey").agg(min("o_orderkey").as("node"))
+        .select("node")
+      ssspOf(sym, seeds, 6)
+        .groupBy(expr("d div 16").as("band"))
+        .agg(count(lit(1)).as("n_nodes"), min("d").as("min_d"),
+          max("d").as("max_d"), min("node").as("min_key"),
+          max("node").as("max_key"))
+        .orderBy("band")
+    })
   )
+
+  /** The order-succession graph with DAY-GAP weights: chain edges
+    * carry datediff(next, prev) + 1 (≥ 1 — same-day successions still
+    * cost a step), bridges carry 1. Same topology as orderChainEdges. */
+  private[graft] def weightedChainEdges(s: SparkSession,
+                                        dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val chain = o.withColumn("prev", lag("o_orderkey", 1).over(w))
+      .withColumn("prevd", lag("o_orderdate", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("u"), col("o_orderkey").as("v"),
+        (datediff(col("o_orderdate").cast("date"),
+          col("prevd").cast("date")) + 1).cast("long").as("w"))
+    chain.unionAll(bridgeEdges(s, dir).withColumn("w", lit(1L)))
+  }
+
+  /** Bounded multi-source min-plus shortest paths over a DIRECTED
+    * (u, v, w) edge frame (w ≥ 0; symmetrize for undirected
+    * semantics): (node, d) with d = min path weight from any seed over
+    * paths of ≤ `rounds` edges. Delta Bellman–Ford: each round
+    * relaxes only last round's improved nodes, min-merges into the
+    * label table via one full-outer join, and the round count is a
+    * query constant — no driver-side convergence probes. */
+  private[graft] def ssspOf(edges: DataFrame, seeds: DataFrame,
+                            rounds: Int): DataFrame = {
+    val INF = Long.MaxValue
+    var dist = seeds.toDF("node").distinct().withColumn("d", lit(0L))
+      .localCheckpoint(eager = false)
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      // per-node min over candidate relaxations BEFORE the merge join:
+      // partial aggregation shrinks the shuffle to ≤ one row per
+      // touched node
+      val cand = frontier.join(edges, col("node") === col("u"))
+        .select(col("v").as("node"), (col("d") + col("w")).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("d"), lit(INF)),
+            coalesce(col("nd"), lit(INF))).as("d"),
+          (coalesce(col("nd"), lit(INF)) <
+            coalesce(col("d"), lit(INF))).as("improved"))
+        .localCheckpoint(eager = false)
+      frontier = merged.filter(col("improved")).select("node", "d")
+      dist = merged.select("node", "d")
+    }
+    dist
+  }
+
+  /** Bounded multi-source BFS over a DIRECTED (u, v) edge frame
+    * (symmetrize for undirected semantics): (node, d) with d = hop
+    * distance to the nearest seed, for every node within `maxHops`.
+    * Each round is one frontier ⋈ edges join plus an anti-join
+    * against the visited set; the hop count is a query constant, so
+    * the plan is maxHops chained joins with no driver-side
+    * convergence probes. */
+  private[graft] def bfsOf(edges: DataFrame, seeds: DataFrame,
+                           maxHops: Int): DataFrame = {
+    var dist = seeds.toDF("node").distinct().withColumn("d", lit(0L))
+      .localCheckpoint(eager = false)
+    var frontier = dist.select("node")
+    for (k <- 1 to maxHops) {
+      val nxt = frontier.join(edges, col("node") === col("u"))
+        .select(col("v").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .localCheckpoint(eager = false)
+      dist = dist
+        .unionAll(nxt.withColumn("d", lit(k.toLong)))
+        .localCheckpoint(eager = false)
+      frontier = nxt
+    }
+    dist
+  }
 
   /** Per-node triangle memberships of an (x, y) edge frame (any
     * orientation; self-loops and duplicates tolerated). Orients each
@@ -954,6 +1087,83 @@ object Graph {
         |FROM ow JOIN deg ON deg.node = ow.b
         |GROUP BY a, c
         |ORDER BY aa_x1e6 DESC, a, c
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    // BFS via a recursive CTE: the UNION dedups (node, d) pairs so the
+    // recursion is bounded by 7·|nodes| rows; min(d) per node is the
+    // true distance because every shorter path is also enumerated.
+    "gr_bfs_dist" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS u,
+        |    o_orderkey AS v
+        |  FROM orders),
+        |chainp AS (SELECT u, v FROM chain WHERE u IS NOT NULL),
+        |firsts AS (
+        |  SELECT o_custkey, min(o_orderkey) AS f FROM orders GROUP BY 1),
+        |bridge AS (
+        |  SELECT a.f AS u, b.f AS v FROM firsts a JOIN firsts b
+        |  ON b.o_custkey = a.o_custkey + 1
+        |    AND a.o_custkey // 10 = b.o_custkey // 10),
+        |edges0 AS (
+        |  SELECT u, v FROM chainp UNION ALL SELECT u, v FROM bridge),
+        |edges AS (
+        |  SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+        |seeds AS (
+        |  SELECT min(o_orderkey) AS node FROM orders
+        |  WHERE o_custkey % 50 = 0 GROUP BY o_custkey),
+        |bfs(node, d) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.v, bfs.d + 1 FROM bfs JOIN edges e ON e.u = bfs.node
+        |  WHERE bfs.d < 6),
+        |best AS (SELECT node, min(d) AS d FROM bfs GROUP BY node)
+        |SELECT CAST(d AS BIGINT) AS d,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(node) AS min_key, max(node) AS max_key
+        |FROM best GROUP BY d ORDER BY d""".stripMargin,
+
+    // min-plus replay: enumerate every ≤6-edge path's weight with a
+    // hop-counted recursive CTE (UNION dedups identical (node, d, h)
+    // states) and take the per-node minimum — a different algorithm
+    // (path enumeration) from the engine's delta Bellman–Ford.
+    "gr_sssp_bounded" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS u,
+        |    o_orderkey AS v,
+        |    date_diff('day',
+        |      lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey),
+        |      CAST(o_orderdate AS DATE)) + 1 AS w
+        |  FROM orders),
+        |chainp AS (SELECT u, v, w FROM chain WHERE u IS NOT NULL),
+        |firsts AS (
+        |  SELECT o_custkey, min(o_orderkey) AS f FROM orders GROUP BY 1),
+        |bridge AS (
+        |  SELECT a.f AS u, b.f AS v, 1 AS w FROM firsts a JOIN firsts b
+        |  ON b.o_custkey = a.o_custkey + 1
+        |    AND a.o_custkey // 10 = b.o_custkey // 10),
+        |edges0 AS (
+        |  SELECT u, v, w FROM chainp
+        |  UNION ALL SELECT u, v, w FROM bridge),
+        |edges AS (
+        |  SELECT u, v, w FROM edges0
+        |  UNION SELECT v AS u, u AS v, w FROM edges0),
+        |seeds AS (
+        |  SELECT min(o_orderkey) AS node FROM orders
+        |  WHERE o_custkey % 50 = 0 GROUP BY o_custkey),
+        |walk(node, d, h) AS (
+        |  SELECT node, 0, 0 FROM seeds
+        |  UNION
+        |  SELECT e.v, walk.d + e.w, walk.h + 1
+        |  FROM walk JOIN edges e ON e.u = walk.node
+        |  WHERE walk.h < 6),
+        |best AS (SELECT node, min(d) AS d FROM walk GROUP BY node)
+        |SELECT CAST(d // 16 AS BIGINT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(min(d) AS BIGINT) AS min_d, CAST(max(d) AS BIGINT) AS max_d,
+        |  min(node) AS min_key, max(node) AS max_key
+        |FROM best GROUP BY 1 ORDER BY band""".stripMargin
   )
 }

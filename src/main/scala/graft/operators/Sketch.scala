@@ -149,6 +149,52 @@ object Sketch {
         .groupBy("key")
         .agg(max("n_true").as("n_true"), min("c").as("est"))
         .orderBy(col("n_true").desc, col("key"))
+    }),
+
+    // KMV (k-minimum-values) set-operation sketch — the theta-sketch
+    // primitive (Beyer et al. SIGMOD'07; Dasgupta et al.'s theta
+    // framework): keep the K smallest hash values of each set; the
+    // union sketch is the K smallest of the merged sketches with
+    // threshold τ = its max, est|A∪B| = (K−1)·M/τ, and the
+    // INTERSECTION estimate — the thing inclusion-exclusion on two
+    // HLLs does badly — is est|A∩B| = ρ·est|A∪B| where ρ = fraction
+    // of the union sketch present in BOTH input sketches. Hashes are
+    // the first 10 hex digits of one md5 (40 bits, M = 2^40), so all
+    // arithmetic stays integer-exact in BIGINT ((K−1)·M ≈ 6.9e13) and
+    // the DuckDB oracle replays the identical estimator digit-for-
+    // digit. The exact intersection rides along so SketchSpec can
+    // assert the estimate's relative-error bound. Scale shape: each
+    // side's sketch is a distinct + per-partition top-K (TakeOrdered —
+    // partial limits before the single final merge); only 3×K ≤ 192
+    // hash values ever meet the driver plan, never the key space.
+    "cs_kmv_intersect" -> ((s, dir) => {
+      val K = 64
+      val M = 1L << 40
+      def sk(st: String): DataFrame = Tables(s, dir, "orders")
+        .filter(col("o_orderstatus") === st)
+        .select(col("o_custkey")).distinct()
+        .select(expr(
+          "cast(conv(substr(md5(cast(o_custkey as string)), 1, 10)," +
+            " 16, 10) as bigint)").as("h"))
+        .orderBy("h").limit(K)
+      val ska = sk("O")
+      val skb = sk("F")
+      val un = ska.unionAll(skb).distinct().orderBy("h").limit(K)
+      val tau = un.agg(max("h").as("tau"), count(lit(1)).as("k_eff"))
+      val common = un.join(ska, "h").join(skb, "h")
+        .agg(count(lit(1)).as("common_k"))
+      val keysOf = (st: String) => Tables(s, dir, "orders")
+        .filter(col("o_orderstatus") === st)
+        .select("o_custkey").distinct()
+      val exact = keysOf("O").join(keysOf("F"), "o_custkey")
+        .agg(count(lit(1)).as("exact_intersect"))
+      tau.crossJoin(common).crossJoin(exact)
+        .select(lit(K.toLong).as("k"), col("k_eff"), col("tau"),
+          expr(s"(${K - 1} * cast($M as bigint)) div tau").as("est_union"),
+          col("common_k"),
+          expr(s"(common_k * ((${K - 1} * cast($M as bigint)) div tau))" +
+            s" div $K").as("est_intersect"),
+          col("exact_intersect"))
     })
   )
 
@@ -163,6 +209,13 @@ object Sketch {
   private def rhoCase: String = (53 to 0 by -1).map { k =>
     s"WHEN tail >= ${1L << k} THEN ${54 - k}"
   }.mkString("\n        ")
+
+  // h40 = value of the first 10 hex digits of md5 (column alias hx)
+  private def digitSum10: String = (0 until 10).map { i =>
+    val p = math.pow(16, 9 - i).toLong
+    s"CAST((strpos('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1) " +
+      s"AS BIGINT) * $p"
+  }.mkString("\n      + ")
 
   private val oracleSql: String = {
     s"""WITH hx AS (
@@ -203,6 +256,37 @@ object Sketch {
 
   val oracles: Map[String, String] = Map(
     "cs_card_sketch" -> oracleSql,
+    // replays the identical KMV estimator: same 40-bit md5-prefix hash,
+    // same K smallest, same integer division order
+    "cs_kmv_intersect" ->
+      s"""WITH ha AS (
+         |  SELECT md5(CAST(o_custkey AS VARCHAR)) AS hx
+         |  FROM (SELECT DISTINCT o_custkey FROM orders
+         |        WHERE o_orderstatus = 'O')),
+         |hb AS (
+         |  SELECT md5(CAST(o_custkey AS VARCHAR)) AS hx
+         |  FROM (SELECT DISTINCT o_custkey FROM orders
+         |        WHERE o_orderstatus = 'F')),
+         |ska AS (SELECT ($digitSum10) AS h FROM ha ORDER BY h LIMIT 64),
+         |skb AS (SELECT ($digitSum10) AS h FROM hb ORDER BY h LIMIT 64),
+         |un AS (SELECT h FROM (SELECT h FROM ska UNION
+         |                      SELECT h FROM skb) u
+         |       ORDER BY h LIMIT 64),
+         |t AS (SELECT max(h) AS tau, count(*) AS k_eff FROM un),
+         |c AS (SELECT count(*) AS common_k
+         |      FROM un JOIN ska USING (h) JOIN skb USING (h)),
+         |x AS (SELECT count(*) AS exact_intersect FROM (
+         |        SELECT DISTINCT o_custkey FROM orders
+         |        WHERE o_orderstatus = 'O'
+         |        INTERSECT
+         |        SELECT DISTINCT o_custkey FROM orders
+         |        WHERE o_orderstatus = 'F') i)
+         |SELECT CAST(64 AS BIGINT) AS k, k_eff, tau,
+         |  (63 * ${1L << 40}) // tau AS est_union, common_k,
+         |  (common_k * ((63 * ${1L << 40}) // tau)) // 64
+         |    AS est_intersect,
+         |  exact_intersect
+         |FROM t, c, x""".stripMargin,
     // replays BOTH paths: per-status registers merged by max, and the
     // direct single-group sketch over all orders
     "cs_sketch_merge" ->

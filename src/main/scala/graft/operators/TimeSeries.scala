@@ -177,6 +177,37 @@ object TimeSeries {
         .orderBy(abs(col("t_stat")).desc, col("day"))
         .limit(3)
         .select("day", "t_idx", "t_stat")
+    }),
+
+    // FORECAST BACKTEST — the rolling-origin evaluation every demand
+    // forecaster runs before trusting a model: replay the seasonal-
+    // naive forecast (ŷ(d) = y(d − 7), the standard baseline any real
+    // model must beat) over the whole daily history and score it. The
+    // "model" joins the daily series to ITSELF shifted 7 days (one
+    // equi-join on the date key — at 100 TB the daily grain is
+    // n_days rows, model-parameter scale next to the fact table that
+    // produced it), and the scorecard aggregates absolute errors per
+    // weekday so systematically-bad days (the weekend effect a 7-day
+    // lag should nail, a 1-day lag wouldn't) are visible. Weekday is
+    // computed as days-since-epoch mod 7 — pure integer arithmetic,
+    // immune to the engines' dayofweek origin disagreement; errors
+    // are integer counts, so the scorecard is exact.
+    "tm_backtest" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val fc = daily.select(date_add(col("day"), 7).as("day"),
+        col("x").as("fc"))
+      daily.join(fc, "day")
+        .withColumn("dow7",
+          (datediff(col("day"), lit("1992-01-01").cast("date")) % 7)
+            .cast("long"))
+        .groupBy("dow7")
+        .agg(count(lit(1)).as("n_days"), sum("x").as("sum_actual"),
+          sum("fc").as("sum_forecast"),
+          sum(abs(col("x") - col("fc"))).as("abs_err_sum"),
+          max(abs(col("x") - col("fc"))).as("abs_err_max"))
+        .orderBy("dow7")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -267,5 +298,23 @@ object TimeSeries {
         |               CAST(count(*) AS BIGINT) AS n FROM daily)
         |SELECT day, t_idx, n * p - t_idx * s AS t_stat
         |FROM c CROSS JOIN tot
-        |ORDER BY abs(n * p - t_idx * s) DESC, day LIMIT 3""".stripMargin)
+        |ORDER BY abs(n * p - t_idx * s) DESC, day LIMIT 3""".stripMargin,
+
+    // same seasonal-naive replay: the daily series joined to itself
+    // at +7 days, weekday = days-since-1992-01-01 mod 7
+    "tm_backtest" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1)
+        |SELECT
+        |  CAST(date_diff('day', DATE '1992-01-01', a.day) % 7 AS BIGINT)
+        |    AS dow7,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(a.x) AS BIGINT) AS sum_actual,
+        |  CAST(sum(f.x) AS BIGINT) AS sum_forecast,
+        |  CAST(sum(abs(a.x - f.x)) AS BIGINT) AS abs_err_sum,
+        |  CAST(max(abs(a.x - f.x)) AS BIGINT) AS abs_err_max
+        |FROM daily a JOIN daily f ON a.day = f.day + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY dow7""".stripMargin)
 }

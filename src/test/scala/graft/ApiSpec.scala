@@ -320,6 +320,51 @@ class ApiSpec extends SparkSpec {
     assert(seedIds.exists(s => ranks.getOrElse(s, 0L) > 0L))
   }
 
+  test("facade bfs / flatten / dbscan parity with the named queries") {
+    import graft.operators.{Density, Graph, Hierarchy}
+    // bfs: facade over the once-per-edge chain frame == named census
+    val e = Graph.orderChainEdges(spark, sf)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val seeds = Tables(spark, sf, "orders")
+      .filter(col("o_custkey") % 50 === 0)
+      .groupBy("o_custkey").agg(min("o_orderkey").as("node"))
+      .select("node")
+    val viaApi = graft.api.Graphs.bfs(e, seeds)
+      .groupBy("d").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val named = Graph.queries("gr_bfs_dist")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaApi === named)
+    // flatten: renamed caller columns == the operator's tuples
+    val parents = Tables(spark, sf, "customer").select(
+      col("c_custkey").as("emp"),
+      when(col("c_custkey") < 10, col("c_custkey"))
+        .otherwise(expr("c_custkey div 10")).as("boss"))
+    val flat = graft.api.Trees.flatten(parents, "emp", "boss")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val hier = Hierarchy.flatten(
+        parents.select(col("emp").as("node"), col("boss").as("parent")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(flat === hier && flat.nonEmpty)
+    // dbscan: facade over renamed columns == the named query labeling
+    val pv = Density.pts(spark, sf)
+      .select(col("k").as("id"), col("x").as("px"), col("y").as("py"))
+    val viaPoints = graft.api.Points
+      .dbscan(pv, 144L, 12L, 4, "id", "px", "py")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val namedDb = Density.queries("db_dbscan_grid")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(viaPoints === namedDb)
+    // the guard refuses a cell smaller than eps
+    intercept[IllegalArgumentException] {
+      graft.api.Points.dbscan(pv, 144L, 8L, 4, "id", "px", "py")
+    }
+  }
+
   test("dropNearDups removes exactly the id2 side, schema unchanged") {
     val kept = Corpus.dropNearDups(renamedDocs, "id", "body")
     assert(kept.columns.toSeq === Seq("id", "body"))

@@ -40,6 +40,28 @@ class AsOfSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_following")).sum > 0)
   }
 
+  test("interval join: bucketed counts equal the brute-force replay") {
+    val DAY = 86400000000L
+    val iv = Tables(spark, sf, "lineitem").select(
+        expr("l_suppkey").as("s"),
+        expr("l_orderkey * 10 + l_linenumber").as("id"),
+        expr("unix_micros(cast(l_shipdate as timestamp))").as("a"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) + " +
+          s"(1 + CAST(l_quantity AS BIGINT) % 14) * $DAY").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    val want = iv.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.toSeq.combinations(2).count {
+        case Seq(x, y) => x._3 <= y._4 && y._3 <= x._4
+        case _ => false
+      }.toLong
+    }.filter(_._2 > 0)
+    val got = AsOf.queries("iv_interval_join")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.values.sum > 0)
+  }
+
   test("nearest join: |dt| is the true minimum, ties go backward") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("event_type"),

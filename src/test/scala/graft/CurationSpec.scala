@@ -224,4 +224,37 @@ class CurationSpec extends SparkSpec {
       .map { case (l, gs) => l -> (gs.length.toLong, gs.map(_._2).sum) }
     assert(got === want)
   }
+
+  test("pv_t_closeness: integer TV numerator matches a brute replay " +
+      "and the 0.4 gate is the cross-multiplied compare") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Curation.queries("pv_t_closeness")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_nationkey"),
+        expr("CAST(c_acctbal AS BIGINT) div 2000").as("b"),
+        col("c_mktsegment"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getLong(1),
+        r.getString(2)))
+    val n = cust.length.toLong
+    val segTot = cust.groupBy(_._3).map { case (s, v) =>
+      s -> v.length.toLong }
+    val segs = segTot.keys.toSeq
+    val want = cust.groupBy(t => (t._1, t._2)).map { case (g, v) =>
+      val ng = v.length.toLong
+      val cnt = v.groupBy(_._3).map { case (s, w) => s -> w.length.toLong }
+      val tv = segs.map(s =>
+        math.abs(cnt.getOrElse(s, 0L) * n - segTot(s) * ng)).sum
+      g -> (ng, tv, if (10 * tv > 8 * ng * n) 1 else 0)
+    }
+    assert(rows === want)
+    // the tv numerator is a real distance: zero iff the group mirrors
+    // the global distribution; conservation of group sizes
+    assert(rows.values.map(_._1).sum === n)
+    assert(rows.values.exists(_._2 > 0))
+  }
 }

@@ -71,4 +71,30 @@ class DataQualitySpec extends SparkSpec {
     assert(got("customer<-orders (childless)") === ((2L, 1L)))
     assert(got("lineitem.l_orderkey->orders") === ((0L, 0L)))
   }
+
+  test("dq_profile matches a driver-side per-column census") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet").collect()
+    val n = cust.length.toLong
+    // the same engine-portable renderings the operator profiles
+    val rendered: Map[String, Array[String]] = Map(
+      "c_custkey" -> cust.map(_.getAs[Long]("c_custkey").toString),
+      "c_name" -> cust.map(_.getAs[String]("c_name")),
+      "c_nationkey" -> cust.map(_.getAs[Int]("c_nationkey").toString),
+      "c_acctbal" -> cust.map(r =>
+        r.getAs[Double]("c_acctbal").toLong.toString), // toward zero
+      "c_mktsegment" -> cust.map(_.getAs[String]("c_mktsegment")))
+    val got = graft.operators.DataQuality.queries("dq_profile")(spark, sf)
+      .collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6), r.getLong(7)))
+      .toMap
+    assert(got.keySet === rendered.keySet)
+    for ((c, vs) <- rendered) {
+      val (nr, nn, nd, mn, mx, sl) = got(c)
+      assert(nr === n && nn === 0L, c)
+      assert(nd === vs.distinct.length.toLong, c)
+      assert(mn === vs.min && mx === vs.max, c)
+      assert(sl === vs.map(_.length.toLong).sum, c)
+    }
+  }
 }

@@ -141,6 +141,27 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(viaExpr.exists(t => t._3 > 0.0 && t._3 < 1.0))
   }
 
+  test("er_mutual_best is a 1:1 matching and equals the brute " +
+      "reciprocal argmin over the match table") {
+    val matches = FuzzyJoin.queries("er_blocked_match")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val bestM = matches.groupBy(_._1).map { case (_, v) =>
+      v.minBy(t => (t._3, t._2)) }.toSet
+    val bestD = matches.groupBy(_._2).map { case (_, v) =>
+      v.minBy(t => (t._3, t._1)) }.toSet
+    val want = bestM.intersect(bestD)
+    val got = FuzzyJoin.queries("er_mutual_best")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(got === want)
+    // 1:1 discipline: no dirty record and no master appears twice
+    assert(got.map(_._1).size === got.size)
+    assert(got.map(_._2).size === got.size)
+    // a refinement of the greedy per-dirty argmin
+    assert(got.subsetOf(bestM))
+    assert(got.nonEmpty)
+  }
+
   private def levDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0

@@ -388,4 +388,70 @@ class GraphSpec extends SparkSpec {
     // each pair's only common neighbor is the deg-2000 hub itself
     assert(capped.forall(_.getLong(2) === w(2000)))
   }
+
+  test("bounded BFS census equals a driver-side multi-source BFS") {
+    val edges = Graph.orderChainEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = Tables(spark, sf, "orders")
+      .filter(col("o_custkey") % 50 === 0)
+      .groupBy("o_custkey").agg(min("o_orderkey").as("n"))
+      .collect().map(_.getLong(1)).toSet
+    // classic queue BFS, capped at 6 hops
+    val dist = scala.collection.mutable.Map(seeds.toSeq.map(_ -> 0L): _*)
+    var frontier = seeds
+    for (k <- 1 to 6) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = k.toLong)
+    }
+    val want = dist.toSeq.groupBy(_._2).map { case (d, v) =>
+      d -> (v.length.toLong, v.map(_._1).min, v.map(_._1).max) }
+    val got = Graph.queries("gr_bfs_dist")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === want)
+    assert(got.keySet === (0L to 6L).toSet) // every hop level populated
+  }
+
+  test("bounded SSSP equals a driver-side Bellman-Ford over the " +
+      "weighted chain graph") {
+    val edges = Graph.weightedChainEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(edges.forall(_._3 >= 1L)) // day gaps are ≥ 1 by construction
+    val sym = edges ++ edges.map(e => (e._2, e._1, e._3))
+    val adj = sym.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(e => (e._2, e._3)) }
+    val seeds = Tables(spark, sf, "orders")
+      .filter(col("o_custkey") % 50 === 0)
+      .groupBy("o_custkey").agg(min("o_orderkey").as("n"))
+      .collect().map(_.getLong(1)).toSet
+    // classic round-synchronous Bellman-Ford, 6 relaxation rounds =
+    // min cost over ≤6-edge paths
+    var dist = scala.collection.immutable.Map(
+      seeds.toSeq.map(_ -> 0L): _*)
+    for (_ <- 1 to 6) {
+      val cand = dist.toSeq.flatMap { case (n, d) =>
+        adj.getOrElse(n, Array.empty[(Long, Long)])
+          .map { case (v, w) => v -> (d + w) } }
+      val best = cand.groupBy(_._1).map { case (v, xs) =>
+        v -> xs.map(_._2).min }
+      dist = (dist.toSeq ++ best.toSeq).groupBy(_._1)
+        .map { case (v, xs) => v -> xs.map(_._2).min }
+    }
+    val want = dist.toSeq.groupBy(_._2 / 16).map { case (b, v) =>
+      b -> (v.length.toLong, v.map(_._2).min, v.map(_._2).max,
+        v.map(_._1).min, v.map(_._1).max) }
+    val got = Graph.queries("gr_sssp_bounded")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got === want)
+    // weighted distances must refine the hop metric: some node beyond
+    // band 0 exists (a 6-hop path can cost ≫ 16 days)
+    assert(got.keySet.exists(_ > 0L))
+  }
 }

@@ -32,6 +32,33 @@ class SketchSpec extends SparkSpec {
     assert(regs(o.repartition(13)) === base)   // merge order irrelevant
   }
 
+  test("kmv intersect: invariants hold and the estimate brackets truth") {
+    // sf0.01: both status sets are ~900-1400 distinct keys >> K=64
+    val r = Sketch.queries("cs_kmv_intersect")(
+      spark, "/root/testdata/sf0.01").collect().head
+    val k = r.getAs[Long]("k"); val kEff = r.getAs[Long]("k_eff")
+    val common = r.getAs[Long]("common_k")
+    val estU = r.getAs[Long]("est_union")
+    val estI = r.getAs[Long]("est_intersect")
+    val exact = r.getAs[Long]("exact_intersect")
+    assert(k === 64L && kEff === 64L)     // sets big enough to fill K
+    assert(common >= 0 && common <= kEff)
+    assert(estI <= estU)
+    // KMV union error is ~1/√(K−2) ≈ 13%; the intersection inherits
+    // binomial noise on ρ — accept 3σ-ish 50% relative error, which
+    // still catches estimator bugs (off-by-2x, swapped operands)
+    val exactU = {
+      import org.apache.spark.sql.functions._
+      val o = Tables(spark, "/root/testdata/sf0.01", "orders")
+      o.filter(col("o_orderstatus").isin("O", "F"))
+        .select("o_custkey").distinct().count()
+    }
+    assert(math.abs(estU - exactU).toDouble / exactU < 0.5,
+      s"est_union $estU vs exact $exactU")
+    assert(math.abs(estI - exact).toDouble / math.max(exact, 1) < 0.5,
+      s"est_intersect $estI vs exact $exact")
+  }
+
   test("freq_sketch under capacity pressure keeps SpaceSaving bounds") {
     import spark.implicits._
     graft.functions.FreqSketch.register(spark)

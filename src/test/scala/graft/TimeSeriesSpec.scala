@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.TimeSeries
 
 class TimeSeriesSpec extends SparkSpec {
@@ -129,5 +131,33 @@ class TimeSeriesSpec extends SparkSpec {
     val last = t.orderBy(col("t_idx").desc).limit(1).collect()(0)
     assert(last.getLong(2) === 0L)
     t.unpersist()
+  }
+
+  test("tm_backtest scores the seasonal-naive replay exactly") {
+    val daily = Tables(spark, sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+      .toMap
+    val epoch = java.time.LocalDate.parse("1992-01-01")
+    val want = daily.toSeq.flatMap { case (d, x) =>
+      daily.get(d.minusDays(7)).map(f => (d, x, f)) }
+      .groupBy { case (d, _, _) =>
+        java.time.temporal.ChronoUnit.DAYS.between(epoch, d) % 7 }
+      .map { case (dow, v) =>
+        dow -> (v.length.toLong, v.map(_._2).sum, v.map(_._3).sum,
+          v.map(t => math.abs(t._2 - t._3)).sum,
+          v.map(t => math.abs(t._2 - t._3)).max) }
+    val got = TimeSeries.queries("tm_backtest")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got === want)
+    assert(got.keySet === (0L to 6L).toSet) // full weekly coverage
+    // the forecast is non-trivial: errors exist but are bounded by
+    // the actual volume
+    assert(got.values.map(_._4).sum > 0L)
+    assert(got.values.map(_._4).sum < got.values.map(_._2).sum)
   }
 }
