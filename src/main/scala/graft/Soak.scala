@@ -330,7 +330,10 @@ object Soak {
       // one-pass profiler, and the two match-table windows of the
       // reciprocal argmin — all shuffle-bounded by their input grain
       "gr_sssp_bounded", "tm_backtest", "dq_profile",
-      "er_mutual_best")) {
+      "er_mutual_best",
+      // BOM explosion shares the log-round flatten; the event pair
+      // grain is users × type vocabulary; trigrams are one window
+      "hr_bom_explode", "ev_segment_overlap", "ev_seq_patterns")) {
       // a corpus-shape limitation in ONE query must not kill the whole
       // report — log and continue
       try {

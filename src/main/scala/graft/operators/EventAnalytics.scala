@@ -92,6 +92,58 @@ object EventAnalytics {
           coalesce(col("last_touch"), lit("none")).as("last_touch"))
         .agg(count(lit(1)).as("n_purchases"))
         .orderBy("first_touch", "last_touch")
+    }),
+
+    // AUDIENCE OVERLAP matrix — for every pair of event types, how
+    // many users did both (the segment-intersection report behind
+    // "does retargeting reach the purchasers?"). The user×type
+    // incidence dedups first (one distinct on the (user, type)
+    // grain), then a self-equi-join on user_id emits each unordered
+    // type pair once (ta < tb); per-type audience sizes join on the
+    // type key (category-scale broadcast). At 100 TB the join grain
+    // is users × types-per-user — bounded by the type vocabulary,
+    // never by raw event volume, because the dedup ran first.
+    "ev_segment_overlap" -> ((s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct().cache()
+      val aud = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val pairs = ut.select(col("user_id"), col("event_type").as("ta"))
+        .join(ut.select(col("user_id"), col("event_type").as("tb")),
+          "user_id")
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(aud.select(col("event_type").as("ta"),
+          col("n").as("n_a"))), "ta")
+        .join(broadcast(aud.select(col("event_type").as("tb"),
+          col("n").as("n_b"))), "tb")
+        .select("ta", "tb", "n_a", "n_b", "n_both")
+        .orderBy("ta", "tb")
+    }),
+
+    // SEQUENTIAL PATTERNS — the top behavior trigrams: each user's
+    // event stream (total-ordered by ts, event_id) contributes its
+    // consecutive type triples, and the report ranks triples by
+    // support (distinct users exhibiting the pattern — the standard
+    // sequence-mining support, robust to one user looping). Two lags
+    // over one user-keyed window shuffle, a (user, triple) dedup, a
+    // triple-keyed count, and a TakeOrdered top-15 — no self-joins,
+    // no pattern enumeration beyond what the data contains.
+    "ev_seq_patterns" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("e1", lag("event_type", 2).over(w))
+        .withColumn("e2", lag("event_type", 1).over(w))
+        .filter(col("e1").isNotNull)
+        .select(col("user_id"), col("e1"), col("e2"),
+          col("event_type").as("e3"))
+        .distinct()
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("e1"), col("e2"), col("e3"))
+        .limit(15)
     })
   )
 
@@ -151,6 +203,40 @@ object EventAnalytics {
         |  count(*) AS n_purchases
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1, 2
-        |ORDER BY first_touch, last_touch""".stripMargin
+        |ORDER BY first_touch, last_touch""".stripMargin,
+
+    "ev_segment_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |aud AS (
+        |  SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    count(*) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.ta, p.tb, aa.n AS n_a, ab.n AS n_b, p.n_both
+        |FROM pairs p
+        |JOIN aud aa ON aa.event_type = p.ta
+        |JOIN aud ab ON ab.event_type = p.tb
+        |ORDER BY ta, tb""".stripMargin,
+
+    // identical total order (us, event_id); support = distinct users
+    "ev_seq_patterns" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |tri AS (
+        |  SELECT DISTINCT user_id,
+        |    lag(event_type, 2) OVER w AS e1,
+        |    lag(event_type, 1) OVER w AS e2,
+        |    event_type AS e3
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT e1, e2, e3, count(*) AS support
+        |FROM tri WHERE e1 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY support DESC, e1, e2, e3 LIMIT 15""".stripMargin
   )
 }

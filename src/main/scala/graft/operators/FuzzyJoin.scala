@@ -228,7 +228,9 @@ object FuzzyJoin {
     // population), and the reciprocal check is one equi-join of the
     // two rank-1 sets. No global window, no driver loop.
     "er_mutual_best" -> ((s, dir) => {
-      val m = erMatches(s, dir)
+      // cached: BOTH argmin windows read the match table — without it
+      // the blocked verify (and its scalar klen broadcasts) runs twice
+      val m = erMatches(s, dir).cache()
       val bestM = m.withColumn("rn", row_number().over(
           Window.partitionBy("dirty_id")
             .orderBy(col("dist"), col("matched_key"))))

@@ -64,6 +64,37 @@ object Hierarchy {
     st.select(col("node"), col("anc").as("root"), col("d").as("depth"))
   }
 
+  /** Weighted flatten for BOM EXPLOSION: each (node, parent, qty) edge
+    * carries a per-assembly quantity, and the answer is the PATH
+    * PRODUCT (how many of this part one root unit requires — qty
+    * multiplies at every level). Products compose exactly like the
+    * depth sums above — prod(a→c) = prod(a→b) · prod(b→c) — so the
+    * SAME pointer-jumping recurrence squares them in ~log2(depth)
+    * rounds; the invariant is prod = Π qty over path nodes from
+    * `node` inclusive to `anc` exclusive (roots contribute 1).
+    * Returns (node, root, depth, prod). */
+  private[graft] def flattenProd(parents: DataFrame): DataFrame = {
+    val isRoot = col("parent") === col("node")
+    var st = parents.select(col("node"), col("parent").as("anc"),
+      when(isRoot, lit(0L)).otherwise(lit(1L)).as("d"),
+      when(isRoot, lit(1L)).otherwise(col("qty")).as("prod"),
+      isRoot.as("done"))
+      .localCheckpoint(eager = false)
+    var open = st.filter(!col("done")).limit(1).count() > 0
+    while (open) {
+      st = st.as("a")
+        .join(st.as("b"), col("a.anc") === col("b.node"))
+        .select(col("a.node"), col("b.anc").as("anc"),
+          (col("a.d") + col("b.d")).as("d"),
+          (col("a.prod") * col("b.prod")).as("prod"),
+          col("b.done").as("done"))
+        .localCheckpoint(eager = false)
+      open = st.filter(!col("done")).limit(1).count() > 0
+    }
+    st.select(col("node"), col("anc").as("root"), col("d").as("depth"),
+      col("prod"))
+  }
+
   /** The arithmetic customer tree: parent(k) = k div 10, roots k < 10. */
   private def custTree(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "customer").select(
@@ -95,7 +126,22 @@ object Hierarchy {
         .agg(count(lit(1)).as("n_nodes"),
           min("node").as("min_key"),
           max("node").as("max_key"))
-        .orderBy("depth"))
+        .orderBy("depth")),
+
+    // BOM explosion over the same tree with per-edge quantities
+    // (qty(k) = k % 3 + 1): per root assembly, how many total part
+    // units one unit requires (Σ path products) and the deepest
+    // multiplication chain. The measure stays BIGINT-exact: depth ≤
+    // log10(maxkey) and qty ≤ 3 bound every product far below 2^63.
+    "hr_bom_explode" -> ((s, dir) =>
+      flattenProd(custTree(s, dir)
+          .withColumn("qty", expr("node % 3 + 1")))
+        .groupBy("root")
+        .agg(count(lit(1)).as("n_parts"),
+          sum("prod").as("total_units"),
+          max("prod").as("max_path_qty"),
+          max("depth").as("max_depth"))
+        .orderBy("root"))
   )
 
   // The oracle walks ancestor chains with a sequential recursive CTE —
@@ -122,6 +168,23 @@ object Hierarchy {
         |  CAST(count(*) AS BIGINT) AS n_nodes,
         |  min(node) AS min_key, max(node) AS max_key
         |FROM up WHERE cur < 10
-        |GROUP BY d ORDER BY depth""".stripMargin)
+        |GROUP BY d ORDER BY depth""".stripMargin),
+
+    // sequential walk multiplying qty(cur) = cur % 3 + 1 at each
+    // non-root step — the path product the jumped recurrence squares
+    "hr_bom_explode" ->
+      """WITH RECURSIVE up AS (
+        |  SELECT c_custkey AS node, c_custkey AS cur, 0 AS d,
+        |    CAST(1 AS BIGINT) AS prod
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT node, cur // 10, d + 1, prod * (cur % 3 + 1)
+        |  FROM up WHERE cur >= 10)
+        |SELECT cur AS root, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(prod) AS BIGINT) AS total_units,
+        |  CAST(max(prod) AS BIGINT) AS max_path_qty,
+        |  CAST(max(d) AS BIGINT) AS max_depth
+        |FROM up WHERE cur < 10
+        |GROUP BY cur ORDER BY root""".stripMargin
   )
 }

@@ -52,4 +52,36 @@ class HierarchySpec extends SparkSpec {
     assert(Hierarchy.lastRounds === 4,
       s"expected 4 rounds for depth 15, got ${Hierarchy.lastRounds}")
   }
+
+  test("flattenProd multiplies exact path quantities to the root") {
+    // 5 -> 55 -> 555: qty(k) = k % 3 + 1 gives 555→55 qty 1 (555%3=0),
+    // 55→5 qty 2; path products: node 555 = 1*2 = 2, node 55 = 2,
+    // root 5 = 1
+    val t = Seq(5L, 55L, 555L)
+      .map(k => (k, if (k < 10) k else k / 10, k % 3 + 1))
+      .toDF("node", "parent", "qty")
+    val got = Hierarchy.flattenProd(t)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === Map(5L -> (5L, 0L, 1L), 55L -> (5L, 1L, 2L),
+      555L -> (5L, 2L, 2L)))
+    // driver-side walk over the sf corpus tree agrees per root
+    val keys = Tables(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    def walk(k: Long): (Long, Long, Long) = { // (root, depth, prod)
+      var (cur, d, p) = (k, 0L, 1L)
+      while (cur >= 10) { p *= cur % 3 + 1; cur /= 10; d += 1 }
+      (cur, d, p)
+    }
+    val want = keys.map(k => (k, walk(k))).groupBy(_._2._1)
+      .map { case (r, v) => r -> (v.length.toLong,
+        v.map(_._2._3).sum, v.map(_._2._3).max, v.map(_._2._2).max) }
+    val gotQ = Hierarchy.queries("hr_bom_explode")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(gotQ === want)
+  }
 }

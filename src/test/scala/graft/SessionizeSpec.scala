@@ -97,4 +97,48 @@ class SessionizeSpec extends SparkSpec {
     // total conservation: every purchase is attributed exactly once
     assert(got.values.sum === ev.count(_._3 == "purchase").toLong)
   }
+
+  test("ev_segment_overlap counts pairwise audiences exactly") {
+    val ut = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val aud = ut.groupBy(_._2).map { case (t, v) => t -> v.length.toLong }
+    val byUser = ut.groupBy(_._1).values
+    val want = byUser.flatMap { v =>
+      val ts = v.map(_._2).sorted
+      for (i <- ts.indices; j <- i + 1 until ts.length)
+        yield (ts(i), ts(j))
+    }.groupBy(identity).map { case ((a, b), v) =>
+      (a, b) -> (aud(a), aud(b), v.size.toLong) }
+    val got = graft.operators.EventAnalytics
+      .queries("ev_segment_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === want)
+    // overlap is bounded by the smaller audience
+    assert(got.forall { case (_, (na, nb, nboth)) =>
+      nboth <= math.min(na, nb) })
+  }
+
+  test("ev_seq_patterns ranks trigram support over distinct users") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val tris = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val t = rows.sortBy(e => (e._4, e._2)).map(_._3)
+      t.sliding(3).filter(_.length == 3)
+        .map(w => (u, (w(0), w(1), w(2)))).toSet
+    }
+    val support = tris.groupBy(_._2).map { case (t, v) =>
+      t -> v.size.toLong }
+    val want = support.toSeq
+      .sortBy { case ((a, b, c), s) => (-s, a, b, c) }.take(15)
+    val got = graft.operators.EventAnalytics
+      .queries("ev_seq_patterns")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3))).toSeq
+    assert(got === want)
+    assert(got.size === 15)
+  }
 }
