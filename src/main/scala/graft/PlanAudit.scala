@@ -69,7 +69,8 @@ object PlanAudit {
     "hr_tree_rollup", "db_dbscan_grid", "iv_interval_join",
     "cs_kmv_intersect", "pv_t_closeness", "gr_bfs_dist",
     "gr_sssp_bounded", "dq_profile", "er_mutual_best", "tm_backtest",
-    "hr_bom_explode", "ev_segment_overlap", "ev_seq_patterns")
+    "hr_bom_explode", "ev_segment_overlap", "ev_seq_patterns",
+    "geo_point_in_poly", "ts_proximity", "x_key_gaps")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

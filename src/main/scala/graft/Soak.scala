@@ -333,7 +333,10 @@ object Soak {
       "er_mutual_best",
       // BOM explosion shares the log-round flatten; the event pair
       // grain is users × type vocabulary; trigrams are one window
-      "hr_bom_explode", "ev_segment_overlap", "ev_seq_patterns")) {
+      "hr_bom_explode", "ev_segment_overlap", "ev_seq_patterns",
+      // geofence is one codegen scan; proximity prunes postings to two
+      // broadcast terms; key gaps are bucket-partitioned windows
+      "geo_point_in_poly", "ts_proximity", "x_key_gaps")) {
       // a corpus-shape limitation in ONE query must not kill the whole
       // report — log and continue
       try {

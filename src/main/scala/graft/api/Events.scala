@@ -1,0 +1,31 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Public library facade for behavioral event analytics over ARBITRARY
+  * caller DataFrames, delegating to the paths behind the
+  * oracle-checked `ev_segment_overlap` / `ev_seq_patterns` queries.
+  */
+object Events {
+
+  /** Pairwise audience overlap: (ta, tb, n_a, n_b, n_both) for every
+    * unordered pair of segment values, n_both = entities present in
+    * both. The incidence dedups before the entity-keyed pair join, so
+    * cost is entities × segments-per-entity, never raw event volume. */
+  def segmentOverlap(events: DataFrame, idCol: String = "user_id",
+                     segCol: String = "event_type"): DataFrame =
+    graft.operators.EventAnalytics.segmentOverlapOf(
+      events.select(col(idCol), col(segCol)))
+
+  /** Top-k consecutive label triples by distinct-entity support.
+    * (orderCol, tieCol) must totally order each entity's stream. */
+  def sequencePatterns(events: DataFrame, k: Int = 15,
+                       idCol: String = "user_id",
+                       tieCol: String = "event_id",
+                       labelCol: String = "event_type",
+                       orderCol: String = "ts"): DataFrame =
+    graft.operators.EventAnalytics.seqPatternsOf(
+      events.select(col(idCol), col(tieCol), col(labelCol),
+        col(orderCol)), k)
+}

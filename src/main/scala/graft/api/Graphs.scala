@@ -109,4 +109,21 @@ object Graphs {
       und.unionAll(und.select(col("v").as("u"), col("u").as("v"))),
       seeds, maxHops)
   }
+
+  /** Bounded weighted shortest paths over an UNDIRECTED weighted edge
+    * frame (pass each edge once with a non-negative weight; both
+    * directions are derived): (node, d) with d = min path weight from
+    * any seed over paths of ≤ `rounds` edges. Delta Bellman–Ford —
+    * each round relaxes only the previous round's improved labels.
+    * Behind the oracle-checked `gr_sssp_bounded` query. */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int = 6,
+           aCol: String = "src", bCol: String = "dst",
+           wCol: String = "w"): DataFrame = {
+    val und = edges.select(col(aCol).as("u"), col(bCol).as("v"),
+      col(wCol).as("w"))
+    graft.operators.Graph.ssspOf(
+      und.unionAll(und.select(col("v").as("u"), col("u").as("v"),
+        col("w"))),
+      seeds, rounds)
+  }
 }

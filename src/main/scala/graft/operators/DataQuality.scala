@@ -152,33 +152,39 @@ object DataQuality {
     // BIGINT contract, so min/max/length never touch float formatting.
     // The count(distinct) per column costs one Expand (×5 rows) —
     // the standard multi-distinct plan, still a single scan.
-    "dq_profile" -> ((s, dir) => {
-      val cols: Seq[(String, String)] = Seq(
+    "dq_profile" -> ((s, dir) =>
+      profileOf(Tables(s, dir, "customer"), "customer", Seq(
         "c_custkey" -> "cast(c_custkey as string)",
         "c_name" -> "c_name",
         "c_nationkey" -> "cast(c_nationkey as string)",
         "c_acctbal" -> "cast(cast(c_acctbal as bigint) as string)",
-        "c_mktsegment" -> "c_mktsegment")
-      val aggs = count(lit(1)).as("_n") +: cols.flatMap { case (n, r) =>
-        Seq(viol(expr(n).isNull).as(s"_null_$n"),
-          countDistinct(expr(r)).as(s"_dist_$n"),
-          min(expr(r)).as(s"_min_$n"),
-          max(expr(r)).as(s"_max_$n"),
-          sum(length(expr(r))).as(s"_len_$n"))
-      }
-      val one = Tables(s, dir, "customer").agg(aggs.head, aggs.tail: _*)
-      val rows = array(cols.map { case (n, _) =>
-        struct(lit(n).as("column_name"), col(s"_null_$n").as("n_null"),
-          col(s"_dist_$n").as("n_distinct"),
-          col(s"_min_$n").as("min_val"), col(s"_max_$n").as("max_val"),
-          col(s"_len_$n").as("sum_len"))
-      }: _*)
-      one.select(col("_n").as("n_rows"), explode(rows).as("p"))
-        .select(lit("customer").as("tbl"), col("p.column_name"),
-          col("n_rows"), col("p.n_null"), col("p.n_distinct"),
-          col("p.min_val"), col("p.max_val"), col("p.sum_len"))
-        .orderBy("column_name")
-    }))
+        "c_mktsegment" -> "c_mktsegment"))))
+
+  /** The one-pass profiler behind dq_profile, over any frame: `cols`
+    * maps column name → engine-portable rendering SQL (the facade
+    * derives renderings from dtypes). */
+  private[graft] def profileOf(df: DataFrame, table: String,
+                               cols: Seq[(String, String)]): DataFrame = {
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap { case (n, r) =>
+      Seq(viol(expr(s"`$n`").isNull).as(s"_null_$n"),
+        countDistinct(expr(r)).as(s"_dist_$n"),
+        min(expr(r)).as(s"_min_$n"),
+        max(expr(r)).as(s"_max_$n"),
+        sum(length(expr(r))).as(s"_len_$n"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(cols.map { case (n, _) =>
+      struct(lit(n).as("column_name"), col(s"_null_$n").as("n_null"),
+        col(s"_dist_$n").as("n_distinct"),
+        col(s"_min_$n").as("min_val"), col(s"_max_$n").as("max_val"),
+        col(s"_len_$n").as("sum_len"))
+    }: _*)
+    one.select(col("_n").as("n_rows"), explode(rows).as("p"))
+      .select(lit(table).as("tbl"), col("p.column_name"),
+        col("n_rows"), col("p.n_null"), col("p.n_distinct"),
+        col("p.min_val"), col("p.max_val"), col("p.sum_len"))
+      .orderBy("column_name")
+  }
 
   val oracles: Map[String, String] = Map(
     "dq_expect_suite" -> {

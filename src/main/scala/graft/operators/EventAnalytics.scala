@@ -103,23 +103,9 @@ object EventAnalytics {
     // type key (category-scale broadcast). At 100 TB the join grain
     // is users × types-per-user — bounded by the type vocabulary,
     // never by raw event volume, because the dedup ran first.
-    "ev_segment_overlap" -> ((s, dir) => {
-      val ut = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type")).distinct().cache()
-      val aud = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
-      val pairs = ut.select(col("user_id"), col("event_type").as("ta"))
-        .join(ut.select(col("user_id"), col("event_type").as("tb")),
-          "user_id")
-        .filter(col("ta") < col("tb"))
-        .groupBy("ta", "tb").agg(count(lit(1)).as("n_both"))
-      pairs
-        .join(broadcast(aud.select(col("event_type").as("ta"),
-          col("n").as("n_a"))), "ta")
-        .join(broadcast(aud.select(col("event_type").as("tb"),
-          col("n").as("n_b"))), "tb")
-        .select("ta", "tb", "n_a", "n_b", "n_both")
-        .orderBy("ta", "tb")
-    }),
+    "ev_segment_overlap" -> ((s, dir) =>
+      segmentOverlapOf(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")))),
 
     // SEQUENTIAL PATTERNS — the top behavior trigrams: each user's
     // event stream (total-ordered by ts, event_id) contributes its
@@ -129,23 +115,51 @@ object EventAnalytics {
     // over one user-keyed window shuffle, a (user, triple) dedup, a
     // triple-keyed count, and a TakeOrdered top-15 — no self-joins,
     // no pattern enumeration beyond what the data contains.
-    "ev_seq_patterns" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("us", "event_id")
-      Tables.events(s, dir)
+    "ev_seq_patterns" -> ((s, dir) =>
+      seqPatternsOf(Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("unix_micros(ts)").as("us"))
-        .withColumn("e1", lag("event_type", 2).over(w))
-        .withColumn("e2", lag("event_type", 1).over(w))
-        .filter(col("e1").isNotNull)
-        .select(col("user_id"), col("e1"), col("e2"),
-          col("event_type").as("e3"))
-        .distinct()
-        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("support"))
-        .orderBy(col("support").desc, col("e1"), col("e2"), col("e3"))
-        .limit(15)
-    })
+          expr("unix_micros(ts)").as("us")), 15))
   )
+
+  /** Pairwise audience overlap of an (user_id, event_type) frame —
+    * the helper behind ev_segment_overlap; the incidence dedups
+    * before the user-keyed pair join, so the join grain is users ×
+    * types-per-user, never raw event volume. */
+  private[graft] def segmentOverlapOf(ue: DataFrame): DataFrame = {
+    val ut = ue.toDF("user_id", "event_type").distinct().cache()
+    val aud = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = ut.select(col("user_id"), col("event_type").as("ta"))
+      .join(ut.select(col("user_id"), col("event_type").as("tb")),
+        "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(aud.select(col("event_type").as("ta"),
+        col("n").as("n_a"))), "ta")
+      .join(broadcast(aud.select(col("event_type").as("tb"),
+        col("n").as("n_b"))), "tb")
+      .select("ta", "tb", "n_a", "n_b", "n_both")
+      .orderBy("ta", "tb")
+  }
+
+  /** Top-k consecutive type triples by distinct-user support over a
+    * (user_id, event_id, event_type, us) frame — the helper behind
+    * ev_seq_patterns. (us, event_id) must totally order each user's
+    * stream. */
+  private[graft] def seqPatternsOf(ev: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    ev.toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("e1", lag("event_type", 2).over(w))
+      .withColumn("e2", lag("event_type", 1).over(w))
+      .filter(col("e1").isNotNull)
+      .select(col("user_id"), col("e1"), col("e2"),
+        col("event_type").as("e3"))
+      .distinct()
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
 
   val oracles: Map[String, String] = Map(
     "ev_funnel" ->

@@ -393,6 +393,39 @@ object Extensions {
         .orderBy("o_custkey")
     }),
 
+    // KEY-GAP AUDIT — the largest missing id ranges in an ingested
+    // subset (here: finalized orders), the sequence check a loader
+    // runs to spot dropped batches. The classic lead()-over-all-keys
+    // needs ONE global sort; this plan keeps the row-scale work
+    // bucket-partitioned: within-bucket successors come from a
+    // (k div 1024)-partitioned lead window, and cross-bucket gaps
+    // from a lead over the BUCKET-grain stats table (n/1024 rows —
+    // the same model-scale global window tm_changepoint's month table
+    // uses). A bucket max pairs with the NEXT NON-EMPTY bucket's min,
+    // so runs of entirely-missing buckets fold into one gap row.
+    "x_key_gaps" -> ((s, dir) => {
+      val B = 1024
+      val keys = Tables(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k")).distinct()
+        .withColumn("b", expr(s"k div $B"))
+      val wIn = Window.partitionBy("b").orderBy("k")
+      val within = keys.withColumn("nk", lead("k", 1).over(wIn))
+        .select("k", "nk")
+      val wB = Window.orderBy("b")
+      val cross = keys.groupBy("b")
+        .agg(min("k").as("mn"), max("k").as("mx"))
+        .withColumn("nmn", lead("mn", 1).over(wB))
+        .select(col("mx").as("k"), col("nmn").as("nk"))
+      within.unionAll(cross)
+        .filter(col("nk") > col("k") + 1)
+        .select((col("k") + 1).as("gap_start"),
+          (col("nk") - 1).as("gap_end"),
+          (col("nk") - col("k") - 1).as("gap_len"))
+        .orderBy(col("gap_len").desc, col("gap_start"))
+        .limit(20)
+    }),
+
     // Per-entity daily spine + LOCF (last observation carried forward)
     // — the gap-fill a time-series store runs before resampling: each
     // user's purchase-value series is densified to one row per day over
@@ -735,6 +768,17 @@ object Extensions {
         |  coalesce(daily.n_orders, 0) AS n_orders
         |FROM spine LEFT JOIN daily ON CAST(spine.day AS DATE) = daily.day
         |ORDER BY day""".stripMargin,
+
+    // one global lead at oracle scale — a different plan on purpose
+    "x_key_gaps" ->
+      """WITH k AS (
+        |  SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |g AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k)
+        |SELECT k + 1 AS gap_start, nk - 1 AS gap_end,
+        |  nk - k - 1 AS gap_len
+        |FROM g WHERE nk > k + 1
+        |ORDER BY gap_len DESC, gap_start LIMIT 20""".stripMargin,
 
     "x_islands" ->
       """WITH days AS (

@@ -91,8 +91,38 @@ object Spatial {
         .filter(col("rn") === 1)
         .select("c_custkey", "s_suppkey", "dist2")
         .orderBy("c_custkey")
+    }),
+
+    // POINT-IN-POLYGON test against a convex fence (geofencing /
+    // service-area assignment): a point is inside a CCW convex
+    // polygon iff every edge's cross product (x2−x1)(py−y1) −
+    // (y2−y1)(px−x1) is ≥ 0 — pure integer arithmetic, compiled to
+    // one conjunction of six inequalities inside a single codegen'd
+    // scan (no join at all; the polygon is a query constant, the
+    // degenerate broadcast). Boundary points count as inside (the ≥).
+    // Census per market segment: points in/out of the hexagonal fence.
+    "geo_point_in_poly" -> ((s, dir) => {
+      val inside = HEX.indices.map { i =>
+        val (x1, y1) = HEX(i)
+        val (x2, y2) = HEX((i + 1) % HEX.length)
+        (lit(x2 - x1) * (col("cy") - lit(y1)) -
+          lit(y2 - y1) * (col("cx") - lit(x1))) >= 0
+      }.reduce(_ && _)
+      Tables(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          (col("c_custkey") * 37 % 1000).as("cx"),
+          (col("c_custkey") * 73 % 1000).as("cy"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_points"),
+          sum(when(inside, 1L).otherwise(0L)).as("n_inside"))
+        .orderBy("c_mktsegment")
     })
   )
+
+  /** CCW hexagonal fence centered (500, 500), integer vertices. */
+  private val HEX: Seq[(Int, Int)] = Seq(
+    (800, 500), (650, 760), (350, 760), (200, 500), (350, 240),
+    (650, 240))
 
   // Oracle = brute-force cross join with the exact distance predicate —
   // a different algorithm entirely, feasible at oracle scale.
@@ -117,6 +147,26 @@ object Spatial {
          |    ORDER BY dist2, s_suppkey) AS rn
          |  FROM p WHERE dist2 <= 64)
          |SELECT c_custkey, s_suppkey, dist2 FROM r WHERE rn = 1
-         |ORDER BY c_custkey""".stripMargin
+         |ORDER BY c_custkey""".stripMargin,
+
+    // the same six cross products, spelled out
+    "geo_point_in_poly" -> {
+      val hex = Seq((800, 500), (650, 760), (350, 760), (200, 500),
+        (350, 240), (650, 240))
+      val conds = hex.indices.map { i =>
+        val (x1, y1) = hex(i)
+        val (x2, y2) = hex((i + 1) % hex.length)
+        s"(${x2 - x1}) * (cy - $y1) - (${y2 - y1}) * (cx - $x1) >= 0"
+      }.mkString("\n    AND ")
+      s"""WITH p AS (
+         |  SELECT c_mktsegment,
+         |    c_custkey * 37 % 1000 AS cx,
+         |    c_custkey * 73 % 1000 AS cy
+         |  FROM customer)
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_points,
+         |  CAST(COALESCE(SUM(CASE WHEN $conds
+         |    THEN 1 END), 0) AS BIGINT) AS n_inside
+         |FROM p GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+    }
   )
 }

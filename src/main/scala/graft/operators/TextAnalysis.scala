@@ -358,6 +358,43 @@ object TextAnalysis {
       phraseSearchOf(docs, top).orderBy("doc_id")
     }),
 
+    // PROXIMITY SEARCH — the "terms near each other" IR operator
+    // (Lucene's span-near): for the corpus's two most frequent
+    // tokens, find every document where they co-occur within 3
+    // positions and report the pair count + tightest gap. The
+    // positional postings of the two terms are broadcast-pruned at
+    // the scan (2-row term table), and the position-banded join uses
+    // the SAME bucket trick as the interval join: window ±3 → bucket
+    // width 4, term-A occurrences explode to ≤ 3 covering buckets,
+    // term-B stays at its home bucket, the join is equi on
+    // (doc, bucket), and each qualifying pair meets in exactly B's
+    // bucket — no per-document cross product even when a spam page
+    // repeats a hot term thousands of times.
+    "ts_proximity" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents").select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      val topw = toks.groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word")).limit(2)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("c").desc, col("word")))) // 2-row window
+      val pair = topw.groupBy()
+        .agg(max(when(col("rn") === 1, col("word"))).as("t1"),
+          max(when(col("rn") === 2, col("word"))).as("t2"))
+      val a = toks.join(broadcast(pair), col("word") === col("t1"))
+        .select(col("doc_id"), col("pos").cast("long").as("pa"))
+        .withColumn("g",
+          explode(expr("sequence((pa - 3) div 4, (pa + 3) div 4)")))
+      val b = toks.join(broadcast(pair), col("word") === col("t2"))
+        .select(col("doc_id"), col("pos").cast("long").as("pb"))
+        .withColumn("g", expr("pb div 4"))
+      a.join(b, Seq("doc_id", "g"))
+        .filter(abs(col("pa") - col("pb")) <= 3)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(abs(col("pa") - col("pb"))).as("min_gap"))
+        .orderBy("doc_id")
+    }),
+
     // Robust length-outlier detection — the median/MAD quarantine rule
     // corpus curation uses where mean/stddev would let a single crawler
     // artifact drag the threshold (median and MAD have breakdown point
@@ -1055,6 +1092,32 @@ object TextAnalysis {
         |WHERE tri.phrase = top.phrase
         |GROUP BY 1, 2
         |ORDER BY tri.doc_id""".stripMargin,
+
+    // brute position join within doc — no buckets; the same top-2
+    // term choice under the (count DESC, word) total order
+    "ts_proximity" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |px AS (
+        |  SELECT doc_id, w,
+        |    CAST(unnest(range(0, len(w))) AS BIGINT) AS pos
+        |  FROM t),
+        |toks AS (
+        |  SELECT doc_id, pos,
+        |    w[CAST(pos + 1 AS INTEGER)] AS word
+        |  FROM px),
+        |top2 AS (
+        |  SELECT word,
+        |    row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+        |  FROM toks GROUP BY word QUALIFY rn <= 2),
+        |a AS (SELECT doc_id, pos AS pa FROM toks
+        |      WHERE word = (SELECT word FROM top2 WHERE rn = 1)),
+        |b AS (SELECT doc_id, pos AS pb FROM toks
+        |      WHERE word = (SELECT word FROM top2 WHERE rn = 2))
+        |SELECT a.doc_id AS doc_id, count(*) AS n_pairs,
+        |  min(abs(pa - pb)) AS min_gap
+        |FROM a JOIN b ON a.doc_id = b.doc_id AND abs(pa - pb) <= 3
+        |GROUP BY 1 ORDER BY a.doc_id""".stripMargin,
 
     // positional median rule rn = (n+1)//2 under (value, doc_id) —
     // identical to the Spark side; no quantile interpolation anywhere

@@ -65,6 +65,32 @@ class AffinitySpec extends SparkSpec {
     assert(knn.map(_._1).distinct.length === knn.length)
   }
 
+  test("geo_point_in_poly: cross-product census equals a driver replay " +
+      "and boundary points count as inside") {
+    val hex = Seq((800L, 500L), (650L, 760L), (350L, 760L), (200L, 500L),
+      (350L, 240L), (650L, 240L))
+    def inside(px: Long, py: Long): Boolean = hex.indices.forall { i =>
+      val (x1, y1) = hex(i)
+      val (x2, y2) = hex((i + 1) % hex.length)
+      (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0
+    }
+    // the rule itself: center in, far corner out, vertex ON boundary in
+    assert(inside(500, 500) && !inside(0, 0) && inside(800, 500))
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = cust.groupBy(_._2).map { case (seg, v) =>
+      seg -> (v.length.toLong,
+        v.count(t => inside(t._1 * 37 % 1000, t._1 * 73 % 1000)).toLong) }
+    val got = Spatial.queries("geo_point_in_poly")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === want)
+    // the fence is non-trivial on this corpus: both sides populated
+    assert(got.values.map(_._2).sum > 0)
+    assert(got.values.map(_._2).sum < got.values.map(_._1).sum)
+  }
+
   test("gr_walks: every step follows a real edge chosen by the pinned hash") {
     val out = Walks.queries("gr_walks")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

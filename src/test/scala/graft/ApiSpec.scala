@@ -365,6 +365,54 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("facade sssp / profile / events parity with the named queries") {
+    import graft.operators.{DataQuality, EventAnalytics, Graph}
+    // sssp: facade over once-per-edge weighted chain == named census
+    val we = Graph.weightedChainEdges(spark, sf)
+      .select(col("u").as("src"), col("v").as("dst"), col("w"))
+    val seeds = Tables(spark, sf, "orders")
+      .filter(col("o_custkey") % 50 === 0)
+      .groupBy("o_custkey").agg(min("o_orderkey").as("node"))
+      .select("node")
+    val viaApi = graft.api.Graphs.sssp(we, seeds)
+      .groupBy(expr("d div 16").as("band")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val named = Graph.queries("gr_sssp_bounded")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaApi === named)
+    // profile: dtype-derived renderings == the named query's explicit
+    // renderings over the same frame
+    val viaProf = graft.api.Profiles
+      .profile(Tables(spark, sf, "customer"), "customer")
+      .collect().map(r => r.getString(1) -> r.toSeq.drop(2)).toMap
+    val namedProf = DataQuality.queries("dq_profile")(spark, sf)
+      .collect().map(r => r.getString(1) -> r.toSeq.drop(2)).toMap
+    assert(viaProf === namedProf)
+    // unsupported column type is refused, not silently mis-rendered
+    intercept[IllegalArgumentException] {
+      graft.api.Profiles.profile(
+        Tables.events(spark, sf).select("user_id", "ts", "props"),
+        cols = Seq("ts"))
+    }
+    // events: renamed caller columns == named overlap / patterns
+    val ren = Tables.events(spark, sf)
+      .select(col("user_id").as("uid"), col("event_id").as("eid"),
+        col("event_type").as("etype"),
+        expr("unix_micros(ts)").as("micros"))
+    val ovApi = graft.api.Events
+      .segmentOverlap(ren, "uid", "etype")
+      .collect().map(_.toSeq).toSet
+    val ovNamed = EventAnalytics.queries("ev_segment_overlap")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(ovApi === ovNamed && ovApi.nonEmpty)
+    val sqApi = graft.api.Events
+      .sequencePatterns(ren, 15, "uid", "eid", "etype", "micros")
+      .collect().map(_.toSeq)
+    val sqNamed = EventAnalytics.queries("ev_seq_patterns")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(sqApi === sqNamed && sqApi.nonEmpty)
+  }
+
   test("dropNearDups removes exactly the id2 side, schema unchanged") {
     val kept = Corpus.dropNearDups(renamedDocs, "id", "body")
     assert(kept.columns.toSeq === Seq("id", "body"))

@@ -69,4 +69,32 @@ class ExtensionsSpec extends SparkSpec {
     // gaps exist and get filled: some row is unobserved but non-null
     assert(got.exists(r => !r._4 && r._3.nonEmpty))
   }
+
+  test("x_key_gaps: bucketed successor plan equals one global lead") {
+    val ks = Tables(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val want = ks.zip(ks.tail).collect {
+      case (a, b) if b > a + 1 => (a + 1, b - 1, b - a - 1) }
+      .sortBy { case (s, _, l) => (-l, s) }.take(20).toSeq
+    val got = Extensions.queries("x_key_gaps")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // cross-bucket correctness on a crafted frame: keys straddle a
+    // bucket boundary with a hole across it, and whole buckets are
+    // missing in between — the boundary pairing must fold the run of
+    // empty buckets into ONE gap
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gaps").toString
+    Seq(1020L, 1021L, 5000L, 5001L)
+      .map(k => (k, "F")).toDF("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val crafted = Extensions.queries("x_key_gaps")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(crafted === Seq((1022L, 4999L, 3978L)))
+  }
 }

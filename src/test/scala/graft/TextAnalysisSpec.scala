@@ -317,4 +317,28 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().head.getAs[Long]("doc_id")
     assert(fused.map(_._2).contains(bm25Top))
   }
+
+  test("ts_proximity: bucketed pair counts equal the brute position " +
+      "join for the corpus's top-2 terms") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, v) => w -> v.length }
+    val Seq(t1, t2) = freq.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(2).map(_._1)
+    val want = docs.flatMap { case (id, ws) =>
+      val pa = ws.zipWithIndex.collect { case (`t1`, i) => i.toLong }
+      val pb = ws.zipWithIndex.collect { case (`t2`, i) => i.toLong }
+      val pairs = for (a <- pa; b <- pb if math.abs(a - b) <= 3)
+        yield math.abs(a - b)
+      if (pairs.isEmpty) None
+      else Some(id -> (pairs.length.toLong, pairs.min))
+    }.toMap
+    val got = TextAnalysis.queries("ts_proximity")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
