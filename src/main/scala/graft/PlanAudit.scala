@@ -70,7 +70,11 @@ object PlanAudit {
     "cs_kmv_intersect", "pv_t_closeness", "gr_bfs_dist",
     "gr_sssp_bounded", "dq_profile", "er_mutual_best", "tm_backtest",
     "hr_bom_explode", "ev_segment_overlap", "ev_seq_patterns",
-    "geo_point_in_poly", "ts_proximity", "x_key_gaps")
+    "geo_point_in_poly", "ts_proximity", "x_key_gaps",
+    // round-7 continuation: pattern matching / eval / decomposition /
+    // disclosure control
+    "ev_match_recognize", "ml_auc_roc", "ml_stump", "tm_seasonal",
+    "ta_readability", "pv_cell_suppression")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

@@ -336,7 +336,13 @@ object Soak {
       "hr_bom_explode", "ev_segment_overlap", "ev_seq_patterns",
       // geofence is one codegen scan; proximity prunes postings to two
       // broadcast terms; key gaps are bucket-partitioned windows
-      "geo_point_in_poly", "ts_proximity", "x_key_gaps")) {
+      "geo_point_in_poly", "ts_proximity", "x_key_gaps",
+      // batch-4: trace matching is one user-keyed agg + a codegen
+      // regex; AUC is score-grain; the stump and suppression are
+      // category-grain; the decomposition's window is daily-grain;
+      // readability is a zero-shuffle scan
+      "ev_match_recognize", "ml_auc_roc", "ml_stump", "tm_seasonal",
+      "ta_readability", "pv_cell_suppression")) {
       // a corpus-shape limitation in ONE query must not kill the whole
       // report — log and continue
       try {

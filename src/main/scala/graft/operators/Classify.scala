@@ -115,6 +115,81 @@ object Classify {
           col("pred"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("weak_label", "pred")
+    }),
+
+    // ROC AUC by rank statistics (Mann–Whitney U): AUC = P(score of a
+    // random positive > score of a random negative) + ½·P(tie) —
+    // computed EXACTLY from per-score class counts, never from a
+    // sampled curve. Here the "model" under evaluation is the n_chars
+    // length prior for lang = 'en'. concordant = Σ_s pos_s ·
+    // (negatives strictly below s) via a running sum over the
+    // score-distinct table; tied = Σ_s pos_s · neg_s; AUC =
+    // (2·concordant + tied) / (2·pos·neg), released in integer basis
+    // points so the hash check is exact.
+    //
+    // Scale shape: one corpus-scale aggregate onto the SCORE grain,
+    // then an unpartitioned running sum over distinct scores only —
+    // bounded by score precision, not rows (the x_histogram
+    // contract) — and a one-row rollup.
+    "ml_auc_roc" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      val g = d.groupBy("score")
+        .agg(sum("pos").as("np"),
+          (count(lit(1)) - sum("pos")).as("nn"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("nn_below", coalesce(sum("nn").over(w), lit(0L)))
+        .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+          sum(col("np") * col("nn_below")).as("concordant"),
+          sum(col("np") * col("nn")).as("tied"))
+        .select(col("n_pos"), col("n_neg"), col("concordant"),
+          col("tied"),
+          expr("(2 * concordant + tied) * 10000 div " +
+            "(2 * n_pos * n_neg)").as("auc_bps"))
+    }),
+
+    // DECISION STUMP (1R) — the best single categorical test for a
+    // binary label, by exact misclassification count: each candidate
+    // split (segment = v | nation = v) predicts the majority class on
+    // both sides; errors = min(pos, neg) on each side, summed. The
+    // label is the balanced c_acctbal ≥ 4500 (TPC-H balances are
+    // uniform on [-999.99, 9999.99]). All counts are integers; the
+    // winner is flagged against the broadcast scalar minimum.
+    //
+    // Scale shape: two category-grain aggregates over one scan each,
+    // a category-scale union (segments + nations), and two broadcast
+    // one-row cross joins (class totals, best error) — the documented
+    // broadcast-scalar pattern; nothing row-scale survives the
+    // aggregates.
+    "ml_stump" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          when(col("c_acctbal") >= 4500d, 1L).otherwise(0L).as("pos"))
+      def cand(feat: String, value: org.apache.spark.sql.Column) =
+        c.groupBy(value.as("value"))
+          .agg(sum("pos").as("lp"),
+            (count(lit(1)) - sum("pos")).as("ln"))
+          .select(lit(feat).as("feature"), col("value"), col("lp"),
+            col("ln"))
+      val cands = cand("segment", col("c_mktsegment"))
+        .unionAll(cand("nation", col("c_nationkey").cast("string")))
+      val tot = c.agg(sum("pos").as("tp"),
+        (count(lit(1)) - sum("pos")).as("tn"))
+      val scored = cands.crossJoin(broadcast(tot))
+        .select(col("feature"), col("value"),
+          (col("lp") + col("ln")).as("n_left"),
+          (least(col("lp"), col("ln")) +
+            least(col("tp") - col("lp"), col("tn") - col("ln")))
+            .as("errors"))
+      val best = scored.agg(min("errors").as("min_err"))
+      scored.crossJoin(broadcast(best))
+        .select(col("feature"), col("value"), col("n_left"),
+          col("errors"),
+          when(col("errors") === col("min_err"), 1L).otherwise(0L)
+            .as("is_best"))
+        .orderBy("feature", "value")
     }))
 
   private def inList(ws: Seq[String]) =
@@ -185,5 +260,59 @@ object Classify {
          |SELECT COALESCE(l.weak, 'unlabeled') AS weak_label, p.pred,
          |  CAST(count(*) AS BIGINT) AS n_docs
          |FROM pred p LEFT JOIN labeled l USING (doc_id)
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same rank-sum identity over the score-distinct grain
+    "ml_auc_roc" ->
+      """WITH d AS (
+        |  SELECT n_chars AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |g AS (
+        |  SELECT score, CAST(sum(pos) AS BIGINT) AS np,
+        |    CAST(count(*) - sum(pos) AS BIGINT) AS nn
+        |  FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT np, nn,
+        |    CAST(COALESCE(sum(nn) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS nn_below
+        |  FROM g)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  CAST(sum(np * nn_below) AS BIGINT) AS concordant,
+        |  CAST(sum(np * nn) AS BIGINT) AS tied,
+        |  CAST((2 * sum(np * nn_below) + sum(np * nn)) * 10000
+        |    // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_bps
+        |FROM r""".stripMargin,
+
+    // same majority-vote error counts; winner vs the scalar minimum
+    "ml_stump" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CASE WHEN c_acctbal >= 4500 THEN 1 ELSE 0 END AS pos
+        |  FROM customer),
+        |cands AS (
+        |  SELECT 'segment' AS feature, c_mktsegment AS value,
+        |    CAST(sum(pos) AS BIGINT) AS lp,
+        |    CAST(count(*) - sum(pos) AS BIGINT) AS ln
+        |  FROM c GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'nation' AS feature, CAST(c_nationkey AS VARCHAR),
+        |    CAST(sum(pos) AS BIGINT), CAST(count(*) - sum(pos) AS BIGINT)
+        |  FROM c GROUP BY 2),
+        |tot AS (
+        |  SELECT CAST(sum(pos) AS BIGINT) AS tp,
+        |    CAST(count(*) - sum(pos) AS BIGINT) AS tn
+        |  FROM c),
+        |scored AS (
+        |  SELECT feature, value, lp + ln AS n_left,
+        |    least(lp, ln) + least(tp - lp, tn - ln) AS errors
+        |  FROM cands CROSS JOIN tot),
+        |best AS (SELECT min(errors) AS min_err FROM scored)
+        |SELECT feature, value, n_left, errors,
+        |  CAST(CASE WHEN errors = min_err THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_best
+        |FROM scored CROSS JOIN best
+        |ORDER BY feature, value""".stripMargin)
 }

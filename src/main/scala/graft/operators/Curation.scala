@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.jobs.{CustomerStandardize, InvoiceParse, SalesEnrich}
@@ -202,6 +203,36 @@ object Curation {
             lit(8L) * col("n_g") * col("n_all")).cast("int")
             .as("t_violation"))
         .orderBy("c_nationkey", "bal_band")
+    }),
+
+    // CELL SUPPRESSION — the statistical-disclosure-control release
+    // step census agencies apply to frequency tables (primary +
+    // complementary suppression): cells under the k = 5 threshold are
+    // primary-suppressed; then any (nation, segment) row left with
+    // EXACTLY ONE suppressed cell gets its smallest remaining cell
+    // complementarily suppressed too — otherwise the row margin
+    // reveals the hidden value by subtraction. The "smallest
+    // remaining" pick is the deterministic (n, band) order. Band uses
+    // the pv_k_anonymity toward-zero trunc contract. One QID-grain
+    // aggregate plus two windows on the row key — never row-scale.
+    "pv_cell_suppression" -> ((s, dir) => {
+      val wRow = Window.partitionBy("c_nationkey", "c_mktsegment")
+      val wOrd = Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy(col("is_primary"), col("n"), col("bal_band"))
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(c_acctbal AS BIGINT) div 2000").as("bal_band"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("is_primary", (col("n") < 5).cast("int"))
+        .withColumn("n_primary", sum("is_primary").over(wRow))
+        .withColumn("rn", row_number().over(wOrd))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("bal_band"), col("n"),
+          when(col("is_primary") === 1, "primary")
+            .when(col("n_primary") === 1 && col("rn") === 1,
+              "complementary").as("status"))
+        .withColumn("released", when(col("status").isNull, col("n")))
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     }),
 
     // Right-to-be-forgotten cascade — the compliance sweep every lake
@@ -432,6 +463,32 @@ object Curation {
         |       THEN 1 ELSE 0 END AS INTEGER) AS t_violation
         |FROM terms GROUP BY c_nationkey, bal_band, n_g, n_all
         |ORDER BY c_nationkey, bal_band""".stripMargin,
+
+    // same trunc-before-cast band and the same deterministic
+    // (is_primary, n, band) smallest-unsuppressed pick
+    "pv_cell_suppression" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(trunc(c_acctbal) AS BIGINT) // 2000 AS bal_band,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT *, CASE WHEN n < 5 THEN 1 ELSE 0 END AS is_primary
+        |  FROM cells),
+        |w AS (
+        |  SELECT *,
+        |    sum(is_primary) OVER (PARTITION BY c_nationkey,
+        |      c_mktsegment) AS n_primary,
+        |    row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY is_primary, n, bal_band) AS rn
+        |  FROM f)
+        |SELECT c_nationkey, c_mktsegment, bal_band, n,
+        |  CASE WHEN is_primary = 1 THEN 'primary'
+        |       WHEN n_primary = 1 AND rn = 1 THEN 'complementary'
+        |  END AS status,
+        |  CASE WHEN is_primary = 0 AND NOT (n_primary = 1 AND rn = 1)
+        |       THEN n END AS released
+        |FROM w ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
 
     "gdpr_cascade" ->
       """SELECT * FROM (

@@ -118,7 +118,49 @@ object EventAnalytics {
     "ev_seq_patterns" -> ((s, dir) =>
       seqPatternsOf(Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("unix_micros(ts)").as("us")), 15))
+          expr("unix_micros(ts)").as("us")), 15)),
+
+    // ROW-PATTERN MATCHING — the MATCH_RECOGNIZE workload (SQL:2016;
+    // Snowflake/Trino/Flink ship it, Spark does not): per user, count
+    // the non-overlapping occurrences of the pattern
+    // `view (click|other)* purchase` — a view that converts to a
+    // purchase with no intervening re-view — in the user's stream,
+    // total-ordered by (ts, event_id). The plan compiles the pattern
+    // to a REGEX over per-user event-code traces: one user-keyed
+    // aggregation builds each trace (array_sort over (us, event_id,
+    // code) structs — deterministic total order — then a code
+    // projection and join), one codegen'd regexp_extract_all counts
+    // matches, and the report is the conversions-per-user histogram
+    // (robust shape at every scale factor). Both engines scan
+    // leftmost / non-overlapping / greedy, so counts are exact.
+    //
+    // Scale shape: one shuffle on user_id; per-user state is the
+    // user's own history (the ev_seq_patterns contract — bounded by
+    // events-per-user, never corpus size; a user with an unbounded
+    // history would chunk by session first). The regex runs where the
+    // trace lives — no second shuffle, no self-join, no explode.
+    "ev_match_recognize" -> ((s, dir) => {
+      val code = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .otherwise("o")
+      val traces = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"), code.as("code"))
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("code")))),
+          x => x.getField("code")), "").as("trace"))
+      traces
+        .select(col("user_id"),
+          size(expr("regexp_extract_all(trace, 'v[co]*p', 0)"))
+            .cast("long").as("n_matches"))
+        .groupBy("n_matches")
+        .agg(count(lit(1)).as("n_users"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"))
+        .orderBy("n_matches")
+    })
   )
 
   /** Pairwise audience overlap of an (user_id, event_type) frame —
@@ -251,6 +293,27 @@ object EventAnalytics {
         |SELECT e1, e2, e3, count(*) AS support
         |FROM tri WHERE e1 IS NOT NULL
         |GROUP BY 1, 2, 3
-        |ORDER BY support DESC, e1, e2, e3 LIMIT 15""".stripMargin
+        |ORDER BY support DESC, e1, e2, e3 LIMIT 15""".stripMargin,
+
+    // identical total order (us, event_id); both regex engines scan
+    // leftmost, non-overlapping, greedy — counts match exactly
+    "ev_match_recognize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'o' END AS code
+        |  FROM events),
+        |tr AS (
+        |  SELECT user_id,
+        |    string_agg(code, '' ORDER BY us, event_id) AS trace
+        |  FROM e GROUP BY user_id),
+        |m AS (
+        |  SELECT user_id,
+        |    CAST(len(regexp_extract_all(trace, 'v[co]*p')) AS BIGINT)
+        |      AS n_matches
+        |  FROM tr)
+        |SELECT n_matches, count(*) AS n_users,
+        |  min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM m GROUP BY 1 ORDER BY n_matches""".stripMargin
   )
 }

@@ -331,6 +331,38 @@ object TextAnalysis {
         .withColumn("keep", (col("score") >= 0).cast("int"))
         .orderBy("doc_id")),
 
+    // READABILITY scoring — Flesch–Kincaid grade per document from
+    // the three classic counts: words = letter runs, syllables =
+    // vowel-group runs (the standard heuristic), sentences =
+    // [.!?]+ runs clamped to ≥ 1 (corpus lines without terminal
+    // punctuation read as one sentence). The grade 0.39·w/s +
+    // 11.8·syll/w − 15.59 is released ×100 through pure integer
+    // division — deterministic on both engines, no float ratios —
+    // plus a banded verdict. Zero-shuffle codegen'd projection over
+    // the scan (the ta_quality_classifier shape): at 100 TB the cost
+    // is the scan, and the three regex counters run where the text
+    // lives.
+    "ta_readability" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)"))
+            .cast("long").as("words"),
+          size(expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)"))
+            .cast("long").as("syllables"),
+          greatest(lit(1L),
+            size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
+              .cast("long")).as("sentences"))
+        .filter(col("words") > 0)
+        .withColumn("fk_x100",
+          expr("(39 * words) div sentences + " +
+            "(1180 * syllables) div words - 1559"))
+        .withColumn("band",
+          when(col("fk_x100") < 600, "easy")
+            .when(col("fk_x100") < 1000, "standard")
+            .when(col("fk_x100") < 1400, "difficult")
+            .otherwise("academic"))
+        .orderBy("doc_id")),
+
     // Phrase search over a positional inverted index — the retrieval
     // primitive BM25 (bag-of-words) cannot express: exact multi-word
     // adjacency. The corpus's most frequent word trigram (deterministic
@@ -1001,6 +1033,31 @@ object TextAnalysis {
          |       ELSE 'poor' END AS quality
          |FROM documents d LEFT JOIN stops s ON d.doc_id = s.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // same regex counters (plain char classes — identical in RE2 and
+    // java.util.regex) and the same ×100 integer-division release
+    "ta_readability" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+        |      AS words,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+        |      AS BIGINT) AS syllables,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+        |      AS sentences
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, words, syllables, sentences,
+        |    CAST((39 * words) // sentences
+        |      + (1180 * syllables) // words - 1559 AS BIGINT) AS fk_x100
+        |  FROM f WHERE words > 0)
+        |SELECT doc_id, words, syllables, sentences, fk_x100,
+        |  CASE WHEN fk_x100 < 600 THEN 'easy'
+        |       WHEN fk_x100 < 1000 THEN 'standard'
+        |       WHEN fk_x100 < 1400 THEN 'difficult'
+        |       ELSE 'academic' END AS band
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // pure integer arithmetic — the same weights/bias interpolated from
     // the one constant set, so the two engines share the model

@@ -208,6 +208,48 @@ object TimeSeries {
           sum(abs(col("x") - col("fc"))).as("abs_err_sum"),
           max(abs(col("x") - col("fc"))).as("abs_err_max"))
         .orderBy("dow7")
+    }),
+
+    // CLASSICAL SEASONAL DECOMPOSITION (trend + seasonal + residual,
+    // the moving-average method every forecasting text opens with)
+    // of the daily order-count series, period 7. Trend at day t is
+    // the centered 7-row moving sum (only where the full window
+    // exists); detrended is kept ×7 so it stays integer (dev7 =
+    // 7·x − trend7); the seasonal component is the per-phase mean of
+    // dev7 carried as an exact (num, den) pair; the residual is the
+    // exact rational resid_num/resid_den = dev7/7 − seas_num/(7·den).
+    // Phase = days-since-1992-01-01 mod 7 (tm_backtest's integer
+    // weekday, immune to dayofweek-origin disagreements). Everything
+    // exported is an exact integer — no float averaging anywhere.
+    //
+    // Scale shape: the series lives at DAILY grain — a few thousand
+    // rows whatever the corpus size — so the one unpartitioned window
+    // runs over calendar-scale data (the tm_changepoint contract);
+    // the corpus-scale work is the single date-keyed count aggregate,
+    // and the 7-row seasonal table joins back as a broadcast.
+    "tm_seasonal" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("trend7",
+          when(count(lit(1)).over(w) === 7, sum("x").over(w)))
+        .withColumn("dev7", lit(7L) * col("x") - col("trend7"))
+        .withColumn("phase",
+          (datediff(col("day"), lit("1992-01-01").cast("date")) % 7)
+            .cast("long"))
+      val seas = t.filter(col("dev7").isNotNull)
+        .groupBy("phase")
+        .agg(sum("dev7").as("seas_num"), count(lit(1)).as("seas_den"))
+      t.join(broadcast(seas), Seq("phase"), "left")
+        .select(col("day").cast("string").as("day"), col("x"),
+          col("trend7"), col("dev7"), col("phase"),
+          col("seas_num"), col("seas_den"),
+          (col("seas_den") * col("dev7") - col("seas_num"))
+            .as("resid_num"),
+          (lit(7L) * col("seas_den")).as("resid_den"))
+        .orderBy("day")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -316,5 +358,36 @@ object TimeSeries {
         |  CAST(sum(abs(a.x - f.x)) AS BIGINT) AS abs_err_sum,
         |  CAST(max(abs(a.x - f.x)) AS BIGINT) AS abs_err_max
         |FROM daily a JOIN daily f ON a.day = f.day + INTERVAL 7 DAY
-        |GROUP BY 1 ORDER BY dow7""".stripMargin)
+        |GROUP BY 1 ORDER BY dow7""".stripMargin,
+
+    // same centered 7-row window over the daily grain; dev7 = 7x −
+    // trend keeps the detrended series integer, residual is an exact
+    // (num, den) rational — zero float averaging on either engine
+    "tm_seasonal" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT day, x,
+        |    CASE WHEN count(*) OVER w = 7
+        |         THEN CAST(sum(x) OVER w AS BIGINT) END AS trend7,
+        |    CAST(date_diff('day', DATE '1992-01-01', day) % 7 AS BIGINT)
+        |      AS phase
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT *, CAST(7 * x - trend7 AS BIGINT) AS dev7 FROM t),
+        |seas AS (
+        |  SELECT phase, CAST(sum(dev7) AS BIGINT) AS seas_num,
+        |    CAST(count(*) AS BIGINT) AS seas_den
+        |  FROM t2 WHERE dev7 IS NOT NULL GROUP BY 1)
+        |SELECT CAST(t2.day AS VARCHAR) AS day, t2.x, t2.trend7,
+        |  t2.dev7, t2.phase, s.seas_num, s.seas_den,
+        |  CAST(s.seas_den * t2.dev7 - s.seas_num AS BIGINT)
+        |    AS resid_num,
+        |  CAST(7 * s.seas_den AS BIGINT) AS resid_den
+        |FROM t2 LEFT JOIN seas s ON s.phase = t2.phase
+        |ORDER BY day""".stripMargin)
 }

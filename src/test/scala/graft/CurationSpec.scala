@@ -257,4 +257,36 @@ class CurationSpec extends SparkSpec {
     assert(rows.values.map(_._1).sum === n)
     assert(rows.values.exists(_._2 > 0))
   }
+
+  test("pv_cell_suppression: primary + complementary marks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("supp").toString
+    // nation 1: cells 2 / 7 / 9 → one primary, smallest survivor (7)
+    //   complementarily suppressed so the row margin can't reveal it
+    // nation 2: cells 2 / 3 → both primary, nothing left to protect
+    // nation 3: cells 5 / 6 → nothing suppressed
+    def cell(nat: Long, band: Int, cnt: Int) =
+      (1 to cnt).map(_ => (nat, "A", band * 2000.0 + 100.0))
+    val rows = cell(1, 0, 2) ++ cell(1, 1, 7) ++ cell(1, 2, 9) ++
+      cell(2, 0, 2) ++ cell(2, 1, 3) ++ cell(3, 0, 5) ++ cell(3, 1, 6)
+    rows.toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = graft.operators.Curation
+      .queries("pv_cell_suppression")(spark, dir).collect()
+      .map { r =>
+        val status = if (r.isNullAt(r.fieldIndex("status"))) null
+          else r.getString(r.fieldIndex("status"))
+        val rel = if (r.isNullAt(r.fieldIndex("released"))) -1L
+          else r.getLong(r.fieldIndex("released"))
+        (r.getLong(0), r.getLong(r.fieldIndex("bal_band"))) ->
+          ((status, rel))
+      }.toMap
+    assert(got((1L, 0L)) === (("primary", -1L)))
+    assert(got((1L, 1L)) === (("complementary", -1L)))
+    assert(got((1L, 2L)) === ((null, 9L)))
+    assert(got((2L, 0L)) === (("primary", -1L)))
+    assert(got((2L, 1L)) === (("primary", -1L)))
+    assert(got((3L, 0L)) === ((null, 5L)))
+    assert(got((3L, 1L)) === ((null, 6L)))
+  }
 }

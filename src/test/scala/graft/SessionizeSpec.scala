@@ -141,4 +141,32 @@ class SessionizeSpec extends SparkSpec {
     assert(got === want)
     assert(got.size === 15)
   }
+
+  test("ev_match_recognize: hand-traced pattern counts") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ev_mr").toString
+    // user 1: v c p v p  → "vcp" then "vp"           → 2 matches
+    // user 2: v v c o p  → second v restarts, "vcop" → 1 match
+    // user 3: p c o      → no view                   → 0 matches
+    Seq(
+      (1L, 1L, t(0), "view"), (1L, 2L, t(1), "click"),
+      (1L, 3L, t(2), "purchase"), (1L, 4L, t(3), "view"),
+      (1L, 5L, t(4), "purchase"),
+      (2L, 6L, t(0), "view"), (2L, 7L, t(1), "view"),
+      (2L, 8L, t(2), "click"), (2L, 9L, t(3), "error"),
+      (2L, 10L, t(4), "purchase"),
+      (3L, 11L, t(0), "purchase"), (3L, 12L, t(1), "click"),
+      (3L, 13L, t(2), "signup"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventAnalytics
+      .queries("ev_match_recognize")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got === Map(0L -> ((1L, 3L, 3L)), 1L -> ((1L, 2L, 2L)),
+      2L -> ((1L, 1L, 1L))))
+  }
 }

@@ -341,4 +341,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("ta_readability: hand-counted Flesch–Kincaid components") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fk").toString
+    // "Hello world. It is big!" → words 5, sentence runs 2 ('.' '!'),
+    // vowel groups: e,o | o | I | i | i → 6 syllables
+    // fk_x100 = (39·5)//2 + (1180·6)//5 − 1559 = 97 + 1416 − 1559 = −46
+    Seq((1L, "Hello world. It is big!"), (2L, "no punctuation here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.queries("ta_readability")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getLong(r1.fieldIndex("words")) === 5L)
+    assert(r1.getLong(r1.fieldIndex("sentences")) === 2L)
+    assert(r1.getLong(r1.fieldIndex("syllables")) === 6L)
+    assert(r1.getLong(r1.fieldIndex("fk_x100")) === -46L)
+    assert(r1.getString(r1.fieldIndex("band")) === "easy")
+    // a text with no terminal punctuation clamps to one sentence
+    val r2 = got(2L)
+    assert(r2.getLong(r2.fieldIndex("sentences")) === 1L)
+  }
 }

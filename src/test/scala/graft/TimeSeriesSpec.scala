@@ -45,6 +45,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("ewma_qty")) === 5.0)
   }
 
+  test("tm_seasonal: linear series decomposes to zero seasonal/residual") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tm_seas").toString
+    // day i carries i orders, 14 consecutive days: a pure linear trend.
+    // The centered 7-row sum of a linear series is 7× its center, so
+    // dev7 = 7x − trend7 = 0 everywhere the window is full — seasonal
+    // and residual must vanish exactly; the 3 edge days on each side
+    // have no trend.
+    val rows = for {
+      i <- 1 to 14
+      j <- 1 to i
+    } yield (i.toLong * 1000 + j, ts(f"2024-03-$i%02d"))
+    rows.toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = TimeSeries.queries("tm_seasonal")(spark, dir).collect()
+    assert(got.length === 14)
+    val byDay = got.map(r => r.getString(r.fieldIndex("day")) -> r).toMap
+    (1 to 14).foreach { i =>
+      val r = byDay(f"2024-03-$i%02d")
+      if (i <= 3 || i >= 12) {
+        assert(r.isNullAt(r.fieldIndex("trend7")), s"day $i edge")
+      } else {
+        assert(r.getLong(r.fieldIndex("dev7")) === 0L, s"day $i dev")
+        assert(r.getLong(r.fieldIndex("resid_num")) === 0L, s"day $i")
+      }
+    }
+    // every phase present in the full-window region sums to zero
+    got.filter(!_.isNullAt(got.head.fieldIndex("seas_num")))
+      .foreach(r => assert(r.getLong(r.fieldIndex("seas_num")) === 0L))
+  }
+
   test("tm_ohlc: open/high/low/close and bar boundaries") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tm_ohlc").toString
