@@ -74,7 +74,9 @@ object PlanAudit {
     // round-7 continuation: pattern matching / eval / decomposition /
     // disclosure control
     "ev_match_recognize", "ml_auc_roc", "ml_stump", "tm_seasonal",
-    "ta_readability", "pv_cell_suppression")
+    "ta_readability", "pv_cell_suppression",
+    "t10_cep_twin", "x_bitmap_distinct", "x_interpolate",
+    "dq_mad_outliers")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

@@ -342,7 +342,12 @@ object Soak {
       // category-grain; the decomposition's window is daily-grain;
       // readability is a zero-shuffle scan
       "ev_match_recognize", "ml_auc_roc", "ml_stump", "tm_seasonal",
-      "ta_readability", "pv_cell_suppression")) {
+      "ta_readability", "pv_cell_suppression",
+      // batch-5: the CEP twin shares the trace agg; the bitmap rollup
+      // shuffles half-word grain; interpolation is the LOCF spine;
+      // MAD is two daily-grain percentile passes
+      "t10_cep_twin", "x_bitmap_distinct", "x_interpolate",
+      "dq_mad_outliers")) {
       // a corpus-shape limitation in ONE query must not kill the whole
       // report — log and continue
       try {

@@ -158,7 +158,40 @@ object DataQuality {
         "c_name" -> "c_name",
         "c_nationkey" -> "cast(c_nationkey as string)",
         "c_acctbal" -> "cast(cast(c_acctbal as bigint) as string)",
-        "c_mktsegment" -> "c_mktsegment"))))
+        "c_mktsegment" -> "c_mktsegment"))),
+
+    // ROBUST outlier detection by median/MAD (the Iglewicz–Hoaglin
+    // modified z-score, the DQ screen that survives the very outliers
+    // a mean/stddev screen is poisoned by): the report is the top-10
+    // days by |x − median|, each flagged anomalous when 0.6745·dev >
+    // 3.5·MAD (robustly non-empty at every SF — a thresh-only release
+    // is empty whenever the corpus happens to be clean, which is a
+    // weak gate). Median and MAD are EXACT
+    // interpolated percentiles of integer counts, so they land on
+    // half- resp. quarter-integer grids — carried as ×4 / ×8 scaled
+    // BIGINTs, and the threshold is the cross-multiplied integer
+    // compare 13490·dev_x4 > 35000·mad_x8. No float comparison
+    // anywhere. Two percentile passes over the DAILY grain (calendar-
+    // scale, the tm_changepoint contract) and a broadcast scalar join.
+    "dq_mad_outliers" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val med = daily.agg(expr("percentile(x, 0.5d)").as("med"))
+      val dev = daily.crossJoin(broadcast(med))
+        .withColumn("dev_x4", expr("cast(abs(x - med) * 4 as bigint)"))
+        .withColumn("med_x2", expr("cast(med * 2 as bigint)"))
+      val mad = dev
+        .agg(expr("cast(percentile(dev_x4, 0.5d) * 2 as bigint)")
+          .as("mad_x8"))
+      dev.crossJoin(broadcast(mad))
+        .select(col("day").cast("string").as("day"), col("x"),
+          col("dev_x4"), col("med_x2"), col("mad_x8"),
+          (lit(13490L) * col("dev_x4") > lit(35000L) * col("mad_x8"))
+            .cast("int").as("is_outlier"))
+        .orderBy(col("dev_x4").desc, col("day"))
+        .limit(10)
+    }))
 
   /** The one-pass profiler behind dq_profile, over any frame: `cols`
     * maps column name → engine-portable rendering SQL (the facade
@@ -278,6 +311,30 @@ object DataQuality {
         |    AS observed_pm,
         |  e.expected_pm
         |FROM expect e LEFT JOIN obs ON obs.digit = e.digit
-        |CROSS JOIN tot ORDER BY e.digit""".stripMargin
+        |CROSS JOIN tot ORDER BY e.digit""".stripMargin,
+
+    // quantile_cont matches Spark's exact interpolated percentile; the
+    // scaled values are integer-valued doubles, so both engines' casts
+    // agree, and the outlier gate is pure integer arithmetic
+    "dq_mad_outliers" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |med AS (SELECT quantile_cont(x, 0.5) AS med FROM daily),
+        |dev AS (
+        |  SELECT day, x,
+        |    CAST(abs(x - med) * 4 AS BIGINT) AS dev_x4,
+        |    CAST(med * 2 AS BIGINT) AS med_x2
+        |  FROM daily CROSS JOIN med),
+        |mad AS (
+        |  SELECT CAST(quantile_cont(dev_x4, 0.5) * 2 AS BIGINT)
+        |    AS mad_x8
+        |  FROM dev)
+        |SELECT CAST(day AS VARCHAR) AS day, x, dev_x4, med_x2, mad_x8,
+        |  CAST(CASE WHEN 13490 * dev_x4 > 35000 * mad_x8
+        |       THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+        |FROM dev CROSS JOIN mad
+        |ORDER BY dev_x4 DESC, day LIMIT 10""".stripMargin
   )
 }

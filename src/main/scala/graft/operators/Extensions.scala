@@ -528,6 +528,74 @@ object Extensions {
               sqrt((dec("n") * dec("sdd") - dec("sd") * dec("sd")).cast("double"))))
             .as("corr_qty_disc"))
         .orderBy("l_returnflag")
+    }),
+
+    // BITMAP exact-distinct rollup — the ClickHouse/Doris bitmap-index
+    // technique for COUNT(DISTINCT) at scale: keys bucket into 32-bit
+    // half-words (word = key div 32, bit = key mod 32 — 32 not 64: a
+    // shift into bit 63 overflows a checked signed-BIGINT engine, and
+    // staying under the sign bit keeps both engines in plain positive
+    // arithmetic), bit_or merges each
+    // word WITHIN partitions before the shuffle (the aggregate is
+    // commutative — a mergeable exact sketch), and popcount sums per
+    // group. The shuffle carries word-grain rows (keyspace/64 per
+    // group), never row-grain — unlike count(DISTINCT)'s expand — and
+    // the result is exact, unlike HLL (cs_card_sketch). Dense integer
+    // keyspaces only by design; sparse domains dict-encode first
+    // (tr_dense_ids is that operator).
+    "x_bitmap_distinct" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_partkey").as("k"))
+        .groupBy(col("flag"), expr("k div 32").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, cast(k % 32 as int)))")
+          .as("bits"))
+        .groupBy("flag")
+        .agg(sum(expr("bit_count(bits)")).cast("long").as("n_distinct"),
+          count(lit(1)).as("n_words"))
+        .orderBy("flag")),
+
+    // Per-entity LINEAR INTERPOLATION over the daily spine —
+    // x_locf_fill's sibling (LOCF carries the last value forward;
+    // interpolation weights both neighbors by time distance): each
+    // interior missing day gets num/den = (prev_x·(next−day) +
+    // next_x·(day−prev)) / (next−prev), released as the exact integer
+    // rational — no float division on either engine. Neighbor lookup
+    // is one ignore-nulls window pass in each direction over the
+    // user-partitioned spine; same per-user scale contract as LOCF
+    // (spine = |users| × |days|, no global window).
+    "x_interpolate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") < 20 && col("event_type") === "purchase")
+      val daily = ev
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val span = daily.groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
+      val spine = span.select(col("user_id"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val wPrev = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Long.MinValue, -1)
+      val wNext = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(1, Long.MaxValue)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("prev_day",
+          last(when(col("x").isNotNull, col("day")), ignoreNulls = true)
+            .over(wPrev))
+        .withColumn("prev_x",
+          last(col("x"), ignoreNulls = true).over(wPrev))
+        .withColumn("next_day",
+          first(when(col("x").isNotNull, col("day")), ignoreNulls = true)
+            .over(wNext))
+        .withColumn("next_x",
+          first(col("x"), ignoreNulls = true).over(wNext))
+        .filter(col("x").isNull)
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          datediff(col("next_day"), col("prev_day")).cast("long")
+            .as("den"),
+          (col("prev_x") * datediff(col("next_day"), col("day")) +
+            col("next_x") * datediff(col("day"), col("prev_day")))
+            .cast("long").as("num"))
+        .orderBy("user_id", "day")
     })
   )
 
@@ -866,6 +934,59 @@ object Extensions {
         |  CAST(n * sqd - sq * sd AS DOUBLE) /
         |    (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) *
         |     sqrt(CAST(n * sdd - sd * sd AS DOUBLE))) AS corr_qty_disc
-        |FROM s ORDER BY l_returnflag""".stripMargin
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    // same half-word/bit decomposition, all shifts below the sign bit
+    "x_bitmap_distinct" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS flag, l_partkey // 32 AS w,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(l_partkey % 32 AS INTEGER))
+        |      AS bits
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT flag, CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct,
+        |  CAST(count(*) AS BIGINT) AS n_words
+        |FROM b GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // same spine, the same two ignore-nulls passes, the same exact
+    // integer rational release
+    "x_interpolate" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE user_id < 20 AND event_type = 'purchase'),
+        |daily AS (
+        |  SELECT user_id, day, CAST(count(*) AS BIGINT) AS x
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, min(day) AS lo, max(day) AS hi
+        |  FROM daily GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |      CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |j AS (
+        |  SELECT s.user_id, s.day, d.x
+        |  FROM spine s LEFT JOIN daily d
+        |    ON d.user_id = s.user_id AND d.day = s.day),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN x IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER wp AS prev_day,
+        |    last_value(x IGNORE NULLS) OVER wp AS prev_x,
+        |    first_value(CASE WHEN x IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER wn AS next_day,
+        |    first_value(x IGNORE NULLS) OVER wn AS next_x
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  wn AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, CAST(day AS VARCHAR) AS day,
+        |  CAST(date_diff('day', prev_day, next_day) AS BIGINT) AS den,
+        |  CAST(prev_x * date_diff('day', day, next_day)
+        |     + next_x * date_diff('day', prev_day, day) AS BIGINT)
+        |    AS num
+        |FROM w WHERE x IS NULL
+        |ORDER BY user_id, day""".stripMargin
   )
 }

@@ -129,6 +129,35 @@ object Streaming {
           max(expr("unix_micros(ts)")).as("max_ts_us"))
         .orderBy("user_id")),
 
+    // Batch twin of the streaming CEP matcher (streaming/CepMatcher —
+    // the `view (click|other)* purchase` one-bit DFA run as
+    // flatMapGroupsWithState): the per-user match counts after
+    // draining the whole feed, computed here with the batch trace +
+    // regex plan at user grain (the ev_match_recognize machinery
+    // before its histogram). CepMatcherSpec asserts the stream fold,
+    // the batch fold, and this twin agree user-for-user, including
+    // across a checkpoint restart. One user-keyed shuffle; per-user
+    // state bounded by the user's own history in batch and O(1) in
+    // the stream.
+    "t10_cep_twin" -> ((s, dir) => {
+      val code = when(col("event_type") === "view", "v")
+        .when(col("event_type") === "click", "c")
+        .when(col("event_type") === "purchase", "p")
+        .otherwise("o")
+      Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"), code.as("code"))
+        .groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("code")))),
+          x => x.getField("code")), "").as("trace"))
+        .select(col("user_id"),
+          size(expr("regexp_extract_all(trace, 'v[co]*p', 0)"))
+            .cast("long").as("n_matches"))
+        .orderBy("user_id")
+    }),
+
     // S10: the custom DataSourceV2 transaction feed (graft.sources
     // .TxnFeed — the engine surface a Kafka connector would plug into),
     // read in batch mode over the full offset range and parsed with the
@@ -220,6 +249,23 @@ object Streaming {
         |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total_value,
         |  max(epoch_us(ts)) AS max_ts_us
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // same (ts, event_id) total order and the same leftmost /
+    // non-overlapping / greedy scan as the DFA it twins
+    "t10_cep_twin" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'o' END AS code
+        |  FROM events),
+        |tr AS (
+        |  SELECT user_id,
+        |    string_agg(code, '' ORDER BY us, event_id) AS trace
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(len(regexp_extract_all(trace, 'v[co]*p')) AS BIGINT)
+        |    AS n_matches
+        |FROM tr ORDER BY user_id""".stripMargin,
 
     // independent reconstruction of the txnfeed generator's integer
     // arithmetic (TxnFeed.valueJson — keep in lockstep); partition =

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{CepMatcher, StreamingIngest}
+
+class CepMatcherSpec extends SparkSpec {
+
+  private def writeChunk(dir: java.nio.file.Path, name: String,
+                         evs: Seq[(Long, Long, String, Int)]): Unit = {
+    val lines = evs.map { case (id, user, tpe, hour) =>
+      s"""{"event_id":$id,"user_id":$user,"event_type":"$tpe",""" +
+        f""""value":1.0,"ts_str":"2024-01-01 $hour%02d:00:00.000000",""" +
+        s""""props":"{}"}"""
+    }
+    Files.write(dir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("CEP DFA carries open attempts and counts across batches") {
+    val base = Files.createTempDirectory("graft_cep")
+    val src = Files.createDirectory(base.resolve("src"))
+    val cp = base.resolve("cp").toString
+    val out = base.resolve("out").toString
+
+    def runBatch(): Unit = {
+      val q = CepMatcher
+        .matches(spark, StreamingIngest.parse(
+          spark.readStream.text(src.toString)))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // user 1: view click | purchase view purchase → 2 matches, the
+    //   first spanning the batch boundary through checkpointed state
+    // user 2: purchase view | error purchase     → 1 match (v o p)
+    writeChunk(src, "b1.json", Seq(
+      (1L, 1L, "view", 1), (2L, 1L, "click", 2),
+      (6L, 2L, "purchase", 1), (7L, 2L, "view", 2)))
+    runBatch()
+    val after1 = spark.read.parquet(out)
+      .groupBy("user_id").agg(max("n_matches").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after1 === Map(1L -> 0L, 2L -> 0L))
+
+    writeChunk(src, "b2.json", Seq(
+      (3L, 1L, "purchase", 3), (4L, 1L, "view", 4),
+      (5L, 1L, "purchase", 5),
+      (8L, 2L, "error", 3), (9L, 2L, "purchase", 4)))
+    runBatch()
+    val after2 = spark.read.parquet(out)
+      .groupBy("user_id").agg(max("n_matches").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after2 === Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("t10_cep_twin equals the DFA fold run in batch mode") {
+    val folded = CepMatcher.matches(spark, Tables.events(spark, sf))
+      .collect().map(u => u.user_id -> u.n_matches).toMap
+    val twin = operators.Streaming.queries("t10_cep_twin")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twin.nonEmpty)
+    assert(twin === folded)
+    // the corpus actually exercises the pattern
+    assert(twin.values.exists(_ > 0))
+  }
+}

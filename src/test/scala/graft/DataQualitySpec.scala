@@ -97,4 +97,33 @@ class DataQualitySpec extends SparkSpec {
       assert(sl === vs.map(_.length.toLong).sum, c)
     }
   }
+
+  test("dq_mad_outliers flags a planted spike against median/MAD") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("mad").toString
+    // 7 quiet days at 5 orders/day plus one 50-order spike: median 5,
+    // MAD 0 → the spike's modified z is unbounded, quiet days are 0
+    val rows = (1 to 7).flatMap(d => (1 to 5).map(i =>
+      ((d * 100 + i).toLong, Timestamp.valueOf(f"2024-02-$d%02d 00:00:00")))) ++
+      (1 to 50).map(i => ((800 + i).toLong,
+        Timestamp.valueOf("2024-02-08 00:00:00")))
+    rows.toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.DataQuality
+      .queries("dq_mad_outliers")(spark, dir).collect()
+    assert(got.length === 8)
+    val top = got.head
+    assert(top.getString(top.fieldIndex("day")) === "2024-02-08")
+    assert(top.getLong(top.fieldIndex("x")) === 50L)
+    assert(top.getInt(top.fieldIndex("is_outlier")) === 1)
+    got.tail.foreach(r =>
+      assert(r.getInt(r.fieldIndex("is_outlier")) === 0))
+    // integer gate replay: flag iff 13490·dev_x4 > 35000·mad_x8
+    got.foreach { r =>
+      val want = if (13490L * r.getLong(r.fieldIndex("dev_x4")) >
+        35000L * r.getLong(r.fieldIndex("mad_x8"))) 1 else 0
+      assert(r.getInt(r.fieldIndex("is_outlier")) === want)
+    }
+  }
 }

@@ -97,4 +97,41 @@ class ExtensionsSpec extends SparkSpec {
       .toSeq
     assert(crafted === Seq((1022L, 4999L, 3978L)))
   }
+
+  test("x_bitmap_distinct equals exact count(distinct) per group") {
+    import org.apache.spark.sql.functions._
+    val got = Extensions.queries("x_bitmap_distinct")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("n_distinct")))
+      .toMap
+    val want = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("x_interpolate: hand-checked linear gap fill") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("interp").toString
+    // user 5 purchases: 2 events on Jan 1, 8 events on Jan 4 → the
+    // daily-count series 2,_,_,8 interpolates to 4 and 6 (num/den =
+    // 12/3 and 18/3)
+    def t(day: Int, i: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d 0$i:00:00")
+    val evs =
+      (1 to 2).map(i => (5L, (10 + i).toLong, t(1, i), "purchase")) ++
+        (1 to 8).map(i => (5L, (40 + i).toLong, t(4, i), "purchase"))
+    evs.toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Extensions.queries("x_interpolate")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq((5L, "2024-01-02", 3L, 12L),
+      (5L, "2024-01-03", 3L, 18L)))
+  }
 }
