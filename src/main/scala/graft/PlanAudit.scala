@@ -76,7 +76,7 @@ object PlanAudit {
     "ev_match_recognize", "ml_auc_roc", "ml_stump", "tm_seasonal",
     "ta_readability", "pv_cell_suppression",
     "t10_cep_twin", "x_bitmap_distinct", "x_interpolate",
-    "dq_mad_outliers")
+    "dq_mad_outliers", "tm_holt", "iv_time_weighted", "mb_assoc_rules")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,
@@ -119,7 +119,7 @@ object PlanAudit {
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val out = if (args.nonEmpty) args(0) else "PLANS_r6.md"
+    val out = if (args.nonEmpty) args(0) else "PLANS_r7.md"
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -150,7 +150,7 @@ object PlanAudit {
       "broadcast joins", "shuffle joins", "nested-loop/cartesian",
       "pushed-filter scans")
     val md = new StringBuilder
-    md ++= "# PLANS_r6 — physical-plan audit\n\n"
+    md ++= s"# ${out.stripSuffix(".md")} — physical-plan audit\n\n"
     md ++= s"Final adaptive plans at `$dir` " +
       "(`sbt \"runMain graft.PlanAudit\"`), counted by tree traversal — " +
       "each cached pipeline visited once, adaptive stages unwrapped.\n" +

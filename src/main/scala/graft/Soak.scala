@@ -347,7 +347,11 @@ object Soak {
       // shuffles half-word grain; interpolation is the LOCF spine;
       // MAD is two daily-grain percentile passes
       "t10_cep_twin", "x_bitmap_distinct", "x_interpolate",
-      "dq_mad_outliers")) {
+      "dq_mad_outliers",
+      // batch-6: Holt shares the tm_ewma window; the interval weights
+      // are a projection over the scd2 window; rules share the
+      // mb_item_pairs basket-keyed self-join
+      "tm_holt", "iv_time_weighted", "mb_assoc_rules")) {
       // a corpus-shape limitation in ONE query must not kill the whole
       // report — log and continue
       try {

@@ -69,6 +69,49 @@ object Affinity {
         .limit(100)
     }),
 
+    // ASSOCIATION RULES from the pair counts — the step after
+    // mb_item_pairs in every market-basket pipeline: each frequent
+    // pair emits both directed rules ante → cons, graded by
+    // confidence (c12/c_ante) and lift (c12·n/(c_ante·c_cons)), both
+    // released in exact integer per-mille (no float ratios). The
+    // report is the top-50 rules by (lift, confidence, ante, cons)
+    // with a `strong` flag at the classic conf ≥ 200 ‰ ∧ lift >
+    // 1000 ‰ bar (a threshold-only release is empty whenever the
+    // corpus has no strong rules — the dq_mad_outliers lesson:
+    // rank, don't just gate). Same plan as mb_item_pairs
+    // plus a pair-grain projection: nothing beyond the pair table
+    // ever materializes.
+    "mb_assoc_rules" -> ((s, dir) => {
+      val b = baskets(s, dir)
+      val itemCnt = b.groupBy("pk").agg(count(lit(1)).as("c"))
+      val nBaskets = b.select(countDistinct(col("ok")).as("n_baskets"))
+      val pairs = b.as("a")
+        .join(b.as("b"), col("a.ok") === col("b.ok") &&
+          col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 2)
+        .join(itemCnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
+        .join(itemCnt.select(col("pk").as("p2"), col("c").as("c2")), "p2")
+        .crossJoin(broadcast(nBaskets))
+      val rules = pairs.select(col("p1").as("ante"), col("p2").as("cons"),
+          col("c12"), col("c1").as("c_ante"), col("c2").as("c_cons"),
+          col("n_baskets"))
+        .unionAll(pairs.select(col("p2"), col("p1"), col("c12"),
+          col("c2"), col("c1"), col("n_baskets")))
+      rules
+        .select(col("ante"), col("cons"),
+          expr("c12 * 1000 div c_ante").as("conf_pm"),
+          expr("c12 * n_baskets * 1000 div (c_ante * c_cons)")
+            .as("lift_pm"),
+          col("c12"))
+        .withColumn("strong",
+          (col("conf_pm") >= 200 && col("lift_pm") > 1000).cast("int"))
+        .orderBy(col("lift_pm").desc, col("conf_pm").desc,
+          col("ante"), col("cons"))
+        .limit(50)
+    }),
+
     // Markov transition matrix over the event stream: per user, each
     // event's successor in (ts, event_id) order; counts by
     // (from, to) plus the from-state row total — the exact-integer
@@ -108,6 +151,43 @@ object Affinity {
         |JOIN ic i2 ON i2.pk = p2
         |CROSS JOIN nb
         |ORDER BY c12 DESC, p1, p2 LIMIT 100""".stripMargin,
+
+    // both directed rules per pair, the same integer per-mille grades
+    "mb_assoc_rules" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY pk),
+        |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets
+        |       FROM b),
+        |pairs AS (
+        |  SELECT a.pk AS p1, b2.pk AS p2,
+        |    CAST(count(*) AS BIGINT) AS c12
+        |  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |wide AS (
+        |  SELECT p1, p2, c12, i1.c AS c1, i2.c AS c2, nb.n_baskets
+        |  FROM pairs
+        |  JOIN ic i1 ON i1.pk = p1
+        |  JOIN ic i2 ON i2.pk = p2
+        |  CROSS JOIN nb),
+        |rules AS (
+        |  SELECT p1 AS ante, p2 AS cons, c12, c1 AS c_ante,
+        |    c2 AS c_cons, n_baskets FROM wide
+        |  UNION ALL
+        |  SELECT p2, p1, c12, c2, c1, n_baskets FROM wide),
+        |graded AS (
+        |  SELECT ante, cons,
+        |    CAST(c12 * 1000 // c_ante AS BIGINT) AS conf_pm,
+        |    CAST(c12 * n_baskets * 1000 // (c_ante * c_cons) AS BIGINT)
+        |      AS lift_pm,
+        |    c12
+        |  FROM rules)
+        |SELECT ante, cons, conf_pm, lift_pm, c12,
+        |  CAST(CASE WHEN conf_pm >= 200 AND lift_pm > 1000
+        |       THEN 1 ELSE 0 END AS INTEGER) AS strong
+        |FROM graded
+        |ORDER BY lift_pm DESC, conf_pm DESC, ante, cons
+        |LIMIT 50""".stripMargin,
 
     "ev_transitions" ->
       """WITH steps AS (

@@ -196,6 +196,40 @@ object Maintenance {
         .orderBy("as_of", "c_mktsegment")
     }),
 
+    // TIME-WEIGHTED aggregation over SCD2 validity intervals — the
+    // "how many customer-DAYS did each segment hold in FY2024"
+    // question a snapshot count answers wrong whenever membership
+    // changed mid-year: each history row contributes its days of
+    // overlap with the [2024-01-01, 2025-01-01) window (clip with
+    // greatest/least, clamp at 0 — all integer day arithmetic on both
+    // engines), and the report is the per-segment day mass plus its
+    // per-mille share. Same one-window history build as scd2_history;
+    // the weighting is a codegen'd projection and one segment-grain
+    // aggregate — interval semantics with zero joins.
+    "iv_time_weighted" -> ((s, dir) => {
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("valid_from", lit("2024-01-01"))
+      val upd = base.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("PROMO"))
+        .withColumn("valid_from", lit("2024-06-01"))
+      val hist = Scd2.finalizeHistory(base.unionAll(upd),
+        Seq("c_custkey"), "valid_from")
+      val days = greatest(lit(0),
+        datediff(
+          least(col("valid_to").cast("date"), lit("2025-01-01").cast("date")),
+          greatest(col("valid_from").cast("date"),
+            lit("2024-01-01").cast("date")))).cast("long")
+      val mass = hist.withColumn("cust_days", days)
+        .groupBy("c_mktsegment")
+        .agg(sum("cust_days").as("cust_days"))
+      val tot = mass.agg(sum("cust_days").as("total_days"))
+      mass.crossJoin(broadcast(tot))
+        .select(col("c_mktsegment"), col("cust_days"),
+          expr("cust_days * 1000 div total_days").as("share_pm"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Data-quality gate over the raw fact feed: per-rule violation
     // counts plus the quarantine total, one aggregate pass (see
     // jobs.DataQuality; the pass/fail split itself is spec-exercised).
@@ -559,6 +593,36 @@ object Maintenance {
         |                                     ORDER BY valid_from),
         |           '9999-12-31') = '9999-12-31' AS is_current
         |FROM versions ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // same history build, the same clip-and-clamp integer day counts
+    "iv_time_weighted" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment, '2024-01-01' AS valid_from
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, 'PROMO' AS c_mktsegment,
+        |         '2024-06-01' AS valid_from
+        |  FROM base WHERE c_custkey % 7 = 0),
+        |versions AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+        |hist AS (
+        |  SELECT c_custkey, c_mktsegment, valid_from,
+        |    coalesce(lead(valid_from, 1) OVER (PARTITION BY c_custkey
+        |                                       ORDER BY valid_from),
+        |             '9999-12-31') AS valid_to
+        |  FROM versions),
+        |mass AS (
+        |  SELECT c_mktsegment,
+        |    CAST(sum(greatest(0, date_diff('day',
+        |      greatest(CAST(valid_from AS DATE), DATE '2024-01-01'),
+        |      least(CAST(valid_to AS DATE), DATE '2025-01-01'))))
+        |      AS BIGINT) AS cust_days
+        |  FROM hist GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cust_days) AS BIGINT) AS total_days
+        |        FROM mass)
+        |SELECT c_mktsegment, cust_days,
+        |  CAST(cust_days * 1000 // total_days AS BIGINT) AS share_pm
+        |FROM mass CROSS JOIN tot
+        |ORDER BY c_mktsegment""".stripMargin,
 
     // the oracle IS the full recompute the refresh must equal
     "mv_join_delta" ->

@@ -35,6 +35,30 @@ object TimeSeries {
   /** Lags 0..9, weight 2^(9-k) — integer EWMA numerator/denominator. */
   private val LAGS = 0 to 9
 
+  /** Holt double-smoothing weights, EXACT: with α = β = ½ the state
+    * recursion (l,b)ₜ = M·(l,b)ₜ₋₁ + v·yₜ has M = ¼·[[2,2],[−1,3]]
+    * and v = ¼·[2,1], so under zero init (l,b)ₜ = Σₖ Mᵏv·yₜ₋ₖ where
+    * Mᵏv = Nᵏ·[2,1] / 4ᵏ⁺¹ with the INTEGER matrix N = [[2,2],[−1,3]]
+    * — every lag weight is an integer over the common denominator
+    * 4^K. Truncation at K = 10 lags: exact for series up to K
+    * observations (zero init makes the sum the exact recursion), a
+    * |λ(M)|^K = 2^(−K/2) ≈ 3 % tail beyond — the defined,
+    * engine-reproducible semantics, like tm_ewma's truncated horizon.
+    * (wl, wb) pairs are Nᵏ[2,1]·4^(K−1−k): integers both engines
+    * multiply exactly. */
+  private val HOLT_K = 10
+  private[operators] val holtW: Seq[(Long, Long)] = {
+    var lv = BigInt(2); var bv = BigInt(1)
+    (0 until HOLT_K).map { k =>
+      val scale = BigInt(4).pow(HOLT_K - 1 - k)
+      val out = ((lv * scale).toLong, (bv * scale).toLong)
+      val (nl, nb) = (2 * lv + 2 * bv, -lv + 3 * bv)
+      lv = nl; bv = nb
+      out
+    }
+  }
+  private val HOLT_DEN = math.pow(4, HOLT_K).toLong
+
   val queries: Map[String, Q] = Map(
     // Exponentially-weighted moving average of shipped quantity per
     // supplier (alpha = 1/2, truncated at 10 lags, weights
@@ -210,6 +234,42 @@ object TimeSeries {
         .orderBy("dow7")
     }),
 
+    // HOLT DOUBLE SMOOTHING (level + trend, the one-step-ahead
+    // forecaster tm_ewma cannot express — EWMA has no trend state):
+    // per supplier, the exact K = 10-lag matrix unrolling of the
+    // α = β = ½ recursion (see holtW) evaluated at the latest
+    // shipment. Level and trend numerators are integer dot products
+    // of the lagged quantities with the shared Nᵏ[2,1] weight table
+    // — the SAME literal integers are splined into the DuckDB oracle
+    // — over the common denominator 4¹⁰; the one-step forecast is
+    // (l + b)/4¹⁰, a single division of exact integers. One window
+    // shuffle on the series key, O(K) state per row — the tm_ewma
+    // scale contract with a 2-dimensional state.
+    "tm_holt" -> ((s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      val q = col("l_quantity").cast("long")
+      def dot(sel: ((Long, Long)) => Long) =
+        holtW.zipWithIndex.map { case (wk, k) =>
+          coalesce(lag(q, k).over(w), lit(0L)) * lit(sel(wk))
+        }.reduce(_ + _)
+      Tables(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_quantity"))
+        .withColumn("l_num", dot(_._1))
+        .withColumn("b_num", dot(_._2))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_suppkey")
+            .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+              col("l_linenumber").desc)))
+        .filter(col("rn") === 1)
+        .select(col("l_suppkey"), col("l_num"), col("b_num"),
+          lit(HOLT_DEN).as("den"),
+          ((col("l_num") + col("b_num")).cast("double") /
+            lit(HOLT_DEN.toDouble)).as("forecast_1"))
+        .orderBy("l_suppkey")
+    }),
+
     // CLASSICAL SEASONAL DECOMPOSITION (trend + seasonal + residual,
     // the moving-average method every forecasting text opens with)
     // of the daily order-count series, period 7. Trend at day t is
@@ -359,6 +419,30 @@ object TimeSeries {
         |  CAST(max(abs(a.x - f.x)) AS BIGINT) AS abs_err_max
         |FROM daily a JOIN daily f ON a.day = f.day + INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY dow7""".stripMargin,
+
+    // the SAME Nᵏ[2,1]·4^(K−1−k) literals as the engine side — one
+    // coefficient table, two engines
+    "tm_holt" -> {
+      def dot(sel: ((Long, Long)) => Long) =
+        holtW.zipWithIndex.map { case (wk, k) =>
+          s"COALESCE(lag(CAST(l_quantity AS BIGINT), $k) OVER w, 0) " +
+            s"* ${sel(wk)}"
+        }.mkString(" + ")
+      s"""WITH scored AS (
+         |  SELECT l_suppkey,
+         |    CAST(${dot(_._1)} AS BIGINT) AS l_num,
+         |    CAST(${dot(_._2)} AS BIGINT) AS b_num,
+         |    row_number() OVER (PARTITION BY l_suppkey
+         |      ORDER BY l_shipdate DESC, l_orderkey DESC,
+         |        l_linenumber DESC) AS rn
+         |  FROM lineitem
+         |  WINDOW w AS (PARTITION BY l_suppkey
+         |    ORDER BY l_shipdate, l_orderkey, l_linenumber))
+         |SELECT l_suppkey, l_num, b_num,
+         |  CAST($HOLT_DEN AS BIGINT) AS den,
+         |  CAST(l_num + b_num AS DOUBLE) / $HOLT_DEN.0 AS forecast_1
+         |FROM scored WHERE rn = 1 ORDER BY l_suppkey""".stripMargin
+    },
 
     // same centered 7-row window over the daily grain; dev7 = 7x −
     // trend keeps the detrended series integer, residual is an exact

@@ -124,4 +124,29 @@ class AffinitySpec extends SparkSpec {
       }
     }
   }
+
+  test("mb_assoc_rules grades a planted strong rule correctly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rules").toString
+    // baskets: {A,B} ×3, {A} once, {C} ×2 → n = 6 baskets,
+    // cA = 4, cB = 3, c12 = 3:
+    //   A→B conf = 750 ‰, B→A conf = 1000 ‰, lift both = 1500 ‰
+    val baskets = Seq(
+      (1L, 100L), (1L, 200L), (2L, 100L), (2L, 200L),
+      (3L, 100L), (3L, 200L), (4L, 100L), (5L, 300L), (6L, 300L))
+    baskets.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Affinity
+      .queries("mb_assoc_rules")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(r.fieldIndex("conf_pm")),
+          r.getLong(r.fieldIndex("lift_pm")),
+          r.getInt(r.fieldIndex("strong"))))
+    // B→A outranks A→B (same lift, higher confidence); both strong
+    val byRule = got.toMap
+    assert(got.head._1 === ((200L, 100L)))
+    assert(byRule((200L, 100L)) === ((1000L, 1500L, 1)))
+    assert(byRule((100L, 200L)) === ((750L, 1500L, 1)))
+    assert(got.length === 2)
+  }
 }

@@ -276,4 +276,19 @@ class MaintenanceSpec extends SparkSpec {
     // with 2+ files the interleave must show
     assert(if (ioN > 1) ioAvg > 100L else ioAvg === 100L)
   }
+
+  test("iv_time_weighted conserves customer-days and splits PROMO") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Maintenance
+      .queries("iv_time_weighted")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val n = cust.count()
+    val nPromo = cust.filter(col("c_custkey") % 7 === 0).count()
+    // every customer contributes exactly 366 days of 2024 (leap year)
+    assert(rows.values.sum === 366L * n)
+    // PROMO mass = Jun 1 → Jan 1 = 214 days per restated customer
+    assert(rows("PROMO") === 214L * nPromo)
+    assert(rows.keys.size === 6) // 5 segments + PROMO
+  }
 }

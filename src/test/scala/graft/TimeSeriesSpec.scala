@@ -45,6 +45,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("ewma_qty")) === 5.0)
   }
 
+  test("tm_holt: matrix unrolling equals the recursion it unrolls") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tm_holt").toString
+    val ys = (1 to 12).map(_.toDouble)
+    ys.zipWithIndex.map { case (y, i) =>
+      (3L, (i + 1).toLong, 1, ts(f"2024-01-${i + 1}%02d"), y) }
+      .toDF("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",
+        "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = TimeSeries.queries("tm_holt")(spark, dir).collect().head
+    // the K-lag truncation IS the exact α=β=½ recursion zero-started
+    // 10 observations back — replay it independently (all values are
+    // dyadic rationals, so the double fold is exact)
+    var l = 0.0; var b = 0.0
+    ys.takeRight(10).foreach { y =>
+      val nl = 0.5 * y + 0.5 * (l + b)
+      b = 0.5 * (nl - l) + 0.5 * b
+      l = nl
+    }
+    val den = r.getLong(r.fieldIndex("den")).toDouble
+    assert(den === math.pow(4, 10))
+    assert(r.getLong(r.fieldIndex("l_num")) / den === l)
+    assert(r.getLong(r.fieldIndex("b_num")) / den === b)
+    assert(r.getDouble(r.fieldIndex("forecast_1")) === l + b)
+  }
+
   test("tm_seasonal: linear series decomposes to zero seasonal/residual") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tm_seas").toString
