@@ -28,4 +28,24 @@ object Events {
     graft.operators.EventAnalytics.seqPatternsOf(
       events.select(col(idCol), col(tieCol), col(labelCol),
         col(orderCol)), k)
+
+  /** Row-pattern matching (MATCH_RECOGNIZE / CEP) over an arbitrary
+    * event frame: per entity, the count of `pattern`'s leftmost /
+    * non-overlapping / greedy matches against the entity's trace of
+    * single-char codes in ((orderCol, tieCol)) order. `codeCol` must
+    * hold one character per event (map event types to a code alphabet
+    * first); `pattern` is a regex over that alphabet. Delegates to
+    * the path behind the oracle-checked `t10_cep_twin` /
+    * `ev_match_recognize`; the same pattern runs incrementally with
+    * O(1) state as a streaming DFA in streaming.CepMatcher. One
+    * entity-keyed shuffle; per-entity state is the entity's own
+    * history. */
+  def matchPattern(events: DataFrame, pattern: String,
+                   idCol: String = "user_id",
+                   tieCol: String = "event_id",
+                   codeCol: String = "code",
+                   orderCol: String = "ts"): DataFrame =
+    graft.operators.EventAnalytics.matchCountsOf(
+      events.select(col(idCol), col(orderCol), col(tieCol),
+        col(codeCol)), pattern)
 }

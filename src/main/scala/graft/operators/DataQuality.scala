@@ -173,25 +173,31 @@ object DataQuality {
     // compare 13490·dev_x4 > 35000·mad_x8. No float comparison
     // anywhere. Two percentile passes over the DAILY grain (calendar-
     // scale, the tm_changepoint contract) and a broadcast scalar join.
-    "dq_mad_outliers" -> ((s, dir) => {
-      val daily = Tables(s, dir, "orders")
+    "dq_mad_outliers" -> ((s, dir) =>
+      madOutliersOf(Tables(s, dir, "orders")
         .groupBy(col("o_orderdate").cast("date").as("day"))
-        .agg(count(lit(1)).as("x"))
-      val med = daily.agg(expr("percentile(x, 0.5d)").as("med"))
-      val dev = daily.crossJoin(broadcast(med))
-        .withColumn("dev_x4", expr("cast(abs(x - med) * 4 as bigint)"))
-        .withColumn("med_x2", expr("cast(med * 2 as bigint)"))
-      val mad = dev
-        .agg(expr("cast(percentile(dev_x4, 0.5d) * 2 as bigint)")
-          .as("mad_x8"))
-      dev.crossJoin(broadcast(mad))
-        .select(col("day").cast("string").as("day"), col("x"),
-          col("dev_x4"), col("med_x2"), col("mad_x8"),
-          (lit(13490L) * col("dev_x4") > lit(35000L) * col("mad_x8"))
-            .cast("int").as("is_outlier"))
-        .orderBy(col("dev_x4").desc, col("day"))
-        .limit(10)
-    }))
+        .agg(count(lit(1)).as("x")), 10)))
+
+  /** Top-N days by |x − median| with the Iglewicz–Hoaglin flag — the
+    * core behind dq_mad_outliers / api.Series.madOutliers over any
+    * (day, x: long) series. */
+  private[graft] def madOutliersOf(daily: DataFrame,
+                                   topN: Int): DataFrame = {
+    val med = daily.agg(expr("percentile(x, 0.5d)").as("med"))
+    val dev = daily.crossJoin(broadcast(med))
+      .withColumn("dev_x4", expr("cast(abs(x - med) * 4 as bigint)"))
+      .withColumn("med_x2", expr("cast(med * 2 as bigint)"))
+    val mad = dev
+      .agg(expr("cast(percentile(dev_x4, 0.5d) * 2 as bigint)")
+        .as("mad_x8"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("day").cast("string").as("day"), col("x"),
+        col("dev_x4"), col("med_x2"), col("mad_x8"),
+        (lit(13490L) * col("dev_x4") > lit(35000L) * col("mad_x8"))
+          .cast("int").as("is_outlier"))
+      .orderBy(col("dev_x4").desc, col("day"))
+      .limit(topN)
+  }
 
   /** The one-pass profiler behind dq_profile, over any frame: `cols`
     * maps column name → engine-portable rendering SQL (the facade

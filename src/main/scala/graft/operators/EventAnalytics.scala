@@ -139,29 +139,45 @@ object EventAnalytics {
     // events-per-user, never corpus size; a user with an unbounded
     // history would chunk by session first). The regex runs where the
     // trace lives — no second shuffle, no self-join, no explode.
-    "ev_match_recognize" -> ((s, dir) => {
-      val code = when(col("event_type") === "view", "v")
-        .when(col("event_type") === "click", "c")
-        .when(col("event_type") === "purchase", "p")
-        .otherwise("o")
-      val traces = Tables.events(s, dir)
-        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
-          col("event_id"), code.as("code"))
-        .groupBy("user_id")
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("us"), col("event_id"),
-            col("code")))),
-          x => x.getField("code")), "").as("trace"))
-      traces
-        .select(col("user_id"),
-          size(expr("regexp_extract_all(trace, 'v[co]*p', 0)"))
-            .cast("long").as("n_matches"))
+    "ev_match_recognize" -> ((s, dir) =>
+      matchCountsOf(funnelCoded(s, dir), "v[co]*p")
         .groupBy("n_matches")
         .agg(count(lit(1)).as("n_users"),
           min("user_id").as("min_user"), max("user_id").as("max_user"))
-        .orderBy("n_matches")
-    })
+        .orderBy("n_matches"))
   )
+
+  /** The standard funnel code mapping over the events table:
+    * view→v, click→c, purchase→p, anything else→o. */
+  private[graft] def funnelCoded(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"),
+        when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .otherwise("o").as("code"))
+
+  /** Per-entity row-pattern match counts — the MATCH_RECOGNIZE core
+    * behind ev_match_recognize / t10_cep_twin / api.Events
+    * .matchPattern: builds each entity's code trace in (us, tie)
+    * order (one entity-keyed aggregation; array_sort over the struct
+    * gives a deterministic total order) and counts the regex's
+    * leftmost / non-overlapping / greedy matches where the trace
+    * lives — no second shuffle. Per-entity state is the entity's own
+    * history (the seqPatternsOf contract). `pattern` is a regex over
+    * the single-char code alphabet. */
+  private[graft] def matchCountsOf(ev: DataFrame,
+                                   pattern: String): DataFrame =
+    ev.toDF("user_id", "us", "event_id", "code")
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("code")))),
+        x => x.getField("code")), "").as("trace"))
+      .select(col("user_id"),
+        size(regexp_extract_all(col("trace"), lit(pattern), lit(0)))
+          .cast("long").as("n_matches"))
 
   /** Pairwise audience overlap of an (user_id, event_type) frame —
     * the helper behind ev_segment_overlap; the incidence dedups

@@ -139,24 +139,9 @@ object Streaming {
     // across a checkpoint restart. One user-keyed shuffle; per-user
     // state bounded by the user's own history in batch and O(1) in
     // the stream.
-    "t10_cep_twin" -> ((s, dir) => {
-      val code = when(col("event_type") === "view", "v")
-        .when(col("event_type") === "click", "c")
-        .when(col("event_type") === "purchase", "p")
-        .otherwise("o")
-      Tables.events(s, dir)
-        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
-          col("event_id"), code.as("code"))
-        .groupBy("user_id")
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("us"), col("event_id"),
-            col("code")))),
-          x => x.getField("code")), "").as("trace"))
-        .select(col("user_id"),
-          size(expr("regexp_extract_all(trace, 'v[co]*p', 0)"))
-            .cast("long").as("n_matches"))
-        .orderBy("user_id")
-    }),
+    "t10_cep_twin" -> ((s, dir) =>
+      EventAnalytics.matchCountsOf(EventAnalytics.funnelCoded(s, dir),
+        "v[co]*p").orderBy("user_id")),
 
     // S10: the custom DataSourceV2 transaction feed (graft.sources
     // .TxnFeed — the engine surface a Kafka connector would plug into),

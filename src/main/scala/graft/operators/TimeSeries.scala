@@ -245,30 +245,13 @@ object TimeSeries {
     // (l + b)/4¹⁰, a single division of exact integers. One window
     // shuffle on the series key, O(K) state per row — the tm_ewma
     // scale contract with a 2-dimensional state.
-    "tm_holt" -> ((s, dir) => {
-      val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-      val q = col("l_quantity").cast("long")
-      def dot(sel: ((Long, Long)) => Long) =
-        holtW.zipWithIndex.map { case (wk, k) =>
-          coalesce(lag(q, k).over(w), lit(0L)) * lit(sel(wk))
-        }.reduce(_ + _)
-      Tables(s, dir, "lineitem")
+    "tm_holt" -> ((s, dir) =>
+      holtOf(Tables(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          col("l_shipdate"), col("l_quantity"))
-        .withColumn("l_num", dot(_._1))
-        .withColumn("b_num", dot(_._2))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("l_suppkey")
-            .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
-              col("l_linenumber").desc)))
-        .filter(col("rn") === 1)
-        .select(col("l_suppkey"), col("l_num"), col("b_num"),
-          lit(HOLT_DEN).as("den"),
-          ((col("l_num") + col("b_num")).cast("double") /
-            lit(HOLT_DEN.toDouble)).as("forecast_1"))
-        .orderBy("l_suppkey")
-    }),
+          col("l_shipdate"), col("l_quantity")),
+        "l_suppkey", Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+        "l_quantity")
+        .orderBy("l_suppkey")),
 
     // CLASSICAL SEASONAL DECOMPOSITION (trend + seasonal + residual,
     // the moving-average method every forecasting text opens with)
@@ -287,30 +270,65 @@ object TimeSeries {
     // runs over calendar-scale data (the tm_changepoint contract);
     // the corpus-scale work is the single date-keyed count aggregate,
     // and the 7-row seasonal table joins back as a broadcast.
-    "tm_seasonal" -> ((s, dir) => {
-      val daily = Tables(s, dir, "orders")
+    "tm_seasonal" -> ((s, dir) =>
+      seasonalOf(Tables(s, dir, "orders")
         .groupBy(col("o_orderdate").cast("date").as("day"))
-        .agg(count(lit(1)).as("x"))
-      val w = Window.orderBy("day").rowsBetween(-3, 3)
-      val t = daily
-        .withColumn("trend7",
-          when(count(lit(1)).over(w) === 7, sum("x").over(w)))
-        .withColumn("dev7", lit(7L) * col("x") - col("trend7"))
-        .withColumn("phase",
-          (datediff(col("day"), lit("1992-01-01").cast("date")) % 7)
-            .cast("long"))
-      val seas = t.filter(col("dev7").isNotNull)
-        .groupBy("phase")
-        .agg(sum("dev7").as("seas_num"), count(lit(1)).as("seas_den"))
-      t.join(broadcast(seas), Seq("phase"), "left")
-        .select(col("day").cast("string").as("day"), col("x"),
-          col("trend7"), col("dev7"), col("phase"),
-          col("seas_num"), col("seas_den"),
-          (col("seas_den") * col("dev7") - col("seas_num"))
-            .as("resid_num"),
-          (lit(7L) * col("seas_den")).as("resid_den"))
-        .orderBy("day")
-    }))
+        .agg(count(lit(1)).as("x")), 7, "1992-01-01")
+        .orderBy("day")))
+
+  /** Holt level+trend at each series' latest observation — the core
+    * behind tm_holt / api.Series.holt. `orderCols` must totally order
+    * each key's series; `valueCol` must be integral (cast to long).
+    * Output: (key, l_num, b_num, den, forecast_1). */
+  private[graft] def holtOf(df: DataFrame, keyCol: String,
+                            orderCols: Seq[String],
+                            valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    val q = col(valueCol).cast("long")
+    def dot(sel: ((Long, Long)) => Long) =
+      holtW.zipWithIndex.map { case (wk, k) =>
+        coalesce(lag(q, k).over(w), lit(0L)) * lit(sel(wk))
+      }.reduce(_ + _)
+    df.withColumn("l_num", dot(_._1))
+      .withColumn("b_num", dot(_._2))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(keyCol)
+          .orderBy(orderCols.map(c => col(c).desc): _*)))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col("l_num"), col("b_num"),
+        lit(HOLT_DEN).as("den"),
+        ((col("l_num") + col("b_num")).cast("double") /
+          lit(HOLT_DEN.toDouble)).as("forecast_1"))
+  }
+
+  /** Classical decomposition of a (day: date, x: long) daily series —
+    * the core behind tm_seasonal / api.Series.seasonal. `period` must
+    * be odd (centered ±period/2 row window); `anchor` fixes phase 0.
+    * All components are exact integers (dev = period·x − trend). */
+  private[graft] def seasonalOf(daily: DataFrame, period: Int,
+                                anchor: String): DataFrame = {
+    require(period % 2 == 1, s"period must be odd, got $period")
+    val h = period / 2
+    val p = period.toLong
+    val w = Window.orderBy("day").rowsBetween(-h, h)
+    val t = daily
+      .withColumn("trend7",
+        when(count(lit(1)).over(w) === period, sum("x").over(w)))
+      .withColumn("dev7", lit(p) * col("x") - col("trend7"))
+      .withColumn("phase",
+        (datediff(col("day"), lit(anchor).cast("date")) % period)
+          .cast("long"))
+    val seas = t.filter(col("dev7").isNotNull)
+      .groupBy("phase")
+      .agg(sum("dev7").as("seas_num"), count(lit(1)).as("seas_den"))
+    t.join(broadcast(seas), Seq("phase"), "left")
+      .select(col("day").cast("string").as("day"), col("x"),
+        col("trend7"), col("dev7"), col("phase"),
+        col("seas_num"), col("seas_den"),
+        (col("seas_den") * col("dev7") - col("seas_num"))
+          .as("resid_num"),
+        (lit(p) * col("seas_den")).as("resid_den"))
+  }
 
   val oracles: Map[String, String] = Map(
     "tm_ewma" -> {

@@ -413,6 +413,53 @@ class ApiSpec extends SparkSpec {
     assert(sqApi === sqNamed && sqApi.nonEmpty)
   }
 
+  test("Events.matchPattern equals the t10_cep_twin query") {
+    import org.apache.spark.sql.functions._
+    val coded = Tables.events(spark, sf)
+      .select(col("user_id").as("uid"), col("event_id").as("eid"),
+        expr("unix_micros(ts)").as("micros"),
+        when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .otherwise("o").as("c"))
+    val api = graft.api.Events
+      .matchPattern(coded, "v[co]*p", "uid", "eid", "c", "micros")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val named = operators.Streaming.queries("t10_cep_twin")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(api === named && api.nonEmpty)
+  }
+
+  test("Series facade equals the tm_holt/tm_seasonal/mad queries") {
+    import org.apache.spark.sql.functions._
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"))
+    val hApi = graft.api.Series
+      .holt(li, "l_suppkey", Seq("l_shipdate", "l_orderkey",
+        "l_linenumber"), "l_quantity")
+      .collect().map(_.toSeq).toSet
+    val hNamed = operators.TimeSeries.queries("tm_holt")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(hApi === hNamed && hApi.nonEmpty)
+
+    val daily = Tables(spark, sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val sApi = graft.api.Series
+      .seasonal(daily, 7, "1992-01-01", "d", "n")
+      .collect().map(_.toSeq).toSet
+    val sNamed = operators.TimeSeries.queries("tm_seasonal")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(sApi === sNamed && sApi.nonEmpty)
+
+    val mApi = graft.api.Series.madOutliers(daily, 10, "d", "n")
+      .collect().map(_.toSeq)
+    val mNamed = operators.DataQuality
+      .queries("dq_mad_outliers")(spark, sf).collect().map(_.toSeq)
+    assert(mApi === mNamed && mApi.nonEmpty)
+  }
+
   test("dropNearDups removes exactly the id2 side, schema unchanged") {
     val kept = Corpus.dropNearDups(renamedDocs, "id", "body")
     assert(kept.columns.toSeq === Seq("id", "body"))
