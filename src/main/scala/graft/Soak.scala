@@ -351,7 +351,11 @@ object Soak {
       // batch-6: Holt shares the tm_ewma window; the interval weights
       // are a projection over the scd2 window; rules share the
       // mb_item_pairs basket-keyed self-join
-      "tm_holt", "iv_time_weighted", "mb_assoc_rules")) {
+      "tm_holt", "iv_time_weighted", "mb_assoc_rules",
+      // batch-7: spreading is 3 fixed src-keyed join rounds (BFS
+      // contract); the windowed funnel's join grain is per-user
+      // event volume, never corpus size
+      "gr_label_spread", "ev_window_funnel")) {
       // a corpus-shape limitation in ONE query must not kill the whole
       // report — log and continue
       try {

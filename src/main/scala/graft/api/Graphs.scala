@@ -126,4 +126,17 @@ object Graphs {
         col("w"))),
       seeds, rounds)
   }
+
+  /** Semi-supervised label spreading over an UNDIRECTED edge frame
+    * (pass each edge once; both directions are derived): `rounds`
+    * fixed iterations of clamped majority vote — every non-seed node
+    * takes the (max votes, min label) argmax of its labeled
+    * neighbors' labels, integer votes, deterministic tie-break.
+    * `seeds` is a (node, label: long) frame. Returns (node, label)
+    * with label NULL where no labeled node is within `rounds` hops.
+    * Behind the oracle-checked `gr_label_spread` query. */
+  def spreadLabels(edges: DataFrame, seeds: DataFrame, rounds: Int = 3,
+                   aCol: String = "src", bCol: String = "dst"): DataFrame =
+    graft.operators.Graph.labelSpreadOf(
+      edges.select(col(aCol), col(bCol)), seeds, rounds)
 }

@@ -144,7 +144,49 @@ object EventAnalytics {
         .groupBy("n_matches")
         .agg(count(lit(1)).as("n_users"),
           min("user_id").as("min_user"), max("user_id").as("max_user"))
-        .orderBy("n_matches"))
+        .orderBy("n_matches")),
+
+    // WINDOWED FUNNEL (ClickHouse's windowFunnel): the deepest
+    // view → click → purchase chain each user completes INSIDE a
+    // 6-hour window anchored at the chain's first event — ev_funnel
+    // without the window answers "ever converted", this answers
+    // "converted in one sitting". Per view anchor: the FIRST click in
+    // (anchor, anchor+T], then the FIRST purchase after that click
+    // still inside the anchor's window; user level = max depth over
+    // anchors (0 = no view). Each stage is one user-keyed equi-join
+    // with a range residual — per-user event volume bounds the join
+    // grain (the seqPatternsOf contract), never corpus size — and the
+    // report is the level histogram.
+    "ev_window_funnel" -> ((s, dir) => {
+      val T = 6L * 3600 * 1000000
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+      def stage(tpe: String) = ev.filter(col("event_type") === tpe)
+      val v = stage("view").select(col("user_id"), col("us").as("vus"))
+      val c = stage("click").select(col("user_id").as("cu"),
+        col("us").as("cus"))
+      val p = stage("purchase").select(col("user_id").as("pu"),
+        col("us").as("pus"))
+      val vc = v.join(c, col("user_id") === col("cu") &&
+          col("cus") > col("vus") && col("cus") <= col("vus") + T, "left")
+        .groupBy("user_id", "vus").agg(min("cus").as("cus"))
+      val vcp = vc.join(p, col("user_id") === col("pu") &&
+          col("pus") > col("cus") && col("pus") <= col("vus") + T, "left")
+        .groupBy("user_id", "vus", "cus").agg(min("pus").as("pus"))
+      val depth = vcp.select(col("user_id"),
+        (lit(1) + col("cus").isNotNull.cast("int") +
+          col("pus").isNotNull.cast("int")).as("d"))
+        .groupBy("user_id").agg(max("d").as("level"))
+      Tables.events(s, dir).select("user_id").distinct()
+        .join(depth, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("level"), lit(0)).cast("long").as("level"))
+        .groupBy("level")
+        .agg(count(lit(1)).as("n_users"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"))
+        .orderBy("level")
+    })
   )
 
   /** The standard funnel code mapping over the events table:
@@ -330,6 +372,41 @@ object EventAnalytics {
         |  FROM tr)
         |SELECT n_matches, count(*) AS n_users,
         |  min(user_id) AS min_user, max(user_id) AS max_user
-        |FROM m GROUP BY 1 ORDER BY n_matches""".stripMargin
+        |FROM m GROUP BY 1 ORDER BY n_matches""".stripMargin,
+
+    // same per-anchor first-click / first-purchase chain, the same
+    // 6-hour window anchored at the view
+    "ev_window_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, us AS vus FROM ev
+        |      WHERE event_type = 'view'),
+        |c AS (SELECT user_id AS cu, us AS cus FROM ev
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS pu, us AS pus FROM ev
+        |      WHERE event_type = 'purchase'),
+        |vc AS (
+        |  SELECT v.user_id, v.vus, min(c.cus) AS cus
+        |  FROM v LEFT JOIN c ON v.user_id = c.cu
+        |    AND c.cus > v.vus AND c.cus <= v.vus + 21600000000
+        |  GROUP BY 1, 2),
+        |vcp AS (
+        |  SELECT vc.user_id, vc.vus, vc.cus, min(p.pus) AS pus
+        |  FROM vc LEFT JOIN p ON vc.user_id = p.pu
+        |    AND p.pus > vc.cus AND p.pus <= vc.vus + 21600000000
+        |  GROUP BY 1, 2, 3),
+        |depth AS (
+        |  SELECT user_id, max(1
+        |    + CASE WHEN cus IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN pus IS NOT NULL THEN 1 ELSE 0 END) AS level
+        |  FROM vcp GROUP BY 1),
+        |lv AS (
+        |  SELECT u.user_id,
+        |    CAST(coalesce(d.level, 0) AS BIGINT) AS level
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  LEFT JOIN depth d ON d.user_id = u.user_id)
+        |SELECT level, count(*) AS n_users,
+        |  min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM lv GROUP BY 1 ORDER BY level""".stripMargin
   )
 }

@@ -191,6 +191,42 @@ object Graph {
       .filter(col("cnt") > col("thr")).select("x", "y")
   }
 
+  /** Fixed-round clamped majority-vote label spreading over an
+    * undirected (x, y) edge frame — the core behind gr_label_spread /
+    * api.Graphs.spreadLabels. `seeds` is (node, seed_label: long);
+    * each round every node takes the (max votes, min label) argmax of
+    * its labeled neighbors, seeds stay clamped. Returns (node, label
+    * nullable) after `rounds`. Round cost is one src-keyed equi-join
+    * (Σdeg) plus a (node, label)-grain count — never pairwise. */
+  private[graft] def labelSpreadOf(edges: DataFrame, seeds: DataFrame,
+                                   rounds: Int): DataFrame = {
+    val e0 = edges.toDF("x", "y")
+    val e = e0.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(e0.select(col("y").as("src"), col("x").as("dst")))
+      .cache()
+    val sd = seeds.toDF("node", "seed_label")
+    val nodes = e.select(col("src").as("node")).distinct()
+    var labels = nodes.join(sd, Seq("node"), "left")
+      .select(col("node"), col("seed_label").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(labels.filter(col("label").isNotNull)
+          .select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("v").desc, col("label"))
+      val best = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label").as("voted"))
+      labels = nodes.join(sd, Seq("node"), "left")
+        .join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("seed_label"), col("voted")).as("label"))
+    }
+    labels
+  }
+
   /** One damped update: floor per-edge contributions, aggregate by
     * dst, apply 0.85 damping in integer arithmetic. Every node keeps a
     * row (undirected graph ⇒ in-degree ≥ 1, but the left join + base
@@ -464,6 +500,31 @@ object Graph {
     // prediction baselines actually report.
     "gr_adamic_adar" -> ((s, dir) =>
       adamicAdarOf(coSupplyEdges(s, dir), 20)),
+
+    // SEMI-SUPERVISED LABEL SPREADING — node classification from a
+    // labeled seed slice (every 10th supplier keeps its nation), 3
+    // FIXED rounds of majority vote over co-supply neighbors: each
+    // round every non-seed node takes the (max votes, min label)
+    // argmax of its labeled neighbors' labels — integer votes, a
+    // deterministic tie-break, seeds clamped — so the fixed-round
+    // result is exact and both engines replay it verbatim (the oracle
+    // unrolls the same 3 rounds as CTEs). Round cost is one
+    // src-keyed equi-join of the edge list against the labeled set
+    // plus a (node, label)-grain count — Σdeg per round, the BFS
+    // contract; 3 rounds is a query constant, no convergence probes.
+    // Output: per-label census after round 3 (unlabeled = -1).
+    "gr_label_spread" -> ((s, dir) => {
+      val e0 = coSupplyEdges(s, dir)
+      val seeds = Tables(s, dir, "supplier")
+        .filter(col("s_suppkey") % 10 === 0)
+        .select(col("s_suppkey").as("node"),
+          col("s_nationkey").cast("long").as("seed_label"))
+      labelSpreadOf(e0, seeds, 3)
+        .groupBy(coalesce(col("label"), lit(-1L)).as("label"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min("node").as("min_node"), max("node").as("max_node"))
+        .orderBy("label")
+    }),
 
     // INCREMENTAL triangle maintenance — the IVM story applied to the
     // graph family: yesterday's per-node census (the co-supply graph
@@ -1088,6 +1149,53 @@ object Graph {
         |GROUP BY a, c
         |ORDER BY aa_x1e6 DESC, a, c
         |LIMIT 20""".stripMargin,
+
+    // the same 3 vote rounds unrolled as CTEs (generated by the same
+    // loop count as the engine side — one round constant, two engines)
+    "gr_label_spread" -> {
+      val rounds = (1 to 3).map { k =>
+        val prev = if (k == 1) "l0" else s"l${k - 1}"
+        s"""v$k AS (
+           |  SELECT e.src, l.label, count(*) AS v
+           |  FROM e JOIN $prev l
+           |    ON l.node = e.dst AND l.label IS NOT NULL
+           |  GROUP BY 1, 2),
+           |b$k AS (
+           |  SELECT src AS node, label AS voted FROM (
+           |    SELECT src, label, row_number() OVER (PARTITION BY src
+           |      ORDER BY v DESC, label) AS rn FROM v$k) q
+           |  WHERE rn = 1),
+           |l$k AS (
+           |  SELECT n.node, coalesce(s.seed_label, b.voted) AS label
+           |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+           |  LEFT JOIN b$k b ON b.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ds AS (
+         |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |p AS (
+         |  SELECT l1.l_suppkey AS x, l2.l_suppkey AS y, count(*) AS cnt
+         |  FROM ds l1 JOIN ds l2
+         |    ON l1.l_orderkey = l2.l_orderkey
+         |      AND l1.l_suppkey < l2.l_suppkey
+         |  GROUP BY 1, 2),
+         |t AS (SELECT sum(cnt) // count(*) + 2 AS thr FROM p),
+         |e0 AS (SELECT x, y FROM p, t WHERE cnt > thr),
+         |e AS (SELECT x AS src, y AS dst FROM e0
+         |      UNION ALL SELECT y, x FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |seeds AS (
+         |  SELECT s_suppkey AS node,
+         |    CAST(s_nationkey AS BIGINT) AS seed_label
+         |  FROM supplier WHERE s_suppkey % 10 = 0),
+         |l0 AS (
+         |  SELECT n.node, s.seed_label AS label
+         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+         |$rounds
+         |SELECT coalesce(label, -1) AS label,
+         |  CAST(count(*) AS BIGINT) AS n_nodes,
+         |  min(node) AS min_node, max(node) AS max_node
+         |FROM l3 GROUP BY 1 ORDER BY label""".stripMargin
+    },
 
     // BFS via a recursive CTE: the UNION dedups (node, d) pairs so the
     // recursion is bounded by 7·|nodes| rows; min(d) per node is the

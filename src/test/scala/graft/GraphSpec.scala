@@ -454,4 +454,24 @@ class GraphSpec extends SparkSpec {
     // band 0 exists (a 6-hop path can cost ≫ 16 days)
     assert(got.keySet.exists(_ > 0L))
   }
+
+  test("labelSpreadOf: clamped votes and the min-label tie-break") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 with seeds 1→100, 6→200: after 3 rounds the
+    // middle pair 3/4 each sees one 100-vote and one 200-vote — the
+    // deterministic tie-break must pick the smaller label for BOTH
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("x", "y")
+    val seeds = Seq((1L, 100L), (6L, 200L)).toDF("node", "label")
+    val got = graft.operators.Graph.labelSpreadOf(edges, seeds, 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 100L, 2L -> 100L, 3L -> 100L,
+      4L -> 100L, 5L -> 200L, 6L -> 200L))
+    // an isolated seedless fragment stays unlabeled at any round count
+    val frag = graft.operators.Graph.labelSpreadOf(
+      Seq((7L, 8L)).toDF("x", "y"), seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(frag === Map(7L -> true, 8L -> true))
+  }
 }

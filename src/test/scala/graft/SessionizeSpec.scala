@@ -142,6 +142,28 @@ class SessionizeSpec extends SparkSpec {
     assert(got.size === 15)
   }
 
+  test("ev_window_funnel: depth respects the 6-hour anchor window") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Int, m: Int = 0) =
+      new Timestamp(1704067200000L + h * 3600000L + m * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("ev_wf").toString
+    Seq(
+      // user 1: full chain inside 6 h → level 3
+      (1L, 1L, t(0), "view"), (1L, 2L, t(1), "click"),
+      (1L, 3L, t(2), "purchase"),
+      // user 2: click lands 7 h after the view → level 1
+      (2L, 4L, t(0), "view"), (2L, 5L, t(7), "click"),
+      // user 3: no view at all → level 0
+      (3L, 6L, t(0), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventAnalytics
+      .queries("ev_window_funnel")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L, 3L -> 1L))
+  }
+
   test("ev_match_recognize: hand-traced pattern counts") {
     import spark.implicits._
     import java.sql.Timestamp
