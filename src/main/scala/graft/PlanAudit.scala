@@ -77,7 +77,8 @@ object PlanAudit {
     "ta_readability", "pv_cell_suppression",
     "t10_cep_twin", "x_bitmap_distinct", "x_interpolate",
     "dq_mad_outliers", "tm_holt", "iv_time_weighted", "mb_assoc_rules",
-    "gr_label_spread", "ev_window_funnel")
+    "gr_label_spread", "ev_window_funnel", "dc_fuzzy_decontaminate",
+    "ev_rfm")
 
   private final case class Stats(var codegen: Int = 0, var shuffles: Int = 0,
                                  var bhj: Int = 0, var smj: Int = 0,

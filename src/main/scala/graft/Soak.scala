@@ -355,7 +355,11 @@ object Soak {
       // batch-7: spreading is 3 fixed src-keyed join rounds (BFS
       // contract); the windowed funnel's join grain is per-user
       // event volume, never corpus size
-      "gr_label_spread", "ev_window_funnel")) {
+      "gr_label_spread", "ev_window_funnel",
+      // batch-8: fuzzy decontamination joins only true shared-gram
+      // pairs against the benchmark slice; RFM is two user-grain
+      // aggregates + broadcast thresholds
+      "dc_fuzzy_decontaminate", "ev_rfm")) {
       // a corpus-shape limitation in ONE query must not kill the whole
       // report — log and continue
       try {

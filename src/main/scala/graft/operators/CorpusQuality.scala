@@ -108,6 +108,48 @@ object CorpusQuality {
         .orderBy("doc_id")
     }),
 
+    // FUZZY decontamination — dc_decontaminate's exact-8-gram hit
+    // count answers "quotes a benchmark verbatim"; this answers "is a
+    // PARAPHRASE-level near-dup of a benchmark doc": 8-gram-set
+    // Jaccard between every train doc and every benchmark doc that
+    // share at least one gram, released as integer per-mille with the
+    // ≥ 500 ‰ contamination flag, top-20 by (jaccard, pair). At
+    // 100 TB the benchmark side is a curated suite (≪ corpus,
+    // broadcastable); the join grain is true shared-gram pairs — an
+    // 8-gram collision is already near-dup evidence, so candidate
+    // volume tracks real contamination, not corpus size (the
+    // dd_ngram_jaccard accounting argument).
+    "dc_fuzzy_decontaminate" -> ((s, dir) => {
+      val g = Tables(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= NGRAM)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(1, size(w) - ${NGRAM - 1}),
+             |  i -> substring(md5(cast(concat_ws(' ', slice(w, i, $NGRAM))
+             |                          as binary)), 1, 16))""".stripMargin))
+          .as("gh"))
+        .distinct().cache()
+      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val bench = g.filter(col("doc_id") % BENCH_MOD === 0)
+        .select(col("doc_id").as("bench_id"), col("gh"))
+      val train = g.filter(col("doc_id") % BENCH_MOD =!= 0)
+        .select(col("doc_id").as("train_id"), col("gh"))
+      train.join(broadcast(bench), Seq("gh"))
+        .groupBy("train_id", "bench_id")
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("train_id"),
+          col("n").as("n_train")), Seq("train_id"))
+        .join(broadcast(sizes.select(col("doc_id").as("bench_id"),
+          col("n").as("n_bench"))), Seq("bench_id"))
+        .select(col("train_id"), col("bench_id"), col("inter"),
+          col("n_train"), col("n_bench"),
+          expr("inter * 1000 div (n_train + n_bench - inter)")
+            .as("jac_pm"))
+        .withColumn("contaminated", (col("jac_pm") >= 500).cast("int"))
+        .orderBy(col("jac_pm").desc, col("train_id"), col("bench_id"))
+        .limit(20)
+    }),
+
     "dd_boilerplate" -> ((s, dir) => {
       val chunks = Tables(s, dir, "documents")
         .withColumn("w", split(col("text"), " "))
@@ -375,6 +417,37 @@ object CorpusQuality {
          |FROM g JOIN bench USING (gh)
          |WHERE g.doc_id % $BENCH_MOD <> 0
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // same distinct 8-gram sets, the same cross-multiplied Jaccard
+    "dc_fuzzy_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+         |           FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |    substr(md5(array_to_string(w[i:i+${NGRAM - 1}], ' ')), 1, 16)
+         |      AS gh
+         |  FROM w, UNNEST(range(1, len(w) - ${NGRAM - 2})) t(i)
+         |  WHERE len(w) >= $NGRAM),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |          FROM g GROUP BY 1),
+         |inter AS (
+         |  SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM g tr JOIN g be ON tr.gh = be.gh
+         |  WHERE tr.doc_id % $BENCH_MOD <> 0
+         |    AND be.doc_id % $BENCH_MOD = 0
+         |  GROUP BY 1, 2)
+         |SELECT i.bench_id, i.train_id, i.inter,
+         |  st.n AS n_train, sb.n AS n_bench,
+         |  CAST(i.inter * 1000 // (st.n + sb.n - i.inter) AS BIGINT)
+         |    AS jac_pm,
+         |  CAST(CASE WHEN i.inter * 1000 // (st.n + sb.n - i.inter)
+         |       >= 500 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+         |FROM inter i
+         |JOIN sizes st ON st.doc_id = i.train_id
+         |JOIN sizes sb ON sb.doc_id = i.bench_id
+         |ORDER BY jac_pm DESC, train_id, bench_id
+         |LIMIT 20""".stripMargin,
 
     "dd_boilerplate" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w

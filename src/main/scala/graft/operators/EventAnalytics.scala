@@ -146,6 +146,48 @@ object EventAnalytics {
           min("user_id").as("min_user"), max("user_id").as("max_user"))
         .orderBy("n_matches")),
 
+    // RFM SEGMENTATION — the marketing-analytics classic: per
+    // purchasing user, Recency (days from last purchase to the corpus
+    // high-water mark), Frequency (purchase count), Monetary (decimal-
+    // exact cents); each dimension scores 1–5 against its exact
+    // quintile thresholds, and the report is the (r, f, m) segment
+    // census. Scores come from comparisons against a BROADCAST
+    // 1-row threshold table (exact interpolated percentiles over the
+    // user grain) — NOT a global ntile window, which would single-
+    // partition the unbounded user dimension; the cross-engine
+    // contract is integer/decimal inputs and IEEE-identical threshold
+    // evaluation. Two user-grain aggregates + one codegen scoring
+    // projection.
+    "ev_rfm" -> ((s, dir) => {
+      val p = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("value").cast("decimal(38,2)").as("v"))
+      val hw = p.agg(max("us").as("hw_us"))
+      val rfm = p.crossJoin(broadcast(hw))
+        .groupBy("user_id")
+        .agg(expr("(max(hw_us) - max(us)) div 86400000000")
+          .as("r_days"),
+          count(lit(1)).as("f"),
+          (sum("v") * lit(100)).cast("long").as("m_cents"))
+      def qs(c: String) =
+        expr(s"percentile($c, array(0.2d, 0.4d, 0.6d, 0.8d))")
+          .as(s"${c}_q")
+      val thr = rfm.agg(qs("r_days"), qs("f"), qs("m_cents"))
+      def score(c: String) =
+        (lit(1) + (col(c) > expr(s"${c}_q[0]")).cast("int")
+          + (col(c) > expr(s"${c}_q[1]")).cast("int")
+          + (col(c) > expr(s"${c}_q[2]")).cast("int")
+          + (col(c) > expr(s"${c}_q[3]")).cast("int"))
+      rfm.crossJoin(broadcast(thr))
+        .select(col("user_id"), score("r_days").as("r_score"),
+          score("f").as("f_score"), score("m_cents").as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"))
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+
     // WINDOWED FUNNEL (ClickHouse's windowFunnel): the deepest
     // view → click → purchase chain each user completes INSIDE a
     // 6-hour window anchored at the chain's first event — ev_funnel
@@ -373,6 +415,50 @@ object EventAnalytics {
         |SELECT n_matches, count(*) AS n_users,
         |  min(user_id) AS min_user, max(user_id) AS max_user
         |FROM m GROUP BY 1 ORDER BY n_matches""".stripMargin,
+
+    // same quintile thresholds (quantile_cont = Spark's exact
+    // interpolated percentile) and the same broadcast-comparison
+    // scoring — integer/decimal inputs, IEEE-identical thresholds
+    "ev_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(value AS DECIMAL(38,2)) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |hw AS (SELECT max(us) AS hw_us FROM p),
+        |rfm AS (
+        |  SELECT user_id,
+        |    CAST((max(hw_us) - max(us)) // 86400000000 AS BIGINT)
+        |      AS r_days,
+        |    CAST(count(*) AS BIGINT) AS f,
+        |    CAST(sum(v) * 100 AS BIGINT) AS m_cents
+        |  FROM p CROSS JOIN hw GROUP BY user_id),
+        |thr AS (
+        |  SELECT quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+        |    quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fq,
+        |    quantile_cont(m_cents, [0.2, 0.4, 0.6, 0.8]) AS mq
+        |  FROM rfm),
+        |scored AS (
+        |  SELECT user_id,
+        |    1 + CASE WHEN r_days > rq[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN r_days > rq[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN r_days > rq[3] THEN 1 ELSE 0 END
+        |      + CASE WHEN r_days > rq[4] THEN 1 ELSE 0 END AS r_score,
+        |    1 + CASE WHEN f > fq[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN f > fq[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN f > fq[3] THEN 1 ELSE 0 END
+        |      + CASE WHEN f > fq[4] THEN 1 ELSE 0 END AS f_score,
+        |    1 + CASE WHEN m_cents > mq[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN m_cents > mq[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN m_cents > mq[3] THEN 1 ELSE 0 END
+        |      + CASE WHEN m_cents > mq[4] THEN 1 ELSE 0 END AS m_score
+        |  FROM rfm CROSS JOIN thr)
+        |SELECT CAST(r_score AS INTEGER) AS r_score,
+        |  CAST(f_score AS INTEGER) AS f_score,
+        |  CAST(m_score AS INTEGER) AS m_score,
+        |  count(*) AS n_users,
+        |  min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM scored GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
 
     // same per-anchor first-click / first-purchase chain, the same
     // 6-hour window anchored at the view

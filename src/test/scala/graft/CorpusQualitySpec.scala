@@ -222,4 +222,26 @@ class CorpusQualitySpec extends SparkSpec {
       .agg(coalesce(sum("n_copies"), lit(0L))).collect().head.getLong(0)
     assert(total.head.getAs[Long]("n_dup_docs") === dupFromDedup)
   }
+
+  test("dc_fuzzy_decontaminate: planted paraphrase pair, exact jaccard") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy").toString
+    // doc 0 (0 % 11 = 0) is the benchmark doc: 10 words → 3 distinct
+    // 8-grams; doc 1 appends one word → 4 grams sharing all 3 →
+    // jaccard 3/4 = 750 ‰, contaminated; doc 2 shares nothing
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    Seq((0L, base), (1L, base + " w11"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.CorpusQuality
+      .queries("dc_fuzzy_decontaminate")(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(r.fieldIndex("train_id")) === 1L)
+    assert(r.getLong(r.fieldIndex("bench_id")) === 0L)
+    assert(r.getLong(r.fieldIndex("inter")) === 3L)
+    assert(r.getLong(r.fieldIndex("jac_pm")) === 750L)
+    assert(r.getInt(r.fieldIndex("contaminated")) === 1)
+  }
 }

@@ -142,6 +142,25 @@ class SessionizeSpec extends SparkSpec {
     assert(got.size === 15)
   }
 
+  test("ev_rfm: aligned dimensions produce the diagonal census") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("rfm").toString
+    // user u makes u purchases of 1.00 on the same day: recency ties
+    // (everyone scores r = 1), frequency and monetary are the same
+    // 1..5 ordering → the census is the diagonal (1, k, k) ×1 user
+    val evs = for { u <- 1 to 5; i <- 1 to u } yield
+      (u.toLong, (u * 10 + i).toLong,
+        new Timestamp(1704067200000L + i * 60000L), "purchase", 1.0)
+    evs.toDF("user_id", "event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.EventAnalytics
+      .queries("ev_rfm")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(got === (1 to 5).map(k => (1, k, k) -> 1L).toMap)
+  }
+
   test("ev_window_funnel: depth respects the 6-hour anchor window") {
     import spark.implicits._
     import java.sql.Timestamp
