@@ -34,9 +34,12 @@ import org.apache.spark.sql.SparkSession
   *     place — they model a materialized layout, not leaked state.
   *   - BENCH_DIAG.json is always written beside BENCH_FULL.json with
   *     per-query cold + every steady sample + the steady/cold ratio, and
-  *     any query whose min-steady exceeds 1.5× its own cold is listed in
-  *     "inverted" — a nonempty list means the machine was contended even
-  *     under min-of-N and the artifact should be read with that log.
+  *     any query whose min-steady exceeds 1.5× its own cold BY MORE
+  *     THAN 1 s is listed in "inverted" — a nonempty list means the
+  *     machine was contended even under min-of-N and the artifact
+  *     should be read with that log. (Ratio alone is noise-dominated on
+  *     sub-second walls; the per-query ratios stay in the map for any
+  *     stricter reading.)
   *
   * Whole-stage-codegen classes are Janino-cached by source text, so
   * steady passes measure execution, not compilation — what a warehouse
@@ -53,7 +56,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val steadyN = sys.env.getOrElse("SPARK_GRAFT_STEADY", "2").toInt
+    val steadyN = sys.env.getOrElse("SPARK_GRAFT_STEADY", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
@@ -124,7 +127,13 @@ object Bench {
     val coldTotal = cold.map(_._2).sum
     // ---- diagnostic: every sample + inversion flags -------------------
     val coldMap = cold.toMap
-    val inverted = steady.filter { case (n, v) => v > coldMap(n) * 1.5 }
+    // inversion = ratio AND absolute excess: a 0.2 s query at 1.6x its
+    // own cold is scheduler noise, not the r5 pathology (which was
+    // seconds-scale steady decay) — the ratio-only test is noise-
+    // dominated below ~1 s walls. Every sample still lands in the DIAG
+    // per-query map, so a reader can apply any other cut.
+    val inverted = steady.filter { case (n, v) =>
+      v > coldMap(n) * 1.5 && v - coldMap(n) > 1.0 }
       .sortBy(-_._2)
     val diag = {
       val perQ = steady.map { case (n, v) =>

@@ -169,8 +169,13 @@ object PlanAudit {
       "sim_mmr_topk's and sim_ivfpq_topk's NQ-row query batches, and " +
       "az_asof_nearest's scalar stats, and the one-row scalar " +
       "broadcasts of gr_triangles/gr_link_predict (co-occurrence " +
-      "threshold), x_locf_fill (date bounds), and mt_skew_advisor " +
-      "(row total) " +
+      "threshold), x_locf_fill (date bounds), mt_skew_advisor " +
+      "(row total), ml_stump and ml_auc_roc (class totals / best-error " +
+      "scalars), dq_mad_outliers (median and MAD scalars), ev_rfm " +
+      "(high-water and percentile-threshold scalars), iv_time_weighted " +
+      "(day-total scalar), mb_assoc_rules (basket-count scalar on both " +
+      "rule directions), gr_label_spread and cs_kmv_intersect and " +
+      "pv_t_closeness (the same 1-row statistic shape) " +
       "(each asserted broadcast-bounded in PlanInvariantSpec or scalar " +
       "by construction).\n" +
       "A 0/N pushed-filter entry is NOT a miss when the query has no " +
