@@ -169,17 +169,23 @@ class PlanInvariantSpec extends SparkSpec {
   }
 
   test("gr_triangles: wedge close is a hash equi-join; threshold is the " +
-    "only scalar nested loop") {
+    "only scalar nested loop (in the BUILD; the read plan has none)") {
+    // the co-supply edge table materializes once per session (the ANN
+    // build/search split) — the QUERY plan must be pure equi-joins
+    // over the materialized scan, no nested loop at all
     val plan = executedPlan(graft.operators.Graph.queries("gr_triangles"))
     assert(!plan.contains("CartesianProduct"), plan)
-    // the plan string re-prints the cached edge subtree at each
-    // consumer; every nested-loop line must be the SAME one-row
-    // threshold broadcast (cnt > thr, BuildRight)
-    val bnlj = plan.linesIterator
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the BUILD plan carries the one-row threshold broadcast (cnt >
+    // thr, BuildRight) as its only nested loop
+    val build = executedPlan((s, dir) =>
+      graft.operators.Graph.coSupplyBuild(s, dir))
+    assert(!build.contains("CartesianProduct"), build)
+    val bnlj = build.linesIterator
       .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
-    assert(bnlj.nonEmpty, plan)
+    assert(bnlj.nonEmpty, build)
     assert(bnlj.forall(l => l.contains("BuildRight") && l.contains("thr")),
-      plan)
+      build)
   }
 
   test("er_jaro_winkler: scoring stays on blocked equi-joins, " +
