@@ -35,8 +35,8 @@ object CepMatcher {
   final case class CepState(open: Boolean, matches: Long)
   final case class CepUpdate(user_id: Long, n_matches: Long)
 
-  private[streaming] def fold(open0: Boolean, matches0: Long,
-                              evs: Seq[CepEvent]): (Boolean, Long) = {
+  private[graft] def fold(open0: Boolean, matches0: Long,
+                          evs: Seq[CepEvent]): (Boolean, Long) = {
     var open = open0
     var matches = matches0
     evs.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>

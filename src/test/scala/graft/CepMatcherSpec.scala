@@ -58,6 +58,32 @@ class CepMatcherSpec extends SparkSpec {
     assert(after2 === Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("DFA fold ≡ regex scan on every trace over the code alphabet " +
+    "(exhaustive to length 8)") {
+    // the equivalence claim behind CepMatcher: the one-bit DFA counts
+    // exactly the leftmost / non-overlapping / greedy matches of
+    // v[co]*p. Exhaustively enumerate EVERY trace up to length 8 over
+    // {v,c,p,o} (87 380 traces) and compare both counters.
+    val alphabet = "vcpo"
+    def regexCount(trace: String): Long =
+      "v[co]*p".r.findAllIn(trace).length.toLong
+    def dfaCount(trace: String): Long =
+      CepMatcher.fold(open0 = false, 0L,
+        trace.zipWithIndex.map { case (ch, i) =>
+          CepMatcher.CepEvent(1L, i.toLong, i.toLong, ch.toString)
+        })._2
+    var checked = 0
+    def rec(prefix: String): Unit = {
+      if (prefix.nonEmpty) {
+        assert(dfaCount(prefix) === regexCount(prefix), s"trace $prefix")
+        checked += 1
+      }
+      if (prefix.length < 8) alphabet.foreach(c => rec(prefix + c))
+    }
+    rec("")
+    assert(checked === (1 to 8).map(n => math.pow(4, n).toLong).sum)
+  }
+
   test("t10_cep_twin equals the DFA fold run in batch mode") {
     val folded = CepMatcher.matches(spark, Tables.events(spark, sf))
       .collect().map(u => u.user_id -> u.n_matches).toMap

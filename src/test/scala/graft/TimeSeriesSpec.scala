@@ -71,6 +71,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("forecast_1")) === l + b)
   }
 
+  test("tm_holt: unrolling equals the recursion on 50 random series") {
+    import spark.implicits._
+    // property form of the hand test: for ANY integer series, the
+    // K-lag matrix unrolling must equal the zero-init recursion run
+    // over the last K observations (values are dyadic rationals, so
+    // the double replay is exact). Seeded RNG — deterministic.
+    val rng = new scala.util.Random(42)
+    val series = (1 to 50).map { sid =>
+      (sid.toLong, (1 to rng.nextInt(15) + 1).map(_ => rng.nextInt(50) + 1))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("tm_holtp").toString
+    series.flatMap { case (sid, ys) =>
+      ys.zipWithIndex.map { case (y, i) =>
+        (sid, (i + 1).toLong, 1, ts(f"2024-01-${i + 1}%02d"), y.toDouble) }
+    }.toDF("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate",
+      "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = TimeSeries.queries("tm_holt")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val den = math.pow(4, 10)
+    series.foreach { case (sid, ys) =>
+      var l = 0.0; var b = 0.0
+      ys.takeRight(10).foreach { y =>
+        val nl = 0.5 * y + 0.5 * (l + b)
+        b = 0.5 * (nl - l) + 0.5 * b
+        l = nl
+      }
+      val r = got(sid)
+      assert(r.getLong(r.fieldIndex("l_num")) / den === l, s"series $sid")
+      assert(r.getLong(r.fieldIndex("b_num")) / den === b, s"series $sid")
+    }
+  }
+
   test("tm_seasonal: linear series decomposes to zero seasonal/residual") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tm_seas").toString
