@@ -124,7 +124,36 @@ object Soak {
       supp.withColumn("s_suppkey", col("s_suppkey") * copies + c))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+    // DIMS SHADOW CORPUS for the auto-coverage loop (round 8): the
+    // main corpus swaps `part` for the fuzzy vocabulary and carries no
+    // nation/region, so part/dimension-reading queries can't run
+    // there. The shadow dir symlinks every REPLICATED fact table and
+    // carries the base dir's part/nation/region VERBATIM — dimension
+    // tables don't scale with fact volume (the realistic 100 TB lake
+    // shape: facts ×copies against fixed-size dims; l_partkey is kept
+    // verbatim by the replicate above, so fact→dim joins stay keyed).
+    val dims = s"$out/dims"
+    new java.io.File(dims).mkdirs()
+    for (t <- Seq("part", "nation", "region"))
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dims/$t.parquet")
+    for (t <- Seq("lineitem", "orders", "customer", "supplier", "events",
+      "documents", "embeddings")) {
+      val link = java.nio.file.Paths.get(s"$dims/$t.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$out/$t.parquet").toAbsolutePath)
+    }
   }
+
+  /** Named exclusions from the auto-coverage loop — each with the
+    * argument on the page (the db_dbscan_grid densification model). */
+  private val EXCLUDED: Map[String, String] = Map(
+    "db_dbscan_census" -> ("replicate densifies the fixed census grid - " +
+      "neighbor-pair volume is quadratic in copies BY GROUND TRUTH " +
+      "(density is a corpus property, re-tuned not scaled through); " +
+      "the db_dbscan_grid block reports the measured pair count at x10 " +
+      "and logs this same skip at x30+"))
 
   private def time[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
@@ -265,7 +294,31 @@ object Soak {
     // rest of the corpus-quality family + featurizer: linear-path
     // timings (each is tokenize/hash-agg/broadcast-join shaped; the
     // soak checks times scale with rows, not quadratically)
-    for (q <- Seq("dc_decontaminate", "dd_boilerplate", "dd_semantic",
+    for (q <- LOOP) {
+      // a corpus-shape limitation in ONE query must not kill the whole
+      // report — log and continue
+      try {
+        val (rows, t) = time(SparkEntry.queries(q)(spark, dir).count())
+        println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
+      } catch {
+        case e: Throwable =>
+          println(s"""{"corpus":"$tag","query":"$q","skipped":"${
+            e.getMessage.takeWhile(_ != '\n').take(80)}"}""")
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    heavyBlocks(spark, tag, dir)
+    // round-8: every remaining SparkEntry query gets its own timed
+    // line (or a named exclusion) — the set is DERIVED from the
+    // registry so coverage cannot drift
+    autoCoverage(spark, tag, dir)
+  }
+
+  /** The standing linear-path loop (family arguments inline). */
+  private val LOOP: Seq[String] =
+    Seq("dc_decontaminate", "dd_boilerplate", "dd_semantic",
       "bpe_pair_counts", "vocab_topk", "emb_hash_features",
       "pipe_training_recipe",
       // addendum-3 operators: line dedup is one digest shuffle over
@@ -359,21 +412,13 @@ object Soak {
       // batch-8: fuzzy decontamination joins only true shared-gram
       // pairs against the benchmark slice; RFM is two user-grain
       // aggregates + broadcast thresholds
-      "dc_fuzzy_decontaminate", "ev_rfm")) {
-      // a corpus-shape limitation in ONE query must not kill the whole
-      // report — log and continue
-      try {
-        val (rows, t) = time(SparkEntry.queries(q)(spark, dir).count())
-        println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
-      } catch {
-        case e: Throwable =>
-          println(s"""{"corpus":"$tag","query":"$q","skipped":"${
-            e.getMessage.takeWhile(_ != '\n').take(80)}"}""")
-      }
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+      "dc_fuzzy_decontaminate", "ev_rfm")
+
+  /** the instrumented candidate-accounting / recall / estimate blocks —
+    * the section of report() between the standing loop and the auto
+    * coverage sweep. */
+  private def heavyBlocks(spark: SparkSession, tag: String,
+                          dir: String): Unit = {
     // density clustering: on the replicated corpus DENSITY itself grows
     // with copies (same 512x512 grid, x-times the points), so neighbor
     // volume is quadratic in copies BY GROUND TRUTH — the cluster
@@ -435,7 +480,11 @@ object Soak {
     val (erRows, tEr) =
       time(SparkEntry.queries("er_blocked_match")(spark, dir).count())
     spark.catalog.clearCache()
-    emit("er_blocked_match", nCust, tEr, erCand, erRows)
+    locally {
+      val allPairs = nCust * (nCust - 1) / 2
+      val pct = if (allPairs > 0) 100.0 * erCand / allPairs else 0.0
+      println(f"""{"corpus":"$tag","query":"er_blocked_match","rows":$nCust,"time_s":$tEr%.2f,"candidates":$erCand,"verified":$erRows,"all_pairs":$allPairs,"cand_pct":$pct%.4f}""")
+    }
     // skyline at scale: the NAMED queries read `part` (swapped for the
     // fuzzy vocabulary here), so the soak drives the facade over the
     // replicated customer table instead — what must hold is that the
@@ -447,6 +496,54 @@ object Soak {
         cu, "c_mktsegment", "c_custkey", "c_acctbal", "c_nationkey")
         .count())
       println(f"""{"corpus":"$tag","query":"sky_facade_customer","rows":$skyRows,"input_rows":$nCust,"time_s":$tSky%.2f}""")
+    }
+  }
+
+  /** Queries already measured by an instrumented block above (their
+    * scale lines carry candidate/recall/estimate accounting). */
+  private val INSTRUMENTED: Set[String] = Set(
+    "dd_exact", "dd_minhash_lsh", "dd_incremental", "dd_simhash",
+    "dd_ngram_jaccard", "dd_embed_cosine", "pipe_clean_corpus",
+    "sim_bruteforce_topk", "sim_ivf_topk", "sim_sq_topk", "sim_pq_topk",
+    "sim_ivfpq_topk", "ml_kmeans", "dd_fuzzy_passjoin",
+    "dd_fuzzy_levenshtein", "doc_chunk", "pack_sequences", "ts_bm25",
+    "dd_dup_spans", "db_dbscan_grid", "mt_join_profile",
+    "er_blocked_match")
+
+  /** AUTO COVERAGE (round 8): every SparkEntry query not measured by
+    * an instrumented block or the standing loop gets its own timed
+    * line, run against the DIMS SHADOW corpus (replicated facts + the
+    * base dir's fixed-size part/nation/region — see generate), so
+    * dimension-reading queries get a real scale point instead of a
+    * corpus-shape skip. The base pass runs them against the base dir
+    * itself. Exclusions print with their argument on the page. The
+    * query set is derived from the registry, so a new operator without
+    * a scale line is impossible by construction. */
+  private def autoCoverage(spark: SparkSession, tag: String,
+                           dir: String): Unit = {
+    val covered = INSTRUMENTED ++ LOOP ++ EXCLUDED.keySet
+    val auto = (SparkEntry.queries.keySet -- covered).toSeq.sorted
+    val shadow = s"$dir/dims"
+    val autoDir =
+      if (tag == "base" || !new java.io.File(shadow).exists()) dir
+      else shadow
+    for (q <- auto) {
+      try {
+        val (rows, t) = time(SparkEntry.queries(q)(spark, autoDir).count())
+        println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replace('"', '\'')
+          println(s"""{"corpus":"$tag","query":"$q","skipped":"${
+            msg.takeWhile(_ != '\n').take(80)}"}""")
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    EXCLUDED.foreach { case (q, why) =>
+      println(s"""{"corpus":"$tag","query":"$q","excluded":"$why"}""")
     }
   }
 

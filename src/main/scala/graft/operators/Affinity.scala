@@ -102,8 +102,14 @@ object Affinity {
       rules
         .select(col("ante"), col("cons"),
           expr("c12 * 1000 div c_ante").as("conf_pm"),
-          expr("c12 * n_baskets * 1000 div (c_ante * c_cons)")
-            .as("lift_pm"),
+          // lift numerator/denominator through DECIMAL(38,0): plain
+          // BIGINT products silently wrap in Spark (non-ANSI) at large
+          // basket counts while DuckDB widens to HUGEINT — decimal
+          // keeps both engines exact to ~1e38 (integral div of
+          // decimals yields BIGINT, matching the oracle's cast)
+          expr("""CAST(c12 AS DECIMAL(38,0)) * n_baskets * 1000
+                 | div (CAST(c_ante AS DECIMAL(38,0)) * c_cons)"""
+            .stripMargin).as("lift_pm"),
           col("c12"))
         .withColumn("strong",
           (col("conf_pm") >= 200 && col("lift_pm") > 1000).cast("int"))

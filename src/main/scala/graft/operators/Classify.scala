@@ -140,14 +140,22 @@ object Classify {
           (count(lit(1)) - sum("pos")).as("nn"))
       val w = Window.orderBy("score")
         .rowsBetween(Window.unboundedPreceding, -1)
+      // DECIMAL-headroom caveat (the pv_t_closeness contract): the
+      // concordant/tied SUMS are bounded by n_pos·n_neg — exact in
+      // BIGINT to ~3e9 positives×negatives; the released auc_bps runs
+      // its products through DECIMAL(38,0) so the grade itself never
+      // wraps, and the denominator is null-guarded so a one-class
+      // corpus yields a defined NULL on BOTH engines instead of an
+      // engine-specific division error.
       g.withColumn("nn_below", coalesce(sum("nn").over(w), lit(0L)))
         .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
           sum(col("np") * col("nn_below")).as("concordant"),
           sum(col("np") * col("nn")).as("tied"))
         .select(col("n_pos"), col("n_neg"), col("concordant"),
           col("tied"),
-          expr("(2 * concordant + tied) * 10000 div " +
-            "(2 * n_pos * n_neg)").as("auc_bps"))
+          expr("""(2 * CAST(concordant AS DECIMAL(38,0)) + tied) * 10000
+                 | div nullif(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg, 0)"""
+            .stripMargin).as("auc_bps"))
     }),
 
     // DECISION STUMP (1R) — the best single categorical test for a
@@ -283,7 +291,7 @@ object Classify {
         |  CAST(sum(np * nn_below) AS BIGINT) AS concordant,
         |  CAST(sum(np * nn) AS BIGINT) AS tied,
         |  CAST((2 * sum(np * nn_below) + sum(np * nn)) * 10000
-        |    // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_bps
+        |    // NULLIF(2 * sum(np) * sum(nn), 0) AS BIGINT) AS auc_bps
         |FROM r""".stripMargin,
 
     // same majority-vote error counts; winner vs the scalar minimum

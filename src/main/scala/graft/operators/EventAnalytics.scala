@@ -126,19 +126,19 @@ object EventAnalytics {
     // `view (click|other)* purchase` — a view that converts to a
     // purchase with no intervening re-view — in the user's stream,
     // total-ordered by (ts, event_id). The plan compiles the pattern
-    // to a REGEX over per-user event-code traces: one user-keyed
-    // aggregation builds each trace (array_sort over (us, event_id,
-    // code) structs — deterministic total order — then a code
-    // projection and join), one codegen'd regexp_extract_all counts
-    // matches, and the report is the conversions-per-user histogram
-    // (robust shape at every scale factor). Both engines scan
-    // leftmost / non-overlapping / greedy, so counts are exact.
+    // to an NFA (functions.RowPattern) and FOLDS it over each user's
+    // ordered events (matchCountsOf — one user-keyed shuffle with a
+    // secondary sort, exact Matcher.find() semantics), and the report
+    // is the conversions-per-user histogram (robust shape at every
+    // scale factor). The DuckDB oracle scans per-user traces with its
+    // own regex engine — leftmost / non-overlapping / greedy on both
+    // sides, so counts are exact.
     //
-    // Scale shape: one shuffle on user_id; per-user state is the
-    // user's own history (the ev_seq_patterns contract — bounded by
-    // events-per-user, never corpus size; a user with an unbounded
-    // history would chunk by session first). The regex runs where the
-    // trace lives — no second shuffle, no self-join, no explode.
+    // Scale shape: one shuffle on user_id; per-user state is
+    // O(|pattern|) machine threads — NOT the user's history (the old
+    // trace-aggregation buffer was unbounded on a hyperactive bot) —
+    // so one hot entity is a wide sorted run, never a multi-GB
+    // aggregation buffer. No second shuffle, no self-join, no explode.
     "ev_match_recognize" -> ((s, dir) =>
       matchCountsOf(funnelCoded(s, dir), "v[co]*p")
         .groupBy("n_matches")
@@ -244,31 +244,48 @@ object EventAnalytics {
 
   /** Per-entity row-pattern match counts — the MATCH_RECOGNIZE core
     * behind ev_match_recognize / t10_cep_twin / api.Events
-    * .matchPattern: builds each entity's code trace in (us, tie)
-    * order (one entity-keyed aggregation; array_sort over the struct
-    * gives a deterministic total order) and counts the regex's
-    * leftmost / non-overlapping / greedy matches where the trace
-    * lives — no second shuffle. Per-entity state is the entity's own
-    * history (the seqPatternsOf contract). `pattern` is a regex over
-    * the single-char code alphabet. */
+    * .matchPattern: counts the regex's leftmost / non-overlapping /
+    * greedy matches (exact `Matcher.find()` semantics, pinned by
+    * RowPatternSpec) by FOLDING the functions.RowPattern machine over
+    * each entity's events in (us, tie) order — one entity-keyed
+    * shuffle with a secondary sort, per-entity state O(|pattern|)
+    * live threads, never the trace. The previous formulation
+    * (collect_list → array_join → regexp) materialized each entity's
+    * full history as one string — an unbounded aggregation buffer on
+    * a hyperactive entity (10⁹-event bot = multi-GB in one buffer);
+    * the fold is the batch twin of streaming/CepMatcher's O(1)-state
+    * DFA, generalized to any pattern. EventFoldSpec pins the
+    * hot-entity bound; multi-char / null codes keep the old concat
+    * semantics (chars fed in order, nulls skipped). */
   private[graft] def matchCountsOf(ev: DataFrame,
-                                   pattern: String): DataFrame =
-    ev.toDF("user_id", "us", "event_id", "code")
-      .groupBy("user_id")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("us"), col("event_id"),
-          col("code")))),
-        x => x.getField("code")), "").as("trace"))
-      .select(col("user_id"),
-        size(regexp_extract_all(col("trace"), lit(pattern), lit(0)))
-          .cast("long").as("n_matches"))
+                                   pattern: String): DataFrame = {
+    val prog = graft.functions.RowPattern.compile(pattern)
+    graft.api.Folds.foldOrdered(
+      ev.toDF("user_id", "us", "event_id", "code"),
+      keyCols = Seq("user_id"), orderCols = Seq("us", "event_id"),
+      out = new org.apache.spark.sql.types.StructType()
+        .add("n_matches", org.apache.spark.sql.types.LongType))(
+      () => new graft.functions.RowPattern.MatchCounter(prog))(
+      (m, r) => {
+        val code = r.getString(3)
+        if (code != null) m.feedAll(code)
+        m
+      })(
+      m => Seq(java.lang.Long.valueOf(m.finish())))
+  }
 
   /** Pairwise audience overlap of an (user_id, event_type) frame —
     * the helper behind ev_segment_overlap; the incidence dedups
     * before the user-keyed pair join, so the join grain is users ×
-    * types-per-user, never raw event volume. */
+    * types-per-user, never raw event volume. The deduped incidence
+    * feeds three consumers (both self-join sides + the audience
+    * census) WITHOUT a cache: its distinct-shuffle subtree is
+    * identical under all three, so Spark's exchange reuse computes it
+    * once per execution — fully distributed, and nothing persists
+    * past the call (a facade used repeatedly in a long session must
+    * not leak storage; ApiSpec pins zero cached RDDs after use). */
   private[graft] def segmentOverlapOf(ue: DataFrame): DataFrame = {
-    val ut = ue.toDF("user_id", "event_type").distinct().cache()
+    val ut = ue.toDF("user_id", "event_type").distinct()
     val aud = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
     val pairs = ut.select(col("user_id"), col("event_type").as("ta"))
       .join(ut.select(col("user_id"), col("event_type").as("tb")),

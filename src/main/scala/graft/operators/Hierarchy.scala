@@ -31,6 +31,36 @@ object Hierarchy {
   /** Rounds the most recent flatten call took — spec observability. */
   @volatile private[graft] var lastRounds: Int = 0
 
+  private def failNotAForest(rounds: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"hierarchy did not converge after $rounds pointer-jump rounds — " +
+        "the (node, parent) input contains a cycle (a forest of n nodes " +
+        "has depth ≤ n and converges in ≤ ceil(log2(n)) + 1 rounds)")
+
+  /** Fail fast on an ORPHAN parent (a parent id that never appears as
+    * a node): the jump's inner self-join would otherwise silently DROP
+    * every node whose chain passes through it. One left-anti probe
+    * (limit-1) before iterating — api.Trees accepts arbitrary caller
+    * frames, so the contract must be checked, not assumed (ADVICE r7).
+    * Returns the ROUND CAP: a forest of n nodes has depth ≤ n, so
+    * pointer jumping converges in ≤ ceil(log2(n)) + 1 rounds — an
+    * input still open past that is cyclic, and without the cap a
+    * cycle (a→b→a) never sets `done` and the driver loops forever. */
+  private def validateForest(parents: DataFrame): Int = {
+    val orphan = parents.select(col("parent").as("p"))
+      .join(parents.select(col("node")), col("p") === col("node"),
+        "left_anti")
+      .limit(1)
+      .collect()
+    if (orphan.nonEmpty)
+      throw new IllegalArgumentException(
+        s"hierarchy has an orphan parent id ${orphan.head.get(0)}: every " +
+          "parent must appear as a node (roots point at themselves); " +
+          "nodes under an orphan would be silently dropped")
+    val n = parents.count()
+    (64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))) + 2
+  }
+
   /** (node, root, depth) for every node of a (node, parent) forest —
     * roots carry parent == node. Rounds: each jump composes the
     * current pointer with the pointee's pointer, doubling the levels
@@ -47,7 +77,9 @@ object Hierarchy {
       .localCheckpoint(eager = false)
     var rounds = 0
     var open = st.filter(!col("done")).limit(1).count() > 0
+    val maxRounds = if (open) validateForest(parents) else 0
     while (open) {
+      if (rounds >= maxRounds) failNotAForest(rounds)
       // jump: a's pointer composes with the pointee's own pointer;
       // roots hold (r, r, 0, true) so composition is the identity
       // there, and b's done flag says whether a's NEW pointer is a
@@ -80,8 +112,11 @@ object Hierarchy {
       when(isRoot, lit(1L)).otherwise(col("qty")).as("prod"),
       isRoot.as("done"))
       .localCheckpoint(eager = false)
+    var rounds = 0
     var open = st.filter(!col("done")).limit(1).count() > 0
+    val maxRounds = if (open) validateForest(parents) else 0
     while (open) {
+      if (rounds >= maxRounds) failNotAForest(rounds)
       st = st.as("a")
         .join(st.as("b"), col("a.anc") === col("b.node"))
         .select(col("a.node"), col("b.anc").as("anc"),
@@ -89,6 +124,7 @@ object Hierarchy {
           (col("a.prod") * col("b.prod")).as("prod"),
           col("b.done").as("done"))
         .localCheckpoint(eager = false)
+      rounds += 1
       open = st.filter(!col("done")).limit(1).count() > 0
     }
     st.select(col("node"), col("anc").as("root"), col("d").as("depth"),

@@ -8,34 +8,84 @@ import graft.Tables
 /** Gap-based sessionization of the events stream (the stateful
   * event-time operation the reference's append-only pipeline lacks,
   * SURVEY.md §2.9): a new session starts when a user is idle longer
-  * than the gap. Batch formulation is the classic lag-flag + running
-  * sum — two windows over ONE hash shuffle by user; the streaming
-  * equivalent (`session_window`, checked in SessionizeSpec) shares the
-  * same gap rule.
+  * than the gap. Batch formulation is a per-user ordered fold
+  * (api.Folds — ONE hash shuffle by user + a secondary sort; O(1)
+  * per-user state of five words; sessions stream out as gaps close
+  * them), replacing the classic lag-flag + running-sum + re-aggregate
+  * plan — the fold emits session-grain rows directly, so nothing
+  * event-grain survives the pass. The window formulation is kept as
+  * [[sessionizeWindowed]] and parity-pinned in EventFoldSpec; the
+  * streaming equivalent (`session_window`, checked in SessionizeSpec)
+  * shares the same gap rule.
   */
 object Sessionize {
   type Q = (SparkSession, String) => DataFrame
 
   val GAP = "6 hours"
+  private val GAP_US = 6L * 3600 * 1000000
+
+  /** The fold state: one open session per user while scanning its
+    * events in (ts, event_id) order — us asc means the previous
+    * event's timestamp IS the running max. */
+  private final class Sess {
+    var open = false
+    var sid = 0; var n = 0L; var lo = 0L; var hi = 0L
+    def row: Seq[Any] = Seq(Int.box(sid), Long.box(n), Long.box(hi - lo))
+  }
+
+  /** Fold-based gap sessionization over any (user_id, us, event_id)
+    * frame — micros-grain, strict `>` gap rule (the INTERVAL
+    * comparison on TimestampType the windowed form runs). */
+  private[graft] def sessionizeFold(ev: DataFrame): DataFrame =
+    graft.api.Folds.flatFoldOrdered(
+      ev.toDF("user_id", "us", "event_id"),
+      keyCols = Seq("user_id"), orderCols = Seq("us", "event_id"),
+      out = new org.apache.spark.sql.types.StructType()
+        .add("session_id", org.apache.spark.sql.types.IntegerType)
+        .add("n_events", org.apache.spark.sql.types.LongType)
+        .add("duration_us", org.apache.spark.sql.types.LongType))(
+      () => new Sess)(
+      (st, r) => {
+        val us = r.getLong(1)
+        if (!st.open) {
+          st.open = true; st.sid = 1; st.n = 1; st.lo = us; st.hi = us
+          Nil
+        } else if (us > st.hi + GAP_US) {
+          val closed = st.row
+          st.sid += 1; st.n = 1; st.lo = us; st.hi = us
+          closed :: Nil
+        } else { st.n += 1; st.hi = us; Nil }
+      })(
+      st => if (st.open) st.row :: Nil else Nil)
+
+  /** The classic lag-flag + running-sum + re-aggregate formulation —
+    * the reference implementation EventFoldSpec pins the fold
+    * against. */
+  private[graft] def sessionizeWindowed(s: SparkSession,
+                                        dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $GAP"), 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(cum).cast("int"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (expr("unix_micros(max(ts))") - expr("unix_micros(min(ts))"))
+          .as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
 
   val queries: Map[String, Q] = Map[String, Q](
-    "sz_sessionize" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev_ts").isNull ||
-            col("ts") > col("prev_ts") + expr(s"INTERVAL $GAP"), 1)
-            .otherwise(0))
-        .withColumn("session_id", sum(col("new_sess")).over(cum).cast("int"))
-        .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"),
-          (expr("unix_micros(max(ts))") - expr("unix_micros(min(ts))"))
-            .as("duration_us"))
-        .orderBy("user_id", "session_id")
-    }),
+    "sz_sessionize" -> ((s, dir) =>
+      sessionizeFold(Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id")))
+        .orderBy("user_id", "session_id")),
 
     // The same sessions through Spark's NATIVE session_window operator
     // (the one the streaming path uses — merging windows, not

@@ -132,13 +132,12 @@ object Streaming {
     // Batch twin of the streaming CEP matcher (streaming/CepMatcher —
     // the `view (click|other)* purchase` one-bit DFA run as
     // flatMapGroupsWithState): the per-user match counts after
-    // draining the whole feed, computed here with the batch trace +
-    // regex plan at user grain (the ev_match_recognize machinery
-    // before its histogram). CepMatcherSpec asserts the stream fold,
-    // the batch fold, and this twin agree user-for-user, including
-    // across a checkpoint restart. One user-keyed shuffle; per-user
-    // state bounded by the user's own history in batch and O(1) in
-    // the stream.
+    // draining the whole feed, computed here with the batch NFA fold
+    // (the ev_match_recognize machinery before its histogram — same
+    // ordered per-user fold, O(|pattern|) state). CepMatcherSpec
+    // asserts the stream fold, the batch fold, and this twin agree
+    // user-for-user, including across a checkpoint restart. One
+    // user-keyed shuffle; per-user state O(1)-bounded in BOTH paths.
     "t10_cep_twin" -> ((s, dir) =>
       EventAnalytics.matchCountsOf(EventAnalytics.funnelCoded(s, dir),
         "v[co]*p").orderBy("user_id")),
@@ -180,7 +179,22 @@ object Streaming {
           expr("unix_millis(to_timestamp(r.txn_date, " +
             "'MM/dd/yyyy HH:mm:ss.SSS'))").as("txn_ms"))
         .orderBy("offset")
-    })
+    }),
+
+    // CHAINED-DAG batch twin (reference code/curation/05_task_DAG
+    // .sql:3-19 — a dependency chain downstream of the streaming
+    // append: feed → curation → enriched fact): stage-1 curation +
+    // stage-2 watermarked windowed totals, the EXACT plan definition
+    // the two chained StreamingQueries run (streaming/ChainedDag;
+    // ChainedDagSpec pins chain==twin equality including one restart
+    // replayed across BOTH checkpoints). The oracle reconstructs the
+    // whole feed from range(n) with the generator arithmetic, so the
+    // hash gate covers source, curation and window math end-to-end.
+    "t11_chained_dag_twin" -> ((s, dir) =>
+      graft.streaming.ChainedDag.windowedTotals(
+        graft.streaming.ChainedDag.curate(
+          s.read.format("txnfeed").option("total", "20000").load()))
+        .orderBy("ws_us", "payment_method"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -273,6 +287,25 @@ object Streaming {
         |    WHEN 2 THEN 'AMEX' WHEN 3 THEN 'DISCOVER' ELSE 'GIFT_CARD'
         |    END AS payment_method,
         |  1685577600000 + 10*i AS txn_ms
-        |FROM range(0, 2000) t(i) ORDER BY "offset"""".stripMargin
+        |FROM range(0, 2000) t(i) ORDER BY "offset"""".stripMargin,
+
+    // same generator arithmetic, then the stage-2 window math in
+    // integer milliseconds (BASE_MS is 10 s-aligned, so the 10-second
+    // tumbling window floor is ts_ms - ts_ms % 10000); money stays in
+    // exact integer cents end-to-end
+    "t11_chained_dag_twin" ->
+      """WITH t AS (
+        |  SELECT (i*7919) % 30 + 1 AS qty,
+        |    100 + (i*104729) % 89901 AS price_cents,
+        |    CASE (i*31) % 5 WHEN 0 THEN 'VISA' WHEN 1 THEN 'MASTERCARD'
+        |      WHEN 2 THEN 'AMEX' WHEN 3 THEN 'DISCOVER' ELSE 'GIFT_CARD'
+        |      END AS payment_method,
+        |    1685577600000 + 10*i AS ts_ms
+        |  FROM range(0, 20000) r(i))
+        |SELECT (ts_ms - ts_ms % 10000) * 1000 AS ws_us, payment_method,
+        |  count(*) AS n_txns, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(sum(price_cents * qty) AS BIGINT) AS sum_amount_cents
+        |FROM t GROUP BY 1, 2
+        |ORDER BY ws_us, payment_method""".stripMargin
   )
 }

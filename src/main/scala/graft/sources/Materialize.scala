@@ -17,15 +17,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the same session read the managed table.
   */
 object Materialize {
-  private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // per-SESSION guard maps held under identity-keyed WEAK references
+  // (ADVICE r7): identityHashCode can be reused after a session is
+  // GC'd, which would let a colliding later session skip the
+  // drop+rewrite and read a stale table — a WeakHashMap keyed on the
+  // session object itself cannot collide, and entries die with their
+  // session
+  private val built = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, String]]()
+
+  private def sessionMap(s: SparkSession) = built.synchronized {
+    var m = built.get(s)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+      built.put(s, m)
+    }
+    m
+  }
 
   /** Run `build` and save it as managed table `table` once per
     * (session, key); return a reader of the table. */
   def tableOnce(s: SparkSession, key: String, table: String)
                (build: => DataFrame): DataFrame =
-    s.table(built.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$key|$table",
+    s.table(sessionMap(s).computeIfAbsent(
+      s"$key|$table",
       _ => { graft.jobs.TableIO.overwrite(s, build, table); table }))
 
   /** Hook the ANN operators thread their index artifacts through: given
