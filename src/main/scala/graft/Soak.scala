@@ -155,6 +155,17 @@ object Soak {
       "the db_dbscan_grid block reports the measured pair count at x10 " +
       "and logs this same skip at x30+"))
 
+  /** Exclusions that apply only at DEEP replication (copies >= 20):
+    * operators whose OUTPUT is quadratic in copies by generator spec —
+    * measured once at x10 where the volume is already the proof. */
+  private val EXCLUDED_DEEP: Map[String, String] = Map(
+    "mm_phash_near" -> ("near-dup classes are doc_id % 16 BY GENERATOR " +
+      "SPEC, so the TRUE pair set is 16*C(n/16,2) ~ n^2/32 - quadratic " +
+      "in copies by ground truth (x10 measured: 78.1M true pairs in " +
+      "384 s, the throughput datapoint); a real corpus bounds class " +
+      "sizes, it does not grow 16 global classes - the db_dbscan_grid " +
+      "argument"))
+
   private def time[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -364,7 +375,10 @@ object Soak {
       // codec path is embarrassingly parallel — the soak pins that),
       // affinity mining, spatial grid join, and walk generation
       "gr_kcore", "gr_ppr", "er_jaro_winkler", "tm_ewma", "tm_ohlc",
-      "dq_expect_suite", "dq_quarantine", "dq_referential",
+      // (dq_referential moved to the auto-coverage sweep: its
+      // lineitem→part FK edge needs the real part table, which the
+      // main soak corpus swaps for the fuzzy vocabulary)
+      "dq_expect_suite", "dq_quarantine",
       "ta_bigram_lm", "sim_matryoshka", "mm_phash_dedup",
       "mb_item_pairs", "ev_transitions", "gr_walks",
       "geo_radius_join", "geo_grid_knn",
@@ -521,7 +535,9 @@ object Soak {
     * a scale line is impossible by construction. */
   private def autoCoverage(spark: SparkSession, tag: String,
                            dir: String): Unit = {
-    val covered = INSTRUMENTED ++ LOOP ++ EXCLUDED.keySet
+    val copies = tag.stripPrefix("x").toIntOption.getOrElse(0)
+    val deep = if (copies >= 20) EXCLUDED_DEEP else Map.empty[String, String]
+    val covered = INSTRUMENTED ++ LOOP ++ EXCLUDED.keySet ++ deep.keySet
     val auto = (SparkEntry.queries.keySet -- covered).toSeq.sorted
     val shadow = s"$dir/dims"
     val autoDir =
@@ -542,7 +558,7 @@ object Soak {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    EXCLUDED.foreach { case (q, why) =>
+    (EXCLUDED ++ deep).foreach { case (q, why) =>
       println(s"""{"corpus":"$tag","query":"$q","excluded":"$why"}""")
     }
   }
@@ -584,7 +600,9 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, base, out, copies)
-    report(spark, "base", base)
+    // "nobase": skip the base pass when another run of the same session
+    // already measured it (the x10 log carries the base columns)
+    if (!args.drop(1).contains("nobase")) report(spark, "base", base)
     report(spark, s"x$copies", out)
     spark.stop()
   }
