@@ -188,6 +188,23 @@ object PlanAudit {
       "pv_t_closeness (the same 1-row statistic shape) " +
       "(each asserted broadcast-bounded in PlanInvariantSpec or scalar " +
       "by construction).\n" +
+      "The round-8 full-surface extension (105 newly audited queries) " +
+      "introduces no new nested-loop class — every new entry is the " +
+      "same broadcast-scalar shape: dq_referential's six FK edges each " +
+      "cross one-row orphan/child count scalars, dq_benford's " +
+      "digit-total scalar, ml_weak_nb's class-prior/vocab-size " +
+      "one-rowers, the NQ-row broadcast query batches of ml_knn_probe / " +
+      "sim_bruteforce_topk / sim_eval_mrr / sim_matryoshka / " +
+      "sim_index_add (plus their one-row quantizer stats), " +
+      "cs_sketch_merge and cs_kmv_intersect's one-row merged-sketch / " +
+      "tau scalars, mb_item_pairs' basket-count scalar, " +
+      "mix_temperature's domain-weight table, ml_hard_negatives' " +
+      "NQ-row anchors, ta_pmi_pairs / ta_unigram_lm / ta_bigram_lm's " +
+      "corpus-total and bounded-vocabulary broadcasts, tm_acf's fixed " +
+      "lag list, tm_changepoint's series-total scalar, ts_hybrid_fusion's " +
+      "two top-20 result legs, and the er_* family's size-adaptive klen " +
+      "scalar (FuzzyJoin.scala:292 — ONE broadcast row joined " +
+      "unconditioned, twice per match-table leg → the 4-entry rows).\n" +
       "A 0/N pushed-filter entry is NOT a miss when the query has no " +
       "pushable predicate by nature: aggregate-input scans read every " +
       "row on purpose (j4_semi_having 0/2, a2_agg_having 0/1, and every " +
