@@ -202,9 +202,11 @@ object PlanAudit {
       "NQ-row anchors, ta_pmi_pairs / ta_unigram_lm / ta_bigram_lm's " +
       "corpus-total and bounded-vocabulary broadcasts, tm_acf's fixed " +
       "lag list, tm_changepoint's series-total scalar, ts_hybrid_fusion's " +
-      "two top-20 result legs, and the er_* family's size-adaptive klen " +
+      "two top-20 result legs, the er_* family's size-adaptive klen " +
       "scalar (FuzzyJoin.scala:292 — ONE broadcast row joined " +
-      "unconditioned, twice per match-table leg → the 4-entry rows).\n" +
+      "unconditioned, twice per match-table leg → the 4-entry rows), " +
+      "and ev_bot_rank's one-row doubled-median scalar " +
+      "(Diagnostics.scala — explicit broadcast).\n" +
       "A 0/N pushed-filter entry is NOT a miss when the query has no " +
       "pushable predicate by nature: aggregate-input scans read every " +
       "row on purpose (j4_semi_having 0/2, a2_agg_having 0/1, and every " +

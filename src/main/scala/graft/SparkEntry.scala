@@ -46,6 +46,7 @@ object SparkEntry {
       operators.Walks.queries ++
       operators.Hierarchy.queries ++
       operators.Density.queries ++
+      operators.Diagnostics.queries ++
       sources.Sources.queries ++
       sources.Bucketing.queries
 
@@ -88,6 +89,7 @@ object SparkEntry {
       operators.Walks.oracles ++
       operators.Hierarchy.oracles ++
       operators.Density.oracles ++
+      operators.Diagnostics.oracles ++
       sources.Sources.oracles ++
       sources.Bucketing.oracles
 }
