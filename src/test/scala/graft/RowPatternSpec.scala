@@ -82,8 +82,18 @@ class RowPatternSpec extends AnyFunSuite {
   }
 
   test("randomized machine-generated patterns vs java (seeded)") {
-    val rnd = new scala.util.Random(42L)
-    val alpha = "abc"
+    checkGenerated(seed = 42L, alpha = "abc")
+  }
+
+  test("machine-generated patterns over the funnel alphabet (seeded)") {
+    // the production code alphabet: patterns over v/c/p/o shaped like
+    // real MATCH_RECOGNIZE specs hit the same corners (loop classes,
+    // anchors-by-literal, alternation priority) with funnel traces
+    checkGenerated(seed = 20260816L, alpha = "vcpo")
+  }
+
+  private def checkGenerated(seed: Long, alpha: String): Unit = {
+    val rnd = new scala.util.Random(seed)
     def genAtom(depth: Int): String =
       rnd.nextInt(if (depth > 2) 4 else 6) match {
         case 0 | 1 => alpha(rnd.nextInt(alpha.length)).toString
@@ -122,7 +132,11 @@ class RowPatternSpec extends AnyFunSuite {
       if (prog.isDefined) {
         validated += 1
         for (_ <- 1 to 5) {
-          val s = Array.fill(rnd.nextInt(30))(
+          // trace length capped at 17: the REFERENCE side
+          // (java.util.regex) backtracks exponentially on generated
+          // nested quantifiers — ~2^len steps on a non-matching tail —
+          // while the NFA machine under test is linear regardless
+          val s = Array.fill(rnd.nextInt(18))(
             alpha(rnd.nextInt(alpha.length))).mkString
           check(p, s)
         }
