@@ -63,6 +63,19 @@ class EventFoldSpec extends SparkSpec {
     assert(rows.size == 101)
   }
 
+  test("fold clients keep Window and collect_list out of their plans") {
+    // the scale contract of the migrations: one keyed shuffle + sort +
+    // object fold — no window pass, no per-entity array buffer
+    for (q <- Seq("sz_sessionize", "ev_inactivity_gaps",
+      "ev_match_recognize", "t10_cep_twin")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("collect_list"), s"$q buffers a trace:\n$plan")
+      assert(!plan.contains("Window"), s"$q still runs a window:\n$plan")
+      assert(plan.contains("MapGroups"), s"$q lost the fold:\n$plan")
+    }
+  }
+
   test("api.Events.segmentOverlap leaves no cached RDD behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val ev = Tables.events(spark, sf).select("user_id", "event_type")
