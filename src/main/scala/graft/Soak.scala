@@ -140,6 +140,17 @@ object Soak {
     for (t <- Seq("lineitem", "orders", "customer", "supplier", "events",
       "documents", "embeddings")) {
       val link = java.nio.file.Paths.get(s"$dims/$t.parquet")
+      // a crashed or older-version run can leave a REAL directory at
+      // the symlink path; deleteIfExists throws DirectoryNotEmpty on
+      // it, so clear a non-symlink directory recursively first
+      if (java.nio.file.Files.isDirectory(link,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(link.toFile)
+      }
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$out/$t.parquet").toAbsolutePath)

@@ -181,7 +181,7 @@ object Streaming {
         .orderBy("offset")
     }),
 
-    // CHAINED-DAG batch twin (reference code/curation/05_task_DAG
+    // CHAINED-DAG batch twin (reference code/curate/05_task_DAG
     // .sql:3-19 — a dependency chain downstream of the streaming
     // append: feed → curation → enriched fact): stage-1 curation +
     // stage-2 watermarked windowed totals, the EXACT plan definition

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Two-stage chained streaming DAG — the reference's task-DAG shape
-  * (reference `code/curation/05_task_DAG.sql:3-19`: a dependency chain
+  * (reference `code/curate/05_task_DAG.sql:3-19`: a dependency chain
   * downstream of the streaming append, TXN feed → curation → enriched
   * fact) run as TWO StreamingQueries with INDEPENDENT checkpoints:
   *

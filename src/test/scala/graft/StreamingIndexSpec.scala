@@ -31,11 +31,24 @@ class StreamingIndexSpec extends SparkSpec {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
       "expected the add to span multiple micro-batches")
 
-    val streamed = spark.read.parquet(out)
+    val streamed = streaming.IndexIngest.codeTable(spark, out)
       .orderBy("vec_id").collect()
     val batch = operators.IvfPq.queries("sim_index_add")(spark, sf)
       .collect()
     assert(streamed.length == batch.length && streamed.nonEmpty)
     streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+
+    // foreachBatch is at-least-once: a replayed micro-batch must
+    // leave the code table unchanged. Rewrite one batch partition the
+    // way a retry would (same batchId, overwrite) and re-compare.
+    spark.read.parquet(s"$out/batch=0")
+      .write.mode("overwrite").parquet(s"$base/b0_retry")
+    spark.read.parquet(s"$base/b0_retry")
+      .write.mode("overwrite").parquet(s"$out/batch=0")
+    val replayed = streaming.IndexIngest.codeTable(spark, out)
+      .orderBy("vec_id").collect()
+    assert(replayed.length == batch.length,
+      "a replayed micro-batch changed the code table")
+    replayed.zip(batch).foreach { case (a, b) => assert(a == b) }
   }
 }
