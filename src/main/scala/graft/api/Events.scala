@@ -36,16 +36,28 @@ object Events {
     * hold one character per event (map event types to a code alphabet
     * first); `pattern` is a regex over that alphabet. Delegates to
     * the path behind the oracle-checked `t10_cep_twin` /
-    * `ev_match_recognize`; the same pattern runs incrementally with
-    * O(1) state as a streaming DFA in streaming.CepMatcher. One
-    * entity-keyed shuffle; per-entity state is the entity's own
-    * history. */
+    * `ev_match_recognize`; the same engine runs incrementally with
+    * checkpointed per-key state in streaming.CepPattern (any
+    * terminator-disjoint pattern) and streaming.CepMatcher (the
+    * funnel's one-bit DFA).
+    *
+    * MEMORY CONTRACT (bounded for EVERY pattern this accepts): one
+    * entity-keyed shuffle; per-entity state is the RowPattern
+    * speculation chain — never the entity's history and never a
+    * buffered trace. Terminator-disjoint patterns
+    * (`RowPattern.terminatorDisjoint`, e.g. the funnel `v[co]*p`) are
+    * O(|pattern|) by construction; other patterns (e.g. `v.*p`) run
+    * bounded by `depthCap` unresolved speculative scans and FAIL
+    * LOUDLY past it — reachable only for the degenerate
+    * loop-alternation class where leftmost semantics genuinely need
+    * trace-proportional state (see the RowPattern object doc). */
   def matchPattern(events: DataFrame, pattern: String,
                    idCol: String = "user_id",
                    tieCol: String = "event_id",
                    codeCol: String = "code",
-                   orderCol: String = "ts"): DataFrame =
+                   orderCol: String = "ts",
+                   depthCap: Int = 4096): DataFrame =
     graft.operators.EventAnalytics.matchCountsOf(
       events.select(col(idCol), col(orderCol), col(tieCol),
-        col(codeCol)), pattern)
+        col(codeCol)), pattern, depthCap)
 }

@@ -15,17 +15,41 @@ import scala.collection.mutable.ArrayBuffer
   * full code trace as one string and regexes it — an unbounded
   * per-key aggregation buffer (a bot with 10⁹ events = a multi-GB
   * string in one buffer). Folding this machine over the entity's
-  * ordered events instead keeps per-entity state at O(|pattern|)
-  * live threads plus a REWIND WINDOW that holds only the characters
-  * a still-live higher-priority attempt has read past a recorded
-  * match. For terminator-disjoint patterns (the funnel family: the
-  * match-closing code is outside every loop class, so the greedy
-  * loop thread dies on the char that completes the match) the window
-  * never exceeds one char and state is strictly O(1) — the same
-  * bound the streaming twin (streaming/CepMatcher) gets from its
-  * one-bit DFA. RowPatternSpec property-checks count equality
-  * against java.util.regex across random patterns and traces, and
-  * pins the bounded-window claim for the funnel pattern.
+  * ordered events instead NEVER BUFFERS A CHARACTER: when a match is
+  * recorded while a higher-priority attempt is still alive (so the
+  * match is pending, not final), the scan that would resume at the
+  * match's end runs IMMEDIATELY as a speculative successor machine
+  * instead of being replayed later from a buffer. The counter is a
+  * CHAIN of Pike-VM machines — machine k+1 scans under the
+  * hypothesis that machine k's pending match is final; a
+  * higher-priority completion in machine k voids and truncates every
+  * successor (their resume point moves to the current position, so
+  * the fresh scan needs no history), and machine k draining confirms
+  * its pending and folds its speculative counts into the successor.
+  * Per-entity state is therefore O(depth × |pattern|) live threads
+  * and ZERO buffered characters, where depth = the number of
+  * simultaneously unresolved speculative scans:
+  *
+  *  - TERMINATOR-DISJOINT patterns ([[terminatorDisjoint]], decided
+  *    at compile time from the NFA — the funnel family `v[co]*p`): no
+  *    char that can complete a match is consumed by any thread that
+  *    can still reach a loop, so every pending resolves within
+  *    |pattern| chars and depth is ≤ |pattern|+2 BY CONSTRUCTION
+  *    (≤ 2 for the funnel — pinned in RowPatternSpec).
+  *  - Patterns like `v.*p` (the loop can consume the terminator):
+  *    depth stays ≤ 2 — any terminator both extends the head's match
+  *    (resetting the chain) and is the only char that could deepen it.
+  *  - The degenerate class (a loop ALTERNATIVE alongside a short
+  *    alternative whose chars the loop also consumes, `(a[^b]*b|c)`
+  *    over `acacac…`): leftmost find() semantics genuinely require
+  *    state proportional to the trace — no engine can resolve the
+  *    short matches until the loop attempt dies — so the chain FAILS
+  *    LOUDLY at `depthCap` (the nullable-body-rejection precedent)
+  *    instead of silently growing.
+  *
+  * RowPatternSpec property-checks count equality against
+  * java.util.regex across random patterns and traces, and pins the
+  * bounded-depth claims.
   *
   * Supported syntax (a regex subset closed over single-char code
   * alphabets): literals, `.`, escapes `\x`, classes `[abc]` /
@@ -222,154 +246,257 @@ object RowPattern {
     * (priority = list order; start ordering backs the leftmost rule) */
   private final case class Th(pc: Int, start: Long)
 
-  /** Counts `Matcher.find()` matches of a compiled pattern over a char
-    * stream fed incrementally. NOT thread-safe; one instance per
-    * entity. State: ≤ |program| live threads + the rewind window (see
-    * object doc). */
-  final class MatchCounter(prog: Array[Inst]) extends Serializable {
-
-    private var count = 0L
-    private var threads: ArrayBuffer[Th] = ArrayBuffer.empty
-    private var matched = false
-    private var matchStart = 0L
-    private var matchEnd = 0L
-    private var cur = 0L // absolute position of next char to consume
-    private var fed = 0L // total chars fed (next append position)
-    private val window = new java.lang.StringBuilder
-    private var winBase = 0L // absolute position of window.charAt(0)
-    private var started = false
-    /** high-water mark of the rewind window length — the spec's
-      * bounded-state observable. */
-    var maxWindow: Int = 0
-
-    private def ensureStarted(): Unit = if (!started) {
-      started = true
-      threads = startClosure(0L)
+  // ------------------------------------------ disjointness analysis
+  private def epsSuccs(prog: Array[Inst], i: Int): List[Int] =
+    prog(i) match {
+      case s: ISplit => List(s.a, s.b)
+      case j: IJmp   => List(j.t)
+      case _         => Nil
     }
 
-    /** closure of a fresh attempt at absolute position `at` (may record
-      * an empty match at `at`). */
-    private def startClosure(at: Long): ArrayBuffer[Th] = {
-      val buf = ArrayBuffer.empty[Th]
-      val seen = new java.util.BitSet(prog.length)
-      addClosure(buf, seen, 0, at, at)
-      buf
+  private def allSuccs(prog: Array[Inst], i: Int): List[Int] =
+    prog(i) match {
+      case _: IChar  => List(i + 1)
+      case s: ISplit => List(s.a, s.b)
+      case j: IJmp   => List(j.t)
+      case IMatch    => Nil
+    }
+
+  private def reach(prog: Array[Inst], start: Int,
+                    succs: (Array[Inst], Int) => List[Int])
+      : java.util.BitSet = {
+    val seen = new java.util.BitSet(prog.length)
+    var stack = List(start)
+    while (stack.nonEmpty) {
+      val v = stack.head; stack = stack.tail
+      if (!seen.get(v)) {
+        seen.set(v)
+        succs(prog, v).foreach(w => if (!seen.get(w)) stack = w :: stack)
+      }
+    }
+    seen
+  }
+
+  /** can two char predicates accept a common char? Conservative for
+    * negated×negated (two co-finite sets always overlap over the full
+    * char alphabet in practice). */
+  private def charsIntersect(a: IChar, b: IChar): Boolean =
+    if (a.dot || b.dot) true
+    else (a.neg, b.neg) match {
+      case (false, false) => a.set.exists(b.set.contains)
+      case (false, true)  => a.set.exists(!b.set.contains(_))
+      case (true, false)  => b.set.exists(!a.set.contains(_))
+      case (true, true)   => true
+    }
+
+  /** TERMINATOR-DISJOINTNESS, decided from the compiled NFA: the
+    * pattern (1) cannot match empty, and (2) no char that can COMPLETE
+    * a match (accepted by an IChar whose epsilon closure reaches
+    * IMatch) is also accepted by any IChar from which a consuming loop
+    * is still reachable. Then whenever a match is recorded, every
+    * co-surviving higher-priority thread consumed the completing char
+    * through a loop-free instruction, so its remaining life is one
+    * acyclic walk (< |prog| chars): every pending match resolves
+    * within |prog| chars and the speculation chain depth stays ≤
+    * |prog|+2 by construction — O(1) per entity, never trace-bound.
+    * (Cycle detection needs no special epsilon-cycle case: a quantifier
+    * over a nullable body is rejected at parse, so every cycle in the
+    * program consumes at least one char.) */
+  def terminatorDisjoint(prog: Array[Inst]): Boolean = {
+    val iMatch = prog.length - 1 // IMatch is emitted once, last
+    // (1) nullable pattern: an attempt records an empty match at its
+    // own start position while unrelated threads live — not disjoint
+    if (reach(prog, 0, epsSuccs).get(iMatch)) return false
+    val chars = prog.indices.filter(prog(_).isInstanceOf[IChar])
+    val completing = chars.filter(i => reach(prog, i + 1, epsSuccs).get(iMatch))
+    val cyclic = prog.indices.filter(v =>
+      allSuccs(prog, v).exists(w => reach(prog, w, allSuccs).get(v)))
+    val preCyclic = chars.filter(i =>
+      cyclic.exists(reach(prog, i + 1, allSuccs).get(_)))
+    !completing.exists(m => preCyclic.exists(i => charsIntersect(
+      prog(m).asInstanceOf[IChar], prog(i).asInstanceOf[IChar])))
+  }
+
+  /** Counts `Matcher.find()` matches of a compiled pattern over a char
+    * stream fed incrementally, as a chain of speculative Pike-VM scans
+    * (see object doc). NOT thread-safe; one instance per entity.
+    * java.io.Serializable end-to-end so a streaming query can carry it
+    * as per-key state (streaming/CepPattern). State: ≤ depth×|prog|
+    * live threads, no buffered chars; `depth` > depthCap fails loudly
+    * — reachable only for non-[[terminatorDisjoint]] patterns of the
+    * degenerate loop-alternation class. */
+  final class MatchCounter(prog: Array[Inst], depthCap: Int = 4096)
+      extends Serializable {
+
+    /** One speculative scan: live threads + at most one pending match
+      * + the matches confirmed UNDER THIS SCAN'S HYPOTHESIS. A machine
+      * spawns dormant at the position its predecessor's pending match
+      * resumes (always at or past the stream frontier — that is what
+      * makes the chain bufferless) and activates when the stream
+      * reaches it. */
+    private final class Machine(val startPos: Long) extends Serializable {
+      var active = false
+      var threads: ArrayBuffer[Th] = ArrayBuffer.empty
+      var pending = false
+      var pendStart = 0L
+      var pendEnd = 0L
+      var count = 0L
+    }
+
+    // invariant: machines 0..k-1 are active with a pending match (and
+    // strictly increasing record positions); the LAST machine has no
+    // pending and is the only one that may still be dormant
+    private val machines = ArrayBuffer[Machine](new Machine(0L))
+    private var fed = 0L // chars consumed so far == next position
+    /** high-water mark of the speculation chain depth — the spec's
+      * bounded-state observable (1 = no unresolved match). */
+    var maxDepth: Int = 1
+
+    /** current chain depth (unresolved speculative scans + 1). */
+    def depth: Int = machines.length
+
+    /** matches confirmed at the top level — final whatever arrives
+      * next; the value a streaming emission reports mid-stream. */
+    def countSoFar: Long = machines.head.count
+
+    private def resumeOf(m: Machine): Long =
+      if (m.pendEnd == m.pendStart) m.pendEnd + 1 // empty-match bump
+      else m.pendEnd
+
+    private def spawn(at: Long): Unit = {
+      if (machines.length >= depthCap)
+        throw new IllegalStateException(
+          s"row-pattern speculation depth exceeded $depthCap: the " +
+            "pattern holds that many unresolved match attempts at once " +
+            "(a loop alternative consumes another alternative's match " +
+            "chars — not terminator-disjoint), so leftmost find() " +
+            "semantics need state proportional to the trace. Rewrite " +
+            "the pattern so no loop class contains a match-completing " +
+            "char, or raise depthCap.")
+      machines += new Machine(at)
+      if (machines.length > maxDepth) maxDepth = machines.length
     }
 
     /** add pc's epsilon closure to buf in priority order; returns true
-      * if IMatch was hit (match recorded — caller must cut everything
-      * at lower priority). */
-    private def addClosure(buf: ArrayBuffer[Th], seen: java.util.BitSet,
+      * if IMatch was hit (match recorded on `m` — caller must cut
+      * everything at lower priority). */
+    private def addClosure(m: Machine, buf: ArrayBuffer[Th],
+                           seen: java.util.BitSet,
                            pc: Int, start: Long, at: Long): Boolean = {
       if (seen.get(pc)) return false
       seen.set(pc)
       prog(pc) match {
         case _: IChar => buf += Th(pc, start); false
         case s: ISplit =>
-          addClosure(buf, seen, s.a, start, at) ||
-            addClosure(buf, seen, s.b, start, at)
-        case j: IJmp => addClosure(buf, seen, j.t, start, at)
+          addClosure(m, buf, seen, s.a, start, at) ||
+            addClosure(m, buf, seen, s.b, start, at)
+        case j: IJmp => addClosure(m, buf, seen, j.t, start, at)
         case IMatch =>
-          matched = true; matchStart = start; matchEnd = at
+          m.pending = true; m.pendStart = start; m.pendEnd = at
           true
       }
     }
 
+    /** open the machine's first attempt at its start position (may
+      * record an empty pending match there and spawn its successor —
+      * only ever called on the chain's last machine). */
+    private def activate(m: Machine): Unit = {
+      m.active = true
+      val buf = ArrayBuffer.empty[Th]
+      val seen = new java.util.BitSet(prog.length)
+      addClosure(m, buf, seen, 0, m.startPos, m.startPos)
+      m.threads = buf
+      if (m.pending) spawn(resumeOf(m))
+    }
+
+    /** advance machine `m` over char `c` at position `pos`; returns
+      * true when a match was recorded (new pending or a higher-priority
+      * replacement — either way every lower-priority speculation is
+      * void). */
+    private def step(m: Machine, c: Char, pos: Long): Boolean = {
+      val nxt = ArrayBuffer.empty[Th]
+      val seen = new java.util.BitSet(prog.length)
+      var k = 0
+      var cut = false
+      while (k < m.threads.length && !cut) {
+        val t = m.threads(k)
+        prog(t.pc) match {
+          case ic: IChar if ic.matches(c) =>
+            cut = addClosure(m, nxt, seen, t.pc + 1, t.start, pos + 1)
+          case _ => () // thread dies
+        }
+        k += 1
+      }
+      // leftmost scan: a fresh attempt opens at every position until a
+      // match is pending (its resumption scan is the successor machine)
+      var fresh = false
+      if (!m.pending)
+        fresh = addClosure(m, nxt, seen, 0, pos + 1, pos + 1)
+      m.threads = nxt
+      cut || fresh
+    }
+
     /** Feed the next char of this entity's ordered code stream. */
     def feed(c: Char): Unit = {
-      ensureStarted()
-      window.append(c) // lands at absolute position `fed` (see clamp)
+      val pos = fed
       fed += 1
-      if (window.length > maxWindow) maxWindow = window.length
-      process()
+      var i = 0
+      var done = false
+      while (i < machines.length && !done) {
+        val m = machines(i)
+        if (!m.active) {
+          // only the last machine can be dormant, parked at or past
+          // the frontier; past it = the empty-match bump skip
+          if (m.startPos == pos) activate(m) else done = true
+        }
+        if (m.active && !done && step(m, c, pos)) {
+          // recorded: truncate every lower-priority speculation and
+          // open the fresh scan at the new pending's resume point —
+          // which is the frontier (or one past it), so no history is
+          // ever replayed
+          while (machines.length > i + 1)
+            machines.remove(machines.length - 1)
+          spawn(resumeOf(m))
+          done = true
+        }
+        i += 1
+      }
+      normalize()
     }
 
     def feedAll(s: String): Unit = { var k = 0
       while (k < s.length) { feed(s.charAt(k)); k += 1 } }
 
-    private def process(): Unit = {
-      var guard = true
-      while (guard) {
-        // a drained pending match is final — count it and reopen the
-        // scan — UNLESS its attempt began past the input fed so far
-        // (the empty-match bump can point one past EOF): that one
-        // stays pending until the position exists (next feed) or is
-        // discarded (finish — Matcher's `from > length` stop)
-        if (threads.isEmpty && matched && matchStart <= fed)
-          resumeAfterMatch()
-        if (cur < winBase + window.length)
-          stepChar(window.charAt((cur - winBase).toInt))
-        else guard = false
-      }
-      // chars below the pending match's end (or below cur when nothing
-      // is pending) can never be rescanned — drop them
-      dropWindowBefore(if (matched) matchEnd else cur)
-    }
-
-    private def stepChar(c: Char): Unit = {
-      val nxt = ArrayBuffer.empty[Th]
-      val seen = new java.util.BitSet(prog.length)
-      var k = 0
-      var cut = false
-      while (k < threads.length && !cut) {
-        val t = threads(k)
-        prog(t.pc) match {
-          case ic: IChar if ic.matches(c) =>
-            cut = addClosure(nxt, seen, t.pc + 1, t.start, cur + 1)
-          case _ => () // thread dies
-        }
-        k += 1
-      }
-      cur += 1
-      // leftmost scan: a fresh attempt opens at every position until a
-      // match is pending (then the scan restarts only at its end)
-      if (!matched) addClosure(nxt, seen, 0, cur, cur)
-      threads = nxt
-    }
-
-    /** threads drained with a match pending: count it and restart the
-      * scan at its end (end+1 for an empty match — the Matcher.find
-      * bump), rescanning any windowed chars a longer-lived attempt had
-      * read past it. */
-    private def resumeAfterMatch(): Unit = {
-      count += 1
-      val resume = if (matchEnd == matchStart) matchEnd + 1 else matchEnd
-      matched = false
-      dropWindowBefore(resume)
-      cur = resume
-      threads = startClosure(resume)
-    }
-
-    private def dropWindowBefore(p: Long): Unit = {
-      // never advance the base past `fed`: an empty-match bump can point
-      // one past the input seen so far, and the NEXT char must still
-      // land at position `fed`
-      val q = math.min(p, fed)
-      val drop = (q - winBase).toInt
-      if (drop > 0) {
-        window.delete(0, math.min(drop, window.length))
-        winBase = q
+    /** fold every drained machine's confirmed pending into its
+      * successor: the speculation was right, its counts become the
+      * successor's. (A drained machine can never un-drain — no fresh
+      * attempts open while its match is pending.) */
+    private def normalize(): Unit = {
+      var i = 0
+      while (i < machines.length - 1) {
+        val m = machines(i)
+        if (m.active && m.pending && m.threads.isEmpty) {
+          machines(i + 1).count += m.count + 1
+          machines.remove(i) // successor shifts into i — recheck it
+        } else i += 1
       }
     }
 
-    /** End of this entity's stream: flush pending state, return the
-      * final match count. Call once. */
+    /** End of this entity's stream: every live thread dies, each
+      * machine's pending match (recorded at a real input position by
+      * construction) confirms in chain order, and a successor parked
+      * past the end is Matcher's `from > length` stop. Call once. */
     def finish(): Long = {
-      ensureStarted()
       var done = false
       while (!done) {
-        threads.clear() // EOF: every thread awaiting a char dies
-        if (matched && matchStart <= fed) {
-          // a pending match whose attempt began at a position of the
-          // input (including the EOF position) is real — Matcher
-          // counts an empty match AT position L; one that began past
-          // EOF is the speculative next-position attempt — Matcher's
-          // `from > length` stop
-          resumeAfterMatch() // counts it, reopens the scan at its end
-          process()          // rescan any windowed chars
-        } else { matched = false; done = true }
+        val m = machines.head
+        if (!m.active && m.startPos <= fed) activate(m)
+        else if (m.active && m.pending) {
+          machines(1).count += m.count + 1
+          machines.remove(0)
+        } else done = true
       }
-      count
+      machines.head.count
     }
   }
 

@@ -135,10 +135,13 @@ object EventAnalytics {
     // sides, so counts are exact.
     //
     // Scale shape: one shuffle on user_id; per-user state is
-    // O(|pattern|) machine threads — NOT the user's history (the old
-    // trace-aggregation buffer was unbounded on a hyperactive bot) —
-    // so one hot entity is a wide sorted run, never a multi-GB
-    // aggregation buffer. No second shuffle, no self-join, no explode.
+    // O(|pattern|) machine threads — by construction, since v[co]*p
+    // is terminator-disjoint (the 'p' that completes a match is
+    // outside the loop class; RowPattern.terminatorDisjoint) — NOT
+    // the user's history (the old trace-aggregation buffer was
+    // unbounded on a hyperactive bot), so one hot entity is a wide
+    // sorted run, never a multi-GB aggregation buffer. No second
+    // shuffle, no self-join, no explode.
     "ev_match_recognize" -> ((s, dir) =>
       matchCountsOf(funnelCoded(s, dir), "v[co]*p")
         .groupBy("n_matches")
@@ -248,24 +251,28 @@ object EventAnalytics {
     * greedy matches (exact `Matcher.find()` semantics, pinned by
     * RowPatternSpec) by FOLDING the functions.RowPattern machine over
     * each entity's events in (us, tie) order — one entity-keyed
-    * shuffle with a secondary sort, per-entity state O(|pattern|)
-    * live threads, never the trace. The previous formulation
-    * (collect_list → array_join → regexp) materialized each entity's
-    * full history as one string — an unbounded aggregation buffer on
-    * a hyperactive entity (10⁹-event bot = multi-GB in one buffer);
-    * the fold is the batch twin of streaming/CepMatcher's O(1)-state
-    * DFA, generalized to any pattern. EventFoldSpec pins the
-    * hot-entity bound; multi-char / null codes keep the old concat
-    * semantics (chars fed in order, nulls skipped). */
-  private[graft] def matchCountsOf(ev: DataFrame,
-                                   pattern: String): DataFrame = {
+    * shuffle with a secondary sort, per-entity state the speculation
+    * chain, never the trace: O(|pattern|) for terminator-disjoint
+    * patterns like the funnel shipped here (proven by construction —
+    * see RowPattern.terminatorDisjoint), ≤ depthCap×O(|pattern|) with
+    * loud failure past the cap for arbitrary caller patterns. The
+    * previous formulation (collect_list → array_join → regexp)
+    * materialized each entity's full history as one string — an
+    * unbounded aggregation buffer on a hyperactive entity (10⁹-event
+    * bot = multi-GB in one buffer); the fold is the batch twin of
+    * streaming/CepPattern's checkpointed per-key machine (and of
+    * CepMatcher's funnel DFA). EventFoldSpec pins the hot-entity
+    * bound; multi-char / null codes keep the old concat semantics
+    * (chars fed in order, nulls skipped). */
+  private[graft] def matchCountsOf(ev: DataFrame, pattern: String,
+                                   depthCap: Int = 4096): DataFrame = {
     val prog = graft.functions.RowPattern.compile(pattern)
     graft.api.Folds.foldOrdered(
       ev.toDF("user_id", "us", "event_id", "code"),
       keyCols = Seq("user_id"), orderCols = Seq("us", "event_id"),
       out = new org.apache.spark.sql.types.StructType()
         .add("n_matches", org.apache.spark.sql.types.LongType))(
-      () => new graft.functions.RowPattern.MatchCounter(prog))(
+      () => new graft.functions.RowPattern.MatchCounter(prog, depthCap))(
       (m, r) => {
         val code = r.getString(3)
         if (code != null) m.feedAll(code)

@@ -137,7 +137,9 @@ object Streaming {
     // ordered per-user fold, O(|pattern|) state). CepMatcherSpec
     // asserts the stream fold, the batch fold, and this twin agree
     // user-for-user, including across a checkpoint restart. One
-    // user-keyed shuffle; per-user state O(1)-bounded in BOTH paths.
+    // user-keyed shuffle; per-user state O(1)-bounded in BOTH paths
+    // because the funnel pattern is terminator-disjoint
+    // (RowPattern.terminatorDisjoint — by construction, not by test).
     "t10_cep_twin" -> ((s, dir) =>
       EventAnalytics.matchCountsOf(EventAnalytics.funnelCoded(s, dir),
         "v[co]*p").orderBy("user_id")),

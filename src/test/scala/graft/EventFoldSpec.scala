@@ -76,6 +76,28 @@ class EventFoldSpec extends SparkSpec {
     }
   }
 
+  test("api.Events.matchPattern: arbitrary non-disjoint pattern is exact") {
+    // the facade's full input space, not just the shipped funnel: a
+    // v.*p caller pattern (greedy loop consumes the terminator — the
+    // round-8 weak spot) over the real events table must equal
+    // java.util.regex find() counts on the assembled per-user traces
+    val coded = operators.EventAnalytics.funnelCoded(spark, sf)
+      .withColumnRenamed("us", "ts")
+    val got = api.Events.matchPattern(coded, "v.*p", orderCol = "ts")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val traces = coded.toDF("user_id", "ts", "event_id", "code")
+      .orderBy("user_id", "ts", "event_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getString(3)).mkString }
+    assert(got.keySet == traces.keySet && got.nonEmpty)
+    traces.foreach { case (u, trace) =>
+      val m = java.util.regex.Pattern.compile("v.*p").matcher(trace)
+      var want = 0L
+      while (m.find()) want += 1
+      assert(got(u) == want, s"user $u: ${got(u)} != $want")
+    }
+  }
+
   test("api.Events.segmentOverlap leaves no cached RDD behind") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val ev = Tables.events(spark, sf).select("user_id", "event_type")

@@ -145,20 +145,80 @@ class RowPatternSpec extends AnyFunSuite {
     assert(validated >= 200, s"only $validated generated patterns compiled")
   }
 
-  test("funnel pattern: rewind window stays ≤ 1 char on any trace") {
+  test("funnel pattern: speculation depth stays ≤ 2 on any trace") {
     // terminator-disjoint pattern: 'p' closes the match and is outside
-    // the loop class, so the greedy loop thread dies on the same char
-    // that completes the match — nothing ever outlives a recorded
-    // match, the fold never rewinds, and per-entity state is O(1).
+    // the loop class, so no thread outlives a recorded match — every
+    // pending resolves on the char that created it, the chain never
+    // exceeds one speculative scan, and per-entity state is O(1).
     val rnd = new scala.util.Random(7L)
     val prog = RowPattern.compile("v[co]*p")
+    assert(RowPattern.terminatorDisjoint(prog))
     for (_ <- 1 to 20) {
       val m = new RowPattern.MatchCounter(prog)
       val s = Array.fill(100000)("vcpo" (rnd.nextInt(4))).mkString
       m.feedAll(s)
       m.finish()
-      assert(m.maxWindow <= 1, s"window grew to ${m.maxWindow}")
+      assert(m.maxDepth <= 2, s"chain grew to ${m.maxDepth}")
     }
+  }
+
+  test("terminator-disjointness is decided correctly from the NFA") {
+    def disjoint(p: String) =
+      RowPattern.terminatorDisjoint(RowPattern.compile(p))
+    // funnel family: terminator outside every loop class
+    assert(disjoint("v[co]*p"))
+    assert(disjoint("v(c|o)*p"))
+    assert(disjoint("vp"))
+    assert(disjoint("[^p]*p"))
+    // loop can consume the terminator
+    assert(!disjoint("v.*p"))
+    assert(!disjoint("a[ab]*b"))
+    // nullable pattern: empty matches record while unrelated threads live
+    assert(!disjoint("a*"))
+    assert(!disjoint("a?"))
+    // a completing char on a path INTO a loop (the f in fg[c]*h|f):
+    // the IChar-label test alone would miss it, reachability catches it
+    assert(!disjoint("fg[c]*h|f"))
+    // degenerate loop-alternation: the loop eats the short alternative
+    assert(!disjoint("(a[^b]*b|c)"))
+  }
+
+  test("v.*p: one early match + a long match-free tail stays depth ≤ 2") {
+    // the round-8 weak spot: a non-disjoint pattern whose greedy loop
+    // outlives the pending match. The chain runs the resumed scan live
+    // instead of buffering the tail — state stays O(1) for the whole
+    // 1M-char tail, and the count is exact.
+    val prog = RowPattern.compile("v.*p")
+    assert(!RowPattern.terminatorDisjoint(prog))
+    val m = new RowPattern.MatchCounter(prog)
+    m.feed('v'); m.feed('p')
+    var k = 0
+    while (k < 1000000) { m.feed('x'); k += 1 }
+    assert(m.maxDepth <= 2, s"chain grew to ${m.maxDepth}")
+    assert(m.finish() == 1L)
+    // and with more matches in the tail: every terminator extends the
+    // head attempt's match, resetting the chain — still depth ≤ 2
+    val m2 = new RowPattern.MatchCounter(prog)
+    m2.feedAll("vp" + ("x" * 1000 + "vp") * 50 + "x" * 1000)
+    assert(m2.maxDepth <= 2, s"chain grew to ${m2.maxDepth}")
+    assert(m2.finish() ==
+      javaCount("v.*p", "vp" + ("x" * 1000 + "vp") * 50 + "x" * 1000))
+  }
+
+  test("degenerate loop-alternation fails loudly at the depth cap") {
+    // (a[^b]*b|c) over acacac…: the c-matches cannot resolve until the
+    // a-loop attempt dies — every engine needs O(trace) state here, so
+    // the chain refuses at depthCap instead of silently growing
+    val prog = RowPattern.compile("(a[^b]*b|c)")
+    val m = new RowPattern.MatchCounter(prog, depthCap = 64)
+    val e = intercept[IllegalStateException] {
+      var k = 0
+      while (k < 10000) { m.feed('a'); m.feed('c'); k += 1 }
+    }
+    assert(e.getMessage.contains("terminator-disjoint"))
+    // …but the same pattern under the cap is exact
+    assert(RowPattern.countMatches("(a[^b]*b|c)", "acac" * 20 + "b") ==
+      javaCount("(a[^b]*b|c)", "acac" * 20 + "b"))
   }
 
   test("hand-traced counts") {
