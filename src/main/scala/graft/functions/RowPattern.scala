@@ -482,6 +482,21 @@ object RowPattern {
       }
     }
 
+    /** The count if the stream ended HERE — [[finish]] run on a deep
+      * copy, so the live counter keeps accepting input. This is what a
+      * streaming emission reports each micro-batch
+      * (streaming/CepPattern): at quiescence it equals the batch
+      * fold's finished count for any pattern. Cost: one java
+      * serialization round-trip of O(depth×|prog|) state. */
+    def flushedCount: Long = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(this); oos.close()
+      val ois = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      ois.readObject().asInstanceOf[MatchCounter].finish()
+    }
+
     /** End of this entity's stream: every live thread dies, each
       * machine's pending match (recorded at a real input position by
       * construction) confirms in chain order, and a successor parked

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{CepPattern, StreamingIngest}
+
+/** Streaming MATCH_RECOGNIZE for arbitrary patterns (streaming/
+  * CepPattern): the RowPattern speculation chain rides
+  * flatMapGroupsWithState as java-serialized per-key state. Twin law:
+  * a chunked replay WITH A RESTART between chunks (new query, same
+  * checkpoint — the machine state must round-trip the state store)
+  * ends at exactly the batch fold's counts over the union of all
+  * chunks, for terminator-disjoint AND non-disjoint patterns, with
+  * matches spanning the restart boundary.
+  */
+class CepPatternSpec extends SparkSpec {
+
+  private def writeChunk(dir: java.nio.file.Path, name: String,
+                         evs: Seq[(Long, Long, String, Int)]): Unit = {
+    val lines = evs.map { case (id, user, tpe, hour) =>
+      s"""{"event_id":$id,"user_id":$user,"event_type":"$tpe",""" +
+        f""""value":1.0,"ts_str":"2024-01-01 $hour%02d:00:00.000000",""" +
+        s""""props":"{}"}"""
+    }
+    Files.write(dir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  // user 1's first funnel match SPANS the chunk boundary (view+click in
+  // chunk 1, purchase in chunk 2) — the carried machine, not a
+  // per-batch rescan, is what completes it. user 3 is a hot-ish loop.
+  private val chunk1 = Seq(
+    (1L, 1L, "view", 1), (2L, 1L, "click", 2),
+    (6L, 2L, "purchase", 1), (7L, 2L, "view", 2),
+    (10L, 3L, "view", 1), (11L, 3L, "click", 2), (12L, 3L, "purchase", 3))
+  private val chunk2 = Seq(
+    (3L, 1L, "purchase", 3), (4L, 1L, "view", 4), (5L, 1L, "purchase", 5),
+    (8L, 2L, "error", 3), (9L, 2L, "purchase", 4),
+    (13L, 3L, "view", 4), (14L, 3L, "error", 5), (15L, 3L, "purchase", 6))
+
+  private def batchCounts(pattern: String): Map[Long, Long] = {
+    import spark.implicits._
+    val coded = (chunk1 ++ chunk2).toDF("event_id", "user_id", "tpe", "hour")
+      .select(col("user_id"), col("hour").cast("long").as("us"),
+        col("event_id"),
+        expr("""CASE tpe WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+               |WHEN 'purchase' THEN 'p' ELSE 'o' END""".stripMargin)
+          .as("code"))
+    operators.EventAnalytics.matchCountsOf(coded, pattern)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chunked replay with restart equals the batch fold, per pattern") {
+    // v[co]*p: terminator-disjoint; vc?p: disjoint, no loop; v.*p: NOT
+    // disjoint — the greedy loop consumes the terminator, so this pins
+    // the speculation chain itself (pending match + live successor)
+    // round-tripping the checkpoint
+    for (pattern <- Seq("v[co]*p", "vc?p", "v.*p")) {
+      val base = Files.createTempDirectory(s"graft_cepgen")
+      val src = Files.createDirectory(base.resolve("src"))
+      val cp = base.resolve("cp").toString
+      val out = base.resolve("out").toString
+
+      def runBatch(): Unit = {
+        val q = CepPattern
+          .matches(spark, StreamingIngest.parse(
+            spark.readStream.text(src.toString)), pattern)
+          .writeStream.format("parquet")
+          .option("path", out)
+          .outputMode("append")
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+
+      writeChunk(src, "b1.json", chunk1)
+      runBatch() // query stops: everything below is a fresh start
+      writeChunk(src, "b2.json", chunk2)
+      runBatch() // restart — per-key machines reload from the state store
+
+      // flushed counts are monotone for these patterns (funnel pendings
+      // resolve on their own char; v.*p only ever extends its match),
+      // so the final value per user is the max emission
+      val streamed = spark.read.parquet(out)
+        .groupBy("user_id").agg(max("n_matches").as("m")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = batchCounts(pattern)
+      assert(streamed === batch, s"pattern $pattern: $streamed != $batch")
+      assert(batch.values.sum > 0, s"pattern $pattern never matched")
+    }
+  }
+
+  test("the spanning match is absent before the second chunk") {
+    val base = Files.createTempDirectory("graft_cepspan")
+    val src = Files.createDirectory(base.resolve("src"))
+    writeChunk(src, "b1.json", chunk1)
+    val q = CepPattern
+      .matches(spark, StreamingIngest.parse(
+        spark.readStream.text(src.toString)), "v[co]*p")
+      .writeStream.format("parquet")
+      .option("path", base.resolve("out").toString)
+      .outputMode("append")
+      .option("checkpointLocation", base.resolve("cp").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val after1 = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // user 1 is mid-attempt (v c …), user 3 already closed one funnel
+    assert(after1 === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+}
