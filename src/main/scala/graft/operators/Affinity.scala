@@ -122,16 +122,17 @@ object Affinity {
     // event's successor in (ts, event_id) order; counts by
     // (from, to) plus the from-state row total — the exact-integer
     // transition-probability numerators a session-model trains on.
+    // The consecutive pairs come from an api.Folds ordered fold (one
+    // user-keyed shuffle + secondary sort, one word of per-user state)
+    // — same one-pass shape as sz_sessionize; the lead-window form is
+    // kept as [[transitionsWindowed]] and parity-pinned in
+    // EventFoldSpec.
     "ev_transitions" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("us"), col("event_id"))
-      val steps = Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("unix_micros(ts)").as("us"))
-        .withColumn("to_type", lead("event_type", 1).over(w))
-        .filter(col("to_type").isNotNull)
+      val steps = transitionSteps(Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"), col("event_type")))
       val trans = steps
-        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .groupBy("from_type", "to_type")
         .agg(count(lit(1)).as("n"))
       val fromTot = trans.groupBy("from_type")
         .agg(sum("n").as("n_from"))
@@ -140,6 +141,48 @@ object Affinity {
         .orderBy("from_type", "to_type")
     })
   )
+
+  /** per-user consecutive (from_type, to_type) steps in (us, event_id)
+    * order — an ordered fold whose state is the previous label. */
+  private final class PrevLabel extends Serializable {
+    var has = false; var prev: String = _
+  }
+  private[graft] def transitionSteps(ev: DataFrame): DataFrame =
+    graft.api.Folds.flatFoldOrdered(
+      ev.toDF("user_id", "us", "event_id", "event_type"),
+      keyCols = Seq("user_id"), orderCols = Seq("us", "event_id"),
+      out = new org.apache.spark.sql.types.StructType()
+        .add("from_type", org.apache.spark.sql.types.StringType)
+        .add("to_type", org.apache.spark.sql.types.StringType))(
+      () => new PrevLabel)(
+      (st, r) => {
+        val t = r.getString(3)
+        val out = if (st.has) (st.prev :: t :: Nil) :: Nil else Nil
+        st.prev = t; st.has = true
+        out
+      })(
+      _ => Nil)
+
+  /** the lead-window formulation — the reference implementation
+    * EventFoldSpec pins the fold against. */
+  private[graft] def transitionsWindowed(s: SparkSession,
+                                         dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val steps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val trans = steps
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = trans.groupBy("from_type")
+      .agg(sum("n").as("n_from"))
+    trans.join(fromTot, "from_type")
+      .select("from_type", "to_type", "n", "n_from")
+      .orderBy("from_type", "to_type")
+  }
 
   val oracles: Map[String, String] = Map(
     "mb_item_pairs" ->

@@ -67,32 +67,25 @@ object EventAnalytics {
 
     // Marketing ATTRIBUTION — first-touch vs last-touch for every
     // conversion: each purchase credits the user's earliest and the
-    // most recent preceding non-purchase event type (ignore-nulls
-    // window first/last over the strictly-prior frame, total-ordered
-    // by (ts, event_id)); purchases with no prior touch credit
-    // 'none'. Output is the first×last attribution matrix — the
-    // report that shows how much credit moves when the model changes.
-    // One user-keyed window shuffle; the matrix aggregate is
-    // category-scale.
-    "ev_attribution" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("us", "event_id")
-        .rowsBetween(Long.MinValue, -1)
-      val touch = when(col("event_type") =!= "purchase", col("event_type"))
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("unix_micros(ts)").as("us"))
-        .withColumn("first_touch",
-          first(touch, ignoreNulls = true).over(w))
-        .withColumn("last_touch",
-          last(touch, ignoreNulls = true).over(w))
-        .filter(col("event_type") === "purchase")
+    // most recent preceding non-purchase event type over the
+    // strictly-prior frame, total-ordered by (ts, event_id);
+    // purchases with no prior touch credit 'none'. Output is the
+    // first×last attribution matrix — the report that shows how much
+    // credit moves when the model changes. The per-purchase touches
+    // come from an api.Folds ordered fold (one user-keyed shuffle +
+    // secondary sort, two words of per-user state — the one-pass
+    // shape sz_sessionize set); the ignore-nulls window form is kept
+    // as [[attributionWindowed]] and parity-pinned in EventFoldSpec.
+    // The matrix aggregate is category-scale.
+    "ev_attribution" -> ((s, dir) =>
+      attributionTouches(Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"), col("event_type")))
         .groupBy(
           coalesce(col("first_touch"), lit("none")).as("first_touch"),
           coalesce(col("last_touch"), lit("none")).as("last_touch"))
         .agg(count(lit(1)).as("n_purchases"))
-        .orderBy("first_touch", "last_touch")
-    }),
+        .orderBy("first_touch", "last_touch")),
 
     // AUDIENCE OVERLAP matrix — for every pair of event types, how
     // many users did both (the segment-intersection report behind
@@ -111,10 +104,14 @@ object EventAnalytics {
     // event stream (total-ordered by ts, event_id) contributes its
     // consecutive type triples, and the report ranks triples by
     // support (distinct users exhibiting the pattern — the standard
-    // sequence-mining support, robust to one user looping). Two lags
-    // over one user-keyed window shuffle, a (user, triple) dedup, a
-    // triple-keyed count, and a TakeOrdered top-15 — no self-joins,
-    // no pattern enumeration beyond what the data contains.
+    // sequence-mining support, robust to one user looping). The
+    // triples come from an api.Folds ordered fold (one user-keyed
+    // shuffle + secondary sort, two words of per-user state — no
+    // window pass), then a (user, triple) dedup, a triple-keyed
+    // count, and a TakeOrdered top-15 — no self-joins, no pattern
+    // enumeration beyond what the data contains. The two-lag window
+    // form is kept as [[seqPatternsWindowed]] and parity-pinned in
+    // EventFoldSpec.
     "ev_seq_patterns" -> ((s, dir) =>
       seqPatternsOf(Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
@@ -310,9 +307,35 @@ object EventAnalytics {
 
   /** Top-k consecutive type triples by distinct-user support over a
     * (user_id, event_id, event_type, us) frame — the helper behind
-    * ev_seq_patterns. (us, event_id) must totally order each user's
-    * stream. */
+    * ev_seq_patterns and api.Events.sequencePatterns. (us, event_id)
+    * must totally order each user's stream. The triples come from an
+    * ordered fold whose state is the last two labels. */
   private[graft] def seqPatternsOf(ev: DataFrame, k: Int): DataFrame = {
+    final class Last2 { var n = 0; var a: String = _; var b: String = _ }
+    graft.api.Folds.flatFoldOrdered(
+      ev.toDF("user_id", "event_id", "event_type", "us"),
+      keyCols = Seq("user_id"), orderCols = Seq("us", "event_id"),
+      out = new org.apache.spark.sql.types.StructType()
+        .add("e1", org.apache.spark.sql.types.StringType)
+        .add("e2", org.apache.spark.sql.types.StringType)
+        .add("e3", org.apache.spark.sql.types.StringType))(
+      () => new Last2)(
+      (st, r) => {
+        val t = r.getString(2)
+        val out = if (st.n >= 2) (st.a :: st.b :: t :: Nil) :: Nil else Nil
+        st.a = st.b; st.b = t; if (st.n < 2) st.n += 1
+        out
+      })(
+      _ => Nil)
+      .distinct()
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
+  /** the two-lag window formulation of seqPatternsOf — the reference
+    * implementation EventFoldSpec pins the fold against. */
+  private[graft] def seqPatternsWindowed(ev: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("us", "event_id")
     ev.toDF("user_id", "event_id", "event_type", "us")
@@ -325,6 +348,55 @@ object EventAnalytics {
       .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("e1"), col("e2"), col("e3"))
       .limit(k)
+  }
+
+  /** per-purchase (first_touch, last_touch) rows over a (user_id, us,
+    * event_id, event_type) frame in (us, event_id) order — the fold
+    * behind ev_attribution; touches are the strictly-prior first/last
+    * non-purchase label (null when no prior touch exists). */
+  private final class Touch extends Serializable {
+    var first: String = _; var last: String = _
+  }
+  private[graft] def attributionTouches(ev: DataFrame): DataFrame =
+    graft.api.Folds.flatFoldOrdered(
+      ev.toDF("user_id", "us", "event_id", "event_type"),
+      keyCols = Seq("user_id"), orderCols = Seq("us", "event_id"),
+      out = new org.apache.spark.sql.types.StructType()
+        .add("first_touch", org.apache.spark.sql.types.StringType)
+        .add("last_touch", org.apache.spark.sql.types.StringType))(
+      () => new Touch)(
+      (st, r) => {
+        val t = r.getString(3)
+        if (t == "purchase") (st.first :: st.last :: Nil) :: Nil
+        else {
+          if (st.first == null) st.first = t
+          st.last = t
+          Nil
+        }
+      })(
+      _ => Nil)
+
+  /** the ignore-nulls window formulation of ev_attribution — the
+    * reference implementation EventFoldSpec pins the fold against. */
+  private[graft] def attributionWindowed(s: SparkSession,
+                                         dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Long.MinValue, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("first_touch",
+        first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch",
+        last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(
+        coalesce(col("first_touch"), lit("none")).as("first_touch"),
+        coalesce(col("last_touch"), lit("none")).as("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy("first_touch", "last_touch")
   }
 
   val oracles: Map[String, String] = Map(

@@ -63,11 +63,39 @@ class EventFoldSpec extends SparkSpec {
     assert(rows.size == 101)
   }
 
+  test("ev_transitions fold equals the lead-window formulation") {
+    val fold = operators.Affinity.queries("ev_transitions")(spark, sf)
+      .collect()
+    val win = operators.Affinity.transitionsWindowed(spark, sf).collect()
+    assert(fold.length == win.length && fold.length > 0)
+    fold.zip(win).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("ev_seq_patterns fold equals the two-lag window formulation") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val fold = operators.EventAnalytics.seqPatternsOf(ev, 15).collect()
+    val win = operators.EventAnalytics.seqPatternsWindowed(ev, 15).collect()
+    assert(fold.length == win.length && fold.length > 0)
+    fold.zip(win).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("ev_attribution fold equals the ignore-nulls window formulation") {
+    val fold = operators.EventAnalytics.queries("ev_attribution")(spark, sf)
+      .collect()
+    val win = operators.EventAnalytics.attributionWindowed(spark, sf)
+      .collect()
+    assert(fold.length == win.length && fold.length > 0)
+    fold.zip(win).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("fold clients keep Window and collect_list out of their plans") {
     // the scale contract of the migrations: one keyed shuffle + sort +
     // object fold — no window pass, no per-entity array buffer
     for (q <- Seq("sz_sessionize", "ev_inactivity_gaps",
-      "ev_match_recognize", "t10_cep_twin")) {
+      "ev_match_recognize", "t10_cep_twin",
+      "ev_transitions", "ev_seq_patterns", "ev_attribution")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.optimizedPlan.toString
       assert(!plan.contains("collect_list"), s"$q buffers a trace:\n$plan")
