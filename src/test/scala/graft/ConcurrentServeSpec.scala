@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.concurrent.duration._
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.Trigger
+
+/** Concurrent-query serving — the reference serves two Streamlit apps
+  * plus the streaming sink out of ONE warehouse session
+  * (1_recommendation_app.py / 2_unpaid_invoice_analysis.py /
+  * snowflake_sink_connector.json running simultaneously), so the
+  * engine must serve parallel clients from one SparkSession: results
+  * must equal their sequential runs, a Materialize artifact
+  * first-touched by two queries AT ONCE must build exactly once (no
+  * double-build, no deadlock — `tableOnce` holds the build inside
+  * `computeIfAbsent`'s mapping function), and a streaming drain must
+  * ride along untouched. Threads run under a FAIR scheduler with one
+  * pool per client (TestSpark sets spark.scheduler.mode=FAIR).
+  */
+class ConcurrentServeSpec extends SparkSpec {
+
+  test("tableOnce under thread contention builds exactly once, no deadlock") {
+    val s2 = spark.newSession()
+    val builds = new AtomicInteger(0)
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futs = (1 to 8).map { i =>
+      Future {
+        s2.sparkContext.setLocalProperty("spark.scheduler.pool", s"b$i")
+        sources.Materialize.tableOnce(s2, "conc", "graft_conc_probe") {
+          builds.incrementAndGet()
+          Thread.sleep(300) // widen the race window
+          s2.range(1000).toDF("id")
+        }.count()
+      }
+    }
+    val counts = Await.result(Future.sequence(futs), 180.seconds)
+    pool.shutdown()
+    assert(counts.toSet == Set(1000L))
+    assert(builds.get == 1, s"artifact built ${builds.get} times")
+  }
+
+  test("parallel registry queries + a streaming drain equal sequential runs") {
+    // sim_ivfpq_topk and sim_pq_topk FIRST-TOUCH the same Materialize
+    // artifact (ann_qvecs — identical build plans, one table); the
+    // others are ordinary relational/event clients
+    val names = Seq("sim_ivfpq_topk", "sim_pq_topk", "a2_agg_having",
+      "ev_match_recognize", "sz_sessionize", "u1_union_counts")
+
+    // sequential baseline on a FRESH session (fresh Materialize guard
+    // map, so the parallel session below is also first-touch)
+    val sSeq = spark.newSession()
+    val expected: Map[String, Array[Row]] =
+      names.map(n => n -> SparkEntry.queries(n)(sSeq, sf).collect()).toMap
+
+    // streaming drain fixture + its batch twin
+    val base = Files.createTempDirectory("graft_serve")
+    val src = Files.createDirectory(base.resolve("src"))
+    val lines = (1 to 60).map { i =>
+      s"""{"event_id":$i,"user_id":${i % 7},"event_type":"view",""" +
+        f""""value":1.0,"ts_str":"2024-01-01 ${i % 24}%02d:00:00.000000",""" +
+        s""""props":"{}"}"""
+    }
+    Files.write(src.resolve("a.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val expectStream = streaming.StreamingIngest
+      .parse(spark.read.text(src.toString).toDF("value"))
+      .orderBy("event_id").collect()
+
+    val sPar = spark.newSession()
+    val pool = Executors.newFixedThreadPool(names.size + 1)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val queryFuts = names.zipWithIndex.map { case (n, i) =>
+      Future {
+        sPar.sparkContext.setLocalProperty("spark.scheduler.pool", s"q$i")
+        n -> SparkEntry.queries(n)(sPar, sf).collect()
+      }
+    }
+    val streamFut = Future {
+      sPar.sparkContext.setLocalProperty("spark.scheduler.pool", "stream")
+      val out = base.resolve("out").toString
+      val q = sPar.readStream.text(src.toString)
+        .transform(df => streaming.StreamingIngest.parse(df))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", base.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      sPar.read.parquet(out).orderBy("event_id").collect()
+    }
+    val got = Await.result(Future.sequence(queryFuts), 600.seconds).toMap
+    val streamed = Await.result(streamFut, 600.seconds)
+    pool.shutdown()
+
+    names.foreach { n =>
+      val (a, b) = (got(n), expected(n))
+      assert(a.length == b.length, s"$n: ${a.length} != ${b.length} rows")
+      a.zip(b).foreach { case (x, y) => assert(x == y, s"$n: $x != $y") }
+    }
+    assert(streamed.length == expectStream.length && streamed.nonEmpty)
+    streamed.zip(expectStream).foreach { case (x, y) => assert(x == y) }
+  }
+}

@@ -11,6 +11,10 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
+      // FAIR job scheduling: concurrent-serving suites give each client
+      // thread its own pool (sequential suites are unaffected — mode
+      // only matters when jobs overlap)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
