@@ -37,6 +37,49 @@ object Corpus {
                    textCol: String = "text"): DataFrame =
     Dedup.minhashPairsOf(normalized(docs, idCol, textCol))
 
+  /** The (bands, rowsPerBand) banding of the 9-hash signature whose
+    * LSH S-curve threshold sits nearest `targetJaccard` — closing the
+    * loop on the MEASURED S-curve table (`dd_lsh_tuning` evaluates all
+    * three divisor bandings' candidate/verified volumes on real data;
+    * this picks from the same menu analytically). The candidate
+    * probability at similarity s is P(s) = 1 − (1 − s^r)^b, and the
+    * chosen banding minimizes |s₀.₅ − target| where
+    * s₀.₅ = (1 − 0.5^(1/b))^(1/r) is the curve's midpoint:
+    * 9×1 → s₀.₅ ≈ 0.074 (catch-everything recall),
+    * 3×3 → s₀.₅ ≈ 0.590 (the production near-dup point),
+    * 1×9 → s₀.₅ ≈ 0.926 (near-exact only). */
+  def lshBandingFor(targetJaccard: Double): (Int, Int) = {
+    require(targetJaccard > 0 && targetJaccard < 1,
+      s"targetJaccard must be in (0,1), got $targetJaccard")
+    Seq(9, 3, 1).map { b =>
+      val r = 9 / b
+      val mid = math.pow(1 - math.pow(0.5, 1.0 / b), 1.0 / r)
+      (b, r, math.abs(mid - targetJaccard))
+    }.minBy(_._3) match { case (b, r, _) => (b, r) }
+  }
+
+  /** Near-duplicate pairs at a caller-chosen similarity target: the
+    * banding comes from [[lshBandingFor]] and verification keeps pairs
+    * whose signature agreement estimates J ≥ target (n_match ≥
+    * ⌈9·target⌉ of 9). Expected error budget, from the S-curve
+    * P(s) = 1 − (1 − s^r)^b at the chosen (b, r): a TRUE pair at
+    * similarity exactly `target` is missed by the candidate stage with
+    * probability 1 − P(target) (e.g. 3×3 at target 0.65: P ≈ 0.61, so
+    * ≈ 39% of borderline pairs miss — falling fast to ≈ 4% at s=0.9);
+    * candidate-stage FALSE POSITIVES cost only verification work —
+    * the agreement filter removes them exactly, so they never reach
+    * the output. At target ≈ 2/3 this is BY CONSTRUCTION the same
+    * (3 bands × 3 rows, ≥6/9) plan as [[nearDupPairs]] — parity-pinned
+    * in DedupSpec. */
+  def nearDedup(docs: DataFrame, targetJaccard: Double,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val (b, _) = lshBandingFor(targetJaccard)
+    val minAgree = math.ceil(9 * targetJaccard).toInt
+    Dedup.minhashScoredUnder(normalized(docs, idCol, textCol), b)
+      .filter(col("n_match") >= minAgree)
+  }
+
   /** Connected components over the near-dup pair graph: one row per
     * document in a duplicate family, labeled by the family's minimum
     * id. Documents with no near-dup are absent (singleton = itself). */

@@ -106,10 +106,20 @@ object Dedup {
   /** Banded signature table (doc_id, h1..hK, band, bv) — the structure
     * a production corpus keeps MATERIALIZED so that pairing (full or
     * incremental) starts from a bucket probe, not a corpus re-shingle. */
-  private[graft] def bandedSignaturesOf(docs: DataFrame): DataFrame = {
+  private[graft] def bandedSignaturesOf(docs: DataFrame): DataFrame =
+    bandedSignaturesUnder(docs, BANDS)
+
+  /** bandedSignaturesOf under an explicit banding: `nb` bands of
+    * 9/nb rows each (nb must divide K=9 — the three divisor bandings
+    * are exactly what dd_lsh_tuning measures). The production BANDS=3
+    * call compiles the identical plan it always did. */
+  private[graft] def bandedSignaturesUnder(docs: DataFrame,
+                                           nb: Int): DataFrame = {
+    require(K % nb == 0, s"bands=$nb must divide K=$K")
+    val r = K / nb
     val mh = minhashesOf(docs).cache()
-    val bandArr = array((0 until BANDS).map { b =>
-      val cs = (1 to 3).map(i => col(s"h${b * 3 + i}"))
+    val bandArr = array((0 until nb).map { b =>
+      val cs = (1 to r).map(i => col(s"h${b * r + i}"))
       struct(lit(b + 1).as("band"),
         md5(concat(cs: _*).cast("binary")).as("bv"))
     }: _*)
@@ -122,8 +132,15 @@ object Dedup {
   private[graft] def bandedSignatures(s: SparkSession, dir: String): DataFrame =
     bandedSignaturesOf(Tables(s, dir, "documents"))
 
-  private[graft] def minhashScoredOf(docs: DataFrame): DataFrame = {
-    val bands = bandedSignaturesOf(docs)
+  private[graft] def minhashScoredOf(docs: DataFrame): DataFrame =
+    minhashScoredUnder(docs, BANDS)
+
+  /** minhashScoredOf under an explicit banding (see
+    * bandedSignaturesUnder) — the hook api.Corpus.nearDedup's S-curve
+    * chooser drives; BANDS=3 keeps the production plan byte-identical. */
+  private[graft] def minhashScoredUnder(docs: DataFrame,
+                                        nb: Int): DataFrame = {
+    val bands = bandedSignaturesUnder(docs, nb)
     val a = bands.toDF("id1" +: (1 to K).map(i => s"a$i") :+ "band" :+ "bv": _*)
     val b = bands.toDF("id2" +: (1 to K).map(i => s"b$i") :+ "band" :+ "bv": _*)
     val nMatch = (1 to K).map(i =>

@@ -19,6 +19,27 @@ class ApiSpec extends SparkSpec {
     assert(api === query)
   }
 
+  test("nearDedup chooses the banding from the S-curve and matches " +
+    "the explicit-banding path at the production target") {
+    // the analytic chooser lands on the three measured dd_lsh_tuning
+    // bandings at their curve midpoints
+    assert(Corpus.lshBandingFor(0.08) == ((9, 1)))
+    assert(Corpus.lshBandingFor(0.65) == ((3, 3)))
+    assert(Corpus.lshBandingFor(0.95) == ((1, 9)))
+    // target 2/3 → 3 bands × 3 rows, agreement ≥ 6/9: BY CONSTRUCTION
+    // the nearDupPairs plan — row-for-row parity
+    val auto = Corpus.nearDedup(renamedDocs, 2.0 / 3, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val explicit = Corpus.nearDupPairs(renamedDocs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(auto === explicit && auto.nonEmpty)
+    // a near-exact target keeps only the higher-agreement subset
+    val strict = Corpus.nearDedup(renamedDocs, 0.95, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(strict.subsetOf(auto))
+    assert(strict.forall(_._3 >= 9))
+  }
+
   test("facade clusters equal the dd_cluster query") {
     val api = Corpus.nearDupClusters(renamedDocs, "id", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
