@@ -313,6 +313,25 @@ object Soak {
       time(SparkEntry.queries("dd_dup_spans")(spark, dir).count())
     spark.catalog.clearCache()
     println(f"""{"corpus":"$tag","query":"dd_dup_spans","rows":$spanRows,"time_s":$tSpan%.2f,"gram_occurrences":$totalGramOcc,"dup_distinct_grams":$dupDistinct}""")
+    // shard-export round-trip at scale: WRITE one file set per shard,
+    // recompute the manifest from the files, pin it against the
+    // tr_shard_manifest ledger (the ShardExportSpec law, measured here
+    // so the write path itself carries a scale point)
+    locally {
+      val shardOut = s"/tmp/graft_soak/shard_export_$tag"
+      val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      val (nDocs, tW) = time {
+        operators.CorpusPrep.exportShards(docs, shardOut)
+        spark.read.parquet(shardOut).count()
+      }
+      val ledger = SparkEntry.queries("tr_shard_manifest")(spark, dir)
+        .collect().toSeq
+      val fromFiles = operators.CorpusPrep
+        .manifestOfExport(spark, shardOut).collect().toSeq
+      val ok = ledger == fromFiles
+      spark.catalog.clearCache()
+      println(f"""{"corpus":"$tag","query":"tr_shard_export","rows":$nDocs,"time_s":$tW%.2f,"shards":${fromFiles.size},"manifest_match":$ok}""")
+    }
     // rest of the corpus-quality family + featurizer: linear-path
     // timings (each is tokenize/hash-agg/broadcast-join shaped; the
     // soak checks times scale with rows, not quadratically)

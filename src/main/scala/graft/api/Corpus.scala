@@ -175,6 +175,18 @@ object Corpus {
       .select(col("doc_id").as(idCol), col("text").as(textCol),
         col("shard_id"), col("pos"))
 
+  /** Write the sharded corpus as one parquet file set per shard
+    * (`outDir/shard_id=K/…`), each row carrying its md5 key and replay
+    * position — the export a trainer's loader mounts. Verify the
+    * round-trip by comparing `tr_shard_manifest` against the manifest
+    * recomputed from the files (ShardExportSpec pins equality, plus
+    * zero key-to-shard strays on the files). */
+  def exportShards(docs: DataFrame, outDir: String,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   nshards: Int = 16): Unit =
+    graft.operators.CorpusPrep.exportShards(
+      normalized(docs, idCol, textCol), outDir, nshards)
+
   /** Dense 0..n−1 ids in `idCol` order, without a global-sort task:
     * bucketed local ranks + a broadcast offset join — equals
     * row_number() OVER (ORDER BY id) − 1 exactly. Returns the input

@@ -112,6 +112,36 @@ object CorpusPrep {
         org.apache.spark.sql.expressions.Window
           .partitionBy("shard_id").orderBy("h")))
 
+  /** Export the sharded corpus as ONE FILE SET PER SHARD — the layout
+    * a trainer's data loader mounts: `outDir/shard_id=K/…` via
+    * partitionBy, so shard K's replay order (`pos`, from shardOf's
+    * md5 ordering) and key column `h` travel with its files. One hash
+    * shuffle + one write; no global sort, any corpus size. */
+  private[graft] def exportShards(docs: DataFrame, outDir: String,
+                                  nshards: Int = NSHARDS): Unit =
+    shardOf(docs, nshards)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+
+  /** The manifest RECOMPUTED FROM THE EXPORTED FILES — the round-trip
+    * check against the oracle-checked `tr_shard_manifest` aggregate
+    * (counts, token/char volumes, the sum-of-doc_ids checksum, the
+    * replay head): equality proves the written file set carries
+    * exactly the assignment the ledger promised. ShardExportSpec also
+    * re-derives each row's shard from its md5 key ON THE FILES and
+    * pins zero strays. */
+  private[graft] def manifestOfExport(s: SparkSession,
+                                      outDir: String): DataFrame =
+    s.read.parquet(outDir)
+      .withColumn("ntok", size(split(col("text"), " ")))
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok").cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(col("doc_id")).as("sum_doc_id"),
+        max(when(col("pos") === 1, col("doc_id"))).as("first_doc"))
+      .orderBy("shard_id")
+
   /** range width of one dense-id bucket (≈ rows per local-sort task) */
   private[graft] val IDBUCKET = 512
 
