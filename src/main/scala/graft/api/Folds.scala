@@ -18,11 +18,15 @@ import org.apache.spark.sql.types.StructType
   *
   * Clients: MATCH_RECOGNIZE / CEP match counting (the
   * functions.RowPattern machine — `ev_match_recognize`,
-  * `t10_cep_twin`, api.Events.matchPattern) and gap sessionization
-  * (`sz_sessionize`), both oracle-checked; the same fold shape fits
-  * funnels, attribution and transition models. The streaming twin of
-  * this primitive is `flatMapGroupsWithState` (streaming/CepMatcher)
-  * — same key shuffle, same per-entity state, checkpointed.
+  * `t10_cep_twin`, api.Events.matchPattern), gap sessionization
+  * (`sz_sessionize`), inactivity gaps, attribution
+  * (`ev_attribution`), Markov transitions (`ev_transitions`) and
+  * sequence trigrams (`ev_seq_patterns`) — all oracle-checked, each
+  * parity-pinned against the window form it replaced (EventFoldSpec).
+  * The streaming twin of this primitive is `flatMapGroupsWithState`
+  * (streaming/CepPattern carries the RowPattern machine itself;
+  * streaming/CepMatcher is the funnel DFA) — same key shuffle, same
+  * per-entity state, checkpointed.
   *
   * Key and order columns are arbitrary (keys ride through as opaque
   * Rows, so any key type works and survives to the output unchanged);

@@ -8,8 +8,10 @@ import graft.functions.RowPattern
   * regexp_extract_all run. Checked three ways: exhaustively over every
   * short trace for a battery of adversarial patterns (the commit-
   * c904004 method), randomized over long traces and machine-generated
-  * patterns, and the bounded-rewind claim the 100 TB story rests on is
-  * pinned for the funnel pattern family.
+  * patterns, and the bounded-state claims the 100 TB story rests on
+  * (speculation-chain depth; compile-time terminator-disjointness) are
+  * pinned for the funnel family, for `v.*p`, and for the degenerate
+  * loop-alternation class (loud cap).
   */
 class RowPatternSpec extends AnyFunSuite {
 
@@ -30,7 +32,8 @@ class RowPatternSpec extends AnyFunSuite {
   // patterns chosen to stress every semantic corner: greedy/lazy
   // loops, alternation priority (leftmost-FIRST, not longest), empty
   // matches and the find() bump, match override by a longer-lived
-  // higher-priority attempt (the rewind path), classes and negation
+  // higher-priority attempt (the speculative-resumption path), classes
+  // and negation
   private val patterns = Seq(
     "v[co]*p", "v[co]*?p", "vp", "p", "v", "v.*p", "v.?p",
     "a", "a*", "a+", "a?", "a*?", "a+?", "a??",
