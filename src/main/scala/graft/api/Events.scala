@@ -60,4 +60,25 @@ object Events {
     graft.operators.EventAnalytics.matchCountsOf(
       events.select(col(idCol), col(orderCol), col(tieCol),
         col(codeCol)), pattern, depthCap)
+
+  /** Streaming twin of [[matchPattern]]: the SAME machine carried as
+    * checkpointed per-key state through flatMapGroupsWithState
+    * (streaming/CepPattern — restart-twin-pinned against the batch
+    * fold in CepPatternSpec). `parsed` is a streaming frame with
+    * (user_id, event_id, ts TIMESTAMP, event_type) — the
+    * StreamingIngest.parse shape; `codeExpr` is any SQL expression
+    * over those columns yielding the per-event code char(s), default
+    * the funnel mapping. Each micro-batch emits, per key seen, the
+    * match count as if the stream ended there (equal to the batch
+    * fold at quiescence, for any pattern). Memory contract as
+    * [[matchPattern]]. */
+  def matchPatternStream(spark: org.apache.spark.sql.SparkSession,
+                         parsed: DataFrame, pattern: String,
+                         depthCap: Int = 4096,
+                         codeExpr: String =
+                           graft.streaming.CepPattern.funnelCode)
+      : org.apache.spark.sql.Dataset[
+        graft.streaming.CepMatcher.CepUpdate] =
+    graft.streaming.CepPattern.matches(
+      spark, parsed, pattern, depthCap, codeExpr)
 }

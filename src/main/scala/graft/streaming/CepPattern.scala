@@ -35,12 +35,21 @@ import graft.streaming.CepMatcher.{CepEvent, CepUpdate}
   */
 object CepPattern {
 
+  /** The standard funnel code mapping (view→v, click→c, purchase→p,
+    * else o) — the default `codeExpr`; callers with their own alphabet
+    * pass any SQL expression over the parsed columns that yields one
+    * code char (or a multi-char code string, fed char by char). */
+  val funnelCode: String =
+    """CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |WHEN 'purchase' THEN 'p' ELSE 'o' END""".stripMargin
+
   /** Wire the matcher over a parsed stream (StreamingIngest.parse
     * output) — or a batch frame with the same columns, where the fold
     * sees each key's whole history at once. Append + NoTimeout: the
     * machine lives for the query. */
   def matches(spark: SparkSession, parsed: DataFrame, pattern: String,
-              depthCap: Int = 4096): Dataset[CepUpdate] = {
+              depthCap: Int = 4096,
+              codeExpr: String = funnelCode): Dataset[CepUpdate] = {
     val prog = RowPattern.compile(pattern)
     implicit val stateEnc: Encoder[RowPattern.MatchCounter] =
       Encoders.javaSerialization[RowPattern.MatchCounter]
@@ -60,8 +69,7 @@ object CepPattern {
 
     parsed
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
-        """CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
-          |WHEN 'purchase' THEN 'p' ELSE 'o' END AS code""".stripMargin)
+        s"($codeExpr) AS code")
       .as[CepEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,

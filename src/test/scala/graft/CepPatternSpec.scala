@@ -90,6 +90,26 @@ class CepPatternSpec extends SparkSpec {
     }
   }
 
+  test("facade matchPatternStream + custom codeExpr equals the batch fold") {
+    import spark.implicits._
+    // batch frame through the same wiring (the fold sees whole
+    // histories at once) with a caller alphabet: first letter of the
+    // event type — pattern v+p over it
+    val parsed = (chunk1 ++ chunk2)
+      .toDF("event_id", "user_id", "tpe", "hour")
+      .selectExpr("user_id", "event_id",
+        "to_timestamp(printf('2024-01-01 %02d:00:00', hour)) AS ts",
+        "tpe AS event_type")
+    val got = api.Events.matchPatternStream(spark, parsed, "v+p",
+        codeExpr = "substring(event_type, 1, 1)")
+      .collect().map(u => u.user_id -> u.n_matches).toMap
+    val coded = parsed.selectExpr("user_id", "unix_micros(ts) AS us",
+      "event_id", "substring(event_type, 1, 1) AS code")
+    val want = operators.EventAnalytics.matchCountsOf(coded, "v+p")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want && want.values.sum > 0)
+  }
+
   test("the spanning match is absent before the second chunk") {
     val base = Files.createTempDirectory("graft_cepspan")
     val src = Files.createDirectory(base.resolve("src"))
