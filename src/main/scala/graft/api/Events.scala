@@ -61,6 +61,26 @@ object Events {
       events.select(col(idCol), col(orderCol), col(tieCol),
         col(codeCol)), pattern, depthCap)
 
+  /** MATCH_RECOGNIZE **ONE ROW PER MATCH**: every match of `pattern`
+    * in the entity's ordered code stream as its own row —
+    * (idCol, start_us, start_event_id, end_us, end_event_id), where
+    * start is the match's first event and end its last. Same
+    * one-shuffle ordered fold as [[matchPattern]]; delegates to the
+    * path behind the oracle-checked `ev_match_spans`. Span mode
+    * requires a TERMINATOR-DISJOINT pattern (loud failure otherwise:
+    * speculative span buffers are only bounded under that contract)
+    * and exactly one code char per event; `orderCol` must be an
+    * epoch-micros LONG column here (it is emitted back in the span
+    * rows). */
+  def matchSpans(events: DataFrame, pattern: String,
+                 idCol: String = "user_id",
+                 tieCol: String = "event_id",
+                 codeCol: String = "code",
+                 orderCol: String = "us"): DataFrame =
+    graft.operators.EventAnalytics.matchSpansOf(
+      events.select(col(idCol), col(orderCol), col(tieCol),
+        col(codeCol)), pattern)
+
   /** Streaming twin of [[matchPattern]]: the SAME machine carried as
     * checkpointed per-key state through flatMapGroupsWithState
     * (streaming/CepPattern — restart-twin-pinned against the batch

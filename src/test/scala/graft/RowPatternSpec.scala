@@ -224,6 +224,58 @@ class RowPatternSpec extends AnyFunSuite {
       javaCount("(a[^b]*b|c)", "acac" * 20 + "b"))
   }
 
+  private def javaSpans(pattern: String, s: String): List[(Long, Long)] = {
+    val m = java.util.regex.Pattern.compile(pattern).matcher(s)
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    while (m.find()) out += ((m.start.toLong, m.end.toLong))
+    out.toList
+  }
+
+  private def machineSpans(pattern: String, s: String): List[(Long, Long)] = {
+    val m = new RowPattern.MatchCounter(RowPattern.compile(pattern),
+      trackSpans = true)
+    m.feedAll(s)
+    m.finish()
+    m.drainSpans()
+  }
+
+  test("ONE ROW PER MATCH: spans equal java Matcher start/end " +
+    "(exhaustive + randomized, disjoint patterns)") {
+    val disjoint = patterns.filter(p =>
+      try RowPattern.terminatorDisjoint(RowPattern.compile(p))
+      catch { case _: IllegalArgumentException => false })
+    assert(disjoint.size >= 5, s"battery too small: $disjoint")
+    // exhaustive over the funnel alphabet
+    for (p <- Seq("v[co]*p", "v(c|o)*p", "vp", "[^p]*p"); len <- 0 to 6) {
+      val alpha = "vcpo"
+      var i = 0
+      val total = math.pow(alpha.length, len).toInt
+      while (i < total) {
+        val sb = new StringBuilder
+        var x = i
+        for (_ <- 0 until len) { sb += alpha(x % alpha.length); x /= alpha.length }
+        val s = sb.toString
+        assert(machineSpans(p, s) == javaSpans(p, s), s"'$p' on '$s'")
+        i += 1
+      }
+    }
+    // randomized long traces over the whole disjoint battery
+    val rnd = new scala.util.Random(20260915L)
+    for (p <- disjoint; _ <- 1 to 40) {
+      val alpha = if (p.exists("vcpo".contains(_))) "vcpo" else "abxc"
+      val s = Array.fill(rnd.nextInt(400))(
+        alpha(rnd.nextInt(alpha.length))).mkString
+      assert(machineSpans(p, s) == javaSpans(p, s), s"'$p' on '$s'")
+    }
+  }
+
+  test("span mode refuses non-terminator-disjoint patterns loudly") {
+    val e = intercept[IllegalArgumentException](
+      new RowPattern.MatchCounter(RowPattern.compile("v.*p"),
+        trackSpans = true))
+    assert(e.getMessage.contains("terminator-disjoint"))
+  }
+
   test("hand-traced counts") {
     assert(RowPattern.countMatches("v[co]*p", "vcpvcocp") == 2L)
     assert(RowPattern.countMatches("v[co]*p", "vvvp") == 1L)
