@@ -1,7 +1,8 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{DateType, TimestampType}
 
 /** Public library facade for behavioral event analytics over ARBITRARY
   * caller DataFrames, delegating to the paths behind the
@@ -50,7 +51,11 @@ object Events {
     * bounded by `depthCap` unresolved speculative scans and FAIL
     * LOUDLY past it — reachable only for the degenerate
     * loop-alternation class where leftmost semantics genuinely need
-    * trace-proportional state (see the RowPattern object doc). */
+    * trace-proportional state (see the RowPattern object doc).
+    *
+    * `orderCol` may be a TIMESTAMP or an epoch-micros LONG — both
+    * facades normalize to micros internally, so a caller moving
+    * between [[matchPattern]] and [[matchSpans]] never converts. */
   def matchPattern(events: DataFrame, pattern: String,
                    idCol: String = "user_id",
                    tieCol: String = "event_id",
@@ -58,8 +63,21 @@ object Events {
                    orderCol: String = "ts",
                    depthCap: Int = 4096): DataFrame =
     graft.operators.EventAnalytics.matchCountsOf(
-      events.select(col(idCol), col(orderCol), col(tieCol),
-        col(codeCol)), pattern, depthCap)
+      events.select(col(idCol), orderMicros(events, orderCol),
+        col(tieCol), col(codeCol)), pattern, depthCap)
+
+  /** Normalize the ordering column to epoch-micros: TIMESTAMP (and
+    * DATE, via an implicit midnight cast) go through unix_micros; an
+    * integral column passes through as-is. One rule for matchPattern
+    * AND matchSpans — the round-9 ts-vs-us facade asymmetry removed. */
+  private def orderMicros(events: DataFrame, orderCol: String): Column = {
+    val c = events.schema(orderCol).dataType match {
+      case TimestampType => unix_micros(col(orderCol))
+      case DateType => unix_micros(col(orderCol).cast(TimestampType))
+      case _ => col(orderCol).cast("long")
+    }
+    c.as(orderCol)
+  }
 
   /** MATCH_RECOGNIZE **ONE ROW PER MATCH**: every match of `pattern`
     * in the entity's ordered code stream as its own row —
@@ -69,17 +87,61 @@ object Events {
     * path behind the oracle-checked `ev_match_spans`. Span mode
     * requires a TERMINATOR-DISJOINT pattern (loud failure otherwise:
     * speculative span buffers are only bounded under that contract)
-    * and exactly one code char per event; `orderCol` must be an
-    * epoch-micros LONG column here (it is emitted back in the span
-    * rows). */
+    * and exactly one code char per event; `orderCol` may be a
+    * TIMESTAMP or an epoch-micros LONG — either way the span rows
+    * carry epoch-micros back (start_us/end_us). */
   def matchSpans(events: DataFrame, pattern: String,
                  idCol: String = "user_id",
                  tieCol: String = "event_id",
                  codeCol: String = "code",
                  orderCol: String = "us"): DataFrame =
     graft.operators.EventAnalytics.matchSpansOf(
-      events.select(col(idCol), col(orderCol), col(tieCol),
-        col(codeCol)), pattern)
+      events.select(col(idCol), orderMicros(events, orderCol),
+        col(tieCol), col(codeCol)), pattern)
+
+  /** MATCH_RECOGNIZE **ALL ROWS PER MATCH** — the third SQL:2016
+    * output mode: EVERY event of every match as its own row,
+    * (idCol, match_seq, ord_in_match, us, event_id, code), where
+    * match_seq numbers the entity's matches in start order and
+    * ord_in_match the events inside each match. Same one-shuffle
+    * ordered fold and the same terminator-disjoint + one-char-code
+    * contract as [[matchSpans]] (per-entity memory O(|pattern| +
+    * longest live match)); delegates to the path behind the
+    * oracle-checked `ev_match_rows`. Counts, spans, and rows are
+    * mutually consistent by construction — EventFoldSpec pins
+    * rows-per-match endpoints == matchSpans and distinct match_seq ==
+    * matchPattern counts. */
+  def matchRows(events: DataFrame, pattern: String,
+                idCol: String = "user_id",
+                tieCol: String = "event_id",
+                codeCol: String = "code",
+                orderCol: String = "us"): DataFrame =
+    graft.operators.EventAnalytics.matchRowsOf(
+      events.select(col(idCol), orderMicros(events, orderCol),
+        col(tieCol), col(codeCol)), pattern)
+
+  /** MATCH_RECOGNIZE with DEFINE-style NAVIGATION (PREV): real
+    * MATCH_RECOGNIZE classifies events by predicates over neighbors
+    * (`DEFINE U AS price > PREV(price)`), which a precomputed per-row
+    * code column cannot express. Here the code char is computed
+    * INSIDE the ordered fold by `classify(prev, cur)` — `prev` is the
+    * entity's previous event row in (orderCol, tieCol) order, or null
+    * on the entity's first event — and the match count per entity
+    * comes off the same speculation-chain machine as [[matchPattern]]
+    * (same memory contract; delegates to the path behind the
+    * oracle-checked `ev_updown_runs`). `classify` must be serializable
+    * (a plain function literal is); rows passed to it carry the
+    * caller's FULL row, so predicates can read any column. */
+  def matchPatternBy(events: DataFrame, pattern: String)
+                    (classify: (org.apache.spark.sql.Row,
+                      org.apache.spark.sql.Row) => Char,
+                     idCol: String = "user_id",
+                     tieCol: String = "event_id",
+                     orderCol: String = "ts",
+                     depthCap: Int = 4096): DataFrame =
+    graft.operators.EventAnalytics.matchCountsClassified(
+      events, pattern, Seq(idCol), Seq(orderCol, tieCol),
+      depthCap)(classify)
 
   /** Streaming twin of [[matchPattern]]: the SAME machine carried as
     * checkpointed per-key state through flatMapGroupsWithState
@@ -88,17 +150,30 @@ object Events {
     * (user_id, event_id, ts TIMESTAMP, event_type) — the
     * StreamingIngest.parse shape; `codeExpr` is any SQL expression
     * over those columns yielding the per-event code char(s), default
-    * the funnel mapping. Each micro-batch emits, per key seen, the
-    * match count as if the stream ended there (equal to the batch
-    * fold at quiescence, for any pattern). Memory contract as
-    * [[matchPattern]]. */
+    * the funnel mapping. Each micro-batch emits, per key WHOSE RESULT
+    * CHANGED, the match count as if the stream ended there (equal to
+    * the batch fold at quiescence, for any pattern) plus the running
+    * late-drop counter. Memory contract as [[matchPattern]].
+    *
+    * ORDERING CONTRACT (guarded — see streaming/CepPattern): matches
+    * are defined over each key's (ts, event_id) event-time order.
+    * Disorder up to `allowedLatenessUs` is absorbed exactly by a
+    * watermark-bounded per-key reorder buffer (a keyed Kafka topic
+    * needs 0; declare the real delay for a union/repartitioned
+    * source). An event later than that is NEVER silently fed:
+    * `onLate="fail"` (default) kills the query with the contract in
+    * the message; `onLate="drop"` skips it and surfaces the count in
+    * the emitted `n_late_dropped`. */
   def matchPatternStream(spark: org.apache.spark.sql.SparkSession,
                          parsed: DataFrame, pattern: String,
                          depthCap: Int = 4096,
                          codeExpr: String =
-                           graft.streaming.CepPattern.funnelCode)
+                           graft.streaming.CepPattern.funnelCode,
+                         allowedLatenessUs: Long = 0L,
+                         onLate: String = "fail")
       : org.apache.spark.sql.Dataset[
-        graft.streaming.CepMatcher.CepUpdate] =
+        graft.streaming.CepPattern.CepPatternUpdate] =
     graft.streaming.CepPattern.matches(
-      spark, parsed, pattern, depthCap, codeExpr)
+      spark, parsed, pattern, depthCap, codeExpr,
+      allowedLatenessUs, onLate)
 }

@@ -317,6 +317,24 @@ object RowPattern {
       prog(m).asInstanceOf[IChar], prog(i).asInstanceOf[IChar])))
   }
 
+  /** One speculative scan: live threads + at most one pending match
+    * + the matches confirmed UNDER THIS SCAN'S HYPOTHESIS (count,
+    * plus their spans when tracked). A machine spawns dormant at the
+    * position its predecessor's pending match resumes (always at or
+    * past the stream frontier — that is what makes the chain
+    * bufferless) and activates when the stream reaches it. Object-level
+    * (not nested in MatchCounter) so [[MatchCounter.snapshot]] can
+    * build a copy's machines with plain field copies. */
+  private final class Machine(val startPos: Long) extends Serializable {
+    var active = false
+    var threads: ArrayBuffer[Th] = ArrayBuffer.empty
+    var pending = false
+    var pendStart = 0L
+    var pendEnd = 0L
+    var count = 0L
+    var spans: ArrayBuffer[(Long, Long)] = _
+  }
+
   /** Counts `Matcher.find()` matches of a compiled pattern over a char
     * stream fed incrementally, as a chain of speculative Pike-VM scans
     * (see object doc). NOT thread-safe; one instance per entity.
@@ -339,22 +357,6 @@ object RowPattern {
       "span tracking needs a terminator-disjoint pattern: speculative " +
         "spans are only bounded when every pending match resolves " +
         "within |pattern| chars (use match COUNTING for this pattern)")
-
-    /** One speculative scan: live threads + at most one pending match
-      * + the matches confirmed UNDER THIS SCAN'S HYPOTHESIS (count,
-      * plus their spans when tracked). A machine spawns dormant at the
-      * position its predecessor's pending match resumes (always at or
-      * past the stream frontier — that is what makes the chain
-      * bufferless) and activates when the stream reaches it. */
-    private final class Machine(val startPos: Long) extends Serializable {
-      var active = false
-      var threads: ArrayBuffer[Th] = ArrayBuffer.empty
-      var pending = false
-      var pendStart = 0L
-      var pendEnd = 0L
-      var count = 0L
-      var spans: ArrayBuffer[(Long, Long)] = _
-    }
 
     // invariant: machines 0..k-1 are active with a pending match (and
     // strictly increasing record positions); the LAST machine has no
@@ -413,14 +415,24 @@ object RowPattern {
     }
 
     /** fold machine i's confirmed pending (and its speculative spans)
-      * into its successor — the shared body of normalize/finish. */
+      * into its successor — the shared body of normalize/finish. Span
+      * merge order: everything machine i carries (its inherited spans,
+      * then its own pending) happens strictly BEFORE any span the
+      * successor confirmed under its hypothesis (the successor's scan
+      * starts at machine i's resume point), so i's spans are PREPENDED
+      * — appending would emit spans out of start order whenever a
+      * mid-chain machine drained before its predecessor (unreachable
+      * at the funnel's depth ≤ 2, but ALL ROWS PER MATCH ordinals
+      * depend on emission order for deeper disjoint patterns). */
     private def absorb(i: Int): Unit = {
       val m = machines(i)
       val s = machines(i + 1)
       if (trackSpans) {
-        if (s.spans == null) s.spans = ArrayBuffer.empty
-        if (m.spans != null) s.spans ++= m.spans
-        s.spans += ((m.pendStart, m.pendEnd))
+        val merged =
+          if (m.spans != null) m.spans else ArrayBuffer.empty[(Long, Long)]
+        merged += ((m.pendStart, m.pendEnd))
+        if (s.spans != null) merged ++= s.spans
+        s.spans = merged
       }
       s.count += m.count + 1
       machines.remove(i)
@@ -549,20 +561,38 @@ object RowPattern {
       }
     }
 
-    /** The count if the stream ended HERE — [[finish]] run on a deep
-      * copy, so the live counter keeps accepting input. This is what a
-      * streaming emission reports each micro-batch
-      * (streaming/CepPattern): at quiescence it equals the batch
-      * fold's finished count for any pattern. Cost: one java
-      * serialization round-trip of O(depth×|prog|) state. */
-    def flushedCount: Long = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val oos = new java.io.ObjectOutputStream(bos)
-      oos.writeObject(this); oos.close()
-      val ois = new java.io.ObjectInputStream(
-        new java.io.ByteArrayInputStream(bos.toByteArray))
-      ois.readObject().asInstanceOf[MatchCounter].finish()
+    /** Structural deep copy — O(depth×|prog|) plain field copies (Th
+      * is immutable, so thread buffers clone shallowly). This is the
+      * mid-stream emission path; the java-serialization round-trip the
+      * old flushedCount paid per key per micro-batch is reserved for
+      * what actually needs it, the state-store checkpoint
+      * (streaming/CepPattern's encoder — RowPatternSpec pins the two
+      * copies equivalent). */
+    def snapshot(): MatchCounter = {
+      val c = new MatchCounter(prog, depthCap, trackSpans)
+      c.machines.clear()
+      machines.foreach { m =>
+        val n = new Machine(m.startPos)
+        n.active = m.active
+        n.threads = m.threads.clone()
+        n.pending = m.pending
+        n.pendStart = m.pendStart
+        n.pendEnd = m.pendEnd
+        n.count = m.count
+        if (m.spans != null) n.spans = m.spans.clone()
+        c.machines += n
+      }
+      c.fed = fed
+      c.maxDepth = maxDepth
+      c
     }
+
+    /** The count if the stream ended HERE — [[finish]] run on a
+      * [[snapshot]], so the live counter keeps accepting input. This
+      * is what a streaming emission reports each micro-batch
+      * (streaming/CepPattern): at quiescence it equals the batch
+      * fold's finished count for any pattern. */
+    def flushedCount: Long = snapshot().finish()
 
     /** End of this entity's stream: every live thread dies, each
       * machine's pending match (recorded at a real input position by

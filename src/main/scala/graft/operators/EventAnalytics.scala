@@ -170,6 +170,66 @@ object EventAnalytics {
           col("end_us"), col("end_event_id"))
         .orderBy("user_id", "start_us", "start_event_id")),
 
+    // MATCH_RECOGNIZE **ALL ROWS PER MATCH** — the third SQL:2016
+    // output mode: EVERY event of every `v[co]*p` match as its own
+    // row, labeled with the match's per-user ordinal (start order)
+    // and the event's position inside the match — the grain SQL:2016
+    // defines for per-event measures (RUNNING aggregates, CLASSIFIER).
+    // Engine: the ev_match_spans fold (same machine, same
+    // minLivePos-pruned ring), emitting the ring slice each span
+    // covers instead of its endpoints; match_seq order rests on the
+    // span machine's prepend-merge (spans confirm in start order for
+    // any disjoint pattern — EventFoldSpec pins counts/spans/rows
+    // mutually consistent). ORACLE: derived from the ev_match_spans
+    // closed form, NOT the engine — the window-lag span table joined
+    // back to the events in each span's (us, event_id) range, with
+    // row_number() producing both ordinals. Matched events are
+    // exactly the in-range events because the closed form puts no
+    // v/p strictly inside a span (every interior event is c/o, all
+    // consumed by the loop).
+    "ev_match_rows" -> ((s, dir) =>
+      matchRowsOf(funnelCoded(s, dir), "v[co]*p")
+        .select(col("user_id"), col("match_seq"), col("ord_in_match"),
+          col("us"), col("event_id"), col("code"))
+        .orderBy("user_id", "match_seq", "ord_in_match")),
+
+    // MATCH_RECOGNIZE with DEFINE NAVIGATION (PREV) — real
+    // MATCH_RECOGNIZE classifies rows by predicates over neighbors
+    // (`DEFINE U AS price > PREV(price)`), which no precomputed code
+    // column can express. Per customer, orders in (o_orderdate,
+    // o_orderkey) order classify U/D/e against the PREVIOUS order's
+    // total ('o' for the first order, whose PREV is null), and the
+    // machine counts `U+D` matches — rising runs that reverse — with
+    // the classifier running INSIDE the one-shuffle ordered fold
+    // (matchCountsClassified: machine + ONE held row per entity).
+    // ORACLE: an independent closed form via window lags, not a regex
+    // engine — leftmost/greedy U+D matches are EXACTLY the D-events
+    // whose predecessor classifies U (greedy U+ absorbs the whole
+    // rising run; a D ending it is one match; the next match's run
+    // restarts after it), so DuckDB counts pairs of adjacent
+    // classifier chars. Report: reversals-per-customer histogram.
+    "ev_updown_runs" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"))
+      val classify: (org.apache.spark.sql.Row,
+        org.apache.spark.sql.Row) => Char = (prev, cur) =>
+        if (prev == null) 'o'
+        else {
+          val p = prev.getDouble(3)
+          val c = cur.getDouble(3)
+          if (c > p) 'U' else if (c < p) 'D' else 'e'
+        }
+      matchCountsClassified(o, "U+D", Seq("o_custkey"),
+        Seq("o_orderdate", "o_orderkey"))(classify)
+        .withColumnRenamed("n_matches", "n_reversals")
+        .groupBy("n_reversals")
+        .agg(count(lit(1)).as("n_customers"),
+          min("o_custkey").as("min_cust"),
+          max("o_custkey").as("max_cust"))
+        .orderBy("n_reversals")
+    }),
+
     // RFM SEGMENTATION — the marketing-analytics classic: per
     // purchasing user, Recency (days from last purchase to the corpus
     // high-water mark), Frequency (purchase count), Monetary (decimal-
@@ -358,6 +418,110 @@ object EventAnalytics {
         }
       })(
       st => { st.m.finish(); st.m.drainSpans().map(st.row) })
+  }
+
+  /** Row-pattern match counts with DEFINE-style NAVIGATION — the
+    * engine behind ev_updown_runs / api.Events.matchPatternBy: real
+    * MATCH_RECOGNIZE classifies events by predicates over neighbors
+    * (`DEFINE U AS price > PREV(price)`), which a precomputed per-row
+    * code column cannot express, so here the code char is computed
+    * INSIDE the ordered fold by `classify(prev, cur)` — prev is the
+    * entity's previous row in `orderCols` order (null on the first
+    * event) — and fed straight to the same speculation-chain machine
+    * as matchCountsOf. Per-entity state is the machine plus ONE held
+    * row (the PREV window), so the memory contract is unchanged:
+    * O(|pattern|) for terminator-disjoint patterns, depthCap-bounded
+    * loud failure otherwise, never the trace. Generalizing to
+    * PREV(k)/NEXT(k) is a k-row ring in the same state — the fold
+    * already delivers the ordered stream. */
+  private[graft] def matchCountsClassified(
+      ev: DataFrame, pattern: String, keyCols: Seq[String],
+      orderCols: Seq[String], depthCap: Int = 4096)(
+      classify: (org.apache.spark.sql.Row,
+        org.apache.spark.sql.Row) => Char): DataFrame = {
+    val prog = graft.functions.RowPattern.compile(pattern)
+    final class St {
+      val m = new graft.functions.RowPattern.MatchCounter(prog, depthCap)
+      var prev: org.apache.spark.sql.Row = _
+    }
+    graft.api.Folds.foldOrdered(
+      ev, keyCols, orderCols,
+      out = new org.apache.spark.sql.types.StructType()
+        .add("n_matches", org.apache.spark.sql.types.LongType))(
+      () => new St)(
+      (st, r) => {
+        st.m.feed(classify(st.prev, r))
+        st.prev = r
+        st
+      })(
+      st => Seq(java.lang.Long.valueOf(st.m.finish())))
+  }
+
+  /** Per-entity row-pattern match ROWS (ALL ROWS PER MATCH — the third
+    * SQL:2016 output mode) — the engine behind ev_match_rows /
+    * api.Events.matchRows: the same ordered fold, span machine, and
+    * minLivePos-pruned position→event ring as matchSpansOf, but each
+    * confirmed span emits one row PER EVENT it covers:
+    * (match_seq, ord_in_match, us, event_id, code), match_seq
+    * numbering the entity's matches in start order (the span-order
+    * guarantee is RowPattern.absorb's prepend-merge) and ord_in_match
+    * the events inside the match. Same contract: terminator-disjoint
+    * pattern (loud failure otherwise), exactly one code char per
+    * event; per-entity memory O(|pattern| + longest live match) — the
+    * ring holds only events ≥ the machine's minLivePos, and emission
+    * streams as spans confirm, so a million-match entity never
+    * buffers its output. */
+  private[graft] def matchRowsOf(ev: DataFrame,
+                                 pattern: String): DataFrame = {
+    val prog = graft.functions.RowPattern.compile(pattern)
+    require(graft.functions.RowPattern.terminatorDisjoint(prog),
+      s"ALL ROWS PER MATCH needs a terminator-disjoint pattern; " +
+        s"'$pattern' is not — use match counting (matchCountsOf)")
+    final class St {
+      val m = new graft.functions.RowPattern.MatchCounter(
+        prog, trackSpans = true)
+      var base = 0L // char position of ring.head
+      var seq = 0L // per-entity match ordinal, in start order
+      val ring =
+        scala.collection.mutable.ArrayDeque.empty[(Long, Long, String)]
+      def rows(sp: (Long, Long)): Seq[Seq[Any]] = {
+        seq += 1
+        ((sp._1 - base).toInt until (sp._2 - base).toInt).zipWithIndex
+          .map { case (k, ord) =>
+            val (us, id, code) = ring(k)
+            Seq(Long.box(seq), Long.box(ord + 1L), Long.box(us),
+              Long.box(id), code)
+          }
+      }
+      def prune(): Unit = {
+        val keep = m.minLivePos
+        while (base < keep && ring.nonEmpty) { ring.removeHead(); base += 1 }
+      }
+    }
+    graft.api.Folds.flatFoldOrdered(
+      ev.toDF("user_id", "us", "event_id", "code"),
+      keyCols = Seq("user_id"), orderCols = Seq("us", "event_id"),
+      out = new org.apache.spark.sql.types.StructType()
+        .add("match_seq", org.apache.spark.sql.types.LongType)
+        .add("ord_in_match", org.apache.spark.sql.types.LongType)
+        .add("us", org.apache.spark.sql.types.LongType)
+        .add("event_id", org.apache.spark.sql.types.LongType)
+        .add("code", org.apache.spark.sql.types.StringType))(
+      () => new St)(
+      (st, r) => {
+        val code = r.getString(3)
+        if (code == null) Nil
+        else {
+          require(code.length == 1,
+            "ALL ROWS mode needs exactly one code char per event")
+          st.ring.append((r.getLong(1), r.getLong(2), code))
+          st.m.feed(code.charAt(0))
+          val out = st.m.drainSpans().flatMap(st.rows)
+          st.prune()
+          out
+        }
+      })(
+      st => { st.m.finish(); st.m.drainSpans().flatMap(st.rows) })
   }
 
   /** Pairwise audience overlap of an (user_id, event_type) frame —
@@ -619,6 +783,69 @@ object EventAnalytics {
         |  us AS end_us, event_id AS end_event_id
         |FROM l WHERE code = 'p' AND pc = 'v'
         |ORDER BY user_id, start_us, start_event_id""".stripMargin,
+
+    // ALL ROWS PER MATCH from the ev_match_spans CLOSED FORM (window
+    // lag over the v/p-filtered subsequence), joined back to the
+    // events inside each span's (us, event_id) range — an engine-free
+    // derivation: interior events are all c/o by the closed form, so
+    // matched events == in-range events; row_number() yields both the
+    // per-user match ordinal and the in-match position
+    "ev_match_rows" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'o' END AS code
+        |  FROM events),
+        |vp AS (SELECT * FROM e WHERE code IN ('v', 'p')),
+        |l AS (
+        |  SELECT user_id, us, event_id, code,
+        |    lag(code) OVER w AS pc,
+        |    lag(us) OVER w AS pus,
+        |    lag(event_id) OVER w AS pid
+        |  FROM vp
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sp AS (
+        |  SELECT user_id, pus AS sus, pid AS sid,
+        |    us AS eus, event_id AS eid,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY pus, pid) AS BIGINT) AS match_seq
+        |  FROM l WHERE code = 'p' AND pc = 'v')
+        |SELECT sp.user_id, sp.match_seq,
+        |  CAST(row_number() OVER (PARTITION BY sp.user_id, sp.match_seq
+        |    ORDER BY e.us, e.event_id) AS BIGINT) AS ord_in_match,
+        |  e.us, e.event_id, e.code
+        |FROM sp JOIN e ON e.user_id = sp.user_id
+        |  AND (e.us > sp.sus OR (e.us = sp.sus AND e.event_id >= sp.sid))
+        |  AND (e.us < sp.eus OR (e.us = sp.eus AND e.event_id <= sp.eid))
+        |ORDER BY sp.user_id, match_seq, ord_in_match""".stripMargin,
+
+    // same (o_orderdate, o_orderkey) total order and the same
+    // U/D/e/first-'o' classification; the count is the closed form —
+    // D-events whose predecessor classifies U — via a second lag, so
+    // the oracle never runs a regex engine at all
+    "ev_updown_runs" ->
+      """WITH cls AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey,
+        |    CASE WHEN lag(o_totalprice) OVER w IS NULL THEN 'o'
+        |         WHEN o_totalprice > lag(o_totalprice) OVER w THEN 'U'
+        |         WHEN o_totalprice < lag(o_totalprice) OVER w THEN 'D'
+        |         ELSE 'e' END AS c
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |rev AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN c = 'D' AND lag(c) OVER w2 = 'U'
+        |         THEN 1 ELSE 0 END AS r
+        |  FROM cls
+        |  WINDOW w2 AS (PARTITION BY o_custkey
+        |                ORDER BY o_orderdate, o_orderkey)),
+        |m AS (
+        |  SELECT o_custkey, CAST(sum(r) AS BIGINT) AS n_reversals
+        |  FROM rev GROUP BY o_custkey)
+        |SELECT n_reversals, count(*) AS n_customers,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+        |FROM m GROUP BY 1 ORDER BY n_reversals""".stripMargin,
 
     // same quintile thresholds (quantile_cont = Spark's exact
     // interpolated percentile) and the same broadcast-comparison

@@ -21,18 +21,27 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * earlier anchor's failure and the regex's retry-at-next-position
   * collapse to the same single bit.
   *
-  * Ordering contract: matches are defined over the per-user event-time
-  * order (ts_us, event_id). Each micro-batch's group iterator is
-  * sorted before folding (group volumes are per-user-per-batch, small
-  * by construction); ACROSS batches the source must deliver each key's
+  * Ordering contract — GUARDED, never a silent miscount (round 10):
+  * matches are defined over the per-user event-time order (ts_us,
+  * event_id). Each micro-batch's group iterator is sorted before
+  * folding (group volumes are per-user-per-batch, small by
+  * construction); ACROSS batches the source must deliver each key's
   * events in event-time order — the per-key ordering a keyed Kafka
-  * topic provides, and what the spec's replay feeds.
+  * topic provides. The state carries the last-fed (ts_us, event_id)
+  * frontier and an event arriving at or behind it FAILS THE QUERY
+  * LOUDLY with the contract in the message — an out-of-order feed
+  * corrupting the count with no signal is the one unacceptable
+  * outcome. A source with bounded disorder belongs on
+  * [[CepPattern.matches]], whose reorder buffer absorbs a declared
+  * lateness (and whose "drop" policy counts what it skips).
   */
 object CepMatcher {
 
   final case class CepEvent(user_id: Long, event_id: Long, ts_us: Long,
                             code: String)
-  final case class CepState(open: Boolean, matches: Long)
+  final case class CepState(open: Boolean, matches: Long,
+                            last_ts: Long = Long.MinValue,
+                            last_id: Long = Long.MinValue)
   final case class CepUpdate(user_id: Long, n_matches: Long)
 
   private[graft] def fold(open0: Boolean, matches0: Long,
@@ -52,8 +61,27 @@ object CepMatcher {
   def update(userId: Long, events: Iterator[CepEvent],
              state: GroupState[CepState]): Iterator[CepUpdate] = {
     val prev = state.getOption.getOrElse(CepState(open = false, 0L))
-    val (open, matches) = fold(prev.open, prev.matches, events.toSeq)
-    state.update(CepState(open, matches))
+    val evs = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    // ordering guard: the sorted batch's FIRST event must be past the
+    // carried frontier (within-batch order is restored by the sort —
+    // only cross-batch regression can trip this)
+    evs.headOption.foreach { e =>
+      if (e.ts_us < prev.last_ts ||
+          (e.ts_us == prev.last_ts && e.event_id <= prev.last_id))
+        throw new IllegalStateException(
+          s"CEP ordering contract violated for key $userId: event " +
+            s"(ts_us=${e.ts_us}, event_id=${e.event_id}) arrived after " +
+            s"the key's fed frontier (ts_us=${prev.last_ts}, " +
+            s"event_id=${prev.last_id}). Deliver each key's events in " +
+            "event-time order (keyed topic), or use CepPattern.matches " +
+            "with allowedLatenessUs / onLate=\"drop\" for a source " +
+            "with bounded disorder.")
+    }
+    val (open, matches) = fold(prev.open, prev.matches, evs)
+    val frontier = evs.lastOption
+    state.update(CepState(open, matches,
+      frontier.map(_.ts_us).getOrElse(prev.last_ts),
+      frontier.map(_.event_id).getOrElse(prev.last_id)))
     Iterator(CepUpdate(userId, matches))
   }
 

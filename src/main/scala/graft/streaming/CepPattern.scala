@@ -1,9 +1,10 @@
 package graft.streaming
 
+import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.RowPattern
-import graft.streaming.CepMatcher.{CepEvent, CepUpdate}
+import graft.streaming.CepMatcher.CepEvent
 
 /** Streaming MATCH_RECOGNIZE for ARBITRARY row patterns — the general
   * form of [[CepMatcher]] (which hard-codes the funnel as a one-bit
@@ -16,22 +17,35 @@ import graft.streaming.CepMatcher.{CepEvent, CepUpdate}
   * CepPatternSpec twin-pins stream-with-restart against the batch fold
   * for disjoint AND non-disjoint patterns.
   *
-  * Emission: each micro-batch emits the key's `flushedCount` — the
-  * count if the stream ended here — so at quiescence the last emission
-  * equals the batch fold's finished count for ANY pattern (a pending
-  * match that later input could still extend is resolved exactly the
-  * way EOF would resolve it, on a copy; the live state keeps waiting).
+  * ORDERING GUARD (round 10 — violation is never a silent miscount):
+  * matches are defined over each key's EVENT-TIME order (ts_us,
+  * event_id). Within a micro-batch the group sorts before feeding;
+  * across batches the state carries the last-FED (ts_us, event_id)
+  * frontier plus a reorder buffer bounded by `allowedLatenessUs`:
+  * an arriving event is held until the key's event-time high-water
+  * mark passes it by the declared delay, then fed in sorted order —
+  * so any disorder within the declared lateness is absorbed exactly
+  * (a keyed Kafka topic needs lateness 0; a multi-source union or a
+  * repartitioned upstream declares its delay). An event at or behind
+  * the fed frontier — later than the declared lateness allows —
+  * hits `onLate`: `"fail"` (default) kills the query loudly with the
+  * contract in the message (the depthCap precedent); `"drop"` skips
+  * the event and counts it in the emitted `n_late_dropped`, so a
+  * lossy policy is visible in the output, never implicit.
   *
-  * State bound (the RowPattern contract): terminator-disjoint patterns
-  * carry O(|pattern|) per key forever; other patterns are capped at
-  * `depthCap` unresolved speculative scans and fail the query loudly
-  * past it — bounded checkpoint size for the life of the stream, never
-  * a per-key history buffer.
+  * Emission (Update-shaped): each micro-batch computes the key's
+  * count-if-the-stream-ended-here — finish() on a structural
+  * [[RowPattern.MatchCounter.snapshot]] fed the still-buffered events
+  * — and EMITS ONLY WHEN (n_matches, n_late_dropped) CHANGED since
+  * the key's last emission, so an untouched key costs nothing
+  * downstream. At quiescence the last emission per key equals the
+  * batch fold over the full (undropped) history, for any pattern.
   *
-  * Ordering contract: same as CepMatcher — each micro-batch's group
-  * sorts by (ts_us, event_id) before folding; across batches the
-  * source must deliver each key's events in event-time order (what a
-  * keyed Kafka topic provides, and what the spec's replay feeds).
+  * State bound: the machine is the RowPattern contract
+  * (terminator-disjoint patterns O(|pattern|) per key forever, others
+  * capped at `depthCap` with loud failure); the reorder buffer holds
+  * only events inside the declared lateness window — bounded by the
+  * key's arrival rate × allowedLatenessUs, zero when lateness is 0.
   */
 object CepPattern {
 
@@ -43,28 +57,96 @@ object CepPattern {
     """CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
       |WHEN 'purchase' THEN 'p' ELSE 'o' END""".stripMargin
 
+  /** Per-key emission: the match count as of this batch plus the
+    * running count of events dropped by the `"drop"` lateness policy
+    * (always 0 under `"fail"`). */
+  final case class CepPatternUpdate(user_id: Long, n_matches: Long,
+                                    n_late_dropped: Long)
+
+  /** Checkpointed per-key state: the speculation-chain machine, the
+    * last-FED event-time frontier, the key's event-time high-water
+    * mark, the reorder buffer of not-yet-releasable events, the
+    * late-drop counter, and the last emitted pair (emit-on-change). */
+  private[graft] final class PatternState(
+      val m: RowPattern.MatchCounter) extends Serializable {
+    var lastTs: Long = Long.MinValue
+    var lastId: Long = Long.MinValue
+    var maxSeenTs: Long = Long.MinValue
+    var buffer: ArrayBuffer[(Long, Long, String)] = ArrayBuffer.empty
+    var dropped: Long = 0L
+    var emittedMatches: Long = -1L
+    var emittedDropped: Long = -1L
+  }
+
   /** Wire the matcher over a parsed stream (StreamingIngest.parse
     * output) — or a batch frame with the same columns, where the fold
     * sees each key's whole history at once. Append + NoTimeout: the
     * machine lives for the query. */
   def matches(spark: SparkSession, parsed: DataFrame, pattern: String,
               depthCap: Int = 4096,
-              codeExpr: String = funnelCode): Dataset[CepUpdate] = {
+              codeExpr: String = funnelCode,
+              allowedLatenessUs: Long = 0L,
+              onLate: String = "fail"): Dataset[CepPatternUpdate] = {
+    require(allowedLatenessUs >= 0L,
+      s"allowedLatenessUs must be >= 0, got $allowedLatenessUs")
+    require(onLate == "fail" || onLate == "drop",
+      s"onLate must be 'fail' or 'drop', got '$onLate'")
     val prog = RowPattern.compile(pattern)
-    implicit val stateEnc: Encoder[RowPattern.MatchCounter] =
-      Encoders.javaSerialization[RowPattern.MatchCounter]
+    implicit val stateEnc: Encoder[PatternState] =
+      Encoders.javaSerialization[PatternState]
     import spark.implicits._
 
     def update(userId: Long, events: Iterator[CepEvent],
-               state: GroupState[RowPattern.MatchCounter])
-        : Iterator[CepUpdate] = {
-      val m = state.getOption.getOrElse(
-        new RowPattern.MatchCounter(prog, depthCap))
-      events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-        if (e.code != null) m.feedAll(e.code)
+               state: GroupState[PatternState])
+        : Iterator[CepPatternUpdate] = {
+      val st = state.getOption.getOrElse(
+        new PatternState(new RowPattern.MatchCounter(prog, depthCap)))
+      val evs = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+      evs.foreach { e =>
+        if (e.ts_us > st.maxSeenTs) st.maxSeenTs = e.ts_us
+        if (e.code != null) {
+          val behindFrontier = e.ts_us < st.lastTs ||
+            (e.ts_us == st.lastTs && e.event_id <= st.lastId)
+          if (behindFrontier) {
+            if (onLate == "drop") st.dropped += 1
+            else throw new IllegalStateException(
+              s"CEP ordering contract violated for key $userId: event " +
+                s"(ts_us=${e.ts_us}, event_id=${e.event_id}) arrived " +
+                s"after the key's fed frontier (ts_us=${st.lastTs}, " +
+                s"event_id=${st.lastId}) — later than " +
+                s"allowedLatenessUs=$allowedLatenessUs absorbs. Deliver " +
+                "each key's events in event-time order (keyed topic), " +
+                "raise allowedLatenessUs to cover the source's disorder, " +
+                "or declare onLate=\"drop\" to skip-and-count.")
+          } else st.buffer += ((e.ts_us, e.event_id, e.code))
+        }
       }
-      state.update(m)
-      Iterator(CepUpdate(userId, m.flushedCount))
+      // release: everything the event-time watermark has passed feeds
+      // now, in (ts_us, event_id) order; the rest stays buffered until
+      // a later batch advances the high-water mark
+      val watermark = st.maxSeenTs - allowedLatenessUs
+      if (st.buffer.nonEmpty) {
+        val sorted = st.buffer.sortBy(e => (e._1, e._2))
+        val (rel, keep) = sorted.partition(_._1 <= watermark)
+        rel.foreach { case (ts, id, code) =>
+          st.m.feedAll(code)
+          st.lastTs = ts
+          st.lastId = id
+        }
+        st.buffer = keep
+      }
+      state.update(st)
+      // count as if the stream ended here: buffered events would all
+      // release at EOF, so the snapshot feeds them before finishing
+      val snap = st.m.snapshot()
+      st.buffer.foreach { case (_, _, code) => snap.feedAll(code) }
+      val flushed = snap.finish()
+      if (flushed != st.emittedMatches || st.dropped != st.emittedDropped) {
+        st.emittedMatches = flushed
+        st.emittedDropped = st.dropped
+        state.update(st)
+        Iterator.single(CepPatternUpdate(userId, flushed, st.dropped))
+      } else Iterator.empty
     }
 
     parsed
