@@ -94,4 +94,38 @@ class CepMatcherSpec extends SparkSpec {
     // the corpus actually exercises the pattern
     assert(twin.values.exists(_ > 0))
   }
+
+  test("cross-batch regression behind the fed frontier fails loudly") {
+    // the round-10 ordering guard: the DFA's count is only defined
+    // over event-time order, so an event arriving at or behind the
+    // carried (ts_us, event_id) frontier must kill the query, never
+    // silently corrupt the count
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import CepMatcher.{CepEvent, CepState}
+    val s1 = TestGroupState.create[CepState](Optional.empty(),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(),
+      hasTimedOut = false)
+    CepMatcher.update(1L, Iterator(
+      CepEvent(1L, 1L, 100L, "v"), CepEvent(1L, 2L, 300L, "p")), s1)
+    assert(s1.get.matches == 1L && s1.get.last_ts == 300L)
+    val s2 = TestGroupState.create[CepState](Optional.of(s1.get),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(),
+      hasTimedOut = false)
+    val e = intercept[IllegalStateException](CepMatcher.update(1L,
+      Iterator(CepEvent(1L, 3L, 200L, "c")), s2))
+    assert(e.getMessage.contains("ordering contract violated"))
+    // equal (ts, id) — a duplicate delivery — is also behind
+    val s3 = TestGroupState.create[CepState](Optional.of(s1.get),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(),
+      hasTimedOut = false)
+    intercept[IllegalStateException](CepMatcher.update(1L,
+      Iterator(CepEvent(1L, 2L, 300L, "p")), s3))
+    // and strictly past it is fine
+    val s4 = TestGroupState.create[CepState](Optional.of(s1.get),
+      GroupStateTimeout.NoTimeout, 0L, Optional.empty(),
+      hasTimedOut = false)
+    CepMatcher.update(1L, Iterator(CepEvent(1L, 4L, 400L, "v")), s4)
+    assert(s4.get.open && s4.get.last_ts == 400L)
+  }
 }

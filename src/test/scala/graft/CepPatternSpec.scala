@@ -110,6 +110,109 @@ class CepPatternSpec extends SparkSpec {
     assert(got === want && want.values.sum > 0)
   }
 
+  // ---- ordering-contract guard (round 10): violation is NEVER a
+  // silent miscount — fail loudly by default, absorb exactly under a
+  // declared lateness, or drop-with-a-visible-counter ------------------
+
+  private def runChunk(src: java.nio.file.Path, base: java.nio.file.Path,
+                       pattern: String, latenessUs: Long = 0L,
+                       onLate: String = "fail"): Unit = {
+    val q = CepPattern
+      .matches(spark, StreamingIngest.parse(
+        spark.readStream.text(src.toString)), pattern,
+        allowedLatenessUs = latenessUs, onLate = onLate)
+      .writeStream.format("parquet")
+      .option("path", base.resolve("out").toString)
+      .outputMode("append")
+      .option("checkpointLocation", base.resolve("cp").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("cross-batch out-of-order replay fails loudly by default " +
+    "(the silent-miscount input)") {
+    // pattern `vp`: the true (event-time) trace is v,c,p → 0 matches,
+    // but feeding in ARRIVAL order yields v,p,c → 1 — exactly the
+    // input the unguarded round-9 facade would silently miscount
+    val base = Files.createTempDirectory("graft_cepooo")
+    val src = Files.createDirectory(base.resolve("src"))
+    writeChunk(src, "b1.json", Seq((1L, 1L, "view", 1), (3L, 1L, "purchase", 3)))
+    runChunk(src, base, "vp")
+    writeChunk(src, "b2.json", Seq((2L, 1L, "click", 2))) // behind the frontier
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runChunk(src, base, "vp"))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m =>
+      m != null && m.contains("ordering contract violated")), chain(e))
+  }
+
+  test("a declared lateness absorbs the same disorder exactly " +
+    "(reorder buffer feeds in event-time order)") {
+    // same events, 2 h of declared lateness: the click (1 h late
+    // against the high-water mark) buffers, releases BEFORE the
+    // purchase, and the final count is the event-time truth (0), not
+    // the arrival-order miscount (1)
+    val base = Files.createTempDirectory("graft_ceplate")
+    val src = Files.createDirectory(base.resolve("src"))
+    val twoHours = 2L * 3600 * 1000000
+    writeChunk(src, "b1.json", Seq((1L, 1L, "view", 1), (3L, 1L, "purchase", 3)))
+    runChunk(src, base, "vp", latenessUs = twoHours)
+    writeChunk(src, "b2.json", Seq((2L, 1L, "click", 2)))
+    runChunk(src, base, "vp", latenessUs = twoHours)
+    val rows = spark.read.parquet(base.resolve("out").toString)
+      .orderBy("n_matches").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // batch 1 estimates 1 (v,p with the click not yet arrived); batch 2
+    // corrects to the event-time truth 0 — last emission wins, and the
+    // batch fold over the union agrees
+    assert(rows.toSeq == Seq((1L, 0L, 0L), (1L, 1L, 0L)), rows.toSeq)
+    val batch = {
+      import spark.implicits._
+      val coded = Seq((1L, 1L, 1L, "v"), (2L, 1L, 2L, "c"),
+        (3L, 1L, 3L, "p"))
+        .toDF("event_id", "user_id", "us", "code")
+        .select(col("user_id"), col("us"), col("event_id"), col("code"))
+      operators.EventAnalytics.matchCountsOf(coded, "vp")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(batch == Map(1L -> 0L))
+  }
+
+  test("onLate=drop skips the late event and surfaces the counter") {
+    val base = Files.createTempDirectory("graft_cepdrop")
+    val src = Files.createDirectory(base.resolve("src"))
+    writeChunk(src, "b1.json", Seq((1L, 1L, "view", 1), (3L, 1L, "purchase", 3)))
+    runChunk(src, base, "vp", onLate = "drop")
+    writeChunk(src, "b2.json", Seq((2L, 1L, "click", 2)))
+    runChunk(src, base, "vp", onLate = "drop")
+    val last = spark.read.parquet(base.resolve("out").toString)
+      .orderBy(col("n_late_dropped")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // emission 1: (1 match, 0 dropped); emission 2: the drop changes
+    // the pair, so it IS emitted — count over the undropped
+    // subsequence (v,p) stays 1, dropped becomes 1 and is visible
+    assert(last.toSeq == Seq((1L, 1L, 0L), (1L, 1L, 1L)), last.toSeq)
+  }
+
+  test("emit-on-change: an untouched key emits nothing") {
+    val base = Files.createTempDirectory("graft_cepquiet")
+    val src = Files.createDirectory(base.resolve("src"))
+    writeChunk(src, "b1.json", Seq((1L, 9L, "view", 1)))
+    runChunk(src, base, "v[co]*p")
+    // 'other' events feed the machine but cannot change the count —
+    // the key's (n_matches, n_late_dropped) pair is unchanged, so the
+    // batch emits NO row for it
+    writeChunk(src, "b2.json", Seq((2L, 9L, "error", 2)))
+    runChunk(src, base, "v[co]*p")
+    writeChunk(src, "b3.json", Seq((3L, 9L, "purchase", 3)))
+    runChunk(src, base, "v[co]*p")
+    val rows = spark.read.parquet(base.resolve("out").toString)
+      .orderBy("n_matches").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((9L, 0L), (9L, 1L)), rows)
+  }
+
   test("the spanning match is absent before the second chunk") {
     val base = Files.createTempDirectory("graft_cepspan")
     val src = Files.createDirectory(base.resolve("src"))

@@ -116,11 +116,140 @@ class EventFoldSpec extends SparkSpec {
     }
   }
 
+  test("ev_match_rows is mutually consistent with spans and counts") {
+    // three output modes of the same engine over the real corpus must
+    // tell one story: each match's first/last row == its span's
+    // endpoints, match_seq covers 1..n in span-start order, and
+    // distinct match ordinals == the count query's n_matches
+    val coded = operators.EventAnalytics.funnelCoded(spark, sf)
+    val rows = operators.EventAnalytics.matchRowsOf(coded, "v[co]*p")
+      .collect()
+    val spans = operators.EventAnalytics.matchSpansOf(coded, "v[co]*p")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4))))
+      .sortBy(t => (t._1, t._2))
+    val counts = operators.EventAnalytics.matchCountsOf(coded, "v[co]*p")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty && spans.nonEmpty)
+    val byMatch = rows.groupBy(r => (r.getLong(0), r.getLong(1)))
+      .view.mapValues(_.sortBy(_.getLong(2))).toMap
+    // per user: match_seq is exactly 1..count, in span start order
+    val spansByUser = spans.groupBy(_._1)
+    counts.foreach { case (u, n) =>
+      val seqs = byMatch.keySet.filter(_._1 == u).map(_._2)
+      assert(seqs == (1L to n).toSet, s"user $u: ordinals $seqs != 1..$n")
+      val uSpans = spansByUser.getOrElse(u, Array.empty)
+      (1L to n).foreach { k =>
+        val m = byMatch((u, k))
+        val (_, start, end) = uSpans((k - 1).toInt)
+        assert((m.head.getLong(3), m.head.getLong(4)) == start,
+          s"user $u match $k: first row != span start")
+        assert((m.last.getLong(3), m.last.getLong(4)) == end,
+          s"user $u match $k: last row != span end")
+        // in-match ordinals are 1..len and the rows are v, [co]*, p
+        assert(m.map(_.getLong(2)).toSeq == (1L to m.length).toSeq)
+        assert(m.head.getString(5) == "v" && m.last.getString(5) == "p")
+        assert(m.drop(1).dropRight(1).forall(r =>
+          Set("c", "o")(r.getString(5))))
+      }
+    }
+  }
+
+  test("matchRowsOf equals java.regex find() positions on random " +
+    "traces (ordinals pinned, deeper disjoint patterns included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20261015L)
+    // ab*c reaches chain depth 3 states; [^p]*p exercises negation
+    for (pattern <- Seq("v[co]*p", "vc?p", "ab*c", "[^p]*p")) {
+      val alpha = if (pattern.exists("vcpo".contains(_))) "vcpo" else "abcx"
+      val traces = (1L to 30L).map(u =>
+        u -> Array.fill(rnd.nextInt(120))(
+          alpha(rnd.nextInt(alpha.length))).mkString).toMap
+      val df = traces.toSeq.flatMap { case (u, t) =>
+        t.zipWithIndex.map { case (c, i) =>
+          (u, i.toLong * 10, i.toLong, c.toString)
+        }
+      }.toDF("user_id", "us", "event_id", "code")
+      val got = operators.EventAnalytics.matchRowsOf(df, pattern)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getString(5))).toSeq
+        .sortBy(t => (t._1, t._2, t._3))
+      val want = traces.toSeq.flatMap { case (u, t) =>
+        val m = java.util.regex.Pattern.compile(pattern).matcher(t)
+        val out = scala.collection.mutable.ListBuffer
+          .empty[(Long, Long, Long, Long, Long, String)]
+        var seq = 0L
+        while (m.find()) {
+          seq += 1
+          (m.start until m.end).zipWithIndex.foreach { case (p, ord) =>
+            out += ((u, seq, ord + 1L, p.toLong * 10, p.toLong,
+              t(p).toString))
+          }
+        }
+        out
+      }.sortBy(t => (t._1, t._2, t._3))
+      assert(got == want, s"pattern $pattern")
+    }
+  }
+
+  test("matchCountsClassified (DEFINE/PREV) equals a java.regex " +
+    "replay of the same classification") {
+    import spark.implicits._
+    // random per-entity value walks; classify U/D/e against PREV
+    // (first row 'o'), exactly the ev_updown_runs rule — the fold's
+    // count must equal java.regex over the locally classified string,
+    // for U+D and for a second pattern over the same alphabet
+    val rnd = new scala.util.Random(20261115L)
+    val data = (1L to 40L).flatMap { ent =>
+      (0 until rnd.nextInt(60)).map(i =>
+        (ent, i.toLong, rnd.nextInt(8).toDouble))
+    }
+    val df = data.toDF("ent", "seq", "v")
+    def classifyStr(vs: Seq[Double]): String =
+      vs.zipWithIndex.map { case (v, i) =>
+        if (i == 0) 'o'
+        else if (v > vs(i - 1)) 'U'
+        else if (v < vs(i - 1)) 'D' else 'e'
+      }.mkString
+    val classify: (org.apache.spark.sql.Row,
+      org.apache.spark.sql.Row) => Char = (prev, cur) =>
+      if (prev == null) 'o'
+      else {
+        val p = prev.getDouble(2); val c = cur.getDouble(2)
+        if (c > p) 'U' else if (c < p) 'D' else 'e'
+      }
+    for (pattern <- Seq("U+D", "U+D+", "eU*D")) {
+      val got = operators.EventAnalytics.matchCountsClassified(
+        df, pattern, Seq("ent"), Seq("seq"))(classify)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = data.groupBy(_._1).map { case (ent, rows) =>
+        val s = classifyStr(rows.sortBy(_._2).map(_._3))
+        val m = java.util.regex.Pattern.compile(pattern).matcher(s)
+        var n = 0L
+        while (m.find()) n += 1
+        ent -> n
+      }
+      assert(got == want, s"pattern $pattern")
+      if (pattern == "U+D") assert(got.values.sum > 0)
+    }
+    // the facade wires the same path
+    val viaApi = api.Events.matchPatternBy(df, "U+D")(classify,
+        idCol = "ent", tieCol = "seq", orderCol = "seq")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = operators.EventAnalytics.matchCountsClassified(
+      df, "U+D", Seq("ent"), Seq("seq", "seq"))(classify)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaApi == direct)
+  }
+
   test("fold clients keep Window and collect_list out of their plans") {
     // the scale contract of the migrations: one keyed shuffle + sort +
     // object fold — no window pass, no per-entity array buffer
     for (q <- Seq("sz_sessionize", "ev_inactivity_gaps",
       "ev_match_recognize", "t10_cep_twin", "ev_match_spans",
+      "ev_match_rows", "ev_updown_runs",
       "ev_transitions", "ev_seq_patterns", "ev_attribution")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.optimizedPlan.toString

@@ -276,6 +276,41 @@ class RowPatternSpec extends AnyFunSuite {
     assert(e.getMessage.contains("terminator-disjoint"))
   }
 
+  test("snapshot(): structural copy matches the serialization copy " +
+    "and never perturbs the live machine") {
+    val rnd = new scala.util.Random(20261215L)
+    def serializedFinish(m: RowPattern.MatchCounter): Long = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(m); oos.close()
+      val ois = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      ois.readObject().asInstanceOf[RowPattern.MatchCounter].finish()
+    }
+    for (p <- Seq("v[co]*p", "v.*p", "vc?p", "ab*c", "(?:ab|a)b");
+         _ <- 1 to 10) {
+      val alpha = if (p.exists("vcpo".contains(_))) "vcpo" else "abxc"
+      val s = Array.fill(rnd.nextInt(200))(
+        alpha(rnd.nextInt(alpha.length))).mkString
+      val m = new RowPattern.MatchCounter(RowPattern.compile(p))
+      var i = 0
+      while (i < s.length) {
+        m.feed(s.charAt(i))
+        // mid-stream: the two copy paths agree, and neither touches
+        // the live machine (the final count below stays exact)
+        if (i % 37 == 0) {
+          val viaSnapshot = m.flushedCount
+          assert(viaSnapshot == serializedFinish(m),
+            s"'$p' on '${s.take(i + 1)}'")
+          assert(viaSnapshot == javaCount(p, s.take(i + 1)),
+            s"'$p' flushed at ${i + 1}")
+        }
+        i += 1
+      }
+      assert(m.finish() == javaCount(p, s), s"'$p' on '$s' after snapshots")
+    }
+  }
+
   test("hand-traced counts") {
     assert(RowPattern.countMatches("v[co]*p", "vcpvcocp") == 2L)
     assert(RowPattern.countMatches("v[co]*p", "vvvp") == 1L)
