@@ -146,7 +146,10 @@ object Soak {
       if (java.nio.file.Files.isDirectory(link,
           java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          // listFiles() is null on an unreadable or concurrently-
+          // deleted directory — a crashed prior run must not make the
+          // recovery path itself NPE
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
           f.delete(); ()
         }
         rm(link.toFile)
