@@ -82,12 +82,17 @@ object Corpus {
 
   /** Connected components over the near-dup pair graph: one row per
     * document in a duplicate family, labeled by the family's minimum
-    * id. Documents with no near-dup are absent (singleton = itself). */
+    * id. Documents with no near-dup are absent (singleton = itself).
+    * Checkpoint-backed and therefore memoized per (session, input
+    * plan) — the [[graft.api.Graphs]] serving contract. */
   def nearDupClusters(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame =
-    Dedup.components(
-      nearDupPairs(docs, idCol, textCol).select("id1", "id2"))
-      .withColumnRenamed("doc_id", idCol)
+                      textCol: String = "text"): DataFrame = {
+    val in = normalized(docs, idCol, textCol)
+    graft.sources.Materialize.resultOnce("corpus.nearDupClusters", "",
+      Seq(in))(
+      Dedup.components(Dedup.minhashPairsOf(in).select("id1", "id2"))
+        .withColumnRenamed("doc_id", idCol))
+  }
 
   /** Exact duplicates by normalized body (lowercase, trimmed, collapsed
     * whitespace): (keep_id = min id of the group, n_copies). The group

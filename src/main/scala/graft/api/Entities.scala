@@ -51,10 +51,14 @@ object Entities {
       masterIdCol, masterNameCol, maxDist = mergeDist)
     val edges = m.select((col("dirty_id") * 2 + 1).as("u"),
       (col("matched_key") * 2).as("v"))
-    graft.operators.Graph.starComponents(edges)
-      .select(col("cluster_id").as("entity_id"),
-        when(col("node") % 2 === 1, lit("dirty")).otherwise(lit("master"))
-          .as("kind"),
-        expr("node div 2").as("record_id"))
+    // checkpoint-backed component resolution → memoized per (session,
+    // inputs) — the graft.api.Graphs serving contract
+    graft.sources.Materialize.resultOnce("entities.resolve",
+      s"merge=$mergeDist", Seq(edges))(
+      graft.operators.Graph.starComponents(edges)
+        .select(col("cluster_id").as("entity_id"),
+          when(col("node") % 2 === 1, lit("dirty"))
+            .otherwise(lit("master")).as("kind"),
+          expr("node div 2").as("record_id")))
   }
 }

@@ -6,6 +6,16 @@ import org.apache.spark.sql.functions.col
 /** Public library facade for graph analytics over ARBITRARY caller
   * edge DataFrames, delegating to the same code path as the
   * oracle-checked `gr_pagerank` query.
+  *
+  * Serving contract: the checkpoint-backed iterative operators
+  * ([[components]], [[kcore]], [[bfs]], [[sssp]]) memoize their result
+  * per (session, canonicalized inputs, parameters) via
+  * [[graft.sources.Materialize.resultOnce]] — a long-running serving
+  * session re-issuing the same call replays ONE result instead of
+  * accumulating localCheckpoint blocks per call (ServeLoopSpec pins
+  * the storage observables flat). A source whose CONTENT changes
+  * under the same plan within one session should call the
+  * `graft.operators.Graph` paths directly.
   */
 object Graphs {
 
@@ -28,10 +38,13 @@ object Graphs {
     * deep chains). Returns (component, node); the component id is the
     * component's minimum node id. */
   def components(edges: DataFrame, aCol: String = "src",
-                 bCol: String = "dst"): DataFrame =
-    graft.operators.Graph.starComponents(
-      edges.select(col(aCol), col(bCol)))
-      .select(col("cluster_id").as("component"), col("node"))
+                 bCol: String = "dst"): DataFrame = {
+    val in = edges.select(col(aCol), col(bCol))
+    graft.sources.Materialize.resultOnce("graphs.components", "",
+      Seq(in))(
+      graft.operators.Graph.starComponents(in)
+        .select(col("cluster_id").as("component"), col("node")))
+  }
 
   /** Per-node triangle memberships of an UNDIRECTED edge frame —
     * low-(degree, id) orientation bounds wedge fan-out by arboricity,
@@ -91,8 +104,10 @@ object Graphs {
   def kcore(edges: DataFrame, k: Int, aCol: String = "src",
             bCol: String = "dst"): DataFrame = {
     val und = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-    graft.operators.Graph.kcoreOf(
-      und.unionAll(und.select(col("v").as("u"), col("u").as("v"))), k)
+    graft.sources.Materialize.resultOnce("graphs.kcore", s"k=$k",
+      Seq(und))(
+      graft.operators.Graph.kcoreOf(
+        und.unionAll(und.select(col("v").as("u"), col("u").as("v"))), k))
   }
 
   /** Bounded multi-source BFS over an UNDIRECTED edge frame (pass
@@ -105,9 +120,11 @@ object Graphs {
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int = 6,
           aCol: String = "src", bCol: String = "dst"): DataFrame = {
     val und = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-    graft.operators.Graph.bfsOf(
-      und.unionAll(und.select(col("v").as("u"), col("u").as("v"))),
-      seeds, maxHops)
+    graft.sources.Materialize.resultOnce("graphs.bfs", s"hops=$maxHops",
+      Seq(und, seeds))(
+      graft.operators.Graph.bfsOf(
+        und.unionAll(und.select(col("v").as("u"), col("u").as("v"))),
+        seeds, maxHops))
   }
 
   /** Bounded weighted shortest paths over an UNDIRECTED weighted edge
@@ -121,10 +138,12 @@ object Graphs {
            wCol: String = "w"): DataFrame = {
     val und = edges.select(col(aCol).as("u"), col(bCol).as("v"),
       col(wCol).as("w"))
-    graft.operators.Graph.ssspOf(
-      und.unionAll(und.select(col("v").as("u"), col("u").as("v"),
-        col("w"))),
-      seeds, rounds)
+    graft.sources.Materialize.resultOnce("graphs.sssp", s"rounds=$rounds",
+      Seq(und, seeds))(
+      graft.operators.Graph.ssspOf(
+        und.unionAll(und.select(col("v").as("u"), col("u").as("v"),
+          col("w"))),
+        seeds, rounds))
   }
 
   /** Semi-supervised label spreading over an UNDIRECTED edge frame

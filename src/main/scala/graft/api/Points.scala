@@ -23,9 +23,13 @@ object Points {
              idCol: String = "id", xCol: String = "x",
              yCol: String = "y"): DataFrame = {
     require(cell * cell >= eps2, s"cell $cell must be >= eps (eps2=$eps2)")
-    graft.operators.Density.dbscan(
-      points.select(col(idCol).as("k"), col(xCol).as("x"),
-        col(yCol).as("y")), eps2, cell, minPts)
-      .select(col("k").as(idCol), col("role"), col("label"))
+    val in = points.select(col(idCol).as("k"), col(xCol).as("x"),
+      col(yCol).as("y"))
+    // core-component contraction is checkpoint-backed → memoized per
+    // (session, input plan) — the graft.api.Graphs serving contract
+    graft.sources.Materialize.resultOnce("points.dbscan",
+      s"eps2=$eps2,cell=$cell,minPts=$minPts", Seq(in))(
+      graft.operators.Density.dbscan(in, eps2, cell, minPts)
+        .select(col("k").as(idCol), col("role"), col("label")))
   }
 }

@@ -15,8 +15,12 @@ object Trees {
     * depth-long sequential walk — the recursive-CTE workload in
     * cluster shape. */
   def flatten(parents: DataFrame, nodeCol: String = "node",
-              parentCol: String = "parent"): DataFrame =
-    graft.operators.Hierarchy.flatten(
-      parents.select(col(nodeCol).as("node"),
-        col(parentCol).as("parent")))
+              parentCol: String = "parent"): DataFrame = {
+    val in = parents.select(col(nodeCol).as("node"),
+      col(parentCol).as("parent"))
+    // pointer-jumping rounds are checkpoint-backed → memoized per
+    // (session, input plan) — the graft.api.Graphs serving contract
+    graft.sources.Materialize.resultOnce("trees.flatten", "", Seq(in))(
+      graft.operators.Hierarchy.flatten(in))
+  }
 }

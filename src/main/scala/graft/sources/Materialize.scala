@@ -35,6 +35,14 @@ object Materialize {
     m
   }
 
+  /** Number of (key, table) artifacts this session has materialized —
+    * the guard-size observable the long-session serve soak pins flat
+    * after warmup (ServeLoopSpec): a growing guard would mean a facade
+    * mints a fresh artifact key per CALL instead of per (session,
+    * corpus), re-building and re-storing on every interaction of a
+    * long-running serving session. */
+  private[graft] def guardSize(s: SparkSession): Int = sessionMap(s).size()
+
   /** Run `build` and save it as managed table `table` once per
     * (session, key); return a reader of the table. */
   def tableOnce(s: SparkSession, key: String, table: String)
@@ -48,9 +56,75 @@ object Materialize {
     * stage should read. */
   type Index = (String, () => DataFrame) => DataFrame
 
-  /** Default for facade callers over arbitrary frames: build inline,
-    * cache (artifacts are read by several search stages). */
-  val cached: Index = (_, build) => build().cache()
+  // facade-result memo: (session → key → (witness plans, frame)),
+  // weak-keyed like `built` so entries die with their session
+  private final case class Memo(
+      plans: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
+      df: DataFrame)
+
+  private val artifacts = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, Memo]]()
+
+  private def artifactMap(s: SparkSession) = artifacts.synchronized {
+    var m = artifacts.get(s)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[String, Memo]()
+      artifacts.put(s, m)
+    }
+    m
+  }
+
+  /** Memoized facade results alive in this session — with [[guardSize]]
+    * the storage observable ServeLoopSpec pins flat after warmup. */
+  private[graft] def artifactCount(s: SparkSession): Int =
+    artifactMap(s).size()
+
+  /** once per (session, key): run `make` and remember its frame; the
+    * stored witness plans guard against a semanticHash collision in
+    * the key (different plans, same hash → build unmemoized rather
+    * than serve the stored frame). */
+  private def memo(s: SparkSession, key: String,
+      plans: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+      (make: => DataFrame): DataFrame = {
+    val hit = artifactMap(s).computeIfAbsent(key, _ => Memo(plans, make))
+    if (hit.plans.length == plans.length &&
+        hit.plans.lazyZip(plans).forall(_.sameResult(_))) hit.df
+    else make
+  }
+
+  /** Memoize a facade RESULT per (session, operator name, parameters,
+    * canonicalized input plans) — the serving contract for iterative
+    * operators (components, bfs, sssp, k-core…) whose results are
+    * backed by localCheckpoint blocks: built per call, those blocks
+    * accumulate for the life of a long serving session (the Streamlit
+    * shape re-issues the same facade call per interaction), so the
+    * facade builds ONCE per distinct (inputs, params) and replays the
+    * stored frame. Session-lifetime semantics as [[tableOnce]]: a
+    * source whose CONTENT changes under the same plan within one
+    * session should call the operator paths directly. */
+  def resultOnce(name: String, params: String, inputs: Seq[DataFrame])
+                (build: => DataFrame): DataFrame = {
+    require(inputs.nonEmpty, "resultOnce needs at least one input frame")
+    val plans = inputs.map(_.queryExecution.analyzed)
+    val key = name + "|" + params + "|" +
+      plans.map(_.semanticHash()).mkString(",")
+    memo(inputs.head.sparkSession, key, plans)(build)
+  }
+
+  /** Default for facade callers over arbitrary frames: build once per
+    * (session, artifact name, canonicalized build plan), cache, and
+    * MEMOIZE — a long-running serving session that re-issues the same
+    * facade call per interaction reuses ONE cached artifact instead of
+    * minting a new cache entry per call, which was an unbounded
+    * storage leak (ServeLoopSpec pins persistent-RDD count flat across
+    * serve loops). Distinct corpora / parameters canonicalize to
+    * distinct plans and get their own artifacts. */
+  val cached: Index = (name, build) => {
+    val df = build()
+    val analyzed = df.queryExecution.analyzed
+    memo(df.sparkSession, name + "|" + analyzed.semanticHash(),
+      Seq(analyzed))(df.cache())
+  }
 
   /** Table name for artifact `name` of corpus `dir` — dir-tagged so two
     * corpora in one session (the soak harness) can't overwrite each
