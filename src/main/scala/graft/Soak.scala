@@ -208,6 +208,17 @@ object Soak {
     }
     run("dd_exact", nDocs) // hash-groupBy: 'candidates' = one per row
     run("dd_minhash_lsh", Dedup.minhashScored(spark, dir).count())
+    // K=16 high-precision banding (round 10): the candidate volume of
+    // the lshBandingFor(0.9, k=16) banding (2×8 — a curve step K=9's
+    // menu doesn't have) on the same near-dup-heavy corpus, next to
+    // the K=9 production line above for direct comparison
+    locally {
+      val (b16, r16) = api.Corpus.lshBandingFor(0.9, 16)
+      val (cand16, t16) = time(Dedup.minhashScoredWide(
+        Tables(spark, dir, "documents"), 16, b16).count())
+      spark.catalog.clearCache()
+      println(f"""{"corpus":"$tag","query":"dd_lsh_k16","rows":$nDocs,"banding":"${b16}x$r16","candidates":$cand16,"time_s":$t16%.2f}""")
+    }
     // incremental probe: candidates touch the ~20% batch only — the
     // measured form of "pairing cost scales with the batch"
     run("dd_incremental", Dedup.incrementalScored(spark, dir).count())

@@ -37,22 +37,30 @@ object Corpus {
                    textCol: String = "text"): DataFrame =
     Dedup.minhashPairsOf(normalized(docs, idCol, textCol))
 
-  /** The (bands, rowsPerBand) banding of the 9-hash signature whose
+  /** The (bands, rowsPerBand) banding of the k-hash signature whose
     * LSH S-curve threshold sits nearest `targetJaccard` — closing the
     * loop on the MEASURED S-curve table (`dd_lsh_tuning` evaluates all
-    * three divisor bandings' candidate/verified volumes on real data;
-    * this picks from the same menu analytically). The candidate
+    * three K=9 divisor bandings' candidate/verified volumes on real
+    * data; this picks from the same menu analytically). The candidate
     * probability at similarity s is P(s) = 1 − (1 − s^r)^b, and the
     * chosen banding minimizes |s₀.₅ − target| where
-    * s₀.₅ = (1 − 0.5^(1/b))^(1/r) is the curve's midpoint:
+    * s₀.₅ = (1 − 0.5^(1/b))^(1/r) is the curve's midpoint. K=9 menu:
     * 9×1 → s₀.₅ ≈ 0.074 (catch-everything recall),
     * 3×3 → s₀.₅ ≈ 0.590 (the production near-dup point),
-    * 1×9 → s₀.₅ ≈ 0.926 (near-exact only). */
-  def lshBandingFor(targetJaccard: Double): (Int, Int) = {
+    * 1×9 → s₀.₅ ≈ 0.926 (near-exact only).
+    * K=16 (round 10) widens it for high-precision targets:
+    * 16×1 ≈ 0.042, 8×2 ≈ 0.246, 4×4 ≈ 0.631, 2×8 ≈ 0.858,
+    * 1×16 ≈ 0.958 — two graded steps above the near-dup point where
+    * K=9 jumps straight from 0.59 to 0.93. */
+  def lshBandingFor(targetJaccard: Double, k: Int = 9): (Int, Int) = {
     require(targetJaccard > 0 && targetJaccard < 1,
       s"targetJaccard must be in (0,1), got $targetJaccard")
-    Seq(9, 3, 1).map { b =>
-      val r = 9 / b
+    require(k == 9 || k == 16, s"signature width $k: only 9 and 16 " +
+      "are compiled expressions (minhash9 / minhash16)")
+    // descending b keeps the k=9 tie-break identical to the round-9
+    // Seq(9, 3, 1) menu
+    (1 to k).filter(k % _ == 0).reverse.map { b =>
+      val r = k / b
       val mid = math.pow(1 - math.pow(0.5, 1.0 / b), 1.0 / r)
       (b, r, math.abs(mid - targetJaccard))
     }.minBy(_._3) match { case (b, r, _) => (b, r) }
@@ -68,16 +76,22 @@ object Corpus {
     * ≈ 39% of borderline pairs miss — falling fast to ≈ 4% at s=0.9);
     * candidate-stage FALSE POSITIVES cost only verification work —
     * the agreement filter removes them exactly, so they never reach
-    * the output. At target ≈ 2/3 this is BY CONSTRUCTION the same
-    * (3 bands × 3 rows, ≥6/9) plan as [[nearDupPairs]] — parity-pinned
-    * in DedupSpec. */
+    * the output. At target ≈ 2/3 with k = 9 this is BY CONSTRUCTION
+    * the same (3 bands × 3 rows, ≥6/9) plan as [[nearDupPairs]] —
+    * parity-pinned in DedupSpec. Pass k = 16 for high-precision
+    * targets (the minhash16 signature's 2×8 / 1×16 bandings step
+    * where K=9's menu jumps from 0.59 to 0.93); the k = 9 default
+    * compiles the identical plan it always did. */
   def nearDedup(docs: DataFrame, targetJaccard: Double,
                 idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
-    val (b, _) = lshBandingFor(targetJaccard)
-    val minAgree = math.ceil(9 * targetJaccard).toInt
-    Dedup.minhashScoredUnder(normalized(docs, idCol, textCol), b)
-      .filter(col("n_match") >= minAgree)
+                textCol: String = "text",
+                k: Int = 9): DataFrame = {
+    val (b, _) = lshBandingFor(targetJaccard, k)
+    val minAgree = math.ceil(k * targetJaccard).toInt
+    val in = normalized(docs, idCol, textCol)
+    val scored = if (k == 9) Dedup.minhashScoredUnder(in, b)
+      else Dedup.minhashScoredWide(in, k, b)
+    scored.filter(col("n_match") >= minAgree)
   }
 
   /** Connected components over the near-dup pair graph: one row per

@@ -59,8 +59,50 @@ case class MinHash9(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** K=16 sibling of [[MinHash9]] — same shingles, same seed scheme
+  * (hash i seeds md5 with "i|"), seven more hash functions: a wider
+  * signature admits the divisor bandings 16×1 / 8×2 / 4×4 / 2×8 /
+  * 1×16, whose S-curve midpoints give the high-precision chooser
+  * (api.Corpus.lshBandingFor(target, k = 16)) a sharper menu near 1.0
+  * than K=9's 9/3/1. The first 9 hashes are BY CONSTRUCTION identical
+  * to minhash9's (DedupSpec pins it), so the K=9 production plan and
+  * its artifacts are untouched. */
+case class MinHash16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash16"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash9.computeK(input.asInstanceOf[ArrayData], 16)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val helper = MinHash9.getClass.getName + ".MODULE$"
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+        $helper.computeK($c, 16);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHash16 =
+    copy(child = c)
+}
+
+object MinHash16 {
+  /** Register `minhash16` for use from expr()/SQL. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    Registry.registerOnce(spark, "minhash16",
+      exprs => MinHash16(exprs.head))
+}
+
 object MinHash9 {
-  private val K = 9
   private val HEX = "0123456789abcdef".toCharArray
 
   private val mdPool =
@@ -68,7 +110,12 @@ object MinHash9 {
       java.security.MessageDigest.getInstance("MD5"))
 
   /** null when the array has fewer than 3 elements (no 3-gram). */
-  def compute(arr: ArrayData): ArrayData = {
+  def compute(arr: ArrayData): ArrayData = computeK(arr, 9)
+
+  /** Width-parameterized body — hash k of any width uses the same
+    * "(k+1)|shingle" md5 seed, so a narrower signature is always a
+    * PREFIX of a wider one over the same doc. */
+  def computeK(arr: ArrayData, width: Int): ArrayData = {
     val n = arr.numElements()
     if (n < 3) return null
     val words = new Array[String](n)
@@ -79,14 +126,14 @@ object MinHash9 {
       i += 1
     }
     val seen = new java.util.HashSet[String]()
-    val mins = new Array[String](K)
+    val mins = new Array[String](width)
     val md = mdPool.get()
     i = 0
     while (i <= n - 3) {
       val g = words(i) + " " + words(i + 1) + " " + words(i + 2)
       if (seen.add(g)) {
         var k = 0
-        while (k < K) {
+        while (k < width) {
           md.reset()
           val d = md.digest(((k + 1) + "|" + g).getBytes("UTF-8"))
           val hex = new Array[Char](32)

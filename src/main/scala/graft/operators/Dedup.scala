@@ -154,6 +154,57 @@ object Dedup {
   private[graft] def minhashScored(s: SparkSession, dir: String): DataFrame =
     minhashScoredOf(Tables(s, dir, "documents"))
 
+  /** Width-parameterized signature table: K=16 signatures through the
+    * [[graft.functions.MinHash16]] expression (same zero-shuffle
+    * projection shape as [[minhashesOf]]; the first 9 hashes are
+    * byte-identical to minhash9's — DedupSpec pins it). The K=9
+    * production functions above stay untouched, so their compiled
+    * plans and Janino cache entries are byte-identical. */
+  private[graft] def minhashesOfWidth(docs: DataFrame,
+                                      width: Int): DataFrame = {
+    require(width == 9 || width == 16, s"signature width $width: only " +
+      "9 (minhash9) and 16 (minhash16) are compiled expressions")
+    if (width == 9) minhashesOf(docs)
+    else {
+      graft.functions.MinHash16.register(docs.sparkSession)
+      docs
+        .select(col("doc_id"), expr("minhash16(split(text, ' '))").as("mh"))
+        .filter(col("mh").isNotNull)
+        .select(col("doc_id") +: (1 to width).map(i =>
+          element_at(col("mh"), i).as(s"h$i")): _*)
+    }
+  }
+
+  /** [[minhashScoredUnder]] at an explicit signature width: `nb` bands
+    * of width/nb rows — the menu api.Corpus.lshBandingFor(target, k)
+    * picks from for k=16 high-precision targets. */
+  private[graft] def minhashScoredWide(docs: DataFrame, width: Int,
+                                       nb: Int): DataFrame = {
+    require(width % nb == 0, s"bands=$nb must divide width=$width")
+    val r = width / nb
+    val mh = minhashesOfWidth(docs, width).cache()
+    val bandArr = array((0 until nb).map { b =>
+      val cs = (1 to r).map(i => col(s"h${b * r + i}"))
+      struct(lit(b + 1).as("band"),
+        md5(concat(cs: _*).cast("binary")).as("bv"))
+    }: _*)
+    val sig = (1 to width).map(i => col(s"h$i"))
+    val bands = mh
+      .select(col("doc_id") +: sig :+ explode(bandArr).as("s"): _*)
+      .select(col("doc_id") +: sig :+ col("s.band").as("band") :+
+        col("s.bv").as("bv"): _*)
+    val a = bands.toDF(
+      "id1" +: (1 to width).map(i => s"a$i") :+ "band" :+ "bv": _*)
+    val b = bands.toDF(
+      "id2" +: (1 to width).map(i => s"b$i") :+ "band" :+ "bv": _*)
+    val nMatch = (1 to width).map(i =>
+      (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), nMatch.as("n_match"))
+      .distinct()
+  }
+
   private[graft] def minhashPairsOf(docs: DataFrame): DataFrame =
     minhashScoredOf(docs).filter(col("n_match") >= 6)
 

@@ -40,6 +40,36 @@ class ApiSpec extends SparkSpec {
     assert(strict.forall(_._3 >= 9))
   }
 
+  test("K=16 signature: chooser steps where K=9 jumps, first 9 hashes " +
+    "are minhash9's, and the high-precision path verifies at 16") {
+    // the K=16 divisor menu adds graded steps (0.858, 0.958) above the
+    // near-dup point where K=9's menu jumps 0.59 → 0.93
+    assert(Corpus.lshBandingFor(0.65, 16) == ((4, 4)))
+    assert(Corpus.lshBandingFor(0.87, 16) == ((2, 8)))
+    assert(Corpus.lshBandingFor(0.96, 16) == ((1, 16)))
+    // k = 9 menu unchanged (byte-identical production plan)
+    assert(Corpus.lshBandingFor(0.65) == ((3, 3)))
+    // prefix law: hash i of ANY width seeds md5 with "i|", so the
+    // 16-wide signature's first 9 hashes equal minhash9's row-for-row
+    val nine = operators.Dedup.minhashesOf(
+        renamedDocs.select(col("id").as("doc_id"), col("body").as("text")))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val sixteen = operators.Dedup.minhashesOfWidth(
+        renamedDocs.select(col("id").as("doc_id"), col("body").as("text")),
+        16)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(nine.length == sixteen.length && nine.nonEmpty)
+    nine.zip(sixteen).foreach { case (a, b) =>
+      assert(b.take(10) == a, s"16-wide prefix != minhash9: $a vs $b")
+    }
+    // the 4×4 near-dup banding at k=16 verifies with >= 11/16
+    // agreement and finds the corpus's near-dup families
+    val wide = Corpus.nearDedup(renamedDocs, 0.65, "id", "body", k = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(wide.nonEmpty)
+    assert(wide.forall(_._3 >= math.ceil(16 * 0.65).toInt))
+  }
+
   test("facade clusters equal the dd_cluster query") {
     val api = Corpus.nearDupClusters(renamedDocs, "id", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
