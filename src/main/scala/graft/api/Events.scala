@@ -120,6 +120,29 @@ object Events {
       events.select(col(idCol), orderMicros(events, orderCol),
         col(tieCol), col(codeCol)), pattern)
 
+  /** MATCH_RECOGNIZE **MEASURES** (the SQL:2016 MEASURES clause at
+    * ONE ROW PER MATCH grain): every match of `pattern` as one row
+    * carrying its aggregates — (idCol, match_seq, start_us,
+    * start_event_id, end_us, end_event_id, n_events, sum_cents) —
+    * FIRST/LAST ts and ids, COUNT(*) of matched events, and the exact
+    * long sum of `valueCol` over them. The span fold's bounded ring
+    * also carries the value, so measures aggregate AS SPANS CONFIRM:
+    * matched rows are never re-shuffled or joined back, and the whole
+    * clause costs the one entity-keyed shuffle [[matchPattern]] pays.
+    * `valueCol` must be integral (pre-scale money to cents — the
+    * library's decimal-exactness contract); same terminator-disjoint
+    * + one-char-code contract as [[matchSpans]]. Delegates to the
+    * path behind the oracle-checked `ev_match_measures`. */
+  def matchMeasures(events: DataFrame, pattern: String,
+                    valueCol: String,
+                    idCol: String = "user_id",
+                    tieCol: String = "event_id",
+                    codeCol: String = "code",
+                    orderCol: String = "us"): DataFrame =
+    graft.operators.EventAnalytics.matchMeasuresOf(
+      events.select(col(idCol), orderMicros(events, orderCol),
+        col(tieCol), col(codeCol), col(valueCol).cast("long")), pattern)
+
   /** MATCH_RECOGNIZE with DEFINE-style NAVIGATION (PREV): real
     * MATCH_RECOGNIZE classifies events by predicates over neighbors
     * (`DEFINE U AS price > PREV(price)`), which a precomputed per-row

@@ -193,6 +193,38 @@ object EventAnalytics {
           col("us"), col("event_id"), col("code"))
         .orderBy("user_id", "match_seq", "ord_in_match")),
 
+    // MATCH_RECOGNIZE **MEASURES** (SQL:2016 MEASURES clause, ONE ROW
+    // PER MATCH): every `v[co]*p` match as one row carrying its
+    // aggregates — FIRST/LAST timestamps and event ids, COUNT(*) of
+    // matched events, SUM of their values (exact cents), and the
+    // match duration. Engine: the span fold's position→event ring
+    // also carries each event's cents, and every confirmed span
+    // aggregates its ring slice AS IT CONFIRMS — the matched rows are
+    // never re-shuffled or joined back to compute their measures, so
+    // MEASURES costs exactly the one user-keyed shuffle the count
+    // fold pays. ORACLE: the ev_match_spans closed form (window lag
+    // over the v/p-filtered subsequence) joined back to the in-range
+    // events and aggregated per span — engine-free, like the rows
+    // oracle. Money is decimal-cast to cents BEFORE summation (the
+    // cross-engine exactness contract from Relational).
+    "ev_match_measures" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"),
+          when(col("event_type") === "view", "v")
+            .when(col("event_type") === "click", "c")
+            .when(col("event_type") === "purchase", "p")
+            .otherwise("o").as("code"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as long)")
+            .as("v_cents"))
+      matchMeasuresOf(ev, "v[co]*p")
+        .select(col("user_id"), col("match_seq"), col("start_us"),
+          col("start_event_id"), col("end_us"), col("end_event_id"),
+          col("n_events"), col("sum_cents"),
+          (col("end_us") - col("start_us")).as("duration_us"))
+        .orderBy("user_id", "match_seq")
+    }),
+
     // MATCH_RECOGNIZE with DEFINE NAVIGATION (PREV) — real
     // MATCH_RECOGNIZE classifies rows by predicates over neighbors
     // (`DEFINE U AS price > PREV(price)`), which no precomputed code
@@ -524,6 +556,80 @@ object EventAnalytics {
       st => { st.m.finish(); st.m.drainSpans().flatMap(st.rows) })
   }
 
+  /** Row-pattern MEASURES (SQL:2016 MATCH_RECOGNIZE MEASURES clause,
+    * ONE ROW PER MATCH output) — the engine behind ev_match_measures /
+    * api.Events.matchMeasures: the matchSpansOf fold (same machine,
+    * same minLivePos-pruned position→event ring), but the ring also
+    * carries each event's measure value and every confirmed span
+    * emits ONE aggregate row — (match_seq, start_us, start_event_id,
+    * end_us, end_event_id, n_events, sum_cents) — computed over the
+    * ring slice the match covers, the MEASURES set FIRST(ts)/LAST(ts)
+    * /COUNT(*)/SUM(value) expressed at the match grain. Aggregation
+    * happens as spans confirm, on the bounded ring — matched rows are
+    * never re-shuffled or re-joined to compute their measures, so the
+    * whole clause costs the one entity-keyed shuffle the count fold
+    * already pays. Same contract as span mode: terminator-disjoint
+    * pattern (loud failure otherwise), exactly one code char per
+    * event; per-entity memory O(|pattern| + longest live match). */
+  private[graft] def matchMeasuresOf(ev: DataFrame,
+                                     pattern: String): DataFrame = {
+    val prog = graft.functions.RowPattern.compile(pattern)
+    require(graft.functions.RowPattern.terminatorDisjoint(prog),
+      s"MEASURES needs a terminator-disjoint pattern; " +
+        s"'$pattern' is not — use match counting (matchCountsOf)")
+    final class St {
+      val m = new graft.functions.RowPattern.MatchCounter(
+        prog, trackSpans = true)
+      var base = 0L // char position of ring.head
+      var seq = 0L // per-entity match ordinal, in start order
+      val ring =
+        scala.collection.mutable.ArrayDeque.empty[(Long, Long, Long)]
+      def measures(sp: (Long, Long)): Seq[Any] = {
+        seq += 1
+        val lo = (sp._1 - base).toInt
+        val hi = (sp._2 - base).toInt // end exclusive
+        var sum = 0L
+        var k = lo
+        while (k < hi) { sum += ring(k)._3; k += 1 }
+        val (sus, sid, _) = ring(lo)
+        val (eus, eid, _) = ring(hi - 1)
+        Seq(Long.box(seq), Long.box(sus), Long.box(sid), Long.box(eus),
+          Long.box(eid), Long.box((hi - lo).toLong), Long.box(sum))
+      }
+      def prune(): Unit = {
+        val keep = m.minLivePos
+        while (base < keep && ring.nonEmpty) { ring.removeHead(); base += 1 }
+      }
+    }
+    graft.api.Folds.flatFoldOrdered(
+      ev.toDF("user_id", "us", "event_id", "code", "v_cents"),
+      keyCols = Seq("user_id"), orderCols = Seq("us", "event_id"),
+      out = new org.apache.spark.sql.types.StructType()
+        .add("match_seq", org.apache.spark.sql.types.LongType)
+        .add("start_us", org.apache.spark.sql.types.LongType)
+        .add("start_event_id", org.apache.spark.sql.types.LongType)
+        .add("end_us", org.apache.spark.sql.types.LongType)
+        .add("end_event_id", org.apache.spark.sql.types.LongType)
+        .add("n_events", org.apache.spark.sql.types.LongType)
+        .add("sum_cents", org.apache.spark.sql.types.LongType))(
+      () => new St)(
+      (st, r) => {
+        val code = r.getString(3)
+        if (code == null) Nil
+        else {
+          require(code.length == 1,
+            "MEASURES mode needs exactly one code char per event")
+          st.ring.append((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(4)) 0L else r.getLong(4)))
+          st.m.feed(code.charAt(0))
+          val out = st.m.drainSpans().map(st.measures)
+          st.prune()
+          out
+        }
+      })(
+      st => { st.m.finish(); st.m.drainSpans().map(st.measures) })
+  }
+
   /** Pairwise audience overlap of an (user_id, event_type) frame —
     * the helper behind ev_segment_overlap; the incidence dedups
     * before the user-keyed pair join, so the join grain is users ×
@@ -818,6 +924,44 @@ object EventAnalytics {
         |  AND (e.us > sp.sus OR (e.us = sp.sus AND e.event_id >= sp.sid))
         |  AND (e.us < sp.eus OR (e.us = sp.eus AND e.event_id <= sp.eid))
         |ORDER BY sp.user_id, match_seq, ord_in_match""".stripMargin,
+
+    // MEASURES from the same closed-form span table, aggregated over
+    // the in-range join — cents are decimal-cast BEFORE the sum on
+    // both engines (DECIMAL(18,2)*100 is an exact integer, so the
+    // BIGINT casts agree although DuckDB rounds and Spark truncates)
+    "ev_match_measures" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'o' END AS code,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v_cents
+        |  FROM events),
+        |vp AS (SELECT * FROM e WHERE code IN ('v', 'p')),
+        |l AS (
+        |  SELECT user_id, us, event_id, code,
+        |    lag(code) OVER w AS pc,
+        |    lag(us) OVER w AS pus,
+        |    lag(event_id) OVER w AS pid
+        |  FROM vp
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sp AS (
+        |  SELECT user_id, pus AS sus, pid AS sid,
+        |    us AS eus, event_id AS eid,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY pus, pid) AS BIGINT) AS match_seq
+        |  FROM l WHERE code = 'p' AND pc = 'v')
+        |SELECT sp.user_id, sp.match_seq, sp.sus AS start_us,
+        |  sp.sid AS start_event_id, sp.eus AS end_us,
+        |  sp.eid AS end_event_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(e.v_cents) AS BIGINT) AS sum_cents,
+        |  sp.eus - sp.sus AS duration_us
+        |FROM sp JOIN e ON e.user_id = sp.user_id
+        |  AND (e.us > sp.sus OR (e.us = sp.sus AND e.event_id >= sp.sid))
+        |  AND (e.us < sp.eus OR (e.us = sp.eus AND e.event_id <= sp.eid))
+        |GROUP BY sp.user_id, sp.match_seq, sp.sus, sp.sid, sp.eus, sp.eid
+        |ORDER BY sp.user_id, sp.match_seq""".stripMargin,
 
     // same (o_orderdate, o_orderkey) total order and the same
     // U/D/e/first-'o' classification; the count is the closed form —

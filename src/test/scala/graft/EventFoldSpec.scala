@@ -156,6 +156,49 @@ class EventFoldSpec extends SparkSpec {
     }
   }
 
+  test("matchMeasuresOf is mutually consistent with rows and spans") {
+    // the MEASURES mode must tell the same story as the other output
+    // modes over the real corpus: endpoints == the span table,
+    // n_events == the ALL ROWS row count per match, and sum_cents ==
+    // the sum of the matched rows' cents re-derived independently by
+    // joining the rows output back to the raw events
+    val coded = operators.EventAnalytics.funnelCoded(spark, sf)
+    val cents = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as v_cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val withVal = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) as us", "event_id",
+        """case event_type when 'view' then 'v' when 'click' then 'c'
+           when 'purchase' then 'p' else 'o' end as code""",
+        "cast(cast(value as decimal(18,2)) * 100 as long) as v_cents")
+    val measures = operators.EventAnalytics
+      .matchMeasuresOf(withVal, "v[co]*p").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)),
+          r.getLong(6), r.getLong(7))).toMap
+    val rows = operators.EventAnalytics.matchRowsOf(coded, "v[co]*p")
+      .collect().groupBy(r => (r.getLong(0), r.getLong(1)))
+    val spans = operators.EventAnalytics.matchSpansOf(coded, "v[co]*p")
+      .collect()
+    assert(measures.nonEmpty && rows.nonEmpty)
+    assert(measures.keySet == rows.keySet,
+      "measures and rows disagree on the match set")
+    assert(measures.size == spans.length,
+      "measures and spans disagree on the match count")
+    measures.foreach { case ((u, seq), (ends, nEvents, sumCents)) =>
+      val m = rows((u, seq)).sortBy(_.getLong(2))
+      assert(nEvents == m.length.toLong, s"user $u match $seq: n_events")
+      assert(ends == ((m.head.getLong(3), m.head.getLong(4),
+        m.last.getLong(3), m.last.getLong(4))),
+        s"user $u match $seq: endpoints != rows first/last")
+      val expected = m.map(r => cents((u, r.getLong(4)))).sum
+      assert(sumCents == expected,
+        s"user $u match $seq: sum_cents $sumCents != $expected")
+    }
+  }
+
   test("matchRowsOf equals java.regex find() positions on random " +
     "traces (ordinals pinned, deeper disjoint patterns included)") {
     import spark.implicits._
