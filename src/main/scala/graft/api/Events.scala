@@ -199,4 +199,25 @@ object Events {
     graft.streaming.CepPattern.matches(
       spark, parsed, pattern, depthCap, codeExpr,
       allowedLatenessUs, onLate)
+
+  /** Streaming twin of [[matchSpans]] (ONE ROW PER MATCH over a
+    * stream): each key's confirmed matches emit EXACTLY ONCE, as they
+    * confirm — (user_id, match_seq, start_us, start_event_id, end_us,
+    * end_event_id), Append-shaped with nothing to retract. A match
+    * whose greedy tail later events could still extend stays unemitted
+    * until the stream proves it (and at quiescence the emitted set
+    * equals the batch fold's confirmed spans — restart-twin-pinned in
+    * CepPatternSpec). Same ordering guard as [[matchPatternStream]];
+    * requires a terminator-disjoint pattern and exactly one code char
+    * per event, like the batch span mode. */
+  def matchSpansStream(spark: org.apache.spark.sql.SparkSession,
+                       parsed: DataFrame, pattern: String,
+                       codeExpr: String =
+                         graft.streaming.CepPattern.funnelCode,
+                       allowedLatenessUs: Long = 0L,
+                       onLate: String = "fail")
+      : org.apache.spark.sql.Dataset[
+        graft.streaming.CepPattern.CepSpanMatch] =
+    graft.streaming.CepPattern.matchSpans(
+      spark, parsed, pattern, codeExpr, allowedLatenessUs, onLate)
 }

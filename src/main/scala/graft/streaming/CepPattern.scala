@@ -41,18 +41,29 @@ import graft.streaming.CepMatcher.CepEvent
   * downstream. At quiescence the last emission per key equals the
   * batch fold over the full (undropped) history, for any pattern.
   *
+  * [[matchSpans]] is the streaming ONE ROW PER MATCH twin of the batch
+  * matchSpansOf fold: same admission guard, the span-mode machine plus
+  * the minLivePos-pruned position→event ring as state, one row emitted
+  * per CONFIRMED match (Append-shaped — a span confirms exactly once,
+  * so there is nothing to retract and nothing to re-emit). A match
+  * whose confirmation needs end-of-stream evidence (a greedy tail
+  * that later events could still extend) stays unemitted until the
+  * stream proves it — streaming semantics, pinned against the batch
+  * fold at quiescence by CepPatternSpec.
+  *
   * State bound: the machine is the RowPattern contract
   * (terminator-disjoint patterns O(|pattern|) per key forever, others
   * capped at `depthCap` with loud failure); the reorder buffer holds
   * only events inside the declared lateness window — bounded by the
   * key's arrival rate × allowedLatenessUs, zero when lateness is 0.
   */
-object CepPattern {
+object CepPattern extends Serializable {
 
   /** The standard funnel code mapping (view→v, click→c, purchase→p,
     * else o) — the default `codeExpr`; callers with their own alphabet
     * pass any SQL expression over the parsed columns that yields one
-    * code char (or a multi-char code string, fed char by char). */
+    * code char (or a multi-char code string, fed char by char; span
+    * mode requires exactly one char). */
   val funnelCode: String =
     """CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
       |WHEN 'purchase' THEN 'p' ELSE 'o' END""".stripMargin
@@ -63,19 +74,91 @@ object CepPattern {
   final case class CepPatternUpdate(user_id: Long, n_matches: Long,
                                     n_late_dropped: Long)
 
-  /** Checkpointed per-key state: the speculation-chain machine, the
-    * last-FED event-time frontier, the key's event-time high-water
-    * mark, the reorder buffer of not-yet-releasable events, the
-    * late-drop counter, and the last emitted pair (emit-on-change). */
-  private[graft] final class PatternState(
-      val m: RowPattern.MatchCounter) extends Serializable {
+  /** One emitted row per confirmed match (streaming ONE ROW PER
+    * MATCH): the key, the match's per-key ordinal in confirmation
+    * order, and its first/last event coordinates. */
+  final case class CepSpanMatch(user_id: Long, match_seq: Long,
+                                start_us: Long, start_event_id: Long,
+                                end_us: Long, end_event_id: Long)
+
+  /** The ordering-guard fields every CEP state carries: the last-FED
+    * event-time frontier, the key's high-water mark, the
+    * lateness-bounded reorder buffer, and the late-drop counter. */
+  private[graft] sealed abstract class GuardedState extends Serializable {
     var lastTs: Long = Long.MinValue
     var lastId: Long = Long.MinValue
     var maxSeenTs: Long = Long.MinValue
     var buffer: ArrayBuffer[(Long, Long, String)] = ArrayBuffer.empty
     var dropped: Long = 0L
+  }
+
+  /** Checkpointed per-key state for [[matches]]: the speculation-chain
+    * machine plus the last emitted pair (emit-on-change). */
+  private[graft] final class PatternState(
+      val m: RowPattern.MatchCounter) extends GuardedState {
     var emittedMatches: Long = -1L
     var emittedDropped: Long = -1L
+  }
+
+  /** Checkpointed per-key state for [[matchSpans]]: the span-mode
+    * machine, the position→event ring (char position of ring(0) is
+    * `base` — pruned to the machine's minLivePos like the batch fold),
+    * and the per-key match ordinal. */
+  private[graft] final class SpanState(
+      val m: RowPattern.MatchCounter) extends GuardedState {
+    var base: Long = 0L
+    var seq: Long = 0L
+    var ring: ArrayBuffer[(Long, Long)] = ArrayBuffer.empty
+  }
+
+  /** Admit a batch of events through the ordering guard: record the
+    * high-water mark, reject-or-drop anything behind the fed frontier,
+    * buffer the rest, then release — in (ts_us, event_id) order —
+    * every buffered event the event-time watermark (high-water minus
+    * the declared lateness) has passed, advancing the frontier to the
+    * last released event. Returns the released events, ready to feed. */
+  private def admit(st: GuardedState, userId: Long,
+                    evs: Array[CepEvent], allowedLatenessUs: Long,
+                    onLate: String): Seq[(Long, Long, String)] = {
+    evs.foreach { e =>
+      if (e.ts_us > st.maxSeenTs) st.maxSeenTs = e.ts_us
+      if (e.code != null) {
+        val behindFrontier = e.ts_us < st.lastTs ||
+          (e.ts_us == st.lastTs && e.event_id <= st.lastId)
+        if (behindFrontier) {
+          if (onLate == "drop") st.dropped += 1
+          else throw new IllegalStateException(
+            s"CEP ordering contract violated for key $userId: event " +
+              s"(ts_us=${e.ts_us}, event_id=${e.event_id}) arrived " +
+              s"after the key's fed frontier (ts_us=${st.lastTs}, " +
+              s"event_id=${st.lastId}) — later than " +
+              s"allowedLatenessUs=$allowedLatenessUs absorbs. Deliver " +
+              "each key's events in event-time order (keyed topic), " +
+              "raise allowedLatenessUs to cover the source's disorder, " +
+              "or declare onLate=\"drop\" to skip-and-count.")
+        } else st.buffer += ((e.ts_us, e.event_id, e.code))
+      }
+    }
+    val watermark = st.maxSeenTs - allowedLatenessUs
+    if (st.buffer.isEmpty) Nil
+    else {
+      val sorted = st.buffer.sortBy(e => (e._1, e._2))
+      val (rel, keep) = sorted.partition(_._1 <= watermark)
+      st.buffer = keep
+      rel.lastOption.foreach { case (ts, id, _) =>
+        st.lastTs = ts
+        st.lastId = id
+      }
+      rel.toSeq
+    }
+  }
+
+  private def requireGuardArgs(allowedLatenessUs: Long,
+                               onLate: String): Unit = {
+    require(allowedLatenessUs >= 0L,
+      s"allowedLatenessUs must be >= 0, got $allowedLatenessUs")
+    require(onLate == "fail" || onLate == "drop",
+      s"onLate must be 'fail' or 'drop', got '$onLate'")
   }
 
   /** Wire the matcher over a parsed stream (StreamingIngest.parse
@@ -87,10 +170,7 @@ object CepPattern {
               codeExpr: String = funnelCode,
               allowedLatenessUs: Long = 0L,
               onLate: String = "fail"): Dataset[CepPatternUpdate] = {
-    require(allowedLatenessUs >= 0L,
-      s"allowedLatenessUs must be >= 0, got $allowedLatenessUs")
-    require(onLate == "fail" || onLate == "drop",
-      s"onLate must be 'fail' or 'drop', got '$onLate'")
+    requireGuardArgs(allowedLatenessUs, onLate)
     val prog = RowPattern.compile(pattern)
     implicit val stateEnc: Encoder[PatternState] =
       Encoders.javaSerialization[PatternState]
@@ -102,39 +182,8 @@ object CepPattern {
       val st = state.getOption.getOrElse(
         new PatternState(new RowPattern.MatchCounter(prog, depthCap)))
       val evs = events.toArray.sortBy(e => (e.ts_us, e.event_id))
-      evs.foreach { e =>
-        if (e.ts_us > st.maxSeenTs) st.maxSeenTs = e.ts_us
-        if (e.code != null) {
-          val behindFrontier = e.ts_us < st.lastTs ||
-            (e.ts_us == st.lastTs && e.event_id <= st.lastId)
-          if (behindFrontier) {
-            if (onLate == "drop") st.dropped += 1
-            else throw new IllegalStateException(
-              s"CEP ordering contract violated for key $userId: event " +
-                s"(ts_us=${e.ts_us}, event_id=${e.event_id}) arrived " +
-                s"after the key's fed frontier (ts_us=${st.lastTs}, " +
-                s"event_id=${st.lastId}) — later than " +
-                s"allowedLatenessUs=$allowedLatenessUs absorbs. Deliver " +
-                "each key's events in event-time order (keyed topic), " +
-                "raise allowedLatenessUs to cover the source's disorder, " +
-                "or declare onLate=\"drop\" to skip-and-count.")
-          } else st.buffer += ((e.ts_us, e.event_id, e.code))
-        }
-      }
-      // release: everything the event-time watermark has passed feeds
-      // now, in (ts_us, event_id) order; the rest stays buffered until
-      // a later batch advances the high-water mark
-      val watermark = st.maxSeenTs - allowedLatenessUs
-      if (st.buffer.nonEmpty) {
-        val sorted = st.buffer.sortBy(e => (e._1, e._2))
-        val (rel, keep) = sorted.partition(_._1 <= watermark)
-        rel.foreach { case (ts, id, code) =>
-          st.m.feedAll(code)
-          st.lastTs = ts
-          st.lastId = id
-        }
-        st.buffer = keep
-      }
+      admit(st, userId, evs, allowedLatenessUs, onLate)
+        .foreach { case (_, _, code) => st.m.feedAll(code) }
       state.update(st)
       // count as if the stream ended here: buffered events would all
       // release at EOF, so the snapshot feeds them before finishing
@@ -147,6 +196,67 @@ object CepPattern {
         state.update(st)
         Iterator.single(CepPatternUpdate(userId, flushed, st.dropped))
       } else Iterator.empty
+    }
+
+    parsed
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+        s"($codeExpr) AS code")
+      .as[CepEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming ONE ROW PER MATCH: the batch matchSpansOf fold run
+    * incrementally — each key's confirmed matches emit exactly once,
+    * as they confirm, carrying the match's first/last event
+    * coordinates and a per-key ordinal in confirmation order. Same
+    * admission guard as [[matches]]; requires a terminator-disjoint
+    * pattern (the span buffers and the ring are only bounded under
+    * that contract) and exactly one code char per event. Per-key
+    * state: the machine + the minLivePos-pruned ring + the reorder
+    * buffer — O(|pattern| + longest live match + declared-lateness
+    * backlog), never the key's history. */
+  def matchSpans(spark: SparkSession, parsed: DataFrame, pattern: String,
+                 codeExpr: String = funnelCode,
+                 allowedLatenessUs: Long = 0L,
+                 onLate: String = "fail"): Dataset[CepSpanMatch] = {
+    requireGuardArgs(allowedLatenessUs, onLate)
+    val prog = RowPattern.compile(pattern)
+    require(RowPattern.terminatorDisjoint(prog),
+      s"streaming span mode needs a terminator-disjoint pattern; " +
+        s"'$pattern' is not — use matches() (count mode)")
+    implicit val stateEnc: Encoder[SpanState] =
+      Encoders.javaSerialization[SpanState]
+    import spark.implicits._
+
+    def update(userId: Long, events: Iterator[CepEvent],
+               state: GroupState[SpanState])
+        : Iterator[CepSpanMatch] = {
+      val st = state.getOption.getOrElse(
+        new SpanState(new RowPattern.MatchCounter(prog, trackSpans = true)))
+      val evs = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+      val out = ArrayBuffer.empty[CepSpanMatch]
+      admit(st, userId, evs, allowedLatenessUs, onLate)
+        .foreach { case (ts, id, code) =>
+          require(code.length == 1,
+            "streaming span mode needs exactly one code char per event")
+          st.ring += ((ts, id))
+          st.m.feed(code.charAt(0))
+          st.m.drainSpans().foreach { sp =>
+            st.seq += 1
+            val (sus, sid) = st.ring((sp._1 - st.base).toInt)
+            val (eus, eid) = st.ring((sp._2 - 1 - st.base).toInt)
+            out += CepSpanMatch(userId, st.seq, sus, sid, eus, eid)
+          }
+          val keep = st.m.minLivePos
+          if (keep > st.base) {
+            st.ring = st.ring.drop((keep - st.base).toInt)
+            st.base = keep
+          }
+        }
+      state.update(st)
+      out.iterator
     }
 
     parsed

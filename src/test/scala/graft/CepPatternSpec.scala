@@ -213,6 +213,59 @@ class CepPatternSpec extends SparkSpec {
     assert(rows == Seq((9L, 0L), (9L, 1L)), rows)
   }
 
+  test("streaming spans: chunked replay with restart equals the batch " +
+    "span fold, each match emitted exactly once") {
+    // the streaming ONE ROW PER MATCH mode: user 1's first funnel
+    // match SPANS the restart boundary (v,c in chunk 1 — p in chunk
+    // 2), so its span row can only come from the ring + machine state
+    // round-tripping the checkpoint
+    val base = Files.createTempDirectory("graft_cepspans")
+    val src = Files.createDirectory(base.resolve("src"))
+    def runBatch(): Unit = {
+      val q = CepPattern
+        .matchSpans(spark, StreamingIngest.parse(
+          spark.readStream.text(src.toString)), "v[co]*p")
+        .writeStream.format("parquet")
+        .option("path", base.resolve("out").toString)
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeChunk(src, "b1.json", chunk1)
+    runBatch()
+    val after1 = spark.read.parquet(base.resolve("out").toString).collect()
+    // only user 3's closed funnel has confirmed so far
+    assert(after1.map(_.getLong(0)).toSeq == Seq(3L), after1.toSeq)
+    writeChunk(src, "b2.json", chunk2)
+    runBatch() // restart — ring + machine reload from the state store
+    val streamed = spark.read.parquet(base.resolve("out").toString)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // batch twin over the union of both chunks, through the same
+    // parse (ts = the hour timestamps, us = unix_micros of them)
+    import spark.implicits._
+    val coded = (chunk1 ++ chunk2)
+      .toDF("event_id", "user_id", "tpe", "hour")
+      .selectExpr("user_id",
+        "unix_micros(to_timestamp(printf('2024-01-01 %02d:00:00', hour)))" +
+          " AS us",
+        "event_id",
+        """CASE tpe WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+          |WHEN 'purchase' THEN 'p' ELSE 'o' END AS code""".stripMargin)
+    val batch = operators.EventAnalytics.matchSpansOf(coded, "v[co]*p")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch, s"$streamed != $batch")
+    assert(batch.size >= 3) // users 1 (x2 incl. the boundary) and 3
+    // exactly-once: no duplicate (user, start) across all emissions
+    val all = spark.read.parquet(base.resolve("out").toString).collect()
+    assert(all.length == all.map(r => (r.getLong(0), r.getLong(2),
+      r.getLong(3))).distinct.length, "a span emitted twice")
+  }
+
   test("the spanning match is absent before the second chunk") {
     val base = Files.createTempDirectory("graft_cepspan")
     val src = Files.createDirectory(base.resolve("src"))
