@@ -242,4 +242,21 @@ object Corpus {
       : org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.CorpusStream.start(
       spark, srcDir, outDir, checkpointDir, availableNow)
+
+  /** DSIR-style data selection (importance resampling — Xie et al.
+    * 2023): score every raw-pool document by the log-likelihood ratio
+    * of two add-one-smoothed unigram LMs (target vs raw) over a
+    * bounded feature space — the top-`vocabSize` target vocabulary
+    * plus one OOV bucket — and return the `k` most target-like docs as
+    * (rank, doc_id). The vocab/stats grain is model-parameter scale
+    * (broadcast); the corpus-grain plan is one explode, two hash
+    * aggregations, and a broadcast join — no corpus-grain window.
+    * Delegates to the path behind the oracle-checked `tr_dsir_select`
+    * (and CorpusPrepSpec's full local recompute of the scoring). */
+  def dsirSelect(target: DataFrame, raw: DataFrame, k: Int = 20,
+                 vocabSize: Int = 2000, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    graft.operators.CorpusPrep.dsirSelectOf(
+      normalized(target, idCol, textCol),
+      normalized(raw, idCol, textCol), k, vocabSize)
 }

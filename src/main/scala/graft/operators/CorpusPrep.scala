@@ -237,7 +237,88 @@ object CorpusPrep {
             .partitionBy("bin")
             .orderBy(expr("md5(cast(doc_id as string))"), col("doc_id"))))
         .select("round", "bin", "doc_id", "n_chars")
-        .orderBy("round", "bin", "doc_id")))
+        .orderBy("round", "bin", "doc_id")),
+
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling" — the public method):
+    // pick from the raw pool the documents whose unigram distribution
+    // is most TARGET-like, scored by the log-likelihood ratio of two
+    // add-one-smoothed unigram LMs over a bounded feature space — here
+    // the top-V target vocabulary plus one OOV bucket (the paper hashes
+    // n-grams into B buckets purely to bound memory; a top-V vocab +
+    // OOV is the same bounded-feature estimator with an engine-free
+    // oracle). Target = the English slice of documents; raw pool = the
+    // rest; the report is the 20 selected doc_ids in score order.
+    //
+    // Scale shape: the vocab grain is MODEL-PARAMETER scale (top V
+    // terms — the BPE-merge-table argument), so its global window and
+    // the per-bucket stats table BROADCAST; the corpus-grain work is
+    // one explode, two hash aggregations, and one broadcast join — no
+    // corpus-grain window, no global sort before the final top-k.
+    // Doubles appear only in the ln-ratio ORDERING: the output is
+    // integer (rank, doc_id), and the per-document sum folds over
+    // bucket-sorted contributions (the ta_unigram_lm deterministic-
+    // summation contract) so both engines add in one order.
+    "tr_dsir_select" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      dsirSelectOf(
+        docs.filter(col("lang") === "en").select("doc_id", "text"),
+        docs.filter(col("lang") =!= "en").select("doc_id", "text"))
+    }))
+
+  /** DSIR scoring engine: target and raw pool as (doc_id, text)
+    * frames; returns the k selected raw docs as (rank, doc_id) in
+    * descending importance order. Parameterized for the
+    * [[graft.api.Corpus.dsirSelect]] facade; the named query runs it
+    * with the defaults. */
+  private[graft] def dsirSelectOf(target: DataFrame, raw0: DataFrame,
+                                  k: Int = 20, v: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def tokens(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tgt = tokens(target)
+    val raw = tokens(raw0)
+    val vocab = tgt.groupBy("term").agg(count(lit(1)).as("vct"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("vct").desc, col("term"))))
+      .filter(col("rk") <= v)
+      .select(col("term"), lit(1).as("inv"))
+    def buckets(t: DataFrame): DataFrame =
+      t.join(broadcast(vocab), Seq("term"), "left")
+        .select(col("doc_id"),
+          when(col("inv").isNotNull, concat(lit("t:"), col("term")))
+            .otherwise(lit("oov")).as("b"))
+    val tc = buckets(tgt).groupBy("b").agg(count(lit(1)).as("ct"))
+    val rc = buckets(raw).groupBy("b").agg(count(lit(1)).as("cr"))
+    // observed-bucket union (vocab terms always appear on the target
+    // side; OOV on whichever side has out-of-vocab tokens) — zero
+    // counts smooth to 1 below
+    val stats = tc.join(rc, Seq("b"), "full")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val consts = stats.agg(
+      sum("ct").cast("double").as("tt"),
+      sum("cr").cast("double").as("tr"),
+      count(lit(1)).cast("double").as("bb"))
+    val rtf = buckets(raw).groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("tf"))
+    val contrib = rtf.join(broadcast(stats), "b")
+      .crossJoin(broadcast(consts))
+      .withColumn("c", col("tf").cast("double") *
+        log(((col("ct") + lit(1L)).cast("double")
+            / (col("tt") + col("bb")))
+          / ((col("cr") + lit(1L)).cast("double")
+            / (col("tr") + col("bb")))))
+    val scored = contrib.groupBy("doc_id")
+      .agg(expr(
+        """aggregate(array_sort(collect_list(struct(b, c))), 0.0d,
+          |  (acc, s) -> acc + s.c)""".stripMargin).as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"))
+      .orderBy("rank")
+  }
 
   val oracles: Map[String, String] = Map(
     // the oracle IS the naive global spelling — the operator's claim is
@@ -317,5 +398,50 @@ object CorpusPrep {
         |    AS INTEGER) AS round,
         |  n_chars // 100 AS bin, doc_id, n_chars
         |FROM documents
-        |ORDER BY round, bin, doc_id""".stripMargin)
+        |ORDER BY round, bin, doc_id""".stripMargin,
+
+    // the same two smoothed unigram LMs over the same top-V + OOV
+    // feature space; the per-document sum is the deterministic
+    // bucket-ordered list fold (the ta_unigram_lm technique), and only
+    // integer (rank, doc_id) leaves the float domain
+    "tr_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |tgt AS (SELECT * FROM tok WHERE lang = 'en'),
+        |rawp AS (SELECT * FROM tok WHERE lang <> 'en'),
+        |vc AS (SELECT term, count(*) AS vct FROM tgt GROUP BY term),
+        |vocab AS (SELECT term FROM (
+        |  SELECT term, row_number() OVER (ORDER BY vct DESC, term) AS rk
+        |  FROM vc) t WHERE rk <= 2000),
+        |tb AS (SELECT t.doc_id,
+        |    CASE WHEN v.term IS NOT NULL THEN 't:' || t.term
+        |         ELSE 'oov' END AS b
+        |  FROM tgt t LEFT JOIN vocab v USING (term)),
+        |rb AS (SELECT r.doc_id,
+        |    CASE WHEN v.term IS NOT NULL THEN 't:' || r.term
+        |         ELSE 'oov' END AS b
+        |  FROM rawp r LEFT JOIN vocab v USING (term)),
+        |tc AS (SELECT b, count(*) AS ct FROM tb GROUP BY b),
+        |rc AS (SELECT b, count(*) AS cr FROM rb GROUP BY b),
+        |stats AS (SELECT coalesce(tc.b, rc.b) AS b,
+        |    coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+        |  FROM tc FULL JOIN rc ON tc.b = rc.b),
+        |consts AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt,
+        |    CAST(SUM(cr) AS DOUBLE) AS tr,
+        |    CAST(count(*) AS DOUBLE) AS bb FROM stats),
+        |rtf AS (SELECT doc_id, b, count(*) AS tf FROM rb GROUP BY 1, 2),
+        |contrib AS (SELECT rtf.doc_id, rtf.b,
+        |    CAST(tf AS DOUBLE)
+        |      * ln((CAST(ct + 1 AS DOUBLE) / (tt + bb))
+        |          / (CAST(cr + 1 AS DOUBLE) / (tr + bb))) AS c
+        |  FROM rtf JOIN stats USING (b), consts),
+        |scored AS (SELECT doc_id,
+        |    list_reduce(list_prepend(0.0, list(c ORDER BY b)),
+        |                (a, x) -> a + x) AS score
+        |  FROM contrib GROUP BY doc_id),
+        |top AS (SELECT doc_id, score FROM scored
+        |        ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |  AS INTEGER) AS rank, doc_id
+        |FROM top ORDER BY rank""".stripMargin)
 }

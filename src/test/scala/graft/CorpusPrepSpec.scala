@@ -170,4 +170,44 @@ class CorpusPrepSpec extends SparkSpec {
     // early rounds mix difficulties: round 1 covers every bin
     assert(byRound(1) === rows.map(_._2).toSet)
   }
+
+  test("DSIR selection equals a full local recompute of the " +
+    "importance-ratio scoring") {
+    // re-derive the whole method on the driver — tokenize, top-V
+    // target vocab, add-one-smoothed LMs, bucket-ordered ln-ratio
+    // fold — and pin the query's ranked selection to it exactly
+    // (same JVM, same summation order => bitwise-equal scores)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tok = docs.map { case (id, lang, text) =>
+      (id, lang, text.split(" ", -1).toSeq) }
+    val tgtTok = tok.filter(_._2 == "en").flatMap(_._3)
+    val vocab = tgtTok.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(2000).map(_._1).toSet
+    def bucket(t: String) = if (vocab(t)) "t:" + t else "oov"
+    val rawDocs = tok.filter(_._2 != "en")
+    val tc = tgtTok.map(bucket).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val rawTok = rawDocs.flatMap(_._3).map(bucket)
+    val rc = rawTok.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val allB = (tc.keySet ++ rc.keySet).toSeq
+    val tt = tc.values.sum.toDouble
+    val tr = rc.values.sum.toDouble
+    val bb = allB.size.toDouble
+    def lr(b: String): Double =
+      math.log(((tc.getOrElse(b, 0L) + 1L).toDouble / (tt + bb))
+        / ((rc.getOrElse(b, 0L) + 1L).toDouble / (tr + bb)))
+    val localTop = rawDocs.map { case (id, _, ts) =>
+      val score = ts.map(bucket).groupBy(identity).toSeq
+        .map { case (b, g) => (b, g.length.toDouble * lr(b)) }
+        .sortBy(_._1).foldLeft(0.0d)(_ + _._2)
+      (id, score)
+    }.sortBy { case (id, sc) => (-sc, id) }.take(20).map(_._1).toSeq
+    val got = CorpusPrep.queries("tr_dsir_select")(spark, sf)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == localTop, s"$got != $localTop")
+    // and the selection is non-trivial: it excludes some raw docs
+    assert(localTop.size == 20 && rawDocs.length > 20)
+  }
 }
