@@ -120,6 +120,28 @@ object Events {
       events.select(col(idCol), orderMicros(events, orderCol),
         col(tieCol), col(codeCol)), pattern)
 
+  /** MATCH_RECOGNIZE **AFTER MATCH SKIP TO NEXT ROW** — the other
+    * SQL:2016 skip mode ([[matchPattern]] is SKIP PAST LAST ROW): per
+    * entity, the number of rows where a match of `pattern` STARTS,
+    * counting OVERLAPPING matches — per-position
+    * `Matcher.lookingAt()` semantics (RowPatternSpec pins the
+    * equality). Engine: a reversed-NFA subset machine folded in
+    * DESCENDING event order — one entity-keyed shuffle and ONE
+    * O(|pattern|)-bit liveness set per entity for ANY pattern (start
+    * existence is pure reachability, so no speculation chain and no
+    * depthCap — this mode is bounded even where find() counting caps).
+    * Nullable patterns are rejected loudly (an empty match would
+    * start at every row). Delegates to the path behind the
+    * oracle-checked `ev_overlap_counts`. */
+  def matchStarts(events: DataFrame, pattern: String,
+                  idCol: String = "user_id",
+                  tieCol: String = "event_id",
+                  codeCol: String = "code",
+                  orderCol: String = "ts"): DataFrame =
+    graft.operators.EventAnalytics.overlapCountsOf(
+      events.select(col(idCol), orderMicros(events, orderCol),
+        col(tieCol), col(codeCol)), pattern)
+
   /** MATCH_RECOGNIZE **MEASURES** (the SQL:2016 MEASURES clause at
     * ONE ROW PER MATCH grain): every match of `pattern` as one row
     * carrying its aggregates — (idCol, match_seq, start_us,

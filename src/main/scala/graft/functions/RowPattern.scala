@@ -616,4 +616,86 @@ object RowPattern {
     m.feedAll(s)
     m.finish()
   }
+
+  /** AFTER MATCH SKIP TO NEXT ROW — OVERLAPPING match-start detection
+    * (the other SQL:2016 skip mode; find()'s SKIP PAST LAST ROW is
+    * [[MatchCounter]]): a row starts a match iff SOME prefix of the
+    * suffix beginning there is in the language — `Matcher.region(i,
+    * n).lookingAt()` per position, which overlapping matches make
+    * different from find() counting. Fed the entity's chars in
+    * REVERSE order, this is a subset simulation of the REVERSED NFA
+    * with a start injected at every position: feed(c) consumes one
+    * char and returns whether a match STARTS at that char's position.
+    *
+    * State is one live-state bitset — O(|pattern|) bits per entity
+    * for ANY pattern, no speculation chain and no depth cap: reversed,
+    * "some anchored match exists" is pure reachability, priorities
+    * and greediness don't matter. (That is why this mode is CHEAPER
+    * than find() counting.) The ε-closure table (O(|pattern|²) bits)
+    * is computed once at construction and shared via the closure.
+    * Nullable patterns are rejected loudly — an empty match would
+    * start at every row, so the count is meaningless (SQL:2016
+    * likewise forbids empty matches). */
+  final class StartDetector(prog: Array[Inst]) extends Serializable {
+    private val n = prog.length
+    private val words = (n + 63) >> 6
+    // reversed-ε closure rows: closure(s) = all states with a forward
+    // ε-path TO s (including s) — εclose of {s} in the reversed NFA
+    private val closure: Array[Array[Long]] = {
+      val fwd = Array.fill(n)(List.empty[Int])
+      prog.indices.foreach { i =>
+        epsSuccs(prog, i).foreach(w => fwd(w) = i :: fwd(w))
+      }
+      Array.tabulate(n) { s =>
+        val row = new Array[Long](words)
+        var stack = List(s)
+        while (stack.nonEmpty) {
+          val v = stack.head; stack = stack.tail
+          if ((row(v >> 6) & (1L << (v & 63))) == 0L) {
+            row(v >> 6) |= 1L << (v & 63)
+            fwd(v).foreach(w =>
+              if ((row(w >> 6) & (1L << (w & 63))) == 0L) stack = w :: stack)
+          }
+        }
+        row
+      }
+    }
+    private val startRow = closure(n - 1) // IMatch is emitted last
+    require((startRow(0) & 1L) == 0L,
+      "pattern can match empty — a match would start at every row; " +
+        "rewrite the pattern (SQL:2016 likewise forbids empty matches)")
+    private val live = new Array[Long](words)
+    private val next = new Array[Long](words)
+
+    /** Consume the NEXT CHAR IN REVERSE ORDER; true iff a match starts
+      * at this char's position in the original (forward) order. */
+    def feed(c: Char): Boolean = {
+      var w = 0
+      while (w < words) { live(w) |= startRow(w); w += 1 }
+      java.util.Arrays.fill(next, 0L)
+      var s = 1
+      while (s < n) {
+        if ((live(s >> 6) & (1L << (s & 63))) != 0L) prog(s - 1) match {
+          case ic: IChar if ic.matches(c) =>
+            val row = closure(s - 1)
+            var k = 0
+            while (k < words) { next(k) |= row(k); k += 1 }
+          case _ => ()
+        }
+        s += 1
+      }
+      System.arraycopy(next, 0, live, 0, words)
+      (live(0) & 1L) != 0L // state 0 = the reversed NFA's accept
+    }
+  }
+
+  /** One-shot overlapping-start count — the reference semantics used
+    * by the specs: positions i where `region(i, n).lookingAt()`. */
+  def countStarts(pattern: String, s: String): Long = {
+    val d = new StartDetector(compile(pattern))
+    var count = 0L
+    var i = s.length - 1
+    while (i >= 0) { if (d.feed(s.charAt(i))) count += 1; i -= 1 }
+    count
+  }
 }

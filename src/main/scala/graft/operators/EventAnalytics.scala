@@ -193,6 +193,25 @@ object EventAnalytics {
           col("us"), col("event_id"), col("code"))
         .orderBy("user_id", "match_seq", "ord_in_match")),
 
+    // AFTER MATCH SKIP TO NEXT ROW — OVERLAPPING matches, the other
+    // SQL:2016 skip mode: per user, count the rows where a `v[co]*v`
+    // match STARTS (view→view chains with only clicks/others between —
+    // the re-engagement metric find() counting understates, because a
+    // chain's middle view ends one match AND starts the next). Engine:
+    // the reversed-NFA StartDetector folded in descending event-time
+    // order — one user-keyed shuffle, O(|pattern|)-bit state for ANY
+    // pattern. ORACLE: a closed form again independent of any regex
+    // engine — a row starts a match iff its code is v and the NEXT
+    // breaking event (v or p — the chars [co] excludes) is a v, one
+    // lead() over the v/p-filtered subsequence. Report: the
+    // starts-per-user histogram over ALL users with events.
+    "ev_overlap_counts" -> ((s, dir) =>
+      overlapCountsOf(funnelCoded(s, dir), "v[co]*v")
+        .groupBy("n_starts")
+        .agg(count(lit(1)).as("n_users"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"))
+        .orderBy("n_starts")),
+
     // MATCH_RECOGNIZE **MEASURES** (SQL:2016 MEASURES clause, ONE ROW
     // PER MATCH): every `v[co]*p` match as one row carrying its
     // aggregates — FIRST/LAST timestamps and event ids, COUNT(*) of
@@ -554,6 +573,49 @@ object EventAnalytics {
         }
       })(
       st => { st.m.finish(); st.m.drainSpans().flatMap(st.rows) })
+  }
+
+  /** AFTER MATCH SKIP TO NEXT ROW — the OTHER SQL:2016 skip mode
+    * (matchCountsOf is SKIP PAST LAST ROW): per entity, the number of
+    * rows where a match STARTS, overlapping matches counted — exactly
+    * `Matcher.region(i, n).lookingAt()` per position (pinned in
+    * RowPatternSpec). Engine: [[graft.functions.RowPattern
+    * .StartDetector]] — a subset simulation of the REVERSED NFA with
+    * a start injected at every position — folded over the entity's
+    * events in DESCENDING (us, event_id) order (the fold's secondary
+    * sort on negated columns). Reversed, "some anchored match exists"
+    * is pure reachability: per-entity state is ONE O(|pattern|)-bit
+    * liveness set for ANY pattern — no speculation chain, no depth
+    * cap — so this mode is bounded on inputs where even find()
+    * counting needs the cap. */
+  private[graft] def overlapCountsOf(ev: DataFrame,
+                                     pattern: String): DataFrame = {
+    val prog = graft.functions.RowPattern.compile(pattern)
+    // eager construction validates the non-nullable contract at plan
+    // time (an empty match would start at every row)
+    new graft.functions.RowPattern.StartDetector(prog)
+    final class St {
+      val det = new graft.functions.RowPattern.StartDetector(prog)
+      var count = 0L
+    }
+    graft.api.Folds.foldOrdered(
+      ev.toDF("user_id", "us", "event_id", "code")
+        .withColumn("neg_us", -col("us"))
+        .withColumn("neg_id", -col("event_id")),
+      keyCols = Seq("user_id"), orderCols = Seq("neg_us", "neg_id"),
+      out = new org.apache.spark.sql.types.StructType()
+        .add("n_starts", org.apache.spark.sql.types.LongType))(
+      () => new St)(
+      (st, r) => {
+        val code = r.getString(3)
+        if (code != null) {
+          require(code.length == 1,
+            "overlap mode needs exactly one code char per event")
+          if (st.det.feed(code.charAt(0))) st.count += 1
+        }
+        st
+      })(
+      st => Seq(java.lang.Long.valueOf(st.count)))
   }
 
   /** Row-pattern MEASURES (SQL:2016 MATCH_RECOGNIZE MEASURES clause,
@@ -924,6 +986,33 @@ object EventAnalytics {
         |  AND (e.us > sp.sus OR (e.us = sp.sus AND e.event_id >= sp.sid))
         |  AND (e.us < sp.eus OR (e.us = sp.eus AND e.event_id <= sp.eid))
         |ORDER BY sp.user_id, match_seq, ord_in_match""".stripMargin,
+
+    // the closed form: a row starts a v[co]*v match iff it is a v
+    // whose successor in the v/p-filtered subsequence is a v (p breaks
+    // the chain; c/o are loop chars) — one lead(), no regex engine;
+    // zero-start users kept via the distinct-user left join
+    "ev_overlap_counts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'o' END AS code
+        |  FROM events),
+        |brk AS (SELECT * FROM e WHERE code IN ('v', 'p')),
+        |l AS (
+        |  SELECT user_id, code, lead(code) OVER w AS nc
+        |  FROM brk
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |m AS (
+        |  SELECT user_id, CAST(count(CASE WHEN code = 'v' AND nc = 'v'
+        |    THEN 1 END) AS BIGINT) AS n_starts
+        |  FROM l GROUP BY user_id),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |c AS (SELECT u.user_id,
+        |    coalesce(m.n_starts, CAST(0 AS BIGINT)) AS n_starts
+        |  FROM u LEFT JOIN m USING (user_id))
+        |SELECT n_starts, count(*) AS n_users, min(user_id) AS min_user,
+        |  max(user_id) AS max_user
+        |FROM c GROUP BY n_starts ORDER BY n_starts""".stripMargin,
 
     // MEASURES from the same closed-form span table, aggregated over
     // the in-range join — cents are decimal-cast BEFORE the sum on

@@ -156,6 +156,33 @@ class EventFoldSpec extends SparkSpec {
     }
   }
 
+  test("overlapCountsOf equals per-position java lookingAt over the " +
+    "real corpus, including a non-disjoint pattern") {
+    // the SKIP TO NEXT ROW fold (descending-order reversed-NFA subset
+    // machine) against the assembled per-user traces — for the shipped
+    // overlap pattern AND for v.*p, where find() counting needs the
+    // speculation chain but start counting stays one bitset
+    val coded = operators.EventAnalytics.funnelCoded(spark, sf)
+    val traces = coded.orderBy("user_id", "us", "event_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(r => (r.getLong(1), r.getLong(2)))
+        .map(_.getString(3)).mkString).toMap
+    for (p <- Seq("v[co]*v", "v.*p")) {
+      val jm = java.util.regex.Pattern.compile(p)
+      val got = operators.EventAnalytics.overlapCountsOf(coded, p)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == traces.keySet)
+      got.foreach { case (u, n) =>
+        val s = traces(u)
+        val m = jm.matcher(s)
+        val want =
+          (0 until s.length).count(i => m.region(i, s.length).lookingAt())
+        assert(n == want.toLong, s"user $u pattern $p: $n != $want")
+      }
+      assert(got.values.sum > 0, s"pattern $p never started")
+    }
+  }
+
   test("matchMeasuresOf is mutually consistent with rows and spans") {
     // the MEASURES mode must tell the same story as the other output
     // modes over the real corpus: endpoints == the span table,

@@ -311,6 +311,51 @@ class RowPatternSpec extends AnyFunSuite {
     }
   }
 
+  private def javaStarts(pattern: String, s: String): Long = {
+    val m = java.util.regex.Pattern.compile(pattern).matcher(s)
+    (0 until s.length).count(i => m.region(i, s.length).lookingAt()).toLong
+  }
+
+  test("SKIP TO NEXT ROW: start counts equal java lookingAt per " +
+    "position, exhaustively and randomized (nullables rejected)") {
+    val alpha = "ab"
+    for (p <- patterns) {
+      val nullable =
+        java.util.regex.Pattern.compile(p).matcher("").lookingAt()
+      if (nullable) {
+        // an empty match starts at every row — the detector must
+        // refuse rather than return a meaningless count
+        intercept[IllegalArgumentException](RowPattern.countStarts(p, "a"))
+      } else {
+        for (len <- 0 to 9) {
+          var i = 0
+          val total = math.pow(alpha.length, len).toInt
+          while (i < total) {
+            val sb = new StringBuilder
+            var x = i
+            for (_ <- 0 until len) {
+              sb += alpha(x % alpha.length); x /= alpha.length
+            }
+            val s = sb.toString
+            assert(RowPattern.countStarts(p, s) == javaStarts(p, s),
+              s"'$p' on '$s'")
+            i += 1
+          }
+        }
+      }
+    }
+    // randomized long funnel traces, disjoint AND non-disjoint
+    // patterns — including the overlap-heavy v[co]*v
+    val rnd = new scala.util.Random(20260816L)
+    for (p <- Seq("v[co]*v", "v[co]*p", "v.*p", "vp", "vv", "v[co]+v");
+         _ <- 1 to 40) {
+      val len = rnd.nextInt(500)
+      val s = Array.fill(len)("vcpo"(rnd.nextInt(4))).mkString
+      assert(RowPattern.countStarts(p, s) == javaStarts(p, s),
+        s"'$p' on len-$len trace")
+    }
+  }
+
   test("hand-traced counts") {
     assert(RowPattern.countMatches("v[co]*p", "vcpvcocp") == 2L)
     assert(RowPattern.countMatches("v[co]*p", "vvvp") == 1L)
