@@ -222,6 +222,35 @@ object Events {
       spark, parsed, pattern, depthCap, codeExpr,
       allowedLatenessUs, onLate)
 
+  /** Streaming twin of [[matchPatternBy]] (DEFINE/PREV over a
+    * stream): the code char is computed inside the checkpointed
+    * per-key state by `classify(prev, cur)` — `prev` the key's
+    * previous event row in event-time order, carried across
+    * micro-batches AND restarts (null on the key's first event) — so
+    * neighbor predicates (`DEFINE U AS price > PREV(price)`) run
+    * streaming. Same ordering guard and emit-on-change emission as
+    * [[matchPatternStream]]; the reorder buffer holds whole rows
+    * because classification must wait for event-time release.
+    * `events` needs `idCol`/`tieCol` LONG and `orderCol` TIMESTAMP;
+    * `classify` sees the caller's full row and must be serializable.
+    * Restart-twin-pinned against the batch classified fold in
+    * CepPatternSpec. */
+  def matchPatternStreamBy(spark: org.apache.spark.sql.SparkSession,
+                           events: DataFrame, pattern: String,
+                           idCol: String = "user_id",
+                           tieCol: String = "event_id",
+                           orderCol: String = "ts",
+                           depthCap: Int = 4096,
+                           allowedLatenessUs: Long = 0L,
+                           onLate: String = "fail")
+                          (classify: (org.apache.spark.sql.Row,
+                            org.apache.spark.sql.Row) => Char)
+      : org.apache.spark.sql.Dataset[
+        graft.streaming.CepPattern.CepPatternUpdate] =
+    graft.streaming.CepPattern.matchesBy(
+      spark, events, pattern, idCol, tieCol, orderCol, depthCap,
+      allowedLatenessUs, onLate)(classify)
+
   /** Streaming twin of [[matchSpans]] (ONE ROW PER MATCH over a
     * stream): each key's confirmed matches emit EXACTLY ONCE, as they
     * confirm — (user_id, match_seq, start_us, start_event_id, end_us,

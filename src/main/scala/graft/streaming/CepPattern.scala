@@ -84,18 +84,18 @@ object CepPattern extends Serializable {
   /** The ordering-guard fields every CEP state carries: the last-FED
     * event-time frontier, the key's high-water mark, the
     * lateness-bounded reorder buffer, and the late-drop counter. */
-  private[graft] sealed abstract class GuardedState extends Serializable {
+  private[graft] sealed abstract class GuardedState[T] extends Serializable {
     var lastTs: Long = Long.MinValue
     var lastId: Long = Long.MinValue
     var maxSeenTs: Long = Long.MinValue
-    var buffer: ArrayBuffer[(Long, Long, String)] = ArrayBuffer.empty
+    var buffer: ArrayBuffer[(Long, Long, T)] = ArrayBuffer.empty
     var dropped: Long = 0L
   }
 
   /** Checkpointed per-key state for [[matches]]: the speculation-chain
     * machine plus the last emitted pair (emit-on-change). */
   private[graft] final class PatternState(
-      val m: RowPattern.MatchCounter) extends GuardedState {
+      val m: RowPattern.MatchCounter) extends GuardedState[String] {
     var emittedMatches: Long = -1L
     var emittedDropped: Long = -1L
   }
@@ -105,7 +105,7 @@ object CepPattern extends Serializable {
     * `base` — pruned to the machine's minLivePos like the batch fold),
     * and the per-key match ordinal. */
   private[graft] final class SpanState(
-      val m: RowPattern.MatchCounter) extends GuardedState {
+      val m: RowPattern.MatchCounter) extends GuardedState[String] {
     var base: Long = 0L
     var seq: Long = 0L
     var ring: ArrayBuffer[(Long, Long)] = ArrayBuffer.empty
@@ -117,26 +117,26 @@ object CepPattern extends Serializable {
     * every buffered event the event-time watermark (high-water minus
     * the declared lateness) has passed, advancing the frontier to the
     * last released event. Returns the released events, ready to feed. */
-  private def admit(st: GuardedState, userId: Long,
-                    evs: Array[CepEvent], allowedLatenessUs: Long,
-                    onLate: String): Seq[(Long, Long, String)] = {
-    evs.foreach { e =>
-      if (e.ts_us > st.maxSeenTs) st.maxSeenTs = e.ts_us
-      if (e.code != null) {
-        val behindFrontier = e.ts_us < st.lastTs ||
-          (e.ts_us == st.lastTs && e.event_id <= st.lastId)
+  private def admit[T](st: GuardedState[T], userId: Long,
+                       evs: Array[(Long, Long, T)], allowedLatenessUs: Long,
+                       onLate: String): Seq[(Long, Long, T)] = {
+    evs.foreach { case (ts, id, payload) =>
+      if (ts > st.maxSeenTs) st.maxSeenTs = ts
+      if (payload != null) {
+        val behindFrontier = ts < st.lastTs ||
+          (ts == st.lastTs && id <= st.lastId)
         if (behindFrontier) {
           if (onLate == "drop") st.dropped += 1
           else throw new IllegalStateException(
             s"CEP ordering contract violated for key $userId: event " +
-              s"(ts_us=${e.ts_us}, event_id=${e.event_id}) arrived " +
+              s"(ts_us=$ts, event_id=$id) arrived " +
               s"after the key's fed frontier (ts_us=${st.lastTs}, " +
               s"event_id=${st.lastId}) — later than " +
               s"allowedLatenessUs=$allowedLatenessUs absorbs. Deliver " +
               "each key's events in event-time order (keyed topic), " +
               "raise allowedLatenessUs to cover the source's disorder, " +
               "or declare onLate=\"drop\" to skip-and-count.")
-        } else st.buffer += ((e.ts_us, e.event_id, e.code))
+        } else st.buffer += ((ts, id, payload))
       }
     }
     val watermark = st.maxSeenTs - allowedLatenessUs
@@ -182,6 +182,7 @@ object CepPattern extends Serializable {
       val st = state.getOption.getOrElse(
         new PatternState(new RowPattern.MatchCounter(prog, depthCap)))
       val evs = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+        .map(e => (e.ts_us, e.event_id, e.code))
       admit(st, userId, evs, allowedLatenessUs, onLate)
         .foreach { case (_, _, code) => st.m.feedAll(code) }
       state.update(st)
@@ -203,6 +204,91 @@ object CepPattern extends Serializable {
         s"($codeExpr) AS code")
       .as[CepEvent]
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Checkpointed per-key state for [[matchesBy]]: the machine, the
+    * key's PREVIOUS event row (the DEFINE/PREV window — classify runs
+    * on release, in event-time order, so the buffer holds whole rows),
+    * and the emit-on-change pair. Rows are GenericRows of the caller's
+    * projected columns — java-serializable like the machine. */
+  private[graft] final class ClassifiedState(
+      val m: RowPattern.MatchCounter)
+      extends GuardedState[org.apache.spark.sql.Row] {
+    var prev: org.apache.spark.sql.Row = _
+    var emittedMatches: Long = -1L
+    var emittedDropped: Long = -1L
+  }
+
+  /** Streaming MATCH_RECOGNIZE with DEFINE-style NAVIGATION (PREV) —
+    * the streaming twin of the batch matchCountsClassified fold
+    * (oracle-checked as `ev_updown_runs`): the code char is computed
+    * INSIDE the per-key state by `classify(prev, cur)` — `prev` the
+    * key's previous event row in event-time order (null on the key's
+    * first event), carried across micro-batches and restarts — so
+    * predicates over neighbors (`DEFINE U AS price > PREV(price)`)
+    * run streaming with the same ordering guard as [[matches]]: the
+    * reorder buffer holds whole rows (classification must wait for
+    * event-time release), `onLate` fail/drop identically, and
+    * emission is the same emit-on-change count-if-ended-here (the
+    * snapshot feeds the buffered rows through a copy of the prev
+    * window before finishing). `events` must carry `idCol` (LONG),
+    * `tieCol` (LONG), and `orderCol` (TIMESTAMP); `classify` sees the
+    * caller's FULL projected row and must be serializable. */
+  def matchesBy(spark: SparkSession, events: DataFrame, pattern: String,
+                idCol: String = "user_id", tieCol: String = "event_id",
+                orderCol: String = "ts", depthCap: Int = 4096,
+                allowedLatenessUs: Long = 0L, onLate: String = "fail")
+               (classify: (org.apache.spark.sql.Row,
+                 org.apache.spark.sql.Row) => Char)
+      : Dataset[CepPatternUpdate] = {
+    requireGuardArgs(allowedLatenessUs, onLate)
+    val prog = RowPattern.compile(pattern)
+    implicit val stateEnc: Encoder[ClassifiedState] =
+      Encoders.javaSerialization[ClassifiedState]
+    import spark.implicits._
+    val withOrder = events.withColumn("__ts_us",
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col(orderCol)))
+    val schema = withOrder.schema
+    val idIdx = schema.fieldIndex(idCol)
+    val tieIdx = schema.fieldIndex(tieCol)
+    val usIdx = schema.fieldIndex("__ts_us")
+    implicit val rowEnc: Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+
+    def update(userId: Long, rows: Iterator[org.apache.spark.sql.Row],
+               state: GroupState[ClassifiedState])
+        : Iterator[CepPatternUpdate] = {
+      val st = state.getOption.getOrElse(
+        new ClassifiedState(new RowPattern.MatchCounter(prog, depthCap)))
+      val evs = rows.toArray
+        .map(r => (r.getLong(usIdx), r.getLong(tieIdx), r))
+        .sortBy(e => (e._1, e._2))
+      admit(st, userId, evs, allowedLatenessUs, onLate)
+        .foreach { case (_, _, r) =>
+          st.m.feed(classify(st.prev, r))
+          st.prev = r
+        }
+      state.update(st)
+      val snap = st.m.snapshot()
+      var prev = st.prev
+      st.buffer.foreach { case (_, _, r) =>
+        snap.feed(classify(prev, r)); prev = r
+      }
+      val flushed = snap.finish()
+      if (flushed != st.emittedMatches || st.dropped != st.emittedDropped) {
+        st.emittedMatches = flushed
+        st.emittedDropped = st.dropped
+        state.update(st)
+        Iterator.single(CepPatternUpdate(userId, flushed, st.dropped))
+      } else Iterator.empty
+    }
+
+    withOrder
+      .as(rowEnc)
+      .groupByKey(_.getLong(idIdx))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }
@@ -236,6 +322,7 @@ object CepPattern extends Serializable {
       val st = state.getOption.getOrElse(
         new SpanState(new RowPattern.MatchCounter(prog, trackSpans = true)))
       val evs = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+        .map(e => (e.ts_us, e.event_id, e.code))
       val out = ArrayBuffer.empty[CepSpanMatch]
       admit(st, userId, evs, allowedLatenessUs, onLate)
         .foreach { case (ts, id, code) =>

@@ -266,6 +266,88 @@ class CepPatternSpec extends SparkSpec {
       r.getLong(3))).distinct.length, "a span emitted twice")
   }
 
+  test("streaming DEFINE/PREV: classified replay with restart equals " +
+    "the batch classified fold, prev window crossing the boundary") {
+    // per-user price sequences classify U/D/e against the PREVIOUS
+    // row's value; user 1's U+D match needs the prev row (value 20,
+    // fed in chunk 1) carried through the checkpoint to classify the
+    // chunk-2 drop as D
+    def writeValChunk(dir: java.nio.file.Path, name: String,
+                      evs: Seq[(Long, Long, Double, Int)]): Unit = {
+      val lines = evs.map { case (id, user, v, hour) =>
+        s"""{"event_id":$id,"user_id":$user,"event_type":"order",""" +
+          f""""value":$v%.1f,"ts_str":"2024-01-01 $hour%02d:00:00.000000",""" +
+          s""""props":"{}"}"""
+      }
+      Files.write(dir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val c1 = Seq((1L, 1L, 10.0, 1), (2L, 1L, 20.0, 2),
+      (10L, 2L, 30.0, 1), (11L, 2L, 10.0, 2))
+    val c2 = Seq((3L, 1L, 15.0, 3), (4L, 1L, 25.0, 4), (5L, 1L, 5.0, 5),
+      (12L, 2L, 20.0, 3), (13L, 2L, 5.0, 4))
+    val classify: (org.apache.spark.sql.Row,
+      org.apache.spark.sql.Row) => Char = (prev, cur) =>
+      if (prev == null) 'o'
+      else {
+        val p = prev.getAs[Double]("value")
+        val c = cur.getAs[Double]("value")
+        if (c > p) 'U' else if (c < p) 'D' else 'e'
+      }
+    val base = Files.createTempDirectory("graft_cepby")
+    val src = Files.createDirectory(base.resolve("src"))
+    def runBatch(): Unit = {
+      val q = api.Events.matchPatternStreamBy(spark,
+          StreamingIngest.parse(spark.readStream.text(src.toString)),
+          "U+D")(classify)
+        .writeStream.format("parquet")
+        .option("path", base.resolve("out").toString)
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeValChunk(src, "b1.json", c1)
+    runBatch()
+    writeValChunk(src, "b2.json", c2)
+    runBatch() // restart — machine AND prev row reload from the store
+    // flushed counts are monotone here (U+D pendings resolve on their
+    // own classified char), so the final value per user is the max
+    val streamed = spark.read.parquet(base.resolve("out").toString)
+      .groupBy("user_id").agg(max("n_matches").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local truth: classify each user's value sequence, count U+D
+    val want = (c1 ++ c2).groupBy(_._2).view.mapValues { evs =>
+      val vs = evs.sortBy(e => (e._4, e._1)).map(_._3)
+      val cls = vs.zipWithIndex.map { case (v, i) =>
+        if (i == 0) 'o'
+        else if (v > vs(i - 1)) 'U'
+        else if (v < vs(i - 1)) 'D' else 'e'
+      }.mkString
+      val m = java.util.regex.Pattern.compile("U+D").matcher(cls)
+      var n = 0L
+      while (m.find()) n += 1
+      n
+    }.toMap
+    assert(streamed === want, s"$streamed != $want")
+    assert(want.values.sum >= 2)
+    // and the batch classified fold (the ev_updown_runs engine) agrees
+    import spark.implicits._
+    val frame = (c1 ++ c2).toDF("event_id", "user_id", "value", "hour")
+      .selectExpr("user_id", "event_id", "value",
+        "to_timestamp(printf('2024-01-01 %02d:00:00', hour)) AS ts")
+    val batch = graft.operators.EventAnalytics.matchCountsClassified(
+        frame, "U+D", Seq("user_id"), Seq("ts", "event_id"))(
+        (prev, cur) =>
+          if (prev == null) 'o'
+          else {
+            val p = prev.getAs[Double]("value")
+            val c = cur.getAs[Double]("value")
+            if (c > p) 'U' else if (c < p) 'D' else 'e'
+          })
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch === want, s"batch $batch != $want")
+  }
+
   test("the spanning match is absent before the second chunk") {
     val base = Files.createTempDirectory("graft_cepspan")
     val src = Files.createDirectory(base.resolve("src"))
