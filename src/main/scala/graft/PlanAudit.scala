@@ -207,6 +207,14 @@ object PlanAudit {
       "unconditioned, twice per match-table leg → the 4-entry rows), " +
       "and ev_bot_rank's one-row doubled-median scalar " +
       "(Diagnostics.scala — explicit broadcast).\n" +
+      "Round-10 extension: tr_dsir_select's one nested-loop entry is " +
+      "its ONE-ROW smoothing-totals scalar (tt/tr/bb — " +
+      "CorpusPrep.dsirSelectOf's broadcast consts crossJoin); its two " +
+      "shuffle-join entries are BOTH the bucket-grain FULL-OUTER count " +
+      "merge (top-V+OOV feature space — model-parameter scale, never " +
+      "the corpus; it appears once under each consumer, the contrib " +
+      "join and the totals row), while the corpus-grain path is " +
+      "explode → hash agg → broadcast join only.\n" +
       "A 0/N pushed-filter entry is NOT a miss when the query has no " +
       "pushable predicate by nature: aggregate-input scans read every " +
       "row on purpose (j4_semi_having 0/2, a2_agg_having 0/1, and every " +

@@ -630,12 +630,35 @@ object Soak {
     n
   }
 
+  /** Time exactly the named queries at one scale point — the
+    * "named scoped run" used to append lines for operators added after
+    * a full soak (the full report's autoCoverage shape: dims-shadow
+    * corpus where it exists, count + wall time per query). */
+  private def scopedReport(spark: SparkSession, tag: String, dir: String,
+                           only: Seq[String]): Unit = {
+    val shadow = s"$dir/dims"
+    val autoDir =
+      if (tag == "base" || !new java.io.File(shadow).exists()) dir
+      else shadow
+    for (q <- only) {
+      val (rows, t) = time(SparkEntry.queries(q)(spark, autoDir).count())
+      println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = s"/tmp/graft_soak/x$copies"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val only = args.collectFirst {
+      case a if a.startsWith("only=") =>
+        a.stripPrefix("only=").split(',').toSeq.filter(_.nonEmpty)
+    }.getOrElse(Nil)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -644,10 +667,18 @@ object Soak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, base, out, copies)
-    // "nobase": skip the base pass when another run of the same session
-    // already measured it (the x10 log carries the base columns)
-    if (!args.drop(1).contains("nobase")) report(spark, "base", base)
-    report(spark, s"x$copies", out)
+    if (only.nonEmpty) {
+      // scoped: time just the named queries (base + the xN corpus)
+      if (!args.drop(1).contains("nobase"))
+        scopedReport(spark, "base", base, only)
+      scopedReport(spark, s"x$copies", out, only)
+    } else {
+      // "nobase": skip the base pass when another run of the same
+      // session already measured it (the x10 log carries the base
+      // columns)
+      if (!args.drop(1).contains("nobase")) report(spark, "base", base)
+      report(spark, s"x$copies", out)
+    }
     spark.stop()
   }
 }
