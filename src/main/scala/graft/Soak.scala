@@ -577,6 +577,27 @@ object Soak {
     * itself. Exclusions print with their argument on the page. The
     * query set is derived from the registry, so a new operator without
     * a scale line is impossible by construction. */
+  /** Time one registry query at one scale point — the shared body of
+    * the auto-coverage loop and the `only=` scoped runs: count + wall
+    * time as a JSON line, a `skipped` line instead of an abort on
+    * failure, storage cleaned between queries. */
+  private def timeOne(spark: SparkSession, tag: String, dir: String,
+                      q: String): Unit = {
+    try {
+      val (rows, t) = time(SparkEntry.queries(q)(spark, dir).count())
+      println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
+    } catch {
+      case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replace('"', '\'')
+        println(s"""{"corpus":"$tag","query":"$q","skipped":"${
+          msg.takeWhile(_ != '\n').take(80)}"}""")
+    }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   private def autoCoverage(spark: SparkSession, tag: String,
                            dir: String): Unit = {
     val copies = tag.stripPrefix("x").toIntOption.getOrElse(0)
@@ -587,21 +608,7 @@ object Soak {
     val autoDir =
       if (tag == "base" || !new java.io.File(shadow).exists()) dir
       else shadow
-    for (q <- auto) {
-      try {
-        val (rows, t) = time(SparkEntry.queries(q)(spark, autoDir).count())
-        println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
-      } catch {
-        case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replace('"', '\'')
-          println(s"""{"corpus":"$tag","query":"$q","skipped":"${
-            msg.takeWhile(_ != '\n').take(80)}"}""")
-      }
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    auto.foreach(timeOne(spark, tag, autoDir, _))
     (EXCLUDED ++ deep).foreach { case (q, why) =>
       println(s"""{"corpus":"$tag","query":"$q","excluded":"$why"}""")
     }
@@ -640,13 +647,7 @@ object Soak {
     val autoDir =
       if (tag == "base" || !new java.io.File(shadow).exists()) dir
       else shadow
-    for (q <- only) {
-      val (rows, t) = time(SparkEntry.queries(q)(spark, autoDir).count())
-      println(f"""{"corpus":"$tag","query":"$q","rows":$rows,"time_s":$t%.2f}""")
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    only.foreach(timeOne(spark, tag, autoDir, _))
   }
 
   def main(args: Array[String]): Unit = {

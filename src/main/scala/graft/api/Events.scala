@@ -256,11 +256,15 @@ object Events {
     * confirm — (user_id, match_seq, start_us, start_event_id, end_us,
     * end_event_id), Append-shaped with nothing to retract. A match
     * whose greedy tail later events could still extend stays unemitted
-    * until the stream proves it (and at quiescence the emitted set
-    * equals the batch fold's confirmed spans — restart-twin-pinned in
-    * CepPatternSpec). Same ordering guard as [[matchPatternStream]];
-    * requires a terminator-disjoint pattern and exactly one code char
-    * per event, like the batch span mode. */
+    * until the stream proves it; likewise, under a declared lateness,
+    * a match touching events still inside the reorder window emits
+    * only once the watermark releases them — span mode is exactly-once
+    * Append and never speculates (count mode's estimate covers its
+    * buffer instead). At lateness 0 — the keyed-topic shape — the
+    * quiescent emitted set equals the batch fold's confirmed spans
+    * (restart-twin-pinned in CepPatternSpec). Same ordering guard as
+    * [[matchPatternStream]]; requires a terminator-disjoint pattern
+    * and exactly one code char per event, like the batch span mode. */
   def matchSpansStream(spark: org.apache.spark.sql.SparkSession,
                        parsed: DataFrame, pattern: String,
                        codeExpr: String =

@@ -617,6 +617,44 @@ object RowPattern {
     m.finish()
   }
 
+  /** The position→event ring every span-consuming output mode shares
+    * (ONE ROW PER MATCH, ALL ROWS PER MATCH, MEASURES, streaming span
+    * emission): event payloads append as their chars feed the span-mode
+    * machine, confirmed spans resolve char positions back to payloads,
+    * and [[prune]] drops everything below the machine's [[MatchCounter
+    * .minLivePos]] — monotone, so the ring front-drops in O(1)
+    * amortized and per-entity memory stays O(|pattern| + longest live
+    * match). Serializable so streaming state can checkpoint it. */
+  final class SpanRing[T](val m: MatchCounter) extends Serializable {
+    private var base = 0L // char position of ring(0)
+    private val ring = scala.collection.mutable.ArrayDeque.empty[T]
+
+    /** Append the event's payload, feed its (single) code char, and
+      * return the spans this char confirmed — resolve them with
+      * [[first]]/[[last]]/[[slice]] BEFORE calling [[prune]]. */
+    def feed(payload: T, c: Char): List[(Long, Long)] = {
+      ring.append(payload)
+      m.feed(c)
+      m.drainSpans()
+    }
+
+    /** End of input: flush the machine, return the remaining spans. */
+    def finishSpans(): List[(Long, Long)] = {
+      m.finish()
+      m.drainSpans()
+    }
+
+    def first(sp: (Long, Long)): T = ring((sp._1 - base).toInt)
+    def last(sp: (Long, Long)): T = ring((sp._2 - 1 - base).toInt)
+    def slice(sp: (Long, Long)): IndexedSeq[T] =
+      ((sp._1 - base).toInt until (sp._2 - base).toInt).map(ring)
+
+    def prune(): Unit = {
+      val keep = m.minLivePos
+      while (base < keep && ring.nonEmpty) { ring.removeHead(); base += 1 }
+    }
+  }
+
   /** AFTER MATCH SKIP TO NEXT ROW — OVERLAPPING match-start detection
     * (the other SQL:2016 skip mode; find()'s SKIP PAST LAST ROW is
     * [[MatchCounter]]): a row starts a match iff SOME prefix of the

@@ -432,18 +432,12 @@ object EventAnalytics {
       s"ONE ROW PER MATCH needs a terminator-disjoint pattern; " +
         s"'$pattern' is not — use match counting (matchCountsOf)")
     final class St {
-      val m = new graft.functions.RowPattern.MatchCounter(
-        prog, trackSpans = true)
-      var base = 0L // char position of ring.head
-      val ring = scala.collection.mutable.ArrayDeque.empty[(Long, Long)]
+      val ring = new graft.functions.RowPattern.SpanRing[(Long, Long)](
+        new graft.functions.RowPattern.MatchCounter(prog, trackSpans = true))
       def row(sp: (Long, Long)): Seq[Any] = {
-        val (sus, sid) = ring((sp._1 - base).toInt)
-        val (eus, eid) = ring((sp._2 - 1 - base).toInt) // end exclusive
+        val (sus, sid) = ring.first(sp)
+        val (eus, eid) = ring.last(sp)
         Seq(Long.box(sus), Long.box(sid), Long.box(eus), Long.box(eid))
-      }
-      def prune(): Unit = {
-        val keep = m.minLivePos
-        while (base < keep && ring.nonEmpty) { ring.removeHead(); base += 1 }
       }
     }
     graft.api.Folds.flatFoldOrdered(
@@ -461,14 +455,13 @@ object EventAnalytics {
         else {
           require(code.length == 1,
             "span mode needs exactly one code char per event")
-          st.ring.append((r.getLong(1), r.getLong(2)))
-          st.m.feed(code.charAt(0))
-          val out = st.m.drainSpans().map(st.row)
-          st.prune()
+          val out = st.ring.feed((r.getLong(1), r.getLong(2)),
+            code.charAt(0)).map(st.row)
+          st.ring.prune()
           out
         }
       })(
-      st => { st.m.finish(); st.m.drainSpans().map(st.row) })
+      st => st.ring.finishSpans().map(st.row))
   }
 
   /** Row-pattern match counts with DEFINE-style NAVIGATION — the
@@ -529,24 +522,16 @@ object EventAnalytics {
       s"ALL ROWS PER MATCH needs a terminator-disjoint pattern; " +
         s"'$pattern' is not — use match counting (matchCountsOf)")
     final class St {
-      val m = new graft.functions.RowPattern.MatchCounter(
-        prog, trackSpans = true)
-      var base = 0L // char position of ring.head
+      val ring = new graft.functions.RowPattern.SpanRing[
+        (Long, Long, String)](
+        new graft.functions.RowPattern.MatchCounter(prog, trackSpans = true))
       var seq = 0L // per-entity match ordinal, in start order
-      val ring =
-        scala.collection.mutable.ArrayDeque.empty[(Long, Long, String)]
       def rows(sp: (Long, Long)): Seq[Seq[Any]] = {
         seq += 1
-        ((sp._1 - base).toInt until (sp._2 - base).toInt).zipWithIndex
-          .map { case (k, ord) =>
-            val (us, id, code) = ring(k)
-            Seq(Long.box(seq), Long.box(ord + 1L), Long.box(us),
-              Long.box(id), code)
-          }
-      }
-      def prune(): Unit = {
-        val keep = m.minLivePos
-        while (base < keep && ring.nonEmpty) { ring.removeHead(); base += 1 }
+        ring.slice(sp).zipWithIndex.map { case ((us, id, code), ord) =>
+          Seq(Long.box(seq), Long.box(ord + 1L), Long.box(us),
+            Long.box(id), code)
+        }
       }
     }
     graft.api.Folds.flatFoldOrdered(
@@ -565,14 +550,13 @@ object EventAnalytics {
         else {
           require(code.length == 1,
             "ALL ROWS mode needs exactly one code char per event")
-          st.ring.append((r.getLong(1), r.getLong(2), code))
-          st.m.feed(code.charAt(0))
-          val out = st.m.drainSpans().flatMap(st.rows)
-          st.prune()
+          val out = st.ring.feed((r.getLong(1), r.getLong(2), code),
+            code.charAt(0)).flatMap(st.rows)
+          st.ring.prune()
           out
         }
       })(
-      st => { st.m.finish(); st.m.drainSpans().flatMap(st.rows) })
+      st => st.ring.finishSpans().flatMap(st.rows))
   }
 
   /** AFTER MATCH SKIP TO NEXT ROW — the OTHER SQL:2016 skip mode
@@ -640,27 +624,19 @@ object EventAnalytics {
       s"MEASURES needs a terminator-disjoint pattern; " +
         s"'$pattern' is not — use match counting (matchCountsOf)")
     final class St {
-      val m = new graft.functions.RowPattern.MatchCounter(
-        prog, trackSpans = true)
-      var base = 0L // char position of ring.head
+      val ring = new graft.functions.RowPattern.SpanRing[
+        (Long, Long, Long)](
+        new graft.functions.RowPattern.MatchCounter(prog, trackSpans = true))
       var seq = 0L // per-entity match ordinal, in start order
-      val ring =
-        scala.collection.mutable.ArrayDeque.empty[(Long, Long, Long)]
       def measures(sp: (Long, Long)): Seq[Any] = {
         seq += 1
-        val lo = (sp._1 - base).toInt
-        val hi = (sp._2 - base).toInt // end exclusive
+        val evs = ring.slice(sp)
         var sum = 0L
-        var k = lo
-        while (k < hi) { sum += ring(k)._3; k += 1 }
-        val (sus, sid, _) = ring(lo)
-        val (eus, eid, _) = ring(hi - 1)
+        evs.foreach(sum += _._3)
+        val (sus, sid, _) = evs.head
+        val (eus, eid, _) = evs.last
         Seq(Long.box(seq), Long.box(sus), Long.box(sid), Long.box(eus),
-          Long.box(eid), Long.box((hi - lo).toLong), Long.box(sum))
-      }
-      def prune(): Unit = {
-        val keep = m.minLivePos
-        while (base < keep && ring.nonEmpty) { ring.removeHead(); base += 1 }
+          Long.box(eid), Long.box(evs.length.toLong), Long.box(sum))
       }
     }
     graft.api.Folds.flatFoldOrdered(
@@ -681,15 +657,14 @@ object EventAnalytics {
         else {
           require(code.length == 1,
             "MEASURES mode needs exactly one code char per event")
-          st.ring.append((r.getLong(1), r.getLong(2),
-            if (r.isNullAt(4)) 0L else r.getLong(4)))
-          st.m.feed(code.charAt(0))
-          val out = st.m.drainSpans().map(st.measures)
-          st.prune()
+          val out = st.ring.feed((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(4)) 0L else r.getLong(4)),
+            code.charAt(0)).map(st.measures)
+          st.ring.prune()
           out
         }
       })(
-      st => { st.m.finish(); st.m.drainSpans().map(st.measures) })
+      st => st.ring.finishSpans().map(st.measures))
   }
 
   /** Pairwise audience overlap of an (user_id, event_type) frame —

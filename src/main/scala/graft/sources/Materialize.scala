@@ -56,19 +56,28 @@ object Materialize {
     * stage should read. */
   type Index = (String, () => DataFrame) => DataFrame
 
-  // facade-result memo: (session → key → (witness plans, frame)),
-  // weak-keyed like `built` so entries die with their session
+  // facade-result memo: (session → key → (witness plans, frame)).
+  // Weak-keyed like `built` so entries die with their session — but a
+  // Memo holds a DataFrame, and a Dataset strongly references its
+  // SparkSession (= the weak KEY), which per the WeakHashMap contract
+  // would pin the key forever. The value is therefore a SOFT reference:
+  // it breaks the value→key strong chain (the session becomes
+  // collectable once the caller drops it), survives under normal
+  // memory conditions, and a cleared entry just rebuilds — the memo is
+  // an optimization, never a correctness carrier.
   private final case class Memo(
       plans: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
       df: DataFrame)
 
   private val artifacts = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[String, Memo]]()
+    java.util.concurrent.ConcurrentHashMap[String,
+      java.lang.ref.SoftReference[Memo]]]()
 
   private def artifactMap(s: SparkSession) = artifacts.synchronized {
     var m = artifacts.get(s)
     if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[String, Memo]()
+      m = new java.util.concurrent.ConcurrentHashMap[String,
+        java.lang.ref.SoftReference[Memo]]()
       artifacts.put(s, m)
     }
     m
@@ -82,15 +91,27 @@ object Materialize {
   /** once per (session, key): run `make` and remember its frame; the
     * stored witness plans guard against a semanticHash collision in
     * the key (different plans, same hash → build unmemoized rather
-    * than serve the stored frame). */
+    * than serve the stored frame). compute() holds the per-key map
+    * lock during the build, so concurrent first-touchers build exactly
+    * once (ConcurrentServeSpec). */
   private def memo(s: SparkSession, key: String,
       plans: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
       (make: => DataFrame): DataFrame = {
-    val hit = artifactMap(s).computeIfAbsent(key, _ => Memo(plans, make))
-    if (hit.plans.length == plans.length &&
+    val ref = artifactMap(s).compute(key, (_, old) => {
+      val live = if (old != null) old.get() else null
+      if (live != null) old
+      else new java.lang.ref.SoftReference(Memo(plans, make))
+    })
+    val hit = ref.get()
+    if (hit == null) make // cleared between compute and read: build live
+    else if (hit.plans.length == plans.length &&
         hit.plans.lazyZip(plans).forall(_.sameResult(_))) hit.df
     else make
   }
+
+  /** Drop a memo entry (a stale-handle probe failed: rebuild fresh). */
+  private def evict(s: SparkSession, key: String): Unit =
+    artifactMap(s).remove(key)
 
   /** Memoize a facade RESULT per (session, operator name, parameters,
     * canonicalized input plans) — the serving contract for iterative
@@ -105,10 +126,22 @@ object Materialize {
   def resultOnce(name: String, params: String, inputs: Seq[DataFrame])
                 (build: => DataFrame): DataFrame = {
     require(inputs.nonEmpty, "resultOnce needs at least one input frame")
+    val s = inputs.head.sparkSession
     val plans = inputs.map(_.queryExecution.analyzed)
     val key = name + "|" + params + "|" +
       plans.map(_.semanticHash()).mkString(",")
-    memo(inputs.head.sparkSession, key, plans)(build)
+    val res = memo(s, key, plans)(build)
+    // stale-handle guard: a localCheckpoint-backed memo can outlive its
+    // blocks (an explicit unpersist sweep, an executor loss) and would
+    // then throw on EVERY later replay — probe with a one-row action
+    // (milliseconds against the seconds-scale rebuilds this memoizes)
+    // and rebuild-once on failure instead of serving a dead handle
+    try { res.limit(1).collect(); res }
+    catch {
+      case _: Throwable =>
+        evict(s, key)
+        memo(s, key, plans)(build)
+    }
   }
 
   /** Default for facade callers over arbitrary frames: build once per
@@ -122,8 +155,15 @@ object Materialize {
   val cached: Index = (name, build) => {
     val df = build()
     val analyzed = df.queryExecution.analyzed
-    memo(df.sparkSession, name + "|" + analyzed.semanticHash(),
+    val res = memo(df.sparkSession, name + "|" + analyzed.semanticHash(),
       Seq(analyzed))(df.cache())
+    // a later clearCache()/unpersist drops the artifact but not the
+    // memo — re-register so the several search stages this artifact
+    // exists to serve share ONE cache entry again instead of each
+    // recomputing from scratch for the rest of the session
+    if (res.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      res.cache()
+    res
   }
 
   /** Table name for artifact `name` of corpus `dir` — dir-tagged so two

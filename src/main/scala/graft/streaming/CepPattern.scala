@@ -23,9 +23,10 @@ import graft.streaming.CepMatcher.CepEvent
   * across batches the state carries the last-FED (ts_us, event_id)
   * frontier plus a reorder buffer bounded by `allowedLatenessUs`:
   * an arriving event is held until the key's event-time high-water
-  * mark passes it by the declared delay, then fed in sorted order —
-  * so any disorder within the declared lateness is absorbed exactly
-  * (a keyed Kafka topic needs lateness 0; a multi-source union or a
+  * mark passes it by MORE than the declared delay, then fed in sorted
+  * order — so disorder up to AND INCLUDING the declared lateness is
+  * absorbed exactly (a keyed Kafka topic declares lateness 0, which
+  * buffers nothing and feeds immediately; a multi-source union or a
   * repartitioned upstream declares its delay). An event at or behind
   * the fed frontier — later than the declared lateness allows —
   * hits `onLate`: `"fail"` (default) kills the query loudly with the
@@ -49,7 +50,12 @@ import graft.streaming.CepMatcher.CepEvent
   * whose confirmation needs end-of-stream evidence (a greedy tail
   * that later events could still extend) stays unemitted until the
   * stream proves it — streaming semantics, pinned against the batch
-  * fold at quiescence by CepPatternSpec.
+  * fold at quiescence by CepPatternSpec. Under a declared lateness the
+  * same holds for events still inside the reorder window: span mode is
+  * exactly-once-confirmed and never speculates, so matches touching
+  * buffered events emit only once the watermark releases them (count
+  * mode's count-if-ended-here estimate covers its buffer through the
+  * snapshot instead — an Update-shaped emission CAN speculate).
   *
   * State bound: the machine is the RowPattern contract
   * (terminator-disjoint patterns O(|pattern|) per key forever, others
@@ -105,10 +111,9 @@ object CepPattern extends Serializable {
     * `base` — pruned to the machine's minLivePos like the batch fold),
     * and the per-key match ordinal. */
   private[graft] final class SpanState(
-      val m: RowPattern.MatchCounter) extends GuardedState[String] {
-    var base: Long = 0L
+      val ring: RowPattern.SpanRing[(Long, Long)])
+      extends GuardedState[String] {
     var seq: Long = 0L
-    var ring: ArrayBuffer[(Long, Long)] = ArrayBuffer.empty
   }
 
   /** Admit a batch of events through the ordering guard: record the
@@ -143,7 +148,17 @@ object CepPattern extends Serializable {
     if (st.buffer.isEmpty) Nil
     else {
       val sorted = st.buffer.sortBy(e => (e._1, e._2))
-      val (rel, keep) = sorted.partition(_._1 <= watermark)
+      // lateness 0 keeps the documented zero-buffer contract (release
+      // everything, in order); a declared lateness releases STRICTLY
+      // below the watermark, so an event delayed by EXACTLY the
+      // declared lateness is still absorbed — under `<=` the frontier
+      // would already cover its timestamp and a same-ts tie would trip
+      // the guard (the absorbed-up-to-and-including boundary is
+      // spec-pinned)
+      val (rel, keep) =
+        if (allowedLatenessUs == 0L)
+          (sorted, ArrayBuffer.empty[(Long, Long, T)])
+        else sorted.partition(_._1 < watermark)
       st.buffer = keep
       rel.lastOption.foreach { case (ts, id, _) =>
         st.lastTs = ts
@@ -319,8 +334,9 @@ object CepPattern extends Serializable {
     def update(userId: Long, events: Iterator[CepEvent],
                state: GroupState[SpanState])
         : Iterator[CepSpanMatch] = {
-      val st = state.getOption.getOrElse(
-        new SpanState(new RowPattern.MatchCounter(prog, trackSpans = true)))
+      val st = state.getOption.getOrElse(new SpanState(
+        new RowPattern.SpanRing[(Long, Long)](
+          new RowPattern.MatchCounter(prog, trackSpans = true))))
       val evs = events.toArray.sortBy(e => (e.ts_us, e.event_id))
         .map(e => (e.ts_us, e.event_id, e.code))
       val out = ArrayBuffer.empty[CepSpanMatch]
@@ -328,19 +344,13 @@ object CepPattern extends Serializable {
         .foreach { case (ts, id, code) =>
           require(code.length == 1,
             "streaming span mode needs exactly one code char per event")
-          st.ring += ((ts, id))
-          st.m.feed(code.charAt(0))
-          st.m.drainSpans().foreach { sp =>
+          st.ring.feed((ts, id), code.charAt(0)).foreach { sp =>
             st.seq += 1
-            val (sus, sid) = st.ring((sp._1 - st.base).toInt)
-            val (eus, eid) = st.ring((sp._2 - 1 - st.base).toInt)
+            val (sus, sid) = st.ring.first(sp)
+            val (eus, eid) = st.ring.last(sp)
             out += CepSpanMatch(userId, st.seq, sus, sid, eus, eid)
           }
-          val keep = st.m.minLivePos
-          if (keep > st.base) {
-            st.ring = st.ring.drop((keep - st.base).toInt)
-            st.base = keep
-          }
+          st.ring.prune()
         }
       state.update(st)
       out.iterator

@@ -179,6 +179,32 @@ class CepPatternSpec extends SparkSpec {
     assert(batch == Map(1L -> 0L))
   }
 
+  test("an event delayed by EXACTLY the declared lateness is absorbed " +
+    "(strict watermark release, same-timestamp tie)") {
+    // the boundary case: p@1h arrives when the key's high-water mark
+    // is 3h — delayed by exactly the declared 2h — and ties the
+    // buffered view's timestamp with a LOWER event_id, so a frontier
+    // that had already covered 1h (a <= release) would trip the guard;
+    // strict release holds 1h back until the watermark passes it by
+    // MORE than the lateness, then feeds in exact event-time order
+    val base = Files.createTempDirectory("graft_cepexact")
+    val src = Files.createDirectory(base.resolve("src"))
+    val twoHours = 2L * 3600 * 1000000
+    writeChunk(src, "b1.json",
+      Seq((1L, 1L, "view", 1), (9L, 1L, "error", 3)))
+    runChunk(src, base, "vp", latenessUs = twoHours)
+    writeChunk(src, "b2.json", Seq((0L, 1L, "purchase", 1)))
+    runChunk(src, base, "vp", latenessUs = twoHours)
+    writeChunk(src, "b3.json", Seq((10L, 1L, "error", 6)))
+    runChunk(src, base, "vp", latenessUs = twoHours)
+    val rows = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // event-time truth: p@(1h,0) sorts BEFORE v@(1h,1) → trace pvoo →
+    // zero vp matches, nothing dropped, and the count never wavered
+    // (one emission, batch 1's estimate, already 0)
+    assert(rows.toSeq == Seq((1L, 0L, 0L)), rows.toSeq)
+  }
+
   test("onLate=drop skips the late event and surfaces the counter") {
     val base = Files.createTempDirectory("graft_cepdrop")
     val src = Files.createDirectory(base.resolve("src"))

@@ -45,6 +45,45 @@ class ConcurrentServeSpec extends SparkSpec {
     assert(builds.get == 1, s"artifact built ${builds.get} times")
   }
 
+  test("serving memos self-heal: cleared cache re-registers, a dead " +
+    "localCheckpoint handle rebuilds instead of throwing forever") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel
+    // cached index: a clearCache() drops the artifact but not the memo —
+    // the next facade touch must re-register it, not serve an uncached
+    // frame for the rest of the session
+    // (the build closure constructs a PLAN per call by design — cheap,
+    // no jobs; memo survival is pinned by frame identity instead)
+    def art() = graft.sources.Materialize.cached("serveheal_art", () =>
+      spark.range(100).select(col("id"), (col("id") * 2).as("v")))
+    val first = art()
+    assert(first.count() == 100)
+    assert(first.storageLevel != StorageLevel.NONE, "artifact not cached")
+    spark.catalog.clearCache()
+    assert(first.storageLevel == StorageLevel.NONE) // artifact dropped
+    val again = art()
+    assert(again eq first, "memo should survive clearCache")
+    assert(again.storageLevel != StorageLevel.NONE,
+      "artifact must RE-CACHE after clearCache, not serve uncached")
+    // resultOnce: unpersisting the localCheckpoint blocks under a memo
+    // (the routine maintenance sweep Soak itself runs) must trigger a
+    // rebuild on the next call, not a permanently dead handle
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val input = spark.range(50).select(col("id").as("k"))
+    def res() = graft.sources.Materialize.resultOnce(
+      "serveheal_res", "", Seq(input)) {
+      builds.incrementAndGet()
+      input.select(col("k"), (col("k") % 7).as("g")).localCheckpoint(true)
+    }
+    assert(res().count() == 50 && builds.get() == 1)
+    assert(res().count() == 50 && builds.get() == 1) // memo hit
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val healed = res() // probe fails on the dead handle → rebuild once
+    assert(builds.get() == 2, "stale localCheckpoint must rebuild")
+    assert(healed.count() == 50)
+  }
+
   test("parallel registry queries + a streaming drain equal sequential runs") {
     // sim_ivfpq_topk and sim_pq_topk FIRST-TOUCH the same Materialize
     // artifact (ann_qvecs — identical build plans, one table); the
