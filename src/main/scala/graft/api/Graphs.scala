@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions.col
   * accumulating localCheckpoint blocks per call (ServeLoopSpec pins
   * the storage observables flat). A source whose CONTENT changes
   * under the same plan within one session should call the
-  * `graft.operators.Graph` paths directly.
+  * `graft.operators.Graph` paths directly, or refresh the session's
+  * memos with [[graft.sources.Materialize.invalidate]].
   */
 object Graphs {
 

@@ -113,6 +113,19 @@ object Materialize {
   private def evict(s: SparkSession, key: String): Unit =
     artifactMap(s).remove(key)
 
+  /** Explicit refresh for a long-running serving session whose SOURCE
+    * CONTENT changed under an unchanged plan (the one staleness the
+    * session-lifetime memo cannot see — e.g. a nightly job rewrote the
+    * parquet behind the same path): drop every memoized facade result
+    * for `s`, so the next call of each facade rebuilds from the
+    * current data. Table artifacts (`tableOnce`) are content-addressed
+    * per session and unaffected; pass `tables = true` to also forget
+    * them (next touch drops + rewrites each managed table). */
+  def invalidate(s: SparkSession, tables: Boolean = false): Unit = {
+    artifactMap(s).clear()
+    if (tables) sessionMap(s).clear()
+  }
+
   /** Memoize a facade RESULT per (session, operator name, parameters,
     * canonicalized input plans) — the serving contract for iterative
     * operators (components, bfs, sssp, k-core…) whose results are

@@ -82,6 +82,11 @@ class ConcurrentServeSpec extends SparkSpec {
     val healed = res() // probe fails on the dead handle → rebuild once
     assert(builds.get() == 2, "stale localCheckpoint must rebuild")
     assert(healed.count() == 50)
+    // explicit refresh: a server whose SOURCE CONTENT changed under an
+    // unchanged plan invalidates and the next call rebuilds
+    graft.sources.Materialize.invalidate(spark)
+    assert(res().count() == 50 && builds.get() == 3,
+      "invalidate must force a rebuild on next touch")
   }
 
   test("parallel registry queries + a streaming drain equal sequential runs") {
