@@ -88,41 +88,65 @@ object Materialize {
   private[graft] def artifactCount(s: SparkSession): Int =
     artifactMap(s).size()
 
-  /** once per (session, key): run `make` and remember its frame; the
-    * stored witness plans guard against a semanticHash collision in
-    * the key (different plans, same hash → build unmemoized rather
-    * than serve the stored frame). compute() holds the per-key map
-    * lock during the build, so concurrent first-touchers build exactly
-    * once (ConcurrentServeSpec). */
-  private def memo(s: SparkSession, key: String,
+  /** once per (session, key): run `make` and remember its frame — the
+    * memo step shared by [[resultOnce]] and [[cached]]. The stored
+    * witness plans guard against a semanticHash collision in the key
+    * (different plans, same hash → build unmemoized rather than serve
+    * the stored frame); compute() holds the per-key map lock during
+    * the build, so concurrent first-touchers build exactly once
+    * (ConcurrentServeSpec). Returns the served frame, the entry's
+    * reference (for a CONDITIONAL evict that can never clobber a
+    * concurrent healer's fresh entry), and whether THIS call ran the
+    * build (a frame built milliseconds ago cannot be stale, so probes
+    * skip it). */
+  private def memoEntry(s: SparkSession, key: String,
       plans: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
-      (make: => DataFrame): DataFrame = {
+      (make: => DataFrame)
+      : (DataFrame, java.lang.ref.SoftReference[Memo], Boolean) = {
+    var builtNow = false
     val ref = artifactMap(s).compute(key, (_, old) => {
       val live = if (old != null) old.get() else null
       if (live != null) old
-      else new java.lang.ref.SoftReference(Memo(plans, make))
+      else {
+        builtNow = true
+        new java.lang.ref.SoftReference(Memo(plans, make))
+      }
     })
     val hit = ref.get()
-    if (hit == null) make // cleared between compute and read: build live
+    if (hit == null) (make, ref, true) // cleared between compute and read
     else if (hit.plans.length == plans.length &&
-        hit.plans.lazyZip(plans).forall(_.sameResult(_))) hit.df
-    else make
+        hit.plans.lazyZip(plans).forall(_.sameResult(_)))
+      (hit.df, ref, builtNow)
+    else (make, ref, true) // semanticHash collision: build unmemoized
   }
 
-  /** Drop a memo entry (a stale-handle probe failed: rebuild fresh). */
-  private def evict(s: SparkSession, key: String): Unit =
-    artifactMap(s).remove(key)
+  private def memo(s: SparkSession, key: String,
+      plans: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+      (make: => DataFrame): DataFrame =
+    memoEntry(s, key, plans)(make)._1
 
   /** Explicit refresh for a long-running serving session whose SOURCE
     * CONTENT changed under an unchanged plan (the one staleness the
     * session-lifetime memo cannot see — e.g. a nightly job rewrote the
-    * parquet behind the same path): drop every memoized facade result
-    * for `s`, so the next call of each facade rebuilds from the
-    * current data. Table artifacts (`tableOnce`) are content-addressed
-    * per session and unaffected; pass `tables = true` to also forget
-    * them (next touch drops + rewrites each managed table). */
+    * parquet behind the same path): unpersist every memoized frame
+    * (dropping [[cached]] artifacts from Spark's CacheManager, so a
+    * rebuild re-reads the files instead of replaying the old in-memory
+    * buffers for the same canonical plan) and forget the memos — the
+    * next call of each facade rebuilds from current data.
+    * localCheckpoint blocks behind resultOnce frames are released by
+    * the ContextCleaner once the dropped frames are collected. Table
+    * artifacts (`tableOnce`) are content-addressed per session and
+    * unaffected; pass `tables = true` to also forget them (next touch
+    * drops + rewrites each managed table). */
   def invalidate(s: SparkSession, tables: Boolean = false): Unit = {
-    artifactMap(s).clear()
+    val m = artifactMap(s)
+    m.values().forEach { ref =>
+      val live = ref.get()
+      if (live != null)
+        try live.df.unpersist(false)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
+    m.clear()
     if (tables) sessionMap(s).clear()
   }
 
@@ -143,17 +167,26 @@ object Materialize {
     val plans = inputs.map(_.queryExecution.analyzed)
     val key = name + "|" + params + "|" +
       plans.map(_.semanticHash()).mkString(",")
-    val res = memo(s, key, plans)(build)
+    val (res, ref, builtNow) = memoEntry(s, key, plans)(build)
     // stale-handle guard: a localCheckpoint-backed memo can outlive its
     // blocks (an explicit unpersist sweep, an executor loss) and would
-    // then throw on EVERY later replay — probe with a one-row action
-    // (milliseconds against the seconds-scale rebuilds this memoizes)
-    // and rebuild-once on failure instead of serving a dead handle
-    try { res.limit(1).collect(); res }
-    catch {
-      case _: Throwable =>
-        evict(s, key)
-        memo(s, key, plans)(build)
+    // then throw on EVERY later replay — probe MEMO HITS with a one-row
+    // action (milliseconds against the seconds-scale rebuilds this
+    // memoizes; a frame built in this very call cannot be stale and is
+    // not probed) and rebuild-once on failure instead of serving a
+    // dead handle. NonFatal only: a cancellation or OOM during the
+    // probe propagates instead of masquerading as staleness. The evict
+    // is CONDITIONAL on the probed reference, so a concurrent healer
+    // that already replaced the entry keeps its fresh build (the
+    // build-exactly-once contract under contention).
+    if (builtNow) res
+    else {
+      try { res.limit(1).collect(); res }
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          artifactMap(s).remove(key, ref)
+          memo(s, key, plans)(build)
+      }
     }
   }
 
@@ -170,10 +203,15 @@ object Materialize {
     val analyzed = df.queryExecution.analyzed
     val res = memo(df.sparkSession, name + "|" + analyzed.semanticHash(),
       Seq(analyzed))(df.cache())
-    // a later clearCache()/unpersist drops the artifact but not the
-    // memo — re-register so the several search stages this artifact
-    // exists to serve share ONE cache entry again instead of each
-    // recomputing from scratch for the rest of the session
+    // a later clearCache() / Dataset.unpersist drops the artifact but
+    // not the memo — re-register so the several search stages this
+    // artifact exists to serve share ONE cache entry again instead of
+    // each recomputing from scratch for the rest of the session.
+    // (Boundary: storageLevel reflects CacheManager REGISTRATION — a
+    // raw RDD-level sweep that strips blocks while leaving the entry
+    // registered falls back to Spark's own recompute path for cached
+    // plans; the SQL-level maintenance APIs, clearCache and unpersist,
+    // are both covered here.)
     if (res.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       res.cache()
     res

@@ -87,6 +87,15 @@ class ConcurrentServeSpec extends SparkSpec {
     graft.sources.Materialize.invalidate(spark)
     assert(res().count() == 50 && builds.get() == 3,
       "invalidate must force a rebuild on next touch")
+    // invalidate also UNPERSISTS cached-index artifacts, so a rebuild
+    // re-reads the source instead of replaying Spark's old in-memory
+    // buffers for the same canonical plan (the stale-content trap)
+    val cart = art()
+    cart.count()
+    assert(cart.storageLevel != StorageLevel.NONE)
+    graft.sources.Materialize.invalidate(spark)
+    assert(cart.storageLevel == StorageLevel.NONE,
+      "invalidate must drop the CacheManager entry, not just the memo")
   }
 
   test("parallel registry queries + a streaming drain equal sequential runs") {

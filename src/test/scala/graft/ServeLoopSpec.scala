@@ -236,8 +236,15 @@ class ServeLoopSpec extends SparkSpec {
       res.keys.foreach(n => assert(res(n) == warm(n),
         s"iteration $i: $n answered ${res(n)} != warmup ${warm(n)}"))
       val now = storageSnapshot()
-      assert(now == snap,
-        s"iteration $i: storage $now != warmup $snap — grew at: " +
+      // the leak signal is GROWTH; a component may legitimately SHRINK
+      // below its warmup mark — the facade memos are SoftReferences by
+      // design (they break the Memo.df → SparkSession strong chain
+      // that would pin the weak-keyed session map), so a GC under heap
+      // pressure may reclaim a memo and the ContextCleaner then drops
+      // its checkpoint blocks; the next touch rebuilds. Flat-or-lower
+      // after warmup is the storage contract.
+      assert(now._1 <= snap._1 && now._2 <= snap._2 && now._3 <= snap._3,
+        s"iteration $i: storage $now grew past warmup $snap — at: " +
           growth.mkString("; "))
     }
   }
