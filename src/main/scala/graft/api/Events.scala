@@ -35,7 +35,9 @@ object Events {
     * non-overlapping / greedy matches against the entity's trace of
     * single-char codes in ((orderCol, tieCol)) order. `codeCol` must
     * hold one character per event (map event types to a code alphabet
-    * first); `pattern` is a regex over that alphabet. Delegates to
+    * first); `pattern` is a regex over that alphabet —
+    * [[graft.functions.RowPattern.permute]] builds the SQL:2016
+    * `PERMUTE(A, B, …)` any-order form. Delegates to
     * the path behind the oracle-checked `t10_cep_twin` /
     * `ev_match_recognize`; the same engine runs incrementally with
     * checkpointed per-key state in streaming.CepPattern (any

@@ -736,4 +736,23 @@ object RowPattern {
     while (i >= 0) { if (d.feed(s.charAt(i))) count += 1; i -= 1 }
     count
   }
+
+  /** SQL:2016 `PERMUTE(A, B, …)` — match the component patterns in ANY
+    * order, each exactly once. The standard defines it as exactly the
+    * expansion into the alternation of all orderings (leftmost
+    * alternation priority = lexicographic order of the argument
+    * positions), so this compiles to plain alternation and runs on the
+    * unmodified machine: `permute("a", "b")` = `(?:ab|ba)`. Components
+    * may themselves be sub-patterns (they are wrapped in non-capturing
+    * groups). n! alternatives: capped at 6 components (720 branches)
+    * because beyond that the expansion — in ANY engine implementing
+    * the standard's semantics — is the wrong tool. */
+  def permute(components: String*): String = {
+    require(components.nonEmpty, "PERMUTE needs at least one component")
+    require(components.size <= 6,
+      s"PERMUTE of ${components.size} components expands to " +
+        s"${components.indices.map(_ + 1).product}+ branches; cap is 6")
+    val wrapped = components.map(c => s"(?:$c)")
+    wrapped.permutations.map(_.mkString).mkString("(?:", "|", ")")
+  }
 }

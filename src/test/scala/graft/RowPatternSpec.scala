@@ -356,6 +356,26 @@ class RowPatternSpec extends AnyFunSuite {
     }
   }
 
+  test("PERMUTE expands to the all-orderings alternation; counts and " +
+    "start counts match java on random traces") {
+    assert(RowPattern.permute("a", "b") == "(?:(?:a)(?:b)|(?:b)(?:a))")
+    // duplicate components collapse to the distinct orderings — the
+    // same language as the standard's duplicated branches
+    assert(RowPattern.permute("a", "a") == "(?:(?:a)(?:a))")
+    intercept[IllegalArgumentException](RowPattern.permute())
+    intercept[IllegalArgumentException](
+      RowPattern.permute("a", "b", "c", "d", "e", "f", "g"))
+    val rnd = new scala.util.Random(7L)
+    val p3 = RowPattern.permute("v", "c+", "p") // 6 orderings
+    for (_ <- 1 to 60) {
+      val len = rnd.nextInt(200)
+      val s = Array.fill(len)("vcpo"(rnd.nextInt(4))).mkString
+      check(p3, s) // find() counting on the expanded alternation
+      assert(RowPattern.countStarts(p3, s) == javaStarts(p3, s),
+        s"starts on '$s'")
+    }
+  }
+
   test("hand-traced counts") {
     assert(RowPattern.countMatches("v[co]*p", "vcpvcocp") == 2L)
     assert(RowPattern.countMatches("v[co]*p", "vvvp") == 1L)
