@@ -651,7 +651,16 @@ object Soak {
   }
 
   def main(args: Array[String]): Unit = {
-    val copies = if (args.nonEmpty) args(0).toInt else 10
+    // copies is the first NUMERIC argument wherever it appears, so
+    // `Soak only=ev_x` (no copy count) and `Soak only=ev_x 30` both
+    // parse; a malformed arg list fails with the expected shape named
+    val copies = args.find(a => a.nonEmpty && a.forall(_.isDigit))
+      .map(_.toInt).getOrElse {
+        require(args.forall(a => a.startsWith("only=") || a == "nobase"),
+          s"usage: Soak [copies] [only=q1,q2] [nobase] — got: " +
+            args.mkString(" "))
+        10
+      }
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = s"/tmp/graft_soak/x$copies"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -670,14 +679,14 @@ object Soak {
     generate(spark, base, out, copies)
     if (only.nonEmpty) {
       // scoped: time just the named queries (base + the xN corpus)
-      if (!args.drop(1).contains("nobase"))
+      if (!args.contains("nobase"))
         scopedReport(spark, "base", base, only)
       scopedReport(spark, s"x$copies", out, only)
     } else {
       // "nobase": skip the base pass when another run of the same
       // session already measured it (the x10 log carries the base
       // columns)
-      if (!args.drop(1).contains("nobase")) report(spark, "base", base)
+      if (!args.contains("nobase")) report(spark, "base", base)
       report(spark, s"x$copies", out)
     }
     spark.stop()

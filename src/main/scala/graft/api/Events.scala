@@ -210,19 +210,28 @@ object Events {
     * source). An event later than that is NEVER silently fed:
     * `onLate="fail"` (default) kills the query with the contract in
     * the message; `onLate="drop"` skips it and surfaces the count in
-    * the emitted `n_late_dropped`. */
+    * the emitted `n_late_dropped`. The buffer itself is HARD-CAPPED at
+    * `maxBufferedEvents` per key (default 65536): its natural size is
+    * arrival-rate × declared lateness, so a hot key under a large
+    * lateness would otherwise grow state silently until the state
+    * store pays — at the cap the query fails loudly under `"fail"`,
+    * or sheds the over-cap event into `n_late_dropped` under
+    * `"drop"`; per-key state is bounded by an explicit constant
+    * either way. */
   def matchPatternStream(spark: org.apache.spark.sql.SparkSession,
                          parsed: DataFrame, pattern: String,
                          depthCap: Int = 4096,
                          codeExpr: String =
                            graft.streaming.CepPattern.funnelCode,
                          allowedLatenessUs: Long = 0L,
-                         onLate: String = "fail")
+                         onLate: String = "fail",
+                         maxBufferedEvents: Int =
+                           graft.streaming.CepPattern.DefaultMaxBuffered)
       : org.apache.spark.sql.Dataset[
         graft.streaming.CepPattern.CepPatternUpdate] =
     graft.streaming.CepPattern.matches(
       spark, parsed, pattern, depthCap, codeExpr,
-      allowedLatenessUs, onLate)
+      allowedLatenessUs, onLate, maxBufferedEvents)
 
   /** Streaming twin of [[matchPatternBy]] (DEFINE/PREV over a
     * stream): the code char is computed inside the checkpointed
@@ -230,13 +239,13 @@ object Events {
     * previous event row in event-time order, carried across
     * micro-batches AND restarts (null on the key's first event) — so
     * neighbor predicates (`DEFINE U AS price > PREV(price)`) run
-    * streaming. Same ordering guard and emit-on-change emission as
-    * [[matchPatternStream]]; the reorder buffer holds whole rows
-    * because classification must wait for event-time release.
-    * `events` needs `idCol`/`tieCol` LONG and `orderCol` TIMESTAMP;
-    * `classify` sees the caller's full row and must be serializable.
-    * Restart-twin-pinned against the batch classified fold in
-    * CepPatternSpec. */
+    * streaming. Same ordering guard, buffer hard cap, and
+    * emit-on-change emission as [[matchPatternStream]]; the reorder
+    * buffer holds whole rows because classification must wait for
+    * event-time release. `events` needs `idCol`/`tieCol` LONG and
+    * `orderCol` TIMESTAMP; `classify` sees the caller's full row and
+    * must be serializable. Restart-twin-pinned against the batch
+    * classified fold in CepPatternSpec. */
   def matchPatternStreamBy(spark: org.apache.spark.sql.SparkSession,
                            events: DataFrame, pattern: String,
                            idCol: String = "user_id",
@@ -244,14 +253,16 @@ object Events {
                            orderCol: String = "ts",
                            depthCap: Int = 4096,
                            allowedLatenessUs: Long = 0L,
-                           onLate: String = "fail")
+                           onLate: String = "fail",
+                           maxBufferedEvents: Int =
+                             graft.streaming.CepPattern.DefaultMaxBuffered)
                           (classify: (org.apache.spark.sql.Row,
                             org.apache.spark.sql.Row) => Char)
       : org.apache.spark.sql.Dataset[
         graft.streaming.CepPattern.CepPatternUpdate] =
     graft.streaming.CepPattern.matchesBy(
       spark, events, pattern, idCol, tieCol, orderCol, depthCap,
-      allowedLatenessUs, onLate)(classify)
+      allowedLatenessUs, onLate, maxBufferedEvents)(classify)
 
   /** Streaming twin of [[matchSpans]] (ONE ROW PER MATCH over a
     * stream): each key's confirmed matches emit EXACTLY ONCE, as they
@@ -264,17 +275,21 @@ object Events {
     * Append and never speculates (count mode's estimate covers its
     * buffer instead). At lateness 0 — the keyed-topic shape — the
     * quiescent emitted set equals the batch fold's confirmed spans
-    * (restart-twin-pinned in CepPatternSpec). Same ordering guard as
-    * [[matchPatternStream]]; requires a terminator-disjoint pattern
-    * and exactly one code char per event, like the batch span mode. */
+    * (restart-twin-pinned in CepPatternSpec). Same ordering guard and
+    * buffer hard cap as [[matchPatternStream]]; requires a
+    * terminator-disjoint pattern and exactly one code char per event,
+    * like the batch span mode. */
   def matchSpansStream(spark: org.apache.spark.sql.SparkSession,
                        parsed: DataFrame, pattern: String,
                        codeExpr: String =
                          graft.streaming.CepPattern.funnelCode,
                        allowedLatenessUs: Long = 0L,
-                       onLate: String = "fail")
+                       onLate: String = "fail",
+                       maxBufferedEvents: Int =
+                         graft.streaming.CepPattern.DefaultMaxBuffered)
       : org.apache.spark.sql.Dataset[
         graft.streaming.CepPattern.CepSpanMatch] =
     graft.streaming.CepPattern.matchSpans(
-      spark, parsed, pattern, codeExpr, allowedLatenessUs, onLate)
+      spark, parsed, pattern, codeExpr, allowedLatenessUs, onLate,
+      maxBufferedEvents)
 }

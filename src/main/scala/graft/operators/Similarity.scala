@@ -39,10 +39,16 @@ object Similarity {
     * once, strictly less data than the join output that already
     * shuffles into the rank window. A production-scale corpus is
     * already split into many row groups and takes the no-exchange
-    * branch (checking `.rdd.getNumPartitions` plans, but runs no job). */
+    * branch. The probe reads `queryExecution.toRdd` — the internal
+    * binary RDD the frame's own execution uses (a cached lazy val, so
+    * the no-exchange branch reuses it for free) — instead of
+    * `Dataset.rdd`, which would eagerly build an EXTRA deserializer
+    * lineage on top just to ask for a partition count (ADVICE r10).
+    * No job runs either way. */
   private def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p)
+    else df
   }
 
   /** embeddings with L2 norm, via vec_dot(v, v). */

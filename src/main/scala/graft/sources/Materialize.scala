@@ -67,7 +67,15 @@ object Materialize {
   // an optimization, never a correctness carrier.
   private final case class Memo(
       plans: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
-      df: DataFrame)
+      df: DataFrame) {
+    /** wall-clock of the last stale-handle probe on this entry (0 =
+      * never probed) — resultOnce probes a memo HIT at most once per
+      * [[probeIntervalMs]], so a high-QPS serving loop doesn't pay a
+      * one-row Spark job per call just to re-confirm health it
+      * confirmed milliseconds ago (ADVICE r10). Volatile: probed from
+      * whichever serving thread hits the entry first. */
+    @volatile var lastProbeMs: Long = 0L
+  }
 
   private val artifacts = new java.util.WeakHashMap[SparkSession,
     java.util.concurrent.ConcurrentHashMap[String,
@@ -174,21 +182,40 @@ object Materialize {
     // action (milliseconds against the seconds-scale rebuilds this
     // memoizes; a frame built in this very call cannot be stale and is
     // not probed) and rebuild-once on failure instead of serving a
-    // dead handle. NonFatal only: a cancellation or OOM during the
-    // probe propagates instead of masquerading as staleness. The evict
-    // is CONDITIONAL on the probed reference, so a concurrent healer
-    // that already replaced the entry keeps its fresh build (the
-    // build-exactly-once contract under contention).
+    // dead handle. THROTTLED (ADVICE r10): a probe is itself a Spark
+    // job, so a hit re-probes at most once per probeIntervalMs — a
+    // high-QPS facade serves straight from the memo between probes,
+    // and a handle that dies inside the window surfaces as one failed
+    // replay whose NEXT call probes-and-heals (the serving loop's
+    // retry grain, not a correctness hole: the memo is an
+    // optimization, never a correctness carrier). NonFatal only: a
+    // cancellation or OOM during the probe propagates instead of
+    // masquerading as staleness. The evict is CONDITIONAL on the
+    // probed reference, so a concurrent healer that already replaced
+    // the entry keeps its fresh build (the build-exactly-once contract
+    // under contention).
     if (builtNow) res
     else {
-      try { res.limit(1).collect(); res }
-      catch {
-        case scala.util.control.NonFatal(_) =>
-          artifactMap(s).remove(key, ref)
-          memo(s, key, plans)(build)
-      }
+      val live = ref.get()
+      val now = System.currentTimeMillis()
+      if (live != null && now - live.lastProbeMs < probeIntervalMs) res
+      else
+        try {
+          res.limit(1).collect()
+          if (live != null) live.lastProbeMs = now
+          res
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            artifactMap(s).remove(key, ref)
+            memo(s, key, plans)(build)
+        }
     }
   }
+
+  /** Minimum wall-clock between stale-handle probes of one memo entry
+    * (see [[resultOnce]]); package-visible so the serve-loop spec can
+    * pin the throttle without waiting it out. */
+  private[graft] var probeIntervalMs: Long = 30000L
 
   /** Default for facade callers over arbitrary frames: build once per
     * (session, artifact name, canonicalized build plan), cache, and

@@ -60,10 +60,23 @@ import graft.streaming.CepMatcher.CepEvent
   * State bound: the machine is the RowPattern contract
   * (terminator-disjoint patterns O(|pattern|) per key forever, others
   * capped at `depthCap` with loud failure); the reorder buffer holds
-  * only events inside the declared lateness window — bounded by the
-  * key's arrival rate × allowedLatenessUs, zero when lateness is 0.
+  * only events inside the declared lateness window — its natural size
+  * is the key's arrival rate × allowedLatenessUs, zero when lateness
+  * is 0, and it is HARD-CAPPED at `maxBufferedEvents` per key (round
+  * 11): a hot key under a large declared lateness fails loudly at the
+  * cap under `onLate="fail"` (the depthCap precedent) or sheds the
+  * over-cap event into `n_late_dropped` under `"drop"` — per-key
+  * state is bounded by an explicit constant either way, never by the
+  * caller's lateness declaration alone.
   */
 object CepPattern extends Serializable {
+
+  /** Default per-key reorder-buffer cap (events awaiting event-time
+    * release under a declared lateness). 64k events ≈ a few MB of
+    * state-store per hot key — far past any sane micro-batch backlog,
+    * tight enough that a runaway lateness declaration surfaces as a
+    * loud failure instead of an OOM'd state store. */
+  val DefaultMaxBuffered: Int = 1 << 16
 
   /** The standard funnel code mapping (view→v, click→c, purchase→p,
     * else o) — the default `codeExpr`; callers with their own alphabet
@@ -124,7 +137,8 @@ object CepPattern extends Serializable {
     * last released event. Returns the released events, ready to feed. */
   private def admit[T](st: GuardedState[T], userId: Long,
                        evs: Array[(Long, Long, T)], allowedLatenessUs: Long,
-                       onLate: String): Seq[(Long, Long, T)] = {
+                       onLate: String,
+                       maxBufferedEvents: Int): Seq[(Long, Long, T)] = {
     evs.foreach { case (ts, id, payload) =>
       if (ts > st.maxSeenTs) st.maxSeenTs = ts
       if (payload != null) {
@@ -141,6 +155,27 @@ object CepPattern extends Serializable {
               "each key's events in event-time order (keyed topic), " +
               "raise allowedLatenessUs to cover the source's disorder, " +
               "or declare onLate=\"drop\" to skip-and-count.")
+        } else if (allowedLatenessUs > 0L &&
+            st.buffer.length >= maxBufferedEvents) {
+          // HARD CAP on the reorder buffer (round 11 — the admission
+          // guard's missing bound): under a declared lateness the
+          // buffer's natural size is arrival-rate × lateness, which a
+          // hot key under a large declared lateness grows without
+          // limit. Past the cap the arriving event is refused — loudly
+          // under "fail" (the depthCap precedent), or dropped WITH the
+          // count surfaced in n_late_dropped when the caller already
+          // opted into lossy "drop". Lateness 0 buffers nothing across
+          // batches, so the cap binds only when a reorder window
+          // actually exists.
+          if (onLate == "drop") st.dropped += 1
+          else throw new IllegalStateException(
+            s"CEP reorder buffer for key $userId exceeded " +
+              s"maxBufferedEvents=$maxBufferedEvents with " +
+              s"allowedLatenessUs=$allowedLatenessUs: the key buffers " +
+              "arrival-rate × lateness events awaiting event-time " +
+              "release. Lower the declared lateness, raise " +
+              "maxBufferedEvents, or declare onLate=\"drop\" to " +
+              "shed-and-count past the cap.")
         } else st.buffer += ((ts, id, payload))
       }
     }
@@ -168,12 +203,14 @@ object CepPattern extends Serializable {
     }
   }
 
-  private def requireGuardArgs(allowedLatenessUs: Long,
-                               onLate: String): Unit = {
+  private def requireGuardArgs(allowedLatenessUs: Long, onLate: String,
+                               maxBufferedEvents: Int): Unit = {
     require(allowedLatenessUs >= 0L,
       s"allowedLatenessUs must be >= 0, got $allowedLatenessUs")
     require(onLate == "fail" || onLate == "drop",
       s"onLate must be 'fail' or 'drop', got '$onLate'")
+    require(maxBufferedEvents > 0,
+      s"maxBufferedEvents must be > 0, got $maxBufferedEvents")
   }
 
   /** Wire the matcher over a parsed stream (StreamingIngest.parse
@@ -184,8 +221,10 @@ object CepPattern extends Serializable {
               depthCap: Int = 4096,
               codeExpr: String = funnelCode,
               allowedLatenessUs: Long = 0L,
-              onLate: String = "fail"): Dataset[CepPatternUpdate] = {
-    requireGuardArgs(allowedLatenessUs, onLate)
+              onLate: String = "fail",
+              maxBufferedEvents: Int = DefaultMaxBuffered)
+      : Dataset[CepPatternUpdate] = {
+    requireGuardArgs(allowedLatenessUs, onLate, maxBufferedEvents)
     val prog = RowPattern.compile(pattern)
     implicit val stateEnc: Encoder[PatternState] =
       Encoders.javaSerialization[PatternState]
@@ -198,7 +237,7 @@ object CepPattern extends Serializable {
         new PatternState(new RowPattern.MatchCounter(prog, depthCap)))
       val evs = events.toArray.sortBy(e => (e.ts_us, e.event_id))
         .map(e => (e.ts_us, e.event_id, e.code))
-      admit(st, userId, evs, allowedLatenessUs, onLate)
+      admit(st, userId, evs, allowedLatenessUs, onLate, maxBufferedEvents)
         .foreach { case (_, _, code) => st.m.feedAll(code) }
       state.update(st)
       // count as if the stream ended here: buffered events would all
@@ -254,11 +293,12 @@ object CepPattern extends Serializable {
   def matchesBy(spark: SparkSession, events: DataFrame, pattern: String,
                 idCol: String = "user_id", tieCol: String = "event_id",
                 orderCol: String = "ts", depthCap: Int = 4096,
-                allowedLatenessUs: Long = 0L, onLate: String = "fail")
+                allowedLatenessUs: Long = 0L, onLate: String = "fail",
+                maxBufferedEvents: Int = DefaultMaxBuffered)
                (classify: (org.apache.spark.sql.Row,
                  org.apache.spark.sql.Row) => Char)
       : Dataset[CepPatternUpdate] = {
-    requireGuardArgs(allowedLatenessUs, onLate)
+    requireGuardArgs(allowedLatenessUs, onLate, maxBufferedEvents)
     val prog = RowPattern.compile(pattern)
     implicit val stateEnc: Encoder[ClassifiedState] =
       Encoders.javaSerialization[ClassifiedState]
@@ -281,7 +321,7 @@ object CepPattern extends Serializable {
       val evs = rows.toArray
         .map(r => (r.getLong(usIdx), r.getLong(tieIdx), r))
         .sortBy(e => (e._1, e._2))
-      admit(st, userId, evs, allowedLatenessUs, onLate)
+      admit(st, userId, evs, allowedLatenessUs, onLate, maxBufferedEvents)
         .foreach { case (_, _, r) =>
           st.m.feed(classify(st.prev, r))
           st.prev = r
@@ -321,8 +361,10 @@ object CepPattern extends Serializable {
   def matchSpans(spark: SparkSession, parsed: DataFrame, pattern: String,
                  codeExpr: String = funnelCode,
                  allowedLatenessUs: Long = 0L,
-                 onLate: String = "fail"): Dataset[CepSpanMatch] = {
-    requireGuardArgs(allowedLatenessUs, onLate)
+                 onLate: String = "fail",
+                 maxBufferedEvents: Int = DefaultMaxBuffered)
+      : Dataset[CepSpanMatch] = {
+    requireGuardArgs(allowedLatenessUs, onLate, maxBufferedEvents)
     val prog = RowPattern.compile(pattern)
     require(RowPattern.terminatorDisjoint(prog),
       s"streaming span mode needs a terminator-disjoint pattern; " +
@@ -340,7 +382,7 @@ object CepPattern extends Serializable {
       val evs = events.toArray.sortBy(e => (e.ts_us, e.event_id))
         .map(e => (e.ts_us, e.event_id, e.code))
       val out = ArrayBuffer.empty[CepSpanMatch]
-      admit(st, userId, evs, allowedLatenessUs, onLate)
+      admit(st, userId, evs, allowedLatenessUs, onLate, maxBufferedEvents)
         .foreach { case (ts, id, code) =>
           require(code.length == 1,
             "streaming span mode needs exactly one code char per event")

@@ -221,6 +221,53 @@ class CepPatternSpec extends SparkSpec {
     assert(last.toSeq == Seq((1L, 1L, 0L), (1L, 1L, 1L)), last.toSeq)
   }
 
+  test("the reorder buffer is hard-capped: a hot key under a large " +
+    "declared lateness fails loudly, or sheds-and-counts under drop") {
+    // 30 days of declared lateness on a 6-event key: nothing ever
+    // releases, so the buffer IS the key's backlog — with
+    // maxBufferedEvents=4 the 5th and 6th events are over the cap
+    val monthUs = 30L * 86400 * 1000000
+    val evs = Seq((1L, 1L, "view", 1), (2L, 1L, "click", 2),
+      (3L, 1L, "purchase", 3), (4L, 1L, "view", 4),
+      (5L, 1L, "view", 5), (6L, 1L, "purchase", 6))
+    def run(base: java.nio.file.Path, src: java.nio.file.Path,
+            onLate: String): Unit = {
+      val q = CepPattern
+        .matches(spark, StreamingIngest.parse(
+          spark.readStream.text(src.toString)), "v[co]*p",
+          allowedLatenessUs = monthUs, onLate = onLate,
+          maxBufferedEvents = 4)
+        .writeStream.format("parquet")
+        .option("path", base.resolve("out").toString)
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // onLate="fail" (default policy): the cap kills the query loudly
+    // with the contract in the message
+    val baseF = Files.createTempDirectory("graft_cepcapf")
+    val srcF = Files.createDirectory(baseF.resolve("src"))
+    writeChunk(srcF, "b1.json", evs)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      run(baseF, srcF, "fail"))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null &&
+      m.contains("reorder buffer") && m.contains("maxBufferedEvents=4")),
+      chain(e))
+    // onLate="drop": the caller opted into lossy — the over-cap events
+    // shed into the visible n_late_dropped, the count covers what the
+    // buffer holds (v,c,p,v → 1 match)
+    val baseD = Files.createTempDirectory("graft_cepcapd")
+    val srcD = Files.createDirectory(baseD.resolve("src"))
+    writeChunk(srcD, "b1.json", evs)
+    run(baseD, srcD, "drop")
+    val rows = spark.read.parquet(baseD.resolve("out").toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 1L, 2L)), rows.toSeq)
+  }
+
   test("emit-on-change: an untouched key emits nothing") {
     val base = Files.createTempDirectory("graft_cepquiet")
     val src = Files.createDirectory(base.resolve("src"))

@@ -75,13 +75,27 @@ class ConcurrentServeSpec extends SparkSpec {
       builds.incrementAndGet()
       input.select(col("k"), (col("k") % 7).as("g")).localCheckpoint(true)
     }
-    assert(res().count() == 50 && builds.get() == 1)
-    assert(res().count() == 50 && builds.get() == 1) // memo hit
+    val memoFrame = res()
+    assert(memoFrame.count() == 50 && builds.get() == 1)
+    assert((res() eq memoFrame) && builds.get() == 1) // memo hit
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
-    val healed = res() // probe fails on the dead handle → rebuild once
-    assert(builds.get() == 2, "stale localCheckpoint must rebuild")
-    assert(healed.count() == 50)
+    // the probe is THROTTLED (ADVICE r10): within probeIntervalMs of
+    // the last successful probe a hit serves the memo WITHOUT a probe
+    // job, so the handle death above surfaces on the caller's own
+    // action, not as a silent heal — the serving loop's documented
+    // retry grain
+    assert((res() eq memoFrame) && builds.get() == 1,
+      "hit inside the probe window must serve the memo without probing")
+    intercept[Exception] { res().count() }
+    // past the window the next hit probes, detects the dead handle,
+    // and heals exactly once
+    graft.sources.Materialize.probeIntervalMs = 0L
+    try {
+      val healed = res() // probe fails on the dead handle → rebuild once
+      assert(builds.get() == 2, "stale localCheckpoint must rebuild")
+      assert(healed.count() == 50)
+    } finally graft.sources.Materialize.probeIntervalMs = 30000L
     // explicit refresh: a server whose SOURCE CONTENT changed under an
     // unchanged plan invalidates and the next call rebuilds
     graft.sources.Materialize.invalidate(spark)
