@@ -190,6 +190,54 @@ object Events {
       events, pattern, Seq(idCol), Seq(orderCol, tieCol),
       depthCap)(classify)
 
+  /** ONE ROW PER MATCH with DEFINE-style NAVIGATION (round 11): the
+    * [[matchPatternBy]] classifier composed with span output — every
+    * match as (idCol..., match_seq, start_id, end_id, n_events),
+    * start/end being `tieCol` (LONG) of the match's first/last rows.
+    * Same memory contract as [[matchSpans]] plus ONE held row (the
+    * PREV window); requires a terminator-disjoint pattern. Delegates
+    * to the path behind the oracle-checked `ev_updown_spans`. */
+  def matchSpansBy(events: DataFrame, pattern: String)
+                  (classify: (org.apache.spark.sql.Row,
+                    org.apache.spark.sql.Row) => Char,
+                   idCol: String = "user_id",
+                   tieCol: String = "event_id",
+                   orderCol: String = "ts"): DataFrame =
+    graft.operators.EventAnalytics.matchSpansClassified(
+      events, pattern, Seq(idCol), Seq(orderCol, tieCol), tieCol)(classify)
+
+  /** ALL ROWS PER MATCH with DEFINE-style NAVIGATION: every matched
+    * row as (idCol..., match_seq, ord_in_match, id, cls) — `cls` the
+    * row's CLASSIFIER() label as computed by `classify` inside the
+    * fold, the SQL:2016 per-row output grain composed with navigation
+    * predicates. Same contract as [[matchSpansBy]]; delegates to the
+    * path behind the oracle-checked `ev_updown_rows`. */
+  def matchRowsBy(events: DataFrame, pattern: String)
+                 (classify: (org.apache.spark.sql.Row,
+                   org.apache.spark.sql.Row) => Char,
+                  idCol: String = "user_id",
+                  tieCol: String = "event_id",
+                  orderCol: String = "ts"): DataFrame =
+    graft.operators.EventAnalytics.matchRowsClassified(
+      events, pattern, Seq(idCol), Seq(orderCol, tieCol), tieCol)(classify)
+
+  /** MEASURES with DEFINE-style NAVIGATION: every match as one
+    * aggregate row (idCol..., match_seq, start_id, end_id, n_events,
+    * sum_measure), the sum taken over `valueCol` (integral — pre-scale
+    * money to cents) off the bounded ring as matches confirm. Same
+    * contract as [[matchSpansBy]]; delegates to the path behind the
+    * oracle-checked `ev_updown_measures`. */
+  def matchMeasuresBy(events: DataFrame, pattern: String,
+                      valueCol: String)
+                     (classify: (org.apache.spark.sql.Row,
+                       org.apache.spark.sql.Row) => Char,
+                      idCol: String = "user_id",
+                      tieCol: String = "event_id",
+                      orderCol: String = "ts"): DataFrame =
+    graft.operators.EventAnalytics.matchMeasuresClassified(
+      events, pattern, Seq(idCol), Seq(orderCol, tieCol), tieCol,
+      valueCol)(classify)
+
   /** Streaming twin of [[matchPattern]]: the SAME machine carried as
     * checkpointed per-key state through flatMapGroupsWithState
     * (streaming/CepPattern — restart-twin-pinned against the batch

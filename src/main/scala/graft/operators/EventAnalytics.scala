@@ -259,27 +259,58 @@ object EventAnalytics {
     // rising run; a D ending it is one match; the next match's run
     // restarts after it), so DuckDB counts pairs of adjacent
     // classifier chars. Report: reversals-per-customer histogram.
-    "ev_updown_runs" -> ((s, dir) => {
-      val o = Tables(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
-          col("o_totalprice"))
-      val classify: (org.apache.spark.sql.Row,
-        org.apache.spark.sql.Row) => Char = (prev, cur) =>
-        if (prev == null) 'o'
-        else {
-          val p = prev.getDouble(3)
-          val c = cur.getDouble(3)
-          if (c > p) 'U' else if (c < p) 'D' else 'e'
-        }
-      matchCountsClassified(o, "U+D", Seq("o_custkey"),
-        Seq("o_orderdate", "o_orderkey"))(classify)
+    "ev_updown_runs" -> ((s, dir) =>
+      matchCountsClassified(updownOrders(s, dir), "U+D", Seq("o_custkey"),
+        Seq("o_orderdate", "o_orderkey"))(updownClassify)
         .withColumnRenamed("n_matches", "n_reversals")
         .groupBy("n_reversals")
         .agg(count(lit(1)).as("n_customers"),
           min("o_custkey").as("min_cust"),
           max("o_custkey").as("max_cust"))
-        .orderBy("n_reversals")
-    }),
+        .orderBy("n_reversals")),
+
+    // DEFINE/PREV × ONE ROW PER MATCH (round 11 — the classifier
+    // threaded through the span-family output modes): every `U+D`
+    // rising-run-then-reversal match as its own row carrying the
+    // anchor and reversal orderkeys and the run length, with the U/D/e
+    // classification computed INSIDE the fold from the previous order's
+    // total (no precomputed code column exists). ORACLE: an
+    // independent closed form, no regex engine — a match is exactly a
+    // D-row whose predecessor classifies U; greedy U+ absorbs the
+    // whole maximal rising run, so the span start is the run's first U
+    // = (last non-U row before the D) + 1, one extra window max over
+    // the lag-classified sequence.
+    "ev_updown_spans" -> ((s, dir) =>
+      matchSpansClassified(updownOrders(s, dir), "U+D", Seq("o_custkey"),
+        Seq("o_orderdate", "o_orderkey"), "o_orderkey")(updownClassify)
+        .orderBy("o_custkey", "match_seq")),
+
+    // DEFINE/PREV × ALL ROWS PER MATCH: every order of every `U+D`
+    // match, labeled with the match ordinal, the in-match position,
+    // and the row's CLASSIFIER() label (U for the run, D for the
+    // reversal) — the SQL:2016 per-row output grain composed with
+    // navigation classification. ORACLE: the ev_updown_spans closed
+    // form joined back to the classified rows in each span's rn range.
+    "ev_updown_rows" -> ((s, dir) =>
+      matchRowsClassified(updownOrders(s, dir), "U+D", Seq("o_custkey"),
+        Seq("o_orderdate", "o_orderkey"), "o_orderkey")(updownClassify)
+        .select(col("o_custkey"), col("match_seq"), col("ord_in_match"),
+          col("id").as("o_orderkey"), col("cls"))
+        .orderBy("o_custkey", "match_seq", "ord_in_match")),
+
+    // DEFINE/PREV × MEASURES: each `U+D` match as one aggregate row —
+    // FIRST/LAST orderkeys, COUNT(*) of matched orders, and the exact
+    // cents SUM of their totals — aggregated off the bounded ring as
+    // the match confirms, with the classification computed inside the
+    // fold. ORACLE: the closed-form span table joined to the rows in
+    // range and aggregated per span (cents decimal-cast before the
+    // sum on both engines — the exactness contract).
+    "ev_updown_measures" -> ((s, dir) =>
+      matchMeasuresClassified(updownOrders(s, dir), "U+D",
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"),
+        "o_orderkey", "cents")(updownClassify)
+        .withColumnRenamed("sum_measure", "sum_cents")
+        .orderBy("o_custkey", "match_seq")),
 
     // RFM SEGMENTATION — the marketing-analytics classic: per
     // purchasing user, Recency (days from last purchase to the corpus
@@ -365,6 +396,29 @@ object EventAnalytics {
         .orderBy("level")
     })
   )
+
+  /** Orders projected for the U/D navigation family: key, total order
+    * (o_orderdate, o_orderkey), the double total the classifier reads,
+    * and its exact cents (decimal-cast before the long cast — integer-
+    * exact, so DuckDB's rounding and Spark's truncation agree). */
+  private[graft] def updownOrders(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as long)")
+          .as("cents"))
+
+  /** `DEFINE U AS total > PREV(total), D AS total < PREV(total)` as a
+    * fold classifier: 'o' on the entity's first row (PREV is null),
+    * 'e' on equal totals. Shared by the whole ev_updown_* family. */
+  private[graft] val updownClassify: (org.apache.spark.sql.Row,
+    org.apache.spark.sql.Row) => Char = (prev, cur) =>
+    if (prev == null) 'o'
+    else {
+      val p = prev.getAs[Double]("o_totalprice")
+      val c = cur.getAs[Double]("o_totalprice")
+      if (c > p) 'U' else if (c < p) 'D' else 'e'
+    }
 
   /** The standard funnel code mapping over the events table:
     * view→v, click→c, purchase→p, anything else→o. */
@@ -499,6 +553,162 @@ object EventAnalytics {
         st
       })(
       st => Seq(java.lang.Long.valueOf(st.m.finish())))
+  }
+
+  /** ONE ROW PER MATCH with DEFINE-style NAVIGATION (round 11 — the
+    * matchCountsClassified classifier threaded through the span-family
+    * output modes): the code char is computed INSIDE the ordered fold
+    * by `classify(prev, cur)` — prev the entity's previous row in
+    * `orderCols` order, null on the first — and fed to the SAME
+    * span-mode machine + minLivePos-pruned ring as matchSpansOf, so
+    * `DEFINE U AS price > PREV(price)` composes with span output.
+    * Emits per confirmed match (keyCols..., match_seq, start_id,
+    * end_id, n_events) where start_id/end_id are `idCol` (LONG) of the
+    * match's first/last rows and match_seq numbers the entity's
+    * matches in start order. Contract: terminator-disjoint pattern
+    * (loud failure otherwise); per-entity state the machine + ONE held
+    * row + the ring — O(|pattern| + longest live match), never the
+    * trace. */
+  private[graft] def matchSpansClassified(
+      ev: DataFrame, pattern: String, keyCols: Seq[String],
+      orderCols: Seq[String], idCol: String)(
+      classify: (org.apache.spark.sql.Row,
+        org.apache.spark.sql.Row) => Char): DataFrame = {
+    val prog = graft.functions.RowPattern.compile(pattern)
+    require(graft.functions.RowPattern.terminatorDisjoint(prog),
+      s"classified span mode needs a terminator-disjoint pattern; " +
+        s"'$pattern' is not — use matchCountsClassified")
+    val idIdx = ev.schema.fieldIndex(idCol)
+    final class St {
+      val ring = new graft.functions.RowPattern.SpanRing[Long](
+        new graft.functions.RowPattern.MatchCounter(prog, trackSpans = true))
+      var prev: org.apache.spark.sql.Row = _
+      var seq = 0L
+      def row(sp: (Long, Long)): Seq[Any] = {
+        seq += 1
+        Seq(Long.box(seq), Long.box(ring.first(sp)), Long.box(ring.last(sp)),
+          Long.box(sp._2 - sp._1))
+      }
+    }
+    graft.api.Folds.flatFoldOrdered(
+      ev, keyCols, orderCols,
+      out = new org.apache.spark.sql.types.StructType()
+        .add("match_seq", org.apache.spark.sql.types.LongType)
+        .add("start_id", org.apache.spark.sql.types.LongType)
+        .add("end_id", org.apache.spark.sql.types.LongType)
+        .add("n_events", org.apache.spark.sql.types.LongType))(
+      () => new St)(
+      (st, r) => {
+        val c = classify(st.prev, r)
+        st.prev = r
+        val out = st.ring.feed(r.getLong(idIdx), c).map(st.row)
+        st.ring.prune()
+        out
+      })(
+      st => st.ring.finishSpans().map(st.row))
+  }
+
+  /** ALL ROWS PER MATCH with DEFINE-style NAVIGATION: the classified
+    * twin of matchRowsOf — every row of every confirmed match emits
+    * (keyCols..., match_seq, ord_in_match, idCol value, cls), `cls`
+    * the row's CLASSIFIER() label as computed by `classify` inside the
+    * fold (the SQL:2016 CLASSIFIER() column at ALL ROWS grain, which a
+    * precomputed code column cannot carry for navigation predicates).
+    * Same machine, ring, bounds, and terminator-disjoint contract as
+    * [[matchSpansClassified]]; emission streams as spans confirm. */
+  private[graft] def matchRowsClassified(
+      ev: DataFrame, pattern: String, keyCols: Seq[String],
+      orderCols: Seq[String], idCol: String)(
+      classify: (org.apache.spark.sql.Row,
+        org.apache.spark.sql.Row) => Char): DataFrame = {
+    val prog = graft.functions.RowPattern.compile(pattern)
+    require(graft.functions.RowPattern.terminatorDisjoint(prog),
+      s"classified ALL ROWS mode needs a terminator-disjoint pattern; " +
+        s"'$pattern' is not — use matchCountsClassified")
+    val idIdx = ev.schema.fieldIndex(idCol)
+    final class St {
+      val ring = new graft.functions.RowPattern.SpanRing[(Long, String)](
+        new graft.functions.RowPattern.MatchCounter(prog, trackSpans = true))
+      var prev: org.apache.spark.sql.Row = _
+      var seq = 0L
+      def rows(sp: (Long, Long)): Seq[Seq[Any]] = {
+        seq += 1
+        ring.slice(sp).zipWithIndex.map { case ((id, cls), ord) =>
+          Seq(Long.box(seq), Long.box(ord + 1L), Long.box(id), cls)
+        }
+      }
+    }
+    graft.api.Folds.flatFoldOrdered(
+      ev, keyCols, orderCols,
+      out = new org.apache.spark.sql.types.StructType()
+        .add("match_seq", org.apache.spark.sql.types.LongType)
+        .add("ord_in_match", org.apache.spark.sql.types.LongType)
+        .add("id", org.apache.spark.sql.types.LongType)
+        .add("cls", org.apache.spark.sql.types.StringType))(
+      () => new St)(
+      (st, r) => {
+        val c = classify(st.prev, r)
+        st.prev = r
+        val out = st.ring.feed((r.getLong(idIdx), String.valueOf(c)), c)
+          .flatMap(st.rows)
+        st.ring.prune()
+        out
+      })(
+      st => st.ring.finishSpans().flatMap(st.rows))
+  }
+
+  /** MEASURES with DEFINE-style NAVIGATION: the classified twin of
+    * matchMeasuresOf — every confirmed match emits ONE aggregate row
+    * (keyCols..., match_seq, start_id, end_id, n_events, sum_measure),
+    * sum_measure the exact long sum of `measureCol` over the matched
+    * rows, aggregated off the bounded ring AS SPANS CONFIRM (matched
+    * rows are never re-shuffled or joined back). Same contract and
+    * bounds as [[matchSpansClassified]]; `measureCol` must be integral
+    * (pre-scale money to cents — the decimal-exactness contract). */
+  private[graft] def matchMeasuresClassified(
+      ev: DataFrame, pattern: String, keyCols: Seq[String],
+      orderCols: Seq[String], idCol: String, measureCol: String)(
+      classify: (org.apache.spark.sql.Row,
+        org.apache.spark.sql.Row) => Char): DataFrame = {
+    val prog = graft.functions.RowPattern.compile(pattern)
+    require(graft.functions.RowPattern.terminatorDisjoint(prog),
+      s"classified MEASURES mode needs a terminator-disjoint pattern; " +
+        s"'$pattern' is not — use matchCountsClassified")
+    val idIdx = ev.schema.fieldIndex(idCol)
+    val mIdx = ev.schema.fieldIndex(measureCol)
+    final class St {
+      val ring = new graft.functions.RowPattern.SpanRing[(Long, Long)](
+        new graft.functions.RowPattern.MatchCounter(prog, trackSpans = true))
+      var prev: org.apache.spark.sql.Row = _
+      var seq = 0L
+      def measures(sp: (Long, Long)): Seq[Any] = {
+        seq += 1
+        val evs = ring.slice(sp)
+        var sum = 0L
+        evs.foreach(sum += _._2)
+        Seq(Long.box(seq), Long.box(evs.head._1), Long.box(evs.last._1),
+          Long.box(evs.length.toLong), Long.box(sum))
+      }
+    }
+    graft.api.Folds.flatFoldOrdered(
+      ev, keyCols, orderCols,
+      out = new org.apache.spark.sql.types.StructType()
+        .add("match_seq", org.apache.spark.sql.types.LongType)
+        .add("start_id", org.apache.spark.sql.types.LongType)
+        .add("end_id", org.apache.spark.sql.types.LongType)
+        .add("n_events", org.apache.spark.sql.types.LongType)
+        .add("sum_measure", org.apache.spark.sql.types.LongType))(
+      () => new St)(
+      (st, r) => {
+        val c = classify(st.prev, r)
+        st.prev = r
+        val out = st.ring.feed(
+          (r.getLong(idIdx), if (r.isNullAt(mIdx)) 0L else r.getLong(mIdx)),
+          c).map(st.measures)
+        st.ring.prune()
+        out
+      })(
+      st => st.ring.finishSpans().map(st.measures))
   }
 
   /** Per-entity row-pattern match ROWS (ALL ROWS PER MATCH — the third
@@ -788,6 +998,39 @@ object EventAnalytics {
       .orderBy("first_touch", "last_touch")
   }
 
+  /** Shared CTE bodies for the ev_updown_* closed forms: the same
+    * (o_orderdate, o_orderkey) total order and U/D/e/first-'o'
+    * classification as the Spark classifier, each row numbered, plus
+    * the match table — a D-row whose predecessor classifies U, its
+    * span start the first U of the maximal preceding run (last non-U
+    * row + 1; always defined, the first row classifies 'o'). */
+  private val updownClsSql =
+    """SELECT o_custkey, o_orderkey,
+      |    CAST(row_number() OVER w AS BIGINT) AS rn,
+      |    CASE WHEN lag(o_totalprice) OVER w IS NULL THEN 'o'
+      |         WHEN o_totalprice > lag(o_totalprice) OVER w THEN 'U'
+      |         WHEN o_totalprice < lag(o_totalprice) OVER w THEN 'D'
+      |         ELSE 'e' END AS c,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  private val updownMatchSql =
+    """SELECT o_custkey, rn AS end_rn, last_nonu + 1 AS start_rn,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY rn)
+      |      AS BIGINT) AS match_seq
+      |  FROM (
+      |    SELECT *, lag(c) OVER w2 AS pc,
+      |      max(CASE WHEN c <> 'U' THEN rn END) OVER
+      |        (PARTITION BY o_custkey ORDER BY rn
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |        AS last_nonu
+      |    FROM cls
+      |    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY rn)) l
+      |  WHERE c = 'D' AND pc = 'U'""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ev_funnel" ->
       """WITH e AS (
@@ -1054,6 +1297,54 @@ object EventAnalytics {
         |SELECT n_reversals, count(*) AS n_customers,
         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
         |FROM m GROUP BY 1 ORDER BY n_reversals""".stripMargin,
+
+    // classified ONE ROW PER MATCH closed form (see updownClsSql /
+    // updownMatchSql): greedy U+D spans = [first U of the maximal run,
+    // the D], never overlapping — one lag + one frame-bounded max,
+    // no regex engine anywhere
+    "ev_updown_spans" ->
+      s"""WITH cls AS ($updownClsSql),
+         |m AS ($updownMatchSql)
+         |SELECT m.o_custkey, m.match_seq, s.o_orderkey AS start_id,
+         |  e.o_orderkey AS end_id,
+         |  CAST(m.end_rn - m.start_rn + 1 AS BIGINT) AS n_events
+         |FROM m
+         |JOIN cls s ON s.o_custkey = m.o_custkey AND s.rn = m.start_rn
+         |JOIN cls e ON e.o_custkey = m.o_custkey AND e.rn = m.end_rn
+         |ORDER BY 1, 2""".stripMargin,
+
+    // classified ALL ROWS: the span table joined back to the
+    // lag-classified rows in each span's rn range; ord_in_match is the
+    // offset inside the span and cls the row's classifier label
+    "ev_updown_rows" ->
+      s"""WITH cls AS ($updownClsSql),
+         |m AS ($updownMatchSql)
+         |SELECT m.o_custkey, m.match_seq,
+         |  CAST(r.rn - m.start_rn + 1 AS BIGINT) AS ord_in_match,
+         |  r.o_orderkey, r.c AS cls
+         |FROM m JOIN cls r ON r.o_custkey = m.o_custkey
+         |  AND r.rn BETWEEN m.start_rn AND m.end_rn
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // classified MEASURES: the same in-range join aggregated per span;
+    // cents are decimal-cast before the sum on both engines and the
+    // HUGEINT sum casts back to BIGINT
+    "ev_updown_measures" ->
+      s"""WITH cls AS ($updownClsSql),
+         |m AS ($updownMatchSql),
+         |agg AS (
+         |  SELECT m.o_custkey, m.match_seq, m.start_rn, m.end_rn,
+         |    CAST(count(*) AS BIGINT) AS n_events,
+         |    CAST(sum(r.cents) AS BIGINT) AS sum_cents
+         |  FROM m JOIN cls r ON r.o_custkey = m.o_custkey
+         |    AND r.rn BETWEEN m.start_rn AND m.end_rn
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT a.o_custkey, a.match_seq, s.o_orderkey AS start_id,
+         |  e.o_orderkey AS end_id, a.n_events, a.sum_cents
+         |FROM agg a
+         |JOIN cls s ON s.o_custkey = a.o_custkey AND s.rn = a.start_rn
+         |JOIN cls e ON e.o_custkey = a.o_custkey AND e.rn = a.end_rn
+         |ORDER BY 1, 2""".stripMargin,
 
     // same quintile thresholds (quantile_cont = Spark's exact
     // interpolated percentile) and the same broadcast-comparison

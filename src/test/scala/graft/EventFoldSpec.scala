@@ -314,12 +314,112 @@ class EventFoldSpec extends SparkSpec {
     assert(viaApi == direct)
   }
 
+  test("classified span family (DEFINE/PREV × spans/rows/measures) " +
+    "equals a java.regex replay, mutually consistent across modes") {
+    import spark.implicits._
+    // random per-entity value walks with a long measure column; the
+    // classified span/rows/measures folds must reproduce java.regex
+    // find() spans over the locally classified string — positions
+    // mapped back to ids — and agree with each other and with the
+    // classified count fold
+    val rnd = new scala.util.Random(20261116L)
+    val data = (1L to 30L).flatMap { ent =>
+      (0 until rnd.nextInt(50)).map(i =>
+        (ent, i.toLong, rnd.nextInt(8).toDouble, rnd.nextInt(1000).toLong))
+    }
+    val df = data.toDF("ent", "seq", "v", "mv")
+    def classifyStr(vs: Seq[Double]): String =
+      vs.zipWithIndex.map { case (v, i) =>
+        if (i == 0) 'o'
+        else if (v > vs(i - 1)) 'U'
+        else if (v < vs(i - 1)) 'D' else 'e'
+      }.mkString
+    val classify: (org.apache.spark.sql.Row,
+      org.apache.spark.sql.Row) => Char = (prev, cur) =>
+      if (prev == null) 'o'
+      else {
+        val p = prev.getDouble(2); val c = cur.getDouble(2)
+        if (c > p) 'U' else if (c < p) 'D' else 'e'
+      }
+    for (pattern <- Seq("U+D", "eU*D", "UD?e")) {
+      // local truth: find() spans over the classified string, as
+      // (ent, matchSeq, startId, endId, n, sumMv, rows)
+      val want = data.groupBy(_._1).toSeq.flatMap { case (ent, rows0) =>
+        val rows = rows0.sortBy(_._2)
+        val s = classifyStr(rows.map(_._3))
+        val m = java.util.regex.Pattern.compile(pattern).matcher(s)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long, Long)]
+        var k = 0L
+        while (m.find()) {
+          k += 1
+          val span = (m.start() until m.end()).map(rows(_))
+          out += ((ent, k, span.head._2, span.last._2,
+            span.length.toLong, span.map(_._4).sum))
+        }
+        out
+      }.sorted
+      val spans = operators.EventAnalytics.matchSpansClassified(
+        df, pattern, Seq("ent"), Seq("seq"), "seq")(classify)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq.sorted
+      assert(spans == want.map(w => (w._1, w._2, w._3, w._4, w._5)).sorted,
+        s"spans for $pattern")
+      assert(spans.nonEmpty, s"$pattern never matched")
+      val meas = operators.EventAnalytics.matchMeasuresClassified(
+        df, pattern, Seq("ent"), Seq("seq"), "seq", "mv")(classify)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sorted
+      assert(meas == want, s"measures for $pattern")
+      // ALL ROWS: per (ent, seq) the covered ids in order, and the cls
+      // labels match the local classification
+      val gotRows = operators.EventAnalytics.matchRowsClassified(
+        df, pattern, Seq("ent"), Seq("seq"), "seq")(classify)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4)))
+      val byMatch = gotRows.groupBy(t => (t._1, t._2))
+      assert(byMatch.size == want.size, s"rows match count for $pattern")
+      want.foreach { w =>
+        val rs = byMatch((w._1, w._2)).sortBy(_._3)
+        assert(rs.head._4 == w._3 && rs.last._4 == w._4 &&
+          rs.length.toLong == w._5, s"rows endpoints for $pattern $w")
+        // cls labels replay the local classification at those ids
+        val ent = data.filter(_._1 == w._1).sortBy(_._2)
+        val str = classifyStr(ent.map(_._3))
+        rs.foreach { r =>
+          val pos = ent.indexWhere(_._2 == r._4)
+          assert(r._5 == str.charAt(pos).toString,
+            s"cls label for $pattern at $r")
+        }
+      }
+      // counts agree with the span census
+      val counts = operators.EventAnalytics.matchCountsClassified(
+        df, pattern, Seq("ent"), Seq("seq"))(classify)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val spanCounts = spans.groupBy(_._1).view.mapValues(_.size.toLong)
+      spanCounts.foreach { case (e, n) => assert(counts(e) == n) }
+    }
+    // facades wire the same paths
+    val viaApi = api.Events.matchSpansBy(df, "U+D")(classify,
+      idCol = "ent", tieCol = "seq", orderCol = "seq").collect().toSeq
+    val direct = operators.EventAnalytics.matchSpansClassified(
+      df, "U+D", Seq("ent"), Seq("seq", "seq"), "seq")(classify)
+      .collect().toSeq
+    assert(viaApi == direct && viaApi.nonEmpty)
+    // non-disjoint pattern: span-family modes refuse loudly
+    val e = intercept[IllegalArgumentException](
+      operators.EventAnalytics.matchSpansClassified(
+        df, "U+D+", Seq("ent"), Seq("seq"), "seq")(classify))
+    assert(e.getMessage.contains("terminator-disjoint"))
+  }
+
   test("fold clients keep Window and collect_list out of their plans") {
     // the scale contract of the migrations: one keyed shuffle + sort +
     // object fold — no window pass, no per-entity array buffer
     for (q <- Seq("sz_sessionize", "ev_inactivity_gaps",
       "ev_match_recognize", "t10_cep_twin", "ev_match_spans",
-      "ev_match_rows", "ev_updown_runs",
+      "ev_match_rows", "ev_updown_runs", "ev_updown_spans",
+      "ev_updown_rows", "ev_updown_measures",
       "ev_transitions", "ev_seq_patterns", "ev_attribution")) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.optimizedPlan.toString
