@@ -238,6 +238,33 @@ object Events {
       events, pattern, Seq(idCol), Seq(orderCol, tieCol), tieCol,
       valueCol)(classify)
 
+  /** AFTER MATCH SKIP TO FIRST/LAST `<var>` (round 11 — the remaining
+    * SQL:2016 skip modes, with [[matchPattern]] covering PAST LAST ROW
+    * and [[matchStarts]] TO NEXT ROW): `components` is the ordered
+    * named-component sequence (`PATTERN (strt down+ up+)` ≈
+    * `Seq("strt" -> ".", "down" -> "D+", "up" -> "U+")`), `skip` a
+    * [[graft.functions.RowPattern.SkipMode]]; after each match the
+    * scan resumes AT the first/last row mapped to the named component,
+    * so matches may overlap at the shared row (the V-shape chain).
+    * Emits (idCol..., match_seq, start_id, end_id, n_events) with ids
+    * from `tieCol`. Classification runs inside the fold
+    * ([[matchPatternBy]]'s DEFINE/PREV contract). A skip that
+    * resolves to the match's own first row, or targets a component
+    * that matched no rows, fails loudly — SQL:2016 makes both errors.
+    * Delegates to the path behind the oracle-checked
+    * `ev_vshape_skip_last` / `ev_vshape_skip_first`. */
+  def matchSpansSkipBy(events: DataFrame,
+                       components: Seq[(String, String)],
+                       skip: graft.functions.RowPattern.SkipMode)
+                      (classify: (org.apache.spark.sql.Row,
+                        org.apache.spark.sql.Row) => Char,
+                       idCol: String = "user_id",
+                       tieCol: String = "event_id",
+                       orderCol: String = "ts"): DataFrame =
+    graft.operators.EventAnalytics.matchSpansSkip(
+      events, components, skip, Seq(idCol), Seq(orderCol, tieCol),
+      tieCol)(classify)
+
   /** Streaming twin of [[matchPattern]]: the SAME machine carried as
     * checkpointed per-key state through flatMapGroupsWithState
     * (streaming/CepPattern — restart-twin-pinned against the batch

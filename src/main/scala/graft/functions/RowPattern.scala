@@ -737,6 +737,283 @@ object RowPattern {
     count
   }
 
+  // ------------------------------------------------------------------
+  // AFTER MATCH SKIP TO FIRST/LAST <var> (round 11 — the remaining
+  // SQL:2016 skip modes). A pattern here is an ordered SEQUENCE of
+  // NAMED components (the SQL:2016 PATTERN (A B+ C) shape); the skip
+  // mode says where the scan resumes after each match: past the last
+  // row (find()'s default), at the row after the match start (TO NEXT
+  // ROW), or AT the first/last row mapped to a named component (TO
+  // FIRST/LAST <var>). Resuming INSIDE the match means matches can
+  // overlap, so this cannot ride the bufferless speculation chain —
+  // the scanner instead holds the CURRENT ATTEMPT's rows (bounded by
+  // one match attempt + the confirm lookahead, never the entity's
+  // history) and re-scans from the resume row off that buffer.
+  // ------------------------------------------------------------------
+
+  /** SQL:2016 AFTER MATCH SKIP mode. */
+  sealed trait SkipMode extends Serializable
+  object SkipMode {
+    /** resume past the match's last row — `Matcher.find()`. */
+    case object PastLast extends SkipMode
+    /** resume at the row after the match START (overlapping). */
+    case object ToNextRow extends SkipMode
+    /** resume AT the first row mapped to the named component. */
+    final case class ToFirst(name: String) extends SkipMode
+    /** resume AT the last row mapped to the named component. */
+    final case class ToLast(name: String) extends SkipMode
+  }
+
+  /** Compiled component sequence: per-component programs (for the
+    * boundary DFS) plus their concatenation (for the anchored attempt
+    * machine — one program, so the overall match end is exactly the
+    * backtracking end of the concatenated regex). Rejects a pattern
+    * that can match empty (SQL:2016 forbids empty matches — an empty
+    * match would start at every row). */
+  final class SkipProgram(components: Seq[(String, String)])
+      extends Serializable {
+    require(components.nonEmpty, "need at least one component")
+    val names: Array[String] = components.map(_._1).toArray
+    require(names.distinct.length == names.length,
+      s"duplicate component names: ${names.mkString(",")}")
+    /** per-component programs, each ending in its own IMatch. */
+    val progs: Array[Array[Inst]] =
+      components.map(c => compile(c._2)).toArray
+    /** concatenation: components stripped of IMatch, targets shifted;
+      * one IMatch at the end. compStart(i) = comp i's first pc;
+      * compStart(n) = the IMatch. */
+    val (concat: Array[Inst], compStart: Array[Int]) = {
+      val out = ArrayBuffer.empty[Inst]
+      val starts = ArrayBuffer.empty[Int]
+      components.foreach { case (_, pat) =>
+        val p = compile(pat) // fresh instances — shifting is safe
+        val base = out.length
+        starts += base
+        p.dropRight(1).foreach {
+          case s: ISplit => s.a += base; s.b += base; out += s
+          case j: IJmp => j.t += base; out += j
+          case i => out += i
+        }
+      }
+      starts += out.length
+      out += IMatch
+      (out.toArray, starts.toArray)
+    }
+    require(!reach(concat, 0, epsSuccs).get(concat.length - 1),
+      "pattern can match empty — SQL:2016 forbids empty matches")
+
+    def compIndex(name: String): Int = {
+      val i = names.indexOf(name)
+      require(i >= 0, s"unknown component '$name' (have: " +
+        s"${names.mkString(",")})")
+      i
+    }
+
+    /** Boundaries of the FIRST (priority-order) decomposition of a
+      * matched char sequence into the components — java.regex's group
+      * assignment for the concatenation with each component captured:
+      * bounds(i) = index where comp i's rows start, bounds(n) = len;
+      * comp i matched no rows iff bounds(i) == bounds(i+1). Nested DFS
+      * per component with the ends of each enumerated in backtracking
+      * priority order and a (comp, pos) fail memo — O(comps × len ×
+      * |prog|), the match's own length, never the trace. */
+    def boundariesOf(chars: collection.IndexedSeq[Char]): Array[Int] = {
+      val n = progs.length
+      val len = chars.length
+      val bounds = new Array[Int](n + 1)
+      bounds(n) = len
+      val failed = scala.collection.mutable.HashSet.empty[(Int, Int)]
+      // accept positions of comp ci anchored at `from`, in DFS
+      // (priority) order — first-visit order of IMatch states
+      def ends(ci: Int, from: Int): Seq[Int] = {
+        val prog = progs(ci)
+        val seen = scala.collection.mutable.HashSet.empty[(Int, Int)]
+        val out = ArrayBuffer.empty[Int]
+        def go(pc: Int, pos: Int): Unit = if (seen.add((pc, pos)))
+          prog(pc) match {
+            case ic: IChar =>
+              if (pos < len && ic.matches(chars(pos))) go(pc + 1, pos + 1)
+            case s: ISplit => go(s.a, pos); go(s.b, pos)
+            case j: IJmp => go(j.t, pos)
+            case IMatch => out += pos
+          }
+        go(0, from)
+        out.toSeq
+      }
+      def matchFrom(ci: Int, pos: Int): Boolean =
+        if (ci == n) pos == len
+        else if (failed((ci, pos))) false
+        else {
+          bounds(ci) = pos
+          val ok = ends(ci, pos).exists(q => matchFrom(ci + 1, q))
+          if (!ok) failed += ((ci, pos))
+          ok
+        }
+      val ok = matchFrom(0, 0)
+      assert(ok, "accepted match has no decomposition — machine bug")
+      bounds
+    }
+  }
+
+  /** One anchored match attempt over the concatenated program: the
+    * per-attempt half of the Pike VM (priority threads, pending accept
+    * replaced only by a higher-priority later accept, resolution when
+    * every thread dies) WITHOUT the leftmost rescan — the SkipScanner
+    * owns restarts. Accept end == java backtracking's match end for
+    * the anchored regex (the same priority argument MatchCounter's
+    * spec pins for find()). */
+  private final class Anchored(prog: Array[Inst]) extends Serializable {
+    private var threads = ArrayBuffer.empty[Int]
+    private var pend = -1 // chars consumed at the best accept; -1 none
+    private var fed = 0
+    reset()
+
+    def reset(): Unit = {
+      threads = ArrayBuffer.empty[Int]
+      pend = -1
+      fed = 0
+      val seen = new java.util.BitSet(prog.length)
+      addClosure(threads, seen, 0) // non-nullable: cannot accept here
+      ()
+    }
+
+    /** add pc's epsilon closure in priority order; true = IMatch hit
+      * (pend updated — caller cuts lower-priority work). */
+    private def addClosure(buf: ArrayBuffer[Int], seen: java.util.BitSet,
+                           pc: Int): Boolean = {
+      if (seen.get(pc)) return false
+      seen.set(pc)
+      prog(pc) match {
+        case _: IChar => buf += pc; false
+        case s: ISplit =>
+          addClosure(buf, seen, s.a) || addClosure(buf, seen, s.b)
+        case j: IJmp => addClosure(buf, seen, j.t)
+        case IMatch => pend = fed; true
+      }
+    }
+
+    def feed(c: Char): Unit = {
+      fed += 1
+      val nxt = ArrayBuffer.empty[Int]
+      val seen = new java.util.BitSet(prog.length)
+      var k = 0
+      var cut = false
+      while (k < threads.length && !cut) {
+        val pc = threads(k)
+        prog(pc) match {
+          case ic: IChar if ic.matches(c) =>
+            cut = addClosure(nxt, seen, pc + 1)
+          case _ => ()
+        }
+        k += 1
+      }
+      threads = nxt
+    }
+
+    /** no live thread can change the outcome any more. */
+    def isResolved: Boolean = threads.isEmpty
+    /** chars of the accepted match (-1 = no accept recorded): final on
+      * resolution or at end-of-input. */
+    def accepted: Int = pend
+  }
+
+  /** Streaming scanner for skip-mode matching: feed (code char,
+    * payload) pairs in entity order; emits, per confirmed match,
+    * (first payload, last payload, match length). State = the current
+    * attempt's buffered rows + one O(|pattern|) thread set — bounded
+    * by one match attempt (+ resolution lookahead), NEVER the entity's
+    * history; a failed attempt restarts one row later, so worst-case
+    * work is attempts × attempt length (the price of overlap-capable
+    * skip modes — the bufferless chain covers PAST LAST ROW, and
+    * [[StartDetector]] counts TO NEXT ROW starts in O(bits)).
+    * SKIP TO FIRST/LAST resolving to the match's own first row (or to
+    * a component that matched no rows) fails loudly — SQL:2016 makes
+    * both errors. */
+  final class SkipScanner[T](sp: SkipProgram, skip: SkipMode)
+      extends Serializable {
+    // validate the skip target exists up front
+    skip match {
+      case SkipMode.ToFirst(n) => sp.compIndex(n)
+      case SkipMode.ToLast(n) => sp.compIndex(n)
+      case _ => ()
+    }
+    private val buf = scala.collection.mutable.ArrayDeque.empty[(Char, T)]
+    private val att = new Anchored(sp.concat)
+    private var posFed = 0 // prefix of buf already fed to att
+
+    private def resumeIndex(len: Int): Int = {
+      val r = skip match {
+        case SkipMode.PastLast => len
+        case SkipMode.ToNextRow => 1
+        case SkipMode.ToFirst(name) =>
+          val i = sp.compIndex(name)
+          val b = sp.boundariesOf(buf.view.take(len).map(_._1).toIndexedSeq)
+          require(b(i) < b(i + 1), s"AFTER MATCH SKIP TO FIRST $name: " +
+            "the component matched no rows in this match — SQL:2016 " +
+            "makes this an error")
+          b(i)
+        case SkipMode.ToLast(name) =>
+          val i = sp.compIndex(name)
+          val b = sp.boundariesOf(buf.view.take(len).map(_._1).toIndexedSeq)
+          require(b(i) < b(i + 1), s"AFTER MATCH SKIP TO LAST $name: " +
+            "the component matched no rows in this match — SQL:2016 " +
+            "makes this an error")
+          b(i + 1) - 1
+      }
+      if (r < 1) throw new IllegalStateException(
+        s"AFTER MATCH SKIP ($skip) resolves to the match's own first " +
+          "row — every rescan would find the same match (SQL:2016 " +
+          "makes this an error); skip to a later component")
+      r
+    }
+
+    private def emitAndResume(len: Int,
+                              out: ArrayBuffer[(T, T, Int)]): Unit = {
+      out += ((buf(0)._2, buf(len - 1)._2, len))
+      val r = resumeIndex(len)
+      buf.remove(0, r)
+      att.reset()
+      posFed = 0
+    }
+
+    /** drive the attempt over the buffered rows; at eof also flush
+      * pending accepts and failed tails. */
+    private def pump(eof: Boolean): List[(T, T, Int)] = {
+      val out = ArrayBuffer.empty[(T, T, Int)]
+      var work = true
+      while (work) {
+        work = false
+        while (!att.isResolved && posFed < buf.length) {
+          att.feed(buf(posFed)._1)
+          posFed += 1
+        }
+        // a resolved attempt decides now; at eof an unresolved attempt
+        // can never extend, so its pending accept (if any) IS the
+        // match and a pending-less attempt fails. Every branch either
+        // consumes a match (resume ≥ 1 rows) or drops one row — the
+        // buffer strictly shrinks, so the loop terminates.
+        if (att.isResolved || (eof && posFed == buf.length)) {
+          if (att.accepted >= 0) {
+            emitAndResume(att.accepted, out)
+            work = true
+          } else if (buf.nonEmpty) {
+            buf.removeHead()
+            att.reset(); posFed = 0
+            work = true
+          }
+        }
+      }
+      out.toList
+    }
+
+    def feed(c: Char, payload: T): List[(T, T, Int)] = {
+      buf.append((c, payload))
+      pump(eof = false)
+    }
+
+    def finish(): List[(T, T, Int)] = pump(eof = true)
+  }
+
   /** SQL:2016 `PERMUTE(A, B, …)` — match the component patterns in ANY
     * order, each exactly once. The standard defines it as exactly the
     * expansion into the alternation of all orderings (leftmost

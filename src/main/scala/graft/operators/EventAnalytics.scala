@@ -312,6 +312,39 @@ object EventAnalytics {
         .withColumnRenamed("sum_measure", "sum_cents")
         .orderBy("o_custkey", "match_seq")),
 
+    // AFTER MATCH SKIP TO LAST `<var>` — the Oracle/SQL:2016 V-shape
+    // classic: PATTERN (strt down+ up+), a fall run then a rise run
+    // anchored at any row, with the scan resuming AT THE PEAK (the
+    // last `up` row) so consecutive V's CHAIN — one match's peak is
+    // the next match's anchor, which PAST LAST ROW would skip over
+    // (a 1-row descent straight after a peak is invisible to it).
+    // Classification is DEFINE/PREV U/D/e inside the fold. ORACLE: an
+    // independent islands closed form — a match per maximal D-run
+    // immediately followed by a U, spanning [run start − 1, end of the
+    // following maximal U-run]; runs built from two lag-flag island
+    // sums, no pattern engine anywhere.
+    "ev_vshape_skip_last" -> ((s, dir) =>
+      matchSpansSkip(updownOrders(s, dir), vshapeComponents,
+        graft.functions.RowPattern.SkipMode.ToLast("up"),
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"),
+        "o_orderkey")(updownClassify)
+        .orderBy("o_custkey", "match_seq")),
+
+    // AFTER MATCH SKIP TO FIRST `<var>` — the maximally-overlapping
+    // skip: resuming AT the first `down` row re-anchors inside the
+    // same descent, so a length-L fall run followed by a rise yields L
+    // nested matches (every suffix of the descent), all sharing the
+    // peak — the enumeration TO NEXT ROW only counts and PAST LAST
+    // ROW collapses to one. Same fold, classifier, and oracle
+    // technique: the islands closed form emits one match per rn in
+    // [run start − 1, run end − 1] per qualifying run.
+    "ev_vshape_skip_first" -> ((s, dir) =>
+      matchSpansSkip(updownOrders(s, dir), vshapeComponents,
+        graft.functions.RowPattern.SkipMode.ToFirst("down"),
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"),
+        "o_orderkey")(updownClassify)
+        .orderBy("o_custkey", "match_seq")),
+
     // RFM SEGMENTATION — the marketing-analytics classic: per
     // purchasing user, Recency (days from last purchase to the corpus
     // high-water mark), Frequency (purchase count), Monetary (decimal-
@@ -419,6 +452,12 @@ object EventAnalytics {
       val c = cur.getAs[Double]("o_totalprice")
       if (c > p) 'U' else if (c < p) 'D' else 'e'
     }
+
+  /** The SQL:2016 V-shape component sequence: any anchor row, a fall
+    * run, a rise run — `PATTERN (strt down+ up+)` over the U/D/e
+    * classification. Shared by both ev_vshape_skip_* queries. */
+  private[graft] val vshapeComponents: Seq[(String, String)] =
+    Seq("strt" -> ".", "down" -> "D+", "up" -> "U+")
 
   /** The standard funnel code mapping over the events table:
     * view→v, click→c, purchase→p, anything else→o. */
@@ -769,6 +808,63 @@ object EventAnalytics {
       st => st.ring.finishSpans().flatMap(st.rows))
   }
 
+  /** AFTER MATCH SKIP TO FIRST/LAST `<var>` (round 11 — the remaining
+    * SQL:2016 skip modes, completing the matrix with PAST LAST ROW =
+    * matchCountsOf/matchSpansOf and TO NEXT ROW = overlapCountsOf):
+    * the pattern is an ordered sequence of NAMED components (the
+    * SQL:2016 `PATTERN (strt down+ up+)` shape) and after each match
+    * the scan resumes AT the first/last row mapped to the named
+    * component — matches may overlap at the shared row (the classic
+    * V-shape chain, where one match's peak anchors the next). The
+    * classifier runs INSIDE the fold ([[matchCountsClassified]]'s
+    * DEFINE/PREV contract), so navigation predicates compose with the
+    * skip modes too. Emits (keyCols..., match_seq, start_id, end_id,
+    * n_events), ids from `idCol` (LONG), match_seq in start order.
+    *
+    * Engine: [[graft.functions.RowPattern.SkipScanner]] — an anchored
+    * Pike-VM attempt over the buffered current attempt, with the
+    * match's component boundaries recovered by a priority-order DFS
+    * (java.regex's group assignment; RowPatternSpec pins the engine
+    * against a region+lookingAt+groups replay). Per-entity state is
+    * ONE attempt's rows + an O(|pattern|) thread set — bounded by the
+    * longest match attempt, never the history; worst-case work is
+    * attempts × attempt length, the price of overlap-capable skips
+    * (PAST LAST ROW stays on the bufferless chain, TO NEXT ROW counts
+    * in O(bits) — use those paths when their semantics suffice). */
+  private[graft] def matchSpansSkip(
+      ev: DataFrame, components: Seq[(String, String)],
+      skip: graft.functions.RowPattern.SkipMode,
+      keyCols: Seq[String], orderCols: Seq[String], idCol: String)(
+      classify: (org.apache.spark.sql.Row,
+        org.apache.spark.sql.Row) => Char): DataFrame = {
+    val sp = new graft.functions.RowPattern.SkipProgram(components)
+    val idIdx = ev.schema.fieldIndex(idCol)
+    final class St {
+      val sc = new graft.functions.RowPattern.SkipScanner[Long](sp, skip)
+      var prev: org.apache.spark.sql.Row = _
+      var seq = 0L
+      def rows(ms: List[(Long, Long, Int)]): List[Seq[Any]] =
+        ms.map { case (s, e, n) =>
+          seq += 1
+          Seq(Long.box(seq), Long.box(s), Long.box(e), Long.box(n.toLong))
+        }
+    }
+    graft.api.Folds.flatFoldOrdered(
+      ev, keyCols, orderCols,
+      out = new org.apache.spark.sql.types.StructType()
+        .add("match_seq", org.apache.spark.sql.types.LongType)
+        .add("start_id", org.apache.spark.sql.types.LongType)
+        .add("end_id", org.apache.spark.sql.types.LongType)
+        .add("n_events", org.apache.spark.sql.types.LongType))(
+      () => new St)(
+      (st, r) => {
+        val c = classify(st.prev, r)
+        st.prev = r
+        st.rows(st.sc.feed(c, r.getLong(idIdx)))
+      })(
+      st => st.rows(st.sc.finish()))
+  }
+
   /** AFTER MATCH SKIP TO NEXT ROW — the OTHER SQL:2016 skip mode
     * (matchCountsOf is SKIP PAST LAST ROW): per entity, the number of
     * rows where a match STARTS, overlapping matches counted — exactly
@@ -1030,6 +1126,33 @@ object EventAnalytics {
       |    FROM cls
       |    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY rn)) l
       |  WHERE c = 'D' AND pc = 'U'""".stripMargin
+
+  /** Islands CTE chain for the V-shape skip oracles: maximal D-runs
+    * [j..k] and U-runs [ju..m] from lag-flag island sums over the
+    * classified sequence, joined where a U-run starts right after a
+    * D-run — the qualifying descents. `cls` must be in scope. */
+  private val updownRunsSql =
+    """g AS (
+      |  SELECT o_custkey, o_orderkey, rn, c,
+      |    CASE WHEN c = 'D' AND coalesce(lag(c) OVER w2, 'x') <> 'D'
+      |         THEN 1 ELSE 0 END AS dh,
+      |    CASE WHEN c = 'U' AND coalesce(lag(c) OVER w2, 'x') <> 'U'
+      |         THEN 1 ELSE 0 END AS uh
+      |  FROM cls
+      |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY rn)),
+      |g2 AS (
+      |  SELECT *, sum(dh) OVER w3 AS dg, sum(uh) OVER w3 AS ug
+      |  FROM g
+      |  WINDOW w3 AS (PARTITION BY o_custkey ORDER BY rn
+      |                ROWS UNBOUNDED PRECEDING)),
+      |druns AS (SELECT o_custkey, dg, min(rn) AS j, max(rn) AS k
+      |          FROM g2 WHERE c = 'D' GROUP BY 1, 2),
+      |uruns AS (SELECT o_custkey, ug, min(rn) AS ju, max(rn) AS m
+      |          FROM g2 WHERE c = 'U' GROUP BY 1, 2),
+      |q AS (SELECT d.o_custkey, d.j, d.k, u.m
+      |      FROM druns d JOIN uruns u
+      |        ON u.o_custkey = d.o_custkey AND u.ju = d.k + 1)"""
+      .stripMargin
 
   val oracles: Map[String, String] = Map(
     "ev_funnel" ->
@@ -1325,6 +1448,50 @@ object EventAnalytics {
          |FROM m JOIN cls r ON r.o_custkey = m.o_custkey
          |  AND r.rn BETWEEN m.start_rn AND m.end_rn
          |ORDER BY 1, 2, 3""".stripMargin,
+
+    // V-shape SKIP TO LAST up closed form: one match per qualifying
+    // maximal D-run (followed directly by a U), spanning the row
+    // before the run through the end of the following U-run —
+    // resuming at the peak never suppresses a chained V, so the match
+    // set IS the qualifying-run set
+    "ev_vshape_skip_last" ->
+      s"""WITH cls AS ($updownClsSql),
+         |$updownRunsSql,
+         |m0 AS (SELECT o_custkey, j - 1 AS start_rn, m AS end_rn FROM q),
+         |mm AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY o_custkey
+         |    ORDER BY start_rn) AS BIGINT) AS match_seq
+         |  FROM m0)
+         |SELECT mm.o_custkey, mm.match_seq, s.o_orderkey AS start_id,
+         |  e.o_orderkey AS end_id,
+         |  CAST(mm.end_rn - mm.start_rn + 1 AS BIGINT) AS n_events
+         |FROM mm
+         |JOIN cls s ON s.o_custkey = mm.o_custkey AND s.rn = mm.start_rn
+         |JOIN cls e ON e.o_custkey = mm.o_custkey AND e.rn = mm.end_rn
+         |ORDER BY 1, 2""".stripMargin,
+
+    // V-shape SKIP TO FIRST down closed form: a qualifying run [j..k]
+    // with peak m yields one match per start rn in [j−1, k−1] (each
+    // suffix of the descent re-anchored one row later), all ending at
+    // the peak
+    "ev_vshape_skip_first" ->
+      s"""WITH cls AS ($updownClsSql),
+         |$updownRunsSql,
+         |m0 AS (
+         |  SELECT q.o_custkey, r.rn AS start_rn, q.m AS end_rn
+         |  FROM q JOIN cls r ON r.o_custkey = q.o_custkey
+         |    AND r.rn BETWEEN q.j - 1 AND q.k - 1),
+         |mm AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY o_custkey
+         |    ORDER BY start_rn) AS BIGINT) AS match_seq
+         |  FROM m0)
+         |SELECT mm.o_custkey, mm.match_seq, s.o_orderkey AS start_id,
+         |  e.o_orderkey AS end_id,
+         |  CAST(mm.end_rn - mm.start_rn + 1 AS BIGINT) AS n_events
+         |FROM mm
+         |JOIN cls s ON s.o_custkey = mm.o_custkey AND s.rn = mm.start_rn
+         |JOIN cls e ON e.o_custkey = mm.o_custkey AND e.rn = mm.end_rn
+         |ORDER BY 1, 2""".stripMargin,
 
     // classified MEASURES: the same in-range join aggregated per span;
     // cents are decimal-cast before the sum on both engines and the

@@ -376,6 +376,95 @@ class RowPatternSpec extends AnyFunSuite {
     }
   }
 
+  test("SKIP TO FIRST/LAST/NEXT/PAST: the SkipScanner equals a java " +
+    "region+lookingAt+groups replay on random traces (seeded)") {
+    import RowPattern.SkipMode
+    // reference: per-position lookingAt with each component captured;
+    // after a match the scan resumes per the skip mode, failed
+    // attempts advance one row — the SQL:2016 semantics spelled out
+    // on java's own engine (components are paren-free so group i+1 is
+    // component i)
+    def ref(s: String, comps: Seq[(String, String)],
+            skip: SkipMode): Seq[(Int, Int)] = {
+      val pat = java.util.regex.Pattern.compile(
+        comps.map(c => "(" + c._2 + ")").mkString)
+      val m = pat.matcher(s)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var pos = 0
+      while (pos < s.length) {
+        m.region(pos, s.length)
+        if (m.lookingAt()) {
+          out += ((pos, m.end() - 1))
+          val r = skip match {
+            case SkipMode.PastLast => m.end()
+            case SkipMode.ToNextRow => pos + 1
+            case SkipMode.ToFirst(n) =>
+              m.start(comps.indexWhere(_._1 == n) + 1)
+            case SkipMode.ToLast(n) =>
+              m.end(comps.indexWhere(_._1 == n) + 1) - 1
+          }
+          assert(r > pos, s"ref skip must advance at '$s'")
+          pos = r
+        } else pos += 1
+      }
+      out.toSeq
+    }
+    def engine(s: String, comps: Seq[(String, String)],
+               skip: SkipMode): Seq[(Int, Int)] = {
+      val sc = new RowPattern.SkipScanner[Int](
+        new RowPattern.SkipProgram(comps), skip)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      s.zipWithIndex.foreach { case (c, i) =>
+        sc.feed(c, i).foreach(m => out += ((m._1, m._2)))
+      }
+      sc.finish().foreach(m => out += ((m._1, m._2)))
+      out.toSeq
+    }
+    val suites = Seq(
+      // the V-shape (any-row anchor, fall run, rise run)
+      (Seq("s" -> ".", "d" -> "D+", "u" -> "U+"), "UDeo",
+        Seq(SkipMode.PastLast, SkipMode.ToNextRow,
+          SkipMode.ToFirst("d"), SkipMode.ToLast("u"),
+          SkipMode.ToLast("d"))),
+      // funnel-ish with an optional middle and a lazy head
+      (Seq("v" -> "v+?", "c" -> "c?o", "p" -> "p"), "vcop",
+        Seq(SkipMode.PastLast, SkipMode.ToNextRow,
+          SkipMode.ToLast("c"), SkipMode.ToFirst("p"))),
+      // alternation inside a component
+      (Seq("a" -> "U|e", "b" -> "[UD]+", "c" -> "eD|D"), "UDeU",
+        Seq(SkipMode.PastLast, SkipMode.ToFirst("b"),
+          SkipMode.ToLast("b"), SkipMode.ToFirst("c"))))
+    val rnd = new scala.util.Random(20261117L)
+    for ((comps, alphabet, skips) <- suites; skip <- skips) {
+      var matched = 0
+      for (_ <- 1 to 120) {
+        val len = rnd.nextInt(60)
+        val s = Array.fill(len)(alphabet(rnd.nextInt(alphabet.length)))
+          .mkString
+        // a skip that resolves to the match start is an ERROR in both:
+        // the ref asserts, the engine throws — only compare where the
+        // ref runs clean (the suites are built so it always does)
+        val want = ref(s, comps, skip)
+        val got = engine(s, comps, skip)
+        assert(got == want, s"comps=$comps skip=$skip trace='$s'")
+        matched += want.size
+      }
+      assert(matched > 0, s"comps=$comps skip=$skip never matched")
+    }
+    // degenerate skips fail loudly: resuming at the match's own first
+    // row, and a skip target that matched no rows
+    val vp = Seq("s" -> ".", "d" -> "D+", "u" -> "U+")
+    intercept[IllegalStateException](
+      engine("oDU", vp, SkipMode.ToFirst("s")))
+    val opt = Seq("a" -> "U", "b" -> "D?", "c" -> "e")
+    intercept[IllegalArgumentException](
+      engine("Ue", opt, SkipMode.ToLast("b")))
+    // unknown component name refuses at construction
+    intercept[IllegalArgumentException](
+      new RowPattern.SkipScanner[Int](
+        new RowPattern.SkipProgram(vp), SkipMode.ToFirst("nope")))
+  }
+
   test("hand-traced counts") {
     assert(RowPattern.countMatches("v[co]*p", "vcpvcocp") == 2L)
     assert(RowPattern.countMatches("v[co]*p", "vvvp") == 1L)
