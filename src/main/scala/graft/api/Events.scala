@@ -367,4 +367,28 @@ object Events {
     graft.streaming.CepPattern.matchSpans(
       spark, parsed, pattern, codeExpr, allowedLatenessUs, onLate,
       maxBufferedEvents)
+
+  /** Streaming twin of [[matchRows]] (ALL ROWS PER MATCH over a
+    * stream, round 11): when a match confirms, EVERY event it covers
+    * emits as its own row — (user_id, match_seq, ord_in_match, us,
+    * event_id, code), match_seq per key in confirmation order —
+    * exactly once, Append-shaped (a confirmed span's rows are final).
+    * Confirmation timing, ordering guard, buffer hard cap, and the
+    * terminator-disjoint + one-char-code contract are all exactly
+    * [[matchSpansStream]]'s; at quiescence the emitted set equals the
+    * batch [[matchRows]] fold (restart-twin-pinned in
+    * CepPatternSpec). */
+  def matchRowsStream(spark: org.apache.spark.sql.SparkSession,
+                      parsed: DataFrame, pattern: String,
+                      codeExpr: String =
+                        graft.streaming.CepPattern.funnelCode,
+                      allowedLatenessUs: Long = 0L,
+                      onLate: String = "fail",
+                      maxBufferedEvents: Int =
+                        graft.streaming.CepPattern.DefaultMaxBuffered)
+      : org.apache.spark.sql.Dataset[
+        graft.streaming.CepPattern.CepRowMatch] =
+    graft.streaming.CepPattern.matchRows(
+      spark, parsed, pattern, codeExpr, allowedLatenessUs, onLate,
+      maxBufferedEvents)
 }

@@ -100,6 +100,14 @@ object CepPattern extends Serializable {
                                 start_us: Long, start_event_id: Long,
                                 end_us: Long, end_event_id: Long)
 
+  /** One emitted row per EVENT of each confirmed match (streaming ALL
+    * ROWS PER MATCH): the key, the match's per-key ordinal in
+    * confirmation order, the event's position inside the match, and
+    * the event itself. */
+  final case class CepRowMatch(user_id: Long, match_seq: Long,
+                               ord_in_match: Long, us: Long,
+                               event_id: Long, code: String)
+
   /** The ordering-guard fields every CEP state carries: the last-FED
     * event-time frontier, the key's high-water mark, the
     * lateness-bounded reorder buffer, and the late-drop counter. */
@@ -125,6 +133,15 @@ object CepPattern extends Serializable {
     * and the per-key match ordinal. */
   private[graft] final class SpanState(
       val ring: RowPattern.SpanRing[(Long, Long)])
+      extends GuardedState[String] {
+    var seq: Long = 0L
+  }
+
+  /** Checkpointed per-key state for [[matchRows]]: the span-mode
+    * machine with a ring that also carries each event's code char, so
+    * a confirmed span can emit its covered events. */
+  private[graft] final class RowsState(
+      val ring: RowPattern.SpanRing[(Long, Long, String)])
       extends GuardedState[String] {
     var seq: Long = 0L
   }
@@ -391,6 +408,69 @@ object CepPattern extends Serializable {
             val (sus, sid) = st.ring.first(sp)
             val (eus, eid) = st.ring.last(sp)
             out += CepSpanMatch(userId, st.seq, sus, sid, eus, eid)
+          }
+          st.ring.prune()
+        }
+      state.update(st)
+      out.iterator
+    }
+
+    parsed
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+        s"($codeExpr) AS code")
+      .as[CepEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming ALL ROWS PER MATCH (round 11): the batch matchRowsOf
+    * fold run incrementally — when a match CONFIRMS, every event it
+    * covers emits as its own row (match_seq in confirmation order,
+    * ord_in_match inside the match), exactly once, Append-shaped like
+    * [[matchSpans]] (a span confirms once; its rows are final — no
+    * retraction, no re-emission). The ring already holds the covered
+    * events' payloads at confirmation time (they are ≥ minLivePos
+    * while the span is live), so per-event emission costs nothing
+    * extra in state: machine + ring + reorder buffer, same bounds and
+    * admission guard as [[matchSpans]]; requires a terminator-disjoint
+    * pattern and exactly one code char per event. At quiescence the
+    * emitted set equals the batch matchRowsOf fold (restart-twin-
+    * pinned in CepPatternSpec). */
+  def matchRows(spark: SparkSession, parsed: DataFrame, pattern: String,
+                codeExpr: String = funnelCode,
+                allowedLatenessUs: Long = 0L,
+                onLate: String = "fail",
+                maxBufferedEvents: Int = DefaultMaxBuffered)
+      : Dataset[CepRowMatch] = {
+    requireGuardArgs(allowedLatenessUs, onLate, maxBufferedEvents)
+    val prog = RowPattern.compile(pattern)
+    require(RowPattern.terminatorDisjoint(prog),
+      s"streaming ALL ROWS mode needs a terminator-disjoint pattern; " +
+        s"'$pattern' is not — use matches() (count mode)")
+    implicit val stateEnc: Encoder[RowsState] =
+      Encoders.javaSerialization[RowsState]
+    import spark.implicits._
+
+    def update(userId: Long, events: Iterator[CepEvent],
+               state: GroupState[RowsState])
+        : Iterator[CepRowMatch] = {
+      val st = state.getOption.getOrElse(new RowsState(
+        new RowPattern.SpanRing[(Long, Long, String)](
+          new RowPattern.MatchCounter(prog, trackSpans = true))))
+      val evs = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+        .map(e => (e.ts_us, e.event_id, e.code))
+      val out = ArrayBuffer.empty[CepRowMatch]
+      admit(st, userId, evs, allowedLatenessUs, onLate, maxBufferedEvents)
+        .foreach { case (ts, id, code) =>
+          require(code.length == 1,
+            "streaming ALL ROWS mode needs exactly one code char per event")
+          st.ring.feed((ts, id, code), code.charAt(0)).foreach { sp =>
+            st.seq += 1
+            st.ring.slice(sp).zipWithIndex.foreach {
+              case ((eus, eid, ec), ord) =>
+                out += CepRowMatch(userId, st.seq, ord + 1L, eus, eid, ec)
+            }
           }
           st.ring.prune()
         }

@@ -339,6 +339,57 @@ class CepPatternSpec extends SparkSpec {
       r.getLong(3))).distinct.length, "a span emitted twice")
   }
 
+  test("streaming ALL ROWS: chunked replay with restart equals the " +
+    "batch matchRowsOf fold, every matched event emitted exactly once") {
+    // user 1's boundary-spanning funnel match again — its per-event
+    // rows can only come from the ring surviving the checkpoint; the
+    // quiescent emitted set must equal the batch ALL ROWS fold over
+    // the union, with match_seq in confirmation order per key
+    val base = Files.createTempDirectory("graft_ceprows")
+    val src = Files.createDirectory(base.resolve("src"))
+    def runBatch(): Unit = {
+      val q = api.Events.matchRowsStream(spark, StreamingIngest.parse(
+          spark.readStream.text(src.toString)), "v[co]*p")
+        .writeStream.format("parquet")
+        .option("path", base.resolve("out").toString)
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeChunk(src, "b1.json", chunk1)
+    runBatch()
+    val after1 = spark.read.parquet(base.resolve("out").toString).collect()
+    // only user 3's closed funnel confirmed: its 3 events
+    assert(after1.map(_.getLong(0)).distinct.toSeq == Seq(3L) &&
+      after1.length == 3, after1.toSeq)
+    writeChunk(src, "b2.json", chunk2)
+    runBatch() // restart — ring + machine reload from the state store
+    val streamed = spark.read.parquet(base.resolve("out").toString)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    import spark.implicits._
+    val coded = (chunk1 ++ chunk2)
+      .toDF("event_id", "user_id", "tpe", "hour")
+      .selectExpr("user_id",
+        "unix_micros(to_timestamp(printf('2024-01-01 %02d:00:00', hour)))" +
+          " AS us",
+        "event_id",
+        """CASE tpe WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+          |WHEN 'purchase' THEN 'p' ELSE 'o' END AS code""".stripMargin)
+    val batch = operators.EventAnalytics.matchRowsOf(coded, "v[co]*p")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    assert(streamed == batch, s"$streamed != $batch")
+    assert(batch.size >= 8) // ≥3 matches over users 1 and 3
+    // exactly-once: no duplicate (user, match_seq, ord) across the run
+    val all = spark.read.parquet(base.resolve("out").toString).collect()
+    assert(all.length == all.map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).distinct.length, "a matched row emitted twice")
+  }
+
   test("streaming DEFINE/PREV: classified replay with restart equals " +
     "the batch classified fold, prev window crossing the boundary") {
     // per-user price sequences classify U/D/e against the PREVIOUS
