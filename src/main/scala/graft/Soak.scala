@@ -225,6 +225,7 @@ object Soak {
     run("dd_simhash", Dedup.simhashScored(spark, dir).count())
     run("dd_ngram_jaccard",
       jaccardCandCount(spark, dir))
+    ngramSuffixAccounting(spark, tag, dir)
     run("dd_embed_cosine", Dedup.embedCandidates(spark, dir).count())
     spark.catalog.clearCache()
     val (v, t) = time(
@@ -630,6 +631,24 @@ object Soak {
       .count()
   }
 
+  /** suffix-filter accounting (round 11): of the prefix-filter
+    * candidates, how many the PPJoin+ suffix filter pruned before any
+    * merge work (res = −2) vs reached the exact early-exit merge
+    * (res ≥ −1) vs verified (res ≥ 0) — the measured form of the
+    * candidate:verified cut the filter exists to buy. Runs in the full
+    * report AND whenever a scoped `only=` run names
+    * dd_ngram_jaccard. */
+  private def ngramSuffixAccounting(spark: SparkSession, tag: String,
+                                    dir: String): Unit = {
+    val (row, tSf) = time(operators.Dedup.jaccardScored(spark, dir)
+      .agg(count(lit(1)).as("cand"),
+        sum(when(col("res") >= -1, 1L).otherwise(0L)).as("merge_reached"),
+        sum(when(col("res") >= 0, 1L).otherwise(0L)).as("verified"))
+      .collect().head)
+    spark.catalog.clearCache()
+    println(f"""{"corpus":"$tag","query":"dd_ngram_suffix_filter","candidates":${row.getLong(0)},"merge_reached":${row.getLong(1)},"verified":${row.getLong(2)},"time_s":$tSf%.2f}""")
+  }
+
   private def jaccardCandCount(spark: SparkSession, dir: String): Long = {
     val sh = operators.Dedup.shingleTable(spark, dir).cache()
     val n = operators.Dedup.jaccardCandidates(sh).count()
@@ -648,6 +667,8 @@ object Soak {
       if (tag == "base" || !new java.io.File(shadow).exists()) dir
       else shadow
     only.foreach(timeOne(spark, tag, autoDir, _))
+    if (only.contains("dd_ngram_jaccard"))
+      ngramSuffixAccounting(spark, tag, dir)
   }
 
   def main(args: Array[String]): Unit = {

@@ -359,6 +359,29 @@ object Dedup {
   private[graft] def shingleTable(s: SparkSession, dir: String): DataFrame =
     shingleIds(s, dir)
 
+  /** Candidates with the [[graft.functions.SortedJaccardMeets]] verify
+    * result (`res`: −2 pruned pre-merge by length/suffix filter, −1
+    * merge-disqualified, ≥ 0 the exact |∩| of a qualifying pair) plus
+    * (na, nb) — the named query keeps `res >= 0`; the scale soak
+    * counts `res >= -1` as the pairs that survived the suffix filter
+    * into the exact merge. The per-doc sorted arrays ride two hash
+    * joins of the candidate stream — the exploded candidates×shingles
+    * equi-join this replaced shuffled half a billion rows at x10. */
+  private[graft] def jaccardScored(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SetOverlap.register(s)
+    val sh = shingleIds(s, dir).cache()
+    val cand = jaccardCandidates(sh)
+    val docArr = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list("shingle")).as("shs"))
+    cand
+      .join(docArr.select(col("doc_id").as("id1"), col("shs").as("sh1")),
+        "id1")
+      .join(docArr.select(col("doc_id").as("id2"), col("shs").as("sh2")),
+        "id2")
+      .select(col("id1"), col("id2"), col("na"), col("nb"),
+        expr("jaccard_meets(sh1, sh2)").as("res"))
+  }
+
   /** (doc_id, shingle) with the shingle TEXT replaced by a dense
     * integer id (row_number over the sorted distinct dictionary — the
     * same dictionary pattern minhashes uses): every downstream join of
@@ -633,36 +656,23 @@ object Dedup {
         .filter(col("ham") <= 2)
         .orderBy("id1", "id2")),
 
-    // Exact n-gram Jaccard on candidates from a document-frequency-pruned
-    // inverted index: candidate PAIRS come from rare shingles (df ≤ 50 —
-    // what keeps the join sub-quadratic; pairs sharing only boilerplate
-    // shingles are not considered, the standard recall trade), but the
-    // intersection of a candidate pair counts ALL shared shingles, so
-    // the J ≥ 0.5 verdict itself is exact (integer arithmetic:
-    // 2·|∩| ≥ |∪|).
-    "dd_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingleIds(s, dir).cache()
-      val cand = jaccardCandidates(sh)
-      // exact |∩| per candidate via per-doc shingle ARRAYS and a
-      // row-wise array_intersect: the work is candidates × doc size
-      // with two hash joins of pair-count rows — NOT the
-      // candidates × shingles EXPLODED equi-join (half a billion rows
-      // at the 10× soak), whose shuffle dominated the old plan
-      val docArr = sh.groupBy("doc_id")
-        .agg(sort_array(collect_list("shingle")).as("shs"))
-      val inter = cand
-        .join(docArr.select(col("doc_id").as("id1"), col("shs").as("sh1")),
-          "id1")
-        .join(docArr.select(col("doc_id").as("id2"), col("shs").as("sh2")),
-          "id2")
-        .withColumn("n_inter",
-          size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
-      inter
-        .select(col("id1"), col("id2"), col("n_inter"),
-          (col("na") + col("nb") - col("n_inter")).as("n_union"))
-        .filter(col("n_inter") * 2 >= col("n_union"))
-        .orderBy("id1", "id2")
-    }),
+    // Exact n-gram Jaccard: candidates from the exact-recall prefix
+    // filter (jaccardCandidates), verified by ONE native expression —
+    // [[graft.functions.SortedJaccardMeets]] — that runs PPJoin+'s
+    // suffix-filter partition bound and then an early-exit sorted
+    // merge (round 11; replaces array_intersect+size, which built a
+    // per-row hash set and a result array this query immediately
+    // reduced to a length — on the x30 soak's 45:1 candidate:verified
+    // junk ratio the merge aborts in O(n/3) and the suffix filter
+    // prunes a measured share before any merge work). The J ≥ 0.5
+    // verdict is exact either way (3·|∩| ≥ na+nb in integers), so the
+    // oracle's full-intersection formulation hash-matches unchanged.
+    "dd_ngram_jaccard" -> ((s, dir) =>
+      jaccardScored(s, dir)
+        .filter(col("res") >= 0)
+        .select(col("id1"), col("id2"), col("res").as("n_inter"),
+          (col("na") + col("nb") - col("res")).as("n_union"))
+        .orderBy("id1", "id2")),
 
     // Embedding-cosine near-dup via signed-random-projection LSH
     // (Charikar 2002): 64 hyperplane sign bits per vector, 8 bands × 8

@@ -4,6 +4,46 @@ import graft.operators.Dedup
 
 class DedupSpec extends SparkSpec {
 
+  test("jaccard_meets: sound and exact against brute-force sets " +
+    "(random sorted arrays, seeded)") {
+    // the verify expression's three-phase contract: ≥0 = the EXACT
+    // |∩| of a qualifying pair (never wrong, never missed — phases 1/2
+    // are sound by theorem), −1 = merge-disqualified, −2 = pruned by
+    // length/suffix filter before any merge work; the suffix filter
+    // must fire on some junk pair (the measured cut exists)
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(20261118L)
+    var prunedPreMerge = 0
+    var qualified = 0
+    for (_ <- 1 to 3000) {
+      val universe = 1 + rnd.nextInt(120)
+      def mk(): Array[Long] = (0 until universe)
+        .filter(_ => rnd.nextDouble() < 0.2 + rnd.nextDouble() * 0.6)
+        .map(_.toLong).toArray // sorted, distinct by construction
+      val (a, b0) = (mk(), mk())
+      // sometimes make b a near-copy so qualifying pairs occur
+      val b = if (rnd.nextBoolean()) b0
+        else a.filter(_ => rnd.nextDouble() < 0.9)
+      val res = graft.functions.SetOverlap.jaccardMeets(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      val inter = a.toSet.intersect(b.toSet).size
+      val meets = 3L * inter >= a.length + b.length
+      if (meets) {
+        assert(res == inter.toLong,
+          s"qualifying pair: got $res want $inter (na=${a.length}, " +
+            s"nb=${b.length})")
+        qualified += 1
+      } else {
+        assert(res == -1L || res == -2L,
+          s"non-qualifying pair must return -1/-2, got $res")
+        if (res == -2L) prunedPreMerge += 1
+      }
+    }
+    assert(qualified > 100, s"only $qualified qualifying pairs")
+    assert(prunedPreMerge > 100,
+      s"suffix/length filter never fired ($prunedPreMerge)")
+  }
+
   test("dd_exact keeps one survivor per normalized text") {
     val out = Dedup.queries("dd_exact")(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_copies")).sum
