@@ -38,8 +38,18 @@ object Dedup {
   private val SIM_BITS = 63  // simhash width (63 avoids BIGINT sign)
   private val SIM_BAND_BITS = 21 // 3 bands ⇒ ham ≤ 2 ⇒ ≥1 band equal
   private val SIM_LANES = 21 // 63 majority counters in 3×16-bit fields
-  private val EMB_PLANES = 64    // SRP-LSH hyperplanes (8 bands × 8 bits)
-  private val EMB_BAND_BITS = 8
+  // SRP-LSH banding (round 11 — sharpened from 8 bands × 8 bits): 16
+  // bands × 12 bits. The S-curve argument: a near-dup pair at cosine
+  // 0.95 agrees per sign bit with p ≈ 0.90, so P[some band collides]
+  // = 1 − (1 − p^12)^16 ≈ 0.995 (recall kept), while a mid-similarity
+  // pair at cosine 0.5 (p = 2/3) passes ≈ 11% of the time vs 27%
+  // under 8×8 and a far pair at cosine 0.2 passes ≈ 1.6% vs 7.8% —
+  // the 3.3–3.7%-of-all-pairs candidate share the x30 soak measured
+  // under 8×8 was structurally quadratic, and 12-bit bands buy the
+  // cut with 128 more sign-bit projections per vector (a linear,
+  // codegen'd cost). The soak re-measures the share at x10/x30.
+  private val EMB_PLANES = 192   // SRP-LSH hyperplanes (16 bands × 12 bits)
+  private val EMB_BAND_BITS = 12
   /** Skew guard for the SRP-LSH bucket join: within a band bucket, a
     * vector only pairs with the EMB_BUCKET_WINDOW vectors ranked after
     * it (row_number by vec_id). Buckets smaller than the window — every
@@ -675,17 +685,19 @@ object Dedup {
         .orderBy("id1", "id2")),
 
     // Embedding-cosine near-dup via signed-random-projection LSH
-    // (Charikar 2002): 64 hyperplane sign bits per vector, 8 bands × 8
-    // bits bucket candidate pairs (equi-join — no cross join anywhere),
-    // exact cosine rerank (codegen'd FloatVecDot) keeps the top-20.
-    // Hyperplanes are the first 64 data vectors, integer-quantized
-    // (×1024 — exact: 1024 is a power of two) so the sign bits are
-    // integer-exact and bit-identical in the DuckDB oracle: products
-    // ≤ 2^27 and 64-term sums ≪ 2^53 stay exact in double accumulation.
-    // At 100 TB: candidate generation touches ~Σ bucket·window pairs
-    // instead of n²/2 (~3.6% of pairs on testdata; the
-    // EMB_BUCKET_WINDOW rank window bounds even a degenerate
-    // all-identical corpus — see embedCandidates).
+    // (Charikar 2002): 192 hyperplane sign bits per vector, 16 bands ×
+    // 12 bits bucket candidate pairs (equi-join — no cross join
+    // anywhere), exact cosine rerank (codegen'd FloatVecDot) keeps the
+    // top-20. Hyperplanes are the first 192 data vectors,
+    // integer-quantized (×1024 — exact: 1024 is a power of two) so
+    // the sign bits are integer-exact and bit-identical in the DuckDB
+    // oracle: products ≤ 2^27 and 64-term sums ≪ 2^53 stay exact in
+    // double accumulation. At 100 TB: candidate generation touches
+    // ~Σ bucket·window pairs instead of n²/2, and the 12-bit bands'
+    // sharper S-curve (see EMB_PLANES) keeps the share sub-percent on
+    // a near-dup-heavy corpus; the EMB_BUCKET_WINDOW rank window
+    // bounds even a degenerate all-identical corpus — see
+    // embedCandidates.
     "dd_embed_cosine" -> ((s, dir) => {
       graft.functions.VectorFunctions.register(s)
       val e = embedVectors(s, dir)
