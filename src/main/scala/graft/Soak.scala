@@ -669,6 +669,18 @@ object Soak {
     only.foreach(timeOne(spark, tag, autoDir, _))
     if (only.contains("dd_ngram_jaccard"))
       ngramSuffixAccounting(spark, tag, dir)
+    if (only.contains("dd_embed_cosine")) {
+      // candidate-share accounting for the SRP banding (round 11):
+      // the scoped run re-measures what the full report's run() line
+      // measures — bucket-join candidates against n(n−1)/2
+      val nVecs = Tables(spark, dir, "embeddings").count()
+      val (cand, tC) =
+        time(operators.Dedup.embedCandidates(spark, dir).count())
+      spark.catalog.clearCache()
+      val allPairs = nVecs * (nVecs - 1) / 2
+      val pct = if (allPairs > 0) 100.0 * cand / allPairs else 0.0
+      println(f"""{"corpus":"$tag","query":"dd_embed_candidates","rows":$nVecs,"candidates":$cand,"all_pairs":$allPairs,"cand_pct":$pct%.4f,"time_s":$tC%.2f}""")
+    }
   }
 
   def main(args: Array[String]): Unit = {
