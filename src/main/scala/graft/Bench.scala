@@ -209,20 +209,32 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(priorPath)), "UTF-8")
-        val qBlock = """"queries":\{([^}]*)\}""".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        val prior = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
-          .findAllMatchIn(qBlock)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        def block(key: String): Map[String, Double] = {
+          val b = (""""""" + key + """":\{([^}]*)\}""").r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(b)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+        val prior = block("queries")
+        val priorCold = block("queries_cold")
         val la0 = boundaries.headOption.map(_._3).getOrElse("")
         val laN = boundaries.lastOption.map(_._3).getOrElse("")
+        def flagsOf(now: Seq[(String, Double)],
+                    base: Map[String, Double]): Seq[String] =
+          now.collect { case (n, v)
+            if base.contains(n) && v > base(n) * 1.5 && v - base(n) > 0.5 =>
+              s"""{"query":"$n","prior":${r3(base(n))},"now":${r3(v)},""" +
+                s""""ratio":${r3(v / math.max(base(n), 1e-9))},""" +
+                s""""loadavg_cold_start":"$la0","loadavg_end":"$laN"}"""
+          }
         val compared = steady.filter { case (n, _) => prior.contains(n) }
-        val flags = compared.collect { case (n, v)
-          if v > prior(n) * 1.5 && v - prior(n) > 0.5 =>
-            s"""{"query":"$n","prior":${r3(prior(n))},"now":${r3(v)},""" +
-              s""""ratio":${r3(v / math.max(prior(n), 1e-9))},""" +
-              s""""loadavg_cold_start":"$la0","loadavg_end":"$laN"}"""
-        }
+        val flags = flagsOf(steady, prior)
+        // cold drift (round 11): steady hides a build-path regression —
+        // a Materialize/CTAS artifact whose BUILD got slower reruns
+        // fast once built, so only the cold column can catch it. Same
+        // flag rule; cold numbers carry JIT/first-read noise, so read
+        // flags with the boundary loadavgs like the steady ones.
+        val coldFlags = flagsOf(cold, priorCold)
         val ratios = compared.map { case (n, v) =>
           v / math.max(prior(n), 1e-9) }.sorted
         val median =
@@ -232,7 +244,8 @@ object Bench {
         s"""{"prior_run":"$priorPath","queries_compared":${compared.size},""" +
           s""""median_steady_ratio":${r3(median)},""" +
           s""""new_queries":${newQs.mkString("[", ",", "]")},""" +
-          s""""flagged":${flags.mkString("[", ",", "]")}}"""
+          s""""flagged":${flags.mkString("[", ",", "]")},""" +
+          s""""cold_flagged":${coldFlags.mkString("[", ",", "]")}}"""
       } catch {
         case _: Throwable => s"""{"prior_run":null}"""
       }

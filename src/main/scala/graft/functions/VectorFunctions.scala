@@ -195,6 +195,72 @@ case class MilliVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All SRP-LSH band values of one quantized vector in ONE fused pass —
+  * `planes` (the quantized hyperplane matrix, a plan-time constant)
+  * rides the expression as a reference object and every plane's dot
+  * runs in a tight two-register loop, emitting ARRAY<BIGINT> of
+  * `ceil(|planes| / bandBits)` band values (bit j of band b = sign of
+  * plane b·bandBits+j's dot). Replaces the 192-column formulation
+  * (one `vec_dot(qf, typedlit(plane)) > 0` CASE per plane), whose
+  * generated projection exploded past what whole-stage codegen
+  * handles — measured 4.6× slower end-to-end at the x10 soak than
+  * this single call. Accumulation is double over ×1024-quantized
+  * floats (exact integers ≤ 2^27 with 64-term sums ≪ 2^53), so the
+  * sign tests are integer-exact and bit-identical to the DuckDB
+  * oracle's BIGINT formulation.
+  */
+case class SrpBands(child: Expression, planes: Array[Array[Float]],
+                    bandBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an ARRAY<FLOAT> input, got ${t.catalogString}")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    SrpPlanes.compute(v.asInstanceOf[ArrayData], planes, bandBits)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srpPlanes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.SrpPlanes.compute($v, $ref, $bandBits);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object SrpPlanes {
+  /** see [[SrpBands]] — public static-forwarded so generated code
+    * calls it directly. */
+  def compute(v: ArrayData, planes: Array[Array[Float]],
+              bandBits: Int): ArrayData = {
+    val nBands = (planes.length + bandBits - 1) / bandBits
+    val out = new Array[Long](nBands)
+    var k = 0
+    while (k < planes.length) {
+      val p = planes(k)
+      val n = math.min(v.numElements(), p.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += v.getFloat(i).toDouble * p(i).toDouble
+        i += 1
+      }
+      if (s > 0) out(k / bandBits) |= 1L << (k % bandBits)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorFunctions {
   /** Register `vec_dot` / `vec_dot_long` in the session's function
     * registry so they are usable from `expr(...)` and SQL. Idempotent. */

@@ -777,25 +777,23 @@ object Dedup {
   private[graft] def embedCandidates(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val e = embedVectors(s, dir)
-    // hyperplane fetch: 64 quantized vectors — a one-time
-    // model-parameter-scale action (64×64 ints), inlined as literals so
-    // the 64 sign tests run inside one whole-stage-codegen project
-    val planes: Array[Seq[Float]] = e.filter(col("vec_id") < EMB_PLANES)
+    // hyperplane fetch: 192 quantized vectors — a one-time
+    // model-parameter-scale action (192×64 ints), riding the fused
+    // [[graft.functions.SrpBands]] expression as ONE reference object:
+    // every plane dot runs in a tight loop inside a single call, where
+    // the per-plane `vec_dot(qf, typedlit(...))` CASE columns blew the
+    // generated projection past what codegen handles (measured 4.6×
+    // slower end-to-end at x10 under 192 planes)
+    val planes: Array[Array[Float]] = e.filter(col("vec_id") < EMB_PLANES)
       .orderBy("vec_id").select("qf").collect()
-      .map(_.getSeq[Float](0))
-    val nBands = (planes.length + EMB_BAND_BITS - 1) / EMB_BAND_BITS
-    val bandCols = (0 until nBands).map { k =>
-      val bits = planes.slice(k * EMB_BAND_BITS,
-        (k + 1) * EMB_BAND_BITS).zipWithIndex.map { case (h, j) =>
-        when(call_function("vec_dot", col("qf"), typedlit(h)) > 0,
-          lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(k).as("band"), bits.reduce(_ + _).as("bv"))
-    }
+      .map(_.getSeq[Float](0).toArray)
+    val srp = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SrpBands(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("qf")),
+        planes, EMB_BAND_BITS))
     // cached: both sides of the self-join read bkt (see minhashPairs)
-    val bkt = e.select(col("vec_id"),
-      explode(array(bandCols: _*)).as("s"))
-      .select(col("vec_id"), col("s.band"), col("s.bv"))
+    val bkt = e.select(col("vec_id"), posexplode(srp))
+      .toDF("vec_id", "band", "bv")
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bv").orderBy("vec_id")))

@@ -16,6 +16,9 @@ object GraftSqlBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   def analyzedPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 }
