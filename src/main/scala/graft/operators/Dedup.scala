@@ -315,25 +315,31 @@ object Dedup {
   /** Candidate pairs for J ≥ 1/2 by PREFIX FILTERING (the AllPairs /
     * PPJoin family — Bayardo et al. WWW'07, Xiao et al. WWW'08, public):
     * order every document's shingles by global rarity (df asc, shingle
-    * id asc as tie-break) and index only the first ⌊n/2⌋+1 — two sets
-    * with Jaccard ≥ 1/2 MUST share a prefix shingle (given the length
-    * filter max(na,nb) ≤ 2·min(na,nb), itself implied by J ≥ 1/2), so
-    * recall is EXACT BY THEOREM: no df cap, no tunable, no recall trade
-    * — this replaces round 4's df ≤ 50 index whose recall collapsed on
-    * a boilerplate-saturated corpus and round 5's first fix (a
-    * p95-adaptive cap) whose restored recall cost Σdf² join work.
+    * id asc as tie-break); recall is EXACT BY THEOREM — no df cap, no
+    * tunable, no recall trade. Round 11 adopts PPJoin's ASYMMETRIC
+    * prefixes: the pair's LARGER document probes with its standard
+    * prefix (⌊nl/2⌋+1 of nl) while the SMALLER document is indexed by
+    * only its first ns − ⌈2·ns/3⌉ + 1 shingles (≈ ns/3 — the paper's
+    * indexing prefix at t = 1/2, valid because every partner of s is
+    * at least as large, so the required overlap is ≥ ⌈2·ns/3⌉).
+    * Exactness of the collision guarantee, with ceilings: J ≥ 1/2
+    * gives O = |∩| ≥ ⌈(ns+nl)/3⌉; the FIRST common shingle in global
+    * order has rank ≤ nl − O + 1 ≤ ⌊nl/2⌋+1 in l (O ≥ nl/2 via
+    * ns ≥ nl/2) and rank ≤ ns − O + 1 ≤ ns − ⌈2ns/3⌉ + 1 in s
+    * (O ≥ 2ns/3 via nl ≥ ns) — one element inside BOTH joined
+    * prefixes. The indexing side shrinking from n/2 to n/3 cuts the
+    * prefix-join collision volume AND the surviving candidate pairs
+    * (measured in SCALE_r11; the DuckDB oracle keeps its symmetric
+    * candidate pipeline — candidate sets may differ, the exact
+    * J-filter makes the final rows identical).
     *
-    * Why it scales: the index halves (⌊n/2⌋+1 of n shingles per doc),
-    * rarity-first ordering keeps high-df boilerplate OUT of prefixes
-    * unless a document consists mostly of it, and the POSITIONAL bound
-    * prunes weakly-overlapping pairs before the expensive intersection
-    * join: with n_p common prefix entries whose last match sits at rank
-    * q_a in a and q_b in b, total overlap ≤ n_p + min(na−q_a, nb−q_b)
-    * — any common shingle globally SMALLER than that last match sits
-    * below both prefix cutoffs, so it would itself be a common prefix
-    * entry (sound per engine whatever the tie-break order, so the
-    * final exact-intersection J-filter yields identical rows in Spark
-    * and the oracle even though candidate sets differ). */
+    * The POSITIONAL bound prunes weakly-overlapping pairs before the
+    * expensive intersection join and stays sound under asymmetric
+    * prefixes: with n_p collisions whose last sits at rank q_l in l
+    * and q_s in s, any common shingle globally SMALLER than that last
+    * collision has rank < q_l ≤ ⌊nl/2⌋+1 in l and rank < q_s ≤
+    * indexPrefix(s) in s — inside BOTH prefixes, hence itself a
+    * collision — so |∩| ≤ n_p + min(nl − q_l, ns − q_s). */
   private[graft] def jaccardCandidates(sh: DataFrame): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -342,27 +348,39 @@ object Dedup {
     val pref = sh.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(wDoc))
       .join(sizes, "doc_id")
+      // keep the longer (probe) prefix; the index side filters further
       .filter(expr("rk <= n div 2 + 1"))
       .select("shingle", "doc_id", "n", "rk")
       // cached: both sides of the self-join read pref, and its upstream
       // (dfreq + window) is not de-duplicated by AQE
       .cache()
-    val az = pref.select(col("shingle").as("shash"),
-      col("doc_id").as("id1"), col("n").as("na"), col("rk").as("rk1"))
-    val bz = pref.select(col("shingle").as("shash"),
-      col("doc_id").as("id2"), col("n").as("nb"), col("rk").as("rk2"))
-    az.join(bz, Seq("shash"))
-      .filter(col("id1") < col("id2") &&
-        greatest(col("na"), col("nb")) <= least(col("na"), col("nb")) * 2)
-      .groupBy("id1", "id2", "na", "nb")
+    val probe = pref.select(col("shingle").as("shash"),
+      col("doc_id").as("lid"), col("n").as("nl"), col("rk").as("rkl"))
+    val index = pref
+      .filter(expr("rk <= n - ((2 * n + 2) div 3) + 1")) // ⌈2n/3⌉ = (2n+2) div 3
+      .select(col("shingle").as("shash"),
+        col("doc_id").as("sid"), col("n").as("ns"), col("rk").as("rks"))
+    probe.join(index, Seq("shash"))
+      // canonical size order: s is the smaller doc (ties by doc id),
+      // plus the J ≥ 1/2 length filter nl ≤ 2·ns
+      .filter((col("ns") < col("nl") ||
+          (col("ns") === col("nl") && col("sid") < col("lid"))) &&
+        col("nl") <= col("ns") * 2)
+      .groupBy("sid", "lid", "ns", "nl")
       .agg(count(lit(1)).as("n_p"),
-        max(col("rk1")).as("qa"), max(col("rk2")).as("qb"))
-      // J ≥ 1/2 needs 3·|∩| ≥ na+nb; prune pairs whose positional
+        max(col("rkl")).as("ql"), max(col("rks")).as("qs"))
+      // J ≥ 1/2 needs 3·|∩| ≥ ns+nl; prune pairs whose positional
       // upper bound cannot reach it
       .filter((col("n_p") +
-        least(col("na") - col("qa"), col("nb") - col("qb"))) * 3 >=
-        col("na") + col("nb"))
-      .select("id1", "id2", "na", "nb")
+        least(col("nl") - col("ql"), col("ns") - col("qs"))) * 3 >=
+        col("ns") + col("nl"))
+      // downstream contract: (id1 < id2 by doc id, na = |id1|, nb = |id2|)
+      .select(least(col("sid"), col("lid")).as("id1"),
+        greatest(col("sid"), col("lid")).as("id2"),
+        when(col("sid") < col("lid"), col("ns")).otherwise(col("nl"))
+          .as("na"),
+        when(col("sid") < col("lid"), col("nl")).otherwise(col("ns"))
+          .as("nb"))
   }
 
   /** Shingle table for the soak's candidate accounting. */

@@ -44,6 +44,47 @@ class DedupSpec extends SparkSpec {
       s"suffix/length filter never fired ($prunedPreMerge)")
   }
 
+  test("asymmetric-prefix candidates contain EVERY true J >= 1/2 pair " +
+    "(recall exact by theorem, random corpora, seeded)") {
+    // round 11 moved jaccardCandidates to PPJoin's asymmetric prefixes
+    // (probe = first floor(n/2)+1 of the larger doc, index = first
+    // n - ceil(2n/3) + 1 of the smaller); the recall theorem is exact,
+    // so the candidate set must be a SUPERSET of the true pair set on
+    // any corpus — checked against a brute-force all-pairs scan over
+    // random near-dup-heavy corpora
+    import spark.implicits._
+    val rnd = new scala.util.Random(20261119L)
+    for (round <- 1 to 3) {
+      val nDocs = 60 + rnd.nextInt(40)
+      val universe = 40 + rnd.nextInt(80)
+      val docs: Map[Long, Set[Long]] = (1L to nDocs).map { d =>
+        // families of near-copies: base set per d/4, per-doc mutation
+        val base = new scala.util.Random(round * 1000 + d / 4)
+        val core = (0 until universe)
+          .filter(_ => base.nextDouble() < 0.4).map(_.toLong).toSet
+        val mutated = core.filter(_ => rnd.nextDouble() > 0.1) ++
+          (0 until universe).filter(_ => rnd.nextDouble() < 0.05)
+            .map(_.toLong)
+        d -> mutated.filter(_ => true)
+      }.toMap.filter(_._2.nonEmpty)
+      val sh = docs.toSeq.flatMap { case (d, s) => s.map(d -> _) }
+        .toDF("doc_id", "shingle")
+      val cand = Dedup.jaccardCandidates(sh)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ids = docs.keys.toSeq.sorted
+      val truth = (for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        a = docs(ids(i)); b = docs(ids(j))
+        inter = (a & b).size
+        if 3 * inter >= a.size + b.size // J >= 1/2
+      } yield (ids(i), ids(j))).toSet
+      assert(truth.subsetOf(cand),
+        s"round $round: missed true pairs ${truth -- cand}")
+      assert(truth.nonEmpty, s"round $round: degenerate corpus")
+    }
+  }
+
   test("dd_exact keeps one survivor per normalized text") {
     val out = Dedup.queries("dd_exact")(spark, sf).collect()
     val total = out.map(_.getAs[Long]("n_copies")).sum
