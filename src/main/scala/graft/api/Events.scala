@@ -391,4 +391,32 @@ object Events {
     graft.streaming.CepPattern.matchRows(
       spark, parsed, pattern, codeExpr, allowedLatenessUs, onLate,
       maxBufferedEvents)
+
+  /** Streaming twin of [[matchMeasures]] (round 11 — completes the
+    * streaming output-mode matrix): one row per CONFIRMED match
+    * carrying its MEASURES — (user_id, match_seq, start_us,
+    * start_event_id, end_us, end_event_id, n_events, sum_value), the
+    * sum taken over `valueExpr` (a SQL expression over the parsed
+    * columns yielding LONG; pre-scale money to cents) — exactly once,
+    * Append-shaped, aggregated off the checkpointed ring at
+    * confirmation. Confirmation timing, ordering guard, buffer hard
+    * cap, and contracts exactly as [[matchSpansStream]]; at quiescence
+    * the emitted set equals the batch [[matchMeasures]] fold
+    * (restart-twin-pinned in CepPatternSpec). */
+  def matchMeasuresStream(spark: org.apache.spark.sql.SparkSession,
+                          parsed: DataFrame, pattern: String,
+                          codeExpr: String =
+                            graft.streaming.CepPattern.funnelCode,
+                          valueExpr: String =
+                            "cast(cast(value as decimal(18,2)) * 100 " +
+                              "as long)",
+                          allowedLatenessUs: Long = 0L,
+                          onLate: String = "fail",
+                          maxBufferedEvents: Int =
+                            graft.streaming.CepPattern.DefaultMaxBuffered)
+      : org.apache.spark.sql.Dataset[
+        graft.streaming.CepPattern.CepMeasureMatch] =
+    graft.streaming.CepPattern.matchMeasures(
+      spark, parsed, pattern, codeExpr, valueExpr, allowedLatenessUs,
+      onLate, maxBufferedEvents)
 }

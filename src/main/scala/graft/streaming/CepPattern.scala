@@ -108,6 +108,15 @@ object CepPattern extends Serializable {
                                ord_in_match: Long, us: Long,
                                event_id: Long, code: String)
 
+  /** One emitted row per confirmed match with its MEASURES (streaming
+    * MEASURES, round 11): FIRST/LAST event coordinates, COUNT(*) of
+    * matched events, and the exact long sum of the value expression
+    * over them. */
+  final case class CepMeasureMatch(user_id: Long, match_seq: Long,
+                                   start_us: Long, start_event_id: Long,
+                                   end_us: Long, end_event_id: Long,
+                                   n_events: Long, sum_value: Long)
+
   /** The ordering-guard fields every CEP state carries: the last-FED
     * event-time frontier, the key's high-water mark, the
     * lateness-bounded reorder buffer, and the late-drop counter. */
@@ -145,6 +154,20 @@ object CepPattern extends Serializable {
       extends GuardedState[String] {
     var seq: Long = 0L
   }
+
+  /** Checkpointed per-key state for [[matchMeasures]]: the span-mode
+    * machine with a ring carrying each event's measure value; the
+    * reorder buffer holds (code, value) pairs. */
+  private[graft] final class MeasureState(
+      val ring: RowPattern.SpanRing[(Long, Long, Long)])
+      extends GuardedState[(String, Long)] {
+    var seq: Long = 0L
+  }
+
+  /** The parsed-event shape with a measure value (matchMeasures). */
+  private[graft] final case class CepValEvent(user_id: Long,
+                                              event_id: Long, ts_us: Long,
+                                              code: String, v: Long)
 
   /** Admit a batch of events through the ordering guard: record the
     * high-water mark, reject-or-drop anything behind the fed frontier,
@@ -482,6 +505,76 @@ object CepPattern extends Serializable {
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
         s"($codeExpr) AS code")
       .as[CepEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming MEASURES (round 11 — completes the streaming output-
+    * mode matrix: counts, spans, ALL ROWS, classified counts, and now
+    * per-match aggregates): when a match confirms, ONE row emits with
+    * its MEASURES — FIRST/LAST event coordinates, COUNT(*) of matched
+    * events, and the exact long sum of `valueExpr` over them —
+    * aggregated off the bounded ring at confirmation, exactly once,
+    * Append-shaped like [[matchSpans]]. `valueExpr` is any SQL
+    * expression over the parsed columns yielding a LONG (pre-scale
+    * money to cents — the decimal-exactness contract; the default is
+    * the batch ev_match_measures cents cast). Same admission guard,
+    * buffer hard cap, confirmation timing, and terminator-disjoint +
+    * one-char-code contract as [[matchSpans]]; at quiescence the
+    * emitted set equals the batch matchMeasuresOf fold (restart-twin-
+    * pinned in CepPatternSpec). */
+  def matchMeasures(spark: SparkSession, parsed: DataFrame,
+                    pattern: String,
+                    codeExpr: String = funnelCode,
+                    valueExpr: String =
+                      "cast(cast(value as decimal(18,2)) * 100 as long)",
+                    allowedLatenessUs: Long = 0L,
+                    onLate: String = "fail",
+                    maxBufferedEvents: Int = DefaultMaxBuffered)
+      : Dataset[CepMeasureMatch] = {
+    requireGuardArgs(allowedLatenessUs, onLate, maxBufferedEvents)
+    val prog = RowPattern.compile(pattern)
+    require(RowPattern.terminatorDisjoint(prog),
+      s"streaming MEASURES mode needs a terminator-disjoint pattern; " +
+        s"'$pattern' is not — use matches() (count mode)")
+    implicit val stateEnc: Encoder[MeasureState] =
+      Encoders.javaSerialization[MeasureState]
+    import spark.implicits._
+
+    def update(userId: Long, events: Iterator[CepValEvent],
+               state: GroupState[MeasureState])
+        : Iterator[CepMeasureMatch] = {
+      val st = state.getOption.getOrElse(new MeasureState(
+        new RowPattern.SpanRing[(Long, Long, Long)](
+          new RowPattern.MatchCounter(prog, trackSpans = true))))
+      val evs = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+        .map(e => (e.ts_us, e.event_id, (e.code, e.v)))
+      val out = ArrayBuffer.empty[CepMeasureMatch]
+      admit(st, userId, evs, allowedLatenessUs, onLate, maxBufferedEvents)
+        .foreach { case (ts, id, (code, v)) =>
+          require(code.length == 1,
+            "streaming MEASURES mode needs exactly one code char per event")
+          st.ring.feed((ts, id, v), code.charAt(0)).foreach { sp =>
+            st.seq += 1
+            val evsIn = st.ring.slice(sp)
+            var sum = 0L
+            evsIn.foreach(sum += _._3)
+            val (sus, sid, _) = evsIn.head
+            val (eus, eid, _) = evsIn.last
+            out += CepMeasureMatch(userId, st.seq, sus, sid, eus, eid,
+              evsIn.length.toLong, sum)
+          }
+          st.ring.prune()
+        }
+      state.update(st)
+      out.iterator
+    }
+
+    parsed
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+        s"($codeExpr) AS code", s"($valueExpr) AS v")
+      .as[CepValEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)

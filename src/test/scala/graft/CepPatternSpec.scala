@@ -390,6 +390,61 @@ class CepPatternSpec extends SparkSpec {
       r.getLong(2))).distinct.length, "a matched row emitted twice")
   }
 
+  test("streaming MEASURES: chunked replay with restart equals the " +
+    "batch matchMeasuresOf fold, one aggregate row per match") {
+    // funnel events with per-event money (value = event_id * 1.5, so
+    // cents = id * 150 — exact under the decimal cast); user 1's
+    // boundary-spanning match must aggregate values held in the ring
+    // across the restart
+    def writeChunkV(dir: java.nio.file.Path, name: String,
+                    evs: Seq[(Long, Long, String, Int)]): Unit = {
+      val lines = evs.map { case (id, user, tpe, hour) =>
+        s"""{"event_id":$id,"user_id":$user,"event_type":"$tpe",""" +
+          f""""value":${id * 1.5}%.2f,"ts_str":"2024-01-01 $hour%02d:00:00.000000",""" +
+          s""""props":"{}"}"""
+      }
+      Files.write(dir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val base = Files.createTempDirectory("graft_cepmeas")
+    val src = Files.createDirectory(base.resolve("src"))
+    def runBatch(): Unit = {
+      val q = api.Events.matchMeasuresStream(spark, StreamingIngest.parse(
+          spark.readStream.text(src.toString)), "v[co]*p")
+        .writeStream.format("parquet")
+        .option("path", base.resolve("out").toString)
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeChunkV(src, "b1.json", chunk1)
+    runBatch()
+    writeChunkV(src, "b2.json", chunk2)
+    runBatch() // restart — ring with values reloads from the store
+    val streamed = spark.read.parquet(base.resolve("out").toString)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    import spark.implicits._
+    val coded = (chunk1 ++ chunk2)
+      .toDF("event_id", "user_id", "tpe", "hour")
+      .selectExpr("user_id",
+        "unix_micros(to_timestamp(printf('2024-01-01 %02d:00:00', hour)))" +
+          " AS us",
+        "event_id",
+        """CASE tpe WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+          |WHEN 'purchase' THEN 'p' ELSE 'o' END AS code""".stripMargin,
+        "cast(cast(event_id * 1.5 as decimal(18,2)) * 100 as long)" +
+          " AS v_cents")
+    val batch = operators.EventAnalytics.matchMeasuresOf(coded, "v[co]*p")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(streamed == batch, s"$streamed != $batch")
+    assert(batch.size >= 3)
+    assert(batch.exists(_._8 > 200L), "sums never exceeded one event")
+  }
+
   test("streaming DEFINE/PREV: classified replay with restart equals " +
     "the batch classified fold, prev window crossing the boundary") {
     // per-user price sequences classify U/D/e against the PREVIOUS
