@@ -403,6 +403,33 @@ object Events {
     * cap, and contracts exactly as [[matchSpansStream]]; at quiescence
     * the emitted set equals the batch [[matchMeasures]] fold
     * (restart-twin-pinned in CepPatternSpec). */
+  /** Streaming twin of [[matchSpansSkipBy]]'s skip semantics over a
+    * parsed code stream (round 11 — every SQL:2016 AFTER MATCH SKIP
+    * mode, streaming): the SkipScanner itself is the checkpointed
+    * per-key state, so overlapping matches under SKIP TO FIRST/LAST
+    * `<var>` emit exactly once as they confirm — (user_id, match_seq,
+    * start_us, start_event_id, end_us, end_event_id, n_events),
+    * Append-shaped. A match whose confirmation needs evidence the
+    * stream has not yet delivered stays unemitted until it arrives
+    * (the matchSpansStream contract); state is ONE buffered attempt
+    * per key, never the history. Same ordering guard and hard cap as
+    * [[matchPatternStream]]; degenerate skips fail loudly. */
+  def matchSkipStream(spark: org.apache.spark.sql.SparkSession,
+                      parsed: DataFrame,
+                      components: Seq[(String, String)],
+                      skip: graft.functions.RowPattern.SkipMode,
+                      codeExpr: String =
+                        graft.streaming.CepPattern.funnelCode,
+                      allowedLatenessUs: Long = 0L,
+                      onLate: String = "fail",
+                      maxBufferedEvents: Int =
+                        graft.streaming.CepPattern.DefaultMaxBuffered)
+      : org.apache.spark.sql.Dataset[
+        graft.streaming.CepPattern.CepSkipMatch] =
+    graft.streaming.CepPattern.matchSkip(
+      spark, parsed, components, skip, codeExpr, allowedLatenessUs,
+      onLate, maxBufferedEvents)
+
   def matchMeasuresStream(spark: org.apache.spark.sql.SparkSession,
                           parsed: DataFrame, pattern: String,
                           codeExpr: String =

@@ -169,6 +169,22 @@ object CepPattern extends Serializable {
                                               event_id: Long, ts_us: Long,
                                               code: String, v: Long)
 
+  /** One emitted row per confirmed SKIP-mode match ([[matchSkip]]). */
+  final case class CepSkipMatch(user_id: Long, match_seq: Long,
+                                start_us: Long, start_event_id: Long,
+                                end_us: Long, end_event_id: Long,
+                                n_events: Long)
+
+  /** Checkpointed per-key state for [[matchSkip]]: the SkipScanner —
+    * the buffered current attempt + anchored thread set — carried
+    * whole through the state store (everything in it is
+    * java-serializable by construction). */
+  private[graft] final class SkipState(
+      val sc: RowPattern.SkipScanner[(Long, Long)])
+      extends GuardedState[String] {
+    var seq: Long = 0L
+  }
+
   /** Admit a batch of events through the ordering guard: record the
     * high-water mark, reject-or-drop anything behind the fed frontier,
     * buffer the rest, then release — in (ts_us, event_id) order —
@@ -575,6 +591,67 @@ object CepPattern extends Serializable {
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
         s"($codeExpr) AS code", s"($valueExpr) AS v")
       .as[CepValEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming AFTER MATCH SKIP (round 11 — every SQL:2016 skip mode
+    * over a stream): the [[RowPattern.SkipScanner]] itself is the
+    * checkpointed per-key state — the buffered current attempt plus
+    * the anchored thread set round-trip the state store — so matches
+    * under SKIP TO FIRST/LAST `<var>` (and PAST LAST ROW / TO NEXT
+    * ROW through the same scanner) emit EXACTLY ONCE as the scanner
+    * confirms them, Append-shaped, overlap allowed at the resume row.
+    * Per-key state is one attempt's rows (bounded by the longest
+    * match attempt, never the key's history) + the reorder buffer;
+    * same admission guard and hard cap as [[matches]]. Degenerate
+    * skips fail loudly mid-stream exactly as in batch. At quiescence
+    * the emitted set equals the batch matchSpansSkip fold over the
+    * same components (restart-twin-pinned in CepPatternSpec). */
+  def matchSkip(spark: SparkSession, parsed: DataFrame,
+                components: Seq[(String, String)],
+                skip: RowPattern.SkipMode,
+                codeExpr: String = funnelCode,
+                allowedLatenessUs: Long = 0L,
+                onLate: String = "fail",
+                maxBufferedEvents: Int = DefaultMaxBuffered)
+      : Dataset[CepSkipMatch] = {
+    requireGuardArgs(allowedLatenessUs, onLate, maxBufferedEvents)
+    val sp = new RowPattern.SkipProgram(components)
+    // validate the skip target at plan time (construction checks it)
+    new RowPattern.SkipScanner[(Long, Long)](sp, skip)
+    implicit val stateEnc: Encoder[SkipState] =
+      Encoders.javaSerialization[SkipState]
+    import spark.implicits._
+
+    def update(userId: Long, events: Iterator[CepEvent],
+               state: GroupState[SkipState])
+        : Iterator[CepSkipMatch] = {
+      val st = state.getOption.getOrElse(new SkipState(
+        new RowPattern.SkipScanner[(Long, Long)](sp, skip)))
+      val evs = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+        .map(e => (e.ts_us, e.event_id, e.code))
+      val out = ArrayBuffer.empty[CepSkipMatch]
+      admit(st, userId, evs, allowedLatenessUs, onLate, maxBufferedEvents)
+        .foreach { case (ts, id, code) =>
+          require(code.length == 1,
+            "streaming skip mode needs exactly one code char per event")
+          st.sc.feed(code.charAt(0), (ts, id)).foreach {
+            case ((sus, sid), (eus, eid), n) =>
+              st.seq += 1
+              out += CepSkipMatch(userId, st.seq, sus, sid, eus, eid,
+                n.toLong)
+          }
+        }
+      state.update(st)
+      out.iterator
+    }
+
+    parsed
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+        s"($codeExpr) AS code")
+      .as[CepEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)

@@ -390,6 +390,69 @@ class CepPatternSpec extends SparkSpec {
       r.getLong(2))).distinct.length, "a matched row emitted twice")
   }
 
+  test("streaming SKIP TO LAST: chunked replay with restart equals " +
+    "the batch skip fold, overlap at the resume row crossing the " +
+    "checkpoint") {
+    // components (s=., d=c+, u=p+) with SKIP TO LAST u: user 1's first
+    // match's greedy p+ tail EXTENDS across the restart (p@3 in chunk
+    // 1, p@4 in chunk 2), and the second match re-anchors ON the first
+    // match's last p — both the buffered attempt and the resume
+    // position must round-trip the state store
+    val comps = Seq("s" -> ".", "d" -> "c+", "u" -> "p+")
+    val skip = graft.functions.RowPattern.SkipMode.ToLast("u")
+    val c1 = Seq((1L, 1L, "view", 1), (2L, 1L, "click", 2),
+      (3L, 1L, "purchase", 3))
+    val c2 = Seq((4L, 1L, "purchase", 4), (5L, 1L, "click", 5),
+      (6L, 1L, "purchase", 6), (7L, 1L, "error", 7),
+      (10L, 2L, "error", 1), (11L, 2L, "click", 2),
+      (12L, 2L, "purchase", 3), (13L, 2L, "view", 4),
+      (14L, 2L, "click", 5), (15L, 2L, "purchase", 6),
+      (16L, 2L, "error", 7))
+    val base = Files.createTempDirectory("graft_cepskip")
+    val src = Files.createDirectory(base.resolve("src"))
+    def runBatch(): Unit = {
+      val q = api.Events.matchSkipStream(spark, StreamingIngest.parse(
+          spark.readStream.text(src.toString)), comps, skip)
+        .writeStream.format("parquet")
+        .option("path", base.resolve("out").toString)
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeChunk(src, "b1.json", c1)
+    runBatch()
+    // nothing can confirm inside chunk 1 (the p+ tail is still open)
+    assert(spark.read.parquet(base.resolve("out").toString).count() == 0)
+    writeChunk(src, "b2.json", c2)
+    runBatch() // restart — the scanner reloads from the state store
+    val streamed = spark.read.parquet(base.resolve("out").toString)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5),
+        r.getLong(6))).toSet // (user, seq, start_event_id, end_id, n)
+    // batch twin: the classified skip fold reading the code column
+    import spark.implicits._
+    val coded = (c1 ++ c2).toDF("event_id", "user_id", "tpe", "hour")
+      .selectExpr("user_id", "event_id", "cast(hour as long) AS hour",
+        """CASE tpe WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+          |WHEN 'purchase' THEN 'p' ELSE 'o' END AS code""".stripMargin)
+    val batch = operators.EventAnalytics.matchSpansSkip(
+        coded, comps, skip, Seq("user_id"), Seq("hour", "event_id"),
+        "event_id")((_, cur) => cur.getString(3).charAt(0))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch, s"$streamed != $batch")
+    // user 1: [v c p p] then re-anchored [p c p]; user 2: two matches
+    assert(batch.size == 4, batch)
+    assert(batch.contains((1L, 1L, 1L, 4L, 4L)) &&
+      batch.contains((1L, 2L, 4L, 6L, 3L)), batch)
+    // exactly-once across all emissions
+    val all = spark.read.parquet(base.resolve("out").toString).collect()
+    assert(all.length == all.map(r => (r.getLong(0), r.getLong(1)))
+      .distinct.length)
+  }
+
   test("streaming MEASURES: chunked replay with restart equals the " +
     "batch matchMeasuresOf fold, one aggregate row per match") {
     // funnel events with per-event money (value = event_id * 1.5, so
