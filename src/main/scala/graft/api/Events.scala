@@ -265,6 +265,29 @@ object Events {
       events, components, skip, Seq(idCol), Seq(orderCol, tieCol),
       tieCol)(classify)
 
+  /** PER-VARIABLE MEASURES (round 11 — the SQL:2016 MEASURES clause at
+    * component scope: `COUNT(down.*)`, `SUM(down.price)` …): every
+    * confirmed match of the named-component pattern emits one row with
+    * (idCol..., match_seq, start_id, end_id) plus, per component
+    * `name`, `name_n` and `name_sum` — the count of and exact long
+    * sum of `valueCol` over exactly the rows java.regex's group
+    * assignment maps to that component (replay-pinned). Composes with
+    * every AFTER MATCH SKIP mode; classification runs inside the fold
+    * ([[matchPatternBy]]'s DEFINE/PREV contract). Delegates to the
+    * path behind the oracle-checked `ev_vshape_measures`. */
+  def matchVarMeasuresBy(events: DataFrame,
+                         components: Seq[(String, String)],
+                         skip: graft.functions.RowPattern.SkipMode,
+                         valueCol: String)
+                        (classify: (org.apache.spark.sql.Row,
+                          org.apache.spark.sql.Row) => Char,
+                         idCol: String = "user_id",
+                         tieCol: String = "event_id",
+                         orderCol: String = "ts"): DataFrame =
+    graft.operators.EventAnalytics.matchVarMeasures(
+      events, components, skip, Seq(idCol), Seq(orderCol, tieCol),
+      tieCol, valueCol)(classify)
+
   /** Streaming twin of [[matchPattern]]: the SAME machine carried as
     * checkpointed per-key state through flatMapGroupsWithState
     * (streaming/CepPattern — restart-twin-pinned against the batch

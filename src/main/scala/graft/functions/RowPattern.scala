@@ -917,18 +917,34 @@ object RowPattern {
     def accepted: Int = pend
   }
 
+  /** One confirmed skip-mode match: the matched rows' payloads in
+    * order, plus the component boundaries — `bounds(i)` is the index
+    * in `rows` where component i's rows start, `bounds(n)` =
+    * `rows.length`; component i matched no rows iff `bounds(i) ==
+    * bounds(i+1)`. The boundaries are java.regex's group assignment
+    * (priority-order DFS) — the basis for per-variable MEASURES
+    * (`SUM(down.price)`) and for SKIP TO FIRST/LAST resolution. */
+  final case class SkipMatch[T](rows: IndexedSeq[T], bounds: Array[Int]) {
+    def first: T = rows.head
+    def last: T = rows.last
+    def len: Int = rows.length
+    /** component i's payloads (possibly empty). */
+    def comp(i: Int): IndexedSeq[T] =
+      rows.slice(bounds(i), bounds(i + 1))
+  }
+
   /** Streaming scanner for skip-mode matching: feed (code char,
-    * payload) pairs in entity order; emits, per confirmed match,
-    * (first payload, last payload, match length). State = the current
-    * attempt's buffered rows + one O(|pattern|) thread set — bounded
-    * by one match attempt (+ resolution lookahead), NEVER the entity's
-    * history; a failed attempt restarts one row later, so worst-case
-    * work is attempts × attempt length (the price of overlap-capable
-    * skip modes — the bufferless chain covers PAST LAST ROW, and
-    * [[StartDetector]] counts TO NEXT ROW starts in O(bits)).
-    * SKIP TO FIRST/LAST resolving to the match's own first row (or to
-    * a component that matched no rows) fails loudly — SQL:2016 makes
-    * both errors. */
+    * payload) pairs in entity order; emits, per confirmed match, a
+    * [[SkipMatch]] — the matched payloads plus their component
+    * boundaries. State = the current attempt's buffered rows + one
+    * O(|pattern|) thread set — bounded by one match attempt (+
+    * resolution lookahead), NEVER the entity's history; a failed
+    * attempt restarts one row later, so worst-case work is attempts ×
+    * attempt length (the price of overlap-capable skip modes — the
+    * bufferless chain covers PAST LAST ROW, and [[StartDetector]]
+    * counts TO NEXT ROW starts in O(bits)). SKIP TO FIRST/LAST
+    * resolving to the match's own first row (or to a component that
+    * matched no rows) fails loudly — SQL:2016 makes both errors. */
   final class SkipScanner[T](sp: SkipProgram, skip: SkipMode)
       extends Serializable {
     // validate the skip target exists up front
@@ -941,24 +957,20 @@ object RowPattern {
     private val att = new Anchored(sp.concat)
     private var posFed = 0 // prefix of buf already fed to att
 
-    private def resumeIndex(len: Int): Int = {
+    private def resumeIndex(m: SkipMatch[T]): Int = {
+      def target(name: String, lastOf: Boolean): Int = {
+        val i = sp.compIndex(name)
+        require(m.bounds(i) < m.bounds(i + 1),
+          s"AFTER MATCH SKIP TO ${if (lastOf) "LAST" else "FIRST"} " +
+            s"$name: the component matched no rows in this match — " +
+            "SQL:2016 makes this an error")
+        if (lastOf) m.bounds(i + 1) - 1 else m.bounds(i)
+      }
       val r = skip match {
-        case SkipMode.PastLast => len
+        case SkipMode.PastLast => m.len
         case SkipMode.ToNextRow => 1
-        case SkipMode.ToFirst(name) =>
-          val i = sp.compIndex(name)
-          val b = sp.boundariesOf(buf.view.take(len).map(_._1).toIndexedSeq)
-          require(b(i) < b(i + 1), s"AFTER MATCH SKIP TO FIRST $name: " +
-            "the component matched no rows in this match — SQL:2016 " +
-            "makes this an error")
-          b(i)
-        case SkipMode.ToLast(name) =>
-          val i = sp.compIndex(name)
-          val b = sp.boundariesOf(buf.view.take(len).map(_._1).toIndexedSeq)
-          require(b(i) < b(i + 1), s"AFTER MATCH SKIP TO LAST $name: " +
-            "the component matched no rows in this match — SQL:2016 " +
-            "makes this an error")
-          b(i + 1) - 1
+        case SkipMode.ToFirst(name) => target(name, lastOf = false)
+        case SkipMode.ToLast(name) => target(name, lastOf = true)
       }
       if (r < 1) throw new IllegalStateException(
         s"AFTER MATCH SKIP ($skip) resolves to the match's own first " +
@@ -968,9 +980,12 @@ object RowPattern {
     }
 
     private def emitAndResume(len: Int,
-                              out: ArrayBuffer[(T, T, Int)]): Unit = {
-      out += ((buf(0)._2, buf(len - 1)._2, len))
-      val r = resumeIndex(len)
+                              out: ArrayBuffer[SkipMatch[T]]): Unit = {
+      val chars = buf.view.take(len).map(_._1).toIndexedSeq
+      val m = SkipMatch(buf.view.take(len).map(_._2).toIndexedSeq,
+        sp.boundariesOf(chars))
+      out += m
+      val r = resumeIndex(m)
       buf.remove(0, r)
       att.reset()
       posFed = 0
@@ -978,8 +993,8 @@ object RowPattern {
 
     /** drive the attempt over the buffered rows; at eof also flush
       * pending accepts and failed tails. */
-    private def pump(eof: Boolean): List[(T, T, Int)] = {
-      val out = ArrayBuffer.empty[(T, T, Int)]
+    private def pump(eof: Boolean): List[SkipMatch[T]] = {
+      val out = ArrayBuffer.empty[SkipMatch[T]]
       var work = true
       while (work) {
         work = false
@@ -1006,12 +1021,12 @@ object RowPattern {
       out.toList
     }
 
-    def feed(c: Char, payload: T): List[(T, T, Int)] = {
+    def feed(c: Char, payload: T): List[SkipMatch[T]] = {
       buf.append((c, payload))
       pump(eof = false)
     }
 
-    def finish(): List[(T, T, Int)] = pump(eof = true)
+    def finish(): List[SkipMatch[T]] = pump(eof = true)
   }
 
   /** SQL:2016 `PERMUTE(A, B, …)` — match the component patterns in ANY

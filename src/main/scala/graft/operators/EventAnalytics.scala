@@ -345,6 +345,23 @@ object EventAnalytics {
         "o_orderkey")(updownClassify)
         .orderBy("o_custkey", "match_seq")),
 
+    // PER-VARIABLE MEASURES over the V-shape — `COUNT(down.*)`,
+    // `SUM(down.cents)`, `COUNT(up.*)`, `SUM(up.cents)` per match:
+    // the component-scoped MEASURES real MATCH_RECOGNIZE users write
+    // (how deep was the fall, how much money rose back), composed
+    // with SKIP TO LAST up so chained V's each aggregate their own
+    // rows. Boundaries are java.regex's group assignment
+    // (replay-pinned); ORACLE: the islands closed form joined per
+    // component range — down rows are [j..k], up rows [k+1..m], the
+    // anchor is row j−1 — aggregated per match with decimal-exact
+    // cents.
+    "ev_vshape_measures" -> ((s, dir) =>
+      matchVarMeasures(updownOrders(s, dir), vshapeComponents,
+        graft.functions.RowPattern.SkipMode.ToLast("up"),
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"),
+        "o_orderkey", "cents")(updownClassify)
+        .orderBy("o_custkey", "match_seq")),
+
     // RFM SEGMENTATION — the marketing-analytics classic: per
     // purchasing user, Recency (days from last purchase to the corpus
     // high-water mark), Frequency (purchase count), Monetary (decimal-
@@ -843,10 +860,12 @@ object EventAnalytics {
       val sc = new graft.functions.RowPattern.SkipScanner[Long](sp, skip)
       var prev: org.apache.spark.sql.Row = _
       var seq = 0L
-      def rows(ms: List[(Long, Long, Int)]): List[Seq[Any]] =
-        ms.map { case (s, e, n) =>
+      def rows(ms: List[graft.functions.RowPattern.SkipMatch[Long]])
+          : List[Seq[Any]] =
+        ms.map { m =>
           seq += 1
-          Seq(Long.box(seq), Long.box(s), Long.box(e), Long.box(n.toLong))
+          Seq(Long.box(seq), Long.box(m.first), Long.box(m.last),
+            Long.box(m.len.toLong))
         }
     }
     graft.api.Folds.flatFoldOrdered(
@@ -861,6 +880,69 @@ object EventAnalytics {
         val c = classify(st.prev, r)
         st.prev = r
         st.rows(st.sc.feed(c, r.getLong(idIdx)))
+      })(
+      st => st.rows(st.sc.finish()))
+  }
+
+  /** PER-VARIABLE MEASURES (round 11 — the SQL:2016 MEASURES clause
+    * at COMPONENT scope: `COUNT(down.*)`, `SUM(down.price)` …): every
+    * confirmed match of the named-component pattern emits ONE row with
+    * (keyCols..., match_seq, start_id, end_id) plus, for EACH
+    * component, its matched-row count and the exact long sum of
+    * `measureCol` over exactly those rows — the component boundaries
+    * are the [[graft.functions.RowPattern.SkipScanner]]'s
+    * priority-order DFS assignment (java.regex's groups,
+    * replay-pinned), so `down`'s sum covers precisely the rows
+    * java.regex would put in the `down` group. Aggregation happens on
+    * the match's own rows at confirmation — nothing is re-shuffled or
+    * joined back; per-entity state is one buffered attempt. Skip mode
+    * composes (overlapping matches each aggregate their own rows). */
+  private[graft] def matchVarMeasures(
+      ev: DataFrame, components: Seq[(String, String)],
+      skip: graft.functions.RowPattern.SkipMode,
+      keyCols: Seq[String], orderCols: Seq[String],
+      idCol: String, measureCol: String)(
+      classify: (org.apache.spark.sql.Row,
+        org.apache.spark.sql.Row) => Char): DataFrame = {
+    val sp = new graft.functions.RowPattern.SkipProgram(components)
+    val idIdx = ev.schema.fieldIndex(idCol)
+    val mIdx = ev.schema.fieldIndex(measureCol)
+    val names = components.map(_._1)
+    val outType = names.foldLeft(
+      new org.apache.spark.sql.types.StructType()
+        .add("match_seq", org.apache.spark.sql.types.LongType)
+        .add("start_id", org.apache.spark.sql.types.LongType)
+        .add("end_id", org.apache.spark.sql.types.LongType)) {
+      (t, n) => t.add(s"${n}_n", org.apache.spark.sql.types.LongType)
+        .add(s"${n}_sum", org.apache.spark.sql.types.LongType)
+    }
+    final class St {
+      val sc = new graft.functions.RowPattern.SkipScanner[(Long, Long)](
+        sp, skip)
+      var prev: org.apache.spark.sql.Row = _
+      var seq = 0L
+      def rows(ms: List[graft.functions.RowPattern.SkipMatch[(Long, Long)]])
+          : List[Seq[Any]] =
+        ms.map { m =>
+          seq += 1
+          val per = names.indices.flatMap { i =>
+            val c = m.comp(i)
+            var s = 0L
+            c.foreach(s += _._2)
+            Seq(Long.box(c.length.toLong), Long.box(s))
+          }
+          Seq(Long.box(seq), Long.box(m.first._1),
+            Long.box(m.last._1)) ++ per
+        }
+    }
+    graft.api.Folds.flatFoldOrdered(
+      ev, keyCols, orderCols, out = outType)(
+      () => new St)(
+      (st, r) => {
+        val c = classify(st.prev, r)
+        st.prev = r
+        st.rows(st.sc.feed(c,
+          (r.getLong(idIdx), if (r.isNullAt(mIdx)) 0L else r.getLong(mIdx))))
       })(
       st => st.rows(st.sc.finish()))
   }
@@ -1491,6 +1573,45 @@ object EventAnalytics {
          |FROM mm
          |JOIN cls s ON s.o_custkey = mm.o_custkey AND s.rn = mm.start_rn
          |JOIN cls e ON e.o_custkey = mm.o_custkey AND e.rn = mm.end_rn
+         |ORDER BY 1, 2""".stripMargin,
+
+    // per-variable measures from the same islands closed form: each
+    // component's rows are an rn range (anchor j−1, down [j..k], up
+    // [k+1..m]), aggregated per match; sums cast back to BIGINT
+    "ev_vshape_measures" ->
+      s"""WITH cls AS ($updownClsSql),
+         |$updownRunsSql,
+         |mm AS (
+         |  SELECT o_custkey, j, k, m, j - 1 AS start_rn, m AS end_rn,
+         |    CAST(row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY j) AS BIGINT) AS match_seq
+         |  FROM q),
+         |dn AS (
+         |  SELECT mm.o_custkey, mm.match_seq,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(r.cents) AS BIGINT)
+         |      AS sm
+         |  FROM mm JOIN cls r ON r.o_custkey = mm.o_custkey
+         |    AND r.rn BETWEEN mm.j AND mm.k
+         |  GROUP BY 1, 2),
+         |up AS (
+         |  SELECT mm.o_custkey, mm.match_seq,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(r.cents) AS BIGINT)
+         |      AS sm
+         |  FROM mm JOIN cls r ON r.o_custkey = mm.o_custkey
+         |    AND r.rn BETWEEN mm.k + 1 AND mm.m
+         |  GROUP BY 1, 2)
+         |SELECT mm.o_custkey, mm.match_seq, s.o_orderkey AS start_id,
+         |  e.o_orderkey AS end_id,
+         |  CAST(1 AS BIGINT) AS strt_n, s.cents AS strt_sum,
+         |  dn.n AS down_n, dn.sm AS down_sum,
+         |  up.n AS up_n, up.sm AS up_sum
+         |FROM mm
+         |JOIN cls s ON s.o_custkey = mm.o_custkey AND s.rn = mm.start_rn
+         |JOIN cls e ON e.o_custkey = mm.o_custkey AND e.rn = mm.end_rn
+         |JOIN dn ON dn.o_custkey = mm.o_custkey
+         |  AND dn.match_seq = mm.match_seq
+         |JOIN up ON up.o_custkey = mm.o_custkey
+         |  AND up.match_seq = mm.match_seq
          |ORDER BY 1, 2""".stripMargin,
 
     // classified MEASURES: the same in-range join aggregated per span;

@@ -637,11 +637,12 @@ object CepPattern extends Serializable {
         .foreach { case (ts, id, code) =>
           require(code.length == 1,
             "streaming skip mode needs exactly one code char per event")
-          st.sc.feed(code.charAt(0), (ts, id)).foreach {
-            case ((sus, sid), (eus, eid), n) =>
-              st.seq += 1
-              out += CepSkipMatch(userId, st.seq, sus, sid, eus, eid,
-                n.toLong)
+          st.sc.feed(code.charAt(0), (ts, id)).foreach { m =>
+            st.seq += 1
+            val (sus, sid) = m.first
+            val (eus, eid) = m.last
+            out += CepSkipMatch(userId, st.seq, sus, sid, eus, eid,
+              m.len.toLong)
           }
         }
       state.update(st)

@@ -384,17 +384,24 @@ class RowPatternSpec extends AnyFunSuite {
     // attempts advance one row — the SQL:2016 semantics spelled out
     // on java's own engine (components are paren-free so group i+1 is
     // component i)
+    // matches as (start, end, per-component (start, end) half-open
+    // group spans in absolute positions; -1,-1 = group empty)
+    type M = (Int, Int, Seq[(Int, Int)])
     def ref(s: String, comps: Seq[(String, String)],
-            skip: SkipMode): Seq[(Int, Int)] = {
+            skip: SkipMode): Seq[M] = {
       val pat = java.util.regex.Pattern.compile(
         comps.map(c => "(" + c._2 + ")").mkString)
       val m = pat.matcher(s)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[M]
       var pos = 0
       while (pos < s.length) {
         m.region(pos, s.length)
         if (m.lookingAt()) {
-          out += ((pos, m.end() - 1))
+          val groups = comps.indices.map { g =>
+            val (a, b) = (m.start(g + 1), m.end(g + 1))
+            if (a == b) (-1, -1) else (a, b)
+          }
+          out += ((pos, m.end() - 1, groups))
           val r = skip match {
             case SkipMode.PastLast => m.end()
             case SkipMode.ToNextRow => pos + 1
@@ -410,14 +417,20 @@ class RowPatternSpec extends AnyFunSuite {
       out.toSeq
     }
     def engine(s: String, comps: Seq[(String, String)],
-               skip: SkipMode): Seq[(Int, Int)] = {
+               skip: SkipMode): Seq[M] = {
       val sc = new RowPattern.SkipScanner[Int](
         new RowPattern.SkipProgram(comps), skip)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      s.zipWithIndex.foreach { case (c, i) =>
-        sc.feed(c, i).foreach(m => out += ((m._1, m._2)))
+      val out = scala.collection.mutable.ArrayBuffer.empty[M]
+      def add(m: RowPattern.SkipMatch[Int]): Unit = {
+        // bounds are match-relative; payloads are absolute positions
+        val groups = comps.indices.map { g =>
+          val c = m.comp(g)
+          if (c.isEmpty) (-1, -1) else (c.head, c.last + 1)
+        }
+        out += ((m.first, m.last, groups))
       }
-      sc.finish().foreach(m => out += ((m._1, m._2)))
+      s.zipWithIndex.foreach { case (c, i) => sc.feed(c, i).foreach(add) }
+      sc.finish().foreach(add)
       out.toSeq
     }
     val suites = Seq(
