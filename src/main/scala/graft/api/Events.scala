@@ -265,6 +265,25 @@ object Events {
       events, components, skip, Seq(idCol), Seq(orderCol, tieCol),
       tieCol)(classify)
 
+  /** ALL ROWS PER MATCH for skip-mode patterns: every matched row as
+    * (idCol..., match_seq, ord_in_match, id, var), `var` the NAME of
+    * the pattern component the row mapped to (java.regex's group
+    * assignment — SQL:2016 CLASSIFIER() at variable grain). Under an
+    * overlapping skip a shared row emits once per match it
+    * participates in. Delegates to the path behind the oracle-checked
+    * `ev_vshape_rows`. */
+  def matchRowsSkipBy(events: DataFrame,
+                      components: Seq[(String, String)],
+                      skip: graft.functions.RowPattern.SkipMode)
+                     (classify: (org.apache.spark.sql.Row,
+                       org.apache.spark.sql.Row) => Char,
+                      idCol: String = "user_id",
+                      tieCol: String = "event_id",
+                      orderCol: String = "ts"): DataFrame =
+    graft.operators.EventAnalytics.matchRowsSkip(
+      events, components, skip, Seq(idCol), Seq(orderCol, tieCol),
+      tieCol)(classify)
+
   /** PER-VARIABLE MEASURES (round 11 — the SQL:2016 MEASURES clause at
     * component scope: `COUNT(down.*)`, `SUM(down.price)` …): every
     * confirmed match of the named-component pattern emits one row with

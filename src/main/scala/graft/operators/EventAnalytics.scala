@@ -362,6 +362,22 @@ object EventAnalytics {
         "o_orderkey", "cents")(updownClassify)
         .orderBy("o_custkey", "match_seq")),
 
+    // ALL ROWS over the V-shape with the pattern-variable label —
+    // every matched order labeled strt/down/up with its in-match
+    // position, overlapping matches each re-emitting their shared
+    // peak/anchor rows under their own ordinal (the SQL:2016 ALL ROWS
+    // grain for skip-mode patterns). ORACLE: the islands closed form's
+    // component ranges unioned — the anchor at ord 1, the down run at
+    // ords 2..k−j+2, the up run after — per match.
+    "ev_vshape_rows" -> ((s, dir) =>
+      matchRowsSkip(updownOrders(s, dir), vshapeComponents,
+        graft.functions.RowPattern.SkipMode.ToLast("up"),
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"),
+        "o_orderkey")(updownClassify)
+        .select(col("o_custkey"), col("match_seq"), col("ord_in_match"),
+          col("id").as("o_orderkey"), col("var"))
+        .orderBy("o_custkey", "match_seq", "ord_in_match")),
+
     // RFM SEGMENTATION — the marketing-analytics classic: per
     // purchasing user, Recency (days from last purchase to the corpus
     // high-water mark), Frequency (purchase count), Monetary (decimal-
@@ -943,6 +959,57 @@ object EventAnalytics {
         st.prev = r
         st.rows(st.sc.feed(c,
           (r.getLong(idIdx), if (r.isNullAt(mIdx)) 0L else r.getLong(mIdx))))
+      })(
+      st => st.rows(st.sc.finish()))
+  }
+
+  /** ALL ROWS PER MATCH for skip-mode patterns (round 11): every row
+    * of every confirmed match emits (keyCols..., match_seq,
+    * ord_in_match, idCol value, var) where `var` is the NAME of the
+    * component the row mapped to — java.regex's group assignment from
+    * the same priority-order DFS the measures and skip resolution use
+    * (SQL:2016's CLASSIFIER() at pattern-variable grain). Composes
+    * with every skip mode; under an overlapping skip a shared row
+    * emits once PER MATCH it participates in, with that match's
+    * ordinal and label. Same bounds as [[matchSpansSkip]]. */
+  private[graft] def matchRowsSkip(
+      ev: DataFrame, components: Seq[(String, String)],
+      skip: graft.functions.RowPattern.SkipMode,
+      keyCols: Seq[String], orderCols: Seq[String], idCol: String)(
+      classify: (org.apache.spark.sql.Row,
+        org.apache.spark.sql.Row) => Char): DataFrame = {
+    val sp = new graft.functions.RowPattern.SkipProgram(components)
+    val idIdx = ev.schema.fieldIndex(idCol)
+    val names = components.map(_._1).toIndexedSeq
+    final class St {
+      val sc = new graft.functions.RowPattern.SkipScanner[Long](sp, skip)
+      var prev: org.apache.spark.sql.Row = _
+      var seq = 0L
+      def rows(ms: List[graft.functions.RowPattern.SkipMatch[Long]])
+          : List[Seq[Any]] =
+        ms.flatMap { m =>
+          seq += 1
+          names.indices.flatMap { ci =>
+            val base = m.bounds(ci)
+            m.comp(ci).zipWithIndex.map { case (id, off) =>
+              Seq(Long.box(seq), Long.box(base + off + 1L), Long.box(id),
+                names(ci))
+            }
+          }
+        }
+    }
+    graft.api.Folds.flatFoldOrdered(
+      ev, keyCols, orderCols,
+      out = new org.apache.spark.sql.types.StructType()
+        .add("match_seq", org.apache.spark.sql.types.LongType)
+        .add("ord_in_match", org.apache.spark.sql.types.LongType)
+        .add("id", org.apache.spark.sql.types.LongType)
+        .add("var", org.apache.spark.sql.types.StringType))(
+      () => new St)(
+      (st, r) => {
+        val c = classify(st.prev, r)
+        st.prev = r
+        st.rows(st.sc.feed(c, r.getLong(idIdx)))
       })(
       st => st.rows(st.sc.finish()))
   }
@@ -1574,6 +1641,27 @@ object EventAnalytics {
          |JOIN cls s ON s.o_custkey = mm.o_custkey AND s.rn = mm.start_rn
          |JOIN cls e ON e.o_custkey = mm.o_custkey AND e.rn = mm.end_rn
          |ORDER BY 1, 2""".stripMargin,
+
+    // skip ALL ROWS from the islands closed form: per match, the
+    // anchor row (ord 1, var strt), the down range [j..k] (ords 2..),
+    // and the up range [k+1..m] — the rn offset inside the match is
+    // rn − start_rn + 1
+    "ev_vshape_rows" ->
+      s"""WITH cls AS ($updownClsSql),
+         |$updownRunsSql,
+         |mm AS (
+         |  SELECT o_custkey, j, k, m, j - 1 AS start_rn,
+         |    CAST(row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY j) AS BIGINT) AS match_seq
+         |  FROM q)
+         |SELECT mm.o_custkey, mm.match_seq,
+         |  CAST(r.rn - mm.start_rn + 1 AS BIGINT) AS ord_in_match,
+         |  r.o_orderkey,
+         |  CASE WHEN r.rn = mm.start_rn THEN 'strt'
+         |       WHEN r.rn <= mm.k THEN 'down' ELSE 'up' END AS var
+         |FROM mm JOIN cls r ON r.o_custkey = mm.o_custkey
+         |  AND r.rn BETWEEN mm.start_rn AND mm.m
+         |ORDER BY 1, 2, 3""".stripMargin,
 
     // per-variable measures from the same islands closed form: each
     // component's rows are an rn range (anchor j−1, down [j..k], up
