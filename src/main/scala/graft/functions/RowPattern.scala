@@ -54,9 +54,12 @@ import scala.collection.mutable.ArrayBuffer
   * Supported syntax (a regex subset closed over single-char code
   * alphabets): literals, `.`, escapes `\x`, classes `[abc]` /
   * `[a-z]` / negated `[^...]`, grouping `(...)` / `(?:...)`,
-  * alternation `|`, and greedy or lazy `*` `+` `?`. Anchors,
-  * counted repetition and backreferences throw — callers hold the
-  * whole entity history, so anchors have no meaning here.
+  * alternation `|`, greedy or lazy `*` `+` `?`, and counted
+  * repetition `{m}` / `{m,}` / `{m,n}` (greedy or lazy; expanded at
+  * parse time into the optional-chain form whose backtracking
+  * priority equals java's, bounds capped at 64). Anchors and
+  * backreferences throw — callers hold the whole entity history, so
+  * anchors have no meaning here.
   */
 object RowPattern {
 
@@ -184,6 +187,48 @@ object RowPattern {
         val kind = peek; i += 1
         val lzy = more && peek == '?' && { i += 1; true }
         ARep(atom, kind, lzy)
+      } else if (more && peek == '{') {
+        // COUNTED REPETITION (round 11 — SQL:2016 allows A{2,4}):
+        // expanded at parse time so the machine is untouched —
+        // A{m,n} = A^m followed by a nested optional chain of n−m
+        // copies (greedy: prefer taking each extra copy; lazy '?'
+        // suffix flips every optional), A{m,} = A^m A*. Priority of
+        // the expansion equals java's counted-quantifier backtracking
+        // order (property-pinned in RowPatternSpec). The copy count
+        // is capped — a 10k-copy expansion is the wrong tool in any
+        // engine implementing these semantics.
+        i += 1
+        def digits(): Int = {
+          val st = i
+          while (more && peek.isDigit) i += 1
+          if (i == st) fail("expected a number in {m,n}")
+          val v = pattern.substring(st, i).toInt
+          if (v > 64) fail(s"counted repetition bound $v exceeds 64")
+          v
+        }
+        val m = digits()
+        val (unbounded, n) =
+          if (more && peek == ',') {
+            i += 1
+            if (more && peek == '}') (true, m)
+            else { val x = digits(); (false, x) }
+          } else (false, m)
+        eat('}')
+        if (!unbounded && n < m) fail(s"bad counted repetition {$m,$n}")
+        val lzy = more && peek == '?' && { i += 1; true }
+        val required: Ast = (1 to m).foldLeft(AEmpty: Ast)((a, _) =>
+          if (a == AEmpty) atom else ACat(a, atom))
+        val tail: Ast =
+          if (unbounded) ARep(atom, '*', lzy)
+          else (1 to (n - m)).foldLeft(AEmpty: Ast)((inner, _) =>
+            ARep(if (inner == AEmpty) atom else ACat(atom, inner),
+              '?', lzy))
+        (required, tail) match {
+          case (AEmpty, AEmpty) => AEmpty // {0} or {0,0}
+          case (AEmpty, t) => t
+          case (r, AEmpty) => r
+          case (r, t) => ACat(r, t)
+        }
       } else atom
     }
 
@@ -210,7 +255,8 @@ object RowPattern {
           i += 1
           ALit(IChar(neg = false, Set(c), dot = false))
         case c @ ('{' | '^' | '$' | '*' | '+' | '?' | ')') =>
-          fail(s"'$c' unsupported here (no counted repetition or anchors)")
+          fail(s"'$c' unsupported here (quantifiers need a preceding " +
+            "atom; anchors are meaningless over whole-entity traces)")
         case c =>
           i += 1; ALit(IChar(neg = false, Set(c), dot = false))
       }

@@ -269,6 +269,23 @@ object EventAnalytics {
           max("o_custkey").as("max_cust"))
         .orderBy("n_reversals")),
 
+    // COUNTED REPETITION × DEFINE/PREV (round 11 — SQL:2016's
+    // `U{2,}` bounds over the navigation classifier): reversals that
+    // end a rising run of AT LEAST TWO consecutive increases — the
+    // "sustained rally then drop" pattern `U{2,}D`, which `U+D`
+    // cannot express. ORACLE: greedy U{2,}D matches are exactly the
+    // D-rows whose two predecessors both classify U — two lags, no
+    // regex engine. Report: the per-customer histogram.
+    "ev_updown_long_runs" -> ((s, dir) =>
+      matchCountsClassified(updownOrders(s, dir), "U{2,}D",
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"))(updownClassify)
+        .withColumnRenamed("n_matches", "n_long_reversals")
+        .groupBy("n_long_reversals")
+        .agg(count(lit(1)).as("n_customers"),
+          min("o_custkey").as("min_cust"),
+          max("o_custkey").as("max_cust"))
+        .orderBy("n_long_reversals")),
+
     // DEFINE/PREV × ONE ROW PER MATCH (round 11 — the classifier
     // threaded through the span-family output modes): every `U+D`
     // rising-run-then-reversal match as its own row carrying the
@@ -1569,6 +1586,26 @@ object EventAnalytics {
         |SELECT n_reversals, count(*) AS n_customers,
         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
         |FROM m GROUP BY 1 ORDER BY n_reversals""".stripMargin,
+
+    // U{2,}D closed form: a match per D whose TWO predecessors both
+    // classify U (greedy absorbs the whole run; runs of length 1
+    // cannot satisfy the lower bound) — two lags over the classified
+    // sequence
+    "ev_updown_long_runs" ->
+      s"""WITH cls AS ($updownClsSql),
+         |l AS (
+         |  SELECT o_custkey, c,
+         |    lag(c) OVER w2 AS p1, lag(c, 2) OVER w2 AS p2
+         |  FROM cls
+         |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY rn)),
+         |m AS (
+         |  SELECT o_custkey,
+         |    CAST(count(CASE WHEN c = 'D' AND p1 = 'U' AND p2 = 'U'
+         |      THEN 1 END) AS BIGINT) AS n_long_reversals
+         |  FROM l GROUP BY o_custkey)
+         |SELECT n_long_reversals, count(*) AS n_customers,
+         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+         |FROM m GROUP BY 1 ORDER BY n_long_reversals""".stripMargin,
 
     // classified ONE ROW PER MATCH closed form (see updownClsSql /
     // updownMatchSql): greedy U+D spans = [first U of the maximal run,

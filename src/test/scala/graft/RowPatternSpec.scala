@@ -486,8 +486,36 @@ class RowPatternSpec extends AnyFunSuite {
     assert(RowPattern.countMatches("ab*c|a", "abbbd") == 1L)
   }
 
+  test("counted repetition equals java across bounds, greedy and lazy " +
+    "(seeded)") {
+    val rnd = new scala.util.Random(20261120L)
+    val pats = Seq("a{3}", "a{2,}b", "a{2,4}", "a{2,4}?b", "a{0,2}b",
+      "(ab){2,3}", "[ab]{2,3}c", "va{1,3}p", "a{2,4}b{1,2}")
+    for (p <- pats) {
+      var total = 0L
+      for (_ <- 1 to 200) {
+        val len = rnd.nextInt(30)
+        val s = Array.fill(len)("abcvp"(rnd.nextInt(5))).mkString
+        val got = RowPattern.countMatches(p, s)
+        val m = java.util.regex.Pattern.compile(p).matcher(s)
+        var want = 0L
+        while (m.find()) want += 1
+        assert(got == want, s"'$p' on '$s': $got != $want")
+        total += want
+      }
+      assert(total > 0, s"'$p' never matched")
+    }
+    // counted bounds compose with span mode and disjointness analysis:
+    // v c{1,3} p is terminator-disjoint (p completes, the optional
+    // chain consumes only c)
+    assert(RowPattern.terminatorDisjoint(RowPattern.compile("vc{1,3}p")))
+    // bounds are validated
+    intercept[IllegalArgumentException](RowPattern.compile("a{4,2}"))
+    intercept[IllegalArgumentException](RowPattern.compile("a{65}"))
+    intercept[IllegalArgumentException](RowPattern.compile("a{"))
+  }
+
   test("unsupported syntax fails loudly") {
-    intercept[IllegalArgumentException](RowPattern.compile("a{2,3}"))
     intercept[IllegalArgumentException](RowPattern.compile("^a"))
     intercept[IllegalArgumentException](RowPattern.compile("a$"))
     intercept[IllegalArgumentException](RowPattern.compile("\\d+"))
