@@ -446,7 +446,12 @@ class RowPatternSpec extends AnyFunSuite {
       // alternation inside a component
       (Seq("a" -> "U|e", "b" -> "[UD]+", "c" -> "eD|D"), "UDeU",
         Seq(SkipMode.PastLast, SkipMode.ToFirst("b"),
-          SkipMode.ToLast("b"), SkipMode.ToFirst("c"))))
+          SkipMode.ToLast("b"), SkipMode.ToFirst("c"))),
+      // a PERMUTE component and a counted component inside skip modes
+      (Seq("x" -> RowPattern.permute("v", "c"), "y" -> "p{1,2}"),
+        "vcp",
+        Seq(SkipMode.PastLast, SkipMode.ToNextRow,
+          SkipMode.ToLast("x"), SkipMode.ToFirst("y"))))
     val rnd = new scala.util.Random(20261117L)
     for ((comps, alphabet, skips) <- suites; skip <- skips) {
       var matched = 0
