@@ -381,6 +381,33 @@ object Events {
       spark, events, pattern, idCol, tieCol, orderCol, depthCap,
       allowedLatenessUs, onLate, maxBufferedEvents)(classify)
 
+  /** Streaming twin of [[matchSpansBy]] (DEFINE/PREV × ONE ROW PER
+    * MATCH over a stream, round 11): the classifier runs inside the
+    * checkpointed per-key state (prev row carried across batches and
+    * restarts) and confirmed spans emit exactly once — (user_id,
+    * match_seq, start_us, start_event_id, end_us, end_event_id,
+    * n_events) with the order/tie coordinates of the match's first and
+    * last rows. Requires a terminator-disjoint pattern; same ordering
+    * guard, buffer cap, and confirmation timing as
+    * [[matchSpansStream]]; restart-twin-pinned against the batch
+    * classified span fold in CepPatternSpec. */
+  def matchSpansStreamBy(spark: org.apache.spark.sql.SparkSession,
+                         events: DataFrame, pattern: String,
+                         idCol: String = "user_id",
+                         tieCol: String = "event_id",
+                         orderCol: String = "ts",
+                         allowedLatenessUs: Long = 0L,
+                         onLate: String = "fail",
+                         maxBufferedEvents: Int =
+                           graft.streaming.CepPattern.DefaultMaxBuffered)
+                        (classify: (org.apache.spark.sql.Row,
+                          org.apache.spark.sql.Row) => Char)
+      : org.apache.spark.sql.Dataset[
+        graft.streaming.CepPattern.CepSkipMatch] =
+    graft.streaming.CepPattern.matchSpansBy(
+      spark, events, pattern, idCol, tieCol, orderCol,
+      allowedLatenessUs, onLate, maxBufferedEvents)(classify)
+
   /** Streaming twin of [[matchSpans]] (ONE ROW PER MATCH over a
     * stream): each key's confirmed matches emit EXACTLY ONCE, as they
     * confirm — (user_id, match_seq, start_us, start_event_id, end_us,

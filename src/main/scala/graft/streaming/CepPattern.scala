@@ -169,6 +169,17 @@ object CepPattern extends Serializable {
                                               event_id: Long, ts_us: Long,
                                               code: String, v: Long)
 
+  /** Checkpointed per-key state for [[matchSpansBy]]: the span-mode
+    * machine + ring, the PREV row (the DEFINE/PREV window), and the
+    * reorder buffer holding whole rows (classification must wait for
+    * event-time release). */
+  private[graft] final class ClassifiedSpanState(
+      val ring: RowPattern.SpanRing[(Long, Long)])
+      extends GuardedState[org.apache.spark.sql.Row] {
+    var prev: org.apache.spark.sql.Row = _
+    var seq: Long = 0L
+  }
+
   /** One emitted row per confirmed SKIP-mode match ([[matchSkip]]). */
   final case class CepSkipMatch(user_id: Long, match_seq: Long,
                                 start_us: Long, start_event_id: Long,
@@ -459,6 +470,79 @@ object CepPattern extends Serializable {
         s"($codeExpr) AS code")
       .as[CepEvent]
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming ONE ROW PER MATCH with DEFINE-style NAVIGATION (round
+    * 11 — classified × span mode over a stream): the code char is
+    * computed inside the checkpointed per-key state by
+    * `classify(prev, cur)` — prev carried across micro-batches and
+    * restarts like [[matchesBy]] — and fed to the span-mode machine +
+    * ring, so `DEFINE U AS price > PREV(price)` composes with
+    * exactly-once confirmed-span emission. Emits (user_id, match_seq,
+    * start_id, end_id, n_events) with ids from `tieCol` — the
+    * streaming twin of the batch matchSpansClassified fold
+    * (restart-twin-pinned in CepPatternSpec). Requires a
+    * terminator-disjoint pattern; same ordering guard and buffer cap
+    * as [[matchesBy]] (the reorder buffer holds whole rows). */
+  def matchSpansBy(spark: SparkSession, events: DataFrame,
+                   pattern: String,
+                   idCol: String = "user_id", tieCol: String = "event_id",
+                   orderCol: String = "ts",
+                   allowedLatenessUs: Long = 0L, onLate: String = "fail",
+                   maxBufferedEvents: Int = DefaultMaxBuffered)
+                  (classify: (org.apache.spark.sql.Row,
+                    org.apache.spark.sql.Row) => Char)
+      : Dataset[CepSkipMatch] = {
+    requireGuardArgs(allowedLatenessUs, onLate, maxBufferedEvents)
+    val prog = RowPattern.compile(pattern)
+    require(RowPattern.terminatorDisjoint(prog),
+      s"streaming classified span mode needs a terminator-disjoint " +
+        s"pattern; '$pattern' is not — use matchesBy() (count mode)")
+    implicit val stateEnc: Encoder[ClassifiedSpanState] =
+      Encoders.javaSerialization[ClassifiedSpanState]
+    import spark.implicits._
+    val withOrder = events.withColumn("__ts_us",
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col(orderCol)))
+    val schema = withOrder.schema
+    val idIdx = schema.fieldIndex(idCol)
+    val tieIdx = schema.fieldIndex(tieCol)
+    val usIdx = schema.fieldIndex("__ts_us")
+    implicit val rowEnc: Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+
+    def update(userId: Long, rows: Iterator[org.apache.spark.sql.Row],
+               state: GroupState[ClassifiedSpanState])
+        : Iterator[CepSkipMatch] = {
+      val st = state.getOption.getOrElse(new ClassifiedSpanState(
+        new RowPattern.SpanRing[(Long, Long)](
+          new RowPattern.MatchCounter(prog, trackSpans = true))))
+      val evs = rows.toArray
+        .map(r => (r.getLong(usIdx), r.getLong(tieIdx), r))
+        .sortBy(e => (e._1, e._2))
+      val out = ArrayBuffer.empty[CepSkipMatch]
+      admit(st, userId, evs, allowedLatenessUs, onLate, maxBufferedEvents)
+        .foreach { case (ts, id, r) =>
+          val c = classify(st.prev, r)
+          st.prev = r
+          st.ring.feed((ts, id), c).foreach { sp =>
+            st.seq += 1
+            val (sus, sid) = st.ring.first(sp)
+            val (eus, eid) = st.ring.last(sp)
+            out += CepSkipMatch(userId, st.seq, sus, sid, eus, eid,
+              sp._2 - sp._1)
+          }
+          st.ring.prune()
+        }
+      state.update(st)
+      out.iterator
+    }
+
+    withOrder
+      .as(rowEnc)
+      .groupByKey(_.getLong(idIdx))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }

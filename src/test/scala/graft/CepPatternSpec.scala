@@ -590,6 +590,67 @@ class CepPatternSpec extends SparkSpec {
     assert(batch === want, s"batch $batch != $want")
   }
 
+  test("streaming classified spans: DEFINE/PREV replay with restart " +
+    "equals the batch classified span fold") {
+    // the same U/D value walks as the classified-count twin; user 1's
+    // U+D span needs BOTH the prev row (20.0 fed in chunk 1) and the
+    // open machine state carried through the checkpoint
+    def writeValChunk(dir: java.nio.file.Path, name: String,
+                      evs: Seq[(Long, Long, Double, Int)]): Unit = {
+      val lines = evs.map { case (id, user, v, hour) =>
+        s"""{"event_id":$id,"user_id":$user,"event_type":"order",""" +
+          f""""value":$v%.1f,"ts_str":"2024-01-01 $hour%02d:00:00.000000",""" +
+          s""""props":"{}"}"""
+      }
+      Files.write(dir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val c1 = Seq((1L, 1L, 10.0, 1), (2L, 1L, 20.0, 2),
+      (10L, 2L, 30.0, 1), (11L, 2L, 10.0, 2))
+    val c2 = Seq((3L, 1L, 15.0, 3), (4L, 1L, 25.0, 4), (5L, 1L, 5.0, 5),
+      (12L, 2L, 20.0, 3), (13L, 2L, 5.0, 4))
+    val classify: (org.apache.spark.sql.Row,
+      org.apache.spark.sql.Row) => Char = (prev, cur) =>
+      if (prev == null) 'o'
+      else {
+        val p = prev.getAs[Double]("value")
+        val c = cur.getAs[Double]("value")
+        if (c > p) 'U' else if (c < p) 'D' else 'e'
+      }
+    val base = Files.createTempDirectory("graft_cepspanby")
+    val src = Files.createDirectory(base.resolve("src"))
+    def runBatch(): Unit = {
+      val q = api.Events.matchSpansStreamBy(spark,
+          StreamingIngest.parse(spark.readStream.text(src.toString)),
+          "U+D")(classify)
+        .writeStream.format("parquet")
+        .option("path", base.resolve("out").toString)
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeValChunk(src, "b1.json", c1)
+    runBatch()
+    writeValChunk(src, "b2.json", c2)
+    runBatch() // restart — machine + ring + prev row reload
+    val streamed = spark.read.parquet(base.resolve("out").toString)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5),
+        r.getLong(6))).toSet // (user, seq, start_tie, end_tie, n)
+    import spark.implicits._
+    val frame = (c1 ++ c2).toDF("event_id", "user_id", "value", "hour")
+      .selectExpr("user_id", "event_id", "value",
+        "to_timestamp(printf('2024-01-01 %02d:00:00', hour)) AS ts")
+    val batch = operators.EventAnalytics.matchSpansClassified(
+        frame, "U+D", Seq("user_id"), Seq("ts", "event_id"),
+        "event_id")(classify)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed == batch, s"$streamed != $batch")
+    assert(batch.size >= 3)
+  }
+
   test("the spanning match is absent before the second chunk") {
     val base = Files.createTempDirectory("graft_cepspan")
     val src = Files.createDirectory(base.resolve("src"))
