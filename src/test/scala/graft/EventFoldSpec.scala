@@ -399,13 +399,42 @@ class EventFoldSpec extends SparkSpec {
       val spanCounts = spans.groupBy(_._1).view.mapValues(_.size.toLong)
       spanCounts.foreach { case (e, n) => assert(counts(e) == n) }
     }
-    // facades wire the same paths
+    // facades wire the same paths — every classified/skip facade
+    // pinned against its direct engine call on the same frame
     val viaApi = api.Events.matchSpansBy(df, "U+D")(classify,
       idCol = "ent", tieCol = "seq", orderCol = "seq").collect().toSeq
     val direct = operators.EventAnalytics.matchSpansClassified(
       df, "U+D", Seq("ent"), Seq("seq", "seq"), "seq")(classify)
       .collect().toSeq
     assert(viaApi == direct && viaApi.nonEmpty)
+    assert(api.Events.matchRowsBy(df, "U+D")(classify, idCol = "ent",
+        tieCol = "seq", orderCol = "seq").collect().toSeq ==
+      operators.EventAnalytics.matchRowsClassified(
+        df, "U+D", Seq("ent"), Seq("seq", "seq"), "seq")(classify)
+        .collect().toSeq)
+    assert(api.Events.matchMeasuresBy(df, "U+D", "mv")(classify,
+        idCol = "ent", tieCol = "seq", orderCol = "seq").collect().toSeq ==
+      operators.EventAnalytics.matchMeasuresClassified(
+        df, "U+D", Seq("ent"), Seq("seq", "seq"), "seq", "mv")(classify)
+        .collect().toSeq)
+    val comps = Seq("s" -> ".", "d" -> "D+", "u" -> "U+")
+    val toLast = graft.functions.RowPattern.SkipMode.ToLast("u")
+    assert(api.Events.matchSpansSkipBy(df, comps, toLast)(classify,
+        idCol = "ent", tieCol = "seq", orderCol = "seq").collect().toSeq ==
+      operators.EventAnalytics.matchSpansSkip(
+        df, comps, toLast, Seq("ent"), Seq("seq", "seq"), "seq")(classify)
+        .collect().toSeq)
+    assert(api.Events.matchRowsSkipBy(df, comps, toLast)(classify,
+        idCol = "ent", tieCol = "seq", orderCol = "seq").collect().toSeq ==
+      operators.EventAnalytics.matchRowsSkip(
+        df, comps, toLast, Seq("ent"), Seq("seq", "seq"), "seq")(classify)
+        .collect().toSeq)
+    assert(api.Events.matchVarMeasuresBy(df, comps, toLast, "mv")(
+        classify, idCol = "ent", tieCol = "seq", orderCol = "seq")
+        .collect().toSeq ==
+      operators.EventAnalytics.matchVarMeasures(
+        df, comps, toLast, Seq("ent"), Seq("seq", "seq"), "seq", "mv")(
+        classify).collect().toSeq)
     // non-disjoint pattern: span-family modes refuse loudly
     val e = intercept[IllegalArgumentException](
       operators.EventAnalytics.matchSpansClassified(
