@@ -461,17 +461,6 @@ object Events {
       spark, parsed, pattern, codeExpr, allowedLatenessUs, onLate,
       maxBufferedEvents)
 
-  /** Streaming twin of [[matchMeasures]] (round 11 — completes the
-    * streaming output-mode matrix): one row per CONFIRMED match
-    * carrying its MEASURES — (user_id, match_seq, start_us,
-    * start_event_id, end_us, end_event_id, n_events, sum_value), the
-    * sum taken over `valueExpr` (a SQL expression over the parsed
-    * columns yielding LONG; pre-scale money to cents) — exactly once,
-    * Append-shaped, aggregated off the checkpointed ring at
-    * confirmation. Confirmation timing, ordering guard, buffer hard
-    * cap, and contracts exactly as [[matchSpansStream]]; at quiescence
-    * the emitted set equals the batch [[matchMeasures]] fold
-    * (restart-twin-pinned in CepPatternSpec). */
   /** Streaming twin of [[matchSpansSkipBy]]'s skip semantics over a
     * parsed code stream (round 11 — every SQL:2016 AFTER MATCH SKIP
     * mode, streaming): the SkipScanner itself is the checkpointed
@@ -499,6 +488,17 @@ object Events {
       spark, parsed, components, skip, codeExpr, allowedLatenessUs,
       onLate, maxBufferedEvents)
 
+  /** Streaming twin of [[matchMeasures]] (round 11 — completes the
+    * streaming output-mode matrix): one row per CONFIRMED match
+    * carrying its MEASURES — (user_id, match_seq, start_us,
+    * start_event_id, end_us, end_event_id, n_events, sum_value), the
+    * sum taken over `valueExpr` (a SQL expression over the parsed
+    * columns yielding LONG; pre-scale money to cents) — exactly once,
+    * Append-shaped, aggregated off the checkpointed ring at
+    * confirmation. Confirmation timing, ordering guard, buffer hard
+    * cap, and contracts exactly as [[matchSpansStream]]; at quiescence
+    * the emitted set equals the batch [[matchMeasures]] fold
+    * (restart-twin-pinned in CepPatternSpec). */
   def matchMeasuresStream(spark: org.apache.spark.sql.SparkSession,
                           parsed: DataFrame, pattern: String,
                           codeExpr: String =

@@ -247,7 +247,15 @@ object SrpPlanes {
     var k = 0
     while (k < planes.length) {
       val p = planes(k)
-      val n = math.min(v.numElements(), p.length)
+      // fail loudly on a dimension mismatch (ADVICE r12): planes are
+      // sampled from the same corpus, so lengths always match — a
+      // truncated dot would emit sign bits of a PARTIAL product, i.e.
+      // silently wrong LSH bands (missed/spurious candidates)
+      val n = v.numElements()
+      if (p.length != n) throw new IllegalArgumentException(
+        s"srp_bands: embedding dimension $n != hyperplane dimension " +
+          s"${p.length} (plane $k) — malformed embedding; planes are " +
+          "sampled from the corpus and must match the vector dimension")
       var s = 0.0
       var i = 0
       while (i < n) {

@@ -184,11 +184,16 @@ object Materialize {
     // not probed) and rebuild-once on failure instead of serving a
     // dead handle. THROTTLED (ADVICE r10): a probe is itself a Spark
     // job, so a hit re-probes at most once per probeIntervalMs — a
-    // high-QPS facade serves straight from the memo between probes,
-    // and a handle that dies inside the window surfaces as one failed
-    // replay whose NEXT call probes-and-heals (the serving loop's
-    // retry grain, not a correctness hole: the memo is an
-    // optimization, never a correctness carrier). NonFatal only: a
+    // high-QPS facade serves straight from the memo between probes.
+    // WORST-CASE HEAL LATENCY (ADVICE r12 — the precise statement): a
+    // handle that dies INSIDE the window keeps being served unprobed
+    // until the window expires, so every caller-side replay in that
+    // stretch fails — up to probeIntervalMs (30 s) of failures before
+    // the next probe heals. The serving loop's retry grain, not a
+    // correctness hole: the memo is an optimization, never a
+    // correctness carrier, and an executor-loss event that kills
+    // checkpoint blocks mid-window is already a whole-cluster incident
+    // at that timescale. NonFatal only: a
     // cancellation or OOM during the probe propagates instead of
     // masquerading as staleness. The evict is CONDITIONAL on the
     // probed reference, so a concurrent healer that already replaced

@@ -67,7 +67,11 @@ import graft.streaming.CepMatcher.CepEvent
   * cap under `onLate="fail"` (the depthCap precedent) or sheds the
   * over-cap event into `n_late_dropped` under `"drop"` — per-key
   * state is bounded by an explicit constant either way, never by the
-  * caller's lateness declaration alone.
+  * caller's lateness declaration alone. The cap counts only
+  * WINDOW-RESIDENT occupancy (round 12): at the cap an interleaved
+  * release pass drains everything the running watermark has already
+  * passed, so a large in-order catch-up batch (Trigger.AvailableNow
+  * over a backlog) never trips it on events that are not late.
   */
 object CepPattern extends Serializable {
 
@@ -201,11 +205,28 @@ object CepPattern extends Serializable {
     * buffer the rest, then release — in (ts_us, event_id) order —
     * every buffered event the event-time watermark (high-water minus
     * the declared lateness) has passed, advancing the frontier to the
-    * last released event. Returns the released events, ready to feed. */
+    * last released event. Returns the released events, ready to feed.
+    *
+    * The hard cap counts only POST-RELEASE occupancy (round 12): a
+    * single large in-order catch-up batch (Trigger.AvailableNow over a
+    * backlog) would otherwise fill the buffer with events the
+    * end-of-call release drains anyway and trip the cap on events that
+    * are not late — killing the query under onLate="fail" or
+    * miscounting in-order events as n_late_dropped under "drop". At
+    * the cap an interleaved release pass first moves everything
+    * already below the running watermark out of the buffer; only
+    * events genuinely inside the lateness window can refuse an
+    * arrival. */
   private def admit[T](st: GuardedState[T], userId: Long,
                        evs: Array[(Long, Long, T)], allowedLatenessUs: Long,
                        onLate: String,
                        maxBufferedEvents: Int): Seq[(Long, Long, T)] = {
+    // events moved out of the buffer by the cap's interleaved release
+    // pass: NOT fed mid-loop (feeding would advance the frontier and
+    // could misjudge a later same-batch event as late) — they merge
+    // and sort with the end-of-call release, so the released set is
+    // exactly what one end-of-call pass would release
+    val early = ArrayBuffer.empty[(Long, Long, T)]
     evs.foreach { case (ts, id, payload) =>
       if (ts > st.maxSeenTs) st.maxSeenTs = ts
       if (payload != null) {
@@ -222,33 +243,49 @@ object CepPattern extends Serializable {
               "each key's events in event-time order (keyed topic), " +
               "raise allowedLatenessUs to cover the source's disorder, " +
               "or declare onLate=\"drop\" to skip-and-count.")
-        } else if (allowedLatenessUs > 0L &&
-            st.buffer.length >= maxBufferedEvents) {
-          // HARD CAP on the reorder buffer (round 11 — the admission
-          // guard's missing bound): under a declared lateness the
-          // buffer's natural size is arrival-rate × lateness, which a
-          // hot key under a large declared lateness grows without
-          // limit. Past the cap the arriving event is refused — loudly
-          // under "fail" (the depthCap precedent), or dropped WITH the
-          // count surfaced in n_late_dropped when the caller already
-          // opted into lossy "drop". Lateness 0 buffers nothing across
-          // batches, so the cap binds only when a reorder window
-          // actually exists.
-          if (onLate == "drop") st.dropped += 1
-          else throw new IllegalStateException(
-            s"CEP reorder buffer for key $userId exceeded " +
-              s"maxBufferedEvents=$maxBufferedEvents with " +
-              s"allowedLatenessUs=$allowedLatenessUs: the key buffers " +
-              "arrival-rate × lateness events awaiting event-time " +
-              "release. Lower the declared lateness, raise " +
-              "maxBufferedEvents, or declare onLate=\"drop\" to " +
-              "shed-and-count past the cap.")
-        } else st.buffer += ((ts, id, payload))
+        } else {
+          if (allowedLatenessUs > 0L &&
+              st.buffer.length >= maxBufferedEvents) {
+            // INTERLEAVED RELEASE before refusing (round 12 — the cap
+            // bounds WINDOW-RESIDENT state, not batch size): move
+            // every buffered event the running watermark has already
+            // passed into the early set; mid-loop releases are a
+            // subset of the end-of-call release (the watermark is
+            // monotone within the call), so semantics are unchanged.
+            val wm = st.maxSeenTs - allowedLatenessUs
+            val (rel, keep) = st.buffer.partition(_._1 < wm)
+            if (rel.nonEmpty) { early ++= rel; st.buffer = keep }
+          }
+          if (allowedLatenessUs > 0L &&
+              st.buffer.length >= maxBufferedEvents) {
+            // HARD CAP on the reorder buffer (round 11 — the admission
+            // guard's missing bound): under a declared lateness the
+            // buffer's natural size is arrival-rate × lateness, which a
+            // hot key under a large declared lateness grows without
+            // limit. Past the cap the arriving event is refused — loudly
+            // under "fail" (the depthCap precedent), or dropped WITH the
+            // count surfaced in n_late_dropped when the caller already
+            // opted into lossy "drop". Lateness 0 buffers nothing across
+            // batches, so the cap binds only when a reorder window
+            // actually exists — and after the interleaved release above,
+            // only when that window genuinely holds maxBufferedEvents.
+            if (onLate == "drop") st.dropped += 1
+            else throw new IllegalStateException(
+              s"CEP reorder buffer for key $userId exceeded " +
+                s"maxBufferedEvents=$maxBufferedEvents with " +
+                s"allowedLatenessUs=$allowedLatenessUs: the key buffers " +
+                "arrival-rate × lateness events awaiting event-time " +
+                "release. Lower the declared lateness, raise " +
+                "maxBufferedEvents, or declare onLate=\"drop\" to " +
+                "shed-and-count past the cap.")
+          } else st.buffer += ((ts, id, payload))
+        }
       }
     }
     val watermark = st.maxSeenTs - allowedLatenessUs
-    if (st.buffer.isEmpty) Nil
-    else {
+    if (st.buffer.nonEmpty) {
+      // the buffer PERSISTS SORTED — the count-mode snapshot feeders
+      // walk it directly, so insertion order must never leak out
       val sorted = st.buffer.sortBy(e => (e._1, e._2))
       // lateness 0 keeps the documented zero-buffer contract (release
       // everything, in order); a declared lateness releases STRICTLY
@@ -261,12 +298,17 @@ object CepPattern extends Serializable {
         if (allowedLatenessUs == 0L)
           (sorted, ArrayBuffer.empty[(Long, Long, T)])
         else sorted.partition(_._1 < watermark)
+      early ++= rel
       st.buffer = keep
-      rel.lastOption.foreach { case (ts, id, _) =>
+    }
+    if (early.isEmpty) Nil
+    else {
+      val sorted = early.sortBy(e => (e._1, e._2))
+      sorted.lastOption.foreach { case (ts, id, _) =>
         st.lastTs = ts
         st.lastId = id
       }
-      rel.toSeq
+      sorted.toSeq
     }
   }
 

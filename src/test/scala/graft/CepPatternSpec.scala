@@ -268,6 +268,41 @@ class CepPatternSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 1L, 2L)), rows.toSeq)
   }
 
+  test("the cap counts only window-resident events: an in-order " +
+    "catch-up batch larger than the cap passes under onLate=fail") {
+    // 10 in-order events spaced 1 h apart, 1 h declared lateness,
+    // maxBufferedEvents=4: pre-round-12 the whole batch buffered
+    // BEFORE any release ran, so event 5 tripped the cap on an event
+    // that is not late (the ADVICE scenario — Trigger.AvailableNow
+    // over a backlog). The interleaved release pass drains everything
+    // the running watermark passed, so only the ≤1 h window counts
+    // toward the cap and the query must complete with the batch count.
+    val hourUs = 3600L * 1000000
+    val evs = Seq((1L, 1L, "view", 1), (2L, 1L, "click", 2),
+      (3L, 1L, "purchase", 3), (4L, 1L, "view", 4),
+      (5L, 1L, "click", 5), (6L, 1L, "purchase", 6),
+      (7L, 1L, "view", 7), (8L, 1L, "click", 8),
+      (9L, 1L, "purchase", 9), (10L, 1L, "purchase", 10))
+    val base = Files.createTempDirectory("graft_cepcatchup")
+    val src = Files.createDirectory(base.resolve("src"))
+    writeChunk(src, "b1.json", evs)
+    val q = CepPattern
+      .matches(spark, StreamingIngest.parse(
+        spark.readStream.text(src.toString)), "v[co]*p",
+        allowedLatenessUs = hourUs, onLate = "fail",
+        maxBufferedEvents = 4)
+      .writeStream.format("parquet")
+      .option("path", base.resolve("out").toString)
+      .outputMode("append")
+      .option("checkpointLocation", base.resolve("cp").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination() // would throw "reorder buffer" pre-fix
+    val rows = spark.read.parquet(base.resolve("out").toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // vcp vcp vcp p → 3 matches, nothing dropped, nothing late
+    assert(rows.toSeq == Seq((1L, 3L, 0L)), rows.toSeq)
+  }
+
   test("emit-on-change: an untouched key emits nothing") {
     val base = Files.createTempDirectory("graft_cepquiet")
     val src = Files.createDirectory(base.resolve("src"))
