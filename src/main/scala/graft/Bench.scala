@@ -63,6 +63,19 @@ import org.apache.spark.sql.SparkSession
   *     annotated with this run's own boundary loadavgs, so an
   *     ambient-load drift and a code regression read differently on
   *     the artifact itself with no hand adjudication.
+  *   - the COLD drift column is SELF-ADJUDICATING (round 12): every
+  *     cold_flagged entry carries the flagged query's OWN cold-pass
+  *     boundary loadavgs (recorded around each cold query, not just
+  *     pass edges) plus one automatic end-of-bench retry of its cold
+  *     path and a mechanical verdict — "ambient" when the retry would
+  *     not itself flag against the prior (contention moved on;
+  *     JIT/Janino warm — deliberate one-time builds also retry fast by
+  *     design), "reproduced" when it would (a real cold-path
+  *     regression). See BenchDrift (logic pinned by BenchDriftSpec).
+  *   - a LOAD GATE annotates (never refuses — an unattended run must
+  *     still produce an artifact) both the stdout line and
+  *     BENCH_FULL.json with {loadavg_1m, threshold, contended} read at
+  *     bench start; SPARK_GRAFT_LOAD_GATE overrides the 2.0 default.
   *
   * Whole-stage-codegen classes are Janino-cached by source text, so
   * steady passes measure execution, not compilation — what a warehouse
@@ -133,8 +146,6 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       elapsed
     }
-    def pass(): Seq[(String, Double)] =
-      queries.map { case (name, fn) => name -> timed(name, fn) }
     // pass-boundary markers: wall clock + /proc/loadavg (1/5/15-min),
     // so the artifact itself shows whether the machine was contended
     // during any single pass
@@ -146,9 +157,30 @@ object Bench {
       catch { case _: Throwable => "" }
     def mark(label: String): Unit =
       boundaries += ((label, System.currentTimeMillis(), loadavg()))
+    // LOAD GATE (round 12): annotate — never refuse; the driver must
+    // always get an artifact — when the 1-min loadavg at start exceeds
+    // the threshold, so a contended run is marked on the artifact
+    // itself instead of adjudicated in prose afterwards
+    val loadGate: String = {
+      val la1m = loadavg().split(",").headOption.getOrElse("")
+      val thr = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
+      s"""{"loadavg_1m":"$la1m","threshold":$thr,""" +
+        s""""contended":${BenchDrift.contended(la1m, thr)}}"""
+    }
+    // the COLD pass records loadavg at EVERY query's own boundaries
+    // (round 12 — the drift ledger's per-flag evidence: a flagged cold
+    // reads with the load that surrounded exactly it, not the pass)
+    val coldLa = scala.collection.mutable.Map.empty[String, (String, String)]
+    def pass(recordLa: Boolean = false): Seq[(String, Double)] =
+      queries.map { case (name, fn) =>
+        val la0 = if (recordLa) loadavg() else ""
+        val t = timed(name, fn)
+        if (recordLa) coldLa(name) = (la0, loadavg())
+        name -> t
+      }
     resetScratch()
     mark("cold_start")
-    val cold = pass()
+    val cold = pass(recordLa = true)
     mark("cold_end")
     val steadyRuns: Seq[Seq[(String, Double)]] =
       if (sys.env.contains("SPARK_GRAFT_SINGLE_PASS")) Seq.empty
@@ -209,32 +241,53 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(priorPath)), "UTF-8")
-        def block(key: String): Map[String, Double] = {
-          val b = (""""""" + key + """":\{([^}]*)\}""").r
-            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-          """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(b)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-        val prior = block("queries")
-        val priorCold = block("queries_cold")
+        val prior = BenchDrift.block(txt, "queries")
+        val priorCold = BenchDrift.block(txt, "queries_cold")
         val la0 = boundaries.headOption.map(_._3).getOrElse("")
         val laN = boundaries.lastOption.map(_._3).getOrElse("")
-        def flagsOf(now: Seq[(String, Double)],
-                    base: Map[String, Double]): Seq[String] =
-          now.collect { case (n, v)
-            if base.contains(n) && v > base(n) * 1.5 && v - base(n) > 0.5 =>
-              s"""{"query":"$n","prior":${r3(base(n))},"now":${r3(v)},""" +
-                s""""ratio":${r3(v / math.max(base(n), 1e-9))},""" +
-                s""""loadavg_cold_start":"$la0","loadavg_end":"$laN"}"""
-          }
-        val compared = steady.filter { case (n, _) => prior.contains(n) }
-        val flags = flagsOf(steady, prior)
+        val flags = steady.collect { case (n, v)
+          if prior.contains(n) && BenchDrift.flagged(prior(n), v) =>
+            s"""{"query":"$n","prior":${r3(prior(n))},"now":${r3(v)},""" +
+              s""""ratio":${r3(v / math.max(prior(n), 1e-9))},""" +
+              s""""loadavg_cold_start":"$la0","loadavg_end":"$laN"}"""
+        }
         // cold drift (round 11): steady hides a build-path regression —
         // a Materialize/CTAS artifact whose BUILD got slower reruns
-        // fast once built, so only the cold column can catch it. Same
-        // flag rule; cold numbers carry JIT/first-read noise, so read
-        // flags with the boundary loadavgs like the steady ones.
-        val coldFlags = flagsOf(cold, priorCold)
+        // fast once built, so only the cold column can catch it.
+        // SELF-ADJUDICATING (round 12 — the round-11 verdict's demand):
+        // each cold flag carries (a) the flagged query's OWN cold-pass
+        // boundary loadavgs and (b) one automatic end-of-bench retry
+        // of its cold path with a mechanical verdict — ambient
+        // contention does not reproduce with JIT/Janino warm, a real
+        // cold-path regression does (deliberate one-time builds retry
+        // fast by design; see BenchDrift.verdict). The retry reuses the
+        // cold_rerun measurement when the query already re-ran there.
+        val coldFlagNames = cold.collect { case (n, v)
+          if priorCold.contains(n) && BenchDrift.flagged(priorCold(n), v) => n }
+        val rerunMap = coldRerun.toMap
+        val retries: Map[String, Double] =
+          if (coldFlagNames.isEmpty || steadyRuns.isEmpty) Map.empty
+          else {
+            val fresh = coldFlagNames.filterNot(rerunMap.contains)
+            if (fresh.nonEmpty) resetScratch()
+            val r = coldFlagNames.map(n =>
+              n -> rerunMap.getOrElse(n, timed(n, qmap(n)))).toMap
+            mark("cold_flag_retry_end")
+            r
+          }
+        val coldMapNow = cold.toMap
+        val coldFlags = coldFlagNames.map { n =>
+          val v = coldMapNow(n)
+          val (qla0, qla1) = coldLa.getOrElse(n, ("", ""))
+          val retryJson = retries.get(n).map(rv =>
+            s""","retry":${r3(rv)},"verdict":"${
+              BenchDrift.verdict(priorCold(n), rv)}"""").getOrElse("")
+          s"""{"query":"$n","prior":${r3(priorCold(n))},"now":${r3(v)},""" +
+            s""""ratio":${r3(v / math.max(priorCold(n), 1e-9))},""" +
+            s""""loadavg_before":"$qla0","loadavg_after":"$qla1"""" +
+            retryJson + "}"
+        }
+        val compared = steady.filter { case (n, _) => prior.contains(n) }
         val ratios = compared.map { case (n, v) =>
           v / math.max(prior(n), 1e-9) }.sorted
         val median =
@@ -265,7 +318,7 @@ object Bench {
     }
     // Full detail → repo files (the harness records only the last ~2000
     // chars of stdout, which a 160-query map overflows).
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(steady)},"cold_total":${r3(coldTotal)},"queries_cold":${js(cold)},"errors":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","load_gate":$loadGate,"queries":${js(steady)},"cold_total":${r3(coldTotal)},"queries_cold":${js(cold)},"errors":$errs,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
@@ -280,7 +333,7 @@ object Bench {
     def line(keep: Seq[(String, Double)], rest: Seq[(String, Double)]): String = {
       val others =
         s""","others":{"n":${rest.size},"sum":${r3(rest.map(_._2).sum)}}"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(keep.sortBy(_._1))}${if (rest.nonEmpty) others else ""},"cold_total":${r3(coldTotal)},"steady_passes":${steadyRuns.size},"inverted":${inverted.size},"errors":$errs,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","load_gate":$loadGate,"queries":${js(keep.sortBy(_._1))}${if (rest.nonEmpty) others else ""},"cold_total":${r3(coldTotal)},"steady_passes":${steadyRuns.size},"inverted":${inverted.size},"errors":$errs,"sf":"$sfDir","full":"BENCH_FULL.json"}"""
     }
     var k = bySlow.size
     while (k > 1 && line(bySlow.take(k), bySlow.drop(k)).length > budget) k -= 1

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the drift ledger's pure logic (graft.BenchDrift) — the flag
+  * rule, the retry verdict that makes the cold ledger self-adjudicating
+  * (round 12), the prior-artifact block parse, and the load-gate
+  * predicate — so the bench's adjudication semantics are spec-frozen
+  * without running a bench. */
+class BenchDriftSpec extends AnyFunSuite {
+
+  test("flag rule: ratio > 1.5 AND excess > 0.5 s, both required") {
+    // the round-10 rule, unchanged: sub-second walls are noise
+    assert(BenchDrift.flagged(prior = 2.0, now = 4.0))    // 2x, +2 s
+    assert(!BenchDrift.flagged(prior = 0.2, now = 0.6))   // 3x but +0.4 s
+    assert(!BenchDrift.flagged(prior = 10.0, now = 12.0)) // +2 s but 1.2x
+    assert(!BenchDrift.flagged(prior = 2.0, now = 3.0))   // exactly 1.5x
+    // the boundary: excess must EXCEED 0.5
+    assert(!BenchDrift.flagged(prior = 0.9, now = 1.4))
+    assert(BenchDrift.flagged(prior = 0.9, now = 1.41))
+  }
+
+  test("retry verdict: ambient iff the retry would not itself flag") {
+    // the round-11 driver's worst entry: gr_components_incr cold
+    // 9.37 -> 39.48 s; a retry near the prior exonerates as ambient,
+    // a retry reproducing the excess indicts the cold path
+    assert(BenchDrift.verdict(prior = 9.37, retry = 10.1) == "ambient")
+    assert(BenchDrift.verdict(prior = 9.37, retry = 38.0) == "reproduced")
+    // boundary follows the flag rule exactly
+    assert(BenchDrift.verdict(prior = 2.0, retry = 3.0) == "ambient")
+    assert(BenchDrift.verdict(prior = 2.0, retry = 3.1) == "reproduced")
+    // sub-second priors: a big ratio alone never reproduces
+    assert(BenchDrift.verdict(prior = 0.19, retry = 0.60) == "ambient")
+  }
+
+  test("block parse reads the named map out of a BENCH_FULL line") {
+    val txt = """{"metric":"total","value":1.0,"unit":"sec",""" +
+      """"queries":{"a_q":1.500,"b_q":0.250},""" +
+      """"cold_total":9.9,"queries_cold":{"a_q":2.000,"b_q":1.000},""" +
+      """"errors":[],"sf":"x"}"""
+    assert(BenchDrift.block(txt, "queries") ==
+      Map("a_q" -> 1.5, "b_q" -> 0.25))
+    assert(BenchDrift.block(txt, "queries_cold") ==
+      Map("a_q" -> 2.0, "b_q" -> 1.0))
+    assert(BenchDrift.block(txt, "missing").isEmpty)
+    assert(BenchDrift.block("not json at all", "queries").isEmpty)
+  }
+
+  test("load gate: numeric compare against the threshold, robust to " +
+    "garbage") {
+    assert(BenchDrift.contended("4.33", 2.0))
+    assert(!BenchDrift.contended("0.61", 2.0))
+    assert(!BenchDrift.contended("2.0", 2.0)) // strict
+    assert(!BenchDrift.contended("", 2.0))
+    assert(!BenchDrift.contended("n/a", 2.0))
+  }
+}
