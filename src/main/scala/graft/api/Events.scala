@@ -297,7 +297,8 @@ object Events {
   def matchVarMeasuresBy(events: DataFrame,
                          components: Seq[(String, String)],
                          skip: graft.functions.RowPattern.SkipMode,
-                         valueCol: String)
+                         valueCol: String,
+                         subsets: Seq[(String, Seq[String])] = Nil)
                         (classify: (org.apache.spark.sql.Row,
                           org.apache.spark.sql.Row) => Char,
                          idCol: String = "user_id",
@@ -305,7 +306,44 @@ object Events {
                          orderCol: String = "ts"): DataFrame =
     graft.operators.EventAnalytics.matchVarMeasures(
       events, components, skip, Seq(idCol), Seq(orderCol, tieCol),
+      tieCol, valueCol, subsets)(classify)
+
+  /** ALL ROWS PER MATCH with RUNNING vs FINAL measures (round 12 —
+    * SQL:2016's RUNNING SUM(x) is the aggregate up to and including
+    * the current row, FINAL SUM(x) the whole match's): every matched
+    * row as (idCol..., match_seq, ord_in_match, id, cls, running_sum,
+    * final_sum); RUNNING COUNT(*) is ord_in_match itself. The running
+    * accumulator rides the confirming span's ring slice — no window,
+    * no re-join. Terminator-disjoint patterns only; delegates to the
+    * path behind the oracle-checked `ev_updown_running`. */
+  def matchRowsRunningBy(events: DataFrame, pattern: String,
+                         valueCol: String)
+                        (classify: (org.apache.spark.sql.Row,
+                          org.apache.spark.sql.Row) => Char,
+                         idCol: String = "user_id",
+                         tieCol: String = "event_id",
+                         orderCol: String = "ts"): DataFrame =
+    graft.operators.EventAnalytics.matchRowsRunning(
+      events, pattern, Seq(idCol), Seq(orderCol, tieCol),
       tieCol, valueCol)(classify)
+
+  /** Row-pattern match counts with DEEP NAVIGATION — PREV(col, n) for
+    * n up to 64 (round 12; [[matchPatternBy]] is n = 1): `classify`
+    * sees the entity's last `lag` rows ordered OLDEST→NEWEST
+    * (`prevs.last` = PREV(1), `prevs.head` = PREV(lag) once full;
+    * shorter near the entity's start), so `DEFINE U AS price >
+    * PREV(price, 2)` is expressible. Per-entity state is the machine
+    * plus a bounded lag-row ring. Delegates to the path behind the
+    * oracle-checked `ev_updown_lag2`. */
+  def matchPatternByLag(events: DataFrame, pattern: String, lag: Int)
+                       (classify: (collection.IndexedSeq[
+                          org.apache.spark.sql.Row],
+                          org.apache.spark.sql.Row) => Char,
+                        idCol: String = "user_id",
+                        tieCol: String = "event_id",
+                        orderCol: String = "ts"): DataFrame =
+    graft.operators.EventAnalytics.matchCountsClassifiedLag(
+      events, pattern, Seq(idCol), Seq(orderCol, tieCol), lag)(classify)
 
   /** Streaming twin of [[matchPattern]]: the SAME machine carried as
     * checkpointed per-key state through flatMapGroupsWithState

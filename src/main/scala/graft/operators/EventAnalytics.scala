@@ -395,6 +395,72 @@ object EventAnalytics {
           col("id").as("o_orderkey"), col("var"))
         .orderBy("o_custkey", "match_seq", "ord_in_match")),
 
+    // SQL:2016 SUBSET — named unions of pattern variables: over the
+    // V-shape with SKIP TO LAST up, `SUBSET w = (down, up)` measures
+    // the WHOLE excursion (fall + recovery) as one variable —
+    // COUNT(w.*) and SUM(w.cents) per match — without the caller
+    // summing components by hand. Engine: the same SkipScanner
+    // boundaries aggregate the union of the member components' rows
+    // (a row maps to exactly one component, so member sums add —
+    // replay-pinned in EventFoldSpec against java.regex groups).
+    // ORACLE: down ∪ up is the contiguous rn range [j..m] of the
+    // islands closed form (the members are ADJACENT components), so
+    // one in-range aggregate names the subset arithmetically.
+    "ev_vshape_subset" -> ((s, dir) =>
+      matchVarMeasures(updownOrders(s, dir), vshapeComponents,
+        graft.functions.RowPattern.SkipMode.ToLast("up"),
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"),
+        "o_orderkey", "cents",
+        subsets = Seq("w" -> Seq("down", "up")))(updownClassify)
+        .select(col("o_custkey"), col("match_seq"), col("start_id"),
+          col("end_id"), col("w_n"), col("w_sum"))
+        .orderBy("o_custkey", "match_seq")),
+
+    // RUNNING vs FINAL measures at ALL ROWS grain (SQL:2016: RUNNING
+    // SUM(x) aggregates the match's rows up to and including the
+    // current row, FINAL SUM(x) the whole match): every row of every
+    // U+D match carries its classifier label, the running cents sum,
+    // and the match's final cents sum — the running accumulator rides
+    // the same ordered fold that emits the rows, so the clause costs
+    // nothing beyond the one entity-keyed shuffle. ORACLE: the
+    // closed-form span table joined to the classified rows in range
+    // with a ROWS UNBOUNDED PRECEDING window sum (running) and a
+    // whole-partition sum (final) — no regex engine anywhere.
+    "ev_updown_running" -> ((s, dir) =>
+      matchRowsRunning(updownOrders(s, dir), "U+D", Seq("o_custkey"),
+        Seq("o_orderdate", "o_orderkey"), "o_orderkey", "cents")(
+        updownClassify)
+        .select(col("o_custkey"), col("match_seq"), col("ord_in_match"),
+          col("id").as("o_orderkey"), col("cls"),
+          col("running_sum").as("running_cents"),
+          col("final_sum").as("final_cents"))
+        .orderBy("o_custkey", "match_seq", "ord_in_match")),
+
+    // DEEP NAVIGATION — PREV(col, 2): rows classify against the order
+    // TWO back (`DEFINE U AS total > PREV(total, 2)`), which no lag-1
+    // classifier can express; the fold holds a 2-row ring per
+    // customer. Pattern U+D over the lag-2 classification counts
+    // "two-step rallies that reverse". ORACLE: the same closed form as
+    // ev_updown_runs — a match per D whose predecessor classifies U —
+    // over a lag(total, 2) classification, so the oracle runs two lags
+    // and no regex engine.
+    "ev_updown_lag2" -> ((s, dir) =>
+      matchCountsClassifiedLag(updownOrders(s, dir), "U+D",
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"), lag = 2)(
+        (prevs, cur) =>
+          if (prevs.length < 2) 'o'
+          else {
+            val p = prevs.head.getAs[Double]("o_totalprice")
+            val c = cur.getAs[Double]("o_totalprice")
+            if (c > p) 'U' else if (c < p) 'D' else 'e'
+          })
+        .withColumnRenamed("n_matches", "n_lag2_reversals")
+        .groupBy("n_lag2_reversals")
+        .agg(count(lit(1)).as("n_customers"),
+          min("o_custkey").as("min_cust"),
+          max("o_custkey").as("max_cust"))
+        .orderBy("n_lag2_reversals")),
+
     // RFM SEGMENTATION — the marketing-analytics classic: per
     // purchasing user, Recency (days from last purchase to the corpus
     // high-water mark), Frequency (purchase count), Monetary (decimal-
@@ -644,6 +710,45 @@ object EventAnalytics {
       st => Seq(java.lang.Long.valueOf(st.m.finish())))
   }
 
+  /** Row-pattern match counts with DEEP NAVIGATION — PREV(col, n) for
+    * n > 1 (round 12; [[matchCountsClassified]] is the n = 1 case):
+    * SQL:2016 DEFINE predicates may navigate any fixed distance back
+    * (`DEFINE U AS price > PREV(price, 2)`), so here the classifier
+    * sees the entity's last `lag` rows — `classify(prevs, cur)` with
+    * `prevs` ordered OLDEST→NEWEST (so `prevs.last` is PREV(1) and
+    * `prevs.head` is PREV(n) once the window is full; shorter than
+    * `lag` near the entity's start). The fold holds a bounded `lag`-row
+    * ring per entity — state O(|pattern| + lag), never the trace; lag
+    * is capped at 64 like counted repetition (a deeper fixed
+    * navigation is the wrong tool in any engine). NEXT(k) is the same
+    * ring run on the reversed order (the overlapCountsOf technique) —
+    * compose with negated orderCols if needed. */
+  private[graft] def matchCountsClassifiedLag(
+      ev: DataFrame, pattern: String, keyCols: Seq[String],
+      orderCols: Seq[String], lag: Int, depthCap: Int = 4096)(
+      classify: (collection.IndexedSeq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.Row) => Char): DataFrame = {
+    require(lag >= 1 && lag <= 64, s"navigation depth $lag out of [1,64]")
+    val prog = graft.functions.RowPattern.compile(pattern)
+    final class St {
+      val m = new graft.functions.RowPattern.MatchCounter(prog, depthCap)
+      val prevs = scala.collection.mutable.ArrayDeque
+        .empty[org.apache.spark.sql.Row]
+    }
+    graft.api.Folds.foldOrdered(
+      ev, keyCols, orderCols,
+      out = new org.apache.spark.sql.types.StructType()
+        .add("n_matches", org.apache.spark.sql.types.LongType))(
+      () => new St)(
+      (st, r) => {
+        st.m.feed(classify(st.prevs, r))
+        st.prevs.append(r)
+        if (st.prevs.length > lag) { st.prevs.removeHead(); () }
+        st
+      })(
+      st => Seq(java.lang.Long.valueOf(st.m.finish())))
+  }
+
   /** ONE ROW PER MATCH with DEFINE-style NAVIGATION (round 11 — the
     * matchCountsClassified classifier threaded through the span-family
     * output modes): the code char is computed INSIDE the ordered fold
@@ -739,6 +844,74 @@ object EventAnalytics {
         val c = classify(st.prev, r)
         st.prev = r
         val out = st.ring.feed((r.getLong(idIdx), String.valueOf(c)), c)
+          .flatMap(st.rows)
+        st.ring.prune()
+        out
+      })(
+      st => st.ring.finishSpans().flatMap(st.rows))
+  }
+
+  /** ALL ROWS PER MATCH with RUNNING vs FINAL measure semantics
+    * (round 12 — the SQL:2016 distinction the MEASURES clause defines
+    * at ALL ROWS grain: `RUNNING SUM(x)` is the aggregate over the
+    * match's rows UP TO AND INCLUDING the current row, `FINAL SUM(x)`
+    * the aggregate over the WHOLE match, identical on the last row):
+    * the classified ALL ROWS fold, each emitted row additionally
+    * carrying `running_sum` (the inclusive prefix sum of `measureCol`
+    * inside its match — the fold walks the confirmed span's ring slice
+    * in order, so the accumulator is free) and `final_sum` (the
+    * match's total, known at confirmation since spans only emit
+    * confirmed). RUNNING COUNT(*) is `ord_in_match` itself, so no
+    * separate column. Emits (keyCols..., match_seq, ord_in_match, id,
+    * cls, running_sum, final_sum); same machine, ring, bounds, and
+    * terminator-disjoint contract as [[matchRowsClassified]];
+    * `measureCol` integral (pre-scale money to cents). */
+  private[graft] def matchRowsRunning(
+      ev: DataFrame, pattern: String, keyCols: Seq[String],
+      orderCols: Seq[String], idCol: String, measureCol: String)(
+      classify: (org.apache.spark.sql.Row,
+        org.apache.spark.sql.Row) => Char): DataFrame = {
+    val prog = graft.functions.RowPattern.compile(pattern)
+    require(graft.functions.RowPattern.terminatorDisjoint(prog),
+      s"RUNNING-measures ALL ROWS mode needs a terminator-disjoint " +
+        s"pattern; '$pattern' is not — use matchCountsClassified")
+    val idIdx = ev.schema.fieldIndex(idCol)
+    val mIdx = ev.schema.fieldIndex(measureCol)
+    final class St {
+      val ring = new graft.functions.RowPattern.SpanRing[
+        (Long, String, Long)](
+        new graft.functions.RowPattern.MatchCounter(prog, trackSpans = true))
+      var prev: org.apache.spark.sql.Row = _
+      var seq = 0L
+      def rows(sp: (Long, Long)): Seq[Seq[Any]] = {
+        seq += 1
+        val evs = ring.slice(sp)
+        var total = 0L
+        evs.foreach(total += _._3)
+        var running = 0L
+        evs.zipWithIndex.map { case ((id, cls, v), ord) =>
+          running += v
+          Seq(Long.box(seq), Long.box(ord + 1L), Long.box(id), cls,
+            Long.box(running), Long.box(total))
+        }
+      }
+    }
+    graft.api.Folds.flatFoldOrdered(
+      ev, keyCols, orderCols,
+      out = new org.apache.spark.sql.types.StructType()
+        .add("match_seq", org.apache.spark.sql.types.LongType)
+        .add("ord_in_match", org.apache.spark.sql.types.LongType)
+        .add("id", org.apache.spark.sql.types.LongType)
+        .add("cls", org.apache.spark.sql.types.StringType)
+        .add("running_sum", org.apache.spark.sql.types.LongType)
+        .add("final_sum", org.apache.spark.sql.types.LongType))(
+      () => new St)(
+      (st, r) => {
+        val c = classify(st.prev, r)
+        st.prev = r
+        val out = st.ring.feed(
+          (r.getLong(idIdx), String.valueOf(c),
+            if (r.isNullAt(mIdx)) 0L else r.getLong(mIdx)), c)
           .flatMap(st.rows)
         st.ring.prune()
         out
@@ -929,26 +1102,57 @@ object EventAnalytics {
     * java.regex would put in the `down` group. Aggregation happens on
     * the match's own rows at confirmation — nothing is re-shuffled or
     * joined back; per-entity state is one buffered attempt. Skip mode
-    * composes (overlapping matches each aggregate their own rows). */
+    * composes (overlapping matches each aggregate their own rows).
+    * `subsets` (round 12) adds SQL:2016 SUBSET columns — named unions
+    * of components (`SUBSET W = (down, up)`), each emitting
+    * `{name}_n` / `{name}_sum` over exactly the rows mapped to ANY
+    * member (the boundaries partition the match, so member sums add —
+    * validated inline). */
   private[graft] def matchVarMeasures(
       ev: DataFrame, components: Seq[(String, String)],
       skip: graft.functions.RowPattern.SkipMode,
       keyCols: Seq[String], orderCols: Seq[String],
-      idCol: String, measureCol: String)(
+      idCol: String, measureCol: String,
+      subsets: Seq[(String, Seq[String])] = Nil)(
       classify: (org.apache.spark.sql.Row,
         org.apache.spark.sql.Row) => Char): DataFrame = {
     val sp = new graft.functions.RowPattern.SkipProgram(components)
     val idIdx = ev.schema.fieldIndex(idCol)
     val mIdx = ev.schema.fieldIndex(measureCol)
     val names = components.map(_._1)
-    val outType = names.foldLeft(
-      new org.apache.spark.sql.types.StructType()
-        .add("match_seq", org.apache.spark.sql.types.LongType)
-        .add("start_id", org.apache.spark.sql.types.LongType)
-        .add("end_id", org.apache.spark.sql.types.LongType)) {
-      (t, n) => t.add(s"${n}_n", org.apache.spark.sql.types.LongType)
-        .add(s"${n}_sum", org.apache.spark.sql.types.LongType)
+    // SQL:2016 SUBSET (round 12): named UNIONS of pattern variables —
+    // `SUBSET W = (down, up)` makes W usable in MEASURES, aggregating
+    // over exactly the rows mapped to ANY member component. A row maps
+    // to exactly one component (the boundaries partition the match),
+    // so a subset's aggregate is the plain sum of its members' — no
+    // double counting by construction. Validated here like the
+    // standard: members must be declared components, subset names must
+    // not collide with component names or each other.
+    subsets.foreach { case (sn, members) =>
+      require(members.nonEmpty, s"SUBSET $sn needs at least one member")
+      require(!names.contains(sn),
+        s"SUBSET name '$sn' collides with a component name")
+      members.foreach(mn => require(names.contains(mn),
+        s"SUBSET $sn member '$mn' is not a declared component " +
+          s"(have: ${names.mkString(",")})"))
+      require(members.distinct.length == members.length,
+        s"SUBSET $sn lists a member twice")
     }
+    require(subsets.map(_._1).distinct.length == subsets.length,
+      "duplicate SUBSET names")
+    val subsetIdx: Seq[(String, Seq[Int])] =
+      subsets.map { case (sn, ms) => sn -> ms.map(names.indexOf(_)) }
+    val outType = (names.map(n => (s"${n}_n", s"${n}_sum")) ++
+      subsets.map { case (sn, _) => (s"${sn}_n", s"${sn}_sum") })
+      .foldLeft(
+        new org.apache.spark.sql.types.StructType()
+          .add("match_seq", org.apache.spark.sql.types.LongType)
+          .add("start_id", org.apache.spark.sql.types.LongType)
+          .add("end_id", org.apache.spark.sql.types.LongType)) {
+        case (t, (cn, sn2)) =>
+          t.add(cn, org.apache.spark.sql.types.LongType)
+            .add(sn2, org.apache.spark.sql.types.LongType)
+      }
     final class St {
       val sc = new graft.functions.RowPattern.SkipScanner[(Long, Long)](
         sp, skip)
@@ -958,14 +1162,22 @@ object EventAnalytics {
           : List[Seq[Any]] =
         ms.map { m =>
           seq += 1
-          val per = names.indices.flatMap { i =>
+          val perN = new Array[Long](names.length)
+          val perS = new Array[Long](names.length)
+          names.indices.foreach { i =>
             val c = m.comp(i)
             var s = 0L
             c.foreach(s += _._2)
-            Seq(Long.box(c.length.toLong), Long.box(s))
+            perN(i) = c.length.toLong
+            perS(i) = s
+          }
+          val per = names.indices.flatMap(i =>
+            Seq(Long.box(perN(i)), Long.box(perS(i))))
+          val sub = subsetIdx.flatMap { case (_, is) =>
+            Seq(Long.box(is.map(perN).sum), Long.box(is.map(perS).sum))
           }
           Seq(Long.box(seq), Long.box(m.first._1),
-            Long.box(m.last._1)) ++ per
+            Long.box(m.last._1)) ++ per ++ sub
         }
     }
     graft.api.Folds.flatFoldOrdered(
@@ -1738,6 +1950,80 @@ object EventAnalytics {
          |JOIN up ON up.o_custkey = mm.o_custkey
          |  AND up.match_seq = mm.match_seq
          |ORDER BY 1, 2""".stripMargin,
+
+    // SUBSET w = (down, up) from the same islands closed form: the
+    // members are ADJACENT components, so their union is the
+    // contiguous rn range [j..m] — one in-range aggregate per match
+    "ev_vshape_subset" ->
+      s"""WITH cls AS ($updownClsSql),
+         |$updownRunsSql,
+         |mm AS (
+         |  SELECT o_custkey, j, k, m, j - 1 AS start_rn, m AS end_rn,
+         |    CAST(row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY j) AS BIGINT) AS match_seq
+         |  FROM q),
+         |w AS (
+         |  SELECT mm.o_custkey, mm.match_seq,
+         |    CAST(count(*) AS BIGINT) AS w_n,
+         |    CAST(sum(r.cents) AS BIGINT) AS w_sum
+         |  FROM mm JOIN cls r ON r.o_custkey = mm.o_custkey
+         |    AND r.rn BETWEEN mm.j AND mm.m
+         |  GROUP BY 1, 2)
+         |SELECT mm.o_custkey, mm.match_seq, s.o_orderkey AS start_id,
+         |  e.o_orderkey AS end_id, w.w_n, w.w_sum
+         |FROM mm
+         |JOIN cls s ON s.o_custkey = mm.o_custkey AND s.rn = mm.start_rn
+         |JOIN cls e ON e.o_custkey = mm.o_custkey AND e.rn = mm.end_rn
+         |JOIN w ON w.o_custkey = mm.o_custkey
+         |  AND w.match_seq = mm.match_seq
+         |ORDER BY 1, 2""".stripMargin,
+
+    // RUNNING vs FINAL at ALL ROWS grain: the closed-form span table
+    // joined to the classified rows in range; running = ROWS UNBOUNDED
+    // PRECEDING window sum inside the match, final = the
+    // whole-partition sum; HUGEINT sums cast back to BIGINT
+    "ev_updown_running" ->
+      s"""WITH cls AS ($updownClsSql),
+         |m AS ($updownMatchSql),
+         |rr AS (
+         |  SELECT m.o_custkey, m.match_seq,
+         |    CAST(r.rn - m.start_rn + 1 AS BIGINT) AS ord_in_match,
+         |    r.o_orderkey, r.c AS cls,
+         |    CAST(sum(r.cents) OVER (PARTITION BY m.o_custkey,
+         |      m.match_seq ORDER BY r.rn ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS running_cents,
+         |    CAST(sum(r.cents) OVER (PARTITION BY m.o_custkey,
+         |      m.match_seq) AS BIGINT) AS final_cents
+         |  FROM m JOIN cls r ON r.o_custkey = m.o_custkey
+         |    AND r.rn BETWEEN m.start_rn AND m.end_rn)
+         |SELECT * FROM rr ORDER BY 1, 2, 3""".stripMargin,
+
+    // PREV(col, 2): the ev_updown_runs closed form — a match per D
+    // whose predecessor classifies U — over a lag(total, 2)
+    // classification; two lags, no regex engine
+    "ev_updown_lag2" ->
+      """WITH cls2 AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CASE WHEN lag(o_totalprice, 2) OVER w IS NULL THEN 'o'
+        |         WHEN o_totalprice > lag(o_totalprice, 2) OVER w THEN 'U'
+        |         WHEN o_totalprice < lag(o_totalprice, 2) OVER w THEN 'D'
+        |         ELSE 'e' END AS c
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |rev AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN c = 'D' AND lag(c) OVER w2 = 'U'
+        |         THEN 1 ELSE 0 END AS r
+        |  FROM cls2
+        |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY rn)),
+        |m AS (
+        |  SELECT o_custkey, CAST(sum(r) AS BIGINT) AS n_lag2_reversals
+        |  FROM rev GROUP BY o_custkey)
+        |SELECT n_lag2_reversals, count(*) AS n_customers,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+        |FROM m GROUP BY 1 ORDER BY n_lag2_reversals""".stripMargin,
 
     // classified MEASURES: the same in-range join aggregated per span;
     // cents are decimal-cast before the sum on both engines and the

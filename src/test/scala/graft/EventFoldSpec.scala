@@ -442,6 +442,151 @@ class EventFoldSpec extends SparkSpec {
     assert(e.getMessage.contains("terminator-disjoint"))
   }
 
+  test("SUBSET, RUNNING/FINAL, and PREV(col,2) equal java.regex " +
+    "replays of the same classification (round 12)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20261210L)
+    val data = (1L to 30L).flatMap { ent =>
+      (0 until rnd.nextInt(50)).map(i =>
+        (ent, i.toLong, rnd.nextInt(8).toDouble, rnd.nextInt(1000).toLong))
+    }
+    val df = data.toDF("ent", "seq", "v", "mv")
+    def classifyStr(vs: Seq[Double], lag: Int): String =
+      vs.zipWithIndex.map { case (v, i) =>
+        if (i < lag) 'o'
+        else if (v > vs(i - lag)) 'U'
+        else if (v < vs(i - lag)) 'D' else 'e'
+      }.mkString
+    val classify: (org.apache.spark.sql.Row,
+      org.apache.spark.sql.Row) => Char = (prev, cur) =>
+      if (prev == null) 'o'
+      else {
+        val p = prev.getDouble(2); val c = cur.getDouble(2)
+        if (c > p) 'U' else if (c < p) 'D' else 'e'
+      }
+
+    // --- SUBSET: java.regex groups replay under find() (PastLast) ---
+    // comps (s=., d=D+, u=U+) as the anchored regex (.)(D+)(U+) with
+    // each component captured; SUBSET w = (d, u) must sum exactly the
+    // rows java.regex puts in groups 2 and 3
+    val comps = Seq("s" -> ".", "d" -> "D+", "u" -> "U+")
+    val pastLast = graft.functions.RowPattern.SkipMode.PastLast
+    val gotSub = operators.EventAnalytics.matchVarMeasures(
+      df, comps, pastLast, Seq("ent"), Seq("seq"), "seq", "mv",
+      subsets = Seq("w" -> Seq("d", "u")))(classify)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        // cols: ent, match_seq, start_id, end_id, then
+        // (s_n, s_sum, d_n, d_sum, u_n, u_sum, w_n, w_sum) at 4..11
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10), r.getLong(11)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val wantSub = data.groupBy(_._1).toSeq.flatMap { case (ent, rows0) =>
+      val rows = rows0.sortBy(_._2)
+      val s = classifyStr(rows.map(_._3), 1)
+      val m = java.util.regex.Pattern.compile("(.)(D+)(U+)").matcher(s)
+      val out = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      var k = 0L
+      while (m.find()) {
+        k += 1
+        def agg(g: Int): (Long, Long) = {
+          val span = (m.start(g) until m.end(g)).map(rows(_))
+          (span.length.toLong, span.map(_._4).sum)
+        }
+        val (sn, ss) = agg(1); val (dn, ds) = agg(2); val (un, us) = agg(3)
+        out += ((ent, k, sn, ss, dn, ds, un, us, dn + un, ds + us))
+      }
+      out
+    }.sortBy(t => (t._1, t._2))
+    assert(gotSub == wantSub && gotSub.nonEmpty, "subset replay")
+    // subset validation is loud
+    val eSub = intercept[IllegalArgumentException](
+      operators.EventAnalytics.matchVarMeasures(
+        df, comps, pastLast, Seq("ent"), Seq("seq"), "seq", "mv",
+        subsets = Seq("w" -> Seq("d", "nope")))(classify))
+    assert(eSub.getMessage.contains("not a declared component"))
+
+    // --- RUNNING/FINAL at ALL ROWS grain: find() prefix-sum replay ---
+    val gotRun = operators.EventAnalytics.matchRowsRunning(
+      df, "U+D", Seq("ent"), Seq("seq"), "seq", "mv")(classify)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5), r.getLong(6)))
+      .toSeq.sorted
+    val wantRun = data.groupBy(_._1).toSeq.flatMap { case (ent, rows0) =>
+      val rows = rows0.sortBy(_._2)
+      val s = classifyStr(rows.map(_._3), 1)
+      val m = java.util.regex.Pattern.compile("U+D").matcher(s)
+      val out = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Long, Long, String, Long, Long)]
+      var k = 0L
+      while (m.find()) {
+        k += 1
+        val span = (m.start() until m.end()).map(rows(_))
+        val fin = span.map(_._4).sum
+        var run = 0L
+        span.zipWithIndex.foreach { case (row, i) =>
+          run += row._4
+          out += ((ent, k, i + 1L, row._2,
+            s.charAt(m.start() + i).toString, run, fin))
+        }
+      }
+      out
+    }.sorted
+    assert(gotRun == wantRun && gotRun.nonEmpty, "running replay")
+    // on each match's last row RUNNING == FINAL (the SQL:2016 law)
+    gotRun.groupBy(t => (t._1, t._2)).values.foreach { rs =>
+      val last = rs.maxBy(_._3)
+      assert(last._6 == last._7, s"running != final on last row: $last")
+    }
+
+    // --- PREV(col, 2): two-lag classification, java.regex count ---
+    val lagClassify: (collection.IndexedSeq[org.apache.spark.sql.Row],
+      org.apache.spark.sql.Row) => Char = (prevs, cur) =>
+      if (prevs.length < 2) 'o'
+      else {
+        val p = prevs.head.getDouble(2); val c = cur.getDouble(2)
+        if (c > p) 'U' else if (c < p) 'D' else 'e'
+      }
+    for (pattern <- Seq("U+D", "eU*D")) {
+      val got = operators.EventAnalytics.matchCountsClassifiedLag(
+        df, pattern, Seq("ent"), Seq("seq"), lag = 2)(lagClassify)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = data.groupBy(_._1).map { case (ent, rows) =>
+        val s = classifyStr(rows.sortBy(_._2).map(_._3), 2)
+        val m = java.util.regex.Pattern.compile(pattern).matcher(s)
+        var n = 0L
+        while (m.find()) n += 1
+        ent -> n
+      }
+      assert(got == want, s"lag-2 pattern $pattern")
+      if (pattern == "U+D") assert(got.values.sum > 0)
+    }
+    intercept[IllegalArgumentException](
+      operators.EventAnalytics.matchCountsClassifiedLag(
+        df, "U+D", Seq("ent"), Seq("seq"), lag = 0)(lagClassify))
+
+    // --- facades wire the same paths ---
+    assert(api.Events.matchVarMeasuresBy(df, comps, pastLast, "mv",
+        subsets = Seq("w" -> Seq("d", "u")))(
+        classify, idCol = "ent", tieCol = "seq", orderCol = "seq")
+        .collect().toSeq ==
+      operators.EventAnalytics.matchVarMeasures(
+        df, comps, pastLast, Seq("ent"), Seq("seq", "seq"), "seq", "mv",
+        subsets = Seq("w" -> Seq("d", "u")))(classify).collect().toSeq)
+    assert(api.Events.matchRowsRunningBy(df, "U+D", "mv")(
+        classify, idCol = "ent", tieCol = "seq", orderCol = "seq")
+        .collect().toSeq ==
+      operators.EventAnalytics.matchRowsRunning(
+        df, "U+D", Seq("ent"), Seq("seq", "seq"), "seq", "mv")(classify)
+        .collect().toSeq)
+    assert(api.Events.matchPatternByLag(df, "U+D", 2)(
+        lagClassify, idCol = "ent", tieCol = "seq", orderCol = "seq")
+        .collect().toSeq ==
+      operators.EventAnalytics.matchCountsClassifiedLag(
+        df, "U+D", Seq("ent"), Seq("seq", "seq"), 2)(lagClassify)
+        .collect().toSeq)
+  }
+
   test("fold clients keep Window and collect_list out of their plans") {
     // the scale contract of the migrations: one keyed shuffle + sort +
     // object fold — no window pass, no per-entity array buffer
