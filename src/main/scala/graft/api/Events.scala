@@ -553,4 +553,62 @@ object Events {
     graft.streaming.CepPattern.matchMeasures(
       spark, parsed, pattern, codeExpr, valueExpr, allowedLatenessUs,
       onLate, maxBufferedEvents)
+
+  /** Streaming twin of [[matchVarMeasuresBy]] (round 12 — streaming
+    * PER-VARIABLE MEASURES): every confirmed match emits one row per
+    * pattern component — (user_id, match_seq, var_name, n_rows,
+    * sum_value), the count and exact long sum of `measureCol` over
+    * exactly the rows java.regex's group assignment maps to that
+    * component — exactly once as the checkpointed SkipScanner confirms
+    * it, classification inside the state ([[matchPatternStreamBy]]'s
+    * DEFINE/PREV contract). Long form (the component list is a runtime
+    * argument; pivot for the batch wide shape). `measureCol` must be
+    * LONG — pre-scale money to cents. Restart-twin-pinned against the
+    * batch fold in CepPatternSpec. */
+  def matchVarMeasuresStreamBy(spark: org.apache.spark.sql.SparkSession,
+                               events: DataFrame,
+                               components: Seq[(String, String)],
+                               skip: graft.functions.RowPattern.SkipMode,
+                               measureCol: String,
+                               idCol: String = "user_id",
+                               tieCol: String = "event_id",
+                               orderCol: String = "ts",
+                               allowedLatenessUs: Long = 0L,
+                               onLate: String = "fail",
+                               maxBufferedEvents: Int =
+                                 graft.streaming.CepPattern.DefaultMaxBuffered)
+                              (classify: (org.apache.spark.sql.Row,
+                                org.apache.spark.sql.Row) => Char)
+      : org.apache.spark.sql.Dataset[
+        graft.streaming.CepPattern.CepVarMeasure] =
+    graft.streaming.CepPattern.matchVarMeasuresBy(
+      spark, events, components, skip, idCol, tieCol, orderCol,
+      measureCol, allowedLatenessUs, onLate, maxBufferedEvents)(classify)
+
+  /** Streaming twin of [[matchRowsSkipBy]] (round 12 — streaming
+    * labeled ALL ROWS for skip-mode patterns): when a match confirms,
+    * every covered row emits with its pattern-variable label —
+    * (user_id, match_seq, ord_in_match, id, var_name) — exactly once;
+    * under an overlapping skip a shared row re-emits once per match it
+    * participates in, with that match's ordinal. Classification inside
+    * the checkpointed state; restart-twin-pinned against the batch
+    * fold in CepPatternSpec. */
+  def matchRowsSkipStreamBy(spark: org.apache.spark.sql.SparkSession,
+                            events: DataFrame,
+                            components: Seq[(String, String)],
+                            skip: graft.functions.RowPattern.SkipMode,
+                            idCol: String = "user_id",
+                            tieCol: String = "event_id",
+                            orderCol: String = "ts",
+                            allowedLatenessUs: Long = 0L,
+                            onLate: String = "fail",
+                            maxBufferedEvents: Int =
+                              graft.streaming.CepPattern.DefaultMaxBuffered)
+                           (classify: (org.apache.spark.sql.Row,
+                             org.apache.spark.sql.Row) => Char)
+      : org.apache.spark.sql.Dataset[
+        graft.streaming.CepPattern.CepVarRow] =
+    graft.streaming.CepPattern.matchRowsSkipBy(
+      spark, events, components, skip, idCol, tieCol, orderCol,
+      allowedLatenessUs, onLate, maxBufferedEvents)(classify)
 }

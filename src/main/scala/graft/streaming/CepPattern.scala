@@ -190,6 +190,44 @@ object CepPattern extends Serializable {
                                 end_us: Long, end_event_id: Long,
                                 n_events: Long)
 
+  /** One emitted row per (confirmed match, pattern component) pair —
+    * streaming PER-VARIABLE MEASURES ([[matchVarMeasuresBy]]): the
+    * component's matched-row count and exact long sum over them. Long
+    * form (one row per component) because streaming Datasets need a
+    * static schema while the component list is a runtime argument;
+    * pivot downstream if the batch wide shape is wanted. */
+  final case class CepVarMeasure(user_id: Long, match_seq: Long,
+                                 var_name: String, n_rows: Long,
+                                 sum_value: Long)
+
+  /** One emitted row per EVENT of each confirmed skip-mode match with
+    * its pattern-variable label — streaming labeled ALL ROWS
+    * ([[matchRowsSkipBy]]). */
+  final case class CepVarRow(user_id: Long, match_seq: Long,
+                             ord_in_match: Long, id: Long,
+                             var_name: String)
+
+  /** Checkpointed per-key state for [[matchVarMeasuresBy]]: the
+    * SkipScanner over (id, measure) payloads, the PREV row
+    * (DEFINE/PREV window), and the per-key match ordinal; the reorder
+    * buffer holds whole rows (classification and the measure read must
+    * wait for event-time release). */
+  private[graft] final class VarMeasureState(
+      val sc: RowPattern.SkipScanner[(Long, Long)])
+      extends GuardedState[org.apache.spark.sql.Row] {
+    var prev: org.apache.spark.sql.Row = _
+    var seq: Long = 0L
+  }
+
+  /** Checkpointed per-key state for [[matchRowsSkipBy]]: the
+    * SkipScanner over id payloads plus the PREV row and ordinal. */
+  private[graft] final class VarRowState(
+      val sc: RowPattern.SkipScanner[Long])
+      extends GuardedState[org.apache.spark.sql.Row] {
+    var prev: org.apache.spark.sql.Row = _
+    var seq: Long = 0L
+  }
+
   /** Checkpointed per-key state for [[matchSkip]]: the SkipScanner —
     * the buffered current attempt + anchored thread set — carried
     * whole through the state store (everything in it is
@@ -780,6 +818,161 @@ object CepPattern extends Serializable {
         s"($codeExpr) AS code")
       .as[CepEvent]
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming PER-VARIABLE MEASURES (round 12 — the first of the two
+    * batch-only round-11 modes gains its streaming leg): the
+    * [[RowPattern.SkipScanner]] carries (tieCol id, measureCol value)
+    * payloads as checkpointed per-key state, the classifier runs
+    * inside the state ([[matchesBy]]'s DEFINE/PREV contract, prev row
+    * carried across batches and restarts), and every CONFIRMED match
+    * emits one row PER COMPONENT — `(user_id, match_seq, var_name,
+    * n_rows, sum_value)`, the count and exact long sum of `measureCol`
+    * over exactly the rows the priority-order DFS maps to that
+    * component (java.regex's groups) — exactly once, Append-shaped.
+    * The streaming twin of the batch matchVarMeasures fold
+    * (restart-twin-pinned in CepPatternSpec); `measureCol` must be
+    * LONG (pre-scale money to cents). Same ordering guard, buffer hard
+    * cap, and one-attempt state bound as [[matchSkip]]. */
+  def matchVarMeasuresBy(spark: SparkSession, events: DataFrame,
+                         components: Seq[(String, String)],
+                         skip: RowPattern.SkipMode,
+                         idCol: String = "user_id",
+                         tieCol: String = "event_id",
+                         orderCol: String = "ts",
+                         measureCol: String = "value",
+                         allowedLatenessUs: Long = 0L,
+                         onLate: String = "fail",
+                         maxBufferedEvents: Int = DefaultMaxBuffered)
+                        (classify: (org.apache.spark.sql.Row,
+                          org.apache.spark.sql.Row) => Char)
+      : Dataset[CepVarMeasure] = {
+    requireGuardArgs(allowedLatenessUs, onLate, maxBufferedEvents)
+    val sp = new RowPattern.SkipProgram(components)
+    new RowPattern.SkipScanner[(Long, Long)](sp, skip) // plan-time check
+    val names = components.map(_._1).toIndexedSeq
+    implicit val stateEnc: Encoder[VarMeasureState] =
+      Encoders.javaSerialization[VarMeasureState]
+    import spark.implicits._
+    val withOrder = events.withColumn("__ts_us",
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col(orderCol)))
+    val schema = withOrder.schema
+    val idIdx = schema.fieldIndex(idCol)
+    val tieIdx = schema.fieldIndex(tieCol)
+    val usIdx = schema.fieldIndex("__ts_us")
+    val mIdx = schema.fieldIndex(measureCol)
+    implicit val rowEnc: Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+
+    def update(userId: Long, rows: Iterator[org.apache.spark.sql.Row],
+               state: GroupState[VarMeasureState])
+        : Iterator[CepVarMeasure] = {
+      val st = state.getOption.getOrElse(new VarMeasureState(
+        new RowPattern.SkipScanner[(Long, Long)](sp, skip)))
+      val evs = rows.toArray
+        .map(r => (r.getLong(usIdx), r.getLong(tieIdx), r))
+        .sortBy(e => (e._1, e._2))
+      val out = ArrayBuffer.empty[CepVarMeasure]
+      admit(st, userId, evs, allowedLatenessUs, onLate, maxBufferedEvents)
+        .foreach { case (_, id, r) =>
+          val c = classify(st.prev, r)
+          st.prev = r
+          val mv = if (r.isNullAt(mIdx)) 0L else r.getLong(mIdx)
+          st.sc.feed(c, (id, mv)).foreach { m =>
+            st.seq += 1
+            names.indices.foreach { i =>
+              val comp = m.comp(i)
+              var s = 0L
+              comp.foreach(s += _._2)
+              out += CepVarMeasure(userId, st.seq, names(i),
+                comp.length.toLong, s)
+            }
+          }
+        }
+      state.update(st)
+      out.iterator
+    }
+
+    withOrder
+      .as(rowEnc)
+      .groupByKey(_.getLong(idIdx))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming labeled ALL ROWS for skip-mode patterns (round 12 — the
+    * second batch-only round-11 mode gains its streaming leg): when a
+    * match confirms, EVERY row it covers emits with the NAME of the
+    * component it mapped to — `(user_id, match_seq, ord_in_match, id,
+    * var_name)` — exactly once, Append-shaped; under an overlapping
+    * skip a shared row re-emits once per match it participates in,
+    * with that match's ordinal (the batch matchRowsSkip grain). The
+    * SkipScanner's buffered attempt already holds the covered rows at
+    * confirmation, so per-row emission costs no extra state. Streaming
+    * twin of the batch matchRowsSkip fold (restart-twin-pinned in
+    * CepPatternSpec); same guard, cap, and bounds as [[matchSkip]]. */
+  def matchRowsSkipBy(spark: SparkSession, events: DataFrame,
+                      components: Seq[(String, String)],
+                      skip: RowPattern.SkipMode,
+                      idCol: String = "user_id",
+                      tieCol: String = "event_id",
+                      orderCol: String = "ts",
+                      allowedLatenessUs: Long = 0L,
+                      onLate: String = "fail",
+                      maxBufferedEvents: Int = DefaultMaxBuffered)
+                     (classify: (org.apache.spark.sql.Row,
+                       org.apache.spark.sql.Row) => Char)
+      : Dataset[CepVarRow] = {
+    requireGuardArgs(allowedLatenessUs, onLate, maxBufferedEvents)
+    val sp = new RowPattern.SkipProgram(components)
+    new RowPattern.SkipScanner[Long](sp, skip) // plan-time check
+    val names = components.map(_._1).toIndexedSeq
+    implicit val stateEnc: Encoder[VarRowState] =
+      Encoders.javaSerialization[VarRowState]
+    import spark.implicits._
+    val withOrder = events.withColumn("__ts_us",
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col(orderCol)))
+    val schema = withOrder.schema
+    val idIdx = schema.fieldIndex(idCol)
+    val tieIdx = schema.fieldIndex(tieCol)
+    val usIdx = schema.fieldIndex("__ts_us")
+    implicit val rowEnc: Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+
+    def update(userId: Long, rows: Iterator[org.apache.spark.sql.Row],
+               state: GroupState[VarRowState]): Iterator[CepVarRow] = {
+      val st = state.getOption.getOrElse(new VarRowState(
+        new RowPattern.SkipScanner[Long](sp, skip)))
+      val evs = rows.toArray
+        .map(r => (r.getLong(usIdx), r.getLong(tieIdx), r))
+        .sortBy(e => (e._1, e._2))
+      val out = ArrayBuffer.empty[CepVarRow]
+      admit(st, userId, evs, allowedLatenessUs, onLate, maxBufferedEvents)
+        .foreach { case (_, id, r) =>
+          val c = classify(st.prev, r)
+          st.prev = r
+          st.sc.feed(c, id).foreach { m =>
+            st.seq += 1
+            names.indices.foreach { ci =>
+              val base = m.bounds(ci)
+              m.comp(ci).zipWithIndex.foreach { case (rid, off) =>
+                out += CepVarRow(userId, st.seq, base + off + 1L, rid,
+                  names(ci))
+              }
+            }
+          }
+        }
+      state.update(st)
+      out.iterator
+    }
+
+    withOrder
+      .as(rowEnc)
+      .groupByKey(_.getLong(idIdx))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }

@@ -686,6 +686,115 @@ class CepPatternSpec extends SparkSpec {
     assert(batch.size >= 3)
   }
 
+  test("streaming per-variable MEASURES and labeled skip-ALL-ROWS: " +
+    "classified replay with restart equals the batch folds (round 12)") {
+    // V-shape comps (s=., d=D+, u=U+) with SKIP TO LAST u over U/D
+    // value walks classified inside the state: user 1's single match
+    // STARTS in chunk 1 and ends in chunk 2 (the buffered attempt +
+    // prev row must round-trip the checkpoint); user 2 chains TWO
+    // overlapping matches sharing the peak row (id 13), which labeled
+    // ALL ROWS must re-emit under each match's own ordinal
+    def writeValChunk(dir: java.nio.file.Path, name: String,
+                      evs: Seq[(Long, Long, Double, Int)]): Unit = {
+      val lines = evs.map { case (id, user, v, hour) =>
+        s"""{"event_id":$id,"user_id":$user,"event_type":"order",""" +
+          f""""value":$v%.1f,"ts_str":"2024-01-01 $hour%02d:00:00.000000",""" +
+          s""""props":"{}"}"""
+      }
+      Files.write(dir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val c1 = Seq((1L, 1L, 50.0, 1), (2L, 1L, 40.0, 2),
+      (11L, 2L, 30.0, 1), (12L, 2L, 10.0, 2))
+    val c2 = Seq((3L, 1L, 30.0, 3), (4L, 1L, 35.0, 4), (5L, 1L, 45.0, 5),
+      (6L, 1L, 20.0, 6),
+      (13L, 2L, 20.0, 3), (14L, 2L, 5.0, 4), (15L, 2L, 8.0, 5),
+      (16L, 2L, 2.0, 6))
+    val classify: (org.apache.spark.sql.Row,
+      org.apache.spark.sql.Row) => Char = (prev, cur) =>
+      if (prev == null) 'o'
+      else {
+        val p = prev.getAs[Double]("value")
+        val c = cur.getAs[Double]("value")
+        if (c > p) 'U' else if (c < p) 'D' else 'e'
+      }
+    val comps = Seq("s" -> ".", "d" -> "D+", "u" -> "U+")
+    val skip = graft.functions.RowPattern.SkipMode.ToLast("u")
+    val base = Files.createTempDirectory("graft_cepvar")
+    val src = Files.createDirectory(base.resolve("src"))
+    def runBoth(): Unit = {
+      val in = StreamingIngest.parse(spark.readStream.text(src.toString))
+        .withColumn("mv", expr("cast(value as long)"))
+      val q1 = api.Events.matchVarMeasuresStreamBy(
+          spark, in, comps, skip, "mv")(classify)
+        .writeStream.format("parquet")
+        .option("path", base.resolve("outm").toString)
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve("cpm").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      val q2 = api.Events.matchRowsSkipStreamBy(
+          spark, in, comps, skip)(classify)
+        .writeStream.format("parquet")
+        .option("path", base.resolve("outr").toString)
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve("cpr").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination(); q2.awaitTermination()
+    }
+    writeValChunk(src, "b1.json", c1)
+    runBoth()
+    // nothing can confirm inside chunk 1 (every attempt still open)
+    assert(spark.read.parquet(base.resolve("outm").toString).count() == 0)
+    assert(spark.read.parquet(base.resolve("outr").toString).count() == 0)
+    writeValChunk(src, "b2.json", c2)
+    runBoth() // restart — scanner + prev row reload from the state store
+    // batch twins over the union, same classification
+    import spark.implicits._
+    val frame = (c1 ++ c2).toDF("event_id", "user_id", "value", "hour")
+      .selectExpr("user_id", "event_id", "value",
+        "cast(value as long) AS mv",
+        "to_timestamp(printf('2024-01-01 %02d:00:00', hour)) AS ts")
+    // per-variable measures: stream long form vs batch wide reshaped
+    val streamedM = spark.read.parquet(base.resolve("outm").toString)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batchWide = operators.EventAnalytics.matchVarMeasures(
+        frame, comps, skip, Seq("user_id"), Seq("ts", "event_id"),
+        "event_id", "mv")(classify)
+      .collect()
+    val batchM = batchWide.flatMap { r =>
+      // cols: user_id, match_seq, start_id, end_id, then (n, sum)×comp
+      Seq("s", "d", "u").zipWithIndex.map { case (n, i) =>
+        (r.getLong(0), r.getLong(1), n, r.getLong(4 + 2 * i),
+          r.getLong(5 + 2 * i))
+      }
+    }.toSet
+    assert(streamedM == batchM, s"$streamedM != $batchM")
+    // the boundary-crossing match aggregated rows from BOTH chunks
+    assert(streamedM.contains((1L, 1L, "d", 2L, 70L)) &&
+      streamedM.contains((1L, 1L, "u", 2L, 80L)), streamedM)
+    // labeled ALL ROWS: stream vs batch fold
+    val streamedR = spark.read.parquet(base.resolve("outr").toString)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val batchR = operators.EventAnalytics.matchRowsSkip(
+        frame, comps, skip, Seq("user_id"), Seq("ts", "event_id"),
+        "event_id")(classify)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(streamedR == batchR, s"$streamedR != $batchR")
+    // user 2's shared peak row (id 13) emits once per match, labeled
+    // u in the first and s (the anchor) in the second
+    assert(streamedR.contains((2L, 1L, 3L, 13L, "u")) &&
+      streamedR.contains((2L, 2L, 1L, 13L, "s")), streamedR)
+    // exactly-once across all emissions
+    val allR = spark.read.parquet(base.resolve("outr").toString).collect()
+    assert(allR.length == allR.map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).distinct.length, "a labeled row emitted twice")
+  }
+
   test("the spanning match is absent before the second chunk") {
     val base = Files.createTempDirectory("graft_cepspan")
     val src = Files.createDirectory(base.resolve("src"))
