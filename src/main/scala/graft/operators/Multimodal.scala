@@ -218,6 +218,17 @@ object Multimodal {
       .as[NearSpec]
   }
 
+  /** The 3-band split of the 64-bit average hash (22/21/21 bits) shared
+    * by mm_phash_near and mm_phash_cluster: multi-index hashing
+    * (Norouzi et al.) — any pair within Hamming 2 agrees on at least
+    * one band, by pigeonhole. */
+  private def hashBand(k: Int): org.apache.spark.sql.Column = k match {
+    case 0 => shiftrightunsigned(col("bits"), 42)
+    case 1 => shiftrightunsigned(col("bits"), 21)
+      .bitwiseAND(lit(0x1FFFFFL))
+    case _ => col("bits").bitwiseAND(lit(0x1FFFFFL))
+  }
+
   private def highCell(p: Int, i: Int, j: Int): Boolean =
     if (p <= 6) i >= p + 1
     else if (p <= 13) j >= p - 6
@@ -381,15 +392,9 @@ object Multimodal {
         .mapPartitions(encodeNear)
         .mapPartitions(avgHashBits)
         .toDF()
-      def bandCol(k: Int) = k match {
-        case 0 => shiftrightunsigned(col("bits"), 42)
-        case 1 => shiftrightunsigned(col("bits"), 21)
-          .bitwiseAND(lit(0x1FFFFFL))
-        case _ => col("bits").bitwiseAND(lit(0x1FFFFFL))
-      }
       val banded = hashes.select(col("doc_id"), col("bits"),
         explode(array((0 until 3).map(k =>
-          struct(lit(k).as("k"), bandCol(k).as("bv"))): _*)).as("b"))
+          struct(lit(k).as("k"), hashBand(k).as("bv"))): _*)).as("b"))
         .select(col("doc_id"), col("bits"),
           col("b.k").as("k"), col("b.bv").as("bv"))
       banded.select(col("doc_id").as("id1"),
@@ -403,6 +408,57 @@ object Multimodal {
         .filter(col("hamming") <= 2)
         .select("id1", "id2", "hamming")
         .orderBy("id1", "id2")
+    }),
+
+    // CLUSTER-REPRESENTATIVE output for perceptual near-dup (round 12
+    // — the scale-safe twin of mm_phash_near, whose output is the TRUE
+    // pair set and therefore quadratic on a replica-saturated corpus:
+    // 78.1M pair rows at the x10 soak, 100× output on 10× input). One
+    // row per image — (doc_id, cluster_id = min doc_id of its near-dup
+    // class), O(n) output at ANY replica density. Scale design in two
+    // moves: (1) REPLICA COLLAPSE — identical images hash identically,
+    // so group by the 64-bit hash and keep min(doc_id) per DISTINCT
+    // hash first; the quadratic blowup lives precisely in k-replica
+    // classes contributing k²/2 pairs, and after collapse the pair
+    // graph is over distinct hashes, whose near-classes replica
+    // saturation cannot inflate. (2) the same 3-band Hamming join as
+    // mm_phash_near over the DISTINCT hashes (recall exact by the same
+    // pigeonhole), verified ≤ 2, then the dd_cluster connected-
+    // components reduction (Dedup.components — min-label propagation,
+    // one job per round) and a join mapping every doc through its hash
+    // representative to its component's minimum; singleton hashes keep
+    // themselves. ORACLE: the near relation is "same pattern class"
+    // (Hamming 0 for same (p,f), 2 within a class, ≥ 6 across — the
+    // nearSpecs margins), so the cluster id is named arithmetically:
+    // min(doc_id) over doc_id % 16.
+    "mm_phash_cluster" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = nearSpecs(s, dir)
+        .mapPartitions(encodeNear)
+        .mapPartitions(avgHashBits)
+        .toDF()
+      val reps = hashes.groupBy("bits").agg(min(col("doc_id")).as("hrep"))
+      val banded = reps.select(col("hrep"), col("bits"),
+        explode(array((0 until 3).map(k =>
+          struct(lit(k).as("k"), hashBand(k).as("bv"))): _*)).as("b"))
+        .select(col("hrep"), col("bits"),
+          col("b.k").as("k"), col("b.bv").as("bv"))
+      val pairs = banded.select(col("hrep").as("id1"),
+          col("bits").as("h1"), col("k"), col("bv"))
+        .join(banded.select(col("hrep").as("id2"),
+          col("bits").as("h2"), col("k"), col("bv")), Seq("k", "bv"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2", "h1", "h2")
+        .distinct()
+        .filter(expr("bit_count(h1 ^ h2) <= 2"))
+        .select("id1", "id2")
+      val comp = Dedup.components(pairs)
+        .withColumnRenamed("doc_id", "hrep")
+      hashes.join(reps, "bits")
+        .join(comp, Seq("hrep"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("hrep")).as("cluster_id"))
+        .orderBy("doc_id")
     }),
 
     // Real WAV round-trip: PCM frames → AudioSystem WAV encoder →
@@ -495,6 +551,17 @@ object Multimodal {
         |FROM documents a JOIN documents b
         |  ON a.doc_id < b.doc_id AND a.doc_id % 16 = b.doc_id % 16
         |ORDER BY id1, id2""".stripMargin,
+
+    // cluster-representative output: the near relation is exactly
+    // "same pattern class" (see mm_phash_near), so the component of a
+    // doc is its id%16 class and the representative its minimum —
+    // named arithmetically while the engine must earn it through the
+    // codec round-trip, the banded Hamming join, and the
+    // connected-components reduction
+    "mm_phash_cluster" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY doc_id % 16) AS cluster_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // n = 400 + id%100 frames of sample a+i, a = id%500:
     // Σ = n·a + n(n-1)/2, min = a, max = a+n-1; header says mono,
