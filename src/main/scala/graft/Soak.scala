@@ -669,6 +669,19 @@ object Soak {
     only.foreach(timeOne(spark, tag, autoDir, _))
     if (only.contains("dd_ngram_jaccard"))
       ngramSuffixAccounting(spark, tag, dir)
+    if (only.contains("dd_route_auto")) {
+      // routed near-dup end to end (round 12): the decision + the
+      // SELECTED branch's pair pipeline, timed as one call — on the
+      // replica-dense soak corpus the estimate must blow the budget
+      // and route to LSH, so the wall is minhash time, not the exact
+      // path's 136 s x30 floor
+      val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      val (route, est, bound) = api.Corpus.dedupRoute(docs)
+      val (nPairs, tR) =
+        time(api.Corpus.nearDupPairsAuto(docs).count())
+      spark.catalog.clearCache()
+      println(f"""{"corpus":"$tag","query":"dd_route_auto_pairs","route":"$route","est_candidates":$est,"bound":$bound,"pairs":$nPairs,"time_s":$tR%.2f}""")
+    }
     if (only.contains("dd_embed_cosine")) {
       // candidate-share accounting for the SRP banding (round 11):
       // the scoped run re-measures what the full report's run() line

@@ -94,6 +94,54 @@ object Corpus {
     scored.filter(col("n_match") >= minAgree)
   }
 
+  /** COST-BASED routing decision for near-dup detection (round 12):
+    * estimates the exact n-gram path's prefix-join candidate volume
+    * from the shingle document-frequency histogram — ONE cheap
+    * aggregation, Σ C(df, 2), an upper bound on the collisions the
+    * rarity-ranked prefixes can produce — and compares it against a
+    * per-document pair budget. Returns (route, estimate, bound):
+    * `"exact"` (the J ≥ 1/2 prefix-filter pipeline, recall exact by
+    * theorem) when the estimate fits, `"lsh"` (minhash band-bucket
+    * candidates, density-robust) when it does not. A replica-saturated
+    * corpus — k copies of a document contribute k²/2 collisions per
+    * shingle — is exactly the input where the exact path's candidate
+    * stage is structurally quadratic; the x30 soak measured its
+    * verified-output floor at 136 s where the LSH path's candidate
+    * share stays ~0.02%. Pinned by ApiSpec (saturated → lsh, sparse →
+    * exact) and cross-engine by the `dd_route_auto` oracle. */
+  def dedupRoute(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text",
+                 pairBudgetPerDoc: Long = 32): (String, Long, Long) = {
+    require(pairBudgetPerDoc > 0,
+      s"pairBudgetPerDoc must be > 0, got $pairBudgetPerDoc")
+    val in = normalized(docs, idCol, textCol)
+    val est = Dedup.ngramCollisionEstimate(in)
+    val bound = pairBudgetPerDoc * in.count()
+    (if (est <= bound) "exact" else "lsh", est, bound)
+  }
+
+  /** Near-duplicate pairs with AUTOMATIC path selection
+    * ([[dedupRoute]]): the exact n-gram J ≥ 1/2 pipeline when its
+    * candidate estimate fits the budget, minhash-LSH (band-bucket
+    * candidates, ≥ 6/9 agreement ≈ J ≳ 0.6) when it does not. The
+    * decision is SURFACED in the result — every pair row carries a
+    * literal `route` column — because the two branches answer slightly
+    * different questions (exact set similarity vs an LSH estimate):
+    * the routing trades the exact relation for a density-robust one
+    * only when the exact path is structurally quadratic on this
+    * corpus, and never silently. Callers pinning one semantics use
+    * [[nearDupPairs]] / the exact path directly. */
+  def nearDupPairsAuto(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       pairBudgetPerDoc: Long = 32): DataFrame = {
+    val (route, _, _) = dedupRoute(docs, idCol, textCol, pairBudgetPerDoc)
+    val in = normalized(docs, idCol, textCol)
+    val pairs =
+      if (route == "exact") Dedup.jaccardPairsOf(in)
+      else Dedup.minhashPairsOf(in).select("id1", "id2")
+    pairs.withColumn("route", lit(route))
+  }
+
   /** Connected components over the near-dup pair graph: one row per
     * document in a duplicate family, labeled by the family's minimum
     * id. Documents with no near-dup are absent (singleton = itself).

@@ -21,10 +21,11 @@ import graft.Tables
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Distinct word-3-gram shingles per doc. Guarded: docs with <3 words
-    * yield no shingles (Spark's `sequence(1,0)` would descend!). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  /** Distinct word-3-gram shingles per doc, over ANY (doc_id, text)
+    * frame (the api.Corpus facade's entry). Guarded: docs with <3
+    * words yield no shingles (Spark's `sequence(1,0)` would descend!). */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(w) >= 3
@@ -32,6 +33,9 @@ object Dedup {
           |                 i -> concat_ws(' ', slice(w, i, 3)))
           |  ELSE array() END""".stripMargin)).as("shingle"))
       .distinct()
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables(s, dir, "documents"))
 
   private[graft] val K = 9   // minhash signature length
   private val BANDS = 3      // 3 bands × 3 rows
@@ -418,8 +422,8 @@ object Dedup {
     * strings, with a 1:1 mapping so counts and the J verdict are
     * bit-identical (no hash-collision caveat; the DuckDB oracle keeps
     * raw text and hash-matches). */
-  private def shingleIds(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  private[graft] def shingleIdsOf(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs)
     // monotonically_increasing_id: no global sort (a row_number window
     // would single-partition the dictionary — the one thing that cannot
     // scale); the ids differ across runs but are internal-only — every
@@ -429,6 +433,47 @@ object Dedup {
     sh.join(dict, "shingle")
       .select(col("doc_id"), col("sid").as("shingle"))
   }
+
+  private def shingleIds(s: SparkSession, dir: String): DataFrame =
+    shingleIdsOf(Tables(s, dir, "documents"))
+
+  /** The exact n-gram Jaccard path over ANY (doc_id, text) frame —
+    * the dd_ngram_jaccard pipeline (prefix-filter candidates +
+    * jaccard_meets verify) returning the J ≥ 1/2 pairs (id1 < id2).
+    * The api.Corpus routed facade's exact branch. */
+  private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame = {
+    graft.functions.SetOverlap.register(docs.sparkSession)
+    val sh = shingleIdsOf(docs).cache()
+    val cand = jaccardCandidates(sh)
+    val docArr = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list("shingle")).as("shs"))
+    cand
+      .join(docArr.select(col("doc_id").as("id1"), col("shs").as("sh1")),
+        "id1")
+      .join(docArr.select(col("doc_id").as("id2"), col("shs").as("sh2")),
+        "id2")
+      .filter(expr("jaccard_meets(sh1, sh2) >= 0"))
+      .select("id1", "id2")
+  }
+
+  /** UPPER BOUND on the exact path's prefix-join collision volume, from
+    * the shingle document-frequency histogram — ONE cheap aggregation
+    * (round 12, the api.Corpus routing estimator): every prefix-join
+    * collision is a pair of documents sharing a shingle, so
+    * Σ_shingle C(df, 2) over RAW dfs bounds the collisions the
+    * rarity-ranked prefixes can produce (prefix df ≤ raw df per
+    * shingle). A replica-saturated corpus drives this quadratic (k
+    * copies of one document contribute k²/2 per shingle), which is
+    * exactly the input where the exact path's candidate stage is
+    * structurally quadratic and minhash-LSH should run instead. The
+    * returned scalar is a routing decision value — model-parameter
+    * scale, like the BPE merge table. */
+  private[graft] def ngramCollisionEstimate(docs: DataFrame): Long =
+    shinglesOf(docs)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L))
+        .as("est"))
+      .collect()(0).getLong(0)
 
   /** Near-dup CLUSTERS from the MinHash pair graph: connected
     * components by iterative min-label propagation (the Pregel shape —
@@ -701,6 +746,28 @@ object Dedup {
         .select(col("id1"), col("id2"), col("res").as("n_inter"),
           (col("na") + col("nb") - col("res")).as("n_union"))
         .orderBy("id1", "id2")),
+
+    // COST-BASED DEDUP ROUTING (round 12): the decision row the
+    // api.Corpus.nearDupPairsAuto facade acts on — the exact n-gram
+    // path's candidate-volume upper bound (Σ C(df,2) over the shingle
+    // df histogram, one cheap aggregation — see ngramCollisionEstimate)
+    // against a per-doc pair budget (32·n_docs). A replica-saturated
+    // corpus blows the estimate quadratically and routes to
+    // minhash-LSH (whose bucketed candidate share is density-robust);
+    // a sparse corpus keeps the exact J ≥ 1/2 path. Both branch
+    // pipelines are themselves oracle-checked (dd_ngram_jaccard,
+    // dd_minhash_lsh); this query pins the ROUTING ARITHMETIC
+    // cross-engine — both engines must compute the identical integer
+    // estimate, bound, and verdict.
+    "dd_route_auto" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      val est = ngramCollisionEstimate(docs)
+      val n = docs.count()
+      val bound = 32L * n
+      Seq(((if (est <= bound) "exact" else "lsh"), est, bound, n))
+        .toDF("route", "est_candidates", "bound", "n_docs")
+    }),
 
     // Embedding-cosine near-dup via signed-random-projection LSH
     // (Charikar 2002): 192 hyperplane sign bits per vector, 16 bands ×
@@ -1058,6 +1125,20 @@ object Dedup {
     // differs (raw shingle text here vs dictionary sid in Spark), which
     // only perturbs the CANDIDATE set — the exact-intersection J filter
     // makes the final rows identical either way
+    // routing arithmetic replayed in SQL: identical integer estimate
+    // (Σ df(df−1)/2 over the same distinct-shingle table), bound, and
+    // CASE verdict — the branch pipelines have their own oracles
+    "dd_route_auto" ->
+      s"""WITH sh AS ($shinglesSql),
+         |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |e AS (SELECT CAST(coalesce(sum(df * (df - 1) // 2), 0)
+         |        AS BIGINT) AS est_candidates FROM dfs),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT CASE WHEN est_candidates <= 32 * n_docs THEN 'exact'
+         |            ELSE 'lsh' END AS route,
+         |  est_candidates, CAST(32 * n_docs AS BIGINT) AS bound, n_docs
+         |FROM e CROSS JOIN nd""".stripMargin,
+
     "dd_ngram_jaccard" ->
       s"""WITH sh AS ($shinglesSql),
          |dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

@@ -19,6 +19,52 @@ class ApiSpec extends SparkSpec {
     assert(api === query)
   }
 
+  test("cost-based routing: a replica-saturated corpus routes to LSH, " +
+    "a sparse one routes exact, and each branch equals its engine path") {
+    import spark.implicits._
+    // saturated: 3 distinct 5-word texts × 100 copies — every shingle's
+    // df is 100, so the estimate (Σ C(df,2)) is quadratic in copies and
+    // blows the 32·n budget; sparse: 120 all-distinct texts, df = 1
+    // everywhere, estimate 0
+    val saturated = (0L until 300L).map(i =>
+      (i, s"alpha beta t${i % 3} gamma delta")).toDF("doc_id", "text")
+    val sparse = (0L until 120L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d")).toDF("doc_id", "text")
+    val (rSat, estSat, boundSat) = Corpus.dedupRoute(saturated)
+    val (rSp, estSp, boundSp) = Corpus.dedupRoute(sparse)
+    assert(rSat == "lsh" && estSat > boundSat, s"($rSat, $estSat, $boundSat)")
+    assert(rSp == "exact" && estSp == 0L && boundSp == 32L * 120,
+      s"($rSp, $estSp, $boundSp)")
+    // the routed result carries the decision and equals the branch's
+    // direct engine path
+    val autoSat = Corpus.nearDupPairsAuto(saturated)
+    assert(autoSat.columns.toSeq == Seq("id1", "id2", "route"))
+    val satPairs = autoSat.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(satPairs.nonEmpty && satPairs.forall(_._3 == "lsh"))
+    val wantSat = operators.Dedup.minhashPairsOf(saturated)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(satPairs.map(t => (t._1, t._2)).toSet == wantSat)
+    // sparse routes exact; the corpus has no near-dups, so the exact
+    // branch returns empty — run it on a corpus WITH dups too
+    val autoSp = Corpus.nearDupPairsAuto(sparse)
+    assert(autoSp.collect().isEmpty)
+    val fewDups = (0L until 40L).map(i =>
+      (i, if (i < 4) "alpha beta gamma delta epsilon"
+          else s"x${i}a x${i}b x${i}c x${i}d x${i}e")).toDF("doc_id", "text")
+    val (rFew, _, _) = Corpus.dedupRoute(fewDups)
+    assert(rFew == "exact")
+    val autoFew = Corpus.nearDupPairsAuto(fewDups).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(autoFew.forall(_._3 == "exact"))
+    val wantFew = operators.Dedup.jaccardPairsOf(fewDups).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoFew.map(t => (t._1, t._2)).toSet == wantFew &&
+      wantFew == (0L until 4L).flatMap(a =>
+        ((a + 1) until 4L).map(b => (a, b))).toSet)
+  }
+
   test("nearDedup chooses the banding from the S-curve and matches " +
     "the explicit-banding path at the production target") {
     // the analytic chooser lands on the three measured dd_lsh_tuning
