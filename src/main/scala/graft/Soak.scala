@@ -682,6 +682,23 @@ object Soak {
       spark.catalog.clearCache()
       println(f"""{"corpus":"$tag","query":"dd_route_auto_pairs","route":"$route","est_candidates":$est,"bound":$bound,"pairs":$nPairs,"time_s":$tR%.2f}""")
     }
+    if (only.contains("sim_opq_topk")) {
+      // OPQ vs PQ recall@5 at scale (round 12): same truth set, same
+      // code size — the line that says whether the learned allocation
+      // buys recall on this corpus's energy profile
+      def topSet(q: String): (Set[(Long, Long)], Double) = {
+        val (s, t) = time(SparkEntry.queries(q)(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+        spark.catalog.clearCache()
+        (s, t)
+      }
+      val (bf, tBf) = topSet("sim_bruteforce_topk")
+      val (pq, tPq) = topSet("sim_pq_topk")
+      val (opq, tOpq) = topSet("sim_opq_topk")
+      val rPq = if (bf.nonEmpty) 1.0 * (bf & pq).size / bf.size else 0.0
+      val rOpq = if (bf.nonEmpty) 1.0 * (bf & opq).size / bf.size else 0.0
+      println(f"""{"corpus":"$tag","query":"sim_opq_recall","brute_s":$tBf%.2f,"pq_s":$tPq%.2f,"opq_s":$tOpq%.2f,"pq_recall_at_5":$rPq%.3f,"opq_recall_at_5":$rOpq%.3f}""")
+    }
     if (only.contains("dd_embed_cosine")) {
       // candidate-share accounting for the SRP banding (round 11):
       // the scoped run re-measures what the full report's run() line

@@ -76,6 +76,21 @@ object Vectors {
       queries, corpus, k, rerank, idCol, vecCol)
       .select(col("qid"), col("nid"), col("dist"))
 
+  /** OPQ-allocated PQ top-k (round 12): identical pipeline and code
+    * size as [[topKPq]], but the subspace split is LEARNED — dims
+    * ranked by corpus energy and snake-dealt across subspaces (Ge et
+    * al. CVPR'13's balanced allocation in the coordinate basis, the
+    * exactly-replayable member of the OPQ rotation family). Prefer it
+    * when the embedding's variance profile is skewed; it costs one
+    * extra 64-value aggregate at train time and nothing at search. */
+  def topKOpq(queries: DataFrame, corpus: DataFrame, k: Int,
+              rerank: Int = 40,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    graft.operators.ProductQuant.opqTopKOf(
+      queries, corpus, k, rerank, idCol, vecCol)
+      .select(col("qid"), col("nid"), col("dist"))
+
   /** IVF-PQ top-k — the composite production index: coarse cells prune
     * the corpus to `probes` cells per query, PQ codebooks trained on
     * residuals drive LUT-based ADC inside them, and the top candidates

@@ -69,9 +69,71 @@ object ProductQuant {
                               vecCol: String = "embedding",
                               index: graft.sources.Materialize.Index =
                                 graft.sources.Materialize.cached): DataFrame = {
-      // read by the subspace explode and the rerank
       val e = index("ann_qvecs", () => quantize(corpus, col(idCol), vecCol))
       val q0 = quantize(queries, col(idCol), vecCol)
+      pqCore(q0, e, k, rerank, index, "pq")
+  }
+
+  /** OPQ-style learned DIMENSION ALLOCATION (Ge et al. CVPR'13,
+    * "Optimized Product Quantization", public — the parametric
+    * balanced-allocation idea restricted to the coordinate basis): the
+    * full OPQ rotation is a float SVD per iteration, which this repo's
+    * integer-exact oracle idiom cannot replay bit-for-bit — but a
+    * PERMUTATION is the orthogonal family's exactly-replayable member.
+    * Rank dimensions by their corpus second moment (exact BIGINT sums
+    * over the quantized frame) and deal them to the M subspaces in
+    * SNAKE order (round r gives every subspace one dim, alternating
+    * direction), balancing per-subspace energy the way Ge's eigenvalue
+    * allocation balances eigenvalue products — so no codebook wastes
+    * its 16 cells on a subspace of near-zero-variance dims while
+    * another starves. L2 is permutation-invariant, so ADC candidates
+    * change (that is the point) but the exact rerank distances are
+    * identical to PQ's. The 64-long energy collect is model-parameter
+    * scale (one value per dimension). */
+  private[graft] def learnedPermutation(e: DataFrame): Seq[Int] = {
+    val energy = e.select(posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(sum(expr("x * x")).as("en"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val ranked = energy.sortBy { case (p, en) => (-en, p) }.map(_._1)
+    val bySub = Array.fill(M)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    ranked.zipWithIndex.foreach { case (dim, r) =>
+      val m = if ((r / M) % 2 == 0) r % M else M - 1 - r % M
+      bySub(m) += dim
+    }
+    bySub.toSeq.flatMap(_.toSeq)
+  }
+
+  /** PQ/ADC top-k over the [[learnedPermutation]]-reordered vectors —
+    * identical pipeline, seeds, and rerank as [[pqTopKOf]] at the same
+    * code size (M×CB unchanged); only the subspace SPLIT differs. The
+    * permutation is learned from the corpus and applied to queries
+    * identically; index artifacts take the `opq` prefix so the two
+    * variants' materialized codebooks never collide. */
+  private[graft] def opqTopKOf(queries: DataFrame, corpus: DataFrame,
+                               k: Int, rerank: Int,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               index: graft.sources.Materialize.Index =
+                                 graft.sources.Materialize.cached): DataFrame = {
+    val e0 = index("ann_qvecs", () => quantize(corpus, col(idCol), vecCol))
+    val perm = learnedPermutation(e0)
+    require(perm.sorted == (0 until M * DSUB), s"not a permutation: $perm")
+    def permute(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), expr(
+        s"transform(array(${perm.mkString(",")}), " +
+          "i -> element_at(q, i + 1))").as("q"))
+    val e = index("opq_pvecs", () => permute(e0))
+    val q0 = permute(quantize(queries, col(idCol), vecCol))
+    pqCore(q0, e, k, rerank, index, "opq")
+  }
+
+  /** The shared train/encode/LUT/ADC/rerank pipeline over
+    * already-quantized (vec_id, q) frames; `prefix` namespaces the
+    * materialized index artifacts per variant. */
+  private def pqCore(q0: DataFrame, e: DataFrame, k: Int, rerank: Int,
+                     index: graft.sources.Materialize.Index,
+                     prefix: String): DataFrame = {
       // ONE keyed plan for all M subspaces — m is a join/group key, not
       // a plan-duplication axis: training shuffles stay O(Lloyd rounds)
       // instead of O(M·rounds), and centroid joins are broadcast
@@ -113,9 +175,9 @@ object ProductQuant {
           "s -> s.mm)").as("cq"))
       // empty cells keep their init centroid: the codebook is always
       // exactly M·CB rows, so the LUT flattening stays aligned
-      val cb = index("pq_cb", () =>
+      val cb = index(s"${prefix}_cb", () =>
         re.unionByName(init.join(re, Seq("m", "cid"), "left_anti")))
-      val codes = index("pq_codes", () => assignM(cb)
+      val codes = index(s"${prefix}_codes", () => assignM(cb)
         .select(col("vec_id"), col("m"), col("cid").as("code"))
         .groupBy("vec_id")
         .agg(expr("transform(array_sort(collect_list(struct(m, code))), " +
@@ -155,6 +217,17 @@ object ProductQuant {
     "sim_pq_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       pqTopKOf(emb.filter(col("vec_id") < NQ), emb, TOPK, RERANK,
+        index = graft.sources.Materialize.indexOf(s, dir))
+    }),
+
+    // OPQ dimension allocation (see opqTopKOf): same code size, the
+    // subspace split learned from the corpus energy profile instead of
+    // taken in natural order. The oracle replays the whole learned
+    // index - energy ranking, snake allocation, permutation, training,
+    // ADC, rerank - bit-for-bit.
+    "sim_opq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      opqTopKOf(emb.filter(col("vec_id") < NQ), emb, TOPK, RERANK,
         index = graft.sources.Materialize.indexOf(s, dir))
     })
   )
@@ -213,6 +286,48 @@ object ProductQuant {
        |    ${d2("s.q", "c.cq")} AS d
        |  FROM sub$m s, cb$m c WHERE s.vec_id < $NQ)""".stripMargin
 
+  /** The quantize CTE body, named. */
+  private def quantizeSql(name: String): String =
+    s"""$name AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+       |      sqrt(list_reduce(
+       |        list_transform(embedding,
+       |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+       |        (acc, z) -> acc + z))
+       |      * 10000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings)""".stripMargin
+
+  /** Everything downstream of the `e` CTE — shared verbatim by the PQ
+    * and OPQ oracles (the pipelines differ only in what `e` holds). */
+  private def pqOracleTail: String =
+    s"""${(0 until M).map(subspaceSql).mkString(",\n")},
+       |codes AS (${(0 until M).map(m => s"SELECT * FROM code$m")
+          .mkString(" UNION ALL ")}),
+       |luts AS (${(0 until M).map(m => s"SELECT * FROM lut$m")
+          .mkString(" UNION ALL ")}),
+       |adc AS (
+       |  SELECT l.qid, ct.vec_id AS nid, sum(l.d) AS approx
+       |  FROM codes ct JOIN luts l ON l.m = ct.m AND l.cid = ct.code
+       |  WHERE ct.vec_id <> l.qid
+       |  GROUP BY l.qid, ct.vec_id),
+       |cand AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid
+       |                         ORDER BY approx, nid) AS arn
+       |    FROM adc) x WHERE arn <= $RERANK)
+       |SELECT qid, nid, dist FROM (
+       |  SELECT c.qid, c.nid,
+       |    ${d2Full("eq.q", "en.q")} AS dist,
+       |    row_number() OVER (PARTITION BY c.qid
+       |                       ORDER BY ${d2Full("eq.q", "en.q")},
+       |                                c.nid) AS rn
+       |  FROM cand c
+       |  JOIN e en ON en.vec_id = c.nid
+       |  JOIN e eq ON eq.vec_id = c.qid) x
+       |WHERE rn <= $TOPK ORDER BY qid, dist, nid""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // same normalize/quantize/train/encode/ADC/rerank arithmetic; the
     // ADC sum is a join on (m, code) here vs an array fold in Spark —
@@ -221,41 +336,35 @@ object ProductQuant {
     // row_number), so the gate stays valid on id spaces that don't
     // start dense at 0
     "sim_pq_topk" ->
-      s"""WITH e AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
-         |      sqrt(list_reduce(
-         |        list_transform(embedding,
-         |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
-         |        (acc, z) -> acc + z))
-         |      * 10000.0 + 0.5) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |${(0 until M).map(subspaceSql).mkString(",\n")},
-         |codes AS (${(0 until M).map(m => s"SELECT * FROM code$m")
-            .mkString(" UNION ALL ")}),
-         |luts AS (${(0 until M).map(m => s"SELECT * FROM lut$m")
-            .mkString(" UNION ALL ")}),
-         |adc AS (
-         |  SELECT l.qid, ct.vec_id AS nid, sum(l.d) AS approx
-         |  FROM codes ct JOIN luts l ON l.m = ct.m AND l.cid = ct.code
-         |  WHERE ct.vec_id <> l.qid
-         |  GROUP BY l.qid, ct.vec_id),
-         |cand AS (
-         |  SELECT qid, nid FROM (
-         |    SELECT qid, nid,
-         |      row_number() OVER (PARTITION BY qid
-         |                         ORDER BY approx, nid) AS arn
-         |    FROM adc) x WHERE arn <= $RERANK)
-         |SELECT qid, nid, dist FROM (
-         |  SELECT c.qid, c.nid,
-         |    ${d2Full("eq.q", "en.q")} AS dist,
-         |    row_number() OVER (PARTITION BY c.qid
-         |                       ORDER BY ${d2Full("eq.q", "en.q")},
-         |                                c.nid) AS rn
-         |  FROM cand c
-         |  JOIN e en ON en.vec_id = c.nid
-         |  JOIN e eq ON eq.vec_id = c.qid) x
-         |WHERE rn <= $TOPK ORDER BY qid, dist, nid""".stripMargin
+      s"""WITH ${quantizeSql("e")},
+         |$pqOracleTail""".stripMargin,
+
+    // OPQ allocation replayed in full: per-dimension second moments
+    // over the quantized corpus, energy-desc ranking (ties to the
+    // lower index), snake allocation over the M subspaces, the
+    // permutation applied before the IDENTICAL pipeline tail — both
+    // engines must learn the same permutation and train the same
+    // codebooks bit-for-bit. DuckDB lists are 1-based where Spark's
+    // element_at(q, i+1) reads a 0-based perm — the same reorder.
+    "sim_opq_topk" ->
+      s"""WITH ${quantizeSql("e0")},
+         |en AS (
+         |  SELECT g.i, sum(q[g.i] * q[g.i]) AS en
+         |  FROM e0, generate_series(1, ${M * DSUB}) g(i) GROUP BY g.i),
+         |rk AS (
+         |  SELECT i, row_number() OVER (ORDER BY en DESC, i) - 1 AS r
+         |  FROM en),
+         |al AS (
+         |  SELECT i,
+         |    CASE WHEN (r // $M) % 2 = 0 THEN r % $M
+         |         ELSE $M - 1 - (r % $M) END AS m,
+         |    r // $M AS slot
+         |  FROM rk),
+         |pm AS (SELECT list(i ORDER BY m, slot) AS perm FROM al),
+         |e AS (
+         |  SELECT vec_id, list_transform(pm.perm, j -> q[j]) AS q
+         |  FROM e0, pm),
+         |$pqOracleTail""".stripMargin
   )
 
   /** Full 64-dim integer distance, DuckDB spelling. */

@@ -45,6 +45,46 @@ class ProductQuantSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("sim_opq_topk: learned allocation is a true permutation, recall " +
+    "measured against the same brute-force truth, facade parity") {
+    // the permutation itself: valid (every dim exactly once) is
+    // require()d inside opqTopKOf; here pin determinism and shape
+    val e = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), expr(quant).as("q"))
+    val perm = ProductQuant.learnedPermutation(e)
+    assert(perm.sorted == (0 until 64) &&
+      perm == ProductQuant.learnedPermutation(e))
+    val got = ProductQuant.queries("sim_opq_topk")(spark, sf)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("nid"))
+    val truth = e.select(col("vec_id").as("nid"), col("q").as("nv"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qv, nv, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === truth.size)
+    val recall = (got intersect truth).size.toDouble / truth.size
+    info(s"OPQ recall@5 over 10 queries: $recall")
+    // same machinery floor as the PQ test; the PQ-vs-OPQ comparison at
+    // scale is the soak's sim_opq_topk recall line
+    assert(recall >= 0.7, s"recall $recall")
+    // facade wires the same path
+    val emb = Tables(spark, sf, "embeddings")
+    val viaApi = api.Vectors.topKOpq(
+      emb.filter(col("vec_id") < 10), emb, 5).collect().toSeq
+    val direct = ProductQuant.queries("sim_opq_topk")(spark, sf)
+      .collect().toSeq
+    assert(viaApi == direct)
+  }
+
   test("sim_pq_topk emits exactly top-5 per query, self excluded") {
     val out = ProductQuant.queries("sim_pq_topk")(spark, sf).cache()
     assert(out.count() === 50)
