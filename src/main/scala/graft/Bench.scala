@@ -70,7 +70,11 @@ import org.apache.spark.sql.SparkSession
   *     path and a mechanical verdict — "ambient" when the retry would
   *     not itself flag against the prior (contention moved on;
   *     JIT/Janino warm — deliberate one-time builds also retry fast by
-  *     design), "reproduced" when it would (a real cold-path
+  *     design), "ambient_steady_clean" when the retry flags but the
+  *     query's steady column is clean against the prior (executed-code
+  *     changes move steady; the only cold-only components are memoized
+  *     builds, whose retry is fast — a noisy end-of-bench retry cannot
+  *     indict on its own), "reproduced" otherwise (a real cold-path
   *     regression). See BenchDrift (logic pinned by BenchDriftSpec).
   *   - a LOAD GATE annotates (never refuses — an unattended run must
   *     still produce an artifact) both the stdout line and
@@ -276,12 +280,18 @@ object Bench {
             r
           }
         val coldMapNow = cold.toMap
+        val steadyMapNow = steady.toMap
         val coldFlags = coldFlagNames.map { n =>
           val v = coldMapNow(n)
           val (qla0, qla1) = coldLa.getOrElse(n, ("", ""))
-          val retryJson = retries.get(n).map(rv =>
-            s""","retry":${r3(rv)},"verdict":"${
-              BenchDrift.verdict(priorCold(n), rv)}"""").getOrElse("")
+          val retryJson = retries.get(n).map { rv =>
+            val verdict = BenchDrift.verdict(priorCold(n), rv,
+              prior.getOrElse(n, Double.MaxValue),
+              steadyMapNow.getOrElse(n, 0.0))
+            s""","retry":${r3(rv)},"steady_prior":${
+              r3(prior.getOrElse(n, -1.0))},"steady_now":${
+              r3(steadyMapNow.getOrElse(n, -1.0))},"verdict":"$verdict""""
+          }.getOrElse("")
           s"""{"query":"$n","prior":${r3(priorCold(n))},"now":${r3(v)},""" +
             s""""ratio":${r3(v / math.max(priorCold(n), 1e-9))},""" +
             s""""loadavg_before":"$qla0","loadavg_after":"$qla1"""" +

@@ -34,6 +34,19 @@ import graft.Tables
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
+  // ImageIO's DEFAULT stream cache is DISK-BACKED: ImageIO.write/read
+  // on an in-memory stream still spools every image through a temp
+  // file in java.io.tmpdir (FileCacheImageOutput/InputStream when
+  // getUseCache() is true — the JDK default). At 500k tiny PNGs per
+  // query that is 500k temp-file create/write/delete round-trips whose
+  // cost rides /tmp's state — the round-12 drift ledger caught the mm_
+  // family's walls moving 2× run-to-run on byte-identical code with
+  // the soak corpora sitting in /tmp. Memory-cached streams are
+  // strictly better for ≤16×16 images; the flag is JVM-global and this
+  // object initializes on every executor before any codec call (all
+  // call sites live here), so one statement covers the family.
+  javax.imageio.ImageIO.setUseCache(false)
+
   // ---- image family ------------------------------------------------
 
   /** Per-doc image spec, all values arithmetic in doc_id so the oracle

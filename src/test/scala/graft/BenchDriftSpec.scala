@@ -20,17 +20,29 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(BenchDrift.flagged(prior = 0.9, now = 1.41))
   }
 
-  test("retry verdict: ambient iff the retry would not itself flag") {
+  test("retry verdict: ambient iff the retry would not itself flag; " +
+    "a clean steady column exonerates a noisy retry") {
     // the round-11 driver's worst entry: gr_components_incr cold
     // 9.37 -> 39.48 s; a retry near the prior exonerates as ambient,
-    // a retry reproducing the excess indicts the cold path
-    assert(BenchDrift.verdict(prior = 9.37, retry = 10.1) == "ambient")
-    assert(BenchDrift.verdict(prior = 9.37, retry = 38.0) == "reproduced")
+    // a retry reproducing the excess (with steady ALSO moved) indicts
+    def v(prior: Double, retry: Double,
+          sPrior: Double = 1.0, sNow: Double = 10.0): String =
+      BenchDrift.verdict(prior, retry, sPrior, sNow)
+    assert(v(prior = 9.37, retry = 10.1) == "ambient")
+    assert(v(prior = 9.37, retry = 38.0) == "reproduced")
     // boundary follows the flag rule exactly
-    assert(BenchDrift.verdict(prior = 2.0, retry = 3.0) == "ambient")
-    assert(BenchDrift.verdict(prior = 2.0, retry = 3.1) == "reproduced")
+    assert(v(prior = 2.0, retry = 3.0) == "ambient")
+    assert(v(prior = 2.0, retry = 3.1) == "reproduced")
     // sub-second priors: a big ratio alone never reproduces
-    assert(BenchDrift.verdict(prior = 0.19, retry = 0.60) == "ambient")
+    assert(v(prior = 0.19, retry = 0.60) == "ambient")
+    // the first run's own false positive (mm_resize_stats): retry 4.79
+    // against prior cold 0.82 flags, but steady 0.75 -> 0.92 is clean —
+    // code cannot have regressed cold-only on a non-memoized path
+    assert(BenchDrift.verdict(prior = 0.815, retry = 4.789,
+      priorSteady = 0.747, nowSteady = 0.915) == "ambient_steady_clean")
+    // and a flagged retry WITH a flagged steady stays reproduced
+    assert(BenchDrift.verdict(prior = 0.815, retry = 4.789,
+      priorSteady = 0.747, nowSteady = 2.5) == "reproduced")
   }
 
   test("block parse reads the named map out of a BENCH_FULL line") {
