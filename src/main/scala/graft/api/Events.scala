@@ -576,14 +576,16 @@ object Events {
                                allowedLatenessUs: Long = 0L,
                                onLate: String = "fail",
                                maxBufferedEvents: Int =
-                                 graft.streaming.CepPattern.DefaultMaxBuffered)
+                                 graft.streaming.CepPattern.DefaultMaxBuffered,
+                               subsets: Seq[(String, Seq[String])] = Nil)
                               (classify: (org.apache.spark.sql.Row,
                                 org.apache.spark.sql.Row) => Char)
       : org.apache.spark.sql.Dataset[
         graft.streaming.CepPattern.CepVarMeasure] =
     graft.streaming.CepPattern.matchVarMeasuresBy(
       spark, events, components, skip, idCol, tieCol, orderCol,
-      measureCol, allowedLatenessUs, onLate, maxBufferedEvents)(classify)
+      measureCol, allowedLatenessUs, onLate, maxBufferedEvents,
+      subsets)(classify)
 
   /** Streaming twin of [[matchRowsSkipBy]] (round 12 — streaming
     * labeled ALL ROWS for skip-mode patterns): when a match confirms,

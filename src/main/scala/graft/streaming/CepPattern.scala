@@ -832,10 +832,13 @@ object CepPattern extends Serializable {
     * n_rows, sum_value)`, the count and exact long sum of `measureCol`
     * over exactly the rows the priority-order DFS maps to that
     * component (java.regex's groups) — exactly once, Append-shaped.
-    * The streaming twin of the batch matchVarMeasures fold
-    * (restart-twin-pinned in CepPatternSpec); `measureCol` must be
-    * LONG (pre-scale money to cents). Same ordering guard, buffer hard
-    * cap, and one-attempt state bound as [[matchSkip]]. */
+    * `subsets` adds SQL:2016 SUBSET rows — one more row per match per
+    * named union, var_name the subset's name (the batch
+    * matchVarMeasures contract, streaming). The streaming twin of the
+    * batch matchVarMeasures fold (restart-twin-pinned in
+    * CepPatternSpec); `measureCol` must be LONG (pre-scale money to
+    * cents). Same ordering guard, buffer hard cap, and one-attempt
+    * state bound as [[matchSkip]]. */
   def matchVarMeasuresBy(spark: SparkSession, events: DataFrame,
                          components: Seq[(String, String)],
                          skip: RowPattern.SkipMode,
@@ -845,7 +848,8 @@ object CepPattern extends Serializable {
                          measureCol: String = "value",
                          allowedLatenessUs: Long = 0L,
                          onLate: String = "fail",
-                         maxBufferedEvents: Int = DefaultMaxBuffered)
+                         maxBufferedEvents: Int = DefaultMaxBuffered,
+                         subsets: Seq[(String, Seq[String])] = Nil)
                         (classify: (org.apache.spark.sql.Row,
                           org.apache.spark.sql.Row) => Char)
       : Dataset[CepVarMeasure] = {
@@ -853,6 +857,26 @@ object CepPattern extends Serializable {
     val sp = new RowPattern.SkipProgram(components)
     new RowPattern.SkipScanner[(Long, Long)](sp, skip) // plan-time check
     val names = components.map(_._1).toIndexedSeq
+    // SQL:2016 SUBSET over a stream (round 12 — the batch
+    // matchVarMeasures contract): each subset emits ONE MORE row per
+    // confirmed match, var_name = the subset's name, aggregated over
+    // the union of its member components' rows (members partition the
+    // match, so sums add). Same loud validation as batch.
+    subsets.foreach { case (sn, members) =>
+      require(members.nonEmpty, s"SUBSET $sn needs at least one member")
+      require(!names.contains(sn),
+        s"SUBSET name '$sn' collides with a component name")
+      members.foreach(mn => require(names.contains(mn),
+        s"SUBSET $sn member '$mn' is not a declared component " +
+          s"(have: ${names.mkString(",")})"))
+      require(members.distinct.length == members.length,
+        s"SUBSET $sn lists a member twice")
+    }
+    require(subsets.map(_._1).distinct.length == subsets.length,
+      "duplicate SUBSET names")
+    val subsetIdx: IndexedSeq[(String, Seq[Int])] =
+      subsets.map { case (sn, ms) =>
+        sn -> ms.map(names.indexOf(_)) }.toIndexedSeq
     implicit val stateEnc: Encoder[VarMeasureState] =
       Encoders.javaSerialization[VarMeasureState]
     import spark.implicits._
@@ -883,12 +907,19 @@ object CepPattern extends Serializable {
           val mv = if (r.isNullAt(mIdx)) 0L else r.getLong(mIdx)
           st.sc.feed(c, (id, mv)).foreach { m =>
             st.seq += 1
+            val perN = new Array[Long](names.length)
+            val perS = new Array[Long](names.length)
             names.indices.foreach { i =>
               val comp = m.comp(i)
               var s = 0L
               comp.foreach(s += _._2)
-              out += CepVarMeasure(userId, st.seq, names(i),
-                comp.length.toLong, s)
+              perN(i) = comp.length.toLong
+              perS(i) = s
+              out += CepVarMeasure(userId, st.seq, names(i), perN(i), s)
+            }
+            subsetIdx.foreach { case (sn, is) =>
+              out += CepVarMeasure(userId, st.seq, sn,
+                is.map(perN).sum, is.map(perS).sum)
             }
           }
         }

@@ -725,7 +725,8 @@ class CepPatternSpec extends SparkSpec {
       val in = StreamingIngest.parse(spark.readStream.text(src.toString))
         .withColumn("mv", expr("cast(value as long)"))
       val q1 = api.Events.matchVarMeasuresStreamBy(
-          spark, in, comps, skip, "mv")(classify)
+          spark, in, comps, skip, "mv",
+          subsets = Seq("w" -> Seq("d", "u")))(classify)
         .writeStream.format("parquet")
         .option("path", base.resolve("outm").toString)
         .outputMode("append")
@@ -763,11 +764,13 @@ class CepPatternSpec extends SparkSpec {
         "event_id", "mv")(classify)
       .collect()
     val batchM = batchWide.flatMap { r =>
-      // cols: user_id, match_seq, start_id, end_id, then (n, sum)×comp
+      // cols: user_id, match_seq, start_id, end_id, then (n, sum)×comp;
+      // the streaming SUBSET w = (d, u) rows are the member sums
       Seq("s", "d", "u").zipWithIndex.map { case (n, i) =>
         (r.getLong(0), r.getLong(1), n, r.getLong(4 + 2 * i),
           r.getLong(5 + 2 * i))
-      }
+      } :+ ((r.getLong(0), r.getLong(1), "w",
+        r.getLong(6) + r.getLong(8), r.getLong(7) + r.getLong(9)))
     }.toSet
     assert(streamedM == batchM, s"$streamedM != $batchM")
     // the boundary-crossing match aggregated rows from BOTH chunks
