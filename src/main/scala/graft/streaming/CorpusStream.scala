@@ -103,7 +103,12 @@ object CorpusStream {
         StructType(Seq(StructField("gh", StringType))))
       val exOk = exact.join(priorDigests, Seq("gh"), "left_anti")
       // gate 3: banded-signature probe — state×new plus new×new
-      val sigs = Dedup.bandedSignaturesOf(batch).cache()
+      // uncached banding (round 13): this caller caches the banded
+      // frame itself and unpersists it at batch end — the cache
+      // bandedSignaturesOf takes internally on the signature table had
+      // no release path and pinned one table per micro-batch for the
+      // life of the stream
+      val sigs = Dedup.bandedSignaturesUncached(batch).cache()
       val sigSchema = StructType(
         StructField("doc_id", LongType) +:
           (1 to Dedup.K).map(i => StructField(s"h$i", StringType)) :+

@@ -116,6 +116,52 @@ class ApiSpec extends SparkSpec {
     assert(wide.forall(_._3 >= math.ceil(16 * 0.65).toInt))
   }
 
+  test("routeStats: one-pass GROUPING SETS == estimator + count, and " +
+    "shingle-less docs still count as documents") {
+    import spark.implicits._
+    // the one-job (round 13) statistics must equal the two-job shape
+    // they replaced on the real corpus
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+    val (est, n) = operators.Dedup.routeStats(docs)
+    assert(est === operators.Dedup.ngramCollisionEstimate(docs))
+    assert(n === docs.count())
+    // a doc with < 3 words has no shingles but IS a document — the
+    // explode_outer null row keeps it in the census without polluting
+    // the df histogram
+    val mixed = Seq((1L, "a b"), (2L, "p q r s"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val (e2, n2) = operators.Dedup.routeStats(mixed)
+    // docs 2,3 share both shingles "p q r" and "q r s": Σ C(2,2) = 2
+    assert(e2 === 2L && n2 === 3L)
+  }
+
+  test("routed clusters surface the decision and equal components of " +
+    "the selected branch's pair graph on BOTH routes") {
+    import spark.implicits._
+    def comp(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      operators.Dedup.components(pairs.select("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // lsh route: the replica-saturated corpus
+    val saturated = (0L until 300L).map(i =>
+      (i, s"alpha beta t${i % 3} gamma delta")).toDF("doc_id", "text")
+    val cSat = Corpus.nearDupClustersAuto(saturated)
+    assert(cSat.columns.toSeq == Seq("cluster_id", "doc_id", "route"))
+    val satRows = cSat.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(satRows.nonEmpty && satRows.forall(_._3 == "lsh"))
+    assert(satRows.map(t => (t._1, t._2)).toSet ===
+      comp(operators.Dedup.minhashPairsOf(saturated)))
+    // exact route: the sparse corpus with one 4-doc dup family
+    val fewDups = (0L until 40L).map(i =>
+      (i, if (i < 4) "alpha beta gamma delta epsilon"
+          else s"x${i}a x${i}b x${i}c x${i}d x${i}e")).toDF("doc_id", "text")
+    val cFew = Corpus.nearDupClustersAuto(fewDups).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(cFew.nonEmpty && cFew.forall(_._3 == "exact"))
+    assert(cFew.map(t => (t._1, t._2)).toSet ===
+      comp(operators.Dedup.jaccardPairsOf(fewDups)))
+  }
+
   test("facade clusters equal the dd_cluster query") {
     val api = Corpus.nearDupClusters(renamedDocs, "id", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -45,6 +45,28 @@ class BenchDriftSpec extends AnyFunSuite {
       priorSteady = 0.747, nowSteady = 2.5) == "reproduced")
   }
 
+  test("verdictOpt: missing steady evidence yields 'unknown', never " +
+    "the exoneration path (ADVICE r12)") {
+    // with both steady legs present, verdictOpt == verdict
+    assert(BenchDrift.verdictOpt(prior = 0.815, retry = 0.9,
+      priorSteady = Some(0.747), nowSteady = Some(0.915)) == "ambient")
+    assert(BenchDrift.verdictOpt(prior = 0.815, retry = 4.789,
+      priorSteady = Some(0.747), nowSteady = Some(0.915))
+      == "ambient_steady_clean")
+    assert(BenchDrift.verdictOpt(prior = 0.815, retry = 4.789,
+      priorSteady = Some(0.747), nowSteady = Some(2.5)) == "reproduced")
+    // a flagged retry with EITHER steady leg missing must not default
+    // to exoneration — the old MaxValue/0.0 sentinels could never flag
+    // and silently produced ambient_steady_clean
+    assert(BenchDrift.verdictOpt(prior = 0.815, retry = 4.789,
+      priorSteady = None, nowSteady = Some(0.915)) == "unknown")
+    assert(BenchDrift.verdictOpt(prior = 0.815, retry = 4.789,
+      priorSteady = Some(0.747), nowSteady = None) == "unknown")
+    // an unflagged retry is ambient regardless of steady evidence
+    assert(BenchDrift.verdictOpt(prior = 0.815, retry = 0.9,
+      priorSteady = None, nowSteady = None) == "ambient")
+  }
+
   test("block parse reads the named map out of a BENCH_FULL line") {
     val txt = """{"metric":"total","value":1.0,"unit":"sec",""" +
       """"queries":{"a_q":1.500,"b_q":0.250},""" +
