@@ -308,6 +308,28 @@ object Events {
       events, components, skip, Seq(idCol), Seq(orderCol, tieCol),
       tieCol, valueCol, subsets)(classify)
 
+  /** FIRST/LAST VALUE NAVIGATION in MEASURES (round 13 — SQL:2016's
+    * `FIRST(down.price)` / `LAST(down.price)`): per confirmed match,
+    * (idCol..., match_seq, start_id, end_id) plus, per component
+    * `name`, `name_first` / `name_last` — the `valueCol` value of the
+    * first and last row java.regex's group assignment maps to that
+    * component, NULL when the component matched zero rows (navigation
+    * on empty). Composes with every AFTER MATCH SKIP mode;
+    * classification inside the fold. Delegates to the path behind the
+    * oracle-checked `ev_vshape_firstlast`. */
+  def matchVarNavBy(events: DataFrame,
+                    components: Seq[(String, String)],
+                    skip: graft.functions.RowPattern.SkipMode,
+                    valueCol: String)
+                   (classify: (org.apache.spark.sql.Row,
+                     org.apache.spark.sql.Row) => Char,
+                    idCol: String = "user_id",
+                    tieCol: String = "event_id",
+                    orderCol: String = "ts"): DataFrame =
+    graft.operators.EventAnalytics.matchVarNav(
+      events, components, skip, Seq(idCol), Seq(orderCol, tieCol),
+      tieCol, valueCol)(classify)
+
   /** ALL ROWS PER MATCH with RUNNING vs FINAL measures (round 12 —
     * SQL:2016's RUNNING SUM(x) is the aggregate up to and including
     * the current row, FINAL SUM(x) the whole match's): every matched
@@ -595,6 +617,36 @@ object Events {
     * participates in, with that match's ordinal. Classification inside
     * the checkpointed state; restart-twin-pinned against the batch
     * fold in CepPatternSpec. */
+  /** Streaming twin of [[matchRowsRunningBy]] (round 13 — streaming
+    * ALL ROWS with RUNNING/FINAL measures, the last batch-only
+    * MEASURES leg): when a match confirms, every covered row emits as
+    * (user_id, match_seq, ord_in_match, id, cls, running_sum,
+    * final_sum) — `running_sum` the SQL:2016 RUNNING SUM(measure) up
+    * to and including the row, `final_sum` the FINAL SUM over the
+    * whole match (equal on the last row; RUNNING COUNT(*) is
+    * `ord_in_match`) — exactly once off the checkpointed ring at
+    * confirmation, classification inside the state (the DEFINE/PREV
+    * contract). `measureCol` must be LONG — pre-scale money to cents.
+    * Restart-twin-pinned against the batch fold behind the
+    * oracle-checked `ev_updown_running` in CepPatternSpec. */
+  def matchRowsRunningStreamBy(spark: org.apache.spark.sql.SparkSession,
+                               events: DataFrame, pattern: String,
+                               measureCol: String,
+                               idCol: String = "user_id",
+                               tieCol: String = "event_id",
+                               orderCol: String = "ts",
+                               allowedLatenessUs: Long = 0L,
+                               onLate: String = "fail",
+                               maxBufferedEvents: Int =
+                                 graft.streaming.CepPattern.DefaultMaxBuffered)
+                              (classify: (org.apache.spark.sql.Row,
+                                org.apache.spark.sql.Row) => Char)
+      : org.apache.spark.sql.Dataset[
+        graft.streaming.CepPattern.CepRunningRow] =
+    graft.streaming.CepPattern.matchRowsRunningBy(
+      spark, events, pattern, idCol, tieCol, orderCol, measureCol,
+      allowedLatenessUs, onLate, maxBufferedEvents)(classify)
+
   def matchRowsSkipStreamBy(spark: org.apache.spark.sql.SparkSession,
                             events: DataFrame,
                             components: Seq[(String, String)],

@@ -416,6 +416,28 @@ object EventAnalytics {
           col("end_id"), col("w_n"), col("w_sum"))
         .orderBy("o_custkey", "match_seq")),
 
+    // FIRST/LAST VALUE NAVIGATION — `FIRST(down.cents)`,
+    // `LAST(down.cents)`, `FIRST(up.cents)`, `LAST(up.cents)` per
+    // V-shape match (SQL:2016 MEASURES navigation at pattern-variable
+    // scope: where did the fall start and bottom out, where did the
+    // recovery start and peak), composed with SKIP TO LAST up so
+    // chained V's each navigate their own rows. Boundaries are
+    // java.regex's group assignment (replay-pinned in EventFoldSpec);
+    // ORACLE: the islands closed form joined at the component
+    // boundary rows themselves — down first/last are the cents at
+    // rn = j and rn = k, up first/last at rn = k+1 and rn = m — so
+    // the oracle names each navigated VALUE by coordinate, no
+    // aggregation at all.
+    "ev_vshape_firstlast" -> ((s, dir) =>
+      matchVarNav(updownOrders(s, dir), vshapeComponents,
+        graft.functions.RowPattern.SkipMode.ToLast("up"),
+        Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"),
+        "o_orderkey", "cents")(updownClassify)
+        .select(col("o_custkey"), col("match_seq"), col("start_id"),
+          col("end_id"), col("down_first"), col("down_last"),
+          col("up_first"), col("up_last"))
+        .orderBy("o_custkey", "match_seq")),
+
     // RUNNING vs FINAL measures at ALL ROWS grain (SQL:2016: RUNNING
     // SUM(x) aggregates the match's rows up to and including the
     // current row, FINAL SUM(x) the whole match): every row of every
@@ -1178,6 +1200,73 @@ object EventAnalytics {
           }
           Seq(Long.box(seq), Long.box(m.first._1),
             Long.box(m.last._1)) ++ per ++ sub
+        }
+    }
+    graft.api.Folds.flatFoldOrdered(
+      ev, keyCols, orderCols, out = outType)(
+      () => new St)(
+      (st, r) => {
+        val c = classify(st.prev, r)
+        st.prev = r
+        st.rows(st.sc.feed(c,
+          (r.getLong(idIdx), if (r.isNullAt(mIdx)) 0L else r.getLong(mIdx))))
+      })(
+      st => st.rows(st.sc.finish()))
+  }
+
+  /** FIRST/LAST VALUE NAVIGATION in MEASURES (round 13 — SQL:2016's
+    * `FIRST(down.price)` / `LAST(down.price)`: the measure value of
+    * the FIRST and LAST row java.regex's group assignment maps to each
+    * pattern variable — the last commonly-used MEASURES form after
+    * count/sum ([[matchVarMeasures]]) and RUNNING/FINAL
+    * ([[matchRowsRunning]])): every confirmed match emits ONE row with
+    * (keyCols..., match_seq, start_id, end_id) plus, per component,
+    * `{name}_first` / `{name}_last` — NULL when the component matched
+    * zero rows (a `X*` variable that matched empty — SQL:2016's
+    * navigation-on-empty semantics). FIRST(X.v) = LAST(X.v) on
+    * one-row components by construction. Component boundaries are the
+    * same priority-order DFS assignment as matchVarMeasures
+    * (replay-pinned against java.regex capture groups in
+    * EventFoldSpec); aggregation happens on the match's own rows at
+    * confirmation, nothing re-shuffled or joined back; skip modes
+    * compose. */
+  private[graft] def matchVarNav(
+      ev: DataFrame, components: Seq[(String, String)],
+      skip: graft.functions.RowPattern.SkipMode,
+      keyCols: Seq[String], orderCols: Seq[String],
+      idCol: String, measureCol: String)(
+      classify: (org.apache.spark.sql.Row,
+        org.apache.spark.sql.Row) => Char): DataFrame = {
+    val sp = new graft.functions.RowPattern.SkipProgram(components)
+    val idIdx = ev.schema.fieldIndex(idCol)
+    val mIdx = ev.schema.fieldIndex(measureCol)
+    val names = components.map(_._1)
+    val outType = names
+      .foldLeft(
+        new org.apache.spark.sql.types.StructType()
+          .add("match_seq", org.apache.spark.sql.types.LongType)
+          .add("start_id", org.apache.spark.sql.types.LongType)
+          .add("end_id", org.apache.spark.sql.types.LongType)) {
+        case (t, n) =>
+          t.add(s"${n}_first", org.apache.spark.sql.types.LongType)
+            .add(s"${n}_last", org.apache.spark.sql.types.LongType)
+      }
+    final class St {
+      val sc = new graft.functions.RowPattern.SkipScanner[(Long, Long)](
+        sp, skip)
+      var prev: org.apache.spark.sql.Row = _
+      var seq = 0L
+      def rows(ms: List[graft.functions.RowPattern.SkipMatch[(Long, Long)]])
+          : List[Seq[Any]] =
+        ms.map { m =>
+          seq += 1
+          val nav = names.indices.flatMap { i =>
+            val c = m.comp(i)
+            if (c.isEmpty) Seq(null, null)
+            else Seq(Long.box(c.head._2), Long.box(c.last._2))
+          }
+          Seq(Long.box(seq), Long.box(m.first._1),
+            Long.box(m.last._1)) ++ nav
         }
     }
     graft.api.Folds.flatFoldOrdered(
@@ -1976,6 +2065,31 @@ object EventAnalytics {
          |JOIN cls e ON e.o_custkey = mm.o_custkey AND e.rn = mm.end_rn
          |JOIN w ON w.o_custkey = mm.o_custkey
          |  AND w.match_seq = mm.match_seq
+         |ORDER BY 1, 2""".stripMargin,
+
+    // FIRST/LAST navigation from the same islands closed form: the
+    // navigated values are the cents at the component boundary rows —
+    // down at rn = j and k, up at rn = k+1 and m — four coordinate
+    // point-joins, no aggregation
+    "ev_vshape_firstlast" ->
+      s"""WITH cls AS ($updownClsSql),
+         |$updownRunsSql,
+         |mm AS (
+         |  SELECT o_custkey, j, k, m, j - 1 AS start_rn, m AS end_rn,
+         |    CAST(row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY j) AS BIGINT) AS match_seq
+         |  FROM q)
+         |SELECT mm.o_custkey, mm.match_seq, s.o_orderkey AS start_id,
+         |  e.o_orderkey AS end_id,
+         |  df.cents AS down_first, dl.cents AS down_last,
+         |  uf.cents AS up_first, ul.cents AS up_last
+         |FROM mm
+         |JOIN cls s ON s.o_custkey = mm.o_custkey AND s.rn = mm.start_rn
+         |JOIN cls e ON e.o_custkey = mm.o_custkey AND e.rn = mm.end_rn
+         |JOIN cls df ON df.o_custkey = mm.o_custkey AND df.rn = mm.j
+         |JOIN cls dl ON dl.o_custkey = mm.o_custkey AND dl.rn = mm.k
+         |JOIN cls uf ON uf.o_custkey = mm.o_custkey AND uf.rn = mm.k + 1
+         |JOIN cls ul ON ul.o_custkey = mm.o_custkey AND ul.rn = mm.m
          |ORDER BY 1, 2""".stripMargin,
 
     // RUNNING vs FINAL at ALL ROWS grain: the closed-form span table

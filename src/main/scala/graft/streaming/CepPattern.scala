@@ -228,6 +228,28 @@ object CepPattern extends Serializable {
     var seq: Long = 0L
   }
 
+  /** One emitted row per EVENT of each confirmed match with its
+    * RUNNING and FINAL sums — streaming ALL ROWS with RUNNING/FINAL
+    * measures ([[matchRowsRunningBy]], round 13): `running_sum` is the
+    * inclusive prefix sum of the measure inside the match,
+    * `final_sum` the whole match's total (equal on the last row);
+    * RUNNING COUNT(*) is `ord_in_match` itself. */
+  final case class CepRunningRow(user_id: Long, match_seq: Long,
+                                 ord_in_match: Long, id: Long,
+                                 cls: String, running_sum: Long,
+                                 final_sum: Long)
+
+  /** Checkpointed per-key state for [[matchRowsRunningBy]]: the
+    * span-mode machine with a ring carrying (id, cls, value) per
+    * event, plus the PREV row (DEFINE/PREV window) and ordinal; the
+    * reorder buffer holds whole rows. */
+  private[graft] final class RunningRowState(
+      val ring: RowPattern.SpanRing[(Long, String, Long)])
+      extends GuardedState[org.apache.spark.sql.Row] {
+    var prev: org.apache.spark.sql.Row = _
+    var seq: Long = 0L
+  }
+
   /** Checkpointed per-key state for [[matchSkip]]: the SkipScanner —
     * the buffered current attempt + anchored thread set — carried
     * whole through the state store (everything in it is
@@ -996,6 +1018,93 @@ object CepPattern extends Serializable {
               }
             }
           }
+        }
+      state.update(st)
+      out.iterator
+    }
+
+    withOrder
+      .as(rowEnc)
+      .groupByKey(_.getLong(idIdx))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming ALL ROWS with RUNNING/FINAL measures (round 13 — the
+    * last batch-only MEASURES leg gains its streaming shape): when a
+    * match confirms, every covered row emits with the SQL:2016
+    * RUNNING SUM (the inclusive prefix sum of `measureCol` inside the
+    * match — the ring slice walks in order, so the accumulator is
+    * free) and the FINAL SUM (the match total, known at confirmation
+    * since spans only emit confirmed; equal to running on the last
+    * row, and RUNNING COUNT(*) is `ord_in_match`). Emission is exactly
+    * once, Append-shaped — a span confirms once, its rows and both
+    * sums are final. Classification inside the checkpointed state
+    * (the DEFINE/PREV contract of [[matchSpansBy]]); same admission
+    * guard, buffer cap, and terminator-disjoint requirement as the
+    * other span-backed modes; `measureCol` must be LONG (pre-scale
+    * money to cents). Restart-twin-pinned against the batch
+    * matchRowsRunning fold (the oracle-checked `ev_updown_running`
+    * path) in CepPatternSpec with a match crossing the checkpoint. */
+  def matchRowsRunningBy(spark: SparkSession, events: DataFrame,
+                         pattern: String,
+                         idCol: String = "user_id",
+                         tieCol: String = "event_id",
+                         orderCol: String = "ts",
+                         measureCol: String = "value",
+                         allowedLatenessUs: Long = 0L,
+                         onLate: String = "fail",
+                         maxBufferedEvents: Int = DefaultMaxBuffered)
+                        (classify: (org.apache.spark.sql.Row,
+                          org.apache.spark.sql.Row) => Char)
+      : Dataset[CepRunningRow] = {
+    requireGuardArgs(allowedLatenessUs, onLate, maxBufferedEvents)
+    val prog = RowPattern.compile(pattern)
+    require(RowPattern.terminatorDisjoint(prog),
+      s"streaming RUNNING-measures ALL ROWS mode needs a terminator-" +
+        s"disjoint pattern; '$pattern' is not — use matchesBy (count mode)")
+    implicit val stateEnc: Encoder[RunningRowState] =
+      Encoders.javaSerialization[RunningRowState]
+    import spark.implicits._
+    val withOrder = events.withColumn("__ts_us",
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col(orderCol)))
+    val schema = withOrder.schema
+    val idIdx = schema.fieldIndex(idCol)
+    val tieIdx = schema.fieldIndex(tieCol)
+    val usIdx = schema.fieldIndex("__ts_us")
+    val mIdx = schema.fieldIndex(measureCol)
+    implicit val rowEnc: Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+
+    def update(userId: Long, rows: Iterator[org.apache.spark.sql.Row],
+               state: GroupState[RunningRowState])
+        : Iterator[CepRunningRow] = {
+      val st = state.getOption.getOrElse(new RunningRowState(
+        new RowPattern.SpanRing[(Long, String, Long)](
+          new RowPattern.MatchCounter(prog, trackSpans = true))))
+      val evs = rows.toArray
+        .map(r => (r.getLong(usIdx), r.getLong(tieIdx), r))
+        .sortBy(e => (e._1, e._2))
+      val out = ArrayBuffer.empty[CepRunningRow]
+      admit(st, userId, evs, allowedLatenessUs, onLate, maxBufferedEvents)
+        .foreach { case (_, id, r) =>
+          val c = classify(st.prev, r)
+          st.prev = r
+          val mv = if (r.isNullAt(mIdx)) 0L else r.getLong(mIdx)
+          st.ring.feed((id, String.valueOf(c), mv), c).foreach { sp =>
+            st.seq += 1
+            val evsIn = st.ring.slice(sp)
+            var total = 0L
+            evsIn.foreach(total += _._3)
+            var running = 0L
+            evsIn.zipWithIndex.foreach { case ((rid, cls, v), ord) =>
+              running += v
+              out += CepRunningRow(userId, st.seq, ord + 1L, rid, cls,
+                running, total)
+            }
+          }
+          st.ring.prune()
         }
       state.update(st)
       out.iterator

@@ -798,6 +798,92 @@ class CepPatternSpec extends SparkSpec {
       r.getLong(2))).distinct.length, "a labeled row emitted twice")
   }
 
+  test("streaming RUNNING/FINAL measures: classified replay with " +
+    "restart equals the batch fold (round 13)") {
+    // U+D over value walks classified inside the state: user 1's first
+    // match STARTS in chunk 1 (two U rows) and confirms in chunk 2 (the
+    // D terminator) — the ring + prev row must round-trip the
+    // checkpoint; user 2's match confirms entirely inside chunk 1, so
+    // emission-before-restart is covered too
+    def writeValChunk(dir: java.nio.file.Path, name: String,
+                      evs: Seq[(Long, Long, Double, Int)]): Unit = {
+      val lines = evs.map { case (id, user, v, hour) =>
+        s"""{"event_id":$id,"user_id":$user,"event_type":"order",""" +
+          f""""value":$v%.1f,"ts_str":"2024-01-01 $hour%02d:00:00.000000",""" +
+          s""""props":"{}"}"""
+      }
+      Files.write(dir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val c1 = Seq((1L, 1L, 10.0, 1), (2L, 1L, 20.0, 2),
+      (11L, 2L, 8.0, 1), (12L, 2L, 9.0, 2), (13L, 2L, 3.0, 3))
+    val c2 = Seq((3L, 1L, 30.0, 3), (4L, 1L, 15.0, 4),
+      (5L, 1L, 25.0, 5), (6L, 1L, 5.0, 6))
+    val classify: (org.apache.spark.sql.Row,
+      org.apache.spark.sql.Row) => Char = (prev, cur) =>
+      if (prev == null) 'o'
+      else {
+        val p = prev.getAs[Double]("value")
+        val c = cur.getAs[Double]("value")
+        if (c > p) 'U' else if (c < p) 'D' else 'e'
+      }
+    val base = Files.createTempDirectory("graft_ceprun")
+    val src = Files.createDirectory(base.resolve("src"))
+    def run(): Unit = {
+      val in = StreamingIngest.parse(spark.readStream.text(src.toString))
+        .withColumn("mv", expr("cast(value as long)"))
+      val q = api.Events.matchRowsRunningStreamBy(
+          spark, in, "U+D", "mv")(classify)
+        .writeStream.format("parquet")
+        .option("path", base.resolve("out").toString)
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeValChunk(src, "b1.json", c1)
+    run()
+    // only user 2's match (U at id 12, D at id 13) can confirm inside
+    // chunk 1; user 1's attempt is still open
+    val afterC1 = spark.read.parquet(base.resolve("out").toString)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6))).toSet
+    assert(afterC1 == Set(
+      (2L, 1L, 1L, 12L, "U", 9L, 12L),
+      (2L, 1L, 2L, 13L, "D", 12L, 12L)), afterC1)
+    writeValChunk(src, "b2.json", c2)
+    run() // restart — ring + prev row reload from the state store
+    import spark.implicits._
+    val frame = (c1 ++ c2).toDF("event_id", "user_id", "value", "hour")
+      .selectExpr("user_id", "event_id", "value",
+        "cast(value as long) AS mv",
+        "to_timestamp(printf('2024-01-01 %02d:00:00', hour)) AS ts")
+    val streamed = spark.read.parquet(base.resolve("out").toString)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6))).toSet
+    val batch = operators.EventAnalytics.matchRowsRunning(
+        frame, "U+D", Seq("user_id"), Seq("ts", "event_id"),
+        "event_id", "mv")(classify)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6))).toSet
+    assert(streamed == batch, s"$streamed != $batch")
+    // the boundary-crossing match: U(20) fed pre-restart, U(30) D(15)
+    // post — running walks 20, 50, 65; final 65 on every row, equal to
+    // running on the last (the SQL:2016 RUNNING/FINAL law)
+    assert(streamed.contains((1L, 1L, 1L, 2L, "U", 20L, 65L)) &&
+      streamed.contains((1L, 1L, 2L, 3L, "U", 50L, 65L)) &&
+      streamed.contains((1L, 1L, 3L, 4L, "D", 65L, 65L)), streamed)
+    // user 1's second match confirms post-restart off carried state
+    assert(streamed.contains((1L, 2L, 1L, 5L, "U", 25L, 30L)) &&
+      streamed.contains((1L, 2L, 2L, 6L, "D", 30L, 30L)), streamed)
+    // exactly-once: no (user, match, ord) emitted twice
+    val all = spark.read.parquet(base.resolve("out").toString).collect()
+    assert(all.length == all.map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).distinct.length, "a running row emitted twice")
+  }
+
   test("the spanning match is absent before the second chunk") {
     val base = Files.createTempDirectory("graft_cepspan")
     val src = Files.createDirectory(base.resolve("src"))

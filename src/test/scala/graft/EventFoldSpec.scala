@@ -587,6 +587,75 @@ class EventFoldSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("FIRST/LAST value navigation equals java.regex group boundary " +
+    "values, NULL on an empty component (round 13)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val data = (1L to 30L).flatMap { ent =>
+      (0 until rnd.nextInt(50)).map(i =>
+        (ent, i.toLong, rnd.nextInt(8).toDouble, rnd.nextInt(1000).toLong))
+    }
+    val df = data.toDF("ent", "seq", "v", "mv")
+    def classifyStr(vs: Seq[Double]): String =
+      vs.zipWithIndex.map { case (v, i) =>
+        if (i < 1) 'o'
+        else if (v > vs(i - 1)) 'U'
+        else if (v < vs(i - 1)) 'D' else 'e'
+      }.mkString
+    val classify: (org.apache.spark.sql.Row,
+      org.apache.spark.sql.Row) => Char = (prev, cur) =>
+      if (prev == null) 'o'
+      else {
+        val p = prev.getDouble(2); val c = cur.getDouble(2)
+        if (c > p) 'U' else if (c < p) 'D' else 'e'
+      }
+    // u = U* so some matches have an EMPTY up component — FIRST/LAST
+    // over an empty variable must be NULL (SQL:2016 navigation-on-
+    // empty), which count/sum MEASURES cannot distinguish from zero
+    val comps = Seq("s" -> ".", "d" -> "D+", "u" -> "U*")
+    val pastLast = graft.functions.RowPattern.SkipMode.PastLast
+    val got = operators.EventAnalytics.matchVarNav(
+      df, comps, pastLast, Seq("ent"), Seq("seq"), "seq", "mv")(classify)
+      .collect().map { r =>
+        def opt(i: Int): Option[Long] =
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        // cols: ent, match_seq, start_id, end_id, then
+        // (s_first, s_last, d_first, d_last, u_first, u_last) at 4..9
+        (r.getLong(0), r.getLong(1), opt(4), opt(5), opt(6), opt(7),
+          opt(8), opt(9))
+      }.toSeq.sortBy(t => (t._1, t._2))
+    val want = data.groupBy(_._1).toSeq.flatMap { case (ent, rows0) =>
+      val rows = rows0.sortBy(_._2)
+      val s = classifyStr(rows.map(_._3))
+      val m = java.util.regex.Pattern.compile("(.)(D+)(U*)").matcher(s)
+      val out = scala.collection.mutable.ArrayBuffer.empty[
+        (Long, Long, Option[Long], Option[Long], Option[Long],
+          Option[Long], Option[Long], Option[Long])]
+      var k = 0L
+      while (m.find()) {
+        k += 1
+        def nav(g: Int): (Option[Long], Option[Long]) =
+          if (m.start(g) == m.end(g)) (None, None)
+          else (Some(rows(m.start(g))._4), Some(rows(m.end(g) - 1)._4))
+        val (sf, sl) = nav(1); val (dfi, dl) = nav(2); val (uf, ul) = nav(3)
+        out += ((ent, k, sf, sl, dfi, dl, uf, ul))
+      }
+      out
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want && got.nonEmpty, "first/last replay")
+    // both empty and non-empty up components occurred (the NULL leg ran)
+    assert(got.exists(_._7.isEmpty) && got.exists(_._7.nonEmpty))
+    // one-row components: FIRST == LAST by construction (s is '.')
+    got.foreach(t => assert(t._3 == t._4, s"s_first != s_last: $t"))
+    // facade wires the same path
+    assert(api.Events.matchVarNavBy(df, comps, pastLast, "mv")(
+        classify, idCol = "ent", tieCol = "seq", orderCol = "seq")
+        .collect().toSeq ==
+      operators.EventAnalytics.matchVarNav(
+        df, comps, pastLast, Seq("ent"), Seq("seq", "seq"), "seq", "mv")(
+        classify).collect().toSeq)
+  }
+
   test("fold clients keep Window and collect_list out of their plans") {
     // the scale contract of the migrations: one keyed shuffle + sort +
     // object fold — no window pass, no per-entity array buffer
