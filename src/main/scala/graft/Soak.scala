@@ -42,11 +42,39 @@ object Soak {
     }.reduce(_ unionAll _)
     rotated.write.mode("overwrite").parquet(s"$out/documents.parquet")
     val vecs = Tables(spark, base, "embeddings")
+    // copy 0 is the base corpus verbatim (the queries); copy c > 0 adds
+    // the c·5e-4 uniform bias PLUS a per-(vector, dim, copy)
+    // DETERMINISTIC murmur3 jitter of ±1000 quantized units — ±0.1 per
+    // dim, family radius ≈ 0.46 of a unit vector (round 13: the
+    // round-12 soak's uniform-bias replicas saturated every ANN recall
+    // line at 1.000 — a query's replicas sat on one ray at monotone
+    // tiny distances sharing the query's own PQ/IVF cells, so the
+    // exact rerank always recovered the full truth set. Measured on
+    // the way here: ±10 and ±200 units still saturate — any jitter
+    // radius below the corpus's own neighbor distances leaves the
+    // family strictly nearest and every index finds it. At ±1000 the
+    // family radius reaches real inter-vector distances, so the truth
+    // set mixes replicas and strangers and the recall line finally
+    // measures the INDEX, not the replica geometry; cosine within a
+    // family stays ≈ 0.89, so families remain near-dup-heavy for the
+    // SRP-LSH candidate-share lines).
     val shifted = (0 until copies).map { c =>
-      vecs.select(
+      if (c == 0) vecs.select(col("vec_id"), col("embedding"), col("label"))
+      // the ANN QUERY vectors (vec_id < 10 — the sim_ family's NQ)
+      // keep NO replicas: a query whose own near-identical copies
+      // dominate its truth set saturates every recall line at 1.000
+      // regardless of index quality (any index finds the family —
+      // measured through three jitter magnitudes on the way here), so
+      // the queries' truth stays STRANGER-ONLY at the corpus's own
+      // neighbor granularity while the other 99.98% of vectors stay
+      // replica-heavy for the SRP-LSH candidate-share lines
+      else vecs.filter(col("vec_id") >= 10).select(
         (col("vec_id") + lit(c * OFFSET)).as("vec_id"),
-        expr(s"transform(embedding, x -> x + cast($c * 0.0005 as float))")
-          .as("embedding"),
+        expr(s"""transform(embedding, (x, i) ->
+                |  x + cast($c * 0.0005 as float)
+                |    + cast((hash(vec_id, i, $c) % ${200 * c + 1})
+                |           * 0.0001 as float))"""
+          .stripMargin).as("embedding"),
         col("label"))
     }.reduce(_ unionAll _)
     shifted.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -698,6 +726,24 @@ object Soak {
       val rPq = if (bf.nonEmpty) 1.0 * (bf & pq).size / bf.size else 0.0
       val rOpq = if (bf.nonEmpty) 1.0 * (bf & opq).size / bf.size else 0.0
       println(f"""{"corpus":"$tag","query":"sim_opq_recall","brute_s":$tBf%.2f,"pq_s":$tPq%.2f,"opq_s":$tOpq%.2f,"pq_recall_at_5":$rPq%.3f,"opq_recall_at_5":$rOpq%.3f}""")
+    }
+    if (only.contains("sim_opq_ivfpq_topk")) {
+      // OPQ-on-residuals vs plain IVF-PQ recall@5 at scale (round 13):
+      // same coarse cells, probes, code size, and rerank — the line
+      // that says whether the residual-energy allocation buys recall
+      // on this corpus
+      def topSet(q: String): (Set[(Long, Long)], Double) = {
+        val (s, t) = time(SparkEntry.queries(q)(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+        spark.catalog.clearCache()
+        (s, t)
+      }
+      val (bf, tBf) = topSet("sim_bruteforce_topk")
+      val (ivf, tIvf) = topSet("sim_ivfpq_topk")
+      val (oivf, tOivf) = topSet("sim_opq_ivfpq_topk")
+      val rIvf = if (bf.nonEmpty) 1.0 * (bf & ivf).size / bf.size else 0.0
+      val rOivf = if (bf.nonEmpty) 1.0 * (bf & oivf).size / bf.size else 0.0
+      println(f"""{"corpus":"$tag","query":"sim_opq_ivfpq_recall","brute_s":$tBf%.2f,"ivfpq_s":$tIvf%.2f,"opq_ivfpq_s":$tOivf%.2f,"ivfpq_recall_at_5":$rIvf%.3f,"opq_ivfpq_recall_at_5":$rOivf%.3f}""")
     }
     if (only.contains("dd_embed_cosine")) {
       // candidate-share accounting for the SRP banding (round 11):

@@ -735,6 +735,39 @@ object Dedup {
     "dd_cluster" -> ((s, dir) =>
       minhashClusters(s, dir).orderBy("cluster_id", "doc_id")),
 
+    // INCREMENTAL cluster maintenance (round 13) — the nightly shape
+    // for the dedup resolution step: merge tonight's batch (doc_id %
+    // 5 = 0, dd_incremental's split) into yesterday's duplicate
+    // clusters WITHOUT re-pairing the old corpus.
+    // gr_components_incr's technique applied to dedup: yesterday's
+    // labeling is a STAR FOREST (doc → its cluster root) that
+    // preserves old connectivity exactly, so components over
+    // (yesterday's star edges ∪ tonight's probe pairs) equal the full
+    // recompute — same oracle as dd_cluster, hash-matched. Yesterday's
+    // stars persist once per (session, corpus) via Materialize (the
+    // nightly job READS yesterday's clusters, it never recomputes
+    // them); tonight's edges come from the incremental band probe
+    // (state×new + new×new — batch-scaled, never old×old). Per-night
+    // cost: the probe join plus label propagation whose round count is
+    // governed by the NEW edges (stars have depth 1), each round one
+    // join over star edges ≈ docs-in-dup-families rows.
+    "dd_cluster_incr" -> ((s, dir) => {
+      val oldStars = graft.sources.Materialize.tableOnce(s, dir,
+        graft.sources.Materialize.indexTable("dd_old_stars", dir)) {
+        components(minhashPairsOf(
+            Tables(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)
+              .select("doc_id", "text"))
+          .select("id1", "id2"))
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("id1"), col("cluster_id").as("id2"))
+      }
+      val newPairs = incrementalScored(s, dir)
+        .filter(col("n_match") >= 6)
+        .select("id1", "id2")
+      components(oldStars.unionAll(newPairs))
+        .orderBy("cluster_id", "doc_id")
+    }),
+
     // CONTAINMENT detection (quote / memorization audit): which corpus
     // documents contain ≥ 80% of a snippet's 3-word shingles? Jaccard
     // misses this case by design — a 12-word quote inside a 100-word
@@ -1150,6 +1183,22 @@ object Dedup {
     // label reachable from each vertex (near-dup components are tiny,
     // so the closure is cheap), min per vertex = the component id.
     "dd_cluster" ->
+      s"""WITH RECURSIVE pairs AS ($minhashSql),
+         |edges AS (SELECT id1 AS v, id2 AS u FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |verts AS (SELECT DISTINCT v FROM edges),
+         |reach(v, l) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.v, r.l FROM edges e JOIN reach r ON r.v = e.u)
+         |SELECT min(l) AS cluster_id, v AS doc_id
+         |FROM reach GROUP BY v ORDER BY cluster_id, doc_id""".stripMargin,
+
+    // the incremental merge must equal the full recompute EXACTLY (a
+    // star forest preserves connectivity), so the oracle is
+    // dd_cluster's verbatim — the cross-engine pin that the
+    // no-re-pairing shortcut loses nothing
+    "dd_cluster_incr" ->
       s"""WITH RECURSIVE pairs AS ($minhashSql),
          |edges AS (SELECT id1 AS v, id2 AS u FROM pairs
          |          UNION ALL SELECT id2, id1 FROM pairs),

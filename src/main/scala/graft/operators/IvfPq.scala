@@ -68,7 +68,8 @@ object IvfPq {
                                  k: Int, probes: Int,
                                  rerank: Int,
                                  index: graft.sources.Materialize.Index =
-                                   graft.sources.Materialize.cached): DataFrame = {
+                                   graft.sources.Materialize.cached,
+                                 opq: Boolean = false): DataFrame = {
     val e = index("ann_qvecs", () => quantize(corpus, "v"))
     val q0 = quantize(queries, "v")
     val coarse = index("ivfpq_coarse", () => e.orderBy("vec_id").limit(C)
@@ -83,8 +84,36 @@ object IvfPq {
         .select(col(idOut), col("ccid"),
           expr("zip_with(q, cq, (a, b) -> a - b)").as("r"))
     }
-    val resid = index("ivfpq_resid", () =>
+    val resid0 = index("ivfpq_resid", () =>
       nearestCells(e.select(col("vec_id"), col("q")), "vec_id", 1))
+    // OPQ ON RESIDUALS (round 13 — the production FAISS
+    // `OPQxx,IVFyy,PQzz` composition, Ge CVPR'13 allocation restricted
+    // to the exactly-replayable permutation family, see
+    // ProductQuant.learnedPermutation): after coarse assignment, rank
+    // dimensions by the RESIDUAL corpus's second moment — the energy
+    // profile the codebooks actually see, which coarse subtraction
+    // reshapes away from the raw corpus's — snake-deal them across the
+    // M subspaces, and permute every residual (corpus and per-probe
+    // query residuals identically) before training/encoding. Rerank is
+    // on full unpermuted vectors; L2 is permutation-invariant, so only
+    // the ADC candidate ordering changes — that is the point. The
+    // 64-long energy collect is model-parameter scale.
+    val permute: DataFrame => DataFrame =
+      if (!opq) identity
+      else {
+        val perm = ProductQuant.learnedPermutation(resid0, "r")
+        require(perm.sorted == (0 until M * DSUB),
+          s"not a permutation: $perm")
+        df => df.withColumn("r", expr(
+          s"transform(array(${perm.mkString(",")}), " +
+            "i -> element_at(r, i + 1))"))
+      }
+    // the permuted residual table is its own artifact; the raw resid
+    // artifact is shared with the plain-IVFPQ variant (identical plan)
+    val resid =
+      if (!opq) resid0
+      else index("opqivf_presid", () => permute(resid0))
+    val prefix = if (opq) "opqivf" else "ivfpq"
     def subs(df: DataFrame, keep: Seq[String]): DataFrame =
       df.select(keep.map(col) :+ posexplode(expr(
         s"transform(sequence(0, ${M - 1}), " +
@@ -114,16 +143,16 @@ object IvfPq {
       .groupBy("m", "cid")
       .agg(expr("transform(array_sort(collect_list(struct(pos, mm))), " +
         "s -> s.mm)").as("cq"))
-    val cb = index("ivfpq_cb", () =>
+    val cb = index(s"${prefix}_cb", () =>
       re.unionByName(init.join(re, Seq("m", "cid"), "left_anti")))
-    val codes = index("ivfpq_codes", () => assignM(cb)
+    val codes = index(s"${prefix}_codes", () => assignM(cb)
       .select(col("vec_id"), col("m"), col("cid").as("code"))
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), " +
         "s -> s.code)").as("codes"))
       .join(resid.select("vec_id", "ccid"), "vec_id"))
-    val qprobe = nearestCells(
-      q0.select(col("vec_id").as("qid"), col("q")), "qid", probes)
+    val qprobe = permute(nearestCells(
+      q0.select(col("vec_id").as("qid"), col("q")), "qid", probes))
     val luts = subs(qprobe, Seq("qid", "ccid"))
       .join(broadcast(cb), "m")
       .select(col("qid"), col("ccid"), col("m"), col("cid"),
@@ -241,6 +270,22 @@ object IvfPq {
       ivfPqTopKOf(emb.filter(col("vec_id") < NQ), emb,
         TOPK, PROBES, RERANK,
         index = graft.sources.Materialize.indexOf(s, dir))
+    }),
+
+    // OPQ-on-residuals (round 13): the FAISS OPQ,IVF,PQ composite —
+    // identical coarse cells, probes, code size, and rerank as
+    // sim_ivfpq_topk; only the residual subspace SPLIT is learned (from
+    // the residual energy profile, which coarse subtraction reshapes).
+    // The oracle replays the ENTIRE index: coarse assign → residuals →
+    // residual energy ranking → snake allocation → permutation →
+    // codebooks → codes → per-(query, cell) LUTs → cell-pruned ADC →
+    // exact rerank on unpermuted vectors.
+    "sim_opq_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      ivfPqTopKOf(emb.filter(col("vec_id") < NQ), emb,
+        TOPK, PROBES, RERANK,
+        index = graft.sources.Materialize.indexOf(s, dir), opq = true)
     }),
 
     "sim_index_add" -> ((s, dir) => {
@@ -414,67 +459,110 @@ object IvfPq {
     // residual codebooks → codes → per-(query, probed-cell) LUTs →
     // cell-pruned ADC → exact rerank. Identical integer arithmetic.
     "sim_ivfpq_topk" ->
-      s"""WITH e AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
-         |      sqrt(list_reduce(
-         |        list_transform(embedding,
-         |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
-         |        (acc, z) -> acc + z))
-         |      * 10000.0 + 0.5) AS BIGINT)) AS q
-         |  FROM embeddings),
-         |coarse AS (
-         |  SELECT rn - 1 AS ccid, q AS cq FROM (
-         |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, q
-         |    FROM e) s WHERE rn <= $C),
-         |cass AS (
-         |  SELECT vec_id, q, ccid, cq FROM (
-         |    SELECT n.vec_id, n.q, c.ccid, c.cq,
-         |      row_number() OVER (PARTITION BY n.vec_id
-         |        ORDER BY ${d2(M * DSUB, "n.q", "c.cq")}, c.ccid) AS rn
-         |    FROM e n, coarse c) x WHERE rn = 1),
+      s"""WITH ${headSql("resid", "qprobe")},
+         |$tailSql""".stripMargin,
+
+    // OPQ-on-residuals replayed in full (round 13): after the shared
+    // coarse-assign/residual head, the RESIDUAL energy ranking (ties
+    // to the lower index), snake allocation, and permutation — applied
+    // identically to corpus residuals and per-probe query residuals —
+    // then the identical subspace/ADC/rerank tail. Rerank reads the
+    // unpermuted vectors (L2 is permutation-invariant). DuckDB lists
+    // are 1-based where Spark's element_at(r, i+1) reads a 0-based
+    // perm — the same reorder.
+    "sim_opq_ivfpq_topk" ->
+      s"""WITH ${headSql("resid0", "qprobe0")},
+         |ren AS (
+         |  SELECT g.i, sum(r[g.i] * r[g.i]) AS en
+         |  FROM resid0, generate_series(1, ${M * DSUB}) g(i)
+         |  GROUP BY g.i),
+         |rrk AS (
+         |  SELECT i, row_number() OVER (ORDER BY en DESC, i) - 1 AS rk
+         |  FROM ren),
+         |ral AS (
+         |  SELECT i,
+         |    CASE WHEN (rk // $M) % 2 = 0 THEN rk % $M
+         |         ELSE $M - 1 - (rk % $M) END AS m,
+         |    rk // $M AS slot
+         |  FROM rrk),
+         |rpm AS (SELECT list(i ORDER BY m, slot) AS perm FROM ral),
          |resid AS (
-         |  SELECT vec_id, ccid,
-         |    list_transform(range(1, ${M * DSUB + 1}),
-         |      i -> q[i] - cq[i]) AS r
-         |  FROM cass),
+         |  SELECT vec_id, ccid, list_transform(rpm.perm, j -> r[j]) AS r
+         |  FROM resid0, rpm),
          |qprobe AS (
-         |  SELECT qid, ccid, r FROM (
-         |    SELECT n.vec_id AS qid, c.ccid,
-         |      list_transform(range(1, ${M * DSUB + 1}),
-         |        i -> n.q[i] - c.cq[i]) AS r,
-         |      row_number() OVER (PARTITION BY n.vec_id
-         |        ORDER BY ${d2(M * DSUB, "n.q", "c.cq")}, c.ccid) AS rn
-         |    FROM e n, coarse c WHERE n.vec_id < $NQ) x
-         |  WHERE rn <= $PROBES),
-         |${(0 until M).map(subspaceSql).mkString(",\n")},
-         |codes AS (${(0 until M).map(m => s"SELECT * FROM code$m")
-            .mkString(" UNION ALL ")}),
-         |luts AS (${(0 until M).map(m => s"SELECT * FROM lut$m")
-            .mkString(" UNION ALL ")}),
-         |adc AS (
-         |  SELECT l.qid, ct.vec_id AS nid, sum(l.d) AS approx
-         |  FROM codes ct
-         |  JOIN resid rs ON rs.vec_id = ct.vec_id
-         |  JOIN luts l ON l.ccid = rs.ccid AND l.m = ct.m
-         |    AND l.cid = ct.code
-         |  WHERE ct.vec_id <> l.qid
-         |  GROUP BY l.qid, ct.vec_id),
-         |cand AS (
-         |  SELECT qid, nid FROM (
-         |    SELECT qid, nid,
-         |      row_number() OVER (PARTITION BY qid
-         |                         ORDER BY approx, nid) AS arn
-         |    FROM adc) x WHERE arn <= $RERANK)
-         |SELECT qid, nid, dist FROM (
-         |  SELECT c.qid, c.nid,
-         |    ${d2(M * DSUB, "eq.q", "en.q")} AS dist,
-         |    row_number() OVER (PARTITION BY c.qid
-         |                       ORDER BY ${d2(M * DSUB, "eq.q", "en.q")},
-         |                                c.nid) AS rn
-         |  FROM cand c
-         |  JOIN e en ON en.vec_id = c.nid
-         |  JOIN e eq ON eq.vec_id = c.qid) x
-         |WHERE rn <= $TOPK ORDER BY qid, dist, nid""".stripMargin
+         |  SELECT qid, ccid, list_transform(rpm.perm, j -> r[j]) AS r
+         |  FROM qprobe0, rpm),
+         |$tailSql""".stripMargin
   )
+
+  /** Quantize + coarse + assignment + residual + query-probe CTEs,
+    * shared by both oracles; the residual and probe CTE names are
+    * caller-chosen so the OPQ variant can interpose its permutation. */
+  private def headSql(residName: String, qprobeName: String): String =
+    s"""e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+       |      sqrt(list_reduce(
+       |        list_transform(embedding,
+       |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+       |        (acc, z) -> acc + z))
+       |      * 10000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |coarse AS (
+       |  SELECT rn - 1 AS ccid, q AS cq FROM (
+       |    SELECT row_number() OVER (ORDER BY vec_id) AS rn, q
+       |    FROM e) s WHERE rn <= $C),
+       |cass AS (
+       |  SELECT vec_id, q, ccid, cq FROM (
+       |    SELECT n.vec_id, n.q, c.ccid, c.cq,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${d2(M * DSUB, "n.q", "c.cq")}, c.ccid) AS rn
+       |    FROM e n, coarse c) x WHERE rn = 1),
+       |$residName AS (
+       |  SELECT vec_id, ccid,
+       |    list_transform(range(1, ${M * DSUB + 1}),
+       |      i -> q[i] - cq[i]) AS r
+       |  FROM cass),
+       |$qprobeName AS (
+       |  SELECT qid, ccid, r FROM (
+       |    SELECT n.vec_id AS qid, c.ccid,
+       |      list_transform(range(1, ${M * DSUB + 1}),
+       |        i -> n.q[i] - c.cq[i]) AS r,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${d2(M * DSUB, "n.q", "c.cq")}, c.ccid) AS rn
+       |    FROM e n, coarse c WHERE n.vec_id < $NQ) x
+       |  WHERE rn <= $PROBES)""".stripMargin
+
+  /** Subspace train/encode/LUT + ADC + rerank CTEs over `resid` /
+    * `qprobe` (whatever the head bound those names to). */
+  private def tailSql: String =
+    s"""${(0 until M).map(subspaceSql).mkString(",\n")},
+       |codes AS (${(0 until M).map(m => s"SELECT * FROM code$m")
+          .mkString(" UNION ALL ")}),
+       |luts AS (${(0 until M).map(m => s"SELECT * FROM lut$m")
+          .mkString(" UNION ALL ")}),
+       |adc AS (
+       |  SELECT l.qid, ct.vec_id AS nid, sum(l.d) AS approx
+       |  FROM codes ct
+       |  JOIN resid rs ON rs.vec_id = ct.vec_id
+       |  JOIN luts l ON l.ccid = rs.ccid AND l.m = ct.m
+       |    AND l.cid = ct.code
+       |  WHERE ct.vec_id <> l.qid
+       |  GROUP BY l.qid, ct.vec_id),
+       |cand AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid
+       |                         ORDER BY approx, nid) AS arn
+       |    FROM adc) x WHERE arn <= $RERANK)
+       |SELECT qid, nid, dist FROM (
+       |  SELECT c.qid, c.nid,
+       |    ${d2(M * DSUB, "eq.q", "en.q")} AS dist,
+       |    row_number() OVER (PARTITION BY c.qid
+       |                       ORDER BY ${d2(M * DSUB, "eq.q", "en.q")},
+       |                                c.nid) AS rn
+       |  FROM cand c
+       |  JOIN e en ON en.vec_id = c.nid
+       |  JOIN e eq ON eq.vec_id = c.qid) x
+       |WHERE rn <= $TOPK ORDER BY qid, dist, nid""".stripMargin
 }

@@ -90,8 +90,9 @@ object ProductQuant {
     * change (that is the point) but the exact rerank distances are
     * identical to PQ's. The 64-long energy collect is model-parameter
     * scale (one value per dimension). */
-  private[graft] def learnedPermutation(e: DataFrame): Seq[Int] = {
-    val energy = e.select(posexplode(col("q")).as(Seq("pos", "x")))
+  private[graft] def learnedPermutation(e: DataFrame,
+                                        vecCol: String = "q"): Seq[Int] = {
+    val energy = e.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("pos").agg(sum(expr("x * x")).as("en"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val ranked = energy.sortBy { case (p, en) => (-en, p) }.map(_._1)

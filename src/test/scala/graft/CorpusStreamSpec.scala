@@ -69,6 +69,18 @@ class CorpusStreamSpec extends SparkSpec {
       Tables(spark, sf, "documents").select("doc_id", "text")).count()
     assert(sigDocs === withSigs)
 
+    // stream-maintained duplicate clusters == the batch dd_cluster twin
+    // over the full ingested history (round 13): the per-batch star-
+    // forest merge loses nothing vs recomputing components from scratch
+    val streamClusters = spark.read.parquet(s"$out/clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchClusters = Dedup.components(
+        Dedup.minhashPairsOf(
+          Tables(spark, sf, "documents").select("doc_id", "text"))
+          .select("id1", "id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamClusters === batchClusters && streamClusters.nonEmpty)
+
     // replaying an already-curated batch appends nothing: the digest
     // gate filters every replayed good doc against state
     val before = spark.read.parquet(s"$out/accepted").count()
@@ -78,5 +90,11 @@ class CorpusStreamSpec extends SparkSpec {
     CorpusStream.curateBatch(replay, out, 5)
     val after = spark.read.parquet(s"$out/accepted").count()
     assert(after === before)
+
+    // and leaves the maintained clusters at the same fixpoint: merging
+    // an already-merged batch's pairs into the star forest is a no-op
+    val replayed = spark.read.parquet(s"$out/clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed === batchClusters)
   }
 }
