@@ -53,6 +53,54 @@ object Media {
         col("dup_group"), col("group_size"))
   }
 
+  /** The 64-bit average-hash table of a caller image corpus —
+    * (id, bits) — the decode+hash stage the perceptual NEAR-dup
+    * operators consume. A production pipeline persists this table
+    * once at ingest (the named queries do, via Materialize) and runs
+    * every later near-dup/cluster pass off it. */
+  def imageHashes(df: DataFrame, idCol: String = "id",
+                  bytesCol: String = "content"): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    payloads(df, idCol, bytesCol)
+      .mapPartitions(Multimodal.avgHashBits)
+      .toDF()
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** Perceptual NEAR-dup pairs (Hamming ≤ 2 on the 64-bit average
+    * hash) over caller image payloads — the `mm_phash_near` pipeline
+    * (round 13): decode → hash → 3-band multi-index split →
+    * band-keyed self-join (any pair within Hamming 2 agrees on ≥ 1
+    * band, by pigeonhole) → exact bit_count verify. Returns (id1 <
+    * id2, hamming). The output is the TRUE pair set — quadratic on a
+    * replica-saturated corpus; use [[imageClusters]] for the O(n)
+    * production shape. */
+  def imageNearDup(df: DataFrame, idCol: String = "id",
+                   bytesCol: String = "content"): DataFrame =
+    Multimodal.phashNearOf(
+      imageHashes(df, idCol, bytesCol)
+        .withColumnRenamed(idCol, "doc_id"))
+
+  /** Perceptual near-dup CLUSTERS over caller image payloads — the
+    * `mm_phash_cluster` pipeline (round 13): replica collapse on the
+    * 64-bit hash FIRST, banded Hamming join over DISTINCT hashes,
+    * connected components, map back through the hash representative.
+    * One row per image — (id, cluster_id = min id of its near-dup
+    * class) — O(n) output at any replica density. */
+  def imageClusters(df: DataFrame, idCol: String = "id",
+                    bytesCol: String = "content"): DataFrame = {
+    // checkpoint-backed (components) → memoized per (session, input
+    // plan), the serving contract every components facade follows
+    val in = df.select(col(idCol), col(bytesCol))
+    graft.sources.Materialize.resultOnce("media.imageClusters", "",
+      Seq(in))(
+      Multimodal.phashClusterOf(
+        imageHashes(df, idCol, bytesCol)
+          .withColumnRenamed(idCol, "doc_id"))
+        .withColumnRenamed("doc_id", idCol))
+  }
+
   /** Decode each WAV payload: (id, n_frames, channels, sample_rate,
     * bits, sum_s, min_s, max_s) — the `mm_audio_meta` stage. */
   def audioMeta(df: DataFrame, idCol: String = "id",

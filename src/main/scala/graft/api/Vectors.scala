@@ -106,6 +106,26 @@ object Vectors {
       k, probes, rerank)
       .select(col("qid"), col("nid"), col("dist"))
 
+  /** [[topKIvfPq]] with OPQ-style learned dimension allocation ON THE
+    * RESIDUALS (round 13 — the FAISS `OPQ,IVF,PQ` composite):
+    * dimensions rank by the residual corpus's second moment after
+    * coarse assignment, snake-deal across subspaces, and the learned
+    * permutation applies to corpus and query residuals identically
+    * before codebook training; rerank reads the unpermuted vectors.
+    * Same cells, probes, code size, and rerank budget as
+    * [[topKIvfPq]] — only the subspace split is learned (2× its
+    * recall@5 at the x10 soak). Delegates to the path behind the
+    * oracle-checked `sim_opq_ivfpq_topk`. */
+  def topKOpqIvfPq(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                   probes: Int = 4, rerank: Int = 40,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    graft.operators.IvfPq.ivfPqTopKOf(
+      queries.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      k, probes, rerank, opq = true)
+      .select(col("qid"), col("nid"), col("dist"))
+
   /** MMR-diversified top-k: plain relevance ranking builds a
     * `pool`-candidate set per query, then k greedy rounds pick
     * argmax(relevance − max-similarity-to-already-picked) so results

@@ -348,6 +348,13 @@ class ApiSpec extends SparkSpec {
     val ipQ = operators.IvfPq.queries("sim_ivfpq_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ip === ipQ)
+    // OPQ-on-residuals facade equals the named query (round 13)
+    val oip = graft.api.Vectors.topKOpqIvfPq(
+        ipEmb.filter(col("vid") < 10), ipEmb, 5, 4, 40, "vid", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oipQ = operators.IvfPq.queries("sim_opq_ivfpq_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oip === oipQ)
     // PCA facade over renamed columns equals the named query
     val pcEmb = Tables(spark, sf, "embeddings")
       .select(col("vec_id").as("vid"), col("embedding").as("e"))

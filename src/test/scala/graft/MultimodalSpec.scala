@@ -162,6 +162,37 @@ class MultimodalSpec extends SparkSpec {
     assert(api === query)
   }
 
+  test("Media near-dup facades over caller payloads equal the named " +
+    "queries (round 13)") {
+    import graft.api.Media
+    // render the near-spec corpus the way the queries do (p = id%16,
+    // f = id div 16 % 8, base = id%56 — the NearSpec rule), hand the
+    // PAYLOADS to the facade, and pin pair/cluster parity
+    val payloads = {
+      Tables(spark, sf, "documents").select(
+          col("doc_id"),
+          (col("doc_id") % 16).cast("int").as("p"),
+          expr("doc_id div 16 % 8").cast("int").as("f"),
+          (col("doc_id") % 56).cast("int").as("base"))
+        .as[(Long, Int, Int, Int)]
+        .mapPartitions(it => Multimodal.encodeNear(it.map {
+          case (id, p, f, b) => Multimodal.NearSpec(id, p, f, b) }))
+        .toDF("img_id", "blob")
+    }
+    val pairs = Media.imageNearDup(payloads, "img_id", "blob")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val pairsQ = SparkEntry.queries("mm_phash_near")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(pairs === pairsQ && pairs.nonEmpty)
+    val clu = Media.imageClusters(payloads, "img_id", "blob")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cluQ = SparkEntry.queries("mm_phash_cluster")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clu === cluQ && clu.size.toLong === nDocs.toLong)
+  }
+
   test("mm_audio_meta: WAV header and PCM samples survive the round-trip") {
     val out = SparkEntry.queries("mm_audio_meta")(spark, sf).collect()
     assert(out.length === nDocs)

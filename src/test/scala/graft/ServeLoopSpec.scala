@@ -218,7 +218,18 @@ class ServeLoopSpec extends SparkSpec {
         sum(api.Profiles.profile(daily, "daily"))),
       "Media.imageMeta" -> (() => sum(api.Media.imageMeta(imgs))),
       "Media.imageDedup" -> (() => sum(api.Media.imageDedup(imgs))),
-      "Media.audioMeta" -> (() => sum(api.Media.audioMeta(auds))))
+      "Media.imageHashes" -> (() => sum(api.Media.imageHashes(imgs))),
+      "Media.imageNearDup" -> (() =>
+        api.Media.imageNearDup(imgs).count()),
+      "Media.imageClusters" -> (() =>
+        sum(api.Media.imageClusters(imgs))),
+      "Media.audioMeta" -> (() => sum(api.Media.audioMeta(auds))),
+      "Corpus.nearDupPairsAuto" -> (() =>
+        sum(api.Corpus.nearDupPairsAuto(docs, "id", "body"))),
+      "Corpus.nearDupClustersAuto" -> (() =>
+        sum(api.Corpus.nearDupClustersAuto(docs, "id", "body"))),
+      "Vectors.topKOpqIvfPq" -> (() =>
+        sum(api.Vectors.topKOpqIvfPq(q10, emb, 5, 4, 40, "vid", "emb"))))
 
     // ---- warmup: artifacts build, caches fill, memos populate ----
     val warm = calls.map { case (n, f) => n -> f() }.toMap
