@@ -755,6 +755,30 @@ object Soak {
       val rIvf = if (bf.nonEmpty) 1.0 * (bf & ivf).size / bf.size else 0.0
       val rOivf = if (bf.nonEmpty) 1.0 * (bf & oivf).size / bf.size else 0.0
       println(f"""{"corpus":"$tag","query":"sim_opq_ivfpq_recall","brute_s":$tBf%.2f,"ivfpq_s":$tIvf%.2f,"opq_ivfpq_s":$tOivf%.2f,"ivfpq_recall_at_5":$rIvf%.3f,"opq_ivfpq_recall_at_5":$rOivf%.3f}""")
+      // BINDING-CONSTRAINT SWEEP (round 13): when both composite
+      // variants tie at a deep scale point, WHICH knob binds should be
+      // a measured line, not prose — re-search the SAME materialized
+      // index (coarse/cb/codes depend on neither knob) at doubled
+      // probes (8 of 16 cells) and at a 4× rerank budget (160)
+      val emb = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      def sweep(probes: Int, rerank: Int,
+                opq: Boolean): (Set[(Long, Long)], Double) = {
+        val (s2, t2) = time(operators.IvfPq.ivfPqTopKOf(
+            emb.filter(col("vec_id") < 10), emb, 5, probes, rerank,
+            index = sources.Materialize.indexOf(spark, dir), opq = opq)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+        spark.catalog.clearCache()
+        (s2, t2)
+      }
+      def rec(s2: Set[(Long, Long)]): Double =
+        if (bf.nonEmpty) 1.0 * (bf & s2).size / bf.size else 0.0
+      for ((p, rr, nm) <- Seq((8, 40, "probes8"), (4, 160, "rerank160"),
+                              (8, 160, "probes8_rerank160"))) {
+        val (i2, tI2) = sweep(p, rr, opq = false)
+        val (o2, tO2) = sweep(p, rr, opq = true)
+        println(f"""{"corpus":"$tag","query":"sim_ivfpq_$nm","ivfpq_s":$tI2%.2f,"opq_ivfpq_s":$tO2%.2f,"ivfpq_recall_at_5":${rec(i2)}%.3f,"opq_ivfpq_recall_at_5":${rec(o2)}%.3f}""")
+      }
     }
     if (only.contains("dd_embed_cosine")) {
       // candidate-share accounting for the SRP banding (round 11):

@@ -142,6 +142,61 @@ class DedupSpec extends SparkSpec {
     assert(split.keySet.subsetOf(Set("train", "eval")))
   }
 
+  test("star-forest cluster merge == full recompute on random " +
+    "old/new splits (round 13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the dd_cluster_incr law on RANDOM corpora, beyond the fixed
+    // oracle corpus: components(stars(old pairs) ∪ (all×new pairs))
+    // must equal components(all pairs) for any split — the star
+    // forest preserves old connectivity, the probe covers the rest
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 3) {
+      // 40 docs drawn from 8 base texts under random rotation (the
+      // soak's near-dup family shape): rotations share most 3-gram
+      // shingles, so every family is a dup cluster
+      val bases = (0 until 8).map(b =>
+        (0 until 8).map(j => s"w${b}_$j").mkString(" "))
+      val docs = (0L until 40L).map { i =>
+        val w = bases(rnd.nextInt(8)).split(" ")
+        val rot = rnd.nextInt(3)
+        (i, (w.drop(rot) ++ w.take(rot)).mkString(" "))
+      }.toDF("doc_id", "text")
+      val full = Dedup.components(
+          Dedup.minhashPairsOf(docs).select("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val oldDocs = docs.filter(col("doc_id") % 3 =!= trial % 3)
+      val newDocs = docs // probe side: all signatures vs new batch
+      val oldStars = Dedup.components(
+          Dedup.minhashPairsOf(oldDocs).select("id1", "id2"))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("id1"), col("cluster_id").as("id2"))
+      // all×new + new×new pairs, mirroring incrementalScored's shape
+      val bandsAll = Dedup.bandedSignaturesOf(docs)
+      val bandsNew = Dedup.bandedSignaturesOf(
+        docs.filter(col("doc_id") % 3 === trial % 3))
+      def keyed(df: org.apache.spark.sql.DataFrame, id: String,
+                p: String) = df.toDF(
+        id +: (1 to Dedup.K).map(i => s"$p$i") :+ "band" :+ "bv": _*)
+      val nMatch = (1 to Dedup.K).map(i =>
+        (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _)
+      // =!= not <: an (old 5, new 3) pair only appears with the ALL
+      // side on the left, so an ordered filter would drop it —
+      // components symmetrizes edges, duplicates are harmless
+      val probe = keyed(bandsAll, "id1", "a")
+        .join(keyed(bandsNew, "id2", "b"), Seq("band", "bv"))
+        .filter(col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"), nMatch.as("n_match"))
+        .distinct()
+        .filter(col("n_match") >= 6)
+        .select("id1", "id2")
+      val merged = Dedup.components(oldStars.unionAll(probe))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(merged === full, s"trial $trial: $merged != $full")
+      assert(full.nonEmpty, s"trial $trial degenerate (no pairs)")
+    }
+  }
+
   test("incremental dedup = full pair set restricted to the new batch") {
     val full = Dedup.queries("dd_minhash_lsh")(spark, sf).collect()
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
