@@ -233,6 +233,43 @@ object Corpus {
         .withColumnRenamed("doc_id", idCol))
   }
 
+  /** CLUSTER-AWARE keep-best (round 13) — the resolution step after
+    * near-dup clustering: one surviving representative per duplicate
+    * cluster by the keep-richest rule (distinct-token count, ties to
+    * the lower id), singletons keeping themselves. Returns one row
+    * per retained doc: (cluster_id, keep_id = caller id, quality,
+    * n_members). Delegates to the path behind the oracle-checked
+    * `dd_cluster_keep_best`; memoized per (session, input plan) like
+    * every components-backed facade. */
+  def keepBestPerCluster(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val in = normalized(docs, idCol, textCol)
+    graft.sources.Materialize.resultOnce("corpus.keepBestPerCluster",
+      "", Seq(in)) {
+      val cl = Dedup.components(
+        Dedup.minhashPairsOf(in, release = true).select("id1", "id2"))
+      val d = in
+        .withColumn("q",
+          size(array_distinct(split(col("text"), " "))).cast("long"))
+        .select(col("doc_id"), col("q"))
+      val labeled = d.join(cl, Seq("doc_id"), "left")
+        .withColumn("cluster_id",
+          coalesce(col("cluster_id"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id"))
+      labeled
+        .withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .withColumn("n_members",
+          org.apache.spark.sql.functions.count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("cluster_id")))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"),
+          col("q").as("quality"), col("n_members"))
+    }
+  }
+
   /** Exact duplicates by normalized body (lowercase, trimmed, collapsed
     * whitespace): (keep_id = min id of the group, n_copies). The group
     * key is the md5 digest, so at scale the shuffle carries 16 bytes

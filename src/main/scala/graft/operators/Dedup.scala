@@ -735,6 +735,39 @@ object Dedup {
     "dd_cluster" -> ((s, dir) =>
       minhashClusters(s, dir).orderBy("cluster_id", "doc_id")),
 
+    // CLUSTER-AWARE keep-best (round 13) — the resolution step a
+    // curation pipeline runs AFTER near-dup clustering: one surviving
+    // representative per duplicate cluster, chosen by the dd_keep_best
+    // quality rule (distinct-token count, ties to the lower id) —
+    // "keep the richest copy", not "keep the first seen" — with
+    // singletons (docs in no near-dup pair) keeping themselves. Output
+    // one row per retained doc: (cluster_id, keep_id, quality,
+    // n_members). Scale shape: the components reduction (dd_cluster)
+    // plus ONE window partitioned by cluster id — partitions are
+    // dup-family-sized, never corpus-sized; the quality feature is a
+    // zero-shuffle projection on the scan.
+    "dd_cluster_keep_best" -> ((s, dir) => {
+      val cl = minhashClusters(s, dir)
+      val d = Tables(s, dir, "documents")
+        .withColumn("q",
+          size(array_distinct(split(col("text"), " "))).cast("long"))
+        .select(col("doc_id"), col("q"))
+      val labeled = d.join(cl, Seq("doc_id"), "left")
+        .withColumn("cluster_id",
+          coalesce(col("cluster_id"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id"))
+      labeled
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("cluster_id")))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"),
+          col("q").as("quality"), col("n_members"))
+        .orderBy("cluster_id")
+    }),
+
     // INCREMENTAL cluster maintenance (round 13) — the nightly shape
     // for the dedup resolution step: merge tonight's batch (doc_id %
     // 5 = 0, dd_incremental's split) into yesterday's duplicate
@@ -1193,6 +1226,38 @@ object Dedup {
          |  SELECT e.v, r.l FROM edges e JOIN reach r ON r.v = e.u)
          |SELECT min(l) AS cluster_id, v AS doc_id
          |FROM reach GROUP BY v ORDER BY cluster_id, doc_id""".stripMargin,
+
+    // the cluster census from dd_cluster's recursive closure, joined
+    // to the distinct-token quality feature, argmax per cluster with
+    // the identical (q DESC, doc_id) tie-break; singletons label
+    // themselves via the left-join coalesce
+    "dd_cluster_keep_best" ->
+      s"""WITH RECURSIVE pairs AS ($minhashSql),
+         |edges AS (SELECT id1 AS v, id2 AS u FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |verts AS (SELECT DISTINCT v FROM edges),
+         |reach(v, l) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.v, r.l FROM edges e JOIN reach r ON r.v = e.u),
+         |cl AS (SELECT min(l) AS cluster_id, v AS doc_id
+         |       FROM reach GROUP BY v),
+         |q AS (SELECT doc_id,
+         |        CAST(len(list_distinct(string_split(text, ' ')))
+         |             AS BIGINT) AS q
+         |      FROM documents),
+         |lab AS (
+         |  SELECT q.doc_id, q.q,
+         |    coalesce(cl.cluster_id, q.doc_id) AS cluster_id
+         |  FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id)
+         |SELECT cluster_id, doc_id AS keep_id, q AS quality, n_members
+         |FROM (
+         |  SELECT cluster_id, doc_id, q,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |                       ORDER BY q DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM lab) x
+         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     // the incremental merge must equal the full recompute EXACTLY (a
     // star forest preserves connectivity), so the oracle is

@@ -170,6 +170,22 @@ class ApiSpec extends SparkSpec {
     assert(api === query)
   }
 
+  test("facade keepBestPerCluster equals the dd_cluster_keep_best " +
+    "query (round 13)") {
+    val api = Corpus.keepBestPerCluster(renamedDocs, "id", "body")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val query = operators.Dedup.queries("dd_cluster_keep_best")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(api === query && api.nonEmpty)
+    // exactly one representative per cluster, singletons keep themselves
+    assert(api.map(_._1).size === api.size)
+    assert(api.filter(_._4 == 1L).forall(t => t._1 == t._2))
+  }
+
   test("facade exact groups equal the dd_exact query") {
     val api = Corpus.exactDupGroups(renamedDocs, "id", "body")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

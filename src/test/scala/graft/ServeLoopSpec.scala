@@ -228,6 +228,8 @@ class ServeLoopSpec extends SparkSpec {
         sum(api.Corpus.nearDupPairsAuto(docs, "id", "body"))),
       "Corpus.nearDupClustersAuto" -> (() =>
         sum(api.Corpus.nearDupClustersAuto(docs, "id", "body"))),
+      "Corpus.keepBestPerCluster" -> (() =>
+        sum(api.Corpus.keepBestPerCluster(docs, "id", "body"))),
       "Vectors.topKOpqIvfPq" -> (() =>
         sum(api.Vectors.topKOpqIvfPq(q10, emb, 5, 4, 40, "vid", "emb"))))
 
