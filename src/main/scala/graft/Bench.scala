@@ -172,9 +172,15 @@ object Bench {
       // fall back to the 2.0 default and surface the bad value on the
       // artifact instead of throwing at bench start (ADVICE r12)
       val raw = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0")
-      val thr = scala.util.Try(raw.toDouble).toOption.getOrElse(2.0)
-      val badThr = if (scala.util.Try(raw.toDouble).isFailure)
-        s""","threshold_raw":"${raw.replace("\"", "")}"""" else ""
+      val parsed = scala.util.Try(raw.toDouble).toOption
+      val thr = parsed.getOrElse(2.0)
+      // surface the bad value JSON-safely: whitelist rather than escape
+      // (a backslash or control char in the env value would corrupt the
+      // artifact — the exact failure class this fallback exists to
+      // avoid; ADVICE r13)
+      val badThr = if (parsed.isEmpty)
+        s""","threshold_raw":"${raw.filter(c =>
+          c.isLetterOrDigit || "._- ".contains(c)).take(64)}"""" else ""
       s"""{"loadavg_1m":"$la1m","threshold":$thr$badThr,""" +
         s""""contended":${BenchDrift.contended(la1m, thr)}}"""
     }

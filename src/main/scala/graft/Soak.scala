@@ -780,6 +780,78 @@ object Soak {
         println(f"""{"corpus":"$tag","query":"sim_ivfpq_$nm","ivfpq_s":$tI2%.2f,"opq_ivfpq_s":$tO2%.2f,"ivfpq_recall_at_5":${rec(i2)}%.3f,"opq_ivfpq_recall_at_5":${rec(o2)}%.3f}""")
       }
     }
+    if (only.contains("sim_adaptive_rerank")) {
+      // adaptive vs fixed rerank budgets (round 14): all policies
+      // search the SAME materialized index, so the lines isolate
+      // search cost — the question is whether the ADC-margin
+      // escalation rule spends the wide (160) rerank only where it
+      // buys recall. "rerank_work" is Σ per-query budgets (full-vector
+      // reads the exact stage pays): fixed-40 = 400, fixed-160 = 1600
+      // over the NQ=10 queries.
+      def topSet2(df: => org.apache.spark.sql.DataFrame)
+          : (Set[(Long, Long)], Double) = {
+        val (s2, t2) = time(df.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+        spark.catalog.clearCache()
+        (s2, t2)
+      }
+      val (bf, tBf) =
+        topSet2(SparkEntry.queries("sim_bruteforce_topk")(spark, dir))
+      def rec(s2: Set[(Long, Long)]): Double =
+        if (bf.nonEmpty) 1.0 * (bf & s2).size / bf.size else 0.0
+      val emb = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      val idx = sources.Materialize.indexOf(spark, dir)
+      def fixed(rr: Int): (Set[(Long, Long)], Double) =
+        topSet2(operators.IvfPq.ivfPqTopKOf(
+          emb.filter(col("vec_id") < 10), emb, 5, 4, rr, index = idx))
+      val (f40, t40) = fixed(40)
+      val (f160, t160) = fixed(160)
+      println(f"""{"corpus":"$tag","query":"sim_rerank_fixed","brute_s":$tBf%.2f,"rerank40_recall":${rec(f40)}%.3f,"rerank160_recall":${rec(f160)}%.3f,"rerank40_s":$t40%.2f,"rerank160_s":$t160%.2f}""")
+      for ((nm, dn) <- Seq((1, 4), (1, 1), (5, 2), (4, 1))) {
+        val (res, tA) = time(operators.IvfPq.adaptiveRerankTopKOf(
+          emb.filter(col("vec_id") < 10), emb, 5, 4, 40, 160, nm, dn,
+          index = idx).collect())
+        spark.catalog.clearCache()
+        val set = res.map(r => (r.getLong(0), r.getLong(1))).toSet
+        val budgets = res.map(r => (r.getLong(0), r.getLong(3))).toMap
+        val work = budgets.values.sum
+        val esc = budgets.values.count(_ == 160L)
+        println(f"""{"corpus":"$tag","query":"sim_adaptive_margin_${nm}_$dn","recall_at_5":${rec(set)}%.3f,"escalated":$esc,"rerank_work":$work,"time_s":$tA%.2f}""")
+      }
+      // Per-query signal table: ADC a_5/a_40 (the margin the rule
+      // reads) vs the exact 5th distance of the narrow rerank, against
+      // where 160 actually helps (hits40 vs hits160) — the evidence
+      // behind the 3.5× threshold AND the documented negative result
+      // (on replica-dense corpora the per-query gain is NOT separable
+      // by any ADC margin: gain and no-gain ratio distributions
+      // overlap; see SCALE_r14.md)
+      locally {
+        val (ranked, _, _) = operators.IvfPq.adcRanked(
+          emb.filter(col("vec_id") < 10), emb, 4, idx, opq = false)
+        val st = ranked.groupBy("qid").agg(
+          max(when(col("arn") === 5, col("approx"))).as("a5"),
+          max(when(col("arn") === 40, col("approx"))).as("a40"))
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2))).toMap
+        def perQ(rows: Set[(Long, Long)]): Map[Long, Set[Long]] =
+          rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val bfQ = perQ(bf)
+        val f40full = operators.IvfPq.ivfPqTopKOf(
+          emb.filter(col("vec_id") < 10), emb, 5, 4, 40, index = idx)
+          .collect()
+        val e5 = f40full.groupBy(_.getLong(0)).view
+          .mapValues(_.map(_.getLong(2)).max).toMap
+        val f40Q = perQ(f40full.map(r => (r.getLong(0), r.getLong(1))).toSet)
+        val f160Q = perQ(f160)
+        spark.catalog.clearCache()
+        st.toSeq.sortBy(_._1).foreach { case (q, (a5, a40)) =>
+          val r40 = (bfQ.getOrElse(q, Set()) & f40Q.getOrElse(q, Set())).size
+          val r160 = (bfQ.getOrElse(q, Set()) & f160Q.getOrElse(q, Set())).size
+          println(s"""{"corpus":"$tag","diag_q":$q,"a5":$a5,"a40":$a40,"e5":${e5.getOrElse(q, -1L)},"hits40":$r40,"hits160":$r160}""")
+        }
+      }
+    }
     if (only.contains("dd_embed_cosine")) {
       // candidate-share accounting for the SRP banding (round 11):
       // the scoped run re-measures what the full report's run() line

@@ -125,7 +125,16 @@ object Corpus {
     * stage is structurally quadratic; the x30 soak measured its
     * verified-output floor at 136 s where the LSH path's candidate
     * share stays ~0.02%. Pinned by ApiSpec (saturated → lsh, sparse →
-    * exact) and cross-engine by the `dd_route_auto` oracle. */
+    * exact) and cross-engine by the `dd_route_auto` oracle.
+    *
+    * BUDGET GRAIN (round 13, surfaced per ADVICE r13): the returned
+    * `bound` is `pairBudgetPerDoc × n_docs` where `n_docs` counts
+    * DISTINCT ids — a document's natural key — so a caller frame with
+    * duplicated ids budgets per distinct id, not per row (rounds ≤ 12
+    * budgeted per row; a dup-id frame can therefore route differently
+    * than it did then). Rows whose text is NULL or shorter than one
+    * shingle still count toward the census via the explode_outer null
+    * row; rows with a NULL id count as one distinct id together. */
   def dedupRoute(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text",
                  pairBudgetPerDoc: Long = 32): (String, Long, Long) = {

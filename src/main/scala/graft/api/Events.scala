@@ -609,6 +609,42 @@ object Events {
       measureCol, allowedLatenessUs, onLate, maxBufferedEvents,
       subsets)(classify)
 
+  /** Streaming twin of [[matchVarNavBy]] (round 14 — streaming
+    * FIRST/LAST VALUE NAVIGATION, the last MEASURES form to gain its
+    * streaming leg): every confirmed match emits one row per pattern
+    * component — (user_id, match_seq, start_id, end_id, var_name,
+    * first_value, last_value), the `measureCol` values of the first
+    * and last rows java.regex's group assignment maps to that
+    * component — exactly once as the checkpointed SkipScanner confirms
+    * it, classification inside the state (DEFINE/PREV contract, prev
+    * carried across batches and restarts). NULL semantics carried
+    * faithfully: None/None for a component that matched empty
+    * (SQL:2016 navigation-on-empty) and None for a NULL-valued
+    * boundary row (navigation is value-preserving). Long form (the
+    * component list is a runtime argument; pivot for the batch wide
+    * shape). `measureCol` must be LONG — pre-scale money to cents.
+    * Restart-twin-pinned against the batch fold behind the
+    * oracle-checked `ev_vshape_firstlast` in CepPatternSpec. */
+  def matchVarNavStreamBy(spark: org.apache.spark.sql.SparkSession,
+                          events: DataFrame,
+                          components: Seq[(String, String)],
+                          skip: graft.functions.RowPattern.SkipMode,
+                          measureCol: String,
+                          idCol: String = "user_id",
+                          tieCol: String = "event_id",
+                          orderCol: String = "ts",
+                          allowedLatenessUs: Long = 0L,
+                          onLate: String = "fail",
+                          maxBufferedEvents: Int =
+                            graft.streaming.CepPattern.DefaultMaxBuffered)
+                         (classify: (org.apache.spark.sql.Row,
+                           org.apache.spark.sql.Row) => Char)
+      : org.apache.spark.sql.Dataset[
+        graft.streaming.CepPattern.CepVarNav] =
+    graft.streaming.CepPattern.matchVarNavBy(
+      spark, events, components, skip, idCol, tieCol, orderCol,
+      measureCol, allowedLatenessUs, onLate, maxBufferedEvents)(classify)
+
   /** Streaming twin of [[matchRowsSkipBy]] (round 12 — streaming
     * labeled ALL ROWS for skip-mode patterns): when a match confirms,
     * every covered row emits with its pattern-variable label —

@@ -126,6 +126,34 @@ object Vectors {
       k, probes, rerank, opq = true)
       .select(col("qid"), col("nid"), col("dist"))
 
+  /** [[topKIvfPq]] with an ADAPTIVE exact-rerank budget (round 14 —
+    * the operating point the x30 knob sweep demanded: the fixed
+    * rerank cut, not cell pruning, binds deep-scale recall, while a
+    * uniformly wide budget is 4× wasted rerank work at easy points).
+    * The budget is decided PER QUERY off the ADC margins the search
+    * already computed: escalate `rerankLow → rerankHigh` exactly when
+    * the rerankLow-th ranked ADC distance sits within
+    * `marginNum/marginDen` of the k-th, or the top ADC ranks tie at 0
+    * (candidates past the cut are quantization-indistinguishable from
+    * the reported top-k, so the cut is unsafe). The 5/2 default is the
+    * MEASURED regime boundary: easy corpora put the cut 40–60× beyond
+    * the k-th ADC distance, replica-dense ones 1.4–3.4×. Returns
+    * (qid, nid, dist, budget) — the chosen budget is surfaced, never
+    * silent. Delegates to the path behind the oracle-checked
+    * `sim_adaptive_rerank`; same index artifacts as [[topKIvfPq]], so
+    * a session serving both pays one build. */
+  def topKIvfPqAdaptive(queries: DataFrame, corpus: DataFrame,
+                        k: Int = 5, probes: Int = 4,
+                        rerankLow: Int = 40, rerankHigh: Int = 160,
+                        marginNum: Int = 5, marginDen: Int = 2,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    graft.operators.IvfPq.adaptiveRerankTopKOf(
+      queries.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v")),
+      k, probes, rerankLow, rerankHigh, marginNum, marginDen)
+      .select(col("qid"), col("nid"), col("dist"), col("budget"))
+
   /** MMR-diversified top-k: plain relevance ranking builds a
     * `pool`-candidate set per query, then k greedy rounds pick
     * argmax(relevance − max-similarity-to-already-picked) so results

@@ -1223,7 +1223,10 @@ object EventAnalytics {
     * (keyCols..., match_seq, start_id, end_id) plus, per component,
     * `{name}_first` / `{name}_last` — NULL when the component matched
     * zero rows (a `X*` variable that matched empty — SQL:2016's
-    * navigation-on-empty semantics). FIRST(X.v) = LAST(X.v) on
+    * navigation-on-empty semantics) AND when the boundary row's
+    * measure is itself NULL (value-preserving navigation, round 14 /
+    * ADVICE r13: the measure rides the scanner boxed, never coerced
+    * to 0). FIRST(X.v) = LAST(X.v) on
     * one-row components by construction. Component boundaries are the
     * same priority-order DFS assignment as matchVarMeasures
     * (replay-pinned against java.regex capture groups in
@@ -1252,18 +1255,23 @@ object EventAnalytics {
             .add(s"${n}_last", org.apache.spark.sql.types.LongType)
       }
     final class St {
-      val sc = new graft.functions.RowPattern.SkipScanner[(Long, Long)](
-        sp, skip)
+      // the measure rides the ring BOXED and nullable (ADVICE r13):
+      // navigation is value-preserving — a matched row whose measure
+      // is NULL must navigate to NULL, not 0 (matchRowsRunning's 0L
+      // coercion is fine there because SUM ignores NULLs; FIRST/LAST
+      // report the value itself)
+      val sc = new graft.functions.RowPattern.SkipScanner[
+        (Long, java.lang.Long)](sp, skip)
       var prev: org.apache.spark.sql.Row = _
       var seq = 0L
-      def rows(ms: List[graft.functions.RowPattern.SkipMatch[(Long, Long)]])
-          : List[Seq[Any]] =
+      def rows(ms: List[graft.functions.RowPattern.SkipMatch[
+          (Long, java.lang.Long)]]): List[Seq[Any]] =
         ms.map { m =>
           seq += 1
           val nav = names.indices.flatMap { i =>
             val c = m.comp(i)
             if (c.isEmpty) Seq(null, null)
-            else Seq(Long.box(c.head._2), Long.box(c.last._2))
+            else Seq(c.head._2, c.last._2)
           }
           Seq(Long.box(seq), Long.box(m.first._1),
             Long.box(m.last._1)) ++ nav
@@ -1276,7 +1284,9 @@ object EventAnalytics {
         val c = classify(st.prev, r)
         st.prev = r
         st.rows(st.sc.feed(c,
-          (r.getLong(idIdx), if (r.isNullAt(mIdx)) 0L else r.getLong(mIdx))))
+          (r.getLong(idIdx),
+            if (r.isNullAt(mIdx)) null
+            else java.lang.Long.valueOf(r.getLong(mIdx)))))
       })(
       st => st.rows(st.sc.finish()))
   }

@@ -207,6 +207,32 @@ object CepPattern extends Serializable {
                              ord_in_match: Long, id: Long,
                              var_name: String)
 
+  /** One emitted row per (confirmed match, pattern component) pair —
+    * streaming FIRST/LAST VALUE NAVIGATION ([[matchVarNavBy]], round
+    * 14): the measure value of the component's first and last matched
+    * rows, None both when the component matched ZERO rows (SQL:2016
+    * navigation-on-empty) and when the boundary row's measure is
+    * itself NULL (navigation is value-preserving — it reports the
+    * value, unlike SUM which ignores NULLs). Long form like
+    * [[CepVarMeasure]] (the component list is a runtime argument);
+    * start_id/end_id are the whole match's bounds. */
+  final case class CepVarNav(user_id: Long, match_seq: Long,
+                             start_id: Long, end_id: Long,
+                             var_name: String,
+                             first_value: Option[Long],
+                             last_value: Option[Long])
+
+  /** Checkpointed per-key state for [[matchVarNavBy]]: the SkipScanner
+    * over (id, Option[measure]) payloads — the Option carries NULL
+    * measures through the ring un-coerced — plus the PREV row
+    * (DEFINE/PREV window) and the per-key match ordinal. */
+  private[graft] final class VarNavState(
+      val sc: RowPattern.SkipScanner[(Long, Option[Long])])
+      extends GuardedState[org.apache.spark.sql.Row] {
+    var prev: org.apache.spark.sql.Row = _
+    var seq: Long = 0L
+  }
+
   /** Checkpointed per-key state for [[matchVarMeasuresBy]]: the
     * SkipScanner over (id, measure) payloads, the PREV row
     * (DEFINE/PREV window), and the per-key match ordinal; the reorder
@@ -942,6 +968,99 @@ object CepPattern extends Serializable {
             subsetIdx.foreach { case (sn, is) =>
               out += CepVarMeasure(userId, st.seq, sn,
                 is.map(perN).sum, is.map(perS).sum)
+            }
+          }
+        }
+      state.update(st)
+      out.iterator
+    }
+
+    withOrder
+      .as(rowEnc)
+      .groupByKey(_.getLong(idIdx))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming FIRST/LAST VALUE NAVIGATION (round 14 — the last
+    * MEASURES form still batch-only after round 13 closed
+    * RUNNING/FINAL): when a match of the named-component pattern
+    * confirms, one row emits PER COMPONENT with the measure value of
+    * the first and last rows java.regex's group assignment maps to it
+    * — `FIRST(down.price)` / `LAST(down.price)` — exactly once,
+    * Append-shaped, off the checkpointed [[RowPattern.SkipScanner]]
+    * whose buffered attempt already holds the covered rows at
+    * confirmation. NULL legs both carried faithfully: a component that
+    * matched ZERO rows (an `X*` that matched empty — SQL:2016
+    * navigation-on-empty) emits None/None, and a matched boundary row
+    * whose measure is itself NULL emits None for that side (navigation
+    * is value-preserving, unlike SUM, which ignores NULLs — the
+    * Option payload rides the ring un-coerced; ADVICE r13).
+    * Classification inside the state ([[matchesBy]]'s DEFINE/PREV
+    * contract, prev carried across batches and restarts); composes
+    * with every AFTER MATCH SKIP mode; same ordering guard, buffer
+    * hard cap, and one-attempt state bound as [[matchSkip]]. The
+    * streaming twin of the batch matchVarNav fold (the oracle-checked
+    * `ev_vshape_firstlast` path) — restart-twin-pinned in
+    * CepPatternSpec with a match crossing the checkpoint and an
+    * empty-component (`U*`) match in the stream. */
+  def matchVarNavBy(spark: SparkSession, events: DataFrame,
+                    components: Seq[(String, String)],
+                    skip: RowPattern.SkipMode,
+                    idCol: String = "user_id",
+                    tieCol: String = "event_id",
+                    orderCol: String = "ts",
+                    measureCol: String = "value",
+                    allowedLatenessUs: Long = 0L,
+                    onLate: String = "fail",
+                    maxBufferedEvents: Int = DefaultMaxBuffered)
+                   (classify: (org.apache.spark.sql.Row,
+                     org.apache.spark.sql.Row) => Char)
+      : Dataset[CepVarNav] = {
+    requireGuardArgs(allowedLatenessUs, onLate, maxBufferedEvents)
+    val sp = new RowPattern.SkipProgram(components)
+    new RowPattern.SkipScanner[(Long, Option[Long])](sp, skip) // plan-time
+    val names = components.map(_._1).toIndexedSeq
+    implicit val stateEnc: Encoder[VarNavState] =
+      Encoders.javaSerialization[VarNavState]
+    import spark.implicits._
+    val withOrder = events.withColumn("__ts_us",
+      org.apache.spark.sql.functions.unix_micros(
+        org.apache.spark.sql.functions.col(orderCol)))
+    val schema = withOrder.schema
+    val idIdx = schema.fieldIndex(idCol)
+    val tieIdx = schema.fieldIndex(tieCol)
+    val usIdx = schema.fieldIndex("__ts_us")
+    val mIdx = schema.fieldIndex(measureCol)
+    implicit val rowEnc: Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+
+    def update(userId: Long, rows: Iterator[org.apache.spark.sql.Row],
+               state: GroupState[VarNavState]): Iterator[CepVarNav] = {
+      val st = state.getOption.getOrElse(new VarNavState(
+        new RowPattern.SkipScanner[(Long, Option[Long])](sp, skip)))
+      val evs = rows.toArray
+        .map(r => (r.getLong(usIdx), r.getLong(tieIdx), r))
+        .sortBy(e => (e._1, e._2))
+      val out = ArrayBuffer.empty[CepVarNav]
+      admit(st, userId, evs, allowedLatenessUs, onLate, maxBufferedEvents)
+        .foreach { case (_, id, r) =>
+          val c = classify(st.prev, r)
+          st.prev = r
+          val mv: Option[Long] =
+            if (r.isNullAt(mIdx)) None else Some(r.getLong(mIdx))
+          st.sc.feed(c, (id, mv)).foreach { m =>
+            st.seq += 1
+            val (sid, _) = m.first
+            val (eid, _) = m.last
+            names.indices.foreach { i =>
+              val comp = m.comp(i)
+              if (comp.isEmpty)
+                out += CepVarNav(userId, st.seq, sid, eid, names(i),
+                  None, None)
+              else
+                out += CepVarNav(userId, st.seq, sid, eid, names(i),
+                  comp.head._2, comp.last._2)
             }
           }
         }

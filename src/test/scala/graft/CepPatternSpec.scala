@@ -884,6 +884,119 @@ class CepPatternSpec extends SparkSpec {
       r.getLong(2))).distinct.length, "a running row emitted twice")
   }
 
+  test("streaming FIRST/LAST navigation: classified replay with " +
+    "restart equals the batch fold, with an empty-component match and " +
+    "a NULL-valued boundary row in the stream (round 14)") {
+    // V-shape comps (s=., d=D+, u=U*) under PAST LAST ROW: user 1's
+    // match STARTS in chunk 1 (s + an open d run) and confirms in
+    // chunk 2 — the scanner's buffered attempt + prev row must
+    // round-trip the checkpoint; user 2's first match confirms inside
+    // chunk 1 with an EMPTY u component (U* matched zero rows —
+    // navigation-on-empty must emit None in the STREAM) and a NULL
+    // measure on its d_first boundary row (value-preserving
+    // navigation must emit None, not 0)
+    def writeValChunk(dir: java.nio.file.Path, name: String,
+                      evs: Seq[(Long, Long, Double, Int)]): Unit = {
+      val lines = evs.map { case (id, user, v, hour) =>
+        s"""{"event_id":$id,"user_id":$user,"event_type":"order",""" +
+          f""""value":$v%.1f,"ts_str":"2024-01-01 $hour%02d:00:00.000000",""" +
+          s""""props":"{}"}"""
+      }
+      Files.write(dir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+    }
+    // classify: o on first, U/D/e on value vs PREV(value)
+    val c1 = Seq((1L, 1L, 50.0, 1), (2L, 1L, 40.0, 2),
+      (11L, 2L, 30.0, 1), (12L, 2L, 20.0, 2), (13L, 2L, 10.0, 3),
+      (14L, 2L, 10.0, 4))
+    // NOTE: every tail attempt is left EOF-UNCONFIRMABLE (user 1's 6
+    // is a U so no D+ can anchor after match 1; user 2's 17 is a bare
+    // s) — the batch fold's finish() would otherwise confirm a final
+    // match the stream, lacking end-of-stream evidence, must not emit
+    val c2 = Seq((3L, 1L, 30.0, 3), (4L, 1L, 45.0, 4), (5L, 1L, 44.0, 5),
+      (6L, 1L, 45.0, 6),
+      (15L, 2L, 5.0, 5), (16L, 2L, 8.0, 6), (17L, 2L, 1.0, 7))
+    val classify: (org.apache.spark.sql.Row,
+      org.apache.spark.sql.Row) => Char = (prev, cur) =>
+      if (prev == null) 'o'
+      else {
+        val p = prev.getAs[Double]("value")
+        val c = cur.getAs[Double]("value")
+        if (c > p) 'U' else if (c < p) 'D' else 'e'
+      }
+    val comps = Seq("s" -> ".", "d" -> "D+", "u" -> "U*")
+    val skip = graft.functions.RowPattern.SkipMode.PastLast
+    // event 12 carries a NULL measure; classification still runs on
+    // the (non-null) value column
+    val mvExpr =
+      "case when event_id = 12 then cast(null as long) " +
+        "else cast(value as long) end"
+    val base = Files.createTempDirectory("graft_cepnav")
+    val src = Files.createDirectory(base.resolve("src"))
+    def run(): Unit = {
+      val in = StreamingIngest.parse(spark.readStream.text(src.toString))
+        .withColumn("mv", expr(mvExpr))
+      val q = api.Events.matchVarNavStreamBy(
+          spark, in, comps, skip, "mv")(classify)
+        .writeStream.format("parquet")
+        .option("path", base.resolve("out").toString)
+        .outputMode("append")
+        .option("checkpointLocation", base.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeValChunk(src, "b1.json", c1)
+    run()
+    def collectNav(): Set[(Long, Long, Long, Long, String,
+        Option[Long], Option[Long])] =
+      spark.read.parquet(base.resolve("out").toString).collect().map { r =>
+        def opt(i: Int): Option[Long] =
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), opt(5), opt(6))
+      }.toSet
+    // chunk 1: only user 2's first match can confirm (o D D then the
+    // 'e' at 14 proves both D+ and U* are done) — s=11, d={12,13},
+    // u=∅; user 1's attempt is still open
+    val afterC1 = collectNav()
+    assert(afterC1 == Set(
+      (2L, 1L, 11L, 13L, "s", Some(30L), Some(30L)),
+      (2L, 1L, 11L, 13L, "d", None, Some(10L)),
+      (2L, 1L, 11L, 13L, "u", None, None)), afterC1)
+    writeValChunk(src, "b2.json", c2)
+    run() // restart — scanner + prev row reload from the state store
+    import spark.implicits._
+    val frame = (c1 ++ c2).toDF("event_id", "user_id", "value", "hour")
+      .selectExpr("user_id", "event_id", "value", s"($mvExpr) AS mv",
+        "to_timestamp(printf('2024-01-01 %02d:00:00', hour)) AS ts")
+    val streamed = collectNav()
+    // batch twin (the ev_vshape_firstlast path), wide → long reshape
+    val batch = operators.EventAnalytics.matchVarNav(
+        frame, comps, skip, Seq("user_id"), Seq("ts", "event_id"),
+        "event_id", "mv")(classify)
+      .collect().flatMap { r =>
+        def opt(i: Int): Option[Long] =
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        Seq("s", "d", "u").zipWithIndex.map { case (n, i) =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), n,
+            opt(4 + 2 * i), opt(5 + 2 * i))
+        }
+      }.toSet
+    assert(streamed == batch, s"$streamed != $batch")
+    // the checkpoint-crossing match: s=1, d={2,3} (2 fed pre-restart,
+    // 3 post), u={4} — confirmed by the D at 5 off carried state
+    assert(streamed.contains((1L, 1L, 1L, 4L, "s", Some(50L), Some(50L)))
+      && streamed.contains((1L, 1L, 1L, 4L, "d", Some(40L), Some(30L)))
+      && streamed.contains((1L, 1L, 1L, 4L, "u", Some(45L), Some(45L))),
+      streamed)
+    // user 2's second match confirms post-restart: s=14, d={15}, u={16}
+    assert(streamed.contains((2L, 2L, 14L, 16L, "d", Some(5L), Some(5L))),
+      streamed)
+    // exactly-once: no (user, match, var) emitted twice
+    val all = spark.read.parquet(base.resolve("out").toString).collect()
+    assert(all.length == all.map(r => (r.getLong(0), r.getLong(1),
+      r.getString(4))).distinct.length, "a nav row emitted twice")
+  }
+
   test("the spanning match is absent before the second chunk") {
     val base = Files.createTempDirectory("graft_cepspan")
     val src = Files.createDirectory(base.resolve("src"))

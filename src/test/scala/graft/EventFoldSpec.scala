@@ -656,6 +656,39 @@ class EventFoldSpec extends SparkSpec {
         classify).collect().toSeq)
   }
 
+  test("matchVarNav is value-preserving: a NULL measure on a matched " +
+    "boundary row navigates to NULL, not 0 (round 14 / ADVICE r13)") {
+    import spark.implicits._
+    // classification runs on v; mv carries NULLs on rows 2 and 4
+    val df = Seq(
+      (1L, 1L, 10.0, Some(100L)), (1L, 2L, 5.0, Option.empty[Long]),
+      (1L, 3L, 4.0, Some(40L)), (1L, 4L, 8.0, Option.empty[Long]),
+      (1L, 5L, 2.0, Some(20L))
+    ).toDF("ent", "seq", "v", "mv")
+    val classify: (org.apache.spark.sql.Row,
+      org.apache.spark.sql.Row) => Char = (prev, cur) =>
+      if (prev == null) 'o'
+      else {
+        val p = prev.getDouble(2); val c = cur.getDouble(2)
+        if (c > p) 'U' else if (c < p) 'D' else 'e'
+      }
+    val comps = Seq("s" -> ".", "d" -> "D+", "u" -> "U*")
+    val got = operators.EventAnalytics.matchVarNav(
+      df, comps, graft.functions.RowPattern.SkipMode.PastLast,
+      Seq("ent"), Seq("seq"), "seq", "mv")(classify).collect()
+    // rows classify o D D U D → match: s={1}, d={2,3}, u={4}
+    val m = got.find(r => r.getLong(1) == 1L).get
+    def opt(i: Int): Option[Long] =
+      if (m.isNullAt(i)) None else Some(m.getLong(i))
+    assert(opt(4) == Some(100L) && opt(5) == Some(100L), m)
+    // d_first is the NULL-valued row 2 — must navigate to NULL while
+    // d_last reports row 3's 40 (pre-fix both coerced NULL to 0)
+    assert(opt(6) == None && opt(7) == Some(40L), m)
+    // u matched exactly one row whose measure is NULL: first == last ==
+    // NULL by VALUE, distinct in cause from the empty-component case
+    assert(opt(8) == None && opt(9) == None, m)
+  }
+
   test("fold clients keep Window and collect_list out of their plans") {
     // the scale contract of the migrations: one keyed shuffle + sort +
     // object fold — no window pass, no per-entity array buffer

@@ -47,6 +47,48 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("adaptive rerank: per-query rows equal the chosen budget's " +
+    "fixed-policy rows, and degenerate margins collapse to the fixed " +
+    "policies") {
+    def emb = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    def fixedRows(rr: Int): Map[Long, Set[(Long, Long)]] =
+      IvfPq.ivfPqTopKOf(emb.filter(col("vec_id") < 10), emb, 5, 4, rr)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val f40 = fixedRows(40)
+    val f160 = fixedRows(160)
+    val ad = IvfPq.queries("sim_adaptive_rerank")(spark, sf).collect()
+    val budgets = ad.map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(budgets.nonEmpty)
+    assert(budgets.values.forall(b => b == 40L || b == 160L))
+    // COMPOSITION LAW: an escalated query's result is exactly the
+    // fixed-160 search's, a non-escalated one's exactly the fixed-40's
+    // — the adaptive policy routes between the two, never invents rows
+    budgets.foreach { case (q, b) =>
+      val got = ad.filter(_.getLong(0) == q)
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      val want = if (b == 160L) f160(q) else f40(q)
+      assert(got === want, s"query $q at budget $b")
+    }
+    // degenerate margins: an always-true margin escalates every query
+    // (= fixed-160); a zero margin escalates only on an exact ADC tie
+    // between the k-th and cut candidates
+    def adaptive(num: Int, den: Int): Array[org.apache.spark.sql.Row] =
+      IvfPq.adaptiveRerankTopKOf(emb.filter(col("vec_id") < 10), emb,
+        5, 4, 40, 160, num, den).collect()
+    val allEsc = adaptive(1000000, 1)
+    assert(allEsc.forall(_.getLong(3) == 160L))
+    val allRows = allEsc.map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(allRows === f160)
+    val zeroMargin = adaptive(0, 1)
+    // with margin 0 a query escalates only when a_cut == a_k exactly;
+    // budgets are still drawn from the two policies
+    assert(zeroMargin.forall(r =>
+      r.getLong(3) == 40L || r.getLong(3) == 160L))
+  }
+
   test("sim_index_add: every batch vector encodes to M in-range codes " +
     "against the frozen base-trained artifacts, deterministically") {
     val out = IvfPq.queries("sim_index_add")(spark, sf).collect()
