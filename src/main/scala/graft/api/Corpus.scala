@@ -242,26 +242,56 @@ object Corpus {
         .withColumnRenamed("doc_id", idCol))
   }
 
-  /** CLUSTER-AWARE keep-best (round 13) — the resolution step after
-    * near-dup clustering: one surviving representative per duplicate
-    * cluster by the keep-richest rule (distinct-token count, ties to
-    * the lower id), singletons keeping themselves. Returns one row
-    * per retained doc: (cluster_id, keep_id = caller id, quality,
-    * n_members). Delegates to the path behind the oracle-checked
-    * `dd_cluster_keep_best`; memoized per (session, input plan) like
-    * every components-backed facade. */
+  /** CLUSTER-AWARE keep-best (round 13; ROUTED round 14) — the
+    * resolution step after near-dup clustering: one surviving
+    * representative per duplicate cluster by the keep-richest rule
+    * (distinct-token count, ties to the lower id), singletons keeping
+    * themselves. Returns one row per retained doc: (cluster_id,
+    * keep_id = caller id, quality, n_members, route).
+    *
+    * COMPOSES ON [[nearDupClustersAuto]]'s memoized clusters artifact
+    * (round 14 — the round-13 shape hardwired `minhashPairsOf` and
+    * re-ran components inside its own memo key, so a serve loop that
+    * had just clustered paid the components reduction twice and could
+    * resolve keep-best over DIFFERENT pair semantics than its
+    * clusters): one components pass per (session, corpus, budget),
+    * keep-best semantics guaranteed consistent with the clusters the
+    * caller just saw, and the routing decision surfaced on every row
+    * ([[nearDupPairsAuto]]'s never-silent contract). The keep-best
+    * step itself adds only dup-family-sized windows on top of the
+    * clusters artifact — no new shuffle of the corpus beyond the
+    * quality projection. Callers pinning the MinHash pair semantics
+    * regardless of corpus density use the `dd_cluster_keep_best`
+    * named-query path ([[graft.operators.Dedup]]). */
   def keepBestPerCluster(docs: DataFrame, idCol: String = "doc_id",
-                         textCol: String = "text"): DataFrame = {
+                         textCol: String = "text",
+                         pairBudgetPerDoc: Long = 32): DataFrame = {
+    require(pairBudgetPerDoc > 0,
+      s"pairBudgetPerDoc must be > 0, got $pairBudgetPerDoc")
     val in = normalized(docs, idCol, textCol)
     graft.sources.Materialize.resultOnce("corpus.keepBestPerCluster",
-      "", Seq(in)) {
-      val cl = Dedup.components(
-        Dedup.minhashPairsOf(in, release = true).select("id1", "id2"))
+      s"$pairBudgetPerDoc", Seq(in)) {
+      // the routed clusters artifact — memoized per (session, plan,
+      // budget), so a clusters-then-keep-best serve loop runs ONE
+      // components pass (ServeLoopSpec pins zero new persistent RDDs
+      // on the keep-best call after a clusters call)
+      val cl = nearDupClustersAuto(docs, idCol, textCol,
+          pairBudgetPerDoc)
+        .select(col(idCol).as("doc_id"), col("cluster_id"),
+          col("route"))
+      // the route is one constant per (corpus, budget): read it off
+      // the artifact (a one-row probe — model-parameter scale); a
+      // corpus with NO dup family has an empty artifact, so fall back
+      // to the estimator's decision for the surfaced column
+      val route = cl.select("route").head(1).headOption
+        .map(_.getString(0))
+        .getOrElse(dedupRoute(docs, idCol, textCol, pairBudgetPerDoc)._1)
       val d = in
         .withColumn("q",
           size(array_distinct(split(col("text"), " "))).cast("long"))
         .select(col("doc_id"), col("q"))
-      val labeled = d.join(cl, Seq("doc_id"), "left")
+      val labeled = d.join(cl.select("doc_id", "cluster_id"),
+          Seq("doc_id"), "left")
         .withColumn("cluster_id",
           coalesce(col("cluster_id"), col("doc_id")))
       val w = org.apache.spark.sql.expressions.Window
@@ -276,6 +306,7 @@ object Corpus {
         .filter(col("rn") === 1)
         .select(col("cluster_id"), col("doc_id").as("keep_id"),
           col("q").as("quality"), col("n_members"))
+        .withColumn("route", lit(route))
     }
   }
 

@@ -170,19 +170,67 @@ class ApiSpec extends SparkSpec {
     assert(api === query)
   }
 
-  test("facade keepBestPerCluster equals the dd_cluster_keep_best " +
-    "query (round 13)") {
-    val api = Corpus.keepBestPerCluster(renamedDocs, "id", "body")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSet
-    val query = operators.Dedup.queries("dd_cluster_keep_best")(spark, sf)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toSet
-    assert(api === query && api.nonEmpty)
+  test("facade keepBestPerCluster composes on the ROUTED clusters " +
+    "(round 14): parity with the selected branch's closure on BOTH " +
+    "routes, route surfaced, one representative per cluster") {
+    import spark.implicits._
+    // keep-best recomputed from an explicit pair graph: components +
+    // quality argmax + member count, singletons keeping themselves
+    def closure(docs: org.apache.spark.sql.DataFrame,
+                pairs: org.apache.spark.sql.DataFrame)
+        : Set[(Long, Long, Long, Long)] = {
+      val cl = operators.Dedup.components(pairs.select("id1", "id2"))
+        .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+      val d = docs.collect().map(r => (r.getLong(0),
+        r.getString(1).split(" ").distinct.length.toLong))
+      d.map { case (id, _) => (id, cl.getOrElse(id, id)) }
+        .groupBy(_._2).map { case (c, members) =>
+          val qs = members.map(m => (d.find(_._1 == m._1).get._2, m._1))
+          val (q, keep) = qs.maxBy(t => (t._1, -t._2))
+          (c, keep, q, members.length.toLong)
+        }.toSet
+    }
+    def rows(df: org.apache.spark.sql.DataFrame)
+        : Array[(Long, Long, Long, Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // lsh route: the replica-saturated corpus
+    val saturated = (0L until 300L).map(i =>
+      (i, s"alpha beta t${i % 3} gamma delta")).toDF("doc_id", "text")
+    val kbSat = rows(Corpus.keepBestPerCluster(saturated))
+    assert(kbSat.nonEmpty && kbSat.forall(_._5 == "lsh"))
+    assert(kbSat.map(t => (t._1, t._2, t._3, t._4)).toSet ===
+      closure(saturated, operators.Dedup.minhashPairsOf(saturated)))
+    // exact route: the sparse corpus with one 4-doc dup family
+    val fewDups = (0L until 40L).map(i =>
+      (i, if (i < 4) "alpha beta gamma delta epsilon"
+          else s"x${i}a x${i}b x${i}c x${i}d x${i}e")).toDF("doc_id", "text")
+    val kbFew = rows(Corpus.keepBestPerCluster(fewDups))
+    assert(kbFew.nonEmpty && kbFew.forall(_._5 == "exact"))
+    assert(kbFew.map(t => (t._1, t._2, t._3, t._4)).toSet ===
+      closure(fewDups, operators.Dedup.jaccardPairsOf(fewDups)))
+    // on the real corpus the facade equals the closure of whatever
+    // branch the router selected — and when that route is lsh, it also
+    // equals the MinHash-pinned dd_cluster_keep_best named query
+    val docs = renamedDocs.select(col("id").as("doc_id"),
+      col("body").as("text"))
+    val (route, _, _) = Corpus.dedupRoute(renamedDocs, "id", "body")
+    val api = rows(Corpus.keepBestPerCluster(renamedDocs, "id", "body"))
+    assert(api.nonEmpty && api.forall(_._5 == route))
+    val branch =
+      if (route == "lsh") operators.Dedup.minhashPairsOf(docs)
+      else operators.Dedup.jaccardPairsOf(docs)
+    assert(api.map(t => (t._1, t._2, t._3, t._4)).toSet ===
+      closure(docs, branch))
+    if (route == "lsh") {
+      val query = operators.Dedup.queries("dd_cluster_keep_best")(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(api.map(t => (t._1, t._2, t._3, t._4)).toSet === query)
+    }
     // exactly one representative per cluster, singletons keep themselves
-    assert(api.map(_._1).size === api.size)
+    assert(api.map(_._1).distinct.length === api.length)
     assert(api.filter(_._4 == 1L).forall(t => t._1 == t._2))
   }
 

@@ -261,4 +261,40 @@ class ServeLoopSpec extends SparkSpec {
           growth.mkString("; "))
     }
   }
+
+  test("clusters-then-keep-best serve loop builds components ONCE " +
+    "(round 14): the keep-best call after a clusters call adds no " +
+    "persistent RDDs and agrees with the clusters it composed on") {
+    import spark.implicits._
+    // a fresh corpus plan (distinct from the other test's docs) so
+    // this leg owns its memo entries
+    val corpus = Tables(spark, sf, "documents")
+      .select(col("doc_id").as("k14id"), col("text").as("k14body"))
+    val clusters = api.Corpus.nearDupClustersAuto(corpus,
+      "k14id", "k14body")
+    clusters.count() // materialize: the ONE components pass
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val kb = api.Corpus.keepBestPerCluster(corpus, "k14id", "k14body")
+    val rows = kb.collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // composing on the memoized clusters artifact means the keep-best
+    // build is a pure window plan over it — a re-run of components
+    // would have minted fresh localCheckpoint blocks here
+    assert(after <= before,
+      s"keep-best after clusters grew persistent RDDs $before -> $after")
+    // semantic consistency with the clusters the caller just saw:
+    // same route, every non-singleton keep-best row is one of its
+    // cluster's members, and cluster ids agree
+    val cl = clusters.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    if (cl.nonEmpty) {
+      assert(rows.forall(_.getString(4) == cl.head._3))
+      val members = cl.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      rows.filter(_.getLong(3) > 1L).foreach { r =>
+        assert(members(r.getLong(0)).contains(r.getLong(1)),
+          s"keep ${r.getLong(1)} not in cluster ${r.getLong(0)}")
+      }
+    }
+  }
 }
