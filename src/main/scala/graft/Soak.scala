@@ -852,6 +852,33 @@ object Soak {
         }
       }
     }
+    if (only.contains("curate_stream")) {
+      // write-amplification of the maintained cluster state (round
+      // 14): feed the corpus through the curation gates in 5 ordered
+      // batches and report, per batch, the cluster-label rows WRITTEN
+      // (the delta layout) against the full labeling size (what the
+      // round-13 per-batch overwrite wrote) — the measured write drop
+      // the append-plus-compact layout buys on a dup-heavy stream
+      val outDir = s"/tmp/graft_soak/curate_$tag"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(outDir))
+      val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      val qs = docs.stat.approxQuantile("doc_id",
+        Array(0.2, 0.4, 0.6, 0.8), 0.001).map(_.toLong)
+      val bounds = ((Long.MinValue +: qs) :+ Long.MaxValue).toSeq
+      bounds.sliding(2).toSeq.zipWithIndex.foreach { case (pair, i) =>
+        val (lo, hi) = (pair.head, pair.last)
+        val b = docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        val ((w, full), tB) = time(
+          streaming.CorpusStream.curateBatch(b, outDir, 5))
+        spark.catalog.clearCache()
+        println(f"""{"corpus":"$tag","query":"curate_stream_b$i","rows_written":$w,"full_labeling":$full,"time_s":$tB%.2f}""")
+      }
+    }
     if (only.contains("dd_embed_cosine")) {
       // candidate-share accounting for the SRP banding (round 11):
       // the scoped run re-measures what the full report's run() line

@@ -33,13 +33,34 @@ import graft.operators.Dedup
   * seen — dropped docs stay in the index, mirroring the batch twin
   * where pairing runs over the FULL corpus before survivors are
   * chosen) — plus `clusters/` (round 13), the maintained
-  * duplicate-cluster star forest, overwritten per batch by merging the
-  * batch's verified pairs into the prior forest (the dd_cluster_incr
-  * technique; equals the full-history dd_cluster recompute at every
-  * batch boundary). At 100 TB each batch's cost scales with the batch: the
+  * duplicate-cluster star forest kept by merging the batch's verified
+  * pairs into the prior forest (the dd_cluster_incr technique; equals
+  * the full-history dd_cluster recompute at every batch boundary).
+  *
+  * CLUSTER-STATE LAYOUT (round 14 — append-plus-compact, crash-safe;
+  * replaces the round-13 full overwrite per batch, which both rewrote
+  * ≈ the whole dup-family census every trigger on a dup-heavy stream
+  * AND could lose accumulated old×old connectivity to a torn
+  * delete-then-write, ADVICE r13): `clusters/` holds VERSIONED
+  * snapshots — `delta/v=N/` directories carrying only the labels that
+  * CHANGED in batch N's merge, periodically compacted into a full
+  * `base/v=N/` labeling — each version committed by writing a
+  * `_GRAFT_COMMITTED` marker AFTER its parquet completes, so a crash
+  * mid-write leaves an uncommitted directory that readers ignore and
+  * the replaying writer deletes before reusing the version number;
+  * the committed state is never mutated in place. [[readClusters]]
+  * reconstructs the labeling as latest-committed-version-wins per doc
+  * — one bounded read over ≤ compactEvery+1 version directories, each
+  * at most dup-family-census rows. A replayed batch re-derives a
+  * fixpoint (star-forest merge under re-applied edges), producing an
+  * EMPTY delta, which is not written — replay is a no-op on disk.
+  *
+  * At 100 TB each batch's cost scales with the batch: the
   * signature index is probed through a bucket equi-join and the digest
   * state through a 16-byte hash anti-join; nothing re-pairs the
-  * existing corpus. Under in-order arrival (doc ids non-decreasing
+  * existing corpus, and the cluster write is the CHANGED labels only
+  * (batch-scaled), not the accumulated census. Under in-order arrival
+  * (doc ids non-decreasing
   * across batches — the daily-ingest shape) the accepted set is
   * IDENTICAL to running the batch recipe's stages 1–3 over the full
   * corpus; CorpusStreamSpec pins that twin equivalence batch-by-batch.
@@ -76,6 +97,7 @@ object CorpusStream {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         curateBatch(batch, outDir, MIN_WORDS)
+        ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(if (availableNow) Trigger.AvailableNow()
@@ -83,10 +105,23 @@ object CorpusStream {
       .start()
   }
 
+  /** Marker file written into a version directory AFTER its parquet
+    * completes — the commit point. Underscore-prefixed so Spark's
+    * parquet reader ignores it inside the directory. */
+  private val CommitMarker = "_GRAFT_COMMITTED"
+
+  /** Compact the delta log into a full base snapshot once this many
+    * committed delta versions accumulate — bounds the read fan-in at
+    * compactEvery+1 directories. */
+  private[graft] var compactEvery: Int = 8
+
   /** One micro-batch through the three gates against on-disk state.
-    * Exposed for the spec's batch-by-batch twin comparison. */
+    * Exposed for the spec's batch-by-batch twin comparison. Returns
+    * (cluster label rows WRITTEN this batch, full labeling size) — the
+    * write-amplification observable: the round-13 overwrite wrote the
+    * second number every batch, the delta layout writes the first. */
   private[graft] def curateBatch(batch0: DataFrame, outDir: String,
-                                 minWords: Int): Unit = {
+                                 minWords: Int): (Long, Long) = {
     val s = batch0.sparkSession
     val batch = batch0.select(col("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull).cache()
@@ -147,14 +182,12 @@ object CorpusStream {
       // == batch dd_cluster twin). Per-batch cost: label propagation
       // whose rounds are governed by the NEW pairs (stars have depth
       // 1), one star-table join per round — never a corpus re-pair.
-      // OVERWRITE is safe and replay-idempotent: components
-      // materializes its input eagerly (localCheckpoint) before the
-      // write clears the directory, and re-merging an already-merged
-      // batch's pairs into the updated forest is a fixpoint.
-      val starSchema = StructType(Seq(
-        StructField("cluster_id", LongType),
-        StructField("doc_id", LongType)))
-      val priorStars = readState(s, s"$outDir/clusters", starSchema)
+      // the whole merge's checkpoint blocks (components' final labels
+      // and any stragglers) are swept once the state is on disk — a
+      // long-running stream must not pin one labels copy per batch
+      val sc = s.sparkContext
+      val pinnedBefore = sc.getPersistentRDDs.keySet.toSet
+      val priorStars = readClusters(s, outDir)
       val newStars = Dedup.components(
         priorStars.filter(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id").as("id1"), col("cluster_id").as("id2"))
@@ -162,18 +195,130 @@ object CorpusStream {
       // state + output appends (survivors first: a crash between writes
       // then re-curates the batch against unchanged state instead of
       // silently dropping it against half-written state; the cluster
-      // overwrite goes last — it is idempotent under replay)
+      // write goes last — a replayed batch derives an empty delta, so
+      // it is idempotent on disk, and the versioned commit makes a
+      // torn write invisible to readers)
       survivors.select("doc_id", "text")
         .write.mode("append").parquet(s"$outDir/accepted")
       exact.select("gh").distinct()
         .write.mode("append").parquet(s"$outDir/digests")
       sigs.write.mode("append").parquet(s"$outDir/sigs")
-      newStars.select("cluster_id", "doc_id")
-        .write.mode("overwrite").parquet(s"$outDir/clusters")
+      val written = writeClusterState(s, outDir, priorStars, newStars)
+      (sc.getPersistentRDDs.keySet.toSet -- pinnedBefore).foreach(id =>
+        sc.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(blocking = false)))
       scored.unpersist()
       sigs.unpersist()
+      written
     } finally {
       batch.unpersist()
+      ()
+    }
+  }
+
+  private val starSchema: StructType = StructType(Seq(
+    StructField("cluster_id", LongType),
+    StructField("doc_id", LongType)))
+
+  private def fsOf(s: SparkSession, p: Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** COMMITTED versions under `clusters/<kind>/` — (version, path)
+    * pairs for every `v=N` directory whose commit marker exists. */
+  private def committedVersions(s: SparkSession, root: Path,
+                                kind: String): Seq[(Int, Path)] = {
+    val dir = new Path(root, kind)
+    val fs = fsOf(s, dir)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .flatMap { st =>
+        val v = st.getPath.getName.stripPrefix("v=").toIntOption
+        v.filter(_ => fs.exists(new Path(st.getPath, CommitMarker)))
+          .map(_ -> st.getPath)
+      }
+  }
+
+  /** The maintained duplicate-cluster labeling — (cluster_id, doc_id)
+    * over every doc in a dup family, reconstructed from the committed
+    * versioned state: the latest committed base snapshot overridden by
+    * every later committed delta, latest version winning per doc.
+    * Uncommitted (torn) version directories are invisible. Empty frame
+    * before the first family appears. This is the READ SIDE of the
+    * append-plus-compact layout: one bounded union over at most
+    * compactEvery+1 directories plus one dup-family-grain window. */
+  def readClusters(s: SparkSession, outDir: String): DataFrame = {
+    val root = new Path(s"$outDir/clusters")
+    val bases = committedVersions(s, root, "base")
+    val deltas = committedVersions(s, root, "delta")
+    val baseV = bases.map(_._1).maxOption.getOrElse(-1)
+    val live = bases.filter(_._1 == baseV) ++ deltas.filter(_._1 > baseV)
+    if (live.isEmpty)
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], starSchema)
+    else {
+      val frames = live.map { case (v, p) =>
+        s.read.schema(starSchema).parquet(p.toString)
+          .withColumn("__v", lit(v))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("__v").desc)
+      frames.reduce(_.unionAll(_))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("cluster_id", "doc_id")
+    }
+  }
+
+  /** Write this batch's cluster-state CHANGE: the labels in `next`
+    * absent from `prior` (new family members and re-rooted docs) go to
+    * `delta/v=N/`; every compactEvery-th write instead compacts the
+    * full labeling into `base/v=N/` and drops the consumed versions.
+    * Both are committed by marker-after-parquet (a torn write leaves
+    * an ignorable, later-deleted directory) — the committed state is
+    * never mutated in place, so no crash point loses accumulated
+    * connectivity (ADVICE r13). An empty delta (the replayed-batch
+    * fixpoint) writes nothing. Returns (rows written, full labeling
+    * rows). */
+  private def writeClusterState(s: SparkSession, outDir: String,
+                                prior: DataFrame,
+                                next: DataFrame): (Long, Long) = {
+    val root = new Path(s"$outDir/clusters")
+    // eager: both sides pinned BEFORE any directory mutation (prior
+    // reads the very directories a compaction would clean)
+    val nextC = next.select("cluster_id", "doc_id").localCheckpoint()
+    val delta = nextC.join(prior, Seq("cluster_id", "doc_id"),
+      "left_anti").localCheckpoint()
+    try {
+      val nDelta = delta.count()
+      val nFull = nextC.count()
+      if (nDelta == 0L) (0L, nFull)
+      else {
+        val fs = fsOf(s, root)
+        val bases = committedVersions(s, root, "base")
+        val deltas = committedVersions(s, root, "delta")
+        val v = (bases ++ deltas).map(_._1).maxOption.getOrElse(0) + 1
+        val compact = deltas.size + 1 > compactEvery
+        val (kind, df, n) =
+          if (compact) ("base", nextC, nFull) else ("delta", delta, nDelta)
+        val dir = new Path(new Path(root, kind), s"v=$v")
+        // a leftover from a crashed attempt at this version is
+        // uncommitted by construction (no marker) — clear it
+        if (fs.exists(dir)) fs.delete(dir, true)
+        df.write.mode("overwrite").parquet(dir.toString)
+        fs.create(new Path(dir, CommitMarker), true).close()
+        if (compact) {
+          // consumed deltas and superseded bases: best-effort cleanup
+          // AFTER the new base committed — readers ignore them either
+          // way, so a crash mid-cleanup costs only disk
+          (deltas ++ bases).filter(_._1 < v)
+            .foreach { case (_, p) => fs.delete(p, true) }
+        }
+        (n, nFull)
+      }
+    } finally {
+      delta.unpersist(false)
+      nextC.unpersist(false)
       ()
     }
   }

@@ -72,7 +72,8 @@ class CorpusStreamSpec extends SparkSpec {
     // stream-maintained duplicate clusters == the batch dd_cluster twin
     // over the full ingested history (round 13): the per-batch star-
     // forest merge loses nothing vs recomputing components from scratch
-    val streamClusters = spark.read.parquet(s"$out/clusters")
+    // (read through the versioned delta layout's reader — round 14)
+    val streamClusters = CorpusStream.readClusters(spark, out)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val batchClusters = Dedup.components(
         Dedup.minhashPairsOf(
@@ -87,14 +88,73 @@ class CorpusStreamSpec extends SparkSpec {
     val replay = Tables(spark, sf, "documents")
       .select("doc_id", "text")
       .filter(col("doc_id") < lines(cuts.head)._1)
-    CorpusStream.curateBatch(replay, out, 5)
+    val (replayWritten, _) = CorpusStream.curateBatch(replay, out, 5)
     val after = spark.read.parquet(s"$out/accepted").count()
     assert(after === before)
 
     // and leaves the maintained clusters at the same fixpoint: merging
     // an already-merged batch's pairs into the star forest is a no-op
-    val replayed = spark.read.parquet(s"$out/clusters")
+    // — AND, under the delta layout, writes ZERO rows (replay is a
+    // no-op on disk, round 14)
+    assert(replayWritten === 0L)
+    val replayed = CorpusStream.readClusters(spark, out)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(replayed === batchClusters)
+  }
+
+  test("cluster state is append-plus-compact and crash-safe (round " +
+    "14): deltas are batch-scaled, compaction bounds the version log, " +
+    "a torn (markerless) write is invisible, and replay writes nothing") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_clusterstate")
+    val out = base.resolve("out").toString
+    val prior = CorpusStream.compactEvery
+    CorpusStream.compactEvery = 2
+    try {
+      // each batch ingests one fresh 3-doc exact-dup family
+      def mkBatch(k: Int) = // five family-unique words: no shingle is
+        // shared across families, so clusters are exactly the batches
+        Seq.tabulate(3)(j =>
+          (k * 10L + j, s"f${k}a f${k}b f${k}c f${k}d f${k}e"))
+          .toDF("doc_id", "text")
+      val writes = (0 until 5).map(k =>
+        CorpusStream.curateBatch(mkBatch(k), out, 5))
+      // delta rows are BATCH-scaled (3 per batch: the new family),
+      // never census-scaled — except the compaction batch, which
+      // rewrites the full labeling once per compactEvery deltas (the
+      // round-13 overwrite wrote the full labeling EVERY batch)
+      assert(writes === Seq((3L, 3L), (3L, 6L), (9L, 9L), (3L, 12L),
+        (3L, 15L)), writes)
+      // the version log is bounded: one committed base + at most
+      // compactEvery committed deltas; consumed versions were cleaned
+      def versions(kind: String): Seq[String] = {
+        val d = new java.io.File(s"$out/clusters/$kind")
+        if (!d.exists) Nil
+        else d.listFiles.filter(f => f.isDirectory &&
+          new java.io.File(f, "_GRAFT_COMMITTED").exists)
+          .map(_.getName).toSeq.sorted
+      }
+      assert(versions("base") === Seq("v=3"), versions("base"))
+      assert(versions("delta") === Seq("v=4", "v=5"), versions("delta"))
+      // the reconstructed labeling equals a from-scratch recompute
+      val expect = (0 until 5).flatMap(k =>
+        Seq.tabulate(3)(j => (k * 10L, k * 10L + j))).toSet
+      def labeling(): Set[(Long, Long)] =
+        CorpusStream.readClusters(spark, out)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(labeling() === expect)
+      // TORN WRITE: a version directory with data but NO commit marker
+      // (the crash-between-parquet-and-marker state) is invisible to
+      // the reader — accumulated connectivity cannot be lost to it
+      Seq((999L, 999L)).toDF("cluster_id", "doc_id")
+        .write.parquet(s"$out/clusters/delta/v=99")
+      assert(labeling() === expect)
+      // replay of an already-merged batch: fixpoint, zero rows written
+      val (w, full) = CorpusStream.curateBatch(mkBatch(2), out, 5)
+      assert(w === 0L && full === 15L)
+      assert(labeling() === expect)
+    } finally {
+      CorpusStream.compactEvery = prior
+    }
   }
 }
