@@ -738,6 +738,18 @@ object Soak {
       spark.catalog.clearCache()
       println(f"""{"corpus":"$tag","query":"mm_phash_cluster_steady","rows":$rows,"steady_s":$t%.2f}""")
     }
+    if (only.contains("mm_phash_incr")) {
+      // batch-vs-corpus codec split (round 14): the timeOne line above
+      // was the COLD pass (base hash table + star forest built +
+      // batch codec + merge); this steady re-run pays the nightly
+      // shape only — batch codec + banded probe + star-forest merge —
+      // against mm_phash_cluster's cold (the full-corpus codec) as
+      // the corpus-scaled reference
+      val (rows, t) = time(
+        SparkEntry.queries("mm_phash_incr")(spark, dir).count())
+      spark.catalog.clearCache()
+      println(f"""{"corpus":"$tag","query":"mm_phash_incr_steady","rows":$rows,"steady_s":$t%.2f}""")
+    }
     if (only.contains("sim_opq_ivfpq_topk")) {
       // OPQ-on-residuals vs plain IVF-PQ recall@5 at scale (round 13):
       // same coarse cells, probes, code size, and rerank — the line

@@ -101,6 +101,39 @@ object Media {
         .withColumnRenamed("doc_id", idCol))
   }
 
+  /** INCREMENTAL perceptual clusters (round 14 — the nightly
+    * add-path): merge a NEW image batch into an existing corpus's
+    * clusters hashing ONLY the batch through the codec plus one
+    * codec-free pass over the base hash table and star forest, which
+    * are memoized per (session, base plan) — the first call on a base
+    * corpus pays its codec once, every later batch is batch-scaled.
+    * Equals [[imageClusters]] over base ∪ batch (the star-forest merge
+    * loses nothing — the `mm_phash_incr` contract, hash-matched
+    * against the full-recompute oracle). Returns (id, cluster_id) for
+    * EVERY image, base and batch. */
+  def imageClustersIncremental(base: DataFrame, batch: DataFrame,
+                               idCol: String = "id",
+                               bytesCol: String = "content"): DataFrame = {
+    val baseIn = base.select(col(idCol), col(bytesCol))
+    val batchIn = batch.select(col(idCol), col(bytesCol))
+    graft.sources.Materialize.resultOnce(
+      "media.imageClustersIncremental", "", Seq(baseIn, batchIn)) {
+      val baseHashes = graft.sources.Materialize.cached(
+        "media_base_hashbits",
+        () => imageHashes(base, idCol, bytesCol)
+          .withColumnRenamed(idCol, "doc_id"))
+      val baseStars = graft.sources.Materialize.cached(
+        "media_base_stars",
+        () => Multimodal.phashClusterOf(baseHashes)
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("id1"), col("cluster_id").as("id2")))
+      Multimodal.phashMergeOf(baseHashes, baseStars,
+          imageHashes(batch, idCol, bytesCol)
+            .withColumnRenamed(idCol, "doc_id"))
+        .withColumnRenamed("doc_id", idCol)
+    }
+  }
+
   /** Decode each WAV payload: (id, n_frames, channels, sample_rate,
     * bits, sum_s, min_s, max_s) — the `mm_audio_meta` stage. */
   def audioMeta(df: DataFrame, idCol: String = "id",

@@ -305,6 +305,92 @@ object Multimodal {
         coalesce(col("cluster_id"), col("hrep")).as("cluster_id"))
   }
 
+  /** INCREMENTAL perceptual-hash maintenance (round 14) — the
+    * nightly add-path for the mm_ family, completing the
+    * materialized-hash-table story of round 13: a NEW image batch
+    * (doc_id % 5 = 0, dd_cluster_incr's split) hashes ONLY its own
+    * rows through the codec and merges into the persisted cluster
+    * state via the star-forest technique, never re-decoding or
+    * re-pairing the existing corpus. Yesterday's state is two
+    * artifacts, persisted once per (session, sf dir): the BASE hash
+    * table (the only corpus-scaled codec pass, paid at first build)
+    * and the base star forest (doc → cluster root, which preserves
+    * accumulated connectivity exactly — `dd_cluster_incr`'s shape over
+    * `mm_hashbits`). Tonight: batch codec → replica collapse on the
+    * 64-bit hash → banded Hamming probe of batch reps against
+    * (base reps ∪ batch reps) — state×new plus new×new, never
+    * old×old — → components over (star edges ∪ verified pairs) →
+    * docs map through their hash representative. Equals the full
+    * mm_phash_cluster recompute (same oracle, hash-matched): the
+    * class minimum is always the rep of its own hash within its
+    * partition, and star edges plus probe pairs connect every class's
+    * reps. At 100 TB the nightly cost is |batch| codec decodes plus a
+    * batch-scaled band join — the x10 soak line measures the
+    * batch-vs-corpus codec split. */
+  private[graft] def phashIncrOf(s: SparkSession, dir: String,
+      index: graft.sources.Materialize.Index =
+        graft.sources.Materialize.cached): DataFrame = {
+    import s.implicits._
+    val baseHashes = index("mm_base_hashbits", () =>
+      nearSpecs(s, dir).filter(col("doc_id") % 5 =!= 0)
+        .mapPartitions(encodeNear)
+        .mapPartitions(avgHashBits)
+        .toDF())
+    val baseStars = index("mm_base_stars", () =>
+      phashClusterOf(baseHashes)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("id1"), col("cluster_id").as("id2")))
+    // tonight's batch: the ONLY codec work of the steady path
+    val batchHashes = nearSpecs(s, dir).filter(col("doc_id") % 5 === 0)
+      .mapPartitions(encodeNear)
+      .mapPartitions(avgHashBits)
+      .toDF()
+    phashMergeOf(baseHashes, baseStars, batchHashes)
+  }
+
+  /** The codec-free MERGE of [[phashIncrOf]] (shared with the
+    * [[graft.api.Media]] facade): replica-collapse both hash tables,
+    * probe batch reps against (base reps ∪ batch reps) through the
+    * 3-band Hamming join — state×new plus new×new, never old×old —
+    * then components over (base star edges ∪ verified pairs) and the
+    * doc→rep mapback. Inputs are (doc_id, bits) hash tables and the
+    * base labeling's star edges (id1 = doc, id2 = root). */
+  private[graft] def phashMergeOf(baseHashes: DataFrame,
+                                  baseStars: DataFrame,
+                                  batchHashes: DataFrame): DataFrame = {
+    val baseReps = baseHashes.groupBy("bits")
+      .agg(min("doc_id").as("rep"))
+    val batchReps = batchHashes.groupBy("bits")
+      .agg(min("doc_id").as("rep"))
+    def banded(reps: DataFrame): DataFrame =
+      reps.select(col("rep"), col("bits"),
+        explode(array((0 until 3).map(k =>
+          struct(lit(k).as("k"), hashBand(k).as("bv"))): _*)).as("b"))
+        .select(col("rep"), col("bits"),
+          col("b.k").as("k"), col("b.bv").as("bv"))
+    val probe = banded(batchReps)
+      .select(col("rep").as("rep2"), col("bits").as("bits2"),
+        col("k"), col("bv"))
+    val state = banded(baseReps).unionByName(banded(batchReps))
+      .select(col("rep").as("rep1"), col("bits").as("bits1"),
+        col("k"), col("bv"))
+    val pairs = state.join(probe, Seq("k", "bv"))
+      .filter(col("rep1") =!= col("rep2"))
+      .filter(expr("bit_count(bits1 ^ bits2) <= 2"))
+      .select(least(col("rep1"), col("rep2")).as("id1"),
+        greatest(col("rep1"), col("rep2")).as("id2"))
+      .distinct()
+    val comp = Dedup.components(baseStars.unionAll(pairs))
+      .withColumnRenamed("doc_id", "rep")
+    val docRep = baseHashes.join(baseReps, "bits")
+      .select(col("doc_id"), col("rep"))
+      .unionByName(batchHashes.join(batchReps, "bits")
+        .select(col("doc_id"), col("rep")))
+    docRep.join(comp, Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+  }
+
   /** The 3-band split of the 64-bit average hash (22/21/21 bits) shared
     * by mm_phash_near and mm_phash_cluster: multi-index hashing
     * (Norouzi et al.) — any pair within Hamming 2 agrees on at least
@@ -507,6 +593,18 @@ object Multimodal {
           graft.sources.Materialize.indexOf(s, dir)))
         .orderBy("doc_id")),
 
+    // INCREMENTAL cluster maintenance for the perceptual-hash family
+    // (round 14): hash the %5==0 batch through the codec, merge into
+    // the persisted base hash table + star forest — batch-scaled codec
+    // and pairing, equals the full recompute (see phashIncrOf). Same
+    // oracle as mm_phash_cluster: the near relation is "same pattern
+    // class", so the merged labeling is named arithmetically while the
+    // engine must earn it through the real codec, the banded probe,
+    // and the star-forest components merge.
+    "mm_phash_incr" -> ((s, dir) =>
+      phashIncrOf(s, dir, graft.sources.Materialize.indexOf(s, dir))
+        .orderBy("doc_id")),
+
     // Real WAV round-trip: PCM frames → AudioSystem WAV encoder →
     // AudioSystem decoder → header metadata + sample statistics.
     "mm_audio_meta" -> ((s, dir) => {
@@ -605,6 +703,13 @@ object Multimodal {
     // codec round-trip, the banded Hamming join, and the
     // connected-components reduction
     "mm_phash_cluster" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY doc_id % 16) AS cluster_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the incremental merge must equal the full recompute — identical
+    // oracle to mm_phash_cluster (the star-forest merge loses nothing)
+    "mm_phash_incr" ->
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY doc_id % 16) AS cluster_id
         |FROM documents ORDER BY doc_id""".stripMargin,

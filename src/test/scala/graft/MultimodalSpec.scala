@@ -193,6 +193,44 @@ class MultimodalSpec extends SparkSpec {
     assert(clu === cluQ && clu.size.toLong === nDocs.toLong)
   }
 
+  test("mm_phash_incr: the star-forest merge of a fresh batch equals " +
+    "the full recompute, and the facade twin over caller payloads " +
+    "agrees (round 14)") {
+    // named query (materialized base artifacts) == mm_phash_cluster
+    val incr = SparkEntry.queries("mm_phash_incr")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = SparkEntry.queries("mm_phash_cluster")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr === full && incr.size.toLong === nDocs.toLong)
+    // a second run reads the persisted base artifacts and is identical
+    val again = SparkEntry.queries("mm_phash_incr")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === incr)
+    // the base-state artifacts exist as managed tables
+    for (a <- Seq("mm_base_hashbits", "mm_base_stars"))
+      assert(spark.catalog.tableExists(
+        graft.sources.Materialize.indexTable(a, sf)), a)
+    // facade: merge caller payload batches — base %5!=0, batch %5==0 —
+    // and pin equality with imageClusters over the union
+    import graft.api.Media
+    def payloadsWhere(cond: org.apache.spark.sql.Column) =
+      Tables(spark, sf, "documents").filter(cond).select(
+          col("doc_id"),
+          (col("doc_id") % 16).cast("int").as("p"),
+          expr("doc_id div 16 % 8").cast("int").as("f"),
+          (col("doc_id") % 56).cast("int").as("base"))
+        .as[(Long, Int, Int, Int)]
+        .mapPartitions(it => Multimodal.encodeNear(it.map {
+          case (id, p, f, b) => Multimodal.NearSpec(id, p, f, b) }))
+        .toDF("img_id", "blob")
+    val basePay = payloadsWhere(col("doc_id") % 5 =!= 0)
+    val batchPay = payloadsWhere(col("doc_id") % 5 === 0)
+    val apiIncr = Media.imageClustersIncremental(
+        basePay, batchPay, "img_id", "blob")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(apiIncr === full)
+  }
+
   test("mm_audio_meta: WAV header and PCM samples survive the round-trip") {
     val out = SparkEntry.queries("mm_audio_meta")(spark, sf).collect()
     assert(out.length === nDocs)
