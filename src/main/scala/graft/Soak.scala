@@ -749,6 +749,20 @@ object Soak {
         SparkEntry.queries("mm_phash_incr")(spark, dir).count())
       spark.catalog.clearCache()
       println(f"""{"corpus":"$tag","query":"mm_phash_incr_steady","rows":$rows,"steady_s":$t%.2f}""")
+      // pure codec walls, corpus vs batch: the component of the
+      // nightly cost the add-path scales with the BATCH (at real
+      // image sizes the codec dominates; at the soak's 16×16 PNGs the
+      // merge's fixed join overhead is visible next to it — both
+      // belong on the page)
+      val (nF, tF) = time(
+        operators.Multimodal.nearHashesInline(spark, dir, batchOnly = false)
+          .count())
+      spark.catalog.clearCache()
+      val (nB, tB) = time(
+        operators.Multimodal.nearHashesInline(spark, dir, batchOnly = true)
+          .count())
+      spark.catalog.clearCache()
+      println(f"""{"corpus":"$tag","query":"mm_codec_split","full_imgs":$nF,"full_codec_s":$tF%.2f,"batch_imgs":$nB,"batch_codec_s":$tB%.2f}""")
     }
     if (only.contains("sim_opq_ivfpq_topk")) {
       // OPQ-on-residuals vs plain IVF-PQ recall@5 at scale (round 13):

@@ -124,12 +124,22 @@ object Media {
           .withColumnRenamed(idCol, "doc_id"))
       val baseStars = graft.sources.Materialize.cached(
         "media_base_stars",
-        () => Multimodal.phashClusterOf(baseHashes)
-          .filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id").as("id1"), col("cluster_id").as("id2")))
-      Multimodal.phashMergeOf(baseHashes, baseStars,
-          imageHashes(batch, idCol, bytesCol)
-            .withColumnRenamed(idCol, "doc_id"))
+        () => {
+          // rep-level edges — see Multimodal.phashMergeOf
+          val reps = baseHashes.groupBy("bits")
+            .agg(min("doc_id").as("rep"))
+          Multimodal.phashClusterOf(baseHashes)
+            .join(reps.select(col("rep").as("doc_id")), "doc_id")
+            .filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id").as("id1"), col("cluster_id").as("id2"))
+        })
+      // the batch hash table is its own cached artifact (the merge
+      // reads it three times; a new batch plan mints a new artifact)
+      val batchHashes = graft.sources.Materialize.cached(
+        "media_batch_hashbits",
+        () => imageHashes(batch, idCol, bytesCol)
+          .withColumnRenamed(idCol, "doc_id"))
+      Multimodal.phashMergeOf(baseHashes, baseStars, batchHashes)
         .withColumnRenamed("doc_id", idCol)
     }
   }

@@ -336,15 +336,29 @@ object Multimodal {
         .mapPartitions(encodeNear)
         .mapPartitions(avgHashBits)
         .toDF())
-    val baseStars = index("mm_base_stars", () =>
+    // REP-LEVEL star forest (not doc-level): the persisted edges are
+    // per DISTINCT hash representative — each non-root rep points to
+    // its class root — so the nightly components pass runs over the
+    // collapsed hash graph (≤ #distinct hashes vertices), the same
+    // replica-collapse that makes phashClusterOf O(n)-safe; doc-level
+    // stars would hand components a dup-family-census-sized input
+    // every night (measured 2.3× slower end-to-end at the x10 soak)
+    val baseStars = index("mm_base_stars", () => {
+      val reps = baseHashes.groupBy("bits").agg(min("doc_id").as("rep"))
       phashClusterOf(baseHashes)
+        .join(reps.select(col("rep").as("doc_id")), "doc_id")
         .filter(col("doc_id") =!= col("cluster_id"))
-        .select(col("doc_id").as("id1"), col("cluster_id").as("id2")))
-    // tonight's batch: the ONLY codec work of the steady path
+        .select(col("doc_id").as("id1"), col("cluster_id").as("id2"))
+    })
+    // tonight's batch: the ONLY codec work of the steady path — CACHED,
+    // because the merge reads it three times (batch reps for the probe
+    // and state sides, and the doc→rep mapback); uncached, the codec
+    // pass would re-run per consumer (measured ~2× extra wall at x30)
     val batchHashes = nearSpecs(s, dir).filter(col("doc_id") % 5 === 0)
       .mapPartitions(encodeNear)
       .mapPartitions(avgHashBits)
       .toDF()
+      .cache()
     phashMergeOf(baseHashes, baseStars, batchHashes)
   }
 
@@ -354,7 +368,11 @@ object Multimodal {
     * 3-band Hamming join — state×new plus new×new, never old×old —
     * then components over (base star edges ∪ verified pairs) and the
     * doc→rep mapback. Inputs are (doc_id, bits) hash tables and the
-    * base labeling's star edges (id1 = doc, id2 = root). */
+    * base labeling's REP-LEVEL star edges (id1 = a non-root hash
+    * representative, id2 = its class root) — connectivity at rep
+    * grain suffices: every class root is the rep of its own hash, and
+    * non-rep docs reach their rep through the mapback join, never
+    * through the components pass. */
   private[graft] def phashMergeOf(baseHashes: DataFrame,
                                   baseStars: DataFrame,
                                   batchHashes: DataFrame): DataFrame = {
@@ -389,6 +407,20 @@ object Multimodal {
     docRep.join(comp, Seq("rep"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+  }
+
+  /** Inline (no-artifact) codec pass over the near-dup corpus or its
+    * %5==0 batch — the soak's codec-split instrument: the wall ratio
+    * full/batch is the part of the nightly cost the add-path scales
+    * down with the batch. */
+  private[graft] def nearHashesInline(s: SparkSession, dir: String,
+                                      batchOnly: Boolean): DataFrame = {
+    import s.implicits._
+    val sp = nearSpecs(s, dir)
+    (if (batchOnly) sp.filter(col("doc_id") % 5 === 0) else sp)
+      .mapPartitions(encodeNear)
+      .mapPartitions(avgHashBits)
+      .toDF()
   }
 
   /** The 3-band split of the 64-bit average hash (22/21/21 bits) shared
