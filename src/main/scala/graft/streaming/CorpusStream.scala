@@ -280,7 +280,7 @@ object CorpusStream {
     * connectivity (ADVICE r13). An empty delta (the replayed-batch
     * fixpoint) writes nothing. Returns (rows written, full labeling
     * rows). */
-  private def writeClusterState(s: SparkSession, outDir: String,
+  private[graft] def writeClusterState(s: SparkSession, outDir: String,
                                 prior: DataFrame,
                                 next: DataFrame): (Long, Long) = {
     val root = new Path(s"$outDir/clusters")

@@ -157,4 +157,84 @@ class CorpusStreamSpec extends SparkSpec {
       CorpusStream.compactEvery = prior
     }
   }
+
+  test("delta-log PROPERTY: random batch/replay/torn-write interleavings " +
+    "at random compaction cadences — the reader always equals a local " +
+    "union-find recompute (round 14)") {
+    import spark.implicits._
+    // drives writeClusterState/readClusters directly at the LAYOUT
+    // level: the labeling evolves as components of an accumulating
+    // random pair set (truth = an independent local union-find);
+    // between writes, replays (fixpoint re-writes) and torn version
+    // directories (parquet, no marker — the crash-between-parquet-and-
+    // marker state) are injected at random, including at the NEXT
+    // version number (the crash-then-replay collision the writer must
+    // clear). The reader must reconstruct the exact labeling after
+    // every step.
+    def unionFind(pairs: Seq[(Long, Long)]): Set[(Long, Long)] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      verts.map(v => (find(v), v)).toSet
+    }
+    val rnd = new scala.util.Random(1405)
+    val prior = CorpusStream.compactEvery
+    try {
+      for (trial <- 0 until 3) {
+        CorpusStream.compactEvery = 1 + rnd.nextInt(3)
+        val base = Files.createTempDirectory(s"graft_dlog$trial")
+        val out = base.resolve("out").toString
+        val allPairs =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        def readNow(): Set[(Long, Long)] =
+          CorpusStream.readClusters(spark, out)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        def tornAt(v: Int): Unit = {
+          val dir = new java.io.File(s"$out/clusters/delta/v=$v")
+          if (!dir.exists) // never clobber a committed version — a
+            // crash cannot rewrite committed state by construction
+            Seq((777L, 777L)).toDF("cluster_id", "doc_id")
+              .write.parquet(dir.getPath)
+        }
+        for (step <- 0 until 10) {
+          rnd.nextInt(5) match {
+            case 0 if allPairs.nonEmpty =>
+              // REPLAY: re-merging already-merged pairs is a fixpoint
+              // — the layout must write NOTHING
+              val cur = unionFind(allPairs.toSeq).toSeq
+                .toDF("cluster_id", "doc_id")
+              val (w, _) = CorpusStream.writeClusterState(
+                spark, out, CorpusStream.readClusters(spark, out), cur)
+              assert(w === 0L, s"replay wrote $w rows")
+            case 1 =>
+              tornAt(50 + step) // far version: pure invisibility
+            case 2 =>
+              tornAt(step + 1) // likely the next version number: the
+              // writer must clear the leftover before reusing it
+            case _ =>
+              val pairs = Seq.fill(1 + rnd.nextInt(5))(
+                (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+                .filter(p => p._1 != p._2)
+              allPairs ++= pairs
+              val next = unionFind(allPairs.toSeq).toSeq
+                .toDF("cluster_id", "doc_id")
+              CorpusStream.writeClusterState(
+                spark, out, CorpusStream.readClusters(spark, out), next)
+          }
+          assert(readNow() === unionFind(allPairs.toSeq),
+            s"trial $trial step $step (compactEvery=${
+              CorpusStream.compactEvery})")
+        }
+      }
+    } finally {
+      CorpusStream.compactEvery = prior
+    }
+  }
 }
