@@ -601,18 +601,25 @@ object Dedup {
   private[graft] def components(pairDf: DataFrame): DataFrame = {
     val sc = pairDf.sparkSession.sparkContext
     def ids: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    // each localCheckpoint is eager and driver-serial, so the id-set
-    // delta around the call is exactly that checkpoint's blocks
+    // each localCheckpoint call registers its persistence handle
+    // driver-serially (even lazy ones), so the id-set delta around
+    // the call is exactly that checkpoint's blocks
     def free(owned: Set[Int]): Unit = owned.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     var snap = ids
-    val pairs = pairDf.toDF("id1", "id2").localCheckpoint()
+    // LAZY checkpoints throughout: RDD.localCheckpoint registers the
+    // persistence handle synchronously (so the id-set delta around
+    // each call still owns exactly that checkpoint's blocks), and the
+    // round's single changed-count action materializes the blocks —
+    // the eager form paid a separate materialize job per round on top
+    // of the count (2 actions/round → 1)
+    val pairs = pairDf.toDF("id1", "id2").localCheckpoint(eager = false)
     val pairIds = ids -- snap
     val edges = pairs.unionAll(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     snap = ids
     var labels = edges.select(col("id1").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint()
+      .withColumn("lbl", col("v")).localCheckpoint(eager = false)
     var labelIds = ids -- snap
     var changed = 1L
     var rounds = 0
@@ -624,7 +631,7 @@ object Dedup {
         .select(col("v"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("nlbl"),
           col("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextIds = ids -- snap
       changed = next.filter(col("nlbl") =!= col("lbl")).count()
       free(labelIds -- nextIds) // previous round, now fully consumed

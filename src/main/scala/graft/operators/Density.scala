@@ -125,7 +125,12 @@ object Density {
     // scan actually ships: per cluster, sizes by role plus bounding
     // box. One groupBy over the labeled points.
     "db_dbscan_census" -> ((s, dir) => {
-      val labeled = queries("db_dbscan_grid")(s, dir)
+      // the labeling directly, NOT via the grid query: the named grid
+      // query ends in a global ORDER BY c_custkey that this census
+      // immediately destroys with a join + groupBy — same rows, one
+      // full sort of the point table saved
+      val labeled = dbscan(pts(s, dir), EPS2, 12, MINPTS)
+        .select(col("k").as("c_custkey"), col("role"), col("label"))
       val p = pts(s, dir).select(col("k").as("c_custkey"),
         col("x"), col("y"))
       labeled.filter(col("label") >= 0)

@@ -63,14 +63,16 @@ object Graph {
     * min). Each round localCheckpoints (same lineage-reset rationale
     * as [[Dedup.components]]) and frees the previous round's blocks.
     *
-    * Cost shape: ONE Spark job per round. The round's checkpoint is
-    * LAZY and the single action is a (next ⋈ e) left-join aggregate
-    * computing (|next|, |next ∩ e|) — it materializes next's blocks
-    * and decides the fixpoint (next ⊆ e ∧ |next| = |e| ⇒ next = e,
-    * both sets being distinct) in the same job, instead of the
-    * count + conditional anti-join-count pair a naive fixpoint test
-    * pays on top of an eager checkpoint (3 jobs per round → 1).
-    * GraphSpec pins the job count with a listener.
+    * Cost shape: ONE Spark action per round. The round's checkpoint is
+    * LAZY and the single action materializes next's blocks while
+    * testing convergence from next's OWN shape: next is final iff it
+    * is a depth-1 forest (every u exactly once, no u also a v) — all
+    * edges stay (u > v)-oriented, so a depth-1 forest points each
+    * leaf at its component root and the root, smaller than every
+    * leaf, is the component minimum. This needs no join against e
+    * (the previous (next = e) equality test re-shuffled e per round)
+    * and stops on the round that PRODUCES the star forest instead of
+    * one round later. GraphSpec pins the action count with a listener.
     *
     * Block bookkeeping holds the checkpointed RDD handles directly
     * (pattern-matched out of the LogicalRDD the checkpoint returns) —
@@ -94,15 +96,19 @@ object Graph {
         least(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint(eager = false)
     var eRdds = ckRdds(e)
-    var cntE = e.count() // materializes the initial checkpoint too
     var rounds = 0
-    var changed = true
+    var done = false
     // each star phase is ONE partition-window min (a single shuffle on
     // u), not a groupBy + join pair — per-round stage count is what
     // iterative graph algorithms pay for, so it is kept minimal
     val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
-    while (changed && rounds < 30) {
-      val und = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    while (!done && rounds < 30) {
+      // ONE pass over e's blocks emits both arc directions — the
+      // unionAll-of-swap twin read the checkpointed blocks twice
+      val und = e.select(explode(array(
+          struct(col("u").as("u"), col("v").as("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("t"))
+        .select(col("t.u").as("u"), col("t.v").as("v"))
       // large-star: m = min(N(u) ∪ {u}); duplicate (v, m) rewires are
       // bounded by |und| and collapse in the round-final distinct
       val large = und
@@ -111,28 +117,43 @@ object Graph {
         .select(col("v").as("u"), col("m").as("v"))
       // small-star over the (u > v) forest: m = min of u's smaller
       // neighbors; v and m are both < u with m = min ⇒ the rewired
-      // edge (v, m) already satisfies the (hi, lo) orientation
+      // edge (v, m) already satisfies the (hi, lo) orientation.
+      // Both outputs — (u, m) always, (v, m) when v moved — come out
+      // of ONE pass over the window (the unionAll twin re-read the
+      // small-star exchange a second time for the (v, m) branch).
       val small = large.withColumn("m", min("v").over(wU))
-      val next = small.select(col("u"), col("m").as("v"))
-        .unionAll(small.filter(col("v") =!= col("m"))
-          .select(col("v").as("u"), col("m").as("v")))
+      val next = small.select(explode(when(col("v") === col("m"),
+          array(struct(col("u").as("u"), col("m").as("v"))))
+        .otherwise(array(struct(col("u").as("u"), col("m").as("v")),
+          struct(col("v").as("u"), col("m").as("v"))))).as("t"))
+        .select(col("t.u").as("u"), col("t.v").as("v"))
         .distinct().localCheckpoint(eager = false)
       val nextRdds = ckRdds(next)
-      // the round's ONE action: persist next and test the fixpoint —
-      // both frames are (u,v)-distinct, so next = e iff next ⊆ e
-      // (matched = |next|) and |next| = |e|
-      val (cntNext, matched) = next
-        .join(e.withColumn("old", lit(1)), Seq("u", "v"), "left")
-        .agg(count(lit(1)), count(col("old")))
-        .as[(Long, Long)].first()
-      changed = cntNext != cntE || matched != cntNext
-      cntE = cntNext
+      // the round's ONE action: materialize next and decide
+      // convergence from next's OWN shape — next is final iff it is a
+      // depth-1 forest (every u exactly once, and no u also appears
+      // as a v). Every next edge is (u > v)-oriented, so a depth-1
+      // forest points each leaf at its component root and the root,
+      // smaller than all its leaves, IS the component minimum. This
+      // detects the star forest on the round that PRODUCES it; the
+      // previous (next = e) equality join paid one extra no-op round
+      // to observe the fixpoint AND re-shuffled e per round for the
+      // (u, v)-keyed join.
+      val nBad = next.select(explode(array(
+          struct(col("u").as("node"), lit(1L).as("lf")),
+          struct(col("v").as("node"), lit(0L).as("lf")))).as("t"))
+        .select(col("t.node").as("node"), col("t.lf").as("lf"))
+        .groupBy("node")
+        .agg(sum(col("lf")).as("nu"), count(lit(1)).as("nt"))
+        .filter(col("nu") > 1 || (col("nu") >= 1 && col("nt") > col("nu")))
+        .count()
+      done = nBad == 0
       eRdds.foreach(_.unpersist(blocking = false))
       eRdds = nextRdds
       e = next
       rounds += 1
     }
-    require(!changed, s"star contraction did not converge in $rounds")
+    require(done, s"star contraction did not converge in $rounds")
     lastRounds = rounds
     val out = e.select(col("v").as("cluster_id"), col("u").as("node"))
       .unionAll(e.select(col("v").as("cluster_id"), col("v").as("node"))
@@ -221,9 +242,13 @@ object Graph {
       .unionAll(e0.select(col("y").as("src"), col("x").as("dst")))
       .cache()
     val sd = seeds.toDF("node", "seed_label")
-    val nodes = e.select(col("src").as("node")).distinct()
-    var labels = nodes.join(sd, Seq("node"), "left")
-      .select(col("node"), col("seed_label").as("label"))
+    // (node, seed_label) is read once per round PLUS the init — cache
+    // it so the node-distinct + seed join doesn't re-run 1 + rounds
+    // times inside the unrolled fixed-round plan
+    val base = e.select(col("src").as("node")).distinct()
+      .join(sd, Seq("node"), "left")
+      .cache()
+    var labels = base.select(col("node"), col("seed_label").as("label"))
     for (_ <- 1 to rounds) {
       val votes = e
         .join(labels.filter(col("label").isNotNull)
@@ -235,8 +260,7 @@ object Graph {
       val best = votes.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("src").as("node"), col("label").as("voted"))
-      labels = nodes.join(sd, Seq("node"), "left")
-        .join(best, Seq("node"), "left")
+      labels = base.join(best, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("seed_label"), col("voted")).as("label"))
     }
@@ -380,6 +404,23 @@ object Graph {
       .select(col("u").as("node"), col("core_deg"))
   }
 
+  /** Both arc directions of an (a, b) pair frame in ONE pass:
+    * explode([struct(a→src,b→dst), struct(b→src,a→dst)]). The
+    * unionAll-of-two-selects formulation duplicates the pair frame's
+    * whole subtree in the plan — measured at sf0.1, the
+    * orders⋈lineitem+distinct build ran TWICE per bipartite query
+    * (~0.75 s each) because the two union branches did not share the
+    * exchange. Row multiset is identical (order differs; every
+    * consumer is order-insensitive: degree counts, window ranks,
+    * integer sums). */
+  private def bothDirections(pairs: DataFrame, a: String, b: String,
+                             src: String = "src",
+                             dst: String = "dst"): DataFrame =
+    pairs.select(explode(array(
+        struct(col(a).as(src), col(b).as(dst)),
+        struct(col(b).as(src), col(a).as(dst)))).as("t"))
+      .select(col(s"t.$src").as(src), col(s"t.$dst").as(dst))
+
   val queries: Map[String, Q] = Map(
     "gr_pagerank" -> ((s, dir) => {
       val pairs = Tables(s, dir, "orders")
@@ -390,10 +431,7 @@ object Graph {
         .select((col("o_custkey") * 2).as("cnode"),
           (col("l_suppkey") * 2 + 1).as("snode"))
         .distinct()
-      val directed = pairs
-        .select(col("cnode").as("src"), col("snode").as("dst"))
-        .unionAll(
-          pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+      val directed = bothDirections(pairs, "cnode", "snode")
       pagerankOf(directed)
         .select(col("node"),
           when(col("node") % 2 === 0, lit("customer"))
@@ -419,10 +457,7 @@ object Graph {
         .select((col("o_custkey") * 2).as("cnode"),
           (col("l_suppkey") * 2 + 1).as("snode"))
         .distinct()
-      val directed = pairs
-        .select(col("cnode").as("u"), col("snode").as("v"))
-        .unionAll(
-          pairs.select(col("snode").as("u"), col("cnode").as("v")))
+      val directed = bothDirections(pairs, "cnode", "snode", "u", "v")
       kcoreOf(directed, 45).orderBy("node")
     }),
 
@@ -442,10 +477,7 @@ object Graph {
         .select((col("o_custkey") * 2).as("cnode"),
           (col("l_suppkey") * 2 + 1).as("snode"))
         .distinct()
-      val directed = pairs
-        .select(col("cnode").as("src"), col("snode").as("dst"))
-        .unionAll(
-          pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+      val directed = bothDirections(pairs, "cnode", "snode")
       val seeds = Tables(s, dir, "customer")
         .filter(col("c_nationkey") === 1)
         .select((col("c_custkey") * 2).as("node"))
@@ -599,9 +631,7 @@ object Graph {
     // whose round count is data-driven and must probe). Output is the
     // per-distance census: d, node count, key extremes.
     "gr_bfs_dist" -> ((s, dir) => {
-      val e = orderChainEdges(s, dir)
-      val sym = e.select(col("u"), col("v"))
-        .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val sym = bothDirections(orderChainEdges(s, dir), "u", "v", "u", "v")
       val seeds = Tables(s, dir, "orders")
         .filter(col("o_custkey") % 50 === 0)
         .groupBy("o_custkey").agg(min("o_orderkey").as("node"))
@@ -627,9 +657,13 @@ object Graph {
     // visited-set anti-join is replaced by a min-merge. Output: census
     // per 16-day distance band.
     "gr_sssp_bounded" -> ((s, dir) => {
-      val e = weightedChainEdges(s, dir)
-      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v"),
-        col("w")))
+      // both directions in one pass over the weighted edge build (the
+      // unionAll twin re-ran the window-derived edge plan twice)
+      val sym = weightedChainEdges(s, dir).select(explode(array(
+          struct(col("u").as("u"), col("v").as("v"), col("w").as("w")),
+          struct(col("v").as("u"), col("u").as("v"), col("w").as("w"))))
+          .as("t"))
+        .select(col("t.u").as("u"), col("t.v").as("v"), col("t.w").as("w"))
       val seeds = Tables(s, dir, "orders")
         .filter(col("o_custkey") % 50 === 0)
         .groupBy("o_custkey").agg(min("o_orderkey").as("node"))
@@ -671,6 +705,11 @@ object Graph {
   private[graft] def ssspOf(edges: DataFrame, seeds: DataFrame,
                             rounds: Int): DataFrame = {
     val INF = Long.MaxValue
+    // the edge table is probed once per relaxation round: cache it so
+    // each round reads blocks instead of re-deriving the edge plan
+    // (measured at sf0.1: the un-cached loop re-ran the window+union
+    // edge build every round — ~0.4 s/round of pure recompute)
+    val e = edges.cache()
     var dist = seeds.toDF("node").distinct().withColumn("d", lit(0L))
       .localCheckpoint(eager = false)
     var frontier = dist
@@ -678,7 +717,7 @@ object Graph {
       // per-node min over candidate relaxations BEFORE the merge join:
       // partial aggregation shrinks the shuffle to ≤ one row per
       // touched node
-      val cand = frontier.join(edges, col("node") === col("u"))
+      val cand = frontier.join(e, col("node") === col("u"))
         .select(col("v").as("node"), (col("d") + col("w")).as("nd"))
         .groupBy("node").agg(min("nd").as("nd"))
       val merged = dist.join(cand, Seq("node"), "full_outer")
@@ -703,20 +742,28 @@ object Graph {
     * convergence probes. */
   private[graft] def bfsOf(edges: DataFrame, seeds: DataFrame,
                            maxHops: Int): DataFrame = {
-    var dist = seeds.toDF("node").distinct().withColumn("d", lit(0L))
+    // the edge table is probed once per hop: cache it so each hop
+    // reads blocks instead of re-deriving the edge plan (measured at
+    // sf0.1: the un-cached loop re-ran the window+union edge build
+    // every hop — ~0.4 s/hop of pure recompute)
+    val e = edges.cache()
+    val seed0 = seeds.toDF("node").distinct().withColumn("d", lit(0L))
       .localCheckpoint(eager = false)
-    var frontier = dist.select("node")
+    // visited stays a UNION of the per-hop checkpointed frontiers —
+    // re-checkpointing the growing union per hop re-materialized the
+    // whole distance table maxHops times (O(V·hops) block writes)
+    var visited = List(seed0)
+    var frontier = seed0.select("node")
     for (k <- 1 to maxHops) {
-      val nxt = frontier.join(edges, col("node") === col("u"))
+      val nxt = frontier.join(e, col("node") === col("u"))
         .select(col("v").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
+        .join(visited.reduce(_ unionAll _), Seq("node"), "left_anti")
+        .withColumn("d", lit(k.toLong))
         .localCheckpoint(eager = false)
-      dist = dist
-        .unionAll(nxt.withColumn("d", lit(k.toLong)))
-        .localCheckpoint(eager = false)
-      frontier = nxt
+      visited ::= nxt
+      frontier = nxt.select("node")
     }
-    dist
+    visited.reverse.reduce(_ unionAll _)
   }
 
   /** Per-node triangle memberships of an (x, y) edge frame (any
@@ -815,7 +862,12 @@ object Graph {
     val (open, _) = openWedgesOf(edges0, hubCap)
     open
       .groupBy("a", "c")
-      .agg(countDistinct(col("b")).as("common_neighbors"))
+      // wedge triples (a, c, b) are UNIQUE by construction (the pool
+      // is a distinct arc set and e1.y < e2.y picks each unordered
+      // pair once per midpoint), so a plain count equals the distinct
+      // midpoint count — countDistinct planned a second wedge-scale
+      // exchange on (a, c, b) before the (a, c) aggregation
+      .agg(count(lit(1)).as("common_neighbors"))
       .orderBy(col("common_neighbors").desc, col("a"), col("c"))
       .limit(k)
   }
@@ -832,7 +884,9 @@ object Graph {
   private[graft] def adamicAdarOf(edges0: DataFrame, k: Int,
                                   hubCap: Int = HubCap): DataFrame = {
     val (open, deg) = openWedgesOf(edges0, hubCap)
-    open.select("a", "c", "b").distinct()
+    // wedge triples are already distinct (see linkPredictOf) — the
+    // .distinct() here was a full wedge-scale exchange for nothing
+    open.select("a", "c", "b")
       .join(deg.select(col("x").as("b"), col("d")), "b")
       .withColumn("w",
         round(lit(1000000d) / log(col("d").cast("double"))).cast("long"))

@@ -48,8 +48,15 @@ object Walks {
       .select(col("o_custkey").as("a"),
         (col("l_partkey") + PartOffset).as("b"))
       .distinct()
-    e0.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(e0.select(col("b").as("src"), col("a").as("dst")))
+    // both directions in ONE pass: the unionByName-of-swap twin
+    // duplicated the join+distinct subtree in the plan (the two
+    // branches did not share the exchange — measured ~0.75 s of
+    // recompute at sf0.1); consumers rank per src, so row order is
+    // immaterial
+    e0.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("t"))
+      .select(col("t.src").as("src"), col("t.dst").as("dst"))
   }
 
   /** Adjacency with a dense per-src neighbor ranking and degree. */

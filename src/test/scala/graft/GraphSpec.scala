@@ -93,12 +93,14 @@ class GraphSpec extends SparkSpec {
       s"incr $incrRounds vs full $fullRounds")
   }
 
-  test("star contraction pays one action per round (plus init)") {
-    // the fixpoint test is folded into each round's single
-    // materialize-and-compare action — a path graph converging in R
-    // rounds must cost exactly R + 1 MATERIALIZING actions (1 = the
-    // initial checkpoint count), not the 3R of an eager checkpoint +
-    // count + anti-join-count loop. A lazy Dataset.localCheckpoint
+  test("star contraction pays one action per round (no init action)") {
+    // the convergence test is folded into each round's single
+    // materialize-and-test action (depth-1-forest shape test on next
+    // itself — no join against e, no initial count: the first round's
+    // action materializes the input checkpoint) — a path graph
+    // converging in R rounds must cost exactly R MATERIALIZING
+    // actions, not the 3R of an eager checkpoint + count +
+    // anti-join-count loop. A lazy Dataset.localCheckpoint
     // also emits a listener event without running any job — filter
     // those bookkeeping entries out by funcName.
     val names = new java.util.concurrent.ConcurrentLinkedQueue[String]
@@ -130,7 +132,7 @@ class GraphSpec extends SparkSpec {
       val actions = all.count(n => !n.toLowerCase.contains("checkpoint"))
       val rounds = Graph.lastRounds
       assert(rounds >= 2)
-      assert(actions === rounds + 1,
+      assert(actions === rounds,
         s"$actions materializing actions ($all) for $rounds rounds — " +
           "fixpoint not folded in")
     } finally spark.listenerManager.unregister(listener)
