@@ -17,6 +17,25 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Raise a narrow source's parallelism to the cluster default before
+    * heavy per-row compute (signature hashing, shingling, codecs): a
+    * single large unsplittable input (one parquet row group, a .gz
+    * text file) delivers ONE input split regardless of
+    * maxPartitionBytes, serializing every downstream expression until
+    * the first exchange. Round-robin repartition right after the read
+    * is the standard fix (optimization guide §2.5 "input skew"; the
+    * Multimodal codec paths already do this with a measured 2× win) —
+    * and a source already at ≥ default parallelism returns untouched,
+    * so wide production scans skip the extra exchange. Keyless
+    * repartition is deterministic (sort-before-repartition) and every
+    * consumer aggregates by key, so results are unaffected. Call only
+    * on raw scans / narrow projections: deciding the no-op branch
+    * plans the frame once. */
+  def spread(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
+
   /** `events.parquet` has shipped with two physical `ts` encodings across
     * generator versions: `TIMESTAMP(NANOS)` (which Spark's parquet reader
     * rejects — read nanos as long via the legacy conf and rebuild a

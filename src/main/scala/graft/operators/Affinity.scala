@@ -94,11 +94,19 @@ object Affinity {
         .join(itemCnt.select(col("pk").as("p1"), col("c").as("c1")), "p1")
         .join(itemCnt.select(col("pk").as("p2"), col("c").as("c2")), "p2")
         .crossJoin(broadcast(nBaskets))
-      val rules = pairs.select(col("p1").as("ante"), col("p2").as("cons"),
-          col("c12"), col("c1").as("c_ante"), col("c2").as("c_cons"),
-          col("n_baskets"))
-        .unionAll(pairs.select(col("p2"), col("p1"), col("c12"),
-          col("c2"), col("c1"), col("n_baskets")))
+      // both directed rules in ONE pass over the pair table — the
+      // unionAll twin duplicated the whole pair-join subtree (basket
+      // self-join + two count joins) in the plan
+      val rules = pairs.select(explode(array(
+          struct(col("p1").as("ante"), col("p2").as("cons"), col("c12"),
+            col("c1").as("c_ante"), col("c2").as("c_cons"),
+            col("n_baskets")),
+          struct(col("p2").as("ante"), col("p1").as("cons"), col("c12"),
+            col("c2").as("c_ante"), col("c1").as("c_cons"),
+            col("n_baskets")))).as("t"))
+        .select(col("t.ante").as("ante"), col("t.cons").as("cons"),
+          col("t.c12").as("c12"), col("t.c_ante").as("c_ante"),
+          col("t.c_cons").as("c_cons"), col("t.n_baskets").as("n_baskets"))
       rules
         .select(col("ante"), col("cons"),
           expr("c12 * 1000 div c_ante").as("conf_pm"),

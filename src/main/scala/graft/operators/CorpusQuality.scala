@@ -79,7 +79,9 @@ object CorpusQuality {
     * the span-dedup working set; exposed so the scale soak can account
     * gram/duplicate volumes against corpus size. */
   private[graft] def spanGrams(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    // spread: per-gram md5 is the heavy term and the scan is one
+    // input split (see Tables.spread)
+    graft.Tables.spread(Tables(s, dir, "documents"))
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= NGRAM)
       .select(col("doc_id"), size(col("w")).as("n_words"),
@@ -91,7 +93,9 @@ object CorpusQuality {
 
   val queries: Map[String, Q] = Map(
     "dc_decontaminate" -> ((s, dir) => {
-      val grams = Tables(s, dir, "documents")
+      // spread the single-split scan; cache — the bench slice and the
+      // train probe both read the md5 gram explode
+      val grams = graft.Tables.spread(Tables(s, dir, "documents"))
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= NGRAM)
         .select(col("doc_id"), explode(expr(
@@ -99,6 +103,7 @@ object CorpusQuality {
              |  i -> substring(md5(cast(concat_ws(' ', slice(w, i, $NGRAM))
              |                          as binary)), 1, 16))""".stripMargin))
           .as("gh"))
+        .cache()
       val bench = grams.filter(col("doc_id") % BENCH_MOD === 0)
         .select("gh").distinct()
       // no broadcast HINT: this corpus's stand-in benchmark is a
@@ -125,7 +130,7 @@ object CorpusQuality {
     // volume tracks real contamination, not corpus size (the
     // dd_ngram_jaccard accounting argument).
     "dc_fuzzy_decontaminate" -> ((s, dir) => {
-      val g = Tables(s, dir, "documents")
+      val g = graft.Tables.spread(Tables(s, dir, "documents"))
         .withColumn("w", split(col("text"), " "))
         .filter(size(col("w")) >= NGRAM)
         .select(col("doc_id"), explode(expr(
@@ -251,7 +256,9 @@ object CorpusQuality {
     }),
 
     "dd_dup_spans" -> ((s, dir) => {
-      val grams = spanGrams(s, dir)
+      // cached: the dup census AND the coverage join read the grams —
+      // without it the md5 explode ran twice
+      val grams = spanGrams(s, dir).cache()
       // a gram is duplicated iff ≥2 DISTINCT documents contain it
       val dup = grams.groupBy("gh")
         .agg(countDistinct(col("doc_id")).as("nd"))

@@ -35,7 +35,7 @@ object Dedup {
       .distinct()
 
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    shinglesOf(Tables(s, dir, "documents"))
+    shinglesOf(graft.Tables.spread(Tables(s, dir, "documents")))
 
   private[graft] val K = 9   // minhash signature length
   private val BANDS = 3      // 3 bands × 3 rows
@@ -82,7 +82,7 @@ object Dedup {
   }
 
   private def minhashes(s: SparkSession, dir: String): DataFrame =
-    minhashesOf(Tables(s, dir, "documents"))
+    minhashesOf(graft.Tables.spread(Tables(s, dir, "documents")))
 
   /** The dictionary signature pipeline (pre-round-4 production path,
     * now the independent reference implementation DedupSpec pins the
@@ -161,7 +161,7 @@ object Dedup {
     bandedSignaturesFrom(minhashesOf(docs), BANDS)
 
   private[graft] def bandedSignatures(s: SparkSession, dir: String): DataFrame =
-    bandedSignaturesOf(Tables(s, dir, "documents"))
+    bandedSignaturesOf(graft.Tables.spread(Tables(s, dir, "documents")))
 
   private[graft] def minhashScoredOf(docs: DataFrame): DataFrame =
     minhashScoredUnder(docs, BANDS)
@@ -198,7 +198,7 @@ object Dedup {
   }
 
   private[graft] def minhashScored(s: SparkSession, dir: String): DataFrame =
-    minhashScoredOf(Tables(s, dir, "documents"))
+    minhashScoredOf(graft.Tables.spread(Tables(s, dir, "documents")))
 
   /** Width-parameterized signature table: K=16 signatures through the
     * [[graft.functions.MinHash16]] expression (same zero-shuffle
@@ -264,7 +264,7 @@ object Dedup {
     minhashScoredUnder(docs, BANDS, release).filter(col("n_match") >= 6)
 
   private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    minhashPairsOf(Tables(s, dir, "documents"))
+    minhashPairsOf(graft.Tables.spread(Tables(s, dir, "documents")))
 
   /** Incremental-probe candidates with signature agreement, pre-filter
     * (see the dd_incremental query doc): all×new plus new×new, never
@@ -293,6 +293,9 @@ object Dedup {
     * pipeline below, which is kept for the equivalence spec). */
   private[graft] def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SimHash63.register(s)
+    // NOT spread: the fused expression is cheap enough that the
+    // zero-shuffle projection (spec-pinned) beats a repartition —
+    // dd_simhash measured unchanged under a spread here
     Tables(s, dir, "documents")
       .select(col("doc_id"), expr("simhash63(split(text, ' '))").as("sim"))
   }
@@ -453,8 +456,12 @@ object Dedup {
     graft.functions.SetOverlap.register(s)
     val sh = shingleIds(s, dir).cache()
     val cand = jaccardCandidates(sh)
+    // cached: BOTH sides of the candidate join read docArr, and the
+    // groupBy+sort_array build is not de-duplicated across the two
+    // join branches (measured: it ran twice, ~0.7 s at sf0.1)
     val docArr = sh.groupBy("doc_id")
       .agg(sort_array(collect_list("shingle")).as("shs"))
+      .cache()
     cand
       .join(docArr.select(col("doc_id").as("id1"), col("shs").as("sh1")),
         "id1")
@@ -485,7 +492,7 @@ object Dedup {
   }
 
   private def shingleIds(s: SparkSession, dir: String): DataFrame =
-    shingleIdsOf(Tables(s, dir, "documents"))
+    shingleIdsOf(graft.Tables.spread(Tables(s, dir, "documents")))
 
   /** The exact n-gram Jaccard path over ANY (doc_id, text) frame —
     * the dd_ngram_jaccard pipeline (prefix-filter candidates +
@@ -495,8 +502,11 @@ object Dedup {
     graft.functions.SetOverlap.register(docs.sparkSession)
     val sh = shingleIdsOf(docs).cache()
     val (cand, pref) = jaccardCandidatesTracked(sh)
+    // cached for the two join branches (see jaccardScored); released
+    // below with the other internal caches once out is materialized
     val docArr = sh.groupBy("doc_id")
       .agg(sort_array(collect_list("shingle")).as("shs"))
+      .cache()
     val pairs = cand
       .join(docArr.select(col("doc_id").as("id1"), col("shs").as("sh1")),
         "id1")
@@ -511,6 +521,7 @@ object Dedup {
     val out = pairs.localCheckpoint()
     pref.unpersist(false)
     sh.unpersist(false)
+    docArr.unpersist(false)
     out
   }
 
@@ -824,7 +835,11 @@ object Dedup {
     "dd_containment" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("snip_id").orderBy("df", "gram")
-      val docs = Tables(s, dir, "documents")
+      // spread: the per-position gram md5 is the heavy term and the
+      // scan is one input split (caching the tokenized frame instead
+      // measured net-negative: the cache write costs more than the
+      // cheap scan+split dup it saves)
+      val docs = graft.Tables.spread(Tables(s, dir, "documents"))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 12)
       val grams = docs.select(col("doc_id"),
@@ -988,6 +1003,8 @@ object Dedup {
     "dd_lines" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("d").orderBy("doc_id", "idx")
+      // not spread: one md5 per 8-token block is light relative to
+      // the repartition exchange (measured net-negative at sf0.1)
       Tables(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .withColumn("nblk", expr(
@@ -1022,6 +1039,10 @@ object Dedup {
   /** Embeddings with norms and the ×1024 integer-quantized copy used
     * for the SRP sign tests. */
   private def embedVectors(s: SparkSession, dir: String): DataFrame =
+    // NOT spread: the hyperplane fetch in embedCandidates is a second
+    // action over this frame, so a repartition here would pay its
+    // exchange twice for 64-dim arithmetic that is light per row
+    // (measured net-negative at sf0.1)
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(expr("vec_dot(v, v)")))

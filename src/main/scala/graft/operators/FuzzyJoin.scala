@@ -288,13 +288,15 @@ object FuzzyJoin {
       (lit(4) + lit(2) *
         greatest(lit(0.0), floor(log10(count(lit(1)) / 1500.0))))
         .cast("int").as("klen"))
-    def keyed(df: DataFrame, nameCol: String): DataFrame = {
-      val withK = df.join(broadcast(kl))
-      withK.select(expr(s"substr($nameCol, 1, klen)").as("k"), col("*"))
-        .unionAll(
-          withK.select(expr(s"right($nameCol, klen)").as("k"), col("*")))
+    // both block keys in ONE pass over the side (explode of the
+    // two-key array) — the unionAll twin re-evaluated the whole side
+    // subtree (scan + generated-name expressions) once per key
+    def keyed(df: DataFrame, nameCol: String): DataFrame =
+      df.join(broadcast(kl))
+        .select(explode(array(
+            expr(s"substr($nameCol, 1, klen)"),
+            expr(s"right($nameCol, klen)"))).as("k"), col("*"))
         .drop("klen")
-    }
     keyed(dirty, "dname").join(keyed(master, "name"), "k")
       .select("dirty_id", "dname", "c_custkey", "name")
   }

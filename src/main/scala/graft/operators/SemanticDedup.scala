@@ -47,7 +47,9 @@ object SemanticDedup {
 
   val queries: Map[String, Q] = Map(
     "dd_semantic" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
+      // spread: the embeddings file is one input split, which made the
+      // normalize + centroid-scoring cross join single-threaded
+      val e = graft.Tables.spread(Tables(s, dir, "embeddings"))
         .select(col("vec_id"), expr(unitExpr).as("u"))
         .cache() // reused: centroid slice, assignment, both join sides
       val cent = broadcast(e.filter(col("vec_id") < C)
@@ -59,6 +61,7 @@ object SemanticDedup {
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cid"), col("u"))
+        .cache() // both sides of the within-centroid pair join read it
       val a = assign.select(col("cid"), col("vec_id").as("ia"),
         col("u").as("ua"))
       val b = assign.select(col("cid"), col("vec_id").as("ib"),

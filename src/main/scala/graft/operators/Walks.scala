@@ -75,7 +75,11 @@ object Walks {
     // undirected, so every adjacency src has deg ≥ 1.
     "gr_walks" -> ((s, dir) => {
       val adj = rankedAdj(edges(s, dir)).cache()
-      val starts = adj.select(col("src")).distinct()
+      // cache every step frontier: the per-position union frames
+      // share the step chain, and without them the union re-ran step
+      // t's join once per LATER position (1+2+…+L joins — measured
+      // ~10 cache-scan jobs instead of L+1 at sf0.1)
+      val starts = adj.select(col("src")).distinct().cache()
       var frames = List(starts.select(col("src").as("walk_id"),
         lit(0L).as("pos"), col("src").as("node")))
       var cur = starts.select(col("src").as("walk_id"),
@@ -88,6 +92,7 @@ object Walks {
             col("cur") === col("src") &&
               col("rn") === stepHash(col("cur"), t) % col("deg") + 1)
           .select(col("walk_id"), col("dst").as("cur"))
+          .cache()
         frames ::= cur.select(col("walk_id"), lit(t.toLong).as("pos"),
           col("cur").as("node"))
       }
