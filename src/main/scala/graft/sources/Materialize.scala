@@ -43,13 +43,45 @@ object Materialize {
     * long-running serving session. */
   private[graft] def guardSize(s: SparkSession): Int = sessionMap(s).size()
 
+  // per-(session, key) build monitors for memoEntry/tableOnce: builds
+  // must run OUTSIDE ConcurrentHashMap's compute() locks because a
+  // composing build re-enters the same map (nested tableOnce /
+  // resultOnce), which compute() punishes with a bin-layout-dependent
+  // IllegalStateException("Recursive update"). The Object values are
+  // trivial, so creating THEM via computeIfAbsent cannot re-enter.
+  private val buildLocks = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, Object]]()
+
+  private def lockFor(s: SparkSession, key: String): Object =
+    buildLocks.synchronized {
+      var m = buildLocks.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+        buildLocks.put(s, m)
+      }
+      m
+    }.computeIfAbsent(key, _ => new Object)
+
   /** Run `build` and save it as managed table `table` once per
-    * (session, key); return a reader of the table. */
+    * (session, key); return a reader of the table. The write runs
+    * under a per-key monitor, not inside the guard map's compute()
+    * (see [[lockFor]] — a build that reads ANOTHER tableOnce artifact
+    * must be able to re-enter the map). */
   def tableOnce(s: SparkSession, key: String, table: String)
-               (build: => DataFrame): DataFrame =
-    s.table(sessionMap(s).computeIfAbsent(
-      s"$key|$table",
-      _ => { graft.jobs.TableIO.overwrite(s, build, table); table }))
+               (build: => DataFrame): DataFrame = {
+    val m = sessionMap(s)
+    val k = s"$key|$table"
+    var t = m.get(k)
+    if (t == null) lockFor(s, "tbl|" + k).synchronized {
+      t = m.get(k)
+      if (t == null) {
+        graft.jobs.TableIO.overwrite(s, build, table)
+        m.put(k, table)
+        t = table
+      }
+    }
+    s.table(t)
+  }
 
   /** Hook the ANN operators thread their index artifacts through: given
     * an artifact name and its build plan, return the frame the search
@@ -100,8 +132,8 @@ object Materialize {
     * memo step shared by [[resultOnce]] and [[cached]]. The stored
     * witness plans guard against a semanticHash collision in the key
     * (different plans, same hash → build unmemoized rather than serve
-    * the stored frame); compute() holds the per-key map lock during
-    * the build, so concurrent first-touchers build exactly once
+    * the stored frame); a per-key monitor is held during the build,
+    * so concurrent first-touchers build exactly once
     * (ConcurrentServeSpec). Returns the served frame, the entry's
     * reference (for a CONDITIONAL evict that can never clobber a
     * concurrent healer's fresh entry), and whether THIS call ran the
@@ -112,14 +144,30 @@ object Materialize {
       (make: => DataFrame)
       : (DataFrame, java.lang.ref.SoftReference[Memo], Boolean) = {
     var builtNow = false
-    val ref = artifactMap(s).compute(key, (_, old) => {
-      val live = if (old != null) old.get() else null
-      if (live != null) old
-      else {
-        builtNow = true
-        new java.lang.ref.SoftReference(Memo(plans, make))
+    // build under a PER-KEY lock, never inside ConcurrentHashMap's own
+    // compute(): a composing facade's build calls resultOnce again
+    // (keep-best on the clusters artifact, incremental phash on the
+    // hash table), and a nested mutation of the map from inside
+    // compute() throws IllegalStateException("Recursive update")
+    // whenever the two keys land in one bin — a run-order-dependent
+    // crash. Per-key monitors keep the build-exactly-once contract
+    // (ConcurrentServeSpec) and nest safely: composition is a DAG, so
+    // lock order follows it and cannot cycle.
+    val m = artifactMap(s)
+    def liveOf(r: java.lang.ref.SoftReference[Memo]): Memo =
+      if (r != null) r.get() else null
+    var ref = m.get(key)
+    if (liveOf(ref) == null) {
+      val lock = lockFor(s, key)
+      lock.synchronized {
+        ref = m.get(key)
+        if (liveOf(ref) == null) {
+          builtNow = true
+          ref = new java.lang.ref.SoftReference(Memo(plans, make))
+          m.put(key, ref)
+        }
       }
-    })
+    }
     val hit = ref.get()
     if (hit == null) (make, ref, true) // cleared between compute and read
     else if (hit.plans.length == plans.length &&
